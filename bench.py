@@ -1,0 +1,72 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR.
+
+Prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``
+
+Queries are timed end-to-end (plan build + execution to a count/collect of
+the result), after a warm-up action that pays the one-time session and
+parquet-footer costs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from extract_transform_load_template_multidb_spark.queries import all_queries
+from extract_transform_load_template_multidb_spark.session import get_spark
+
+# Headline set: flagship aggregate, join-heavy, window, set-op, ETL window
+# extract — a representative slice of the operator surface. Extend as new
+# operator families land.
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier_volume",
+    "join_broadcast_dim",
+    "window_rank_topn_per_group",
+    "agg_rollup",
+    "etl_window_extract",
+    "agg_count_distinct",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="etl-multidb-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = all_queries()
+
+    # Warm up: JVM, parquet footers, codegen.
+    qs["q1_pricing_summary"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in qs:
+            continue
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Fixture-table catalog: load the driver-generated parquet tables.
+
+The reference's only data abstraction is a flat relational table snapshot
+(pandas DataFrame, e.g. reference ``Template-to-MySQL/
+BigQuery-to-MySQL-Method-1.py:57``); here it is a lazy distributed
+``pyspark.sql.DataFrame`` read straight from parquet with column pruning and
+predicate pushdown left to Catalyst.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from extract_transform_load_template_multidb_spark.session import ensure_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table.
+
+    ``events.ts`` is physically TIMESTAMP(NANOS); Spark reads it as long
+    (``nanosAsLong``) and we truncate to microseconds with *integer*
+    division — float division would lose precision above 2^53 ns and
+    diverge from the DuckDB oracle's nanos→micros truncation.
+    """
+    ensure_conf(spark)
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> None:
+    """Register each fixture table as a temp view for ``spark.sql`` queries."""
+    for name in names:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

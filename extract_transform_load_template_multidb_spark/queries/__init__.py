@@ -1,0 +1,67 @@
+"""Named-query registry: the driver-facing catalog of every operator.
+
+Each query is registered under a stable name with (a) a PySpark callable
+``(spark, sf_dir) -> DataFrame`` and (b) — when SQL-expressible — an ANSI-SQL
+oracle string that DuckDB runs on the same parquet tables. The pair is the
+correctness contract from SURVEY.md §5: row count + schema + order-insensitive
+value hash must match.
+
+Float discipline: order-insensitive hashing means double aggregation must be
+order-independent, so every SUM/AVG over doubles goes through
+``DECIMAL(38,6)`` (exact, associative) and is cast back to double — both in
+the Spark plan and in the oracle SQL — making the results bit-identical
+regardless of partitioning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    """Decorator: register a named query and (optionally) its DuckDB oracle."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _load_all()
+    return dict(QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return dict(ORACLES)
+
+
+_loaded = False
+
+
+def _load_all() -> None:
+    global _loaded
+    if _loaded:
+        return
+    # Import for registration side effects.
+    from extract_transform_load_template_multidb_spark.queries import (  # noqa: F401
+        etl,
+        relational,
+    )
+
+    try:
+        from extract_transform_load_template_multidb_spark.queries import (  # noqa: F401
+            llm_data,
+        )
+    except ImportError:
+        pass
+    _loaded = True

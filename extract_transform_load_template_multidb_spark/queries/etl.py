@@ -1,0 +1,138 @@
+"""Reference-parity ETL queries (SURVEY.md §2.1–2.3), oracle-checked.
+
+These express the reference's extract/transform semantics as Catalyst plans
+over the fixture tables: full-snapshot extract (Method-1), 30-day rolling
+window extract (Method-2), ±inf→NULL cleaning, metadata-column drop, and the
+retention-delete complement. The rolling-window anchor is ``max(ts)`` rather
+than wall-clock now so results are deterministic (SURVEY.md §7 risk register).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.queries import query
+from extract_transform_load_template_multidb_spark.transforms import (
+    clean_infinities,
+    drop_meta_columns,
+    window_filter,
+)
+
+
+@query(
+    "etl_full_snapshot",
+    oracle="SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment FROM customer",
+)
+def etl_full_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-1 full-table extract: ``SELECT *`` identity projection (T1).
+
+    Reference: ``Template-to-MySQL/BigQuery-to-MySQL-Method-1.py:56``.
+    """
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"
+    )
+
+
+_WINDOW_ORACLE = """
+SELECT event_id, ts, user_id, event_type,
+       CASE WHEN isinf(value) THEN NULL ELSE value END AS value
+FROM events
+WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 30 DAY
+"""
+
+
+@query("etl_window_extract", oracle=_WINDOW_ORACLE)
+def etl_window_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-2 incremental extract: 30-day rolling window + cleaning.
+
+    Composition of reference S2/S4/S6/S8 (dialect-pushed ``date_trans >=
+    now−30d``, e.g. ``Template-to-MySQL/BigQuery-to-MySQL-Method-2.py:58``),
+    T3 (±inf→NULL, ``:58``) and T2 (metadata drop,
+    ``Template-to-MySQL/Dynamics365-to-MySQL-Method-1.py:78``). The filter
+    is a broadcast join against a 1-row aggregate — Catalyst keeps the scan
+    distributed and prunes the ``props`` column at the parquet reader.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ev = window_filter(ev, "ts", days=30)
+    ev = clean_infinities(ev, ["value"])
+    ev = drop_meta_columns(ev, ("props",))
+    return ev.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+_RETENTION_ORACLE = """
+SELECT event_id, ts, user_id, event_type
+FROM events
+WHERE ts < (SELECT max(ts) FROM events) - INTERVAL 30 DAY
+"""
+
+
+@query("etl_retention_complement", oracle=_RETENTION_ORACLE)
+def etl_retention_complement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows a Method-2 retention delete would remove (W3/W6).
+
+    Reference: ``DELETE FROM t WHERE date_trans < DATE_SUB(CURDATE(),
+    INTERVAL 30 DAY)`` (``Template-to-MySQL/BigQuery-to-MySQL-Method-2.py:77``),
+    expressed as the anti-filter so it is oracle-checkable.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        (F.max("ts") - F.expr("INTERVAL 30 DAY")).alias("__cutoff")
+    )
+    return (
+        ev.join(F.broadcast(cut), F.col("ts") < F.col("__cutoff"))
+        .select("event_id", "ts", "user_id", "event_type")
+    )
+
+
+_INF_CLEAN_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_rows,
+       COUNT(CASE WHEN isinf(value) THEN 1 END) AS n_inf_cleaned,
+       COUNT(CASE WHEN isnan(value) THEN 1 END) AS n_nan_kept
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("etl_inf_null_clean", oracle=_INF_CLEAN_ORACLE)
+def etl_inf_null_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audit of the ±inf→NULL rule (T3): what gets nulled, what survives.
+
+    The reference's pandas ``replace([inf,-inf], None)`` leaves NaN alone —
+    this query pins that distinction per event_type.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("value").isin(float("inf"), float("-inf")), 1)).alias(
+            "n_inf_cleaned"
+        ),
+        F.count(F.when(F.isnan("value"), 1)).alias("n_nan_kept"),
+    )
+
+
+_NVARCHAR_ORACLE = """
+SELECT source,
+       MAX(CASE WHEN regexp_matches(text, '[^a-zA-Z0-9]') THEN 1 ELSE 0 END) AS needs_nvarchar
+FROM documents
+GROUP BY source
+"""
+
+
+@query("etl_nvarchar_promotion", oracle=_NVARCHAR_ORACLE)
+def etl_nvarchar_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven VARCHAR→NVARCHAR promotion scan (W10).
+
+    Reference: sample column values, promote if any matches
+    ``[^a-zA-Z0-9]`` (notebook ipynb:154,:187,:193). Expressed as a
+    distributed ``rlike`` aggregate per source instead of a 1,000-row
+    driver-side sample — at 100 TB the sample bound becomes a ``LIMIT``
+    pushed into the scan, but the rule itself is this aggregate.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    return doc.groupBy("source").agg(
+        F.max(
+            F.when(F.col("text").rlike("[^a-zA-Z0-9]"), F.lit(1)).otherwise(F.lit(0))
+        ).alias("needs_nvarchar")
+    )

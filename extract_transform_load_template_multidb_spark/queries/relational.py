@@ -1,0 +1,511 @@
+"""Relational query surface (SURVEY.md §2.5 gap list → §7 Phase 3).
+
+The reference delegates all relational computation to external engines as
+SQL strings; a user switching to this repo gets the full surface natively:
+joins (broadcast/shuffle/semi/anti), aggregations (hash, rollup/cube),
+window functions, sorts/limits/top-k, set ops, and scalar functions — all
+Catalyst built-ins, each oracle-checked against DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.queries import query
+from extract_transform_load_template_multidb_spark.queries._util import (
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
+
+_Q1_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       {sql_dsum('l_quantity', 'sum_qty')},
+       {sql_dsum('l_extendedprice', 'sum_base_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+       {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+       {sql_davg('l_quantity', 'avg_qty')},
+       {sql_davg('l_extendedprice', 'avg_price')},
+       {sql_davg('l_discount', 'avg_disc')},
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= (SELECT max(l_shipdate) FROM lineitem) - INTERVAL 90 DAY
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("q1_pricing_summary", oracle=_Q1_ORACLE)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan → filter → hash aggregate.
+
+    Flagship query. The date anchor is ``max(l_shipdate) − 90 days``
+    computed as a broadcast 1-row aggregate (deterministic, no
+    ``current_date()``). Partial aggregation (map-side combine) happens
+    automatically; the decimal-routed sums stay exact under any partition
+    combine order.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    cut = li.agg(
+        (F.max("l_shipdate") - F.expr("INTERVAL 90 DAY")).alias("__cut")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.join(F.broadcast(cut), F.col("l_shipdate") <= F.col("__cut"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity"), "sum_qty"),
+            dsum(F.col("l_extendedprice"), "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg(F.col("l_quantity"), "avg_qty"),
+            davg(F.col("l_extendedprice"), "avg_price"),
+            davg(F.col("l_discount"), "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+_JOIN_BROADCAST_ORACLE = f"""
+SELECT c_mktsegment,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'revenue')}
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+@query("join_broadcast_dim", oracle=_JOIN_BROADCAST_ORACLE)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈dimension with an explicit broadcast hint.
+
+    At 100 TB the customer dimension may not be broadcastable — the hint
+    documents intent; AQE falls back to shuffle join above the threshold.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            F.broadcast(customer), orders.o_custkey == customer.c_custkey
+        )
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )
+
+
+_Q3_ORACLE = f"""
+SELECT o_orderkey,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')},
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+@query("q3_shipping_priority", oracle=_Q3_ORACLE)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style 3-way join + aggregate + top-k.
+
+    The selective ``c_mktsegment`` filter is applied before the join
+    (Catalyst pushes it into the customer scan); the final ORDER BY+LIMIT
+    executes as TakeOrderedAndProject — no global sort at scale.
+    """
+    customer = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue, "revenue"))
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+_Q5_ORACLE = f"""
+SELECT n_name, {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY n_name
+"""
+
+
+@query("q5_local_supplier_volume", oracle=_Q5_ORACLE)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style 6-way join: region-filtered local-supplier revenue.
+
+    nation/region/supplier are broadcast; the customer⋈orders⋈lineitem
+    chain shuffles on its join keys once each — the plan Catalyst picks is
+    the one you'd hand-write at 100 TB.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(supplier),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue, "revenue"))
+    )
+
+
+_SEMI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE EXISTS (
+  SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000
+)
+"""
+
+
+@query("join_semi", oracle=_SEMI_ORACLE)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with at least one large order."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+_ANTI_ORACLE = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+@query("join_anti", oracle=_ANTI_ORACLE)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no orders at all."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return customer.join(
+        orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+_WINDOW_RANK_ORACLE = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (
+           PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+         ) AS rn
+  FROM orders
+) WHERE rn <= 3
+"""
+
+
+@query("window_rank_topn_per_group", oracle=_WINDOW_RANK_ORACLE)
+def window_rank_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function: top-3 orders per customer.
+
+    The tie-break on ``o_orderkey`` makes row_number deterministic — a
+    requirement for oracle hashing and good practice anywhere.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+_WINDOW_RUNNING_ORACLE = """
+SELECT event_id, user_id, ts,
+       CAST(SUM(CAST(CASE WHEN isinf(value) OR isnan(value) THEN 0 ELSE value END
+                AS DECIMAL(38,6)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+       AS running_value
+FROM events
+"""
+
+
+@query("window_running_sum", oracle=_WINDOW_RUNNING_ORACLE)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window frame: per-user running sum over event time.
+
+    ±inf/NaN are zeroed first so the running decimal sum is well-defined;
+    frame is ROWS UNBOUNDED PRECEDING..CURRENT ROW with a deterministic
+    (ts, event_id) order.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    safe = F.when(
+        F.isnan("value") | F.col("value").isin(float("inf"), float("-inf")),
+        F.lit(0.0),
+    ).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(safe.cast("decimal(38,6)")).over(w).cast("double").alias(
+            "running_value"
+        ),
+    )
+
+
+_ROLLUP_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       COUNT(*) AS n_items,
+       {sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("agg_rollup", oracle=_ROLLUP_ORACLE)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical aggregate: GROUP BY ROLLUP with subtotals + grand total."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        dsum(F.col("l_quantity"), "sum_qty"),
+    )
+
+
+_CUBE_ORACLE = f"""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 'total')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("agg_cube", oracle=_CUBE_ORACLE)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE over two dimensions of orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), "total"),
+    )
+
+
+_SORT_LIMIT_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 25
+"""
+
+
+@query("sort_limit_topk", oracle=_SORT_LIMIT_ORACLE)
+def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: ORDER BY + LIMIT → TakeOrderedAndProject (no full sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+_SETOP_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+UNION
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("set_union_distinct", oracle=_SETOP_ORACLE)
+def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct): nations present among customers or suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return (
+        customer.select(F.col("c_nationkey").alias("nationkey"))
+        .union(supplier.select(F.col("s_nationkey").alias("nationkey")))
+        .distinct()
+    )
+
+
+_INTERSECT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("set_intersect", oracle=_INTERSECT_ORACLE)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT: nations with both customers and suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).intersect(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+_EXCEPT_ORACLE = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+@query("set_except", oracle=_EXCEPT_ORACLE)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT: nations with customers but no suppliers."""
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    return customer.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        supplier.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+_HAVING_ORACLE = f"""
+SELECT o_custkey, COUNT(*) AS n_orders, {sql_dsum('o_totalprice', 'spend')}
+FROM orders
+GROUP BY o_custkey
+HAVING COUNT(*) >= 5
+"""
+
+
+@query("agg_having", oracle=_HAVING_ORACLE)
+def agg_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY + HAVING: repeat customers (≥5 orders)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), "spend"),
+        )
+        .filter(F.col("n_orders") >= 5)
+    )
+
+
+_SCALAR_ORACLE = """
+SELECT p_partkey,
+       UPPER(p_brand) AS brand_upper,
+       LENGTH(p_name) AS name_len,
+       SUBSTR(p_type, 1, 5) AS type_prefix,
+       CAST(ROUND(p_retailprice * 1.1, 2) AS DOUBLE) AS price_with_tax,
+       CAST(FLOOR(p_size / 10) AS BIGINT) AS size_bucket,
+       CONCAT(p_brand, '#', p_type) AS brand_type
+FROM part
+"""
+
+
+@query("scalar_string_math", oracle=_SCALAR_ORACLE)
+def scalar_string_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library: string/math expressions, all codegen'd."""
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.length("p_name").alias("name_len"),
+        F.substring("p_type", 1, 5).alias("type_prefix"),
+        F.round(F.col("p_retailprice") * 1.1, 2).cast("double").alias(
+            "price_with_tax"
+        ),
+        F.floor(F.col("p_size") / 10).cast("bigint").alias("size_bucket"),
+        F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+    )
+
+
+_DATE_ORACLE = """
+SELECT event_id,
+       CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+       CAST(year(ts) AS INT) AS y,
+       CAST(month(ts) AS INT) AS m,
+       CAST(dayofweek(ts) AS INT) AS dow,
+       CAST(ts + INTERVAL 7 DAY AS TIMESTAMP) AS ts_plus_week
+FROM events
+"""
+
+
+@query("scalar_datetime", oracle=_DATE_ORACLE)
+def scalar_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time functions: trunc, field extraction, interval arithmetic.
+
+    DuckDB ``dayofweek`` is 0=Sunday..6; Spark ``dayofweek`` is 1=Sunday..7,
+    so the Spark side subtracts 1 to align on one public convention.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.year("ts").cast("int").alias("y"),
+        F.month("ts").cast("int").alias("m"),
+        (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAY")).alias("ts_plus_week"),
+    )
+
+
+_JSON_ORACLE = """
+SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+@query("scalar_json_extract", oracle=_JSON_ORACLE)
+def scalar_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar extraction from the events ``props`` column."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+_DISTINCT_ORACLE = """
+SELECT COUNT(DISTINCT user_id) AS n_users,
+       COUNT(DISTINCT event_type) AS n_types
+FROM events
+"""
+
+
+@query("agg_count_distinct", oracle=_DISTINCT_ORACLE)
+def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact multi-column COUNT DISTINCT (expand + two-phase aggregate)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("event_type").alias("n_types"),
+    )

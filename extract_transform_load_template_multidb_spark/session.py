@@ -1,0 +1,79 @@
+"""SparkSession factory tuned for the engine.
+
+Scale posture: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), UTC session timezone (deterministic timestamp semantics vs the
+DuckDB oracle), Arrow enabled for the few pandas-UDF operators. On a real
+cluster only ``master``/``shuffle_partitions`` change; every query in this
+repo is expressed declaratively so Catalyst can re-plan for 1000 executors
+without code changes.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Session-level defaults applied both when we build the session ourselves and
+# when the driver hands us one (see ensure_conf).
+_RUNTIME_CONF = {
+    # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized reader
+    # rejects; read as long and convert (catalog.load_table handles it).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics vs the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Runtime re-planning: coalesce post-shuffle partitions, split skewed
+    # joins, convert sort-merge→broadcast when a side turns out small.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+}
+
+
+def ensure_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable engine defaults to an existing session.
+
+    The correctness driver constructs its own SparkSession; every public
+    query entry point funnels through here so behavior does not depend on
+    who built the session.
+    """
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Static conf on this build — keep going; defaults are sane.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "etl-multidb-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (fallback
+    ``local[*]``) so tests and bench share one code path.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return ensure_conf(spark)
