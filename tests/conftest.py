@@ -5,7 +5,16 @@ import sys
 
 import pytest
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
+_REPO_DIR = os.path.dirname(_TESTS_DIR)
+sys.path.insert(0, _REPO_DIR)
+
+# Executor Python workers must be able to unpickle functions defined in test
+# modules (e.g. connection factories for foreachPartition) — propagate the
+# import path before the JVM (and its python workers) starts.
+os.environ["PYTHONPATH"] = os.pathsep.join(
+    p for p in (_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH")) if p
+)
 
 from extract_transform_load_template_multidb_spark.session import get_spark
 

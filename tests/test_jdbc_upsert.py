@@ -1,0 +1,89 @@
+"""Distributed DB-API upsert writer against SQLite (reference W2).
+
+SQLite stands in for MySQL/PostgreSQL — same DB-API surface, runs
+in-container; the dialect SQL strings themselves are golden-tested.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+import sqlite3
+
+from pyspark.sql import Row
+
+from extract_transform_load_template_multidb_spark.sinks import (
+    JdbcUpsertWriter,
+    upsert_sql,
+)
+from extract_transform_load_template_multidb_spark.sinks.jdbc_upsert import (
+    execute_sink_sql,
+)
+
+
+def _connect(path: str):
+    # timeout: executor workers serialize on sqlite's file lock
+    return sqlite3.connect(path, timeout=60)
+
+
+def test_upsert_sql_mysql_matches_reference_shape():
+    sql = upsert_sql("your_table", ["id", "col1", "col2"], ["id"], "mysql")
+    assert sql == (
+        "INSERT INTO your_table (id, col1, col2) VALUES (%s, %s, %s) "
+        "ON DUPLICATE KEY UPDATE col1=VALUES(col1), col2=VALUES(col2)"
+    )
+
+
+def test_upsert_sql_postgresql():
+    sql = upsert_sql("t", ["id", "a"], ["id"], "postgresql")
+    assert sql == (
+        "INSERT INTO t (id, a) VALUES (%s, %s) "
+        "ON CONFLICT (id) DO UPDATE SET a=EXCLUDED.a"
+    )
+
+
+def test_jdbc_upsert_roundtrip(spark, tmp_path):
+    db = os.path.join(tmp_path, "target.db")
+    factory = functools.partial(_connect, db)
+    execute_sink_sql(
+        factory,
+        ["CREATE TABLE your_table (id INTEGER PRIMARY KEY, col1 TEXT, col2 REAL)"],
+    )
+    writer = JdbcUpsertWriter(
+        factory, "your_table", keys=["id"], dialect="sqlite", batch_size=2
+    )
+    df1 = spark.createDataFrame(
+        [Row(id=i, col1=f"v{i}", col2=float(i)) for i in range(10)]
+    ).repartition(4)
+    writer.write(df1)
+    # Key collisions update, new keys insert.
+    df2 = spark.createDataFrame(
+        [Row(id=5, col1="updated", col2=50.0), Row(id=42, col1="new", col2=1.0)]
+    )
+    writer.write(df2)
+    con = factory()
+    rows = dict(
+        (r[0], (r[1], r[2]))
+        for r in con.execute("SELECT id, col1, col2 FROM your_table")
+    )
+    con.close()
+    assert len(rows) == 11
+    assert rows[5] == ("updated", 50.0)
+    assert rows[42] == ("new", 1.0)
+    assert rows[3] == ("v3", 3.0)
+
+
+def test_execute_sink_sql_retention_delete(spark, tmp_path):
+    db = os.path.join(tmp_path, "t.db")
+    factory = functools.partial(_connect, db)
+    execute_sink_sql(
+        factory,
+        [
+            "CREATE TABLE t (id INTEGER PRIMARY KEY, date_trans TEXT)",
+            "INSERT INTO t VALUES (1, '2024-01-01'), (2, '2024-03-05')",
+            "DELETE FROM t WHERE date_trans < '2024-03-01'",
+        ],
+    )
+    con = factory()
+    assert [r[0] for r in con.execute("SELECT id FROM t")] == [2]
+    con.close()

@@ -1,0 +1,67 @@
+"""Pipeline runner: lazy composition, record-count metric, notify, retry."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from extract_transform_load_template_multidb_spark.pipeline import Notifier, Pipeline
+from extract_transform_load_template_multidb_spark.sinks import ParquetSink
+from extract_transform_load_template_multidb_spark.sources import FileSource
+from extract_transform_load_template_multidb_spark.transforms import (
+    clean_infinities,
+    window_filter,
+)
+
+
+def test_method2_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """Method-2 shape: windowed extract → clean → append, with count metric."""
+    sent = []
+    sink = ParquetSink(os.path.join(tmp_path, "events_out"))
+    pipe = Pipeline(
+        name="events_window_load",
+        source=FileSource(os.path.join(sf_dir, "events.parquet")),
+        transforms=[
+            lambda df: df.withColumn(
+                "ts", F.timestamp_micros(F.expr("ts div 1000"))
+            )
+            if dict(df.dtypes).get("ts") == "bigint"
+            else df,
+            lambda df: window_filter(df, "ts", days=30),
+            lambda df: clean_infinities(df, ["value"]),
+        ],
+        sink=sink.append,
+        notifier=Notifier(send=lambda s, b: sent.append((s, b))),
+    )
+    n = pipe.run(spark)
+    assert n > 0
+    out = spark.read.parquet(sink.path)
+    assert out.count() == n
+    # inf values were cleaned
+    assert out.filter(F.col("value").isin(float("inf"), float("-inf"))).count() == 0
+    assert sent and sent[0][0].startswith("Data Load Successful")
+    assert str(n) in sent[0][1]
+
+
+def test_pipeline_retry_then_fail(spark):
+    sent = []
+    calls = {"n": 0}
+
+    def bad_source(s):
+        calls["n"] += 1
+        raise RuntimeError("connection refused")
+
+    pipe = Pipeline(
+        name="doomed",
+        source=bad_source,
+        sink=lambda df: None,
+        notifier=Notifier(send=lambda s, b: sent.append(s)),
+        retries=1,
+        retry_delay=0.01,
+    )
+    with pytest.raises(RuntimeError):
+        pipe.run(spark)
+    assert calls["n"] == 2  # initial + 1 retry (reference default_args)
+    assert [s for s in sent if s.startswith("Data Load Failed")]

@@ -1,0 +1,99 @@
+"""Run-twice idempotency matrix for the four write semantics (SURVEY §2.3).
+
+The reference's Method-2 (retention delete + blind append) is NOT idempotent
+— re-running duplicates the recent window — while W7 (window overwrite) is.
+These tests pin both behaviors exactly.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from extract_transform_load_template_multidb_spark.sinks import ParquetSink
+
+CUTOFF = dt.datetime(2024, 3, 1)
+
+
+def _day(d: int) -> dt.datetime:
+    return dt.datetime(2024, 2, 1) + dt.timedelta(days=d)
+
+
+@pytest.fixture()
+def history(spark):
+    """Target seeded with 10 old rows (before cutoff) + 5 recent."""
+    rows = [
+        Row(id=i, date_trans=_day(i), v=float(i)) for i in range(10)
+    ] + [
+        Row(id=100 + i, date_trans=CUTOFF + dt.timedelta(days=i), v=1.0)
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows)
+
+
+@pytest.fixture()
+def window_batch(spark):
+    """Re-extracted recent window: same 5 recent ids, new values."""
+    rows = [
+        Row(id=100 + i, date_trans=CUTOFF + dt.timedelta(days=i), v=2.0)
+        for i in range(5)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_append_duplicates_on_rerun(spark, history, tmp_path):
+    sink = ParquetSink(os.path.join(tmp_path, "t"))
+    sink.append(history)
+    sink.append(history)
+    assert spark.read.parquet(sink.path).count() == 30
+
+
+def test_overwrite_idempotent(spark, history, tmp_path):
+    sink = ParquetSink(os.path.join(tmp_path, "t"))
+    sink.overwrite(history)
+    sink.overwrite(history)
+    out = spark.read.parquet(sink.path)
+    assert out.count() == 15
+
+
+def test_retention_append_reference_semantics(spark, history, window_batch, tmp_path):
+    """Old rows are trimmed; rerun DUPLICATES the window (reference W3+W5)."""
+    sink = ParquetSink(os.path.join(tmp_path, "t"))
+    sink.overwrite(history)
+    sink.retention_append(window_batch, "date_trans", CUTOFF, spark)
+    out1 = spark.read.parquet(sink.path)
+    # 5 retained recent + 5 appended; the 10 old rows deleted
+    assert out1.count() == 10
+    assert out1.filter(F.col("date_trans") < F.lit(CUTOFF)).count() == 0
+    # Re-run: the recent window duplicates — the documented non-idempotency.
+    sink.retention_append(window_batch, "date_trans", CUTOFF, spark)
+    assert spark.read.parquet(sink.path).count() == 15
+
+
+def test_window_overwrite_idempotent(spark, history, window_batch, tmp_path):
+    """W7: recent window replaced in place; rerun is a no-op (idempotent)."""
+    sink = ParquetSink(os.path.join(tmp_path, "t"))
+    sink.overwrite(history)
+    for _ in range(2):
+        sink.window_overwrite(window_batch, "date_trans", CUTOFF, spark)
+        out = spark.read.parquet(sink.path)
+        assert out.count() == 15  # 10 old kept + 5 window rows
+        recent = out.filter(F.col("date_trans") >= F.lit(CUTOFF))
+        assert recent.count() == 5
+        assert recent.agg(F.min("v")).collect()[0][0] == 2.0
+
+
+def test_parquet_upsert_key_collision(spark, history, tmp_path):
+    sink = ParquetSink(os.path.join(tmp_path, "t"))
+    sink.overwrite(history)
+    updates = spark.createDataFrame(
+        [Row(id=0, date_trans=_day(0), v=99.0), Row(id=999, date_trans=_day(1), v=7.0)]
+    )
+    sink.upsert(updates, ("id",), spark)
+    out = spark.read.parquet(sink.path)
+    assert out.count() == 16  # 15 - 1 replaced + 2 (1 update, 1 insert)
+    assert out.filter(F.col("id") == 0).collect()[0]["v"] == 99.0
+    assert out.filter(F.col("id") == 999).count() == 1
