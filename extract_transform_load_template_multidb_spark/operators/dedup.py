@@ -1,0 +1,230 @@
+"""Deduplication operators for training-data pipelines.
+
+All stages are pure DataFrame expressions (JVM-side, no Python UDFs):
+
+- :func:`exact_dedup_groups` / :func:`exact_dedup` — hash-groupBy exact dedup.
+- :func:`tokenize` — shared lowercase word tokenizer.
+- :func:`minhash_signatures` — k-permutation MinHash where each permutation
+  is "lexicographic min of md5(i:word)"; a string-min is a valid uniform
+  min-hash and is reproducible in any engine with md5.
+- :func:`lsh_bands` / :func:`lsh_candidate_pairs` — banding + bucket self-join.
+- :func:`jaccard_pairs` — exact word-set Jaccard for candidate verification.
+- :func:`simhash` — b-bit SimHash via md5-derived bit contributions.
+
+Scale notes: the only shuffles are the per-doc groupBys (keyed by doc id)
+and the band-bucket self-join, whose fan-out is bounded by bucket size; at
+100 TB you salt overfull buckets (a bucket with B docs yields B² candidate
+pairs — cap B and spill the rest to a second LSH round with different seeds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def tokenize(text: Column) -> Column:
+    """Lowercased word tokens, empties removed.
+
+    The explicit empty-filter keeps Spark and SQL engines in agreement on
+    leading/trailing separators (their regexp-split edge semantics differ).
+    """
+    return F.filter(F.split(F.lower(text), r"[^a-z0-9]+"), lambda w: w != "")
+
+
+def exact_dedup_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Duplicate groups by content hash: (text_hash, keeper_id, n_copies).
+
+    The keeper is the minimum id — deterministic under any partitioning.
+    """
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep exactly one row (min id) per distinct text."""
+    keepers = exact_dedup_groups(df, text_col, id_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    return df.join(keepers, id_col, "left_semi")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+) -> DataFrame:
+    """Per-document MinHash signature: columns sig_0..sig_{k-1}.
+
+    Permutation i is min over the doc's distinct tokens of
+    ``md5(concat(i, ':', token))`` — one explode + one groupBy with k min
+    aggregates; k scales the agg width, not the shuffle count.
+    """
+    toks = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("w")
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("w")))).alias(f"sig_{i}")
+        for i in range(num_perm)
+    ]
+    return toks.groupBy(id_col).agg(*aggs)
+
+
+def lsh_bands(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Band the signature: (id, band_idx, band_hash) — md5 of the
+    concatenated rows of each band."""
+    assert num_perm % rows_per_band == 0
+    bands = []
+    for b in range(num_perm // rows_per_band):
+        cols = [
+            F.col(f"sig_{b * rows_per_band + r}") for r in range(rows_per_band)
+        ]
+        bands.append(
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+            )
+        )
+    return sig_df.select(
+        F.col(id_col), F.explode(F.array(*bands)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    bands_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing any band bucket."""
+    a = bands_df.select(
+        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    )
+    b = bands_df.select(
+        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    )
+    return (
+        a.join(b, ["band_idx", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact word-set Jaccard for given candidate pairs.
+
+    |A∩B| via a token join restricted to the candidate pairs; |A∪B| =
+    |A|+|B|−|A∩B|. Work is proportional to candidate tokens, not corpus².
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("w"),
+    )
+    sizes = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_tok"))
+    ta = toks.select(F.col(id_col).alias("id_a"), F.col("w"))
+    tb = toks.select(F.col(id_col).alias("id_b"), F.col("w"))
+    inter = (
+        pairs.join(ta, "id_a")
+        .join(tb, ["id_b", "w"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_tok").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_tok").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )
+
+
+def near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline: pairs with Jaccard ≥ t."""
+    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    bands = lsh_bands(sigs, id_col, num_perm, rows_per_band)
+    cands = lsh_candidate_pairs(bands, id_col)
+    jac = jaccard_pairs(df, cands, text_col, id_col)
+    return jac.filter(F.col("jaccard") >= threshold)
+
+
+def _hex_to_long(hex_col: Column) -> Column:
+    """Portable hex→int (Spark: conv; DuckDB oracle uses CAST('0x'||h))."""
+    return F.conv(hex_col, 16, 10).cast("long")
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 16,
+) -> DataFrame:
+    """b-bit SimHash fingerprint per document.
+
+    Each distinct token hashes (md5 → first b bits); bit j of the
+    fingerprint is the majority vote of token bit j (+1/−1, ties → 0).
+    Expressed as explode(tokens) × explode(bit positions) → one groupBy —
+    exact integer math end-to-end, so any engine agrees bit-for-bit.
+    ``bits=16`` keeps the oracle cheap; production callers can raise it
+    (≤32 with the md5-prefix hash; swap in xxhash64 for 64).
+    """
+    assert bits <= 32
+    nibbles = (bits + 3) // 4
+    toks = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("w"),
+    ).select(
+        F.col(id_col),
+        _hex_to_long(F.substring(F.md5(F.col("w")), 1, nibbles)).alias("h"),
+    )
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    contrib = toks.select(F.col(id_col), F.col("h"), bit).select(
+        F.col(id_col),
+        F.col("j"),
+        F.when(F.shiftright(F.col("h"), F.col("j").cast("int")).bitwiseAND(1) == 1, 1)
+        .otherwise(-1)
+        .alias("c"),
+    )
+    return (
+        contrib.groupBy(id_col, "j")
+        .agg(F.sum("c").alias("vote"))
+        .groupBy(id_col)
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("vote") > 0,
+                    F.shiftleft(F.lit(1).cast("long"), F.col("j").cast("int")),
+                ).otherwise(F.lit(0).cast("long"))
+            ).alias("simhash")
+        )
+    )
