@@ -178,6 +178,69 @@ def near_dup_pairs(
     return jac.filter(F.col("jaccard") >= threshold)
 
 
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Distinct n-gram word shingles (space-joined token n-grams).
+
+    Pure array expression — no explode/shuffle; docs shorter than ``n``
+    tokens yield an empty array.
+    """
+    toks = tokenize(text)
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
+        ),
+    )
+    return F.array_distinct(
+        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.2,
+) -> DataFrame:
+    """n-gram shingle Jaccard near-dup pairs via inverted-index self-join.
+
+    Only pairs sharing ≥1 shingle are scored (the join IS the candidate
+    generation — all-pairs never materializes); |A∪B| from per-doc shingle
+    counts. At 100 TB, stop-shingles (shared by many docs) dominate the
+    join fan-out — cap posting-list length or fall back to MinHash banding.
+    """
+    sh = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), n)).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def _hex_to_long(hex_col: Column) -> Column:
     """Portable hex→int (Spark: conv; DuckDB oracle uses CAST('0x'||h))."""
     return F.conv(hex_col, 16, 10).cast("long")
@@ -211,7 +274,9 @@ def simhash(
     contrib = toks.select(F.col(id_col), F.col("h"), bit).select(
         F.col(id_col),
         F.col("j"),
-        F.when(F.shiftright(F.col("h"), F.col("j").cast("int")).bitwiseAND(1) == 1, 1)
+        # shiftright/shiftleft need expression (not literal) shift amounts →
+        # SQL form; both engines define >> / shiftright on (long, int).
+        F.when(F.expr("shiftright(h, j)").bitwiseAND(1) == 1, 1)
         .otherwise(-1)
         .alias("c"),
     )
@@ -223,7 +288,7 @@ def simhash(
             F.sum(
                 F.when(
                     F.col("vote") > 0,
-                    F.shiftleft(F.lit(1).cast("long"), F.col("j").cast("int")),
+                    F.expr("shiftleft(CAST(1 AS BIGINT), j)"),
                 ).otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )

@@ -1,0 +1,248 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Beyond-reference extension (SURVEY.md §7 phase 4). Two strategies over
+``embeddings.embedding`` (``array<float>``):
+
+- :func:`cosine_topk_bruteforce` — exact top-k: broadcast the (small) query
+  set against the corpus, cosine per pair, windowed rank. The scale path for
+  "few queries × huge corpus": one pass over the corpus, no corpus shuffle
+  (the rank groups by query id, and rows per query can be pre-pruned with a
+  per-partition top-k if k ≪ partition size).
+- :func:`signlsh_topk` — sign-random-projection LSH: hash every vector to a
+  small bucket code (sign of dot with p pseudo-random ±1 hyperplanes), then
+  search only bucket-mates. At 100 TB the bucket join replaces the full
+  corpus scan per query; recall is tuned by the number of planes/tables.
+
+Numeric portability: elements are quantized ``floor(x*1000)`` to int64, so
+dot products and squared norms are exact integer sums (order-independent —
+safe under any partitioning), and the final cosine is a fixed-order IEEE
+double expression every engine computes bit-identically. The pseudo-random
+hyperplanes derive from md5 parity, reproducible in any engine.
+
+All stages are built-in DataFrame ops (higher-order array functions —
+``zip_with`` / ``aggregate`` / ``transform``); no Python or Pandas UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+QUANT_SCALE = 1000
+
+
+def quantize(vec: Column) -> Column:
+    """array<float> → array<bigint>: floor(double(x) * 1000), exact."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * QUANT_SCALE).cast("long")
+    )
+
+
+def dot_long(a: Column, b: Column) -> Column:
+    """Exact int64 dot product of two quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm_sq(a: Column) -> Column:
+    return dot_long(a, a)
+
+
+def cosine(dot: Column, nsq_a: Column, nsq_b: Column) -> Column:
+    """Fixed-order IEEE expression: double(dot) / (sqrt(na) * sqrt(nb))."""
+    return dot.cast("double") / (
+        F.sqrt(nsq_a.cast("double")) * F.sqrt(nsq_b.cast("double"))
+    )
+
+
+def _corpus_quantized(
+    df: DataFrame, vec_col: str, id_col: str
+) -> DataFrame:
+    q = quantize(F.col(vec_col))
+    return df.select(
+        F.col(id_col), q.alias("qv"), norm_sq(q).alias("nsq")
+    )
+
+
+def cosine_topk_bruteforce(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k of ``queries`` against ``df``.
+
+    Output: (query_id, neighbor_id, rnk, cosine). ``queries`` must be small
+    enough to broadcast (the usual ANN shape); the corpus side streams
+    through one narrow map + one rank shuffle keyed by query_id. Ties break
+    on neighbor id so results are total-ordered.
+    """
+    corpus = _corpus_quantized(df, vec_col, id_col)
+    qs = _corpus_quantized(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(
+                dot_long(F.col("q_qv"), F.col("qv")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+def hyperplane_sign(plane: Column, dim: Column) -> Column:
+    """Deterministic pseudo-random ±1 from md5 parity of 'plane:dim'."""
+    parity = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(plane.cast("string"), F.lit(":"), dim.cast("string"))
+                ),
+                1,
+                1,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .bitwiseAND(F.lit(1))
+    )
+    return F.when(parity == 1, F.lit(1)).otherwise(F.lit(-1))
+
+
+def signlsh_bucket(vec_q: Column, num_planes: int) -> Column:
+    """Bucket code: bit p = [sum_d sign(p,d) * v_d >= 0], packed to int.
+
+    Expression-only (no join with a planes table): for each plane the signed
+    sum is an ``aggregate`` over ``zip_with(vec, dims)``; exact int math.
+    """
+    dims = F.transform(vec_q, lambda _, i: i)  # 0-based dim index array
+    bits = []
+    for p in range(num_planes):
+        signed = F.aggregate(
+            F.zip_with(
+                vec_q,
+                dims,
+                lambda v, d: v * hyperplane_sign(F.lit(p), d),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        bits.append(
+            F.when(signed >= 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+        )
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def signlsh_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    num_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: rank only corpus vectors in the query's LSH bucket.
+
+    Output: (query_id, neighbor_id, rnk, cosine). The bucket equi-join is
+    the scale lever — with p planes the expected candidate set is corpus/2^p
+    per query, and multiple hash tables (different plane seeds) raise recall
+    at linear cost.
+    """
+    corpus = _corpus_quantized(df, vec_col, id_col).withColumn(
+        "bucket", signlsh_bucket(F.col("qv"), num_planes)
+    )
+    qs = corpus.join(
+        queries.select(F.col(id_col)), id_col, "left_semi"
+    ).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("bucket"),
+    )
+    scored = (
+        corpus.join(F.broadcast(qs), "bucket")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(
+                dot_long(F.col("q_qv"), F.col("qv")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    num_planes: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
+
+    Output: (id_a < id_b, cosine ≥ threshold). Only bucket-mates are
+    compared — the all-pairs O(n²) never materializes; at scale, overfull
+    buckets get salted/split exactly like the MinHash banding join.
+    """
+    corpus = _corpus_quantized(df, vec_col, id_col).withColumn(
+        "bucket", signlsh_bucket(F.col("qv"), num_planes)
+    )
+    a = corpus.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_a"),
+        F.col("qv").alias("qv_a"),
+        F.col("nsq").alias("nsq_a"),
+    )
+    b = corpus.select(
+        F.col("bucket"),
+        F.col(id_col).alias("id_b"),
+        F.col("qv").alias("qv_b"),
+        F.col("nsq").alias("nsq_b"),
+    )
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            cosine(
+                dot_long(F.col("qv_a"), F.col("qv_b")),
+                F.col("nsq_a"),
+                F.col("nsq_b"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -1,0 +1,168 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond-reference extensions (SURVEY.md §7 phase 4): the reference's only
+string-level rule is the NVARCHAR promotion regex (notebook ipynb:154); a
+100 TB corpus pipeline additionally needs language ID, quality scoring,
+token counting and content fingerprinting. All four are pure DataFrame
+expressions — JVM-side, whole-stage-codegen-able, no Python UDFs — and all
+use exact integer/regex math so a SQL oracle reproduces them bit-for-bit.
+
+Scale notes: every operator here is a narrow map over ``documents`` except
+the lexicon join in :func:`lang_id_scores` (broadcast — the lexicon is a few
+dozen rows) and the per-doc groupBys (keyed by doc id, no skew: one group
+per document). Nothing shuffles the corpus by content.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from extract_transform_load_template_multidb_spark.operators.dedup import tokenize
+
+# Tiny per-language stopword lexicons for the n-gram/stopword language-ID
+# heuristic. Deliberately ASCII-only and overlap-free enough for argmax.
+LANG_LEXICON: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "it", "you", "that", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "ich", "zu"),
+    "fr": ("le", "les", "et", "est", "une", "je", "pas", "pour", "vous", "dans"),
+    "es": ("el", "los", "es", "un", "una", "que", "no", "por", "con", "para"),
+}
+
+# Deterministic tiebreak order for argmax (alphabetical).
+_LANGS = tuple(sorted(LANG_LEXICON))
+
+# "BPE-ish" pre-tokenization: runs of alphanumerics OR single punctuation
+# marks — the shape a byte-pair encoder sees before merges.
+BPE_TOKEN_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+def token_counts(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document token counts: whitespace words and BPE-ish pieces.
+
+    Narrow projection — no shuffle, no UDF; ``regexp_count`` runs inside
+    whole-stage codegen.
+    """
+    text = F.col(text_col)
+    ws_tokens = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    return df.select(
+        F.col(id_col),
+        F.size(ws_tokens).alias("n_ws_tokens"),
+        F.regexp_count(text, F.lit(BPE_TOKEN_PATTERN)).alias("n_bpe_tokens"),
+        F.length(text).alias("n_chars"),
+    )
+
+
+def quality_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Quality-scoring features + composite score per document.
+
+    Features follow the standard corpus-filtering recipe (length,
+    punctuation density, stopword ratio): all ratios are int/int IEEE
+    divisions and the score a fixed-order affine combination, so any engine
+    computes identical doubles.
+    """
+    text = F.col(text_col)
+    toks = tokenize(text)
+    n_tokens = F.size(toks)
+    n_chars = F.length(text)
+    # characters that survive an a-z-only filter of the lowercased text
+    n_alpha = F.length(F.regexp_replace(F.lower(text), r"[^a-z]", ""))
+    n_punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()]", ""))
+    stop_hits = F.size(
+        F.filter(toks, lambda w: w.isin(*LANG_LEXICON["en"]))
+    )
+    alpha_ratio = n_alpha / n_chars
+    punct_ratio = n_punct / n_chars
+    stop_ratio = F.when(n_tokens > 0, stop_hits / n_tokens).otherwise(F.lit(0.0))
+    len_score = F.least(F.lit(1.0), n_tokens / F.lit(100.0))
+    return df.select(
+        F.col(id_col),
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_chars"),
+        alpha_ratio.alias("alpha_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        (
+            F.lit(0.4) * stop_ratio + F.lit(0.3) * len_score + F.lit(0.3) * alpha_ratio
+        ).alias("quality_score"),
+    )
+
+
+def lang_lexicon_df(spark) -> DataFrame:
+    """The language-ID lexicon as a (lang, word) DataFrame (broadcast-size)."""
+    rows = [(lang, w) for lang in _LANGS for w in LANG_LEXICON[lang]]
+    return spark.createDataFrame(rows, "lang_cand string, w string")
+
+
+def lang_id_scores(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-hit language ID: per-doc hit count per language + argmax.
+
+    Explode tokens once, broadcast-join the ~40-row lexicon, pivot to one
+    column per language, argmax with alphabetical tiebreak, ``und`` for
+    zero hits. The corpus-side shuffle is one groupBy(doc_id).
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
+    )
+    hits = toks.join(F.broadcast(lang_lexicon_df(spark)), "w")
+    per_lang = hits.groupBy(id_col).agg(
+        *[
+            F.sum(F.when(F.col("lang_cand") == lang, 1).otherwise(0)).alias(
+                f"hits_{lang}"
+            )
+            for lang in _LANGS
+        ]
+    )
+    out = df.select(F.col(id_col)).join(per_lang, id_col, "left")
+    out = out.na.fill({f"hits_{lang}": 0 for lang in _LANGS})
+    best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANGS])
+    label = F.when(best == 0, F.lit("und"))
+    for lang in _LANGS:  # alphabetical: first max wins
+        label = label.when(F.col(f"hits_{lang}") == best, F.lit(lang))
+    return out.select(
+        F.col(id_col),
+        *[F.col(f"hits_{lang}") for lang in _LANGS],
+        label.alias("lang_pred"),
+    )
+
+
+def _hex_prefix_long(col: Column, nibbles: int) -> Column:
+    return F.conv(F.substring(col, 1, nibbles), 16, 10).cast("long")
+
+
+def fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Order-sensitive document fingerprint (positional rolling hash).
+
+    Each (position, token) pair hashes to a 40-bit integer via md5; the
+    fingerprint is their exact int64 sum (≤2^40 per term — no overflow below
+    ~8M tokens/doc). Reordering, inserting or deleting any token changes the
+    sum; pure integer math makes it engine-portable. Positions are 1-based
+    to match SQL ``WITH ORDINALITY`` conventions.
+    """
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(tokenize(F.col(text_col))).alias("pos0", "w"),
+    ).select(
+        F.col(id_col),
+        _hex_prefix_long(
+            F.md5(F.concat((F.col("pos0") + 1).cast("string"), F.lit(":"), F.col("w"))),
+            10,
+        ).alias("h"),
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(
+            toks.groupBy(id_col).agg(F.sum("h").alias("fingerprint")),
+            id_col,
+            "left",
+        )
+        .na.fill({"fingerprint": 0})
+    )

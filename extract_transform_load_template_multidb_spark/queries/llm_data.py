@@ -1,0 +1,518 @@
+"""Training-data pipeline queries (dedup / similarity / text analysis),
+oracle-checked.
+
+Beyond-reference extensions (SURVEY.md §7 phase 4) over the ``documents``
+and ``embeddings`` fixtures. Every query keeps to exact, engine-portable
+math — md5-derived integer hashing, quantized int64 dot products,
+fixed-order IEEE double expressions — so the DuckDB oracle reproduces the
+values bit-for-bit (the driver's hash compare requires it).
+
+Shared SQL building blocks live in module constants; each oracle is a CTE
+chain mirroring the Spark plan stage-for-stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.operators import dedup as dd
+from extract_transform_load_template_multidb_spark.operators import (
+    similarity as sim,
+)
+from extract_transform_load_template_multidb_spark.operators import text as tx
+from extract_transform_load_template_multidb_spark.queries import query
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB dialect, mirroring operators/dedup.py etc.)
+# ---------------------------------------------------------------------------
+
+# Non-distinct token list per doc (matches operators.dedup.tokenize).
+_SQL_TOKS_LIST = """
+toks_list AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS t
+    FROM documents
+)
+"""
+
+# Distinct tokens, exploded.
+_SQL_TOKS_DISTINCT = (
+    _SQL_TOKS_LIST
+    + """,
+toks AS (
+    SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks_list
+)
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+_EXACT_GROUPS_ORACLE = """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY md5(text)
+"""
+
+
+@query("dedup_exact_groups", oracle=_EXACT_GROUPS_ORACLE)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups: content-hash groupBy, min-id keeper (one shuffle,
+    map-side partial agg)."""
+    return dd.exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+_EXACT_KEEP_ORACLE = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5(text))
+"""
+
+
+@query("dedup_exact_keep", oracle=_EXACT_KEEP_ORACLE)
+def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surviving rows after exact dedup (left-semi join against keepers)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dd.exact_dedup(doc).select("doc_id", "source", "n_chars")
+
+
+_MINHASH_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_DISTINCT
+    + """,
+sigs AS (
+    SELECT doc_id,
+           min(md5('0:' || w)) AS s0, min(md5('1:' || w)) AS s1,
+           min(md5('2:' || w)) AS s2, min(md5('3:' || w)) AS s3,
+           min(md5('4:' || w)) AS s4, min(md5('5:' || w)) AS s5,
+           min(md5('6:' || w)) AS s6, min(md5('7:' || w)) AS s7
+    FROM toks GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, 0 AS band_idx, md5(s0 || '|' || s1) AS band_hash FROM sigs
+    UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM sigs
+    UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM sigs
+    UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM sigs
+),
+cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_inter
+    FROM cands c
+    JOIN toks ta ON ta.doc_id = c.id_a
+    JOIN toks tb ON tb.doc_id = c.id_b AND tb.w = ta.w
+    GROUP BY c.id_a, c.id_b
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.5
+"""
+)
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash→LSH banding→exact-Jaccard near-dup pairs (Jaccard ≥ 0.5).
+
+    The corpus never self-joins all-pairs: candidates come from the
+    band-bucket equi-join, verification work is proportional to candidate
+    tokens.
+    """
+    return dd.near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_perm=8,
+        rows_per_band=2,
+        threshold=0.5,
+    )
+
+
+_SIMHASH_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_DISTINCT
+    + """,
+th AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 4)) AS BIGINT) AS h
+    FROM toks
+),
+bits AS (
+    SELECT doc_id, h, unnest(range(0, 16)) AS j FROM th
+),
+votes AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+    FROM bits GROUP BY doc_id, j
+)
+SELECT doc_id,
+       SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+           AS simhash
+FROM votes GROUP BY doc_id
+"""
+)
+
+
+@query("dedup_simhash", oracle=_SIMHASH_ORACLE)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (majority vote of token-hash
+    bits — exact integer math end-to-end)."""
+    return dd.simhash(load_table(spark, sf_dir, "documents"), bits=16)
+
+
+_NGRAM_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS s
+    FROM toks_list
+    WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
+"""
+)
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram word-shingle Jaccard pairs ≥ 0.2 via inverted-index self-join
+    (shingling itself is a shuffle-free array expression)."""
+    return dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+# Quantized element table: (vec_id, 0-based dim d, int64 value v).
+_SQL_ELEMS = """
+elems AS (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS v,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(v * v) AS nsq FROM elems GROUP BY vec_id)
+"""
+
+_BRUTE_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           SUM(a.v * b.v) AS dot
+    FROM elems a
+    JOIN elems b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < 8
+    GROUP BY a.vec_id, b.vec_id
+),
+cos AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM cos
+)
+SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= 5
+"""
+)
+
+
+@query("sim_cosine_topk_bruteforce", oracle=_BRUTE_ORACLE)
+def sim_cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 8 query vectors against the corpus: broadcast
+    queries, one corpus pass, rank shuffle keyed by query_id only."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    )
+
+
+# Sign-LSH bucket assignment shared by the two LSH oracles (4 planes).
+_SQL_BUCKETS = """
+planes AS (SELECT unnest(range(0, 4)) AS p),
+psum AS (
+    SELECT e.vec_id, pl.p,
+           SUM(e.v * CASE WHEN (CAST(('0x' || substr(
+                    md5(CAST(pl.p AS VARCHAR) || ':' || CAST(e.d AS VARCHAR)),
+                    1, 1)) AS BIGINT) & 1) = 1
+               THEN 1 ELSE -1 END) AS s
+    FROM elems e CROSS JOIN planes pl
+    GROUP BY e.vec_id, pl.p
+),
+buckets AS (
+    SELECT vec_id,
+           SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << p) ELSE 0 END)
+               AS bucket
+    FROM psum GROUP BY vec_id
+)
+"""
+
+_LSH_TOPK_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + ","
+    + _SQL_BUCKETS
+    + """,
+qs AS (
+    SELECT vec_id AS query_id, bucket FROM buckets WHERE vec_id < 8
+),
+cands AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id
+    FROM qs q JOIN buckets c ON c.bucket = q.bucket
+    WHERE c.vec_id <> q.query_id
+),
+dots AS (
+    SELECT cd.query_id, cd.neighbor_id, SUM(ea.v * eb.v) AS dot
+    FROM cands cd
+    JOIN elems ea ON ea.vec_id = cd.query_id
+    JOIN elems eb ON eb.vec_id = cd.neighbor_id AND eb.d = ea.d
+    GROUP BY cd.query_id, cd.neighbor_id
+),
+cos AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM cos
+)
+SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= 3
+"""
+)
+
+
+@query("sim_cosine_topk_lsh", oracle=_LSH_TOPK_ORACLE)
+def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via sign-random-projection LSH: only bucket-mates
+    are scored — the scale path when queries are many."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.signlsh_topk(
+        emb, emb.filter(F.col("vec_id") < 8), k=3, num_planes=4
+    )
+
+
+_EMB_NEARDUP_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + ","
+    + _SQL_BUCKETS
+    + """,
+cands AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot
+    FROM cands c
+    JOIN elems ea ON ea.vec_id = c.id_a
+    JOIN elems eb ON eb.vec_id = c.id_b AND eb.d = ea.d
+    GROUP BY c.id_a, c.id_b
+)
+SELECT id_a, id_b,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+           AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) >= 0.5
+"""
+)
+
+
+@query("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.5) via LSH bucket
+    self-join — all-pairs never materializes."""
+    return sim.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.5, num_planes=4
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+_TOKEN_COUNT_ORACLE = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))
+           AS n_ws_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))
+           AS n_bpe_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+
+
+@query("text_token_counts", oracle=_TOKEN_COUNT_ORACLE)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per doc — narrow map, codegen'd."""
+    return tx.token_counts(load_table(spark, sf_dir, "documents"))
+
+
+_QUALITY_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+feats AS (
+    SELECT d.doc_id,
+           len(t) AS n_tokens,
+           length(text) AS n_chars,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS n_alpha,
+           length(regexp_replace(text, '[^.,;:!?''"()]', '', 'g')) AS n_punct,
+           len(list_filter(t, w -> w IN
+               ('the','and','of','to','in','is','it','you','that','for')))
+               AS stop_hits
+    FROM documents d JOIN toks_list USING (doc_id)
+)
+SELECT doc_id, n_tokens, n_chars,
+       n_alpha / n_chars AS alpha_ratio,
+       n_punct / n_chars AS punct_ratio,
+       CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END
+           AS stopword_ratio,
+       0.4 * (CASE WHEN n_tokens > 0 THEN stop_hits / n_tokens ELSE 0.0 END)
+         + 0.3 * least(1.0, n_tokens / 100.0)
+         + 0.3 * (n_alpha / n_chars) AS quality_score
+FROM feats
+"""
+)
+
+
+@query("text_quality_score", oracle=_QUALITY_ORACLE)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-filtering quality features + fixed-order composite score."""
+    return tx.quality_features(load_table(spark, sf_dir, "documents"))
+
+
+_LEX_VALUES = ", ".join(
+    f"('{lang}', '{w}')"
+    for lang in tx._LANGS
+    for w in tx.LANG_LEXICON[lang]
+)
+
+_LANG_ID_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + f""",
+tok_all AS (SELECT doc_id, unnest(t) AS w FROM toks_list),
+lex(lang_cand, w) AS (VALUES {_LEX_VALUES}),
+hits AS (
+    SELECT doc_id,
+           SUM(CASE WHEN lang_cand = 'de' THEN 1 ELSE 0 END) AS hits_de,
+           SUM(CASE WHEN lang_cand = 'en' THEN 1 ELSE 0 END) AS hits_en,
+           SUM(CASE WHEN lang_cand = 'es' THEN 1 ELSE 0 END) AS hits_es,
+           SUM(CASE WHEN lang_cand = 'fr' THEN 1 ELSE 0 END) AS hits_fr
+    FROM tok_all JOIN lex USING (w)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(hits_de, 0) AS hits_de,
+       coalesce(hits_en, 0) AS hits_en,
+       coalesce(hits_es, 0) AS hits_es,
+       coalesce(hits_fr, 0) AS hits_fr,
+       CASE
+         WHEN greatest(coalesce(hits_de,0), coalesce(hits_en,0),
+                       coalesce(hits_es,0), coalesce(hits_fr,0)) = 0 THEN 'und'
+         WHEN coalesce(hits_de,0) = greatest(coalesce(hits_de,0),
+              coalesce(hits_en,0), coalesce(hits_es,0), coalesce(hits_fr,0))
+              THEN 'de'
+         WHEN coalesce(hits_en,0) = greatest(coalesce(hits_de,0),
+              coalesce(hits_en,0), coalesce(hits_es,0), coalesce(hits_fr,0))
+              THEN 'en'
+         WHEN coalesce(hits_es,0) = greatest(coalesce(hits_de,0),
+              coalesce(hits_en,0), coalesce(hits_es,0), coalesce(hits_fr,0))
+              THEN 'es'
+         ELSE 'fr'
+       END AS lang_pred
+FROM documents d LEFT JOIN hits USING (doc_id)
+"""
+)
+
+
+@query("text_lang_id", oracle=_LANG_ID_ORACLE)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-lexicon language ID: broadcast lexicon join, per-doc argmax
+    with alphabetical tiebreak, 'und' on zero hits."""
+    return tx.lang_id_scores(load_table(spark, sf_dir, "documents"))
+
+
+_FINGERPRINT_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+tok_pos AS (
+    SELECT doc_id,
+           unnest(t) AS w,
+           generate_subscripts(t, 1) AS pos
+    FROM toks_list
+),
+h AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(
+               md5(CAST(pos AS VARCHAR) || ':' || w), 1, 10)) AS BIGINT) AS h
+    FROM tok_pos
+)
+SELECT d.doc_id, coalesce(s.fp, 0) AS fingerprint
+FROM documents d
+LEFT JOIN (SELECT doc_id, SUM(h) AS fp FROM h GROUP BY doc_id) s
+  USING (doc_id)
+"""
+)
+
+
+@query("text_fingerprint", oracle=_FINGERPRINT_ORACLE)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive positional rolling-hash fingerprint per document
+    (exact int64 sum of 40-bit md5 position:token hashes)."""
+    return tx.fingerprint(load_table(spark, sf_dir, "documents"))
