@@ -1,0 +1,208 @@
+"""Multimodal (image/audio/video) column handling for training-data
+pipelines.
+
+Media is carried as an opaque ``binary`` column plus typed metadata —
+the lakehouse-standard layout (one row per asset, bytes inline for small
+assets, a URI for large ones). The Spark-side plumbing here is real and
+tested: schemas, Arrow-batched ``mapInPandas`` UDF signatures, batch
+shaping, and partition sizing. The codec step itself (JPEG decode, audio
+resample, video frame extraction) is stubbed — the decode libraries are
+not installed in this container — behind either a deterministic fake
+(so tests have stable expectations) or ``NotImplementedError`` for the
+real-codec path.
+
+Scale notes: media rows are wide (MBs); ``MEDIA_ROWS_PER_PARTITION``-sized
+repartitioning keeps Arrow batches and executor memory bounded —
+``spark.sql.files.maxPartitionBytes`` governs the scan side, and
+``spark.sql.execution.arrow.maxRecordsPerBatch`` caps what each pandas UDF
+invocation holds. Feature extraction is a narrow map: no shuffle at all
+unless the caller repartitions.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# Canonical media-table schema: binary payload + typed metadata.
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("media_type", StringType(), False),  # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("payload", BinaryType(), True),  # inline bytes (small)
+        StructField("uri", StringType(), True),  # external location (large)
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("duration_ms", LongType(), True),
+    ]
+)
+
+MEDIA_ROWS_PER_PARTITION = 64  # wide rows: keep Arrow batches bounded
+
+_FEATURE_SCHEMA = (
+    "asset_id bigint, media_type string, n_bytes bigint, "
+    "payload_sha256 string, feat_mean double, feat_dim int"
+)
+
+_FRAME_SCHEMA = (
+    "asset_id bigint, frame_idx int, frame_sha256 string"
+)
+
+
+def repartition_for_media(df: DataFrame, target_rows: int | None = None) -> DataFrame:
+    """Split partitions so each holds ~``target_rows`` wide media rows.
+
+    At 100 TB the same math applies per executor: partitions must fit the
+    Arrow batch plus the decoded representation in memory.
+    """
+    target = target_rows or MEDIA_ROWS_PER_PARTITION
+    n = max(1, df.count() // target)
+    return df.repartition(n)
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real codec path — intentionally unimplemented in this container.
+
+    On a cluster with Pillow/libvips installed, replace the body with
+    ``PIL.Image.open(io.BytesIO(payload))``; every caller below goes
+    through :func:`_fake_decode` when ``fake=True``.
+    """
+    raise NotImplementedError(
+        "image codec libraries are not installed in this environment; "
+        "use fake=True for the deterministic stub"
+    )
+
+
+def _fake_decode(payload: bytes, dim: int = 4) -> list[float]:
+    """Deterministic stand-in for decode+embed: sha256 bytes → ``dim``
+    floats in [0, 1). Stable across processes/executors."""
+    h = hashlib.sha256(payload).digest()
+    return [b / 255.0 for b in h[:dim]]
+
+
+def extract_features(
+    df: DataFrame, dim: int = 4, fake: bool = True
+) -> DataFrame:
+    """Per-asset feature extraction via Arrow-batched ``mapInPandas``.
+
+    Output: (asset_id, media_type, n_bytes, payload_sha256, feat_mean,
+    feat_dim). The UDF sees column-pruned pandas batches — only the
+    columns it touches cross the Arrow boundary.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                if not fake:
+                    decode_image(raw)  # pragma: no cover - real codec path
+                vec = _fake_decode(raw, dim)
+                feats.append(
+                    (
+                        len(raw),
+                        hashlib.sha256(raw).hexdigest(),
+                        sum(vec) / len(vec),
+                        len(vec),
+                    )
+                )
+            out = pd.DataFrame(
+                feats,
+                columns=["n_bytes", "payload_sha256", "feat_mean", "feat_dim"],
+            )
+            out.insert(0, "media_type", pdf["media_type"].values)
+            out.insert(0, "asset_id", pdf["asset_id"].values)
+            yield out
+
+    return df.select("asset_id", "media_type", "payload").mapInPandas(
+        fn, _FEATURE_SCHEMA
+    )
+
+
+def sample_frames(
+    df: DataFrame, every_ms: int = 1000, fake: bool = True
+) -> DataFrame:
+    """Video frame sampling: one output row per sampled frame.
+
+    Real path would seek the container stream per timestamp; the stub
+    derives one deterministic pseudo-frame hash per sample point from
+    (payload, frame_idx). Fan-out = duration/every_ms rows per asset —
+    at scale, repartition *before* this map so the expansion stays local.
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for asset_id, payload, dur in zip(
+                pdf["asset_id"], pdf["payload"], pdf["duration_ms"]
+            ):
+                raw = bytes(payload) if payload is not None else b""
+                if not fake:
+                    decode_image(raw)  # pragma: no cover - real codec path
+                n_frames = max(1, int(dur or 0) // every_ms)
+                for i in range(n_frames):
+                    ids.append(asset_id)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.sha256(raw + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {"asset_id": ids, "frame_idx": idxs, "frame_sha256": hashes}
+            )
+
+    return (
+        df.filter(F.col("media_type") == "video")
+        .select("asset_id", "payload", "duration_ms")
+        .mapInPandas(fn, _FRAME_SCHEMA)
+    )
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Binary-column statistics with built-ins only (no UDF): byte length,
+    md5, and a magic-byte sniff — the cheap pre-filter before any decode."""
+    payload = F.col("payload")
+    return df.select(
+        "asset_id",
+        "media_type",
+        F.length(payload).alias("n_bytes"),
+        F.md5(payload).alias("payload_md5"),
+        F.when(
+            F.hex(F.substring(payload, 1, 2)) == "FFD8", F.lit("jpeg")
+        )
+        .when(F.hex(F.substring(payload, 1, 4)) == "89504E47", F.lit("png"))
+        .otherwise(F.lit("unknown"))
+        .alias("sniffed_format"),
+    )
+
+
+def synthesize_media(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Build a deterministic media table from the ``documents`` fixture
+    (no media fixture ships with the harness): payload = UTF-8 bytes of the
+    text, metadata derived arithmetically. Gives every multimodal operator
+    a reproducible input that the SQL oracle can also construct."""
+    return df.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("image"))
+        .when(F.col("doc_id") % 3 == 1, F.lit("audio"))
+        .otherwise(F.lit("video"))
+        .alias("media_type"),
+        F.lit(None).cast("string").alias("mime"),
+        F.encode(F.col(text_col), "UTF-8").alias("payload"),
+        F.lit(None).cast("string").alias("uri"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        (F.length(F.col(text_col)) * 100).cast("long").alias("duration_ms"),
+    )

@@ -55,7 +55,9 @@ def _load_all() -> None:
     # Import for registration side effects.
     from extract_transform_load_template_multidb_spark.queries import (  # noqa: F401
         etl,
+        multimodal,
         relational,
+        time_windows,
     )
 
     try:

@@ -1,0 +1,105 @@
+"""Multimodal-pipeline queries, oracle-checked.
+
+No media fixture ships with the harness, so each query first synthesizes a
+deterministic media table from ``documents`` (payload = UTF-8 bytes of the
+text — see :func:`operators.multimodal.synthesize_media`); the oracle
+rebuilds the identical table in SQL. This makes even the Arrow-batched
+``mapInPandas`` feature/frame extractors hash-checkable: DuckDB's
+``md5``/``sha256`` over VARCHAR hash the same UTF-8 bytes the pandas UDF
+hashes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.operators import (
+    multimodal as mm,
+)
+from extract_transform_load_template_multidb_spark.queries import query
+
+# Synthesized media table, SQL side (columns used by the oracles).
+_SQL_MEDIA = """
+media AS (
+    SELECT doc_id AS asset_id,
+           CASE WHEN doc_id % 3 = 0 THEN 'image'
+                WHEN doc_id % 3 = 1 THEN 'audio'
+                ELSE 'video' END AS media_type,
+           text,
+           CAST(length(text) * 100 AS BIGINT) AS duration_ms
+    FROM documents
+)
+"""
+
+_STATS_ORACLE = (
+    "WITH "
+    + _SQL_MEDIA
+    + """
+SELECT asset_id, media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       CASE WHEN substr(hex(encode(text)), 1, 4) = 'FFD8' THEN 'jpeg'
+            WHEN substr(hex(encode(text)), 1, 8) = '89504E47' THEN 'png'
+            ELSE 'unknown' END AS sniffed_format
+FROM media
+"""
+)
+
+
+@query("mm_media_stats", oracle=_STATS_ORACLE)
+def mm_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column statistics (length / md5 / magic-byte sniff) — the
+    no-UDF pre-filter every media pipeline runs before decoding."""
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return mm.media_stats(media)
+
+
+# sha256 digest byte i (0-based) as int, from the hex string.
+def _b(i: int) -> str:
+    return f"CAST(('0x' || substr(sha256(text), {2 * i + 1}, 2)) AS BIGINT)"
+
+
+_FEATURES_ORACLE = (
+    "WITH "
+    + _SQL_MEDIA
+    + f"""
+SELECT asset_id, media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS payload_sha256,
+       ({_b(0)} / 255.0 + {_b(1)} / 255.0 + {_b(2)} / 255.0
+         + {_b(3)} / 255.0) / 4 AS feat_mean,
+       CAST(4 AS INT) AS feat_dim
+FROM media
+"""
+)
+
+
+@query("mm_extract_features", oracle=_FEATURES_ORACLE)
+def mm_extract_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched ``mapInPandas`` feature extraction (deterministic fake
+    decode) — the pandas-UDF plumbing itself is hash-verified against SQL."""
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return mm.extract_features(media, dim=4)
+
+
+_FRAMES_ORACLE = (
+    "WITH "
+    + _SQL_MEDIA
+    + """
+SELECT asset_id,
+       CAST(i AS INT) AS frame_idx,
+       sha256(text || ':' || CAST(i AS VARCHAR)) AS frame_sha256
+FROM media,
+     LATERAL (SELECT unnest(range(0, greatest(1, duration_ms // 1000))) AS i)
+WHERE media_type = 'video'
+"""
+)
+
+
+@query("mm_frame_sample", oracle=_FRAMES_ORACLE)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling via ``mapInPandas`` fan-out (1 row per sampled
+    frame; deterministic pseudo-frame hashes)."""
+    media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
+    return mm.sample_frames(media, every_ms=1000)

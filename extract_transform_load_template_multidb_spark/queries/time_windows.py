@@ -1,0 +1,96 @@
+"""Time-window queries over ``events`` — batch mode of the streaming
+builders, oracle-checked.
+
+Each query calls the *same* builder that ``tests/test_streaming.py`` runs
+under ``readStream`` + ``Trigger.AvailableNow`` (one declarative
+definition, two execution modes — the point of Structured Streaming). The
+DuckDB oracles reproduce Spark's epoch-aligned window semantics with
+``make_timestamp`` on integer-floored epoch-micros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.queries import query
+from extract_transform_load_template_multidb_spark.streaming import windows as W
+
+_HOUR_US = 3_600_000_000
+_HALF_US = 1_800_000_000
+
+_TUMBLING_ORACLE = f"""
+SELECT make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US})
+           AS window_start,
+       make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} + {_HOUR_US})
+           AS window_end,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST((CASE WHEN isinf(value) OR isnan(value) THEN 0
+                            ELSE value END) AS DECIMAL(38,6))) AS DOUBLE)
+           AS sum_value
+FROM events
+GROUP BY 1, 2, event_type
+"""
+
+
+@query("stream_tumbling_counts", oracle=_TUMBLING_ORACLE)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling window counts+sums per event type (epoch-aligned;
+    the streaming run adds a watermark, nothing else changes)."""
+    return W.tumbling_counts(load_table(spark, sf_dir, "events"))
+
+
+_SLIDING_ORACLE = f"""
+WITH assigned AS (
+    SELECT event_type,
+           (epoch_us(ts) // {_HALF_US} - k) * {_HALF_US} AS start_us
+    FROM events, (SELECT unnest(range(0, 2)) AS k)
+)
+SELECT make_timestamp(start_us) AS window_start,
+       make_timestamp(start_us + {_HOUR_US}) AS window_end,
+       event_type,
+       COUNT(*) AS n_events
+FROM assigned
+GROUP BY start_us, event_type
+"""
+
+
+@query("stream_sliding_counts", oracle=_SLIDING_ORACLE)
+def stream_sliding_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour window sliding every 30 min: each event lands in 2 windows
+    (the oracle materializes both slide assignments per row)."""
+    return W.sliding_counts(load_table(spark, sf_dir, "events"))
+
+
+# Session semantics: events a<b share a session iff b-a < gap (interval
+# overlap of [t, t+gap)); session_end = last event + gap.
+_SESSION_ORACLE = f"""
+WITH flagged AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= {_HALF_US}
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+    SELECT user_id, ts,
+           SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+    FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
+@query("stream_session_agg", oracle=_SESSION_ORACLE)
+def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-min-gap session windows per user (``F.session_window``; the
+    oracle is the classic gaps-and-islands rewrite)."""
+    return W.session_agg(load_table(spark, sf_dir, "events"))

@@ -1,0 +1,113 @@
+"""Custom stateful streaming via ``applyInPandasWithState``.
+
+For semantics Spark's built-in windows can't express — here, sessionization
+that also *flushes idle sessions deterministically* — the idiomatic escape
+hatch is ``applyInPandasWithState``: state is partitioned by key across
+executors, batches arrive as Arrow-backed pandas frames, and event-time
+timeouts (driven by the watermark, not wall clock) finalize idle sessions.
+
+Scale notes: state lives in the executor state store keyed by group — the
+shuffle is on the group key only, and per-key state here is O(1) (three
+scalars), so 10⁹ users ≈ tens of GB across a cluster. The pandas hop is
+per-group-batch (Arrow), not per-row. Event-time timeouts make replays
+reproducible — a wall-clock timeout would close different sessions on a
+backfill than it did live.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+# (user_id, session_start, session_end, n_events) — session_end is
+# last-event-time + gap, matching F.session_window semantics.
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint"
+)
+_STATE_SCHEMA = "start bigint, last bigint, n bigint"
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    ts_col: str = "ts",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Stateful sessionization of an event stream grouped by ``user_id``.
+
+    Emits one row per closed session: closed either by a later event
+    arriving ≥ ``gap_seconds`` after the previous one, or by the watermark
+    passing ``last_event + gap`` (event-time timeout — so idle sessions
+    flush when the stream's event time moves on, including the final
+    no-data micro-batch of a ``Trigger.AvailableNow`` drain).
+    """
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        gap_us = gap_seconds * 1_000_000
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n = state.get
+                state.remove()
+                yield _emit(key[0], [(start, last, n)], gap_seconds)
+            return
+        ts_us: list[int] = []
+        for pdf in pdfs:
+            ts_us.extend(
+                int(t) for t in pdf[ts_col].astype("datetime64[us]").astype("int64")
+            )
+        if not ts_us:
+            return
+        ts_us.sort()
+        if state.exists:
+            start, last, n = state.get
+        else:
+            start, last, n = ts_us[0], ts_us[0], 0
+        closed: list[tuple[int, int, int]] = []
+        for t in ts_us:
+            if n > 0 and t - last >= gap_us:
+                closed.append((start, last, n))
+                start, n = t, 0
+            last = t
+            n += 1
+        state.update((start, last, n))
+        # flush when event time (watermark) passes the session's end
+        state.setTimeoutTimestamp((last + gap_us) // 1000)
+        if closed:
+            yield _emit(key[0], closed, gap_seconds)
+
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def _emit(
+    user_id, sessions: list[tuple[int, int, int]], gap_seconds: int
+) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "user_id": [user_id] * len(sessions),
+            "session_start": [
+                pd.Timestamp(s, unit="us") for s, _, _ in sessions
+            ],
+            "session_end": [
+                pd.Timestamp(e + gap_seconds * 1_000_000, unit="us")
+                for _, e, _ in sessions
+            ],
+            "n_events": [n for _, _, n in sessions],
+        }
+    )

@@ -1,0 +1,213 @@
+"""Structured Streaming tests: the same window builders that are
+oracle-checked in batch mode run here under ``readStream`` +
+``Trigger.AvailableNow``, plus watermarked dedup, stateful sessionization,
+and the incremental foreachBatch sink semantics with checkpoint replay."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.sinks.parquet_sink import (
+    ParquetSink,
+)
+from extract_transform_load_template_multidb_spark.streaming import (
+    incremental as inc,
+    windows as W,
+)
+from extract_transform_load_template_multidb_spark.streaming.stateful import (
+    sessionize,
+)
+
+
+@pytest.fixture(scope="module")
+def events_landing(spark, sf_dir, tmp_path_factory):
+    """Events fixture staged into a landing dir (micros ts, stream-readable)."""
+    path = str(tmp_path_factory.mktemp("landing") / "events")
+    ev = load_table(spark, sf_dir, "events")
+    ev.coalesce(2).write.parquet(path)
+    return path, spark.read.parquet(path)
+
+
+def _drain(stream_df, spark, tmp_path, name, output_mode):
+    inc.run_to_memory(
+        stream_df, name, str(tmp_path / f"ckpt_{name}"), output_mode
+    )
+    return spark.table(name)
+
+
+def _rows(df, cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_tumbling_stream_equals_batch(spark, events_landing, tmp_path):
+    path, batch = events_landing
+    stream = inc.read_file_stream(spark, path, batch.schema)
+    got = _drain(
+        W.tumbling_counts(stream, watermark="10 minutes"),
+        spark,
+        tmp_path,
+        "t_tumbling",
+        "complete",
+    )
+    want = W.tumbling_counts(batch)
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_value"]
+    assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_sliding_stream_equals_batch(spark, events_landing, tmp_path):
+    path, batch = events_landing
+    stream = inc.read_file_stream(spark, path, batch.schema)
+    got = _drain(
+        W.sliding_counts(stream, watermark="10 minutes"),
+        spark,
+        tmp_path,
+        "t_sliding",
+        "complete",
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events"]
+    assert _rows(got, cols) == _rows(W.sliding_counts(batch), cols)
+
+
+def test_streaming_dedup_bounded_state(spark, events_landing, tmp_path):
+    path, batch = events_landing
+    stream = inc.read_file_stream(spark, path, batch.schema)
+    got = _drain(
+        inc.streaming_dedup(stream, ("event_id",), watermark="1 hour"),
+        spark,
+        tmp_path,
+        "t_dedup",
+        "append",
+    )
+    # fixture event_ids are unique → dedup is a no-op on counts
+    assert got.count() == batch.count()
+    # and duplicated input within the watermark collapses
+    dup_path = str(tmp_path / "dup_landing")
+    batch.limit(100).write.parquet(dup_path)
+    batch.limit(100).write.mode("append").parquet(dup_path)
+    dup_stream = inc.read_file_stream(spark, dup_path, batch.schema)
+    got2 = _drain(
+        inc.streaming_dedup(dup_stream, ("event_id",), watermark="1 hour"),
+        spark,
+        tmp_path,
+        "t_dedup2",
+        "append",
+    )
+    assert got2.count() == 100
+
+
+def test_stateful_sessionize(spark, tmp_path):
+    """Two bursts 2h apart per user: the first session closes when the
+    second burst arrives (gap 30 min) and is emitted downstream."""
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+
+    def burst(start, n):
+        return [start + dt.timedelta(minutes=i) for i in range(n)]
+
+    rows = []
+    for uid in (1, 2):
+        for i, ts in enumerate(
+            burst(t0, 3) + burst(t0 + dt.timedelta(hours=2), 2)
+        ):
+            rows.append((uid, i, ts))
+    # user 3: a single early burst — closed by the event-time TIMEOUT when
+    # the watermark (driven by users 1/2) passes its end, not by new data
+    for i, ts in enumerate(burst(t0, 2)):
+        rows.append((3, i, ts))
+    src = spark.createDataFrame(rows, "user_id bigint, seq int, ts timestamp")
+    path = str(tmp_path / "sess_landing")
+    src.coalesce(1).write.parquet(path)
+
+    stream = inc.read_file_stream(spark, path, src.schema)
+    got = _drain(
+        sessionize(stream, gap_seconds=1800),
+        spark,
+        tmp_path,
+        "t_sessions",
+        "append",
+    )
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    want = [
+        (uid, t0, t0 + dt.timedelta(minutes=2, seconds=1800), 3)
+        for uid in (1, 2)
+    ] + [(3, t0, t0 + dt.timedelta(minutes=1, seconds=1800), 2)]
+    assert _rows(got, cols) == sorted(want)
+
+
+def test_available_now_append_checkpoint_no_replay(spark, tmp_path):
+    src1 = spark.range(5).select(
+        F.col("id").alias("k"), F.lit("a").alias("v")
+    )
+    landing = str(tmp_path / "landing_app")
+    target = ParquetSink(str(tmp_path / "target_app"))
+    ckpt = str(tmp_path / "ckpt_app")
+    src1.write.parquet(landing)
+
+    stream = inc.read_file_stream(spark, landing, src1.schema)
+    inc.run_available_now(stream, target, ckpt, mode="append")
+    assert spark.read.parquet(target.path).count() == 5
+
+    # re-run with NO new files: checkpoint must prevent reprocessing
+    stream = inc.read_file_stream(spark, landing, src1.schema)
+    inc.run_available_now(stream, target, ckpt, mode="append")
+    assert spark.read.parquet(target.path).count() == 5
+
+    # new file arrives → only its rows are appended
+    spark.range(5, 8).select(
+        F.col("id").alias("k"), F.lit("b").alias("v")
+    ).write.mode("append").parquet(landing)
+    stream = inc.read_file_stream(spark, landing, src1.schema)
+    inc.run_available_now(stream, target, ckpt, mode="append")
+    assert spark.read.parquet(target.path).count() == 8
+
+
+def test_available_now_upsert(spark, tmp_path):
+    landing = str(tmp_path / "landing_up")
+    target = ParquetSink(str(tmp_path / "target_up"))
+    ckpt = str(tmp_path / "ckpt_up")
+    first = spark.createDataFrame(
+        [(1, "old"), (2, "old")], "k bigint, v string"
+    )
+    first.write.parquet(landing)
+    stream = inc.read_file_stream(spark, landing, first.schema)
+    inc.run_available_now(stream, target, ckpt, mode="upsert", keys=("k",))
+
+    spark.createDataFrame(
+        [(2, "new"), (3, "new")], "k bigint, v string"
+    ).write.mode("append").parquet(landing)
+    stream = inc.read_file_stream(spark, landing, first.schema)
+    inc.run_available_now(stream, target, ckpt, mode="upsert", keys=("k",))
+
+    got = {
+        (r["k"], r["v"]) for r in spark.read.parquet(target.path).collect()
+    }
+    assert got == {(1, "old"), (2, "new"), (3, "new")}
+
+
+def test_available_now_window_overwrite_idempotent(spark, tmp_path):
+    """Replaying the same window (late re-delivery) must not duplicate —
+    the W7 semantics under streaming."""
+    landing = str(tmp_path / "landing_w7")
+    target = ParquetSink(str(tmp_path / "target_w7"))
+    d = dt.date(2024, 1, 1)
+    batch1 = spark.createDataFrame(
+        [(1, d), (2, d + dt.timedelta(days=1))], "k bigint, day date"
+    )
+    batch1.write.parquet(landing)
+    stream = inc.read_file_stream(spark, landing, batch1.schema)
+    inc.run_available_now(
+        stream, target, str(tmp_path / "c1"), mode="window_overwrite",
+        window_col="day",
+    )
+    # same window re-extracted (fresh checkpoint = full re-delivery)
+    stream = inc.read_file_stream(spark, landing, batch1.schema)
+    inc.run_available_now(
+        stream, target, str(tmp_path / "c2"), mode="window_overwrite",
+        window_col="day",
+    )
+    got = spark.read.parquet(target.path)
+    assert got.count() == 2
