@@ -54,6 +54,7 @@ def _load_all() -> None:
         return
     # Import for registration side effects.
     from extract_transform_load_template_multidb_spark.queries import (  # noqa: F401
+        advanced,
         etl,
         multimodal,
         relational,

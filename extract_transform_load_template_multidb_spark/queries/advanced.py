@@ -1,0 +1,332 @@
+"""Advanced relational coverage: temporal joins, navigation windows,
+percentiles, pivot, grouping sets, subqueries, array aggregation.
+
+Completes the SURVEY.md §2.5 gap list beyond the first relational batch —
+every query oracle-checked against DuckDB (its native ASOF JOIN verifies
+our union+carry-forward as-of implementation).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.operators import (
+    temporal as tp,
+)
+from extract_transform_load_template_multidb_spark.queries import query
+from extract_transform_load_template_multidb_spark.queries._util import (
+    dsum,
+    sql_dsum,
+)
+
+_EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+_ASOF_ORACLE = """
+WITH r AS (
+    SELECT o_custkey, o_orderdate,
+           count(*) AS n_orders_day,
+           max(o_orderkey) AS last_orderkey
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts, r.last_orderkey, r.n_orders_day
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+@query("join_asof_latest_order", oracle=_ASOF_ORACLE)
+def join_asof_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: each event picks up the user's latest order at-or-before
+    the event time.
+
+    Implemented as union + window carry-forward (one shuffle of |L|+|R|,
+    no inequality join); DuckDB's native ASOF JOIN is the oracle.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    day_orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_day"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+    )
+    return tp.asof_join(
+        ev,
+        day_orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=("last_orderkey", "n_orders_day"),
+    )
+
+
+_RANGE_ORACLE = """
+SELECT o.o_orderkey, count(e.ts) AS n_in_range
+FROM orders o
+LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey
+"""
+
+
+@query("join_range_week_after_order", oracle=_RANGE_ORACLE)
+def join_range_week_after_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: events of the ordering customer within 7 days after the
+    order (equi-join on the key, literal band as join filter)."""
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "o_week_end", F.col("o_orderdate") + F.expr("INTERVAL 7 DAY")
+    )
+    ev = load_table(spark, sf_dir, "events")
+    return tp.range_join_count(
+        orders,
+        ev,
+        left_key="o_custkey",
+        right_key="user_id",
+        right_ts="ts",
+        lo_ts="o_orderdate",
+        hi_ts="o_week_end",
+        group_cols=("o_orderkey",),
+    )
+
+
+_NAV_ORACLE = """
+SELECT event_id, user_id, ts,
+       lag(ts)  OVER w AS prev_ts,
+       lead(ts) OVER w AS next_ts,
+       epoch_us(ts) - epoch_us(lag(ts) OVER w) AS gap_us
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@query("window_lead_lag", oracle=_NAV_ORACLE)
+def window_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions: per-user prev/next event time and gap."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        prev.alias("prev_ts"),
+        F.lead("ts").over(w).alias("next_ts"),
+        (F.unix_micros(F.col("ts")) - F.unix_micros(prev)).alias("gap_us"),
+    )
+
+
+_PCTL_ORACLE = """
+SELECT event_type,
+       count(*) AS n,
+       quantile_cont(value, 0.5) AS p50,
+       quantile_cont(value, 0.9) AS p90,
+       min(value) AS vmin,
+       max(value) AS vmax
+FROM events
+WHERE NOT isnan(value) AND NOT isinf(value)
+GROUP BY event_type
+"""
+
+
+@query("agg_percentiles", oracle=_PCTL_ORACLE)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (sort-based aggregate; for
+    100 TB use approx_percentile — t-digest sketch, no sort)."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile("value", 0.5).alias("p50"),
+        F.percentile("value", 0.9).alias("p90"),
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+    )
+
+
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
+                  for t in _EVENT_TYPES)}
+FROM events
+GROUP BY user_id
+"""
+
+
+@query("agg_pivot_event_types", oracle=_PIVOT_ORACLE)
+def agg_pivot_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot: one column per event type (explicit value list — never let
+    pivot run its distinct-scan at scale)."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(_EVENT_TYPES))
+        .agg(F.count(F.lit(1)))
+        .na.fill(0)
+    )
+    return out.select(
+        "user_id", *[F.col(t).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+
+
+_GSETS_ORACLE = f"""
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) AS g_rf, GROUPING(l_linestatus) AS g_ls,
+       COUNT(*) AS n_items, {sql_dsum('l_quantity', 'sum_qty')}
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+"""
+
+
+@query("agg_grouping_sets", oracle=_GSETS_ORACLE)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (not derivable from rollup/cube) via the SQL
+    surface, with GROUPING() disambiguation of the null rows."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "lineitem_gsets"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_rf,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_ls,
+               COUNT(*) AS n_items, {sql_dsum('l_quantity', 'sum_qty')}
+        FROM lineitem_gsets
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+_CORR_ORACLE = """
+WITH t AS (
+    SELECT l_partkey,
+           0.5 * (CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+                  / COUNT(l_quantity)) AS thresh
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT l.l_partkey, count(*) AS n_small
+FROM lineitem l JOIN t ON l.l_partkey = t.l_partkey
+WHERE l.l_quantity < t.thresh
+GROUP BY l.l_partkey
+"""
+
+
+@query("subquery_correlated_avg", oracle=_CORR_ORACLE)
+def subquery_correlated_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 pattern: rows below half their group's average (the
+    correlated scalar subquery decorrelated into an aggregate + self-join —
+    exactly Catalyst's RewriteCorrelatedScalarSubquery plan)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            0.5
+        * (
+            F.sum(F.col("l_quantity").cast("decimal(38,6)")).cast("double")
+            / F.count("l_quantity")
+        )
+        ).alias("thresh")
+    )
+    return (
+        li.join(thresh, li.l_partkey == thresh.t_partkey)
+        .filter(F.col("l_quantity") < F.col("thresh"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_small"))
+    )
+
+
+_UNCORR_ORACLE = """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE o_totalprice > 2 * (
+    SELECT CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           / COUNT(o_totalprice)
+    FROM orders
+)
+"""
+
+
+@query("subquery_scalar_global", oracle=_UNCORR_ORACLE)
+def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery: orders above 2× the global average
+    (1-row aggregate broadcast against the scan)."""
+    orders = load_table(spark, sf_dir, "orders")
+    avg1 = orders.agg(
+        (
+            2
+            * (
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.count("o_totalprice")
+            )
+        ).alias("__thresh")
+    )
+    return (
+        orders.join(
+            F.broadcast(avg1), F.col("o_totalprice") > F.col("__thresh")
+        )
+        .select("o_orderkey", "o_totalprice")
+    )
+
+
+_COLLECT_ORACLE = """
+SELECT c_custkey,
+       list_sort(list(o_orderkey)) AS orderkeys,
+       array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv
+FROM customer JOIN orders ON c_custkey = o_custkey
+GROUP BY c_custkey
+"""
+
+
+@query("agg_collect_sorted", oracle=_COLLECT_ORACLE)
+def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array aggregation: deterministic (sorted) collect_list + string agg.
+
+    Unsorted collect is partition-order-dependent — sorting makes it an
+    honest, hashable result.
+    """
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    keys = F.array_sort(F.collect_list("o_orderkey"))
+    return (
+        customer.join(orders, customer.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            keys.alias("orderkeys"),
+            F.array_join(keys, ",").alias("orderkeys_csv"),
+        )
+    )
+
+
+_ARRAY_OPS_ORACLE = """
+SELECT vec_id,
+       len(embedding) AS dim,
+       embedding[1] AS first_elem,
+       list_max(embedding) AS vmax,
+       list_min(embedding) AS vmin,
+       list_sort(embedding)[1] AS sorted_first
+FROM embeddings
+"""
+
+
+@query("scalar_array_ops", oracle=_ARRAY_OPS_ORACLE)
+def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions over the embedding column (size / index /
+    min / max / sort) — all codegen'd, no UDF."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_elem"),
+        F.array_max("embedding").alias("vmax"),
+        F.array_min("embedding").alias("vmin"),
+        F.element_at(F.array_sort("embedding"), 1).alias("sorted_first"),
+    )
