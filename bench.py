@@ -32,6 +32,12 @@ HEADLINE = [
     "agg_rollup",
     "etl_window_extract",
     "agg_count_distinct",
+    "join_asof_latest_order",
+    "stream_tumbling_counts",
+    "dedup_minhash_lsh",
+    "sim_cosine_topk_bruteforce",
+    "text_quality_score",
+    "mm_extract_features",
 ]
 
 
