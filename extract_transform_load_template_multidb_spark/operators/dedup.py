@@ -85,8 +85,13 @@ def lsh_bands(
     num_perm: int = 8,
     rows_per_band: int = 2,
 ) -> DataFrame:
-    """Band the signature: (id, band_idx, band_hash) — md5 of the
-    concatenated rows of each band."""
+    """Band the signature: (id, band_idx, band_hash).
+
+    ``band_hash`` is ``xxhash64`` of the band's concatenated signature
+    rows: only *equality* of the banded signature matters downstream, so
+    an 8-byte join key beats a hex digest — the band self-join and the
+    candidate dedup shuffle dominate LSH cost on dup-heavy corpora.
+    """
     assert num_perm % rows_per_band == 0
     bands = []
     for b in range(num_perm // rows_per_band):
@@ -96,7 +101,7 @@ def lsh_bands(
         bands.append(
             F.struct(
                 F.lit(b).alias("band_idx"),
-                F.md5(F.concat_ws("|", *cols)).alias("band_hash"),
+                F.xxhash64(F.concat_ws("|", *cols)).alias("band_hash"),
             )
         )
     return sig_df.select(
@@ -148,18 +153,37 @@ def jaccard_pairs(
     )
     a = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
-    n_inter = F.size(F.array_intersect(F.col("__ta"), F.col("__tb")))
-    return (
+    # The intersect is the per-pair hot loop, so it must be evaluated
+    # exactly ONCE per row: (1) materialize it in its own projection and
+    # express jaccard over the resulting attribute — writing the formula
+    # directly would plant two intersect nodes in one expression tree;
+    # (2) taint the materialized count with a value-preserving
+    # nondeterministic term (+ int(rand()·0) ≡ +0): without it, callers'
+    # threshold filters are pushed through the projection and INTO THE
+    # JOIN CONDITION with the intersect re-inlined (observed: 3
+    # evaluations per row, ~2.5× slower), and higher-order array
+    # expressions get no codegen subexpression reuse. Nondeterministic
+    # expressions cannot be moved or duplicated by the optimizer.
+    n_inter = F.size(
+        F.array_intersect(F.col("__ta"), F.col("__tb"))
+    ) + (F.rand() * F.lit(0.0)).cast("int")
+    counted = (
         pairs.join(a, "id_a")
         .join(b, "id_b")
         .select(
             "id_a",
             "id_b",
-            (
-                n_inter
-                / (F.size("__ta") + F.size("__tb") - n_inter)
-            ).alias("jaccard"),
+            n_inter.alias("__ni"),
+            F.size("__ta").alias("__na"),
+            F.size("__tb").alias("__nb"),
         )
+    )
+    return counted.select(
+        "id_a",
+        "id_b",
+        (
+            F.col("__ni") / (F.col("__na") + F.col("__nb") - F.col("__ni"))
+        ).alias("jaccard"),
     )
 
 
