@@ -1,0 +1,98 @@
+"""Physical-plan shape assertions: the 100 TB posture, checked in CI.
+
+Correctness tests prove the numbers; these prove the *plans* — filters
+reach the parquet scan, small sides broadcast, top-k never global-sorts,
+LSH never degenerates to a cross product, scans prune columns. A plan
+regression here is a scale bug even when sf0.001 results stay right.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from extract_transform_load_template_multidb_spark.queries import all_queries
+
+QUERIES = all_queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = QUERIES[name](spark, sf_dir)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushed_to_scan(spark, sf_dir):
+    """q3's selective dimension filter must reach the customer scan."""
+    plan = _plan(spark, sf_dir, "q3_shipping_priority")
+    assert "PushedFilters: [" in plan
+    assert "c_mktsegment" in plan.split("PushedFilters")[1][:200] or (
+        "EqualTo(c_mktsegment,BUILDING)" in plan
+    )
+
+
+def test_topk_no_global_sort(spark, sf_dir):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a full
+    Sort→Limit (a global sort of the fact table at 100 TB)."""
+    for name in ("sort_limit_topk", "q3_shipping_priority"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    """q5's nation/region/supplier joins must broadcast, never shuffle the
+    fact side for a dimension."""
+    plan = _plan(spark, sf_dir, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    plan2 = _plan(spark, sf_dir, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan2
+
+
+def test_aggregates_partial_then_final(spark, sf_dir):
+    """q1 must map-side combine (two HashAggregate levels around the
+    exchange) — at scale the partial agg is what bounds shuffle volume."""
+    plan = _plan(spark, sf_dir, "q1_pricing_summary")
+    # partial + final HashAggregate pair around the grouping exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_no_cartesian_anywhere_in_lsh(spark, sf_dir):
+    """LSH candidate generation must stay an equi-join on (band, hash);
+    a cross/nested-loop join means all-pairs materialized."""
+    for name in ("dedup_minhash_lsh", "dedup_embedding_cosine",
+                 "sim_cosine_topk_lsh"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    """A 3-column aggregate over orders must not read the other columns."""
+    plan = _plan(spark, sf_dir, "join_broadcast_dim")
+    scan = plan[plan.index("ReadSchema"):][:300]
+    assert "o_custkey" in scan and "o_totalprice" in scan
+    assert "o_orderpriority" not in scan and "o_orderstatus" not in scan
+
+
+def test_semi_anti_stay_semi_anti(spark, sf_dir):
+    """EXISTS/NOT EXISTS must plan as semi/anti joins (no row explosion +
+    distinct)."""
+    assert "LeftSemi" in _plan(spark, sf_dir, "join_semi")
+    assert "LeftAnti" in _plan(spark, sf_dir, "join_anti")
+
+
+def test_window_extract_pushes_nothing_to_python(spark, sf_dir):
+    """The reference-parity ETL queries must stay whole-stage-codegen
+    JVM plans — no Python evaluation nodes."""
+    for name in ("etl_window_extract", "etl_inf_null_clean",
+                 "text_quality_score", "dedup_simhash"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_mapinpandas_only_where_intended(spark, sf_dir):
+    """The multimodal extractors are the ONLY sanctioned pandas hops, and
+    they must be Arrow-batched (MapInPandas), not row-at-a-time."""
+    plan = _plan(spark, sf_dir, "mm_extract_features")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan

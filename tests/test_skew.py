@@ -1,0 +1,70 @@
+"""Salted aggregation/join equal their unsalted plans on skewed data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from extract_transform_load_template_multidb_spark.operators import skew
+
+
+def _skewed(spark):
+    # one hot key (0) with 5k rows, 50 cold keys with ~100 each
+    hot = spark.range(5000).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    )
+    cold = spark.range(5000, 10000).select(
+        (F.col("id") % 50 + 1).alias("k"), F.col("id").alias("v")
+    )
+    return hot.unionByName(cold)
+
+
+def test_salted_agg_matches_plain(spark):
+    df = _skewed(spark)
+    plain = {
+        (r["k"]): (r["s"], r["n"])
+        for r in df.groupBy("k")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    salted = {
+        (r["k"]): (r["s"], r["n"])
+        for r in skew.salted_agg(
+            df,
+            keys=["k"],
+            partial_aggs=[
+                F.sum("v").alias("ps"),
+                F.count(F.lit(1)).alias("pn"),
+            ],
+            merge_aggs=[
+                F.sum("ps").alias("s"),
+                F.sum("pn").alias("n"),
+            ],
+            salt_from=["v"],
+            n_salts=16,
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    left = _skewed(spark)
+    right = spark.range(51).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("w")
+    )
+    plain = sorted(
+        (r["k"], r["v"], r["w"]) for r in left.join(right, "k").collect()
+    )
+    salted = sorted(
+        (r["k"], r["v"], r["w"])
+        for r in skew.salted_broadcast_left(
+            left, right, key="k", n_salts=8, salt_from=["v"]
+        ).collect()
+    )
+    assert salted == plain
+
+
+def test_salt_is_deterministic(spark):
+    df = _skewed(spark).withColumn("s1", skew.stable_salt(["v"], 8))
+    df2 = _skewed(spark).withColumn("s1", skew.stable_salt(["v"], 8))
+    assert df.exceptAll(df2).count() == 0
+    assert df.select(F.max("s1"), F.min("s1")).collect()[0] == (7, 0)
