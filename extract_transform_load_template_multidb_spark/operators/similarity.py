@@ -204,6 +204,121 @@ def signlsh_topk(
     )
 
 
+def ivf_assign(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Assign each corpus vector to its nearest centroid by cosine
+    (IVF coarse quantization). Output: (id, cell, plus corpus payload).
+
+    ``corpus``/``centroids`` are quantized frames from
+    :func:`_corpus_quantized`. The assignment is corpus × |centroids| dot
+    products via a broadcast join + windowed argmin — with k_coarse
+    centroids this is the standard IVF build cost; at very large k_coarse
+    batch it through ``mapInPandas``+numpy instead. Ties break on the
+    lowest centroid id (total order — required for oracle hashing).
+    """
+    cents = centroids.select(
+        F.col(id_col).alias("__cid"),
+        F.col("qv").alias("__cqv"),
+        F.col("nsq").alias("__cnsq"),
+    )
+    scored = corpus.crossJoin(F.broadcast(cents)).select(
+        "*",
+        cosine(
+            dot_long(F.col("qv"), F.col("__cqv")),
+            F.col("nsq"),
+            F.col("__cnsq"),
+        ).alias("__ccos"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("__ccos").desc(), F.col("__cid")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            F.col(id_col), F.col("qv"), F.col("nsq"),
+            F.col("__cid").alias("cell"),
+        )
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    n_centroids: int = 8,
+    nprobe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF approximate top-k: score only vectors in the query's ``nprobe``
+    nearest inverted-file cells.
+
+    Output: (query_id, neighbor_id, rnk, cosine). Centroids here are the
+    first ``n_centroids`` corpus vectors — a deterministic stand-in for a
+    trained coarse quantizer (swap in MLlib KMeans centers at scale; the
+    plan shape is identical). The inverted file is the ``cell`` equi-join:
+    per query, candidates shrink to the probed cells' posting lists —
+    recall is tuned by ``nprobe`` at linear cost, exactly DiskANN/FAISS-IVF
+    economics on a cluster.
+    """
+    corpus = _corpus_quantized(df, vec_col, id_col)
+    cents = corpus.filter(F.col(id_col) < n_centroids)
+    assigned = ivf_assign(corpus, cents, id_col)
+
+    # nprobe nearest cells per query (same scoring, rank ≤ nprobe)
+    q = corpus.join(queries.select(F.col(id_col)), id_col, "left_semi")
+    c2 = cents.select(
+        F.col(id_col).alias("__cid"),
+        F.col("qv").alias("__cqv"),
+        F.col("nsq").alias("__cnsq"),
+    )
+    qscored = q.crossJoin(F.broadcast(c2)).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nsq").alias("q_nsq"),
+        F.col("__cid").alias("cell"),
+        cosine(
+            dot_long(F.col("qv"), F.col("__cqv")),
+            F.col("nsq"),
+            F.col("__cnsq"),
+        ).alias("__ccos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("__ccos").desc(), F.col("cell")
+    )
+    probes = (
+        qscored.withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= nprobe)
+        .select("query_id", "q_qv", "q_nsq", "cell")
+    )
+
+    scored = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(
+                dot_long(F.col("q_qv"), F.col("qv")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

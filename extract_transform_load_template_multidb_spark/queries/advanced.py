@@ -277,6 +277,26 @@ def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("agg_approx_sketches")
+def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based profiling: HyperLogLog++ distinct counts and t-digest
+    percentiles per event type — THE 100 TB substitutes for the exact
+    forms (`agg_count_distinct`, `agg_percentiles`): one pass, bounded
+    memory, no sort. Rows-only check: sketch estimates are
+    engine-specific, so there is no cross-engine hash oracle; the exact
+    twins above are the correctness anchor.
+    """
+    ev = load_table(spark, sf_dir, "events").filter(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
+        F.percentile_approx("value", 0.9, 10000).alias("approx_p90"),
+    )
+
+
 _COLLECT_ORACLE = """
 SELECT c_custkey,
        list_sort(list(o_orderkey)) AS orderkeys,

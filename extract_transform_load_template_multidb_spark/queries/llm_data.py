@@ -340,6 +340,88 @@ def sim_cosine_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+adots AS (
+    SELECT e.vec_id, ec.vec_id AS cid, SUM(e.v * ec.v) AS dot
+    FROM elems e JOIN elems ec ON ec.d = e.d AND ec.vec_id < 8
+    GROUP BY e.vec_id, ec.vec_id
+),
+acos AS (
+    SELECT a.vec_id, a.cid,
+           CAST(a.dot AS DOUBLE)
+             / (sqrt(CAST(nv.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
+               AS c
+    FROM adots a
+    JOIN norms nv ON nv.vec_id = a.vec_id
+    JOIN norms nc ON nc.vec_id = a.cid
+),
+assign AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid)
+                   AS rn
+        FROM acos
+    ) WHERE rn = 1
+),
+probes AS (
+    SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid)
+                   AS rn
+        FROM acos WHERE vec_id >= 8 AND vec_id < 16
+    ) WHERE rn <= 2
+),
+cands AS (
+    SELECT p.query_id, a.vec_id AS neighbor_id
+    FROM probes p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+),
+dots AS (
+    SELECT cd.query_id, cd.neighbor_id, SUM(ea.v * eb.v) AS dot
+    FROM cands cd
+    JOIN elems ea ON ea.vec_id = cd.query_id
+    JOIN elems eb ON eb.vec_id = cd.neighbor_id AND eb.d = ea.d
+    GROUP BY cd.query_id, cd.neighbor_id
+),
+cos AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM cos
+)
+SELECT query_id, neighbor_id, rnk, cosine FROM ranked WHERE rnk <= 3
+"""
+)
+
+
+@query("sim_cosine_topk_ivf", oracle=_IVF_ORACLE)
+def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-3: coarse-quantize the corpus into 8 cells
+    (deterministic seed centroids standing in for trained k-means), probe
+    the 2 nearest cells per query — the FAISS-IVF economics as a Spark
+    plan (inverted file = cell equi-join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16)),
+        k=3,
+        n_centroids=8,
+        nprobe=2,
+    )
+
+
 _EMB_NEARDUP_ORACLE = (
     "WITH "
     + _SQL_ELEMS
