@@ -15,5 +15,14 @@ from extract_transform_load_template_multidb_spark.sources.odata import (
     ODataSource,
     render_odata_url,
 )
+from extract_transform_load_template_multidb_spark.sources.odata_datasource import (
+    ODataDataSource,
+)
 
-__all__ = ["FileSource", "JdbcSource", "ODataSource", "render_odata_url"]
+__all__ = [
+    "FileSource",
+    "JdbcSource",
+    "ODataDataSource",
+    "ODataSource",
+    "render_odata_url",
+]

@@ -65,3 +65,47 @@ def test_odata_empty_feed(spark):
         base_url="https://erp", entity="E", fetch=lambda u, h: {"value": []}
     )
     assert src.read(spark).count() == 0
+
+
+def test_odata_datasource_parallel_pages(spark):
+    """format("odata") reads pages as input partitions on executors."""
+    import json
+
+    from extract_transform_load_template_multidb_spark.sources import (
+        ODataDataSource,
+    )
+
+    spark.dataSource.register(ODataDataSource)
+    pages = [
+        [{"id": 1, "x": "a"}, {"id": 2, "x": "b"}],
+        [{"id": 3, "x": "c"}],
+        [],
+    ]
+    df = (
+        spark.read.format("odata")
+        .schema("id BIGINT, x STRING")
+        .option("inline_pages", json.dumps(pages))
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 3
+    assert {(r["id"], r["x"]) for r in df.collect()} == {
+        (1, "a"), (2, "b"), (3, "c"),
+    }
+
+
+def test_odata_datasource_skip_top_plan():
+    """Offset paging splits into $skip/$top windows, one per partition."""
+    from pyspark.sql.types import StructType
+
+    from extract_transform_load_template_multidb_spark.sources.odata_datasource import (
+        ODataPagedReader,
+    )
+
+    schema = StructType.fromDDL("id BIGINT")
+    reader = ODataPagedReader(
+        schema, {"page_size": "100", "n_pages": "4"}
+    )
+    parts = reader.partitions()
+    assert [(p.skip, p.top) for p in parts] == [
+        (0, 100), (100, 100), (200, 100), (300, 100),
+    ]
