@@ -509,3 +509,128 @@ def agg_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         F.countDistinct("event_type").alias("n_types"),
     )
+
+
+_FULL_OUTER_ORACLE = """
+WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS cnt FROM customer GROUP BY 1),
+     s AS (SELECT s_nationkey AS nk, COUNT(*) AS cnt FROM supplier GROUP BY 1)
+SELECT COALESCE(c.nk, s.nk) AS nationkey,
+       COALESCE(c.cnt, 0) AS n_cust,
+       COALESCE(s.cnt, 0) AS n_supp
+FROM c FULL OUTER JOIN s ON c.nk = s.nk
+"""
+
+
+@query("join_outer_full", oracle=_FULL_OUTER_ORACLE)
+def join_outer_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join of two pre-aggregated sides with key coalescing.
+
+    Aggregating BEFORE the join shrinks both sides to one row per nation —
+    at 100 TB this turns a fact⋈fact shuffle into a trivial join, the
+    standard pre-aggregation rewrite.
+    """
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return cust.join(supp, cust.nk == supp.nk, "full_outer").select(
+        F.coalesce(cust.nk, supp.nk).alias("nationkey"),
+        F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+        F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+    )
+
+
+_RANGE_FRAME_ORACLE = """
+SELECT o_orderkey, o_custkey,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER (
+         PARTITION BY o_custkey
+         ORDER BY datediff('day', TIMESTAMP '1970-01-01 00:00:00', o_orderdate)
+         RANGE BETWEEN 90 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_spend
+FROM orders
+"""
+
+
+@query("window_range_frame", oracle=_RANGE_FRAME_ORACLE)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based window frame: per-customer trailing-90-day spend.
+
+    RANGE frames are defined on the ORDER BY *values* (days since epoch),
+    so ties share one frame and the sum is deterministic without a unique
+    tie-break — unlike ROWS frames.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    day_num = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(day_num)
+        .rangeBetween(-90, Window.currentRow)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_spend"),
+    )
+
+
+_DISTRIBUTION_ORACLE = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM orders
+WINDOW w AS (
+  PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey
+)
+"""
+
+
+@query("window_distribution", oracle=_DISTRIBUTION_ORACLE)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: ntile / percent_rank / cume_dist.
+
+    The (o_totalprice, o_orderkey) order is unique, making ntile
+    deterministic; percent_rank and cume_dist are exact integer ratios so
+    the double results are bit-identical across engines.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+_EXPLODE_ORACLE = """
+SELECT p_partkey, unnest(string_split(p_type, ' ')) AS tok
+FROM part
+"""
+
+
+@query("explode_unnest", oracle=_EXPLODE_ORACLE)
+def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode (UNNEST): one row per whitespace token of p_type.
+
+    Generate/explode runs inside whole-stage codegen — no shuffle; row
+    count multiplies, so at scale this goes before filters that cut it
+    back down, never after a wide join.
+    """
+    part = load_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.explode(F.split("p_type", " ")).alias("tok"),
+    )
