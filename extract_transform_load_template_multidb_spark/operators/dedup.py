@@ -7,7 +7,8 @@ All stages are pure DataFrame expressions (JVM-side, no Python UDFs):
 - :func:`minhash_signatures` — k-permutation MinHash where each permutation
   is "lexicographic min of md5(i:word)"; a string-min is a valid uniform
   min-hash and is reproducible in any engine with md5.
-- :func:`lsh_bands` / :func:`lsh_candidate_pairs` — banding + bucket self-join.
+- :func:`lsh_bands` / :func:`lsh_candidate_pairs` — banding + skew-proof
+  blocked per-bucket pair generation.
 - :func:`jaccard_pairs` — exact word-set Jaccard for candidate verification.
 - :func:`simhash` — b-bit SimHash via md5-derived bit contributions.
 
@@ -110,19 +111,63 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, id_col: str = "doc_id"
+    bands_df: DataFrame, id_col: str = "doc_id", block_size: int = 256
 ) -> DataFrame:
-    """Distinct (id_a < id_b) pairs sharing any band bucket."""
-    a = bands_df.select(
-        F.col(id_col).alias("id_a"), "band_idx", "band_hash"
+    """Distinct (id_a < id_b) pairs sharing any band bucket.
+
+    Implemented as a *blocked* per-bucket pair generator, not a band
+    self-join: a bucket of B docs yields B²/2 pairs, and with a self-join
+    all of a hot bucket's fan-out lands on the one task that owns its join
+    key (observed on the fixture corpus: one 3 921-doc bucket → 15.4M rows
+    in a single task while 31 cores idle; AQE cannot split skew *within*
+    one key). Instead each bucket's sorted member array is cut into
+    ``block_size`` chunks, the (i ≤ j) chunk-pairs are exploded and
+    round-robin repartitioned — a few hundred small rows — and only then
+    expanded to id pairs, so the quadratic work spreads evenly over every
+    core regardless of bucket skew. Chunks come from a sorted array, so
+    cross-chunk pairs satisfy id_a < id_b by construction; only same-chunk
+    expansion needs the comparison.
+
+    At 100 TB the same shape holds: the heavy shuffle is the final
+    ``distinct`` over candidate pairs (irreducible — it IS the output),
+    while the bucket arrays stay bounded by the band-bucket size, which
+    degenerate stop-buckets permitting — cap or drop buckets above a size
+    threshold upstream if the corpus has them (they contribute no dedup
+    signal).
+    """
+    c = int(block_size)
+    buckets = (
+        bands_df.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
     )
-    b = bands_df.select(
-        F.col(id_col).alias("id_b"), "band_idx", "band_hash"
+    blocks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__ids) / {c}.0) AS INT) - 1),"
+        f" k -> slice(__ids, k * {c} + 1, {c}))"
+    )
+    block_pairs = F.expr(
+        "flatten(transform(sequence(0, size(__blocks) - 1), i ->"
+        " transform(sequence(i, size(__blocks) - 1), j ->"
+        " struct(__blocks[i] AS ba, __blocks[j] AS bb, i = j AS same))))"
     )
     return (
-        a.join(b, ["band_idx", "band_hash"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(blocks.alias("__blocks"))
+        .select(F.explode(block_pairs).alias("bp"))
+        .repartition(bands_df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col("bp.same").alias("same"),
+            F.col("bp.bb").alias("bb"),
+            F.explode("bp.ba").alias("id_a"),
+        )
+        .select(
+            "id_a",
+            F.explode(
+                F.when(
+                    F.col("same"),
+                    F.filter(F.col("bb"), lambda y: y > F.col("id_a")),
+                ).otherwise(F.col("bb"))
+            ).alias("id_b"),
+        )
         .distinct()
     )
 
