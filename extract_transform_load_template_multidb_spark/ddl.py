@@ -208,10 +208,18 @@ def introspect_jdbc_information_schema(
 
     Returns (column_name, data_type, character_maximum_length) rows, exactly
     the notebook's ``get_table_schema`` shape (ipynb:62-73), as a DataFrame.
+
+    Names are interpolated into the pushed-down query as quoted literals, so
+    embedded single quotes are doubled (standard SQL escaping) — a quote in a
+    configured name can neither break the statement nor inject predicates.
     """
-    where = f"table_name = '{table}'"
+
+    def _lit(name: str) -> str:
+        return name.replace("'", "''")
+
+    where = f"table_name = '{_lit(table)}'"
     if db_schema:
-        where += f" AND table_schema = '{db_schema}'"
+        where += f" AND table_schema = '{_lit(db_schema)}'"
     q = (
         "(SELECT column_name, data_type, character_maximum_length "
         f"FROM information_schema.columns WHERE {where}) AS cols"

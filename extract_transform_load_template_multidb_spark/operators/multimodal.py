@@ -62,15 +62,40 @@ _FRAME_SCHEMA = (
 )
 
 
-def repartition_for_media(df: DataFrame, target_rows: int | None = None) -> DataFrame:
-    """Split partitions so each holds ~``target_rows`` wide media rows.
+def media_batch_conf(target_rows: int | None = None) -> dict[str, str]:
+    """Session conf bounding how many wide media rows a pandas UDF sees at
+    once — the no-extra-pass way to control batch memory.
 
-    At 100 TB the same math applies per executor: partitions must fit the
-    Arrow batch plus the decoded representation in memory.
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` caps every Arrow batch
+    crossing into ``mapInPandas`` regardless of partition size, and
+    ``spark.sql.files.maxPartitionBytes`` bounds what one scan task holds;
+    together they fit batch + decoded representation in executor memory
+    with NO job run before the transform (an eager ``count()`` here would
+    add a full input pass at 100 TB).
     """
     target = target_rows or MEDIA_ROWS_PER_PARTITION
-    n = max(1, df.count() // target)
-    return df.repartition(n)
+    return {
+        "spark.sql.execution.arrow.maxRecordsPerBatch": str(target),
+        "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
+    }
+
+
+def repartition_for_media(df: DataFrame, target_rows: int | None = None) -> DataFrame:
+    """Bound per-batch media rows WITHOUT an eager count.
+
+    Sets ``maxRecordsPerBatch`` (see :func:`media_batch_conf`) so Arrow
+    batches are capped engine-side, and spreads the scan over the session's
+    default parallelism with a narrow-when-coalescing ``repartition`` only
+    if the input arrives in fewer partitions than cores. No action runs
+    before the transform.
+    """
+    spark = df.sparkSession
+    for k, v in media_batch_conf(target_rows).items():
+        spark.conf.set(k, v)
+    cores = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
 
 
 def decode_image(payload: bytes) -> "object":

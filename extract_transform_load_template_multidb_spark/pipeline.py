@@ -11,13 +11,48 @@ the single action. Scheduling stays external (cron/Airflow submitting
 from __future__ import annotations
 
 import logging
+import smtplib
 import time
 from collections.abc import Callable
 from dataclasses import dataclass, field
+from email.mime.text import MIMEText
 
 from pyspark.sql import DataFrame, SparkSession
 
 log = logging.getLogger(__name__)
+
+
+def smtp_sender(
+    server_address: str,
+    sender_email: str,
+    recipient_emails: list[str],
+    port: int = 25,
+    smtp_factory: Callable[[str, int], object] = smtplib.SMTP,
+) -> Callable[[str, str], None]:
+    """Build an SMTP ``send(subject, body)`` matching reference C4
+    (``Template-to-MySQL/BigQuery-to-MySQL-Method-1.py:35-46``): plain-text
+    MIMEText, From/To/Subject headers, ``sendmail`` then ``quit``; send
+    failures are logged, never raised (the reference prints and continues —
+    a notification must not fail the load it reports on).
+
+    ``smtp_factory`` is injectable for tests (any object with
+    ``sendmail``/``quit``).
+    """
+
+    def send(subject: str, body: str) -> None:
+        try:
+            server = smtp_factory(server_address, port)
+            msg = MIMEText(body)
+            msg["From"] = sender_email
+            msg["To"] = ", ".join(recipient_emails)
+            msg["Subject"] = subject
+            server.sendmail(sender_email, recipient_emails, msg.as_string())
+            server.quit()
+            log.info("Email notification sent successfully!")
+        except Exception as e:  # noqa: BLE001 — reference swallows and logs
+            log.error("Failed to send email: %s", e)
+
+    return send
 
 
 @dataclass

@@ -154,8 +154,10 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PIVOT_ORACLE = f"""
 SELECT user_id,
-       {', '.join(f"SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}"
-                  for t in _EVENT_TYPES)}
+       {', '.join(
+           "CAST(SUM(CASE WHEN event_type = "
+           f"'{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}"
+           for t in _EVENT_TYPES)}
 FROM events
 GROUP BY user_id
 """
@@ -277,29 +279,73 @@ def subquery_scalar_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("agg_approx_sketches")
+_SKETCH_ORACLE = """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS users_ok,
+       TRUE AS p50_ok,
+       TRUE AS p90_ok
+FROM events
+WHERE NOT isnan(value) AND NOT isinf(value)
+GROUP BY event_type
+"""
+
+
+@query("agg_approx_sketches", oracle=_SKETCH_ORACLE)
 def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-based profiling: HyperLogLog++ distinct counts and t-digest
     percentiles per event type — THE 100 TB substitutes for the exact
     forms (`agg_count_distinct`, `agg_percentiles`): one pass, bounded
-    memory, no sort. Rows-only check: sketch estimates are
-    engine-specific, so there is no cross-engine hash oracle; the exact
-    twins above are the correctness anchor.
+    memory, no sort.
+
+    Sketch estimates are engine-specific, so the raw estimates cannot be
+    hash-compared cross-engine. Instead the query returns tolerance
+    verdicts: each sketch estimate is compared against the exact value
+    computed in the same aggregation, and the oracle asserts the verdicts
+    are TRUE (plus the exact distinct count as a hash-checked anchor). A
+    sketch drifting out of tolerance flips a boolean and fails the hash
+    compare — an honest, portable check.
     """
     ev = load_table(spark, sf_dir, "events").filter(
         ~F.isnan("value")
         & ~F.col("value").isin(float("inf"), float("-inf"))
     )
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.percentile_approx("value", 0.9, 10000).alias("approx_p90"),
+        # Exact rank neighborhoods bounding the approx answers: with
+        # accuracy=10000 the rank error is ~n/10000, far inside ±5 pct-pts.
+        F.percentile("value", 0.45).alias("p45"),
+        F.percentile("value", 0.55).alias("p55"),
+        F.percentile("value", 0.85).alias("p85"),
+        F.percentile("value", 0.95).alias("p95"),
+    )
+    tol = F.greatest(
+        (F.col("exact_users") * F.lit(0.05)).cast("double"), F.lit(2.0)
+    )
+    return agg.select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users")).cast("double")
+            <= tol
+        ).alias("users_ok"),
+        (
+            (F.col("approx_p50") >= F.col("p45"))
+            & (F.col("approx_p50") <= F.col("p55"))
+        ).alias("p50_ok"),
+        (
+            (F.col("approx_p90") >= F.col("p85"))
+            & (F.col("approx_p90") <= F.col("p95"))
+        ).alias("p90_ok"),
     )
 
 
 _COLLECT_ORACLE = """
 SELECT c_custkey,
-       list_sort(list(o_orderkey)) AS orderkeys,
+       len(list(o_orderkey)) AS n_orders,
        array_to_string(list_sort(list(o_orderkey)), ',') AS orderkeys_csv
 FROM customer JOIN orders ON c_custkey = o_custkey
 GROUP BY c_custkey
@@ -308,10 +354,14 @@ GROUP BY c_custkey
 
 @query("agg_collect_sorted", oracle=_COLLECT_ORACLE)
 def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Array aggregation: deterministic (sorted) collect_list + string agg.
+    """Array aggregation: deterministic (sorted) collect_list, surfaced as
+    its CSV rendering plus the element count.
 
-    Unsorted collect is partition-order-dependent — sorting makes it an
-    honest, hashable result.
+    Unsorted collect is partition-order-dependent — sorting makes it
+    honest. Only hashable scalar columns are returned (the driver's
+    canonicalizer sorts/hashes pandas columns, and a raw list column is
+    unhashable there); the CSV pins exactly the same semantics as the
+    array itself.
     """
     customer = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
@@ -320,7 +370,7 @@ def agg_collect_sorted(spark: SparkSession, sf_dir: str) -> DataFrame:
         customer.join(orders, customer.c_custkey == orders.o_custkey)
         .groupBy("c_custkey")
         .agg(
-            keys.alias("orderkeys"),
+            F.size(keys).cast("long").alias("n_orders"),
             F.array_join(keys, ",").alias("orderkeys_csv"),
         )
     )

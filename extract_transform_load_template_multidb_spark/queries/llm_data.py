@@ -159,8 +159,8 @@ votes AS (
     FROM bits GROUP BY doc_id, j
 )
 SELECT doc_id,
-       SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
-           AS simhash
+       CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)
+            AS BIGINT) AS simhash
 FROM votes GROUP BY doc_id
 """
 )
@@ -530,11 +530,17 @@ _LANG_ID_ORACLE = (
 tok_all AS (SELECT doc_id, unnest(t) AS w FROM toks_list),
 lex(lang_cand, w) AS (VALUES {_LEX_VALUES}),
 hits AS (
+    -- CAST: DuckDB SUM(int) yields HUGEINT, which pandas renders float64
+    -- while Spark returns int64 — identical values, different hash.
     SELECT doc_id,
-           SUM(CASE WHEN lang_cand = 'de' THEN 1 ELSE 0 END) AS hits_de,
-           SUM(CASE WHEN lang_cand = 'en' THEN 1 ELSE 0 END) AS hits_en,
-           SUM(CASE WHEN lang_cand = 'es' THEN 1 ELSE 0 END) AS hits_es,
-           SUM(CASE WHEN lang_cand = 'fr' THEN 1 ELSE 0 END) AS hits_fr
+           CAST(SUM(CASE WHEN lang_cand = 'de' THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_de,
+           CAST(SUM(CASE WHEN lang_cand = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_en,
+           CAST(SUM(CASE WHEN lang_cand = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_es,
+           CAST(SUM(CASE WHEN lang_cand = 'fr' THEN 1 ELSE 0 END) AS BIGINT)
+               AS hits_fr
     FROM tok_all JOIN lex USING (w)
     GROUP BY doc_id
 )
@@ -587,7 +593,8 @@ h AS (
 )
 SELECT d.doc_id, coalesce(s.fp, 0) AS fingerprint
 FROM documents d
-LEFT JOIN (SELECT doc_id, SUM(h) AS fp FROM h GROUP BY doc_id) s
+LEFT JOIN (SELECT doc_id, CAST(SUM(h) AS BIGINT) AS fp
+           FROM h GROUP BY doc_id) s
   USING (doc_id)
 """
 )

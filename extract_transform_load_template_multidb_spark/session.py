@@ -46,6 +46,32 @@ def ensure_conf(spark: SparkSession) -> SparkSession:
     return spark
 
 
+def _default_driver_memory() -> str:
+    """Pick a driver heap for local mode, where the driver IS the executor.
+
+    Spark's local-mode default (~1g) cannot hold the working set of the
+    heavier operators (LSH candidate verification carries millions of int64
+    arrays through one JVM); we size to ~40% of host RAM, capped at 48g,
+    floored at 4g. Override with $SPARK_GRAFT_DRIVER_MEM (e.g. "16g").
+    On a real cluster the driver only coordinates, so this conservative
+    fraction is still safe there.
+    """
+    env = os.environ.get("SPARK_GRAFT_DRIVER_MEM")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) // (1024 * 1024)
+                    break
+            else:
+                total_gib = 8
+    except OSError:
+        total_gib = 8
+    return f"{max(4, min(48, int(total_gib * 0.4)))}g"
+
+
 def get_spark(
     app_name: str = "etl-multidb-spark",
     master: str | None = None,
@@ -69,6 +95,10 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # JVM-launch-time setting: only effective when this call actually
+        # creates the session (true for bench.py and tests, which build the
+        # session before any other Spark use).
+        .config("spark.driver.memory", _default_driver_memory())
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)

@@ -35,6 +35,11 @@ def upsert_sql(
                  ``PgSQL-to-MySQL-Method-1.py:77-81``)
     postgresql → INSERT ... ON CONFLICT (keys) DO UPDATE SET col=EXCLUDED.col
     sqlite     → same as postgresql (ON CONFLICT syntax), '?' placeholders
+
+    When every column is a key there is nothing to update on conflict; the
+    dialect's no-op form is emitted instead (MySQL: ``key=key`` assignment —
+    an empty UPDATE list is a syntax error; PG/SQLite: ``DO NOTHING``), so
+    the statement stays valid and the upsert degrades to insert-if-absent.
     """
     if dialect not in DIALECTS:
         raise ValueError(f"unknown dialect {dialect!r}; supported: {DIALECTS}")
@@ -43,10 +48,15 @@ def upsert_sql(
     vals_sql = ", ".join([placeholder] * len(columns))
     base = f"INSERT INTO {table} ({cols_sql}) VALUES ({vals_sql})"
     if dialect == "mysql":
+        if not non_keys:
+            k = keys[0]
+            return f"{base} ON DUPLICATE KEY UPDATE {k}={k}"
         sets = ", ".join(f"{c}=VALUES({c})" for c in non_keys)
         return f"{base} ON DUPLICATE KEY UPDATE {sets}"
-    sets = ", ".join(f"{c}=EXCLUDED.{c}" for c in non_keys)
     keys_sql = ", ".join(keys)
+    if not non_keys:
+        return f"{base} ON CONFLICT ({keys_sql}) DO NOTHING"
+    sets = ", ".join(f"{c}=EXCLUDED.{c}" for c in non_keys)
     return f"{base} ON CONFLICT ({keys_sql}) DO UPDATE SET {sets}"
 
 

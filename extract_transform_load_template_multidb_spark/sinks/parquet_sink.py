@@ -111,14 +111,24 @@ class ParquetSink:
         )
 
     def _swap(self, df: DataFrame) -> None:
-        """Materialize ``df`` into a staging dir, then atomically replace.
+        """Materialize ``df`` into a staging dir, then replace the target.
 
         ``df`` may read from ``self.path``, so it must be fully written
         before the target is touched.
+
+        Durability limits (local-FS sink only): the two renames are each
+        atomic but the pair is not — a crash between them leaves the target
+        path missing with the data intact in the stable ``<path>_old``
+        backup dir (recovery: rename it back). The backup is deleted only
+        after the staging rename succeeds. ``os.rename`` restricts this
+        sink to a local POSIX filesystem; on a cluster use a table format
+        (Delta/Iceberg) whose commit protocol does this transactionally.
         """
         staging = f"{self.path}_staging_{uuid.uuid4().hex[:8]}"
         self._writer(df).mode("overwrite").parquet(staging)
-        backup = f"{self.path}_old_{uuid.uuid4().hex[:8]}"
+        backup = f"{self.path}_old"
+        if os.path.isdir(backup):
+            shutil.rmtree(backup)
         os.rename(self.path, backup)
         os.rename(staging, self.path)
         shutil.rmtree(backup)

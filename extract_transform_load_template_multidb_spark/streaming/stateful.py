@@ -74,7 +74,15 @@ def sessionize(
             if n > 0 and t - last >= gap_us:
                 closed.append((start, last, n))
                 start, n = t, 0
-            last = t
+            # A late event (t ≤ last, admitted by a non-zero watermark) joins
+            # the open session without rewinding its end — moving ``last``
+            # backwards would let the next on-time event spuriously split
+            # the session. It may still extend the start backwards.
+            if n > 0:
+                start = min(start, t)
+                last = max(last, t)
+            else:
+                last = t
             n += 1
         state.update((start, last, n))
         # flush when event time (watermark) passes the session's end

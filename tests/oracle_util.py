@@ -1,8 +1,9 @@
 """Local differential harness mirroring the driver's DuckDB-oracle check.
 
-Stricter than the driver: rows are compared value-by-value (floats exactly,
-then with 1e-9 relative tolerance reported separately) so any
-engine-divergence is caught here before the driver sees it.
+Stricter than the driver: rows are compared value-by-value with exact
+equality — floats included, since every registered query keeps its double
+math order-independent (DECIMAL-routed sums, fixed-order expressions) — so
+any engine divergence is caught here before the driver sees it.
 """
 
 from __future__ import annotations
@@ -50,15 +51,6 @@ def _norm(v):
     if isinstance(v, (list, tuple)):
         return tuple(_norm(x) for x in v)
     return v
-
-
-def _key(row):
-    return tuple(
-        (x if not isinstance(x, float) else round(x, 6))
-        if x is not None
-        else None
-        for x in row
-    )
 
 
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> None:

@@ -87,3 +87,24 @@ def test_execute_sink_sql_retention_delete(spark, tmp_path):
     con = factory()
     assert [r[0] for r in con.execute("SELECT id FROM t")] == [2]
     con.close()
+
+
+def test_upsert_sql_all_columns_are_keys():
+    """Every column a key → dialect no-op conflict form, still valid SQL."""
+    from extract_transform_load_template_multidb_spark.sinks.jdbc_upsert import (
+        upsert_sql,
+    )
+
+    my = upsert_sql("t", ["a", "b"], ["a", "b"], "mysql")
+    assert my.endswith("ON DUPLICATE KEY UPDATE a=a")
+    pg = upsert_sql("t", ["a", "b"], ["a", "b"], "postgresql")
+    assert pg.endswith("ON CONFLICT (a, b) DO NOTHING")
+    sq = upsert_sql("t", ["a", "b"], ["a", "b"], "sqlite", placeholder="?")
+    assert sq.endswith("ON CONFLICT (a, b) DO NOTHING")
+    # and sqlite actually accepts + executes it
+    import sqlite3
+
+    con = sqlite3.connect(":memory:")
+    con.execute("CREATE TABLE t (a INTEGER, b INTEGER, PRIMARY KEY (a, b))")
+    con.executemany(sq, [(1, 2), (1, 2), (3, 4)])
+    assert sorted(con.execute("SELECT * FROM t")) == [(1, 2), (3, 4)]

@@ -64,8 +64,15 @@ def test_real_codec_path_is_gated():
 
 def test_repartition_for_media(spark, media):
     df = mm.repartition_for_media(media, target_rows=50)
-    n_rows = media.count()
-    assert df.rdd.getNumPartitions() == max(1, n_rows // 50)
+    # Arrow batches are capped engine-side (no eager count of the input)...
+    assert (
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "50"
+    )
+    # ...and the scan is spread over at least the session's parallelism.
+    cores = spark.sparkContext.defaultParallelism
+    assert df.rdd.getNumPartitions() >= min(
+        cores, media.rdd.getNumPartitions()
+    )
 
 
 def test_media_stats_sniffs_magic_bytes(spark):

@@ -65,3 +65,49 @@ def test_pipeline_retry_then_fail(spark):
         pipe.run(spark)
     assert calls["n"] == 2  # initial + 1 retry (reference default_args)
     assert [s for s in sent if s.startswith("Data Load Failed")]
+
+
+def test_smtp_sender_message_shape():
+    """smtp_sender renders exactly the reference C4 email
+    (Template-to-MySQL/BigQuery-to-MySQL-Method-1.py:35-46): MIMEText body,
+    From/To/Subject headers, sendmail then quit — and never raises."""
+    from extract_transform_load_template_multidb_spark.pipeline import smtp_sender
+
+    calls = {}
+
+    class FakeSMTP:
+        def __init__(self, addr, port):
+            calls["connect"] = (addr, port)
+
+        def sendmail(self, sender, recipients, payload):
+            calls["sendmail"] = (sender, recipients, payload)
+
+        def quit(self):
+            calls["quit"] = True
+
+    send = smtp_sender(
+        "messenger.example.com",
+        "office@example.com",
+        ["a@example.com", "b@example.com"],
+        port=25,
+        smtp_factory=FakeSMTP,
+    )
+    Notifier(send=send).success("events_load", 1234)
+    assert calls["connect"] == ("messenger.example.com", 25)
+    sender, recipients, payload = calls["sendmail"]
+    assert sender == "office@example.com"
+    assert recipients == ["a@example.com", "b@example.com"]
+    assert "Subject: Data Load Successful: events_load" in payload
+    assert "To: a@example.com, b@example.com" in payload
+    assert "Records: 1234" in payload
+    assert calls["quit"]
+
+
+def test_smtp_sender_swallows_errors():
+    from extract_transform_load_template_multidb_spark.pipeline import smtp_sender
+
+    def boom(addr, port):
+        raise ConnectionRefusedError("no smtp here")
+
+    send = smtp_sender("h", "s@x", ["r@x"], smtp_factory=boom)
+    send("subject", "body")  # must not raise

@@ -1,0 +1,112 @@
+"""Local mimic of the driver's correctness gate, with per-query timing.
+
+Runs every registered query on Spark at $SPARK_GRAFT_SF_DIR (default
+sf0.01) and its DuckDB oracle side-by-side; compares row count, sorted
+schema, and an order-insensitive value hash the way the driver does
+(columns sorted by name, rows sorted, float values rounded). Prints one
+JSON line per query with timings so slow spots are visible, and a final
+summary line.
+
+Usage: python tools/check_correctness.py [name ...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from extract_transform_load_template_multidb_spark.queries import (
+    all_oracles,
+    all_queries,
+)
+from extract_transform_load_template_multidb_spark.session import get_spark
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _canon(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object or df[c].dtype.kind in "mM":
+            # Stringify datetimes: Spark/DuckDB frames disagree on the
+            # storage unit (us vs ns), which the driver's canonicalizer
+            # tolerates but a raw byte-hash would not. Keep numeric dtypes
+            # raw — int64-vs-float64 drift (the DuckDB HUGEINT artifact)
+            # must FAIL here exactly as it does in the driver.
+            df[c] = df[c].astype(str)
+        elif df[c].dtype.kind == "f":
+            df[c] = df[c].round(6)
+    df = df.sort_values(list(df.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+    return str(pd.util.hash_pandas_object(df, index=False).sum())
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="correctness-check")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs, oracles = all_queries(), all_oracles()
+    n_pass = n_fail = 0
+    t_start = time.perf_counter()
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        rec: dict = {"q": name}
+        try:
+            t0 = time.perf_counter()
+            sdf = fn(spark, sf_dir).toPandas()
+            rec["spark_s"] = round(time.perf_counter() - t0, 2)
+            rec["rows"] = len(sdf)
+            if name not in oracles:
+                rec["status"] = "no_oracle"
+                print(json.dumps(rec), flush=True)
+                continue
+            t0 = time.perf_counter()
+            odf = con.execute(oracles[name]).df()
+            rec["oracle_s"] = round(time.perf_counter() - t0, 2)
+            ok_rows = len(sdf) == len(odf)
+            ok_schema = sorted(sdf.columns) == sorted(odf.columns)
+            ok_hash = ok_rows and ok_schema and _canon(sdf) == _canon(odf)
+            rec["status"] = "pass" if ok_hash else "FAIL"
+            if not ok_hash:
+                rec["rows_match"] = ok_rows
+                rec["schema_match"] = ok_schema
+                rec["oracle_rows"] = len(odf)
+        except Exception as e:  # noqa: BLE001
+            rec["status"] = "ERROR"
+            rec["err"] = f"{type(e).__name__}: {e}"[:400]
+        n_pass += rec["status"] == "pass"
+        n_fail += rec["status"] in ("FAIL", "ERROR")
+        print(json.dumps(rec), flush=True)
+    print(
+        json.dumps(
+            {
+                "summary": True,
+                "pass": n_pass,
+                "fail": n_fail,
+                "total_s": round(time.perf_counter() - t_start, 1),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
