@@ -115,18 +115,30 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket.
 
-    Implemented as a *blocked* per-bucket pair generator, not a band
-    self-join: a bucket of B docs yields B²/2 pairs, and with a self-join
-    all of a hot bucket's fan-out lands on the one task that owns its join
-    key (observed on the fixture corpus: one 3 921-doc bucket → 15.4M rows
-    in a single task while 31 cores idle; AQE cannot split skew *within*
-    one key). Instead each bucket's sorted member array is cut into
-    ``block_size`` chunks, the (i ≤ j) chunk-pairs are exploded and
-    round-robin repartitioned — a few hundred small rows — and only then
-    expanded to id pairs, so the quadratic work spreads evenly over every
-    core regardless of bucket skew. Chunks come from a sorted array, so
-    cross-chunk pairs satisfy id_a < id_b by construction; only same-chunk
-    expansion needs the comparison.
+    Hybrid per-bucket pair generator, never a naive band self-join: a
+    bucket of B docs yields B²/2 pairs, and with a self-join all of a hot
+    bucket's fan-out lands on the one task that owns its join key
+    (observed on the fixture corpus: one 3 921-doc bucket → 15.4M rows in
+    a single task while 31 cores idle; AQE cannot split skew *within* one
+    key). Buckets are collected into sorted member arrays, then split by
+    size:
+
+    - **small buckets** (≤ ``block_size`` members — virtually all of them
+      on a healthy corpus) expand to pairs in place with one explode
+      chain; their work is already spread evenly because the buckets
+      themselves are spread evenly across tasks. No extra shuffle.
+    - **large buckets** (the skewed tail) are cut into ``block_size``
+      chunks, the (i ≤ j) chunk-pairs exploded and round-robin
+      repartitioned — a few hundred small rows — and only then expanded to
+      id pairs, so one degenerate bucket's quadratic work lands on every
+      core instead of one.
+
+    Chunks come from a sorted array, so cross-chunk pairs satisfy
+    id_a < id_b by construction; only same-chunk expansion needs the
+    comparison. The hybrid exists because round-robin repartitioning ALL
+    block-pairs doubled wall-time at sf0.1 (31s → 70s): the extra shuffle
+    and the per-row array payload cost more than they saved for the 99% of
+    buckets that were never skewed.
 
     At 100 TB the same shape holds: the heavy shuffle is the final
     ``distinct`` over candidate pairs (irreducible — it IS the output),
@@ -135,12 +147,40 @@ def lsh_candidate_pairs(
     threshold upstream if the corpus has them (they contribute no dedup
     signal).
     """
-    c = int(block_size)
     buckets = (
         bands_df.groupBy("band_idx", "band_hash")
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    return expand_sorted_array_pairs(
+        buckets.select("__ids"), block_size
+    ).distinct()
+
+
+def expand_sorted_array_pairs(
+    arrays_df: DataFrame, block_size: int = 256
+) -> DataFrame:
+    """All (id_a < id_b) pairs within each row's sorted ``__ids`` array —
+    the skew-proof hybrid expansion described in
+    :func:`lsh_candidate_pairs`. Rows with arrays ≤ ``block_size`` expand
+    in place; larger arrays go through the blocked + round-robin path so
+    one degenerate array cannot pin a core. Pairs across rows are NOT
+    deduplicated here.
+    """
+    c = int(block_size)
+
+    small_pairs = (
+        arrays_df.filter(F.size("__ids") <= c)
+        .select(F.col("__ids").alias("bb"), F.explode("__ids").alias("id_a"))
+        .select(
+            "id_a",
+            F.explode(
+                F.filter(F.col("bb"), lambda y: y > F.col("id_a"))
+            ).alias("id_b"),
+        )
+    )
+
+    big = arrays_df.filter(F.size("__ids") > c)
     blocks = F.expr(
         f"transform(sequence(0, cast(ceil(size(__ids) / {c}.0) AS INT) - 1),"
         f" k -> slice(__ids, k * {c} + 1, {c}))"
@@ -150,10 +190,10 @@ def lsh_candidate_pairs(
         " transform(sequence(i, size(__blocks) - 1), j ->"
         " struct(__blocks[i] AS ba, __blocks[j] AS bb, i = j AS same))))"
     )
-    return (
-        buckets.select(blocks.alias("__blocks"))
+    big_pairs = (
+        big.select(blocks.alias("__blocks"))
         .select(F.explode(block_pairs).alias("bp"))
-        .repartition(bands_df.sparkSession.sparkContext.defaultParallelism)
+        .repartition(arrays_df.sparkSession.sparkContext.defaultParallelism)
         .select(
             F.col("bp.same").alias("same"),
             F.col("bp.bb").alias("bb"),
@@ -168,8 +208,8 @@ def lsh_candidate_pairs(
                 ).otherwise(F.col("bb"))
             ).alias("id_b"),
         )
-        .distinct()
     )
+    return small_pairs.unionByName(big_pairs)
 
 
 def jaccard_pairs(
@@ -240,12 +280,69 @@ def near_dup_pairs(
     rows_per_band: int = 2,
     threshold: float = 0.6,
 ) -> DataFrame:
-    """Full MinHash→LSH→verify near-dup pipeline: pairs with Jaccard ≥ t."""
-    sigs = minhash_signatures(df, text_col, id_col, num_perm)
+    """Full MinHash→LSH→verify near-dup pipeline: pairs with Jaccard ≥ t.
+
+    Runs the quadratic stages per DISTINCT TEXT, not per document:
+    signatures, banding, and Jaccard verification depend only on the text,
+    so exact duplicates are collapsed first (one md5 groupBy) and each
+    verified *text* pair expands back to document pairs at the end. On a
+    dup-heavy corpus this shrinks the LSH working set by the duplication
+    factor and removes the biggest shuffle entirely — the distinct() over
+    candidate *doc* pairs becomes a distinct over candidate *text* pairs.
+    Semantics are unchanged and oracle-checked: docs of one text share all
+    band hashes (same signature → always candidates, Jaccard exactly 1.0),
+    and a cross-text doc pair is a candidate iff its rep pair is, with the
+    identical Jaccard value (token sets depend only on the text).
+
+    Expansion skew (a clique of N exact copies yields N²/2 pairs) is
+    handled by the same blocked expansion as LSH buckets
+    (:func:`expand_sorted_array_pairs`); cross-clique products explode one
+    side before the other so AQE can rebalance between the two explodes.
+    """
+    groups = df.groupBy(F.md5(F.col(text_col)).alias("__th")).agg(
+        F.min(id_col).alias("__rep"),
+        F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"),
+    )
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+
+    sigs = minhash_signatures(reps, text_col, id_col, num_perm)
     bands = lsh_bands(sigs, id_col, num_perm, rows_per_band)
     cands = lsh_candidate_pairs(bands, id_col)
-    jac = jaccard_pairs(df, cands, text_col, id_col)
-    return jac.filter(F.col("jaccard") >= threshold)
+    rep_jac = jaccard_pairs(reps, cands, text_col, id_col).filter(
+        F.col("jaccard") >= threshold
+    )
+
+    # Intra-clique pairs: identical texts, Jaccard is exactly 1.0 (the
+    # verify formula on equal token sets), included whenever t ≤ 1.
+    same_pairs = expand_sorted_array_pairs(
+        groups.filter(F.size("__ids") >= 2).select("__ids")
+    ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+
+    # Cross-text pairs: every doc of text A × every doc of text B carries
+    # the rep pair's verified Jaccard. Two-step explode keeps the row
+    # width bounded (first explode frees the A array before B fans out).
+    ga = groups.select(
+        F.col("__rep").alias("id_a"), F.col("__ids").alias("__ia")
+    )
+    gb = groups.select(
+        F.col("__rep").alias("id_b"), F.col("__ids").alias("__ib")
+    )
+    cross_pairs = (
+        rep_jac.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("jaccard", "__ib", F.explode("__ia").alias("x"))
+        .select("jaccard", "x", F.explode("__ib").alias("y"))
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:  # degenerate: nothing can reach it, 1.0 included
+        same_pairs = same_pairs.filter(F.lit(False))
+    return same_pairs.unionByName(cross_pairs)
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:

@@ -96,3 +96,17 @@ def test_mapinpandas_only_where_intended(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_extract_features")
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_jaccard_intersect_evaluated_once(spark, sf_dir):
+    """The per-pair array_intersect in minhash verification must appear
+    exactly once in the optimized plan. Without the nondeterministic fence
+    in jaccard_pairs (operators/dedup.py), the caller's threshold filter is
+    pushed into the join condition with the intersect re-inlined — three
+    evaluations of the hot loop per row. Guards the fence against a Spark
+    upgrade silently re-tripling the work."""
+    df = QUERIES["dedup_minhash_lsh"](spark, sf_dir)
+    optimized = (
+        df._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert optimized.count("array_intersect") == 1
