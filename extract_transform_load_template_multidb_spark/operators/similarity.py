@@ -25,9 +25,30 @@ All stages are built-in DataFrame ops (higher-order array functions —
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 QUANT_SCALE = 1000
+
+# Hyperplane sign patterns depend only on (plane, dim) — constants, not
+# data. They are precomputed once on the driver (same md5-parity formula
+# the DuckDB oracle evaluates in SQL) and inlined as literal arrays, so
+# bucketing a vector is pure multiply-add with ZERO runtime hashing; the
+# expression form (`hyperplane_sign`) remains for cross-checking.
+_MAX_DIM = 512
+
+
+def _plane_signs(plane: int, dim: int = _MAX_DIM) -> list[int]:
+    """±1 per dimension for one hyperplane: parity of the first md5 nibble
+    of ``"plane:dim"`` — bit-identical to :func:`hyperplane_sign` and to
+    the oracle's ``md5(p || ':' || d)`` SQL."""
+    return [
+        1
+        if int(hashlib.md5(f"{plane}:{d}".encode()).hexdigest()[0], 16) & 1
+        else -1
+        for d in range(dim)
+    ]
 
 
 def quantize(vec: Column) -> Column:
@@ -131,18 +152,20 @@ def hyperplane_sign(plane: Column, dim: Column) -> Column:
 def signlsh_bucket(vec_q: Column, num_planes: int) -> Column:
     """Bucket code: bit p = [sum_d sign(p,d) * v_d >= 0], packed to int.
 
-    Expression-only (no join with a planes table): for each plane the signed
-    sum is an ``aggregate`` over ``zip_with(vec, dims)``; exact int math.
+    The ±1 sign vectors are driver-precomputed literals
+    (:func:`_plane_signs`), so each plane's signed sum is one
+    ``aggregate`` over ``zip_with(vec, signs)`` — exact int math,
+    multiply-add only, no per-row hashing.
     """
-    dims = F.transform(vec_q, lambda _, i: i)  # 0-based dim index array
     bits = []
     for p in range(num_planes):
+        signs = F.slice(
+            F.array(*[F.lit(s) for s in _plane_signs(p)]),
+            1,
+            F.size(vec_q),
+        )
         signed = F.aggregate(
-            F.zip_with(
-                vec_q,
-                dims,
-                lambda v, d: v * hyperplane_sign(F.lit(p), d),
-            ),
+            F.zip_with(vec_q, signs, lambda v, s: v * s.cast("long")),
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )

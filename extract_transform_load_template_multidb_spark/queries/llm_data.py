@@ -448,17 +448,19 @@ FROM dots
 JOIN norms na ON na.vec_id = id_a
 JOIN norms nb ON nb.vec_id = id_b
 WHERE CAST(dot AS DOUBLE)
-        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) >= 0.5
+        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))) >= 0.3
 """
 )
 
 
 @query("dedup_embedding_cosine", oracle=_EMB_NEARDUP_ORACLE)
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cosine ≥ 0.5) via LSH bucket
-    self-join — all-pairs never materializes."""
+    """Embedding-cosine near-dup pairs (cosine ≥ 0.3) via LSH bucket
+    self-join — all-pairs never materializes. (0.3: the fixture embeddings
+    are near-orthogonal — max bucket-pair cosine ≈ 0.49 — so a production
+    0.9-style threshold would make this a vacuous always-empty check.)"""
     return sim.embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.5, num_planes=4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=4
     )
 
 
