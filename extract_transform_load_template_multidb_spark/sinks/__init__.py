@@ -20,5 +20,15 @@ from extract_transform_load_template_multidb_spark.sinks.jdbc_upsert import (
     JdbcUpsertWriter,
     upsert_sql,
 )
+from extract_transform_load_template_multidb_spark.sinks.bigquery import (
+    BigQuerySink,
+    retention_delete_sql,
+)
 
-__all__ = ["ParquetSink", "JdbcUpsertWriter", "upsert_sql"]
+__all__ = [
+    "ParquetSink",
+    "JdbcUpsertWriter",
+    "upsert_sql",
+    "BigQuerySink",
+    "retention_delete_sql",
+]

@@ -8,8 +8,11 @@ N concurrent range queries, and predicate/column pushdown
 (``pushDownPredicate``, default on) reproduces the reference's manual
 dialect-specific WHERE clauses (S2/S4/S6/S8) automatically.
 
-No JDBC driver jar ships in this container, so ``read`` is exercised in
-tests only up to option construction; the spec itself is the public API.
+No MySQL/SQLServer/Postgres driver jar ships in this container, but the
+``read`` path is exercised live end-to-end against embedded Apache Derby
+(bundled with Spark) in ``tests/test_jdbc_integration.py`` — real driver
+resolution, partitioned parallel scans, predicate pushdown, and subquery
+dbtable; only the vendor-specific driver class/URL differ in production.
 """
 
 from __future__ import annotations

@@ -97,3 +97,48 @@ def test_parquet_upsert_key_collision(spark, history, tmp_path):
     assert out.count() == 16  # 15 - 1 replaced + 2 (1 update, 1 insert)
     assert out.filter(F.col("id") == 0).collect()[0]["v"] == 99.0
     assert out.filter(F.col("id") == 999).count() == 1
+
+
+def test_bigquery_sink_disposition_mapping():
+    """Reference W4/W5: overwrite → WRITE_TRUNCATE, append → WRITE_APPEND
+    (MySQL-to-BigQuery-Method-1.py:76-79), explicit disposition wins."""
+    from extract_transform_load_template_multidb_spark.sinks.bigquery import (
+        BigQuerySink,
+    )
+
+    sink = BigQuerySink(table="your_dataset.your_table", temp_gcs_bucket="b")
+    assert sink.writer_options("overwrite")["writeDisposition"] == (
+        "WRITE_TRUNCATE"
+    )
+    assert sink.writer_options("append")["writeDisposition"] == "WRITE_APPEND"
+    assert sink.writer_options("append")["temporaryGcsBucket"] == "b"
+
+    pinned = BigQuerySink(
+        table="d.t", direct=True, write_disposition="WRITE_EMPTY"
+    )
+    opts = pinned.writer_options("append")
+    assert opts["writeDisposition"] == "WRITE_EMPTY"
+    assert opts["writeMethod"] == "direct"
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        sink.writer_options("merge")
+    with _pytest.raises(ValueError):
+        BigQuerySink(table="d.t", write_disposition="NOPE").writer_options(
+            "append"
+        )
+
+
+def test_bigquery_retention_delete_sql():
+    """Reference W6 cleanup statement shape
+    (MySQL-to-BigQuery-Method-2.py:75-78)."""
+    from extract_transform_load_template_multidb_spark.sinks.bigquery import (
+        retention_delete_sql,
+    )
+
+    sql = retention_delete_sql("your_dataset.your_table", "date_trans", 30)
+    assert sql == (
+        "DELETE FROM `your_dataset.your_table` WHERE date_trans < "
+        "DATE_SUB(CURRENT_DATE(), INTERVAL 30 DAY)"
+    )
