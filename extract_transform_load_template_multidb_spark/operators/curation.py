@@ -1,0 +1,235 @@
+"""Corpus-curation operators for training-data pipelines.
+
+Beyond-reference extensions (SURVEY.md §7 phase 4, batch 2): the standard
+curation steps between raw scrape and tokenizer — PII scrubbing,
+deterministic sampling (uniform / stratified / group-aware split),
+fixed-window document chunking, repetition-based quality, and sequence
+packing. Everything is a pure DataFrame expression (JVM,
+whole-stage-codegen) with exact md5-derived integer math, so the DuckDB
+oracle reproduces results bit-for-bit.
+
+Scale notes: sampling/split/scrub/repetition are narrow maps — zero
+shuffle at any corpus size. Chunking is a map + explode (output ∝ corpus
+tokens — irreducible). Packing windows over an explicit shard column so
+the prefix sums parallelize; a global (unsharded) pack would serialize
+into one task and is deliberately not offered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from extract_transform_load_template_multidb_spark.operators.dedup import tokenize
+
+# Conservative, engine-portable patterns (same regex text runs in Java's
+# engine and DuckDB's RE2): local@domain.tld emails, 8+-digit phone-ish
+# number runs, dotted-quad IPs.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?\d[\d ()-]{6,}\d"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails/phones/IPs with typed placeholder tokens.
+
+    Output: (id, clean_text, n_emails, n_phones, n_ips). Emails are
+    replaced first (their local parts would otherwise partly match the
+    phone run pattern), then IPs, then phones — a fixed order both engines
+    apply identically. Counts come from the pre-redaction text.
+    """
+    text = F.col(text_col)
+    clean = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    clean = F.regexp_replace(clean, IPV4_RE, "<IP>")
+    clean = F.regexp_replace(clean, PHONE_RE, "<PHONE>")
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        F.regexp_count(text, F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(text, F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(text, F.lit(IPV4_RE)).cast("long").alias("n_ips"),
+    )
+
+
+def hash_bucket(key: Column, buckets: int = 100) -> Column:
+    """Deterministic engine-portable bucket in [0, buckets): first 8 md5
+    nibbles of the stringified key, mod ``buckets``. The basis for every
+    sampling/split operator here — reproducible across engines, runs, and
+    cluster layouts (unlike ``rand()``/``TABLESAMPLE``)."""
+    h = F.conv(F.substring(F.md5(key.cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_sample(
+    df: DataFrame, pct: int, key_col: str = "doc_id"
+) -> DataFrame:
+    """Keep a deterministic ~pct% sample: bucket(key) < pct.
+
+    A narrow filter — the predicate reaches the scan, no shuffle, and the
+    same rows are selected on every engine and every rerun.
+    """
+    assert 0 <= pct <= 100
+    return df.filter(hash_bucket(F.col(key_col)) < pct)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, int],
+    key_col: str = "doc_id",
+    default_pct: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling: stratum → percentage (0-100).
+
+    The per-row decision still keys on ``key_col`` (salted with the
+    stratum so strata sample independently); strata missing from
+    ``fractions`` fall back to ``default_pct``. Exact analogue of
+    ``DataFrame.sampleBy`` but reproducible cross-engine.
+    """
+    pct = F.lit(default_pct)
+    for stratum, p in sorted(fractions.items()):
+        assert 0 <= p <= 100
+        pct = F.when(F.col(strata_col) == stratum, F.lit(p)).otherwise(pct)
+    salted = F.concat(
+        F.col(strata_col).cast("string"),
+        F.lit(":"),
+        F.col(key_col).cast("string"),
+    )
+    return df.filter(hash_bucket(salted) < pct)
+
+
+def group_split(
+    df: DataFrame,
+    group_col: str,
+    test_pct: int = 10,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Train/test assignment that keeps whole groups on one side.
+
+    Output: input rows + ``split`` ('train'|'test'). Splitting by the
+    GROUP hash (not the row hash) is what prevents leakage when the group
+    marks near-duplicate clusters or a shared source/site — every member
+    lands on the same side. Narrow map, no shuffle.
+    """
+    assert 0 <= test_pct <= 100
+    return df.withColumn(
+        "split",
+        F.when(
+            hash_bucket(F.col(group_col)) < test_pct, F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into overlapping fixed-token windows (the
+    context-window preprocessing step before tokenizer + packing).
+
+    Output: (id, chunk_idx, n_chunk_tokens, chunk_text). Windows start at
+    0, stride, 2·stride, … (stride = chunk_tokens − overlap) while the
+    start is inside the document; the final window may be short. One map +
+    one explode; output volume ∝ corpus tokens — there is no cheaper
+    shape.
+    """
+    stride = chunk_tokens - overlap
+    assert stride > 0, "overlap must be smaller than chunk_tokens"
+    toks = tokenize(F.col(text_col))
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(
+        starts,
+        lambda s: F.slice(toks, (s + 1).cast("int"), chunk_tokens),
+    )
+    return (
+        df.select(F.col(id_col), chunks.alias("__chunks"))
+        .select(
+            F.col(id_col),
+            F.posexplode("__chunks").alias("chunk_idx", "__c"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx").cast("long"),
+            F.size("__c").cast("long").alias("n_chunk_tokens"),
+            F.array_join("__c", " ").alias("chunk_text"),
+        )
+    )
+
+
+def repetition_ratio(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Duplicate n-gram fraction per document — the standard boilerplate /
+    spam-repetition quality signal (share of n-gram occurrences that are
+    repeats of an earlier one). 0.0 for docs shorter than n tokens.
+
+    Pure array expression: no explode, no shuffle.
+    """
+    toks = tokenize(F.col(text_col))
+    idx = F.sequence(F.lit(0), F.size(toks) - n)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ",
+            *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)],
+        ),
+    )
+    total = F.greatest(F.lit(0), F.size(toks) - (n - 1))
+    distinct = F.size(F.array_distinct(grams))
+    ratio = F.when(
+        total > 0, F.lit(1.0) - distinct.cast("double") / total.cast("double")
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_ngrams"),
+        ratio.alias("repetition_ratio"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    target_tokens: int,
+    shard_col: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences
+    ("packing"): within each shard, docs are taken in id order and the
+    bin index is floor(exclusive-prefix-token-count / target) — a doc that
+    straddles a boundary belongs to the bin it started in.
+
+    Output: (id, shard, n_tokens, bin). The window partitions by
+    ``shard_col`` — REQUIRED, because packing is a prefix sum and an
+    unsharded prefix sum is a single-task global sort at 100 TB. Shards
+    pack independently and in parallel (exactly how distributed training
+    data is sharded anyway).
+    """
+    n_tokens = F.size(tokenize(F.col(text_col))).cast("long")
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(shard_col).alias("shard"),
+            n_tokens.alias("n_tokens"),
+        )
+        .withColumn(
+            "bin", F.floor(prefix / F.lit(target_tokens)).cast("long")
+        )
+    )

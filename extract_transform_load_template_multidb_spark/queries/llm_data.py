@@ -607,3 +607,191 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive positional rolling-hash fingerprint per document
     (exact int64 sum of 40-bit md5 position:token hashes)."""
     return tx.fingerprint(load_table(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+from extract_transform_load_template_multidb_spark.operators import (  # noqa: E402
+    curation as cu,
+)
+
+_SCRUB_ORACLE = f"""
+SELECT doc_id,
+       regexp_replace(
+           regexp_replace(
+               regexp_replace(text, '{cu.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{cu.IPV4_RE}', '<IP>', 'g'),
+           '{cu.PHONE_RE}', '<PHONE>', 'g') AS clean_text,
+       CAST(len(regexp_extract_all(text, '{cu.EMAIL_RE}')) AS BIGINT)
+           AS n_emails,
+       CAST(len(regexp_extract_all(text, '{cu.PHONE_RE}')) AS BIGINT)
+           AS n_phones,
+       CAST(len(regexp_extract_all(text, '{cu.IPV4_RE}')) AS BIGINT)
+           AS n_ips
+FROM documents
+"""
+
+
+@query("curation_scrub_pii", oracle=_SCRUB_ORACLE)
+def curation_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails → <EMAIL>, IPs → <IP>, phone runs → <PHONE>)
+    with pre-redaction counts — narrow map, fixed replacement order."""
+    return cu.scrub_pii(load_table(spark, sf_dir, "documents"))
+
+
+# Deterministic md5 bucket shared by the sampling oracles.
+def _sql_bucket(expr: str, buckets: int = 100) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5(CAST({expr} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {buckets})"
+    )
+
+
+_HASH_SAMPLE_ORACLE = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE {_sql_bucket('doc_id')} < 30
+"""
+
+
+@query("curation_hash_sample", oracle=_HASH_SAMPLE_ORACLE)
+def curation_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~30% corpus sample by md5 bucket of the doc id —
+    reproducible on any engine/run, unlike rand()/TABLESAMPLE; the filter
+    is a pushable narrow predicate."""
+    return cu.hash_sample(
+        load_table(spark, sf_dir, "documents"), pct=30
+    ).select("doc_id", "source", "n_chars")
+
+
+_STRATA = {"src0": 50, "src1": 10}
+
+_STRATIFIED_ORACLE = f"""
+SELECT doc_id, source
+FROM documents
+WHERE {_sql_bucket("source || ':' || CAST(doc_id AS VARCHAR)")}
+      < (CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 10 ELSE 20 END)
+"""
+
+
+@query("curation_stratified_sample", oracle=_STRATIFIED_ORACLE)
+def curation_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum deterministic sampling (source-dependent rates,
+    stratum-salted hash so strata draw independently) — the cross-engine
+    reproducible analogue of DataFrame.sampleBy."""
+    return cu.stratified_sample(
+        load_table(spark, sf_dir, "documents"),
+        strata_col="source",
+        fractions=_STRATA,
+        default_pct=20,
+    ).select("doc_id", "source")
+
+
+_GROUP_SPLIT_ORACLE = f"""
+SELECT doc_id,
+       CASE WHEN {_sql_bucket('md5(text)')} < 10
+            THEN 'test' ELSE 'train' END AS split
+FROM documents
+"""
+
+
+@query("curation_group_split", oracle=_GROUP_SPLIT_ORACLE)
+def curation_group_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: the assignment hashes the CONTENT
+    group (md5 of text), so exact-duplicate clusters land on one side."""
+    doc = load_table(spark, sf_dir, "documents").withColumn(
+        "__grp", F.md5(F.col("text"))
+    )
+    return cu.group_split(doc, group_col="__grp", test_pct=10).select(
+        "doc_id", "split"
+    )
+
+
+_CHUNK_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+st AS (
+    SELECT doc_id, t,
+           unnest(range(0, len(t), 48)) AS s,
+           generate_subscripts(range(0, len(t), 48), 1) - 1 AS chunk_idx
+    FROM toks_list
+)
+SELECT doc_id,
+       CAST(chunk_idx AS BIGINT) AS chunk_idx,
+       CAST(len(list_slice(t, s + 1, s + 64)) AS BIGINT) AS n_chunk_tokens,
+       array_to_string(list_slice(t, s + 1, s + 64), ' ') AS chunk_text
+FROM st
+"""
+)
+
+
+@query("curation_chunk_documents", oracle=_CHUNK_ORACLE)
+def curation_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-token windows (64 tokens, stride 48) per doc —
+    context-window preprocessing; map + explode, output ∝ corpus tokens."""
+    return cu.chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=64, overlap=16
+    )
+
+
+_REPETITION_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+g AS (
+    SELECT doc_id,
+           greatest(0, len(t) - 2) AS total,
+           len(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS n_distinct
+    FROM toks_list
+)
+SELECT doc_id,
+       CAST(total AS BIGINT) AS n_ngrams,
+       CASE WHEN total > 0
+            THEN 1.0 - CAST(n_distinct AS DOUBLE) / CAST(total AS DOUBLE)
+            ELSE 0.0 END AS repetition_ratio
+FROM g
+"""
+)
+
+
+@query("curation_repetition_ratio", oracle=_REPETITION_ORACLE)
+def curation_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-3-gram fraction per doc (boilerplate/spam signal) — pure
+    array expression, no explode, no shuffle."""
+    return cu.repetition_ratio(load_table(spark, sf_dir, "documents"), n=3)
+
+
+_PACK_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+n AS (
+    SELECT d.doc_id, d.source AS shard, CAST(len(t) AS BIGINT) AS n_tokens
+    FROM documents d JOIN toks_list USING (doc_id)
+)
+SELECT doc_id, shard, n_tokens,
+       CAST(floor(coalesce(SUM(n_tokens) OVER (
+                PARTITION BY shard ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            / 512) AS BIGINT) AS bin
+FROM n
+"""
+)
+
+
+@query("curation_pack_sequences", oracle=_PACK_ORACLE)
+def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token training bins, sharded by source so
+    prefix sums parallelize (an unsharded pack would be one global-sort
+    task at 100 TB)."""
+    return cu.pack_sequences(
+        load_table(spark, sf_dir, "documents"),
+        target_tokens=512,
+        shard_col="source",
+    )

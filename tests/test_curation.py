@@ -1,0 +1,116 @@
+"""Corpus-curation operators: determinism, leakage-safety, chunk/packing
+semantics, and plan posture."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from extract_transform_load_template_multidb_spark.operators import curation as cu
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def test_hash_sample_deterministic_and_pushable(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    a = {r["doc_id"] for r in cu.hash_sample(df, 30).select("doc_id").collect()}
+    b = {r["doc_id"] for r in cu.hash_sample(df, 30).select("doc_id").collect()}
+    assert a == b and 0 < len(a) < df.count()
+    # a larger pct strictly contains a smaller one (bucket predicate nests)
+    c = {r["doc_id"] for r in cu.hash_sample(df, 60).select("doc_id").collect()}
+    assert a <= c
+
+
+def test_stratified_rates_respected(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    out = cu.stratified_sample(
+        df, "source", {"src0": 100, "src1": 0}, default_pct=0
+    )
+    got = {r["source"] for r in out.select("source").distinct().collect()}
+    assert got == {"src0"}  # 100% of src0, 0% of everything else
+
+
+def test_group_split_no_leakage(spark, sf_dir):
+    """Every exact-duplicate cluster must land wholly on one side."""
+    df = _docs(spark, sf_dir).withColumn("__grp", F.md5("text"))
+    out = cu.group_split(df, "__grp", test_pct=25)
+    sides = out.groupBy("__grp").agg(
+        F.count_distinct("split").alias("n_sides")
+    )
+    assert sides.filter(F.col("n_sides") > 1).count() == 0
+    assert {r["split"] for r in out.select("split").distinct().collect()} == {
+        "train",
+        "test",
+    }
+
+
+def test_chunks_cover_document_with_overlap(spark):
+    text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = cu.chunk_documents(df, chunk_tokens=4, overlap=2).orderBy(
+        "chunk_idx"
+    ).collect()
+    # stride 2 over 10 tokens → starts 0,2,4,6,8 → 5 chunks, last is short
+    assert [r["chunk_text"] for r in rows] == [
+        "w0 w1 w2 w3",
+        "w2 w3 w4 w5",
+        "w4 w5 w6 w7",
+        "w6 w7 w8 w9",
+        "w8 w9",
+    ]
+    assert [r["n_chunk_tokens"] for r in rows] == [4, 4, 4, 4, 2]
+
+
+def test_chunk_empty_doc_yields_no_rows(spark):
+    df = spark.createDataFrame([(1, "")], "doc_id long, text string")
+    assert cu.chunk_documents(df).count() == 0
+
+
+def test_repetition_ratio_bounds(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c a b c"),  # heavy repetition
+            (2, "all distinct words here today"),  # none
+            (3, "x y"),  # shorter than n
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r for r in cu.repetition_ratio(df, n=3).collect()
+    }
+    assert got[1]["repetition_ratio"] > 0.5
+    assert got[2]["repetition_ratio"] == 0.0
+    assert got[3]["repetition_ratio"] == 0.0 and got[3]["n_ngrams"] == 0
+
+
+def test_pack_sequences_bins_are_contiguous(spark, sf_dir):
+    out = cu.pack_sequences(
+        _docs(spark, sf_dir), target_tokens=256, shard_col="source"
+    )
+    # within a shard, bin index is non-decreasing in doc order and the
+    # exclusive prefix of each bin's first doc lies inside that bin
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    bad = out.withColumn("prev_bin", F.lag("bin").over(w)).filter(
+        F.col("prev_bin").isNotNull() & (F.col("bin") < F.col("prev_bin"))
+    )
+    assert bad.count() == 0
+
+
+def test_curation_stays_jvm_side(spark, sf_dir):
+    """No Python eval nodes anywhere in the curation plans."""
+    df = _docs(spark, sf_dir)
+    for frame in (
+        cu.scrub_pii(df),
+        cu.hash_sample(df, 10),
+        cu.chunk_documents(df),
+        cu.repetition_ratio(df),
+        cu.pack_sequences(df, 512, "source"),
+    ):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan
+        assert "ArrowEvalPython" not in plan
