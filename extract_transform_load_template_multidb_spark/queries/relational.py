@@ -634,3 +634,149 @@ def explode_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p_partkey",
         F.explode(F.split("p_type", " ")).alias("tok"),
     )
+
+
+_Q13_ORACLE = """
+WITH per_cust AS (
+    SELECT c_custkey, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+)
+SELECT n_orders, count(*) AS n_customers
+FROM per_cust
+GROUP BY n_orders
+"""
+
+
+@query("q13_order_count_distribution", oracle=_Q13_ORACLE)
+def q13_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count histogram — LEFT join keeps
+    zero-order customers (count(col) skips their NULLs), then a second,
+    much smaller aggregation over the distribution. The first groupBy is
+    the only corpus-sized shuffle; the histogram agg moves one row per
+    customer."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(
+            orders, customer.c_custkey == orders.o_custkey, "left"
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+_Q18_ORACLE = f"""
+SELECT c_custkey, o_orderkey, o_orderdate,
+       {sql_dsum('l_quantity', 'total_qty')}
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) > 150
+)
+GROUP BY c_custkey, o_orderkey, o_orderdate
+"""
+
+
+@query("q18_large_volume_orders", oracle=_Q18_ORACLE)
+def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total quantity exceeds a threshold
+    (HAVING over a pre-aggregate), semi-joined back to the fact tables.
+    The HAVING aggregate runs FIRST and shrinks the key set before any
+    wide join — the right order at 100 TB."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), "__qty"))
+        .filter(F.col("__qty") > 150)
+        .select("l_orderkey")
+    )
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey, "left_semi")
+        .join(customer, F.col("c_custkey") == F.col("o_custkey"))
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate")
+        .agg(dsum(F.col("l_quantity"), "total_qty"))
+    )
+
+
+_Q2_ORACLE = """
+WITH costs AS (
+    SELECT l_partkey, l_suppkey,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS supply_cost
+    FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+best AS (
+    SELECT l_partkey, min(supply_cost) AS min_cost
+    FROM costs GROUP BY l_partkey
+)
+SELECT p.p_partkey, p.p_brand, c.l_suppkey AS best_suppkey,
+       c.supply_cost AS min_supply_cost
+FROM part p
+JOIN best b ON b.l_partkey = p.p_partkey
+JOIN costs c ON c.l_partkey = b.l_partkey AND c.supply_cost = b.min_cost
+"""
+
+
+@query("q2_min_cost_supplier", oracle=_Q2_ORACLE)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the supplier(s) achieving the minimum
+    supply cost — aggregate, group-min, equality join-back (Catalyst's
+    decorrelation of the Q2 scalar subquery). Ties keep every minimal
+    supplier, exactly like the SQL."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        dsum(F.col("l_extendedprice"), "supply_cost")
+    )
+    best = costs.groupBy("l_partkey").agg(
+        F.min("supply_cost").alias("__min_cost")
+    ).withColumnRenamed("l_partkey", "__bp")
+    return (
+        part.join(best, part.p_partkey == F.col("__bp"))
+        .join(
+            costs,
+            (F.col("l_partkey") == F.col("__bp"))
+            & (F.col("supply_cost") == F.col("__min_cost")),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            F.col("l_suppkey").alias("best_suppkey"),
+            F.col("supply_cost").alias("min_supply_cost"),
+        )
+    )
+
+
+_Q16_ORACLE = """
+SELECT p_brand, p_size,
+       count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+GROUP BY p_brand, p_size
+"""
+
+
+@query("q16_supplier_variety", oracle=_Q16_ORACLE)
+def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct suppliers per part attribute group with a
+    dimension exclusion. COUNT(DISTINCT) plans as the two-phase expand +
+    partial-agg shape; the part dimension broadcast-joins the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand") != "Brand#1"
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )

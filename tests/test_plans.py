@@ -110,3 +110,25 @@ def test_jaccard_intersect_evaluated_once(spark, sf_dir):
         df._jdf.queryExecution().optimizedPlan().toString()
     )
     assert optimized.count("array_intersect") == 1
+
+
+def test_q18_having_filter_before_wide_join(spark, sf_dir):
+    """Q18's threshold must reduce the orderkey set via aggregate+semi-join
+    before the customer/lineitem joins — never aggregate after the joins."""
+    plan = _plan(spark, sf_dir, "q18_large_volume_orders")
+    assert "LeftSemi" in plan
+    # the semi join's build side is the HAVING aggregate, so at least two
+    # aggregates exist (threshold agg + final group)
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q16_dimension_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q16_supplier_variety")
+    assert "BroadcastHashJoin" in plan
+    # single-distinct aggregation plans as a (group, distinct-col) dedupe
+    # aggregate feeding a partial_count(distinct) — assert the dedupe level
+    # exists so a regression to a naive global distinct is caught
+    assert "partial_count(distinct" in plan
+    assert plan.count("HashAggregate") >= 3
+    # the brand exclusion must reach the part scan
+    assert "Not(EqualTo(p_brand," in plan
