@@ -5,7 +5,11 @@ Prints ONE JSON line:
 
 Queries are timed end-to-end (plan build + execution to a count/collect of
 the result), after a warm-up action that pays the one-time session and
-parquet-footer costs.
+parquet-footer costs. Each query is run $SPARK_GRAFT_BENCH_REPEATS times
+(default 2) and the per-query MINIMUM is reported — this host is a shared
+VM with multi-x CPU-steal bursts (the same plan has been observed at 10 s
+and 150 s minutes apart with the machine otherwise idle), and min-of-N is
+the standard way to measure the engine rather than the neighbors.
 """
 
 from __future__ import annotations
@@ -51,15 +55,19 @@ def main() -> None:
     # Warm up: JVM, parquet footers, codegen.
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
-        t0 = time.perf_counter()
-        df = qs[name](spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+        best = float("inf")
+        for _ in range(max(1, repeats)):
+            t0 = time.perf_counter()
+            df = qs[name](spark, sf_dir)
+            n = df.count()
+            best = min(best, time.perf_counter() - t0)
+            assert n >= 0
+        timings[name] = round(best, 4)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

@@ -152,8 +152,13 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    # Near-identical cliques collide in EVERY band, producing the same
+    # member array once per band; expanding each copy multiplies the pair
+    # stream feeding the distinct by up to the band count. Deduplicating
+    # the arrays first (a shuffle of bucket rows, thousands, not pairs,
+    # millions) drops that factor without changing the pair union.
     return expand_sorted_array_pairs(
-        buckets.select("__ids"), block_size
+        buckets.select("__ids").distinct(), block_size
     ).distinct()
 
 
@@ -387,11 +392,25 @@ def ngram_jaccard_pairs(
     generation — all-pairs never materializes); |A∪B| from per-doc shingle
     counts. At 100 TB, stop-shingles (shared by many docs) dominate the
     join fan-out — cap posting-list length or fall back to MinHash banding.
+
+    Like :func:`near_dup_pairs`, the quadratic stage runs per DISTINCT
+    TEXT: shingle sets are a pure function of the text, so exact
+    duplicates collapse first and verified text pairs expand back to doc
+    pairs — posting lists shrink by the duplication factor, which squares
+    in the join. Docs with no shingles (< n tokens) generate no pairs even
+    among exact copies, matching the inverted-index semantics.
     """
+    groups = df.groupBy(F.md5(F.col(text_col)).alias("__th")).agg(
+        F.min(id_col).alias("__rep"),
+        F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"),
+    )
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
     # Materialize the token array in its own projection so the regex split
     # runs once per row (the shingle expression references it 2+3n times,
     # and CSE does not reach into lambda bodies).
-    toks = df.select(
+    toks = reps.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
     )
     sh = toks.select(
@@ -418,7 +437,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
-    return (
+    rep_jac = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .select(
@@ -431,6 +450,36 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
     )
+
+    # Cliques of exact copies pair up only when the text has shingles at
+    # all (≥ n tokens); Jaccard of identical non-empty shingle sets is 1.0.
+    shingled = groups.join(
+        sizes.select(F.col(id_col).alias("__rep")), "__rep", "left_semi"
+    )
+    same_pairs = expand_sorted_array_pairs(
+        shingled.filter(F.size("__ids") >= 2).select("__ids")
+    ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+
+    ga = groups.select(
+        F.col("__rep").alias("id_a"), F.col("__ids").alias("__ia")
+    )
+    gb = groups.select(
+        F.col("__rep").alias("id_b"), F.col("__ids").alias("__ib")
+    )
+    cross_pairs = (
+        rep_jac.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("jaccard", "__ib", F.explode("__ia").alias("x"))
+        .select("jaccard", "x", F.explode("__ib").alias("y"))
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            "jaccard",
+        )
+    )
+    if threshold > 1.0:  # degenerate: nothing can reach it, 1.0 included
+        same_pairs = same_pairs.filter(F.lit(False))
+    return same_pairs.unionByName(cross_pairs)
 
 
 def _hex_to_long(hex_col: Column) -> Column:
@@ -452,10 +501,23 @@ def simhash(
     exact integer math end-to-end, so any engine agrees bit-for-bit.
     ``bits=16`` keeps the oracle cheap; production callers can raise it
     (≤32 with the md5-prefix hash; swap in xxhash64 for 64).
+
+    The fingerprint is a pure function of the text, so the tokens×bits
+    fan-out (the expensive part) runs once per DISTINCT text and the
+    result joins back to every copy — a dup-factor saving on real corpora.
+    Docs with zero tokens produce no row, exactly as in the uncollapsed
+    form.
     """
     assert bits <= 32
     nibbles = (bits + 3) // 4
-    toks = df.select(
+    groups = df.groupBy(F.md5(F.col(text_col)).alias("__th")).agg(
+        F.min(id_col).alias("__rep"),
+        F.collect_set(F.col(id_col)).alias("__ids"),
+    )
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    toks = reps.select(
         F.col(id_col),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("w"),
     ).select(
@@ -472,7 +534,7 @@ def simhash(
         .otherwise(-1)
         .alias("c"),
     )
-    return (
+    rep_hash = (
         contrib.groupBy(id_col, "j")
         .agg(F.sum("c").alias("vote"))
         .groupBy(id_col)
@@ -484,4 +546,10 @@ def simhash(
                 ).otherwise(F.lit(0).cast("long"))
             ).alias("simhash")
         )
+    )
+    return (
+        rep_hash.join(
+            groups.select(F.col("__rep").alias(id_col), "__ids"), id_col
+        )
+        .select(F.explode("__ids").alias(id_col), "simhash")
     )
