@@ -94,3 +94,56 @@ def stream_session_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """30-min-gap session windows per user (``F.session_window``; the
     oracle is the classic gaps-and-islands rewrite)."""
     return W.session_agg(load_table(spark, sf_dir, "events"))
+
+
+_SSJOIN_ORACLE = """
+SELECT p.event_id AS purchase_id, f.event_id AS follow_id,
+       f.event_type AS follow_type, p.ts AS purchase_ts, f.ts AS follow_ts
+FROM events p
+JOIN events f
+  ON f.user_id = p.user_id
+ AND f.ts >= p.ts
+ AND f.ts < p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase' AND f.event_id <> p.event_id
+"""
+
+
+@query("stream_interval_join", oracle=_SSJOIN_ORACLE)
+def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join in batch mode: for every purchase, the
+    same user's events in the following hour (conversion-context pattern).
+    The SAME builder runs as a watermarked append-mode stream-stream join
+    in ``tests/test_streaming.py`` — the interval bound is what makes the
+    streaming state evictable."""
+    from pyspark.sql import functions as F
+
+    from extract_transform_load_template_multidb_spark.streaming import (
+        joins as J,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    follows = ev.select(
+        F.col("event_id").alias("follow_id"),
+        F.col("event_type").alias("follow_type"),
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("follow_ts"),
+    )
+    joined = J.interval_join(
+        purchases,
+        follows,
+        left_key="p_user",
+        right_key="f_user",
+        left_ts="purchase_ts",
+        right_ts="follow_ts",
+        interval="1 hour",
+    )
+    return joined.filter(
+        F.col("follow_id") != F.col("purchase_id")
+    ).select(
+        "purchase_id", "follow_id", "follow_type", "purchase_ts", "follow_ts"
+    )
