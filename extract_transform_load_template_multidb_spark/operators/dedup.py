@@ -111,7 +111,10 @@ def lsh_bands(
 
 
 def lsh_candidate_pairs(
-    bands_df: DataFrame, id_col: str = "doc_id", block_size: int = 256
+    bands_df: DataFrame,
+    id_col: str = "doc_id",
+    block_size: int = 256,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Distinct (id_a < id_b) pairs sharing any band bucket.
 
@@ -152,6 +155,15 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
         .filter(F.size("__ids") >= 2)
     )
+    if max_bucket_size is not None:
+        # The 100 TB guardrail the docstring promises: a degenerate bucket
+        # of B docs costs B²/2 pairs while carrying almost no dedup signal
+        # (everything hashes together — typically boilerplate/stop
+        # content). Dropping such buckets bounds worst-case cost; pairs
+        # they would have contributed usually re-surface through the other
+        # bands. OFF by default — it is a recall-oriented approximation
+        # and the exact oracle-checked semantics require all buckets.
+        buckets = buckets.filter(F.size("__ids") <= max_bucket_size)
     # Near-identical cliques collide in EVERY band, producing the same
     # member array once per band; expanding each copy multiplies the pair
     # stream feeding the distinct by up to the band count. Deduplicating
@@ -284,6 +296,7 @@ def near_dup_pairs(
     num_perm: int = 8,
     rows_per_band: int = 2,
     threshold: float = 0.6,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Full MinHash→LSH→verify near-dup pipeline: pairs with Jaccard ≥ t.
 
@@ -314,7 +327,9 @@ def near_dup_pairs(
 
     sigs = minhash_signatures(reps, text_col, id_col, num_perm)
     bands = lsh_bands(sigs, id_col, num_perm, rows_per_band)
-    cands = lsh_candidate_pairs(bands, id_col)
+    cands = lsh_candidate_pairs(
+        bands, id_col, max_bucket_size=max_bucket_size
+    )
     rep_jac = jaccard_pairs(reps, cands, text_col, id_col).filter(
         F.col("jaccard") >= threshold
     )
@@ -385,6 +400,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.2,
+    max_posting_list: int | None = None,
 ) -> DataFrame:
     """n-gram shingle Jaccard near-dup pairs via inverted-index self-join.
 
@@ -427,8 +443,25 @@ def ngram_jaccard_pairs(
         ).alias("s"),
     )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col(id_col).alias("id_a"), "s")
-    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    sh_joinable = sh
+    if max_posting_list is not None:
+        # Stop-shingle guardrail (the cap the docstring promises): a
+        # shingle appearing in P docs contributes P² rows to the
+        # inverted-index join — boilerplate shingles dominate fan-out at
+        # corpus scale while contributing little discriminative signal.
+        # Shingles above the cap are excluded from CANDIDATE GENERATION
+        # AND the intersection counts, but |A|/|B| stay exact, so reported
+        # Jaccard is a lower bound (recall-oriented approximation). OFF by
+        # default — the oracle-checked semantics require every shingle.
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count(F.lit(1)).alias("__p"))
+            .filter(F.col("__p") > max_posting_list)
+            .select("s")
+        )
+        sh_joinable = sh.join(hot, "s", "left_anti")
+    a = sh_joinable.select(F.col(id_col).alias("id_a"), "s")
+    b = sh_joinable.select(F.col(id_col).alias("id_b"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))

@@ -68,3 +68,56 @@ def test_salt_is_deterministic(spark):
     df2 = _skewed(spark).withColumn("s1", skew.stable_salt(["v"], 8))
     assert df.exceptAll(df2).count() == 0
     assert df.select(F.max("s1"), F.min("s1")).collect()[0] == (7, 0)
+
+
+def test_lsh_bucket_cap_is_subset(spark, sf_dir):
+    """With a bucket cap, candidate pairs are a subset of the uncapped set
+    (recall-oriented approximation, never new pairs)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    doc = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in dd.near_dup_pairs(doc, threshold=0.5)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.near_dup_pairs(doc, threshold=0.5, max_bucket_size=8)
+        .select("id_a", "id_b")
+        .collect()
+    }
+    assert capped <= full
+    assert len(capped) < len(full)  # the fixture HAS oversized buckets
+
+
+def test_ngram_posting_cap_lowers_jaccard_only(spark, sf_dir):
+    """Stop-shingle cap: reported Jaccard is a lower bound of the exact
+    value and no new pairs appear."""
+    import os
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    doc = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(doc, threshold=0.05).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(
+            doc, threshold=0.05, max_posting_list=3
+        ).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, j in capped.items():
+        assert j <= exact[pair] + 1e-12
