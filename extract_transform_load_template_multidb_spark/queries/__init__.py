@@ -67,6 +67,7 @@ def _load_all() -> None:
     from extract_transform_load_template_multidb_spark.queries import (  # noqa: F401
         advanced,
         etl,
+        governance,
         multimodal,
         relational,
         time_windows,

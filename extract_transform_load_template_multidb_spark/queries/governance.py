@@ -1,0 +1,132 @@
+"""Warehouse-governance queries: SCD2 history and data-quality profiling,
+oracle-checked.
+
+The reference's loads overwrite history and validate nothing beyond a
+record count; these queries expose :mod:`operators.scd` and
+:mod:`operators.quality` on the fixture tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.operators import (
+    quality as dq,
+)
+from extract_transform_load_template_multidb_spark.operators import scd
+from extract_transform_load_template_multidb_spark.queries import query
+
+_SCD2_ORACLE = """
+WITH flagged AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate,
+           CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                  OR lag(o_orderpriority) OVER w <> o_orderpriority
+                THEN 1 ELSE 0 END AS chg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderpriority)
+),
+runs AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate,
+           SUM(chg) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderpriority
+                          ROWS UNBOUNDED PRECEDING) AS run
+    FROM flagged
+),
+per_run AS (
+    SELECT o_custkey, run,
+           min(o_orderpriority) AS o_orderpriority,
+           min(o_orderdate) AS valid_from
+    FROM runs GROUP BY o_custkey, run
+)
+SELECT o_custkey, o_orderpriority, valid_from,
+       lead(valid_from) OVER w2 AS valid_to,
+       lead(valid_from) OVER w2 IS NULL AS is_current
+FROM per_run
+WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, run)
+"""
+
+
+@query("scd2_priority_history", oracle=_SCD2_ORACLE)
+def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension built from the order history: one row per run
+    of equal order priority per customer, with validity interval and
+    current flag — the gaps-and-islands rewrite, one key shuffle."""
+    return scd.scd2_from_history(
+        load_table(spark, sf_dir, "orders"),
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+    )
+
+
+_DQ_NULLS_ORACLE = """
+SELECT 'user_id' AS "column",
+       count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null,
+       CAST(0 AS BIGINT) AS n_nan, CAST(0 AS BIGINT) AS n_inf
+FROM events
+UNION ALL
+SELECT 'event_type',
+       count(CASE WHEN event_type IS NULL THEN 1 END),
+       CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value',
+       count(CASE WHEN value IS NULL THEN 1 END),
+       count(CASE WHEN isnan(value) THEN 1 END),
+       count(CASE WHEN NOT isnan(value) AND isinf(value) THEN 1 END)
+FROM events
+"""
+
+
+@query("dq_null_profile_events", oracle=_DQ_NULLS_ORACLE)
+def dq_null_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column null/NaN/±inf profile of ``events`` in ONE scan (a
+    single wide aggregate unpivoted with ``stack`` — never a job per
+    column)."""
+    return dq.null_profile(
+        load_table(spark, sf_dir, "events"),
+        ["user_id", "event_type", "value"],
+    )
+
+
+_DQ_FK_ORACLE = """
+SELECT count(*) AS n_orphans
+FROM events e
+WHERE e.user_id IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)
+"""
+
+
+@query("dq_fk_orphans", oracle=_DQ_FK_ORACLE)
+def dq_fk_orphans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity: events whose user has no customer row
+    (left-anti join, then a 1-row count)."""
+    return dq.fk_violation_count(
+        load_table(spark, sf_dir, "events"),
+        load_table(spark, sf_dir, "customer"),
+        child_key="user_id",
+        parent_key="c_custkey",
+    )
+
+
+_DQ_DUPS_ORACLE = """
+WITH g AS (
+    SELECT user_id, event_type, count(*) AS n
+    FROM events GROUP BY user_id, event_type
+    HAVING count(*) > 1
+)
+SELECT count(*) AS n_dup_groups,
+       CAST(coalesce(SUM(n - 1), 0) AS BIGINT) AS n_extra_rows
+FROM g
+"""
+
+
+@query("dq_dup_keys", oracle=_DQ_DUPS_ORACLE)
+def dq_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-key audit on (user_id, event_type): how many key groups
+    collide and how many rows strict dedup would drop."""
+    return dq.dup_key_count(
+        load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
+    )
