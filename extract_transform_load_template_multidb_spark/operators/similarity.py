@@ -59,7 +59,16 @@ def quantize(vec: Column) -> Column:
 
 
 def dot_long(a: Column, b: Column) -> Column:
-    """Exact int64 dot product of two quantized vectors."""
+    """Exact int64 dot product of two quantized vectors.
+
+    Higher-order array functions evaluate interpreted (outside
+    whole-stage codegen) — fine at the scored-candidate volumes the LSH /
+    IVF pruning leaves, which is the design point here. If a workload
+    ever needs exhaustive corpus × many-queries scoring, the right swap
+    is an Arrow-batched ``mapInPandas`` with a numpy int64 matmul over
+    the same quantized values (bit-identical results, SIMD throughput) —
+    keep the quantization so the oracle contract survives the swap.
+    """
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0).cast("long"),

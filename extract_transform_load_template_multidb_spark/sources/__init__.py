@@ -5,6 +5,9 @@ Dynamics 365 OData feed — the one source Spark has no connector for — is a
 custom reader with manual ``$filter``/``$select`` pushdown and paging.
 """
 
+from extract_transform_load_template_multidb_spark.sources.bigquery import (
+    BigQuerySource,
+)
 from extract_transform_load_template_multidb_spark.sources.files import (
     FileSource,
 )
@@ -20,6 +23,7 @@ from extract_transform_load_template_multidb_spark.sources.odata_datasource impo
 )
 
 __all__ = [
+    "BigQuerySource",
     "FileSource",
     "JdbcSource",
     "ODataDataSource",

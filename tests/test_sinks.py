@@ -142,3 +142,32 @@ def test_bigquery_retention_delete_sql():
         "DELETE FROM `your_dataset.your_table` WHERE date_trans < "
         "DATE_SUB(CURRENT_DATE(), INTERVAL 30 DAY)"
     )
+
+
+def test_bigquery_source_option_construction():
+    """Reference S1/S2 extract spec on the public connector surface."""
+    import pytest as _pytest
+
+    from extract_transform_load_template_multidb_spark.sources.bigquery import (
+        BigQuerySource,
+    )
+
+    t = BigQuerySource(table="your_dataset.your_table")
+    assert t.reader_options() == {"table": "your_dataset.your_table"}
+
+    q = BigQuerySource(
+        query="SELECT * FROM d.t WHERE date_trans >= '2024-01-01'",
+        materialization_dataset="scratch",
+        views_enabled=True,
+    )
+    opts = q.reader_options()
+    assert opts["materializationDataset"] == "scratch"
+    assert opts["viewsEnabled"] == "true"
+    assert opts["query"].startswith("SELECT")
+
+    with _pytest.raises(ValueError):
+        BigQuerySource().reader_options()
+    with _pytest.raises(ValueError):
+        BigQuerySource(table="a.b", query="SELECT 1").reader_options()
+    with _pytest.raises(ValueError):
+        BigQuerySource(query="SELECT 1").reader_options()
