@@ -515,6 +515,88 @@ def ngram_jaccard_pairs(
     return same_pairs.unionByName(cross_pairs)
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup pairs into components: (node, component) where
+    component = the minimum node id reachable through the pair graph.
+
+    Pairs are the OUTPUT of the near-dup operators; a dedup pipeline then
+    needs the transitive closure to keep one doc per duplicate CLUSTER
+    (A~B, B~C must collapse to one keeper even if A~C was never a
+    candidate). Implemented as iterative min-label propagation: each round
+    every node takes the min of its own label and its neighbors' labels —
+    pure joins + groupBy, converging in O(component diameter) rounds
+    (near-dup graphs are clique-heavy, so typically 2–3). Each round is
+    localCheckpoint()ed: the loop would otherwise double the lineage per
+    iteration and re-execute the whole history each round.
+
+    The driver loop runs a count() per round to test convergence — a
+    bounded number of small actions, not a per-row driver loop; at 100 TB
+    each round is one shuffle of |E| + |V|.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(
+                labels.withColumnRenamed("node", "src"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.min("component").alias("__nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("__nbr_min", "component")
+                ).alias("component"),
+                (
+                    F.coalesce("__nbr_min", "component")
+                    < F.col("component")
+                ).alias("__chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        n_changed = updated.filter(F.col("__chg")).count()
+        labels = updated.drop("__chg")
+        if n_changed == 0:
+            break
+    return labels
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Rows surviving near-dup CLUSTER dedup: every doc in a component
+    except its minimum-id keeper is dropped; docs in no pair survive."""
+    comps = connected_components(pairs, id_a, id_b)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def _hex_to_long(hex_col: Column) -> Column:
     """Portable hex→int (Spark: conv; DuckDB oracle uses CAST('0x'||h))."""
     return F.conv(hex_col, 16, 10).cast("long")

@@ -173,9 +173,9 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.simhash(load_table(spark, sf_dir, "documents"), bits=16)
 
 
-_NGRAM_ORACLE = (
-    "WITH "
-    + _SQL_TOKS_LIST
+# CTE chain shared by the ngram pair oracle and the cluster oracle.
+_NGRAM_CHAIN = (
+    _SQL_TOKS_LIST
     + """,
 sh AS (
     SELECT doc_id,
@@ -192,14 +192,20 @@ inter AS (
     FROM sh a
     JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
     GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
 )
-SELECT i.id_a, i.id_b,
-       i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
 """
+)
+
+_NGRAM_ORACLE = (
+    "WITH " + _NGRAM_CHAIN + "SELECT id_a, id_b, jaccard FROM pairs"
 )
 
 
@@ -795,3 +801,43 @@ def curation_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_tokens=512,
         shard_col="source",
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup clustering (connected components over near-dup pairs)
+# ---------------------------------------------------------------------------
+
+_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+)
+SELECT node, min(label) AS component
+FROM reach GROUP BY node
+"""
+)
+
+
+@query("dedup_clusters_ngram", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the ngram near-dup pairs: the transitive
+    closure a dedup pipeline needs to keep ONE doc per duplicate cluster
+    (A~B, B~C collapse together even though A~C was never a candidate).
+    Spark side: iterative min-label propagation (joins + groupBy per
+    round, localCheckpoint-truncated lineage); oracle: recursive CTE."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return dd.connected_components(pairs)

@@ -114,3 +114,47 @@ def test_curation_stays_jvm_side(spark, sf_dir):
         plan = frame._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan
         assert "ArrowEvalPython" not in plan
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """A 4-chain (diameter > 1 — needs multiple propagation rounds), a
+    triangle, and an isolated pair each collapse to their min id."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    pairs = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4),          # chain 1-2-3-4
+            (10, 11), (11, 12), (10, 12),    # triangle
+            (20, 21),                        # pair
+        ],
+        "id_a bigint, id_b bigint",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1,
+                   10: 10, 11: 10, 12: 10,
+                   20: 20, 21: 20}
+
+
+def test_dedup_keep_canonical_drops_cluster_losers(spark):
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in (1, 2, 3, 4, 10, 11, 99)],
+        "doc_id bigint, text string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a bigint, id_b bigint"
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in dd.dedup_keep_canonical(docs, pairs).collect()
+    )
+    # cluster {1,2,3} keeps 1; {10,11} keeps 10; 4 and 99 untouched
+    assert kept == [1, 4, 10, 99]
