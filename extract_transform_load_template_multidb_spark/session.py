@@ -99,7 +99,20 @@ def get_spark(
         # creates the session (true for bench.py and tests, which build the
         # session before any other Spark use).
         .config("spark.driver.memory", _default_driver_memory())
+        # Shuffle I/O: larger write buffers cut syscall count (this host
+        # taxes syscalls heavily in bursts), and tmpfs-backed local dirs
+        # keep shuffle/spill off disk entirely — our shuffle volumes are
+        # a few GB against a 100+ GB /dev/shm.
+        .config("spark.shuffle.file.buffer", "1m")
+        .config("spark.shuffle.unsafe.file.output.buffer", "1m")
+        .config("spark.io.compression.lz4.blockSize", "512k")
     )
+    shm = os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local")
+    try:
+        os.makedirs(shm, exist_ok=True)
+        builder = builder.config("spark.local.dir", shm)
+    except OSError:
+        pass  # fall back to Spark's default local dir
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
     if extra_conf:
