@@ -31,6 +31,8 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
     "join_broadcast_dim",
     "window_rank_topn_per_group",
     "agg_rollup",
@@ -38,9 +40,17 @@ HEADLINE = [
     "agg_count_distinct",
     "join_asof_latest_order",
     "stream_tumbling_counts",
+    "stream_interval_join",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_clusters_ngram",
     "sim_cosine_topk_bruteforce",
+    "sim_cosine_topk_lsh",
     "text_quality_score",
+    "curation_chunk_documents",
+    "curation_pack_sequences",
+    "scd2_priority_history",
+    "dq_null_profile_events",
     "mm_extract_features",
 ]
 

@@ -274,3 +274,60 @@ def test_stream_static_enrich_broadcasts(spark, events_landing, sf_dir, tmp_path
     )
     assert got.count() == batch.count()
     assert got.filter(F.col("et_label").isNull()).count() == 0
+
+
+def test_foreachbatch_jdbc_upsert_end_to_end(spark, tmp_path):
+    """Streaming micro-batches upserted into a relational target through
+    JdbcUpsertWriter inside foreachBatch — the reference's W2 load driven
+    by a stream, with checkpointed exactly-once file progress."""
+    import functools
+    import os
+    import sqlite3
+
+    from extract_transform_load_template_multidb_spark.sinks.jdbc_upsert import (
+        JdbcUpsertWriter,
+    )
+    from test_jdbc_upsert import _connect  # top-level, executor-picklable
+
+    db = os.path.join(tmp_path, "stream_target.db")
+    con = sqlite3.connect(db)
+    con.execute("CREATE TABLE t (k INTEGER PRIMARY KEY, v TEXT)")
+    con.commit(); con.close()
+
+    landing = str(tmp_path / "landing_jdbc")
+    writer = JdbcUpsertWriter(
+        functools.partial(_connect, db),
+        table="t",
+        keys=["k"],
+        dialect="sqlite",
+    )
+
+    def write_batch(batch_df, batch_id):
+        writer.write(batch_df)
+
+    first = spark.createDataFrame([(1, "old"), (2, "old")], "k long, v string")
+    first.write.parquet(landing)
+    stream = inc.read_file_stream(spark, landing, first.schema)
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_jdbc"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+    spark.createDataFrame(
+        [(2, "new"), (3, "new")], "k long, v string"
+    ).write.mode("append").parquet(landing)
+    stream = inc.read_file_stream(spark, landing, first.schema)
+    (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt_jdbc"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    con = sqlite3.connect(db)
+    got = dict(con.execute("SELECT k, v FROM t").fetchall())
+    con.close()
+    assert got == {1: "old", 2: "new", 3: "new"}
