@@ -137,3 +137,118 @@ def test_parquet_upsert_idempotent(spark, tmp_path_factory, rows):
     sink.upsert(df, ("k",), spark)
     twice = sorted(map(tuple, spark.read.parquet(path).collect()))
     assert once == twice == sorted(uniq.items())
+
+
+_texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("abc xyz 0123 .,"), min_size=0, max_size=80
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(texts=_texts, chunk=st.integers(2, 8), overlap=st.integers(0, 6))
+@settings(**_SETTINGS)
+def test_chunking_reconstructs_documents(spark, texts, chunk, overlap):
+    """Dropping each chunk's overlap prefix (after the first) and
+    concatenating reconstructs the token stream exactly — no token lost or
+    duplicated by the windowing."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        curation as cu,
+    )
+
+    if overlap >= chunk:
+        overlap = chunk - 1
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    out = cu.chunk_documents(
+        docs, chunk_tokens=chunk, overlap=overlap
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_text"])
+        )
+    tok = dd.tokenize(F.col("text"))
+    want = {
+        r["doc_id"]: r["toks"]
+        for r in docs.select("doc_id", tok.alias("toks")).collect()
+    }
+    for doc_id, toks in want.items():
+        chunks = [t for _, t in sorted(by_doc.get(doc_id, []))]
+        if not toks:
+            assert chunks == []
+            continue
+        rebuilt: list[str] = []
+        for i, c in enumerate(chunks):
+            words = c.split(" ") if c else []
+            rebuilt.extend(words if i == 0 else words[overlap:])
+        assert rebuilt == toks, (doc_id, chunks, toks)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 50), st.sampled_from("abc")),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    ),
+    pct_small=st.integers(0, 100),
+    pct_big_delta=st.integers(0, 100),
+)
+@settings(**_SETTINGS)
+def test_hash_sample_monotone_in_pct(spark, rows, pct_small, pct_big_delta):
+    """Sampling is deterministic and monotone: pct1 ≤ pct2 → sample(pct1)
+    ⊆ sample(pct2); pct=100 keeps everything."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        curation as cu,
+    )
+
+    pct_big = min(100, pct_small + pct_big_delta)
+    df = spark.createDataFrame(rows, "doc_id long, g string")
+    small = {r["doc_id"] for r in cu.hash_sample(df, pct_small).collect()}
+    big = {r["doc_id"] for r in cu.hash_sample(df, pct_big).collect()}
+    assert small <= big
+    assert {
+        r["doc_id"] for r in cu.hash_sample(df, 100).collect()
+    } == {r[0] for r in rows}
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+@settings(**_SETTINGS)
+def test_connected_components_match_python_union_find(spark, pairs):
+    """Spark min-label propagation agrees with a pure-Python union-find
+    on arbitrary graphs."""
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in pairs:
+        union(a, b)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(df).collect()
+    }
+    assert got == want
