@@ -55,6 +55,7 @@ _CHECK_LAST = (
     "sim_cosine_topk_lsh",
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
+    "dedup_clusters_minhash",
     "dedup_minhash_lsh",
 )
 

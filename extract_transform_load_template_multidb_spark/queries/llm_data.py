@@ -82,9 +82,8 @@ def dedup_exact_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.exact_dedup(doc).select("doc_id", "source", "n_chars")
 
 
-_MINHASH_ORACLE = (
-    "WITH "
-    + _SQL_TOKS_DISTINCT
+_MINHASH_CHAIN = (
+    _SQL_TOKS_DISTINCT
     + """,
 sigs AS (
     SELECT doc_id,
@@ -114,14 +113,21 @@ inter AS (
     JOIN toks ta ON ta.doc_id = c.id_a
     JOIN toks tb ON tb.doc_id = c.id_b AND tb.w = ta.w
     GROUP BY c.id_a, c.id_b
+),
+mh_pairs AS (
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.5
 )
-SELECT i.id_a, i.id_b,
-       i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
-FROM inter i
-JOIN sizes sa ON sa.doc_id = i.id_a
-JOIN sizes sb ON sb.doc_id = i.id_b
-WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.5
 """
+)
+
+_MINHASH_ORACLE = (
+    "WITH " + _MINHASH_CHAIN
+    + "SELECT id_a, id_b, jaccard FROM mh_pairs"
 )
 
 
@@ -841,3 +847,77 @@ def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
     )
     return dd.connected_components(pairs)
+
+
+_MH_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _MINHASH_CHAIN
+    + """,
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM mh_pairs
+    UNION
+    SELECT id_b, id_a FROM mh_pairs
+),
+cnodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM cnodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+)
+SELECT node, min(label) AS component
+FROM reach GROUP BY node
+"""
+)
+
+
+@query("dedup_clusters_minhash", oracle=_MH_CLUSTERS_ORACLE)
+def dedup_clusters_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash near-dup pairs — clustering
+    at real candidate volume (tens of thousands of pairs at sf0.01), the
+    step that turns the LSH pair stream into dedup groups."""
+    pairs = dd.near_dup_pairs(
+        load_table(spark, sf_dir, "documents"),
+        num_perm=8,
+        rows_per_band=2,
+        threshold=0.5,
+    )
+    return dd.connected_components(pairs)
+
+
+_CANONICAL_ORACLE = (
+    "WITH RECURSIVE "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM cnodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+"""
+)
+
+
+@query("dedup_canonical_docs", oracle=_CANONICAL_ORACLE)
+def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents surviving ngram-cluster dedup: one min-id keeper per
+    near-dup component, untouched docs pass through (anti-join against
+    the cluster losers)."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(doc, n=3, threshold=0.2)
+    return dd.dedup_keep_canonical(doc, pairs).select(
+        "doc_id", "source", "n_chars"
+    )
