@@ -132,3 +132,37 @@ def test_q16_dimension_broadcasts(spark, sf_dir):
     assert plan.count("HashAggregate") >= 3
     # the brand exclusion must reach the part scan
     assert "Not(EqualTo(p_brand," in plan
+
+
+def _n_exchanges(plan: str) -> int:
+    return (
+        plan.count("Exchange hashpartitioning")
+        + plan.count("Exchange rangepartitioning")
+        + plan.count("Exchange SinglePartition")
+    )
+
+
+def test_scd2_single_key_shuffle(spark, sf_dir):
+    """Both windows AND the per-run aggregate must reuse ONE exchange on
+    the key (hash partitioning by a subset satisfies the (key, run)
+    clustering) — a second shuffle here would double the cost of history
+    builds at scale."""
+    assert _n_exchanges(_plan(spark, sf_dir, "scd2_priority_history")) == 1
+
+
+def test_chunking_is_exchange_free(spark, sf_dir):
+    """Document chunking is map + explode only — any exchange means a
+    regression shuffles the whole corpus."""
+    assert _n_exchanges(_plan(spark, sf_dir, "curation_chunk_documents")) == 0
+
+
+def test_packing_shuffles_once_by_shard(spark, sf_dir):
+    assert _n_exchanges(_plan(spark, sf_dir, "curation_pack_sequences")) == 1
+
+
+def test_null_profile_is_one_pass(spark, sf_dir):
+    """The per-column profile must be a single global aggregate (one scan,
+    one 1-row exchange), never a job per column."""
+    plan = _plan(spark, sf_dir, "dq_null_profile_events")
+    assert plan.count("FileScan") == 1
+    assert _n_exchanges(plan) == 1
