@@ -111,3 +111,68 @@ def test_smtp_sender_swallows_errors():
 
     send = smtp_sender("h", "s@x", ["r@x"], smtp_factory=boom)
     send("subject", "body")  # must not raise
+
+
+def test_pipeline_from_config_end_to_end(spark, sf_dir, tmp_path):
+    """The reference's copy-a-template-edit-constants surface as one
+    declarative dict: file source → clean + window → parquet append,
+    with the count metric and notification."""
+    from extract_transform_load_template_multidb_spark.config import (
+        pipeline_from_config,
+    )
+
+    sent = []
+    out = os.path.join(tmp_path, "cfg_out")
+    pipe = pipeline_from_config(
+        {
+            "name": "cfg_events_load",
+            "source": {
+                "type": "file",
+                "path": os.path.join(sf_dir, "orders.parquet"),
+            },
+            "transforms": [
+                {"op": "select", "cols": ["o_orderkey", "o_orderdate"]},
+                {"op": "window_filter", "col": "o_orderdate", "days": 60},
+            ],
+            "sink": {"type": "parquet", "path": out, "mode": "append"},
+            "retries": 0,
+            "retry_delay": 0.01,
+        }
+    )
+    pipe.notifier = Notifier(send=lambda s, b: sent.append((s, b)))
+    n = pipe.run(spark)
+    assert n > 0
+    got = spark.read.parquet(out)
+    assert got.count() == n
+    assert set(got.columns) == {"o_orderkey", "o_orderdate"}
+    assert sent and sent[0][0].startswith("Data Load Successful")
+
+
+def test_pipeline_from_config_rejects_unknowns():
+    from extract_transform_load_template_multidb_spark.config import (
+        pipeline_from_config,
+    )
+
+    with pytest.raises(ValueError, match="missing required"):
+        pipeline_from_config({"name": "x"})
+    with pytest.raises(ValueError, match="unknown source type"):
+        pipeline_from_config(
+            {"name": "x", "source": {"type": "ftp"}, "sink": {}}
+        )
+    with pytest.raises(ValueError, match="unknown transform op"):
+        pipeline_from_config(
+            {
+                "name": "x",
+                "source": {"type": "file", "path": "/p"},
+                "transforms": [{"op": "mystery"}],
+                "sink": {"type": "parquet", "path": "/o"},
+            }
+        )
+    with pytest.raises(ValueError, match="unknown sink type"):
+        pipeline_from_config(
+            {
+                "name": "x",
+                "source": {"type": "file", "path": "/p"},
+                "sink": {"type": "kafka"},
+            }
+        )
