@@ -147,3 +147,53 @@ def stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "purchase_id", "follow_id", "follow_type", "purchase_ts", "follow_ts"
     )
+
+
+_RESAMPLE_ORACLE = """
+WITH obs AS (
+    SELECT user_id AS key,
+           date_trunc('hour', ts) AS bucket_start,
+           count(*) AS n_events,
+           CAST(SUM(CAST((CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                               ELSE value END) AS DECIMAL(38,6))) AS DOUBLE)
+               AS sum_value
+    FROM events
+    GROUP BY 1, 2
+),
+spans AS (
+    SELECT key, min(bucket_start) AS lo, max(bucket_start) AS hi
+    FROM obs GROUP BY key
+),
+spine AS (
+    SELECT key, unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+               AS bucket_start
+    FROM spans
+)
+SELECT s.key, s.bucket_start,
+       coalesce(o.n_events, 0) AS n_events,
+       o.sum_value,
+       last_value(o.sum_value IGNORE NULLS) OVER (
+           PARTITION BY s.key ORDER BY s.bucket_start
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS filled_value
+FROM spine s LEFT JOIN obs o USING (key, bucket_start)
+"""
+
+
+@query("ts_resample_carry_forward", oracle=_RESAMPLE_ORACLE)
+def ts_resample_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style resample: dense per-user hourly grid with counts
+    and last-observation-carried-forward sums (spine via per-key
+    sequence+explode — no cross join, no driver loop; fill window reuses
+    the join's key partitioning)."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        timeseries as tsops,
+    )
+
+    return tsops.resample_carry_forward(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        step="1 hour",
+    )
