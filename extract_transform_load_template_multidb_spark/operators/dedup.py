@@ -335,9 +335,15 @@ def near_dup_pairs(
     )
 
     # Intra-clique pairs: identical texts, Jaccard is exactly 1.0 (the
-    # verify formula on equal token sets), included whenever t ≤ 1.
+    # verify formula on equal token sets), included whenever t ≤ 1 — but
+    # only for texts that HAVE a signature: a zero-token text generates no
+    # bands, so even exact copies of it are never candidates in the
+    # uncollapsed pipeline (and the oracle), and must not pair up here.
+    with_sig = groups.join(
+        sigs.select(F.col(id_col).alias("__rep")), "__rep", "left_semi"
+    )
     same_pairs = expand_sorted_array_pairs(
-        groups.filter(F.size("__ids") >= 2).select("__ids")
+        with_sig.filter(F.size("__ids") >= 2).select("__ids")
     ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
 
     # Cross-text pairs: every doc of text A × every doc of text B carries

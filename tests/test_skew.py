@@ -121,3 +121,31 @@ def test_ngram_posting_cap_lowers_jaccard_only(spark, sf_dir):
     assert set(capped) <= set(exact)
     for pair, j in capped.items():
         assert j <= exact[pair] + 1e-12
+
+
+def test_near_dup_empty_text_copies_never_pair(spark):
+    """Exact copies of a zero-token text have no MinHash signature, hence
+    no bands — they must NOT appear as near-dup pairs (parity with the
+    uncollapsed pipeline and the SQL oracle); normal duplicate cliques
+    still pair with Jaccard exactly 1.0."""
+    from pyspark.sql import functions as F
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "... !!! ..."),   # tokenizes to nothing
+            (2, "... !!! ..."),   # identical empty-token copy
+            (3, "alpha beta gamma delta"),
+            (4, "alpha beta gamma delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    assert (1, 2) not in got
+    assert got[(3, 4)] == 1.0
