@@ -92,7 +92,14 @@ def _build_sink(spec: dict) -> Callable[[DataFrame], None]:
     kind = spec.pop("type", None)
     if kind == "parquet":
         mode = spec.pop("mode", "append")
+        if "path" not in spec:
+            raise ValueError("parquet sink config requires 'path'")
         sink = ParquetSink(spec.pop("path"), tuple(spec.pop("partition_by", ())))
+        if spec:
+            raise ValueError(
+                f"unknown parquet sink keys {sorted(spec)}; supported: "
+                "path, mode, partition_by"
+            )
         if mode == "append":
             return sink.append
         if mode == "overwrite":

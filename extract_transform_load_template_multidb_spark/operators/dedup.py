@@ -584,6 +584,13 @@ def connected_components(
         labels = updated.drop("__chg")
         if n_changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({n_changed} labels still changing) — the pair graph has a "
+            "component with diameter above max_iter; raise max_iter "
+            "(cost is one join+groupBy round each)"
+        )
     return labels
 
 

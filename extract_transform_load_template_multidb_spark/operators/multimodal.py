@@ -81,17 +81,19 @@ def media_batch_conf(target_rows: int | None = None) -> dict[str, str]:
 
 
 def repartition_for_media(df: DataFrame, target_rows: int | None = None) -> DataFrame:
-    """Bound per-batch media rows WITHOUT an eager count.
+    """Spread a media scan over the session's parallelism WITHOUT an
+    eager count: a ``repartition`` is added only if the input arrives in
+    fewer partitions than cores. No action runs before the transform.
 
-    Sets ``maxRecordsPerBatch`` (see :func:`media_batch_conf`) so Arrow
-    batches are capped engine-side, and spreads the scan over the session's
-    default parallelism with a narrow-when-coalescing ``repartition`` only
-    if the input arrives in fewer partitions than cores. No action runs
-    before the transform.
+    ``target_rows`` is advisory here: per-batch row caps are session conf
+    (``spark.sql.execution.arrow.maxRecordsPerBatch``), which this
+    function deliberately does NOT mutate — a transform silently
+    reconfiguring the whole session would throttle every later pandas
+    stage. Apply :func:`media_batch_conf` yourself at session build
+    (``get_spark(extra_conf=media_batch_conf(...))``) or around the media
+    job.
     """
     spark = df.sparkSession
-    for k, v in media_batch_conf(target_rows).items():
-        spark.conf.set(k, v)
     cores = spark.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < cores:
         return df.repartition(cores)

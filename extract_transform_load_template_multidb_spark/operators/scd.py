@@ -89,18 +89,21 @@ def scd2_merge(
     """
     cur = target.filter(F.col("is_current"))
     hist = target.filter(~F.col("is_current"))
+    # Explicit presence marker: a NULL attribute in the snapshot must stay
+    # distinguishable from "key absent from the snapshot", and attribute
+    # comparison must be null-safe (NULL → 'X' IS a change; NULL → NULL
+    # is not).
     snap = snapshot.select(
-        F.col(key_col), F.col(attr_col).alias("__new_attr")
+        F.col(key_col),
+        F.col(attr_col).alias("__new_attr"),
+        F.lit(True).alias("__present"),
     )
     joined = cur.join(snap, key_col, "left")
-    unchanged = joined.filter(
-        F.col("__new_attr").isNull()
-        | (F.col("__new_attr") == F.col(attr_col))
-    ).select(*target.columns)
-    closed = joined.filter(
-        F.col("__new_attr").isNotNull()
-        & (F.col("__new_attr") != F.col(attr_col))
-    ).select(
+    changed = F.coalesce("__present", F.lit(False)) & ~F.col(
+        "__new_attr"
+    ).eqNullSafe(F.col(attr_col))
+    unchanged = joined.filter(~changed).select(*target.columns)
+    closed = joined.filter(changed).select(
         F.col(key_col),
         F.col(attr_col),
         F.col("valid_from"),
@@ -108,10 +111,7 @@ def scd2_merge(
         F.lit(False).alias("is_current"),
     )
     opened = (
-        joined.filter(
-            F.col("__new_attr").isNotNull()
-            & (F.col("__new_attr") != F.col(attr_col))
-        )
+        joined.filter(changed)
         .select(
             F.col(key_col),
             F.col("__new_attr").alias(attr_col),

@@ -166,6 +166,18 @@ def signlsh_bucket(vec_q: Column, num_planes: int) -> Column:
     ``aggregate`` over ``zip_with(vec, signs)`` — exact int math,
     multiply-add only, no per-row hashing.
     """
+    # Guard the literal-table size: zip_with NULL-pads past _MAX_DIM,
+    # which would silently poison every signed sum to NULL and put all
+    # vectors in bucket 0 (degenerating LSH to a quadratic self-join).
+    vec_q = F.when(
+        F.size(vec_q) > _MAX_DIM,
+        F.raise_error(
+            F.lit(
+                f"signlsh_bucket supports dim <= {_MAX_DIM}; raise "
+                "_MAX_DIM in operators/similarity.py for wider embeddings"
+            )
+        ),
+    ).otherwise(vec_q)
     bits = []
     for p in range(num_planes):
         signs = F.slice(

@@ -39,8 +39,22 @@ def resample_carry_forward(
     ``filled_value`` carries the most recent non-empty bucket's sum
     forward (NULL until the first observation). NaN/±inf in the value are
     excluded from sums (the engine's T3 cleaning rule).
+
+    ``step`` must be ``"<n> <unit>"`` with n=1 and a date_trunc-able unit
+    (minute/hour/day/week) so observation bucketing and the spine stride
+    agree; mismatched pairs would silently drop observations off-grid.
     """
-    bucket = F.date_trunc("hour", F.col(ts_col))
+    parts = step.strip().split()
+    unit = parts[-1].rstrip("s")
+    if len(parts) != 2 or parts[0] != "1" or unit not in (
+        "minute", "hour", "day", "week",
+    ):
+        raise ValueError(
+            f"step {step!r} unsupported: use '1 minute'|'1 hour'|'1 day'|"
+            "'1 week' (bucketing truncates to the same unit the spine "
+            "strides by)"
+        )
+    bucket = F.date_trunc(unit, F.col(ts_col))
     safe = F.when(
         F.isnan(value_col)
         | F.col(value_col).isin(float("inf"), float("-inf")),

@@ -120,15 +120,26 @@ class ParquetSink:
         atomic but the pair is not — a crash between them leaves the target
         path missing with the data intact in the stable ``<path>_old``
         backup dir (recovery: rename it back). The backup is deleted only
-        after the staging rename succeeds. ``os.rename`` restricts this
-        sink to a local POSIX filesystem; on a cluster use a table format
-        (Delta/Iceberg) whose commit protocol does this transactionally.
+        after the staging rename succeeds — and a leftover backup from a
+        PREVIOUS crashed swap makes this method refuse to run rather than
+        silently destroy the only copy of un-recovered data (it would
+        also race a concurrent swap on the same path). ``os.rename``
+        restricts this sink to a local POSIX filesystem; on a cluster use
+        a table format (Delta/Iceberg) whose commit protocol does this
+        transactionally.
         """
         staging = f"{self.path}_staging_{uuid.uuid4().hex[:8]}"
         self._writer(df).mode("overwrite").parquet(staging)
         backup = f"{self.path}_old"
         if os.path.isdir(backup):
-            shutil.rmtree(backup)
+            shutil.rmtree(staging)
+            raise RuntimeError(
+                f"refusing to swap {self.path!r}: backup dir {backup!r} "
+                "already exists — a previous swap crashed mid-rename (or "
+                "another swap is in flight). Inspect it; restore with "
+                f"`mv {backup} {self.path}` if the target is missing, or "
+                "delete it once confirmed stale, then retry."
+            )
         os.rename(self.path, backup)
         os.rename(staging, self.path)
         shutil.rmtree(backup)

@@ -158,3 +158,20 @@ def test_dedup_keep_canonical_drops_cluster_losers(spark):
     )
     # cluster {1,2,3} keeps 1; {10,11} keeps 10; 4 and 99 untouched
     assert kept == [1, 4, 10, 99]
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    import pytest as _pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(chain, max_iter=2)
+    # and converges fine with enough rounds
+    got = dd.connected_components(chain, max_iter=10).collect()
+    assert all(r["component"] == 0 for r in got)

@@ -63,16 +63,22 @@ def test_real_codec_path_is_gated():
 
 
 def test_repartition_for_media(spark, media):
+    before = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
     df = mm.repartition_for_media(media, target_rows=50)
-    # Arrow batches are capped engine-side (no eager count of the input)...
+    # no hidden session reconfiguration (batch caps are the caller's,
+    # via media_batch_conf at session build)...
     assert (
-        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch") == "50"
+        spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+        == before
     )
     # ...and the scan is spread over at least the session's parallelism.
     cores = spark.sparkContext.defaultParallelism
     assert df.rdd.getNumPartitions() >= min(
         cores, media.rdd.getNumPartitions()
     )
+    assert mm.media_batch_conf(50)[
+        "spark.sql.execution.arrow.maxRecordsPerBatch"
+    ] == "50"
 
 
 def test_media_stats_sniffs_magic_bytes(spark):

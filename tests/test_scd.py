@@ -86,3 +86,34 @@ def test_scd2_merge_is_stable_when_snapshot_matches(spark):
     assert sorted(
         (r["k"], r["attr"], r["is_current"]) for r in out.collect()
     ) == [(1, "B", True), (2, "X", True)]
+
+
+def test_scd2_merge_null_attr_transitions(spark):
+    """NULL-attribute rows must close/open correctly (null-safe compare),
+    and a NULL value IN the snapshot is a real change, not 'key absent'."""
+    target = _scd2(
+        spark,
+        [
+            (1, None, D(2024, 1, 1), None, True),  # NULL → 'X': change
+            (2, "Y", D(2024, 1, 1), None, True),   # 'Y' → NULL: change
+            (3, None, D(2024, 1, 1), None, True),  # NULL → NULL: no-op
+        ],
+    )
+    snapshot = spark.createDataFrame(
+        [(1, "X"), (2, None), (3, None)], "k bigint, attr string"
+    )
+    out = scd.scd2_merge(target, snapshot, "k", "attr", F.lit(D(2024, 2, 1)))
+    got = sorted(
+        (
+            (r["k"], r["attr"], r["valid_to"], r["is_current"])
+            for r in out.collect()
+        ),
+        key=lambda t: (t[0], t[1] or "", str(t[2])),
+    )
+    assert got == [
+        (1, None, D(2024, 2, 1), False),
+        (1, "X", None, True),
+        (2, None, None, True),
+        (2, "Y", D(2024, 2, 1), False),
+        (3, None, None, True),
+    ]

@@ -331,3 +331,18 @@ def test_foreachbatch_jdbc_upsert_end_to_end(spark, tmp_path):
     got = dict(con.execute("SELECT k, v FROM t").fetchall())
     con.close()
     assert got == {1: "old", 2: "new", 3: "new"}
+
+
+def test_resample_rejects_mismatched_step(spark, events_landing):
+    import pytest as _pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        timeseries as tsops,
+    )
+
+    _, batch = events_landing
+    with _pytest.raises(ValueError, match="unsupported"):
+        tsops.resample_carry_forward(batch, "user_id", "ts", "value", "2 hours")
+    # '1 day' is a legal grid: buckets truncate to days and stride by days
+    out = tsops.resample_carry_forward(batch, "user_id", "ts", "value", "1 day")
+    assert out.filter(out.n_events > 0).count() > 0
