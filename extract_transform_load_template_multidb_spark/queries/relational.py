@@ -780,3 +780,70 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+_WFIRSTLAST_ORACLE = """
+SELECT o_orderkey, o_custkey, o_orderdate,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS last_order,
+       nth_value(o_orderkey, 2) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+       ) AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@query("window_first_last_nth", oracle=_WFIRSTLAST_ORACLE)
+def window_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional analytic window functions: each order sees its
+    customer's first, last, and second order (explicit full frame for
+    last/nth — the default running frame is a classic silent-wrong-answer
+    trap both engines share)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(full).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(full).alias("second_order"),
+    )
+
+
+_SCALAR_TEXT2_ORACLE = """
+SELECT c_custkey,
+       split_part(c_name, '#', 2) AS cust_num,
+       CAST(regexp_extract(c_name, '#0*(\\d+)$', 1) AS BIGINT) AS cust_id,
+       translate(c_name, '#0', '-_') AS translated,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+       reverse(c_name) AS reversed,
+       repeat('-', CAST(c_custkey % 5 AS INT)) AS bar
+FROM customer
+"""
+
+
+@query("scalar_text_functions", oracle=_SCALAR_TEXT2_ORACLE)
+def scalar_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth: split extraction, regex capture groups,
+    translate, padding, reverse, repeat — all codegen'd narrow maps."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.substring_index("c_name", "#", -1).alias("cust_num"),
+        F.regexp_extract("c_name", r"#0*(\d+)$", 1)
+        .cast("long")
+        .alias("cust_id"),
+        F.translate("c_name", "#0", "-_").alias("translated"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.reverse("c_name").alias("reversed"),
+        F.repeat(F.lit("-"), (F.col("c_custkey") % 5).cast("int")).alias(
+            "bar"
+        ),
+    )
