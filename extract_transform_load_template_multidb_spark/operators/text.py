@@ -97,17 +97,48 @@ def lang_lexicon_df(spark) -> DataFrame:
     return spark.createDataFrame(rows, "lang_cand string, w string")
 
 
+def _collapse_by_text(df: DataFrame, text_col: str, id_col: str):
+    """(groups, reps): exact-duplicate collapse for per-doc operators that
+    are pure functions of the text — run the expensive stage on one rep
+    per distinct text, then explode the group's id list over the result.
+    Same proven pattern as the dedup operators (operators/dedup.py)."""
+    groups = df.groupBy(F.md5(F.col(text_col)).alias("__th")).agg(
+        F.min(id_col).alias("__rep"),
+        F.collect_set(F.col(id_col)).alias("__ids"),
+    )
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    return groups, reps
+
+
+def _expand_to_docs(
+    rep_result: DataFrame, groups: DataFrame, id_col: str
+) -> DataFrame:
+    """Rep-keyed result → per-doc rows (every clique member gets the rep's
+    values; result columns other than the id pass through)."""
+    payload = [c for c in rep_result.columns if c != id_col]
+    return (
+        rep_result.join(
+            groups.select(F.col("__rep").alias(id_col), "__ids"), id_col
+        )
+        .select(F.explode("__ids").alias(id_col), *payload)
+    )
+
+
 def lang_id_scores(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """Stopword-hit language ID: per-doc hit count per language + argmax.
 
-    Explode tokens once, broadcast-join the ~40-row lexicon, pivot to one
-    column per language, argmax with alphabetical tiebreak, ``und`` for
-    zero hits. The corpus-side shuffle is one groupBy(doc_id).
+    Explode tokens once PER DISTINCT TEXT (exact duplicates share the
+    result), broadcast-join the ~40-row lexicon, pivot to one column per
+    language, argmax with alphabetical tiebreak, ``und`` for zero hits.
+    The corpus-side shuffle is one groupBy(doc_id) at distinct-text scale.
     """
     spark = df.sparkSession
-    toks = df.select(
+    groups, reps = _collapse_by_text(df, text_col, id_col)
+    toks = reps.select(
         F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
     )
     hits = toks.join(F.broadcast(lang_lexicon_df(spark)), "w")
@@ -119,17 +150,18 @@ def lang_id_scores(
             for lang in _LANGS
         ]
     )
-    out = df.select(F.col(id_col)).join(per_lang, id_col, "left")
+    out = reps.select(F.col(id_col)).join(per_lang, id_col, "left")
     out = out.na.fill({f"hits_{lang}": 0 for lang in _LANGS})
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANGS])
     label = F.when(best == 0, F.lit("und"))
     for lang in _LANGS:  # alphabetical: first max wins
         label = label.when(F.col(f"hits_{lang}") == best, F.lit(lang))
-    return out.select(
+    rep_out = out.select(
         F.col(id_col),
         *[F.col(f"hits_{lang}") for lang in _LANGS],
         label.alias("lang_pred"),
     )
+    return _expand_to_docs(rep_out, groups, id_col)
 
 
 def _hex_prefix_long(col: Column, nibbles: int) -> Column:
@@ -145,9 +177,12 @@ def fingerprint(
     fingerprint is their exact int64 sum (≤2^40 per term — no overflow below
     ~8M tokens/doc). Reordering, inserting or deleting any token changes the
     sum; pure integer math makes it engine-portable. Positions are 1-based
-    to match SQL ``WITH ORDINALITY`` conventions.
+    to match SQL ``WITH ORDINALITY`` conventions. The per-token explode —
+    the expensive stage — runs once per DISTINCT text; exact duplicates
+    share the result.
     """
-    toks = df.select(
+    groups, reps = _collapse_by_text(df, text_col, id_col)
+    toks = reps.select(
         F.col(id_col),
         F.posexplode(tokenize(F.col(text_col))).alias("pos0", "w"),
     ).select(
@@ -157,8 +192,8 @@ def fingerprint(
             10,
         ).alias("h"),
     )
-    return (
-        df.select(F.col(id_col))
+    rep_out = (
+        reps.select(F.col(id_col))
         .join(
             toks.groupBy(id_col).agg(F.sum("h").alias("fingerprint")),
             id_col,
@@ -166,3 +201,4 @@ def fingerprint(
         )
         .na.fill({"fingerprint": 0})
     )
+    return _expand_to_docs(rep_out, groups, id_col)
