@@ -20,7 +20,9 @@ pairs — cap B and spill the rest to a second LSH round with different seeds).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame, functions as F, types as T
 
 
 def tokenize(text: Column) -> Column:
@@ -521,11 +523,52 @@ def ngram_jaccard_pairs(
     return same_pairs.unionByName(cross_pairs)
 
 
+def _cc_union_find_local(edges: DataFrame) -> DataFrame:
+    """Small-graph fast path: collect the (already-deduped, symmetrized)
+    edge list and run union-find with path halving on the driver.
+
+    Only reached when the edge count is under the caller's adaptive
+    threshold (see connected_components) — the same runtime-adaptivity
+    philosophy as AQE's sort-merge→broadcast conversion: pay a distributed
+    loop only when the data demands it. A bounded driver collect of a few
+    million longs replaces 2–4 shuffle rounds each costing several
+    scheduler round-trips, which at fixture scale is pure fixed overhead.
+    """
+    spark = edges.sparkSession
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]  # path halving
+            x = parent[x]
+        return x
+
+    for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            # Union by min id so roots are already the min label.
+            if rd < rs:
+                rs, rd = rd, rs
+            parent[rd] = rs
+    nodes = list(parent)
+    out = pd.DataFrame({"node": nodes, "component": [find(n) for n in nodes]})
+    node_t = edges.schema["src"].dataType
+    schema = T.StructType(
+        [
+            T.StructField("node", node_t),
+            T.StructField("component", node_t),
+        ]
+    )
+    return spark.createDataFrame(out, schema=schema)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
+    small_graph_edges: int = 4_000_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, component) where
     component = the minimum node id reachable through the pair graph.
@@ -533,16 +576,29 @@ def connected_components(
     Pairs are the OUTPUT of the near-dup operators; a dedup pipeline then
     needs the transitive closure to keep one doc per duplicate CLUSTER
     (A~B, B~C must collapse to one keeper even if A~C was never a
-    candidate). Implemented as iterative min-label propagation: each round
-    every node takes the min of its own label and its neighbors' labels —
-    pure joins + groupBy, converging in O(component diameter) rounds
-    (near-dup graphs are clique-heavy, so typically 2–3). Each round is
-    localCheckpoint()ed: the loop would otherwise double the lineage per
-    iteration and re-execute the whole history each round.
+    candidate).
 
-    The driver loop runs a count() per round to test convergence — a
-    bounded number of small actions, not a per-row driver loop; at 100 TB
-    each round is one shuffle of |E| + |V|.
+    Adaptive execution, smallest-first:
+
+    1. **Small graphs** (≤ ``small_graph_edges`` directed edges after
+       symmetrization): driver union-find over one bounded collect. At
+       the default threshold that is ≤ ~64 MB of longs — far cheaper than
+       paying multi-round shuffle scheduling, the same runtime adaptivity
+       AQE applies to small join sides. Set ``small_graph_edges=0`` to
+       force the distributed path.
+    2. **Everything else**: iterative min-label propagation — each round
+       every node takes the min of its own label and its neighbors'
+       labels, pure joins + groupBy converging in O(component diameter)
+       rounds (near-dup graphs are clique-heavy, so typically 2–3).
+       Round 1 needs no join at all: with labels initialized to the node
+       id, the first propagation is exactly ``min(node, min(neighbors))``
+       — one groupBy over the edge list. Later rounds are one
+       join+groupBy each, localCheckpoint()ed so lineage stays flat, and
+       the convergence check rides the SAME action that materializes the
+       checkpoint (one Spark job per round, not two).
+
+    At 100 TB each distributed round is one shuffle of |E| + |V|; the
+    threshold keeps that path in charge whenever the pair stream is big.
     """
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
@@ -552,34 +608,32 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    if edges.count() <= small_graph_edges:
+        return _cc_union_find_local(edges)
+
+    # Round 1, join-free: label(node) = min(node, min over neighbors).
     labels = (
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
+        edges.groupBy(F.col("dst").alias("node"))
+        .agg(F.least(F.col("node"), F.min("src")).alias("component"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    n_changed = -1
+    for _ in range(max_iter - 1):
         neighbor_min = (
-            edges.join(
-                labels.withColumnRenamed("node", "src"), "src"
-            )
+            edges.join(labels.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("__nbr_min"))
         )
-        updated = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("component"), F.coalesce("__nbr_min", "component")
-                ).alias("component"),
-                (
-                    F.coalesce("__nbr_min", "component")
-                    < F.col("component")
-                ).alias("__chg"),
-            )
-            .localCheckpoint(eager=True)
-        )
+        updated = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("__nbr_min", "component")
+            ).alias("component"),
+            (F.coalesce("__nbr_min", "component") < F.col("component")).alias(
+                "__chg"
+            ),
+        ).localCheckpoint(eager=False)
+        # One action: materializes the checkpoint AND tests convergence.
         n_changed = updated.filter(F.col("__chg")).count()
         labels = updated.drop("__chg")
         if n_changed == 0:

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from extract_transform_load_template_multidb_spark.operators import curation as cu
@@ -116,9 +117,12 @@ def test_curation_stays_jvm_side(spark, sf_dir):
         assert "ArrowEvalPython" not in plan
 
 
-def test_connected_components_chain_and_cliques(spark):
+@pytest.mark.parametrize("small_graph_edges", [4_000_000, 0])
+def test_connected_components_chain_and_cliques(spark, small_graph_edges):
     """A 4-chain (diameter > 1 — needs multiple propagation rounds), a
-    triangle, and an isolated pair each collapse to their min id."""
+    triangle, and an isolated pair each collapse to their min id — on both
+    the driver union-find fast path and the distributed label-propagation
+    loop (small_graph_edges=0 forces the latter)."""
     from extract_transform_load_template_multidb_spark.operators import (
         dedup as dd,
     )
@@ -133,7 +137,9 @@ def test_connected_components_chain_and_cliques(spark):
     )
     got = {
         r["node"]: r["component"]
-        for r in dd.connected_components(pairs).collect()
+        for r in dd.connected_components(
+            pairs, small_graph_edges=small_graph_edges
+        ).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
@@ -170,8 +176,12 @@ def test_connected_components_raises_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
     )
+    # small_graph_edges=0 forces the distributed loop — the union-find
+    # fast path has no iteration budget to exhaust.
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(chain, max_iter=2)
+        dd.connected_components(chain, max_iter=2, small_graph_edges=0)
     # and converges fine with enough rounds
-    got = dd.connected_components(chain, max_iter=10).collect()
+    got = dd.connected_components(
+        chain, max_iter=10, small_graph_edges=0
+    ).collect()
     assert all(r["component"] == 0 for r in got)

@@ -247,8 +247,12 @@ def test_connected_components_match_python_union_find(spark, pairs):
     want = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    # Force the distributed label-propagation loop: the small-graph fast
+    # path IS a union-find, so testing it against one proves little.
     got = {
         r["node"]: r["component"]
-        for r in dd.connected_components(df).collect()
+        for r in dd.connected_components(
+            df, small_graph_edges=0
+        ).collect()
     }
     assert got == want
