@@ -136,3 +136,47 @@ def etl_nvarchar_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("text").rlike("[^a-zA-Z0-9]"), F.lit(1)).otherwise(F.lit(0))
         ).alias("needs_nvarchar")
     )
+
+
+_SINK_W7_ORACLE = """
+SELECT o_orderkey, o_orderdate, o_totalprice
+FROM orders WHERE o_orderdate < DATE '1997-01-01'
+UNION ALL
+SELECT o_orderkey, o_orderdate, o_totalprice * 2
+FROM orders WHERE o_orderdate >= DATE '1997-01-01'
+"""
+
+
+@query("sink_window_overwrite_roundtrip", oracle=_SINK_W7_ORACLE)
+def sink_window_overwrite_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """W7 idempotent window reload, proven by hash on the read-back: load
+    the full orders table into a parquet sink, then window-overwrite the
+    1997+ window with a re-extract whose prices doubled (a visible
+    "corrected upstream data" stand-in), TWICE — the second run must be a
+    no-op on the final state (the reference's Method-2 delete+append
+    would double the window instead; ``Template-to-BigQuery/
+    Dynamics365-to-BigQuery-Method-2.py:86-91`` is the idempotent form).
+    Oracle: history below the cutoff unioned with the doubled window.
+    """
+    import tempfile
+
+    from extract_transform_load_template_multidb_spark.sinks import (
+        ParquetSink,
+    )
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    cutoff = "1997-01-01"
+    reextract = base.filter(
+        F.col("o_orderdate") >= F.lit(cutoff).cast("date")
+    ).withColumn("o_totalprice", F.col("o_totalprice") * 2)
+    path = tempfile.mkdtemp(prefix="sink_w7_") + "/orders_tbl"
+    sink = ParquetSink(path)
+    sink.overwrite(base)
+    sink.window_overwrite(reextract, "o_orderdate", cutoff, spark)
+    # Idempotency: replaying the same window extract changes nothing.
+    sink.window_overwrite(reextract, "o_orderdate", cutoff, spark)
+    return spark.read.parquet(path)

@@ -61,6 +61,111 @@ def scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SCD2_MERGE_ORACLE = """
+WITH hist_src AS (
+    SELECT * FROM orders WHERE o_orderdate < DATE '1997-01-01'
+),
+flagged AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate,
+           CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                  OR lag(o_orderpriority) OVER w <> o_orderpriority
+                THEN 1 ELSE 0 END AS chg
+    FROM hist_src
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderpriority)
+),
+runs AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate,
+           SUM(chg) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderpriority
+                          ROWS UNBOUNDED PRECEDING) AS run
+    FROM flagged
+),
+per_run AS (
+    SELECT o_custkey, run,
+           min(o_orderpriority) AS o_orderpriority,
+           min(o_orderdate) AS valid_from
+    FROM runs GROUP BY o_custkey, run
+),
+target AS (
+    SELECT o_custkey, o_orderpriority, valid_from,
+           lead(valid_from) OVER w2 AS valid_to,
+           lead(valid_from) OVER w2 IS NULL AS is_current
+    FROM per_run
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, run)
+),
+snap AS (
+    SELECT o_custkey, o_orderpriority AS new_attr
+    FROM (SELECT o_custkey, o_orderpriority,
+                 row_number() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate DESC,
+                                             o_orderkey DESC) AS rn
+          FROM orders WHERE o_orderdate >= DATE '1997-01-01')
+    WHERE rn = 1
+),
+cur AS (SELECT * FROM target WHERE is_current),
+j AS (
+    SELECT c.o_custkey, c.o_orderpriority, c.valid_from, c.valid_to,
+           c.is_current, s.new_attr,
+           s.o_custkey IS NOT NULL AS present
+    FROM cur c LEFT JOIN snap s ON s.o_custkey = c.o_custkey
+)
+SELECT o_custkey, o_orderpriority, valid_from, valid_to, is_current
+FROM target WHERE NOT is_current
+UNION ALL
+SELECT o_custkey, o_orderpriority, valid_from, valid_to, is_current
+FROM j WHERE NOT (present AND (new_attr IS DISTINCT FROM o_orderpriority))
+UNION ALL
+SELECT o_custkey, o_orderpriority, valid_from,
+       DATE '1998-01-01', FALSE
+FROM j WHERE present AND (new_attr IS DISTINCT FROM o_orderpriority)
+UNION ALL
+SELECT o_custkey, new_attr, DATE '1998-01-01', CAST(NULL AS DATE), TRUE
+FROM j WHERE present AND (new_attr IS DISTINCT FROM o_orderpriority)
+UNION ALL
+SELECT s.o_custkey, s.new_attr, DATE '1998-01-01', CAST(NULL AS DATE), TRUE
+FROM snap s
+WHERE s.o_custkey NOT IN (SELECT o_custkey FROM target)
+"""
+
+
+@query("scd2_merge_snapshot", oracle=_SCD2_MERGE_ORACLE)
+def scd2_merge_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a full-snapshot refresh to an SCD2 dimension (the reference's
+    overwrite-style reload, W7 analogue, made history-preserving): the
+    target is the priority history built from pre-1997 orders; the
+    snapshot is each customer's latest 1997+ priority. Changed keys get
+    their current row closed at the snapshot date and a new open row;
+    new keys open; unchanged and historical rows pass through — unions of
+    narrow key joins, no row-wise MERGE loop."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cut = F.lit("1997-01-01").cast("date")
+    target = scd.scd2_from_history(
+        orders.filter(F.col("o_orderdate") < cut),
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+    )
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    snapshot = (
+        orders.filter(F.col("o_orderdate") >= cut)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("o_custkey", "o_orderpriority")
+    )
+    return scd.scd2_merge(
+        target,
+        snapshot,
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        snapshot_ts=F.lit("1998-01-01").cast("date"),
+    )
+
+
 _DQ_NULLS_ORACLE = """
 SELECT 'user_id' AS "column",
        count(CASE WHEN user_id IS NULL THEN 1 END) AS n_null,

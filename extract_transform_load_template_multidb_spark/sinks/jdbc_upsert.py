@@ -18,7 +18,7 @@ from collections.abc import Callable, Iterable, Iterator
 
 from pyspark.sql import DataFrame, Row
 
-DIALECTS = ("mysql", "postgresql", "sqlite")
+DIALECTS = ("mysql", "postgresql", "sqlite", "sqlserver")
 
 
 def upsert_sql(
@@ -35,17 +35,37 @@ def upsert_sql(
                  ``PgSQL-to-MySQL-Method-1.py:77-81``)
     postgresql → INSERT ... ON CONFLICT (keys) DO UPDATE SET col=EXCLUDED.col
     sqlite     → same as postgresql (ON CONFLICT syntax), '?' placeholders
+    sqlserver  → MERGE INTO t WITH (HOLDLOCK) USING (VALUES ...) AS src
+                 ON key-match WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT
+                 (T-SQL has no ON CONFLICT; HOLDLOCK closes the classic
+                 MERGE race where two concurrent upserts both miss the
+                 match and double-insert)
 
     When every column is a key there is nothing to update on conflict; the
     dialect's no-op form is emitted instead (MySQL: ``key=key`` assignment —
-    an empty UPDATE list is a syntax error; PG/SQLite: ``DO NOTHING``), so
-    the statement stays valid and the upsert degrades to insert-if-absent.
+    an empty UPDATE list is a syntax error; PG/SQLite: ``DO NOTHING``;
+    SQL Server: the WHEN MATCHED branch is dropped), so the statement stays
+    valid and the upsert degrades to insert-if-absent.
     """
     if dialect not in DIALECTS:
         raise ValueError(f"unknown dialect {dialect!r}; supported: {DIALECTS}")
     non_keys = [c for c in columns if c not in keys]
     cols_sql = ", ".join(columns)
     vals_sql = ", ".join([placeholder] * len(columns))
+    if dialect == "sqlserver":
+        on_sql = " AND ".join(f"tgt.{k}=src.{k}" for k in keys)
+        matched = ""
+        if non_keys:
+            sets = ", ".join(f"tgt.{c}=src.{c}" for c in non_keys)
+            matched = f" WHEN MATCHED THEN UPDATE SET {sets}"
+        src_cols = ", ".join(f"src.{c}" for c in columns)
+        return (
+            f"MERGE INTO {table} WITH (HOLDLOCK) AS tgt "
+            f"USING (VALUES ({vals_sql})) AS src ({cols_sql}) "
+            f"ON {on_sql}{matched} "
+            f"WHEN NOT MATCHED THEN INSERT ({cols_sql}) "
+            f"VALUES ({src_cols});"
+        )
     base = f"INSERT INTO {table} ({cols_sql}) VALUES ({vals_sql})"
     if dialect == "mysql":
         if not non_keys:
@@ -82,7 +102,10 @@ class JdbcUpsertWriter:
         self.keys = list(keys)
         self.dialect = dialect
         self.batch_size = batch_size
-        self.placeholder = placeholder or ("?" if dialect == "sqlite" else "%s")
+        # sqlite + sqlserver(pyodbc) are qmark-style DB-API drivers.
+        self.placeholder = placeholder or (
+            "?" if dialect in ("sqlite", "sqlserver") else "%s"
+        )
 
     def write(self, df: DataFrame) -> None:
         columns = list(df.columns)

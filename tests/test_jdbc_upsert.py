@@ -42,6 +42,40 @@ def test_upsert_sql_postgresql():
     )
 
 
+def test_upsert_sql_sqlserver_merge():
+    sql = upsert_sql("t", ["id", "a", "b"], ["id"], "sqlserver", "?")
+    assert sql == (
+        "MERGE INTO t WITH (HOLDLOCK) AS tgt "
+        "USING (VALUES (?, ?, ?)) AS src (id, a, b) "
+        "ON tgt.id=src.id "
+        "WHEN MATCHED THEN UPDATE SET tgt.a=src.a, tgt.b=src.b "
+        "WHEN NOT MATCHED THEN INSERT (id, a, b) "
+        "VALUES (src.id, src.a, src.b);"
+    )
+
+
+def test_upsert_sql_sqlserver_composite_key_and_qmark_default():
+    # Writer default placeholder for sqlserver is qmark (pyodbc).
+    w = JdbcUpsertWriter(lambda: None, "t", keys=["k1", "k2"],
+                         dialect="sqlserver")
+    assert w.placeholder == "?"
+    sql = upsert_sql("s.t", ["k1", "k2", "v"], ["k1", "k2"], "sqlserver", "?")
+    assert "ON tgt.k1=src.k1 AND tgt.k2=src.k2" in sql
+    assert "UPDATE SET tgt.v=src.v" in sql
+
+
+def test_upsert_sql_sqlserver_all_keys_drops_matched_branch():
+    sql = upsert_sql("t", ["a", "b"], ["a", "b"], "sqlserver", "?")
+    assert "WHEN MATCHED" not in sql
+    assert sql == (
+        "MERGE INTO t WITH (HOLDLOCK) AS tgt "
+        "USING (VALUES (?, ?)) AS src (a, b) "
+        "ON tgt.a=src.a AND tgt.b=src.b "
+        "WHEN NOT MATCHED THEN INSERT (a, b) "
+        "VALUES (src.a, src.b);"
+    )
+
+
 def test_jdbc_upsert_roundtrip(spark, tmp_path):
     db = os.path.join(tmp_path, "target.db")
     factory = functools.partial(_connect, db)
