@@ -297,20 +297,26 @@ def ivf_topk(
     nprobe: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: score only vectors in the query's ``nprobe``
     nearest inverted-file cells.
 
-    Output: (query_id, neighbor_id, rnk, cosine). Centroids here are the
-    first ``n_centroids`` corpus vectors — a deterministic stand-in for a
-    trained coarse quantizer (swap in MLlib KMeans centers at scale; the
-    plan shape is identical). The inverted file is the ``cell`` equi-join:
-    per query, candidates shrink to the probed cells' posting lists —
-    recall is tuned by ``nprobe`` at linear cost, exactly DiskANN/FAISS-IVF
-    economics on a cluster.
+    Output: (query_id, neighbor_id, rnk, cosine). ``centroids`` (a frame
+    with the same ``id_col``/``vec_col`` schema as the corpus — e.g. MLlib
+    KMeans cluster centers with row-number ids) defines the inverted-file
+    cells; when omitted, the first ``n_centroids`` corpus vectors stand in
+    as a deterministic untrained quantizer (same plan shape, lower recall —
+    recall vs brute force is pinned in ``tests/test_similarity.py``). The
+    inverted file is the ``cell`` equi-join: per query, candidates shrink
+    to the probed cells' posting lists — recall is tuned by ``nprobe`` at
+    linear cost, exactly DiskANN/FAISS-IVF economics on a cluster.
     """
     corpus = _corpus_quantized(df, vec_col, id_col)
-    cents = corpus.filter(F.col(id_col) < n_centroids)
+    if centroids is not None:
+        cents = _corpus_quantized(centroids, vec_col, id_col)
+    else:
+        cents = corpus.filter(F.col(id_col) < n_centroids)
     assigned = ivf_assign(corpus, cents, id_col)
 
     # nprobe nearest cells per query (same scoring, rank ≤ nprobe)

@@ -400,3 +400,50 @@ def scalar_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").alias("vmin"),
         F.element_at(F.array_sort("embedding"), 1).alias("sorted_first"),
     )
+
+
+_SALTED_AGG_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       count(*) AS n_events,
+       CAST(min(event_id) AS BIGINT) AS min_event_id,
+       CAST(max(event_id) AS BIGINT) AS max_event_id
+FROM events GROUP BY event_type
+"""
+
+
+@query("agg_salted_hot_keys", oracle=_SALTED_AGG_ORACLE)
+def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key aggregation through :func:`operators.skew.salted_agg`:
+    ``event_type`` has ~5 values, so at 100 TB one reducer would own each
+    key's entire partition. The salted form spreads every key over 16
+    partial groups (first shuffle on (key, salt)), then merges 16 rows
+    per key (second shuffle) — identical algebraic result, no single-task
+    hot spot. Decimal routing keeps the double sum exact under either
+    grouping, so the oracle (a plain GROUP BY) hash-matches."""
+    from extract_transform_load_template_multidb_spark.operators.skew import (
+        salted_agg,
+    )
+    from extract_transform_load_template_multidb_spark.queries._util import (
+        DEC,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_agg(
+        ev,
+        keys=["event_type"],
+        partial_aggs=[
+            F.sum(F.col("value").cast(DEC)).alias("__psum"),
+            F.count(F.lit(1)).alias("__pcnt"),
+            F.min("event_id").alias("__pmin"),
+            F.max("event_id").alias("__pmax"),
+        ],
+        merge_aggs=[
+            F.sum("__psum").cast("double").alias("sum_value"),
+            F.sum("__pcnt").alias("n_events"),
+            F.min("__pmin").alias("min_event_id"),
+            F.max("__pmax").alias("max_event_id"),
+        ],
+        salt_from=["event_id"],
+        n_salts=16,
+    )

@@ -166,3 +166,21 @@ def test_null_profile_is_one_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_null_profile_events")
     assert plan.count("FileScan") == 1
     assert _n_exchanges(plan) == 1
+
+
+def test_salted_agg_two_level(spark, sf_dir):
+    """The salted hot-key aggregation must shuffle twice — first on
+    (key, salt) so no reducer owns a whole hot key, then on the key to
+    merge n_salts partial rows — with map-side partial aggregation
+    around both exchanges."""
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_salted_hot_keys")
+    assert re.search(
+        r"Exchange hashpartitioning\(event_type#\d+, __salt#\d+", plan
+    ), "first shuffle must key on (event_type, __salt)"
+    assert re.search(
+        r"Exchange hashpartitioning\(event_type#\d+, \d+\)", plan
+    ), "second shuffle must key on event_type alone"
+    # Four HashAggregate nodes: partial+final for each of the two levels.
+    assert plan.count("HashAggregate") >= 4
