@@ -47,6 +47,8 @@ HEADLINE = [
     "sim_cosine_topk_bruteforce",
     "sim_cosine_topk_lsh",
     "text_quality_score",
+    "text_lang_id",
+    "agg_salted_hot_keys",
     "curation_chunk_documents",
     "curation_pack_sequences",
     "scd2_priority_history",

@@ -131,37 +131,36 @@ def lang_id_scores(
 ) -> DataFrame:
     """Stopword-hit language ID: per-doc hit count per language + argmax.
 
-    Explode tokens once PER DISTINCT TEXT (exact duplicates share the
-    result), broadcast-join the ~40-row lexicon, pivot to one column per
-    language, argmax with alphabetical tiebreak, ``und`` for zero hits.
-    The corpus-side shuffle is one groupBy(doc_id) at distinct-text scale.
+    Fully narrow: per language, the hit count (with multiplicity) is
+    ``size(filter(tokens, w -> w IN lexicon))`` — a JVM array expression
+    over each row's token array. No explode, no join, no groupBy, no
+    duplicate-collapse round-trip: ZERO exchanges, so at 100 TB this is a
+    pure map over the corpus scan (the earlier explode→broadcast-join→
+    pivot form paid a corpus-scale shuffle on doc_id for the same
+    numbers; the lexicon is ~10 words/language, far below the threshold
+    where a broadcast-join lookup would win). Argmax breaks ties
+    alphabetically; zero hits in every language → ``und``.
     """
-    spark = df.sparkSession
-    groups, reps = _collapse_by_text(df, text_col, id_col)
-    toks = reps.select(
-        F.col(id_col), F.explode(tokenize(F.col(text_col))).alias("w")
-    )
-    hits = toks.join(F.broadcast(lang_lexicon_df(spark)), "w")
-    per_lang = hits.groupBy(id_col).agg(
-        *[
-            F.sum(F.when(F.col("lang_cand") == lang, 1).otherwise(0)).alias(
-                f"hits_{lang}"
-            )
-            for lang in _LANGS
-        ]
-    )
-    out = reps.select(F.col(id_col)).join(per_lang, id_col, "left")
-    out = out.na.fill({f"hits_{lang}": 0 for lang in _LANGS})
+    toks = tokenize(F.col(text_col))
+
+    def _hits(words: tuple[str, ...]) -> Column:
+        # A one-arg lambda is required: F.filter infers lambda arity, so a
+        # `lang=lang` default would make it pass the array index too.
+        return F.size(F.filter(toks, lambda w: w.isin(*words)))
+
+    hit_cols = [
+        _hits(LANG_LEXICON[lang]).alias(f"hits_{lang}") for lang in _LANGS
+    ]
+    out = df.select(F.col(id_col), *hit_cols)
     best = F.greatest(*[F.col(f"hits_{lang}") for lang in _LANGS])
     label = F.when(best == 0, F.lit("und"))
     for lang in _LANGS:  # alphabetical: first max wins
         label = label.when(F.col(f"hits_{lang}") == best, F.lit(lang))
-    rep_out = out.select(
+    return out.select(
         F.col(id_col),
         *[F.col(f"hits_{lang}") for lang in _LANGS],
         label.alias("lang_pred"),
     )
-    return _expand_to_docs(rep_out, groups, id_col)
 
 
 def _hex_prefix_long(col: Column, nibbles: int) -> Column:

@@ -184,3 +184,12 @@ def test_salted_agg_two_level(spark, sf_dir):
     ), "second shuffle must key on event_type alone"
     # Four HashAggregate nodes: partial+final for each of the two levels.
     assert plan.count("HashAggregate") >= 4
+
+
+def test_lang_id_is_exchange_free(spark, sf_dir):
+    """Language ID must be a pure narrow map over the documents scan —
+    per-language array-filter hit counts, no explode/join/groupBy. Any
+    exchange here is a corpus-scale shuffle at 100 TB."""
+    plan = _plan(spark, sf_dir, "text_lang_id")
+    assert _n_exchanges(plan) == 0
+    assert plan.count("FileScan") == 1
