@@ -54,6 +54,10 @@ HEADLINE = [
     "scd2_priority_history",
     "dq_null_profile_events",
     "mm_extract_features",
+    "ts_resample_carry_forward",
+    "scalar_map_ops",
+    "pyfunc_vec_l2_norm",
+    "pyfunc_grouped_median",
 ]
 
 

@@ -180,8 +180,11 @@ def signlsh_bucket(vec_q: Column, num_planes: int) -> Column:
     ).otherwise(vec_q)
     bits = []
     for p in range(num_planes):
+        # One array Literal per plane (not 512 element literals): keeps
+        # the expression tree ~num_planes nodes, so plan build/analysis
+        # stays O(planes) instead of O(planes × _MAX_DIM).
         signs = F.slice(
-            F.array(*[F.lit(s) for s in _plane_signs(p)]),
+            F.lit(_plane_signs(p)),
             1,
             F.size(vec_q),
         )

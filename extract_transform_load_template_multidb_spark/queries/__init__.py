@@ -70,6 +70,7 @@ def _load_all() -> None:
         etl,
         governance,
         multimodal,
+        pyfunc,
         relational,
         time_windows,
     )

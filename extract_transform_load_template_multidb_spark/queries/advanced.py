@@ -447,3 +447,44 @@ def agg_salted_hot_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
         salt_from=["event_id"],
         n_salts=16,
     )
+
+
+_MAP_OPS_ORACLE = """
+SELECT user_id,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+       CAST(count(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+           AS n_click,
+       CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+           AS n_purchase
+FROM events GROUP BY user_id
+"""
+
+
+@query("scalar_map_ops", oracle=_MAP_OPS_ORACLE)
+def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column functions: build a per-user event_type→count map
+    with ``map_from_entries``, then read it back with ``size``/
+    ``element_at`` — all JVM map expressions (maps themselves never leave
+    the plan: the driver compare can't hash them, and a map column in a
+    100 TB sink is an anti-pattern anyway; project scalars out). One
+    two-key shuffle + one user-key shuffle, both partial-aggregated.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("m")
+    )
+    return maps.select(
+        "user_id",
+        F.size(F.map_keys(F.col("m"))).cast("long").alias("n_types"),
+        F.coalesce(F.element_at("m", F.lit("click")), F.lit(0))
+        .cast("long")
+        .alias("n_click"),
+        F.coalesce(F.element_at("m", F.lit("purchase")), F.lit(0))
+        .cast("long")
+        .alias("n_purchase"),
+    )

@@ -1,0 +1,112 @@
+"""Arrow-batched Python UDF surface: pandas_udf and applyInPandas demos.
+
+The engine's rule is built-ins first (every other query in this package is
+pure JVM); these two queries exist to pin the SANCTIONED Python escape
+hatch — Arrow-batched ``pandas_udf`` / ``applyInPandas``, never
+row-at-a-time ``udf`` — with the same oracle-hash correctness bar as the
+JVM operators. Both are designed for bit-exact cross-engine math so the
+DuckDB oracle hash-matches despite the Python hop:
+
+- the vector norm works in the quantized-integer domain (exact int64
+  sums, one final sqrt), the same trick :mod:`..operators.similarity`
+  uses for cosine;
+- the grouped median is an order statistic (no accumulation), so pandas
+  and DuckDB produce the identical double.
+
+Reference parity note: the reference's pandas usage is row-format
+conversion inside Airflow tasks (e.g. ``Template-to-MySQL/
+BigQuery-to-MySQL-Method-1.py`` fetch→DataFrame→executemany); this is the
+Spark-native analogue — pandas at the executor edge, Arrow on the wire,
+plan stays distributed.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql.functions import pandas_udf
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.queries import query
+
+_NORM_ORACLE = """
+SELECT vec_id,
+       CAST(SQRT(CAST(list_sum(
+           list_transform(embedding,
+                          x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                               * CAST(FLOOR(CAST(x AS DOUBLE) * 1000) AS BIGINT))
+       ) AS DOUBLE)) AS DOUBLE) / 1000.0 AS l2_norm
+FROM embeddings
+"""
+
+
+@query("pyfunc_vec_l2_norm", oracle=_NORM_ORACLE)
+def pyfunc_vec_l2_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm of each embedding via an Arrow-batched scalar pandas_udf.
+
+    numpy does the math per Arrow batch (vectorized, ~10-100× the
+    row-at-a-time ``udf`` path); quantizing to int64 first makes the sum
+    exact, so numpy's reassociated summation cannot drift from DuckDB's
+    sequential ``list_sum`` — the one final ``sqrt`` is the same IEEE op
+    in both engines. At 100 TB this is a narrow map: no shuffle, Arrow
+    batch size bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``.
+    """
+    import numpy as np
+
+    @pandas_udf("double")
+    def l2_quant(vecs: pd.Series) -> pd.Series:
+        out = []
+        for v in vecs:
+            q = np.floor(np.asarray(v, dtype=np.float64) * 1000.0).astype(
+                np.int64
+            )
+            out.append(float(np.sqrt(float((q * q).sum()))) / 1000.0)
+        return pd.Series(out, dtype="float64")
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", l2_quant(F.col("embedding")).alias("l2_norm"))
+
+
+_MEDIAN_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n,
+       median(value) AS median_value,
+       CAST(min(value) AS DOUBLE) AS min_value,
+       CAST(max(value) AS DOUBLE) AS max_value
+FROM events GROUP BY event_type
+"""
+
+
+@query("pyfunc_grouped_median", oracle=_MEDIAN_ORACLE)
+def pyfunc_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type exact median via ``applyInPandas`` (grouped-map UDAF
+    shape: whole group → pandas frame → one summary row).
+
+    The median is an order statistic — sort + pick (plus one midpoint
+    average for even counts, the identical IEEE op in pandas and DuckDB) —
+    so no float accumulation can drift. SCALE HONESTY: groupBy(low-card
+    key).applyInPandas materializes each group in one executor's memory;
+    that is the right tool for many medium groups (per-tenant, per-day
+    stats), and the wrong one for 5 groups × 20 TB — there you shard the
+    key (salt + merge of sorted runs) or accept ``approx_percentile``.
+    This query pins the exact-UDAF surface at oracle scale.
+    """
+
+    def _summary(pdf: pd.DataFrame) -> pd.DataFrame:
+        vals = pdf["value"]
+        return pd.DataFrame(
+            {
+                "event_type": [pdf["event_type"].iloc[0]],
+                "n": [len(pdf)],
+                "median_value": [float(vals.median())],
+                "min_value": [float(vals.min())],
+                "max_value": [float(vals.max())],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").applyInPandas(
+        _summary,
+        "event_type string, n bigint, median_value double, "
+        "min_value double, max_value double",
+    )

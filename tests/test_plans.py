@@ -193,3 +193,15 @@ def test_lang_id_is_exchange_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_lang_id")
     assert _n_exchanges(plan) == 0
     assert plan.count("FileScan") == 1
+
+
+def test_pyfunc_queries_are_arrow_batched(spark, sf_dir):
+    """The pyfunc demo queries must plan as Arrow-batched Python nodes
+    (ArrowEvalPython / FlatMapGroupsInPandas) — BatchEvalPython anywhere
+    means a row-at-a-time pickle loop snuck into the engine."""
+    plan = _plan(spark, sf_dir, "pyfunc_vec_l2_norm")
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    plan2 = _plan(spark, sf_dir, "pyfunc_grouped_median")
+    assert "FlatMapGroupsInPandas" in plan2
+    assert "BatchEvalPython" not in plan2
