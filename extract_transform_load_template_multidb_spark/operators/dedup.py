@@ -563,12 +563,105 @@ def _cc_union_find_local(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, schema=schema)
 
 
+def _cc_star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14 — public
+    algorithm): converges in O(log n) rounds regardless of component
+    DIAMETER, where min-label propagation needs O(diameter) rounds.
+
+    Each round rewrites the edge set:
+
+    - **large-star** (per node u, m = min of u and its neighbors): every
+      neighbor v > u re-attaches to m — long tails fold toward small ids;
+    - **small-star** (per node u over its ≤-neighbors): all of them plus
+      u attach to their minimum — stars flatten.
+
+    Both steps preserve connectivity and strictly shrink a potential
+    function, and the fixed point is a disjoint union of stars centered
+    at each component's minimum id. Convergence is detected by an
+    (edge-count, order-insensitive checksum) pair riding the same action
+    that materializes the round's checkpoint — one job per round. Per
+    round the cost is two groupBys + one dedup over |E| — ~3 shuffles vs
+    label-prop's 1, which is why this is the HIGH-DIAMETER strategy, not
+    the default: near-dup graphs are clique-heavy (diameter 2–3) and
+    cheaper under label-prop.
+
+    ``edges`` must be the symmetrized, deduped, self-loop-free directed
+    view (both (a,b) and (b,a) present). Output: (node, component).
+    """
+    # Canonical undirected form: src > dst (every edge once, larger first).
+    cur = edges.filter(F.col("src") > F.col("dst")).localCheckpoint(
+        eager=True
+    )
+    prev_sig: tuple = (-1, -1)
+    for _ in range(max_iter):
+        sym = cur.unionByName(
+            cur.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        # Large-star: neighbors v > u attach to m = min(Γ(u) ∪ {u}).
+        lmins = sym.groupBy("src").agg(F.min("dst").alias("__mn")).select(
+            "src", F.least(F.col("__mn"), F.col("src")).alias("__m")
+        )
+        large = (
+            sym.join(lmins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+        )
+        # Small-star on the large-star output: per node u (larger end),
+        # all ≤-neighbors and u itself attach to their minimum.
+        ssym = large.filter(F.col("src") > F.col("dst"))
+        smins = ssym.groupBy("src").agg(F.min("dst").alias("__m"))
+        with_m = ssym.join(smins, "src")
+        small = (
+            with_m.filter(F.col("dst") != F.col("__m"))
+            .select(F.col("dst").alias("src"), F.col("__m").alias("dst"))
+            .unionByName(
+                smins.select(F.col("src"), F.col("__m").alias("dst"))
+            )
+            .filter(F.col("src") != F.col("dst"))
+        )
+        cur = (
+            small.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            )
+            .distinct()
+            .localCheckpoint(eager=False)
+        )
+        # One action: materialize checkpoint + convergence signature.
+        row = cur.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")),
+                F.lit(0).cast("decimal(38,0)"),
+            ).alias("sig"),
+        ).first()
+        sig = (row["n"], row["sig"])
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"star contraction did not converge in {max_iter} rounds — "
+            "raise max_iter (rounds needed grow with log(n))"
+        )
+    # Fixed point = stars: (src=node, dst=component-min root).
+    roots = cur.select(F.col("dst").alias("node")).distinct()
+    return cur.select(
+        F.col("src").alias("node"), F.col("dst").alias("component")
+    ).unionByName(
+        roots.select("node", F.col("node").alias("component"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iter: int = 25,
     small_graph_edges: int = 4_000_000,
+    algorithm: str = "auto",
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, component) where
     component = the minimum node id reachable through the pair graph.
@@ -578,28 +671,40 @@ def connected_components(
     (A~B, B~C must collapse to one keeper even if A~C was never a
     candidate).
 
-    Adaptive execution, smallest-first:
+    ``algorithm`` picks the strategy:
 
-    1. **Small graphs** (≤ ``small_graph_edges`` directed edges after
-       symmetrization): driver union-find over one bounded collect. At
-       the default threshold that is ≤ ~64 MB of longs — far cheaper than
-       paying multi-round shuffle scheduling, the same runtime adaptivity
-       AQE applies to small join sides. Set ``small_graph_edges=0`` to
-       force the distributed path.
-    2. **Everything else**: iterative min-label propagation — each round
-       every node takes the min of its own label and its neighbors'
-       labels, pure joins + groupBy converging in O(component diameter)
-       rounds (near-dup graphs are clique-heavy, so typically 2–3).
-       Round 1 needs no join at all: with labels initialized to the node
-       id, the first propagation is exactly ``min(node, min(neighbors))``
-       — one groupBy over the edge list. Later rounds are one
-       join+groupBy each, localCheckpoint()ed so lineage stays flat, and
-       the convergence check rides the SAME action that materializes the
-       checkpoint (one Spark job per round, not two).
+    - ``"auto"`` (default): small graphs (≤ ``small_graph_edges``
+      directed edges after symmetrization) run driver union-find over
+      one bounded collect — at the default threshold ≤ ~64 MB of longs,
+      far cheaper than multi-round shuffle scheduling (the same runtime
+      adaptivity AQE applies to small join sides); everything else runs
+      ``"label"``. Set ``small_graph_edges=0`` to force distributed.
+    - ``"label"``: iterative min-label propagation — each round every
+      node takes the min of its own and its neighbors' labels, one
+      join+groupBy per round, converging in O(component DIAMETER) rounds.
+      The right default for near-dup graphs, which are clique-heavy
+      (diameter 2–3). Round 1 is join-free (``min(node, min(neighbors))``
+      — one groupBy over the edge list); rounds are localCheckpoint()ed
+      so lineage stays flat, and the convergence check rides the SAME
+      action that materializes the checkpoint (one job per round).
+    - ``"star"``: alternating large-star/small-star contraction
+      (:func:`_cc_star_contraction`) — O(log n) rounds independent of
+      diameter, ~3 shuffles per round. Choose it for chain/mesh-shaped
+      graphs (similarity time-series, citation paths) where diameter ≫
+      log n; the unit tests pin a 400-node path graph that label-prop
+      cannot finish in 25 rounds and star finishes in ~5.
+    - ``"local"``: force the driver union-find (caller asserts the graph
+      is small).
 
-    At 100 TB each distributed round is one shuffle of |E| + |V|; the
-    threshold keeps that path in charge whenever the pair stream is big.
+    At 100 TB each label round is one shuffle of |E| + |V|, each star
+    round ~3·|E|; the threshold keeps the collect path in charge only
+    when the pair stream is provably tiny.
     """
+    if algorithm not in ("auto", "label", "star", "local"):
+        raise ValueError(
+            f"unknown algorithm {algorithm!r}; "
+            "expected auto | label | star | local"
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(
@@ -608,8 +713,12 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= small_graph_edges:
+    if algorithm == "local" or (
+        algorithm == "auto" and edges.count() <= small_graph_edges
+    ):
         return _cc_union_find_local(edges)
+    if algorithm == "star":
+        return _cc_star_contraction(edges, max_iter)
 
     # Round 1, join-free: label(node) = min(node, min over neighbors).
     labels = (

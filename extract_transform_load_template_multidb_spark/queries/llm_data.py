@@ -849,6 +849,20 @@ def dedup_clusters_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.connected_components(pairs)
 
 
+@query("dedup_clusters_star", oracle=_CLUSTERS_ORACLE)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same transitive closure as dedup_clusters_ngram, computed with the
+    alternating large-star/small-star contraction (O(log n) rounds
+    independent of graph diameter — the strategy for chain/mesh-shaped
+    pair graphs where label propagation's O(diameter) rounds blow up;
+    see operators/dedup.py:_cc_star_contraction). Identical output by
+    construction, proven against the same recursive-CTE oracle."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return dd.connected_components(pairs, algorithm="star")
+
+
 _MH_CLUSTERS_ORACLE = (
     "WITH RECURSIVE "
     + _MINHASH_CHAIN

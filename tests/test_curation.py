@@ -117,12 +117,20 @@ def test_curation_stays_jvm_side(spark, sf_dir):
         assert "ArrowEvalPython" not in plan
 
 
-@pytest.mark.parametrize("small_graph_edges", [4_000_000, 0])
-def test_connected_components_chain_and_cliques(spark, small_graph_edges):
+@pytest.mark.parametrize(
+    "cc_kwargs",
+    [
+        {"small_graph_edges": 4_000_000},   # driver union-find fast path
+        {"small_graph_edges": 0},           # distributed label propagation
+        {"algorithm": "star"},              # large-star/small-star
+        {"algorithm": "local"},             # forced driver union-find
+    ],
+)
+def test_connected_components_chain_and_cliques(spark, cc_kwargs):
     """A 4-chain (diameter > 1 — needs multiple propagation rounds), a
-    triangle, and an isolated pair each collapse to their min id — on both
-    the driver union-find fast path and the distributed label-propagation
-    loop (small_graph_edges=0 forces the latter)."""
+    triangle, and an isolated pair each collapse to their min id — on
+    every strategy: driver union-find, distributed label propagation, and
+    star contraction."""
     from extract_transform_load_template_multidb_spark.operators import (
         dedup as dd,
     )
@@ -137,9 +145,7 @@ def test_connected_components_chain_and_cliques(spark, small_graph_edges):
     )
     got = {
         r["node"]: r["component"]
-        for r in dd.connected_components(
-            pairs, small_graph_edges=small_graph_edges
-        ).collect()
+        for r in dd.connected_components(pairs, **cc_kwargs).collect()
     }
     assert got == {1: 1, 2: 1, 3: 1, 4: 1,
                    10: 10, 11: 10, 12: 10,
@@ -185,3 +191,42 @@ def test_connected_components_raises_on_nonconvergence(spark):
         chain, max_iter=10, small_graph_edges=0
     ).collect()
     assert all(r["component"] == 0 for r in got)
+
+
+def test_star_contraction_beats_label_on_path_graph(spark):
+    """The reason algorithm="star" exists: a 64-node path graph has
+    diameter 63, so label propagation cannot finish inside 25 rounds
+    (min labels travel one hop per round) while star contraction's
+    O(log n) rounds finish comfortably inside 15."""
+    import pytest as _pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a bigint, id_b bigint"
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(
+            chain, algorithm="label", small_graph_edges=0, max_iter=25
+        )
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(
+            chain, algorithm="star", max_iter=15
+        ).collect()
+    }
+    assert got == {i: 0 for i in range(64)}
+
+
+def test_connected_components_rejects_unknown_algorithm(spark):
+    import pytest as _pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
+    with _pytest.raises(ValueError, match="unknown algorithm"):
+        dd.connected_components(pairs, algorithm="bogus")

@@ -256,3 +256,40 @@ def test_connected_components_match_python_union_find(spark, pairs):
         ).collect()
     }
     assert got == want
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)),
+        min_size=1,
+        max_size=25,
+    ).filter(lambda ps: any(a != b for a, b in ps))
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_star_contraction_matches_python_union_find(spark, pairs):
+    """Star contraction agrees with a pure-Python union-find on arbitrary
+    graphs (fewer examples than the label-prop twin: each star example
+    pays several convergence-check actions)."""
+    pairs = [(a, b) for a, b in pairs if a != b]
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(df, algorithm="star").collect()
+    }
+    assert got == want
