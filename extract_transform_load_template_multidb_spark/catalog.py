@@ -34,15 +34,24 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table.
 
-    ``events.ts`` is physically TIMESTAMP(NANOS); Spark reads it as long
-    (``nanosAsLong``) and we truncate to microseconds with *integer*
-    division — float division would lose precision above 2^53 ns and
-    diverge from the DuckDB oracle's nanos→micros truncation.
+    ``events.ts`` is physically TIMESTAMP(NANOS); depending on the Spark
+    version it surfaces either as long (``nanosAsLong``, pyspark ≤3.5
+    default) — truncated here to microseconds with *integer* division
+    (float division would lose precision above 2^53 ns and diverge from
+    the DuckDB oracle's nanos→micros truncation) — or as TIMESTAMP_NTZ
+    (pyspark 4.x), which we cast to session-zoned TIMESTAMP. The session
+    timezone is pinned to UTC (``session.ensure_conf``), so the NTZ cast
+    is value-preserving and keeps ``unix_micros``/``withWatermark``
+    consumers working on every Spark version.
     """
     ensure_conf(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -47,12 +47,67 @@ def all_oracles() -> dict[str, str]:
 
 _loaded = False
 
-# The correctness driver checks queries in registry order with a bounded
-# run budget (the round-1 run stopped mid-registry). Keep the most
-# expensive query+oracle pairs LAST so a budget cut costs re-verification
-# of already-proven heavy queries, never first evidence for cheap ones.
-_CHECK_LAST = (
+# The correctness driver checks the FIRST 50 queries in registry order
+# each round. Registry order is therefore evidence policy: queries whose
+# driver evidence is missing or stale go first, the reference's §2-mapped
+# surface stays inside the window every round, and the most expensive
+# pairs go last so a budget cut re-verifies proven heavy queries rather
+# than denying first evidence to cheap ones.
+_CHECK_FIRST = (
+    # Never driver-checked through round 4 (all pass the driver's own
+    # compare logic locally) — cheap first.
+    "window_first_last_nth",
+    "scalar_text_functions",
+    "stream_interval_join",
+    "ts_resample_carry_forward",
+    "dedup_simhash",
+    "sim_cosine_topk_bruteforce",
+    "sim_cosine_topk_ivf",
     "sim_cosine_topk_lsh",
+    "text_token_counts",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "curation_scrub_pii",
+    "curation_hash_sample",
+    "curation_stratified_sample",
+    "curation_group_split",
+    "curation_chunk_documents",
+    "curation_repetition_ratio",
+    "curation_pack_sequences",
+    "dedup_clusters_ngram",
+    "dedup_clusters_star",
+    "dedup_clusters_minhash",
+    "dedup_canonical_docs",
+    "dedup_embedding_cosine",
+    # Regression fixed in round 5 (TIMESTAMP_NTZ) — needs a green row.
+    "window_lead_lag",
+    # §2-mapped reference surface: keep driver-checked every round.
+    "etl_full_snapshot",
+    "etl_window_extract",
+    "etl_retention_complement",
+    "etl_inf_null_clean",
+    "etl_nvarchar_promotion",
+    "sink_window_overwrite_roundtrip",
+    # New in round 5.
+    "curation_decontaminate",
+    "dedup_minhash_paragraphs",
+    "mm_decode_ppm",
+    # Green only in round 1 — stalest remaining evidence.
+    "window_distribution",
+    "explode_unnest",
+    "q13_order_count_distribution",
+    "q18_large_volume_orders",
+    "q2_min_cost_supplier",
+    "q16_supplier_variety",
+    "stream_tumbling_counts",
+    "stream_sliding_counts",
+    "stream_session_agg",
+    "dedup_exact_groups",
+    "dedup_exact_keep",
+)
+
+_CHECK_LAST = (
     "dedup_embedding_cosine",
     "dedup_ngram_jaccard",
     "dedup_clusters_minhash",
@@ -81,9 +136,13 @@ def _load_all() -> None:
         )
     except ImportError:
         pass
-    for name in _CHECK_LAST:
-        if name in QUERIES:
-            QUERIES[name] = QUERIES.pop(name)
-        if name in ORACLES:
-            ORACLES[name] = ORACLES.pop(name)
+    order = [n for n in _CHECK_FIRST if n in QUERIES]
+    order += [
+        n for n in QUERIES if n not in _CHECK_FIRST and n not in _CHECK_LAST
+    ]
+    order += [n for n in _CHECK_LAST if n in QUERIES and n not in _CHECK_FIRST]
+    for mapping in (QUERIES, ORACLES):
+        items = {n: mapping[n] for n in order if n in mapping}
+        mapping.clear()
+        mapping.update(items)
     _loaded = True

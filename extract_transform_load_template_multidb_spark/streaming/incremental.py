@@ -16,7 +16,7 @@ sink becomes Delta/Iceberg MERGE, the plumbing here is format-agnostic.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import StructType
 
 from extract_transform_load_template_multidb_spark.sinks.parquet_sink import (
@@ -55,6 +55,10 @@ def streaming_dedup(
     watermark passes — bounded state, unlike a global ``dropDuplicates``
     whose state grows forever on an unbounded stream.
     """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # withWatermark requires session-zoned TIMESTAMP (UTC session ⇒
+        # value-preserving cast); pyspark 4.x reads TIMESTAMP(NANOS) as NTZ.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
         list(keys)
     )

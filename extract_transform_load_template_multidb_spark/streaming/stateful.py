@@ -20,7 +20,7 @@ from collections.abc import Iterator
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 # (user_id, session_start, session_end, n_events) — session_end is
@@ -90,6 +90,10 @@ def sessionize(
         if closed:
             yield _emit(key[0], closed, gap_seconds)
 
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        # withWatermark requires session-zoned TIMESTAMP (UTC session ⇒
+        # value-preserving cast); pyspark 4.x reads TIMESTAMP(NANOS) as NTZ.
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return (
         df.withWatermark(ts_col, watermark)
         .groupBy("user_id")

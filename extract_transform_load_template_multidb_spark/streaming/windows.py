@@ -35,7 +35,13 @@ def with_watermark(
 
     Late rows beyond ``delay`` are dropped and closed windows are evicted
     from the state store — the knob that bounds streaming state at scale.
+
+    ``withWatermark`` requires a session-zoned TIMESTAMP event-time
+    column; pyspark 4.x surfaces parquet TIMESTAMP(NANOS) as
+    TIMESTAMP_NTZ, so cast first (UTC session ⇒ value-preserving).
     """
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
     return df.withWatermark(ts_col, delay) if df.isStreaming else df
 
 
