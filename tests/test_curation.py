@@ -230,3 +230,87 @@ def test_connected_components_rejects_unknown_algorithm(spark):
     pairs = spark.createDataFrame([(1, 2)], "id_a bigint, id_b bigint")
     with _pytest.raises(ValueError, match="unknown algorithm"):
         dd.connected_components(pairs, algorithm="bogus")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + paragraph splitting (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_decontaminate_counts_shared_shingles(spark):
+    corpus = spark.createDataFrame(
+        [
+            # shares two 3-gram shingles with the eval doc
+            (1, "alpha beta gamma delta epsilon"),
+            # shares one shingle → below min_shared=2
+            (2, "alpha beta gamma zeta other words here"),
+            # shares nothing
+            (3, "completely different tokens entirely unrelated"),
+            # too short for 3-grams
+            (4, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon trailing")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["n_shared"]
+        for r in cu.decontaminate(corpus, eval_df, n=3, min_shared=2).collect()
+    }
+    # doc 1 shares: "alpha beta gamma", "beta gamma delta", "gamma delta
+    # epsilon" → 3; doc 2 shares only "alpha beta gamma" → dropped.
+    assert got == {1: 3}
+
+
+def test_decontaminate_eval_union_not_per_item(spark):
+    """min_shared counts DISTINCT shingles across the whole eval set: two
+    eval items contributing one shingle each must flag the doc."""
+    corpus = spark.createDataFrame(
+        [(1, "a b c x y z q w e")], "doc_id long, text string"
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "a b c k k k"), (101, "x y z k k k")],
+        "doc_id long, text string",
+    )
+    got = cu.decontaminate(corpus, eval_df, n=3, min_shared=2).collect()
+    assert [(r["doc_id"], r["n_shared"]) for r in got] == [(1, 2)]
+
+
+def test_split_paragraphs_blank_lines(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three\n\nfour five\n \t\n\nsix")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["para_idx"], r["para_text"])
+        for r in cu.split_paragraphs(df).orderBy("para_idx").collect()
+    ]
+    assert got == [(0, "one two three"), (1, "four five"), (2, "six")]
+
+
+def test_split_paragraphs_windows_long_paragraph(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e\n\nf g")], "doc_id long, text string"
+    )
+    got = [
+        (r["para_idx"], r["para_text"])
+        for r in cu.split_paragraphs(df, max_tokens=2)
+        .orderBy("para_idx")
+        .collect()
+    ]
+    # first paragraph (5 tokens) → windows of 2: [a b][c d][e]; second → [f g]
+    assert got == [(0, "a b"), (1, "c d"), (2, "e"), (3, "f g")]
+
+
+def test_split_paragraphs_drops_tokenless_blocks(spark):
+    df = spark.createDataFrame(
+        [(1, "!!! ???\n\nreal words"), (2, ""), (3, "...")],
+        "doc_id long, text string",
+    )
+    got = [
+        (r["doc_id"], r["para_idx"], r["para_text"])
+        for r in cu.split_paragraphs(df, max_tokens=8).collect()
+    ]
+    assert got == [(1, 0, "real words")]

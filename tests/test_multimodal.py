@@ -93,3 +93,114 @@ def test_media_stats_sniffs_magic_bytes(spark):
         for r in mm.media_stats(df).collect()
     }
     assert got == {1: "jpeg", 2: "png", 3: "unknown"}
+
+
+# ---------------------------------------------------------------------------
+# Real PPM/BMP codecs (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _bmp_bytes(width, height, rows_rgb, bottom_up=True):
+    """Hand-assemble an uncompressed 24-bit BMP. ``rows_rgb`` is
+    [[(r,g,b), ...], ...] top row first."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    px = b""
+    order = reversed(rows_rgb) if bottom_up else rows_rgb
+    for row in order:
+        line = b"".join(bytes((b, g, r)) for (r, g, b) in row)
+        px += line + b"\x00" * (row_bytes - len(line))
+    data_off = 54
+    filesz = data_off + len(px)
+    hdr = b"BM" + struct.pack("<IHHI", filesz, 0, 0, data_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII",
+        40,
+        width,
+        height if bottom_up else -height,
+        1,
+        24,
+        0,
+        len(px),
+        2835,
+        2835,
+        0,
+        0,
+    )
+    return hdr + dib + px
+
+
+def test_parse_ppm_header_comments_and_pixels():
+    payload = b"P6\n# a comment\n 2 1\n# another\n255\n" + bytes(
+        [10, 20, 30, 40, 50, 60]
+    )
+    w, h, mx, px = mm.parse_ppm(payload)
+    assert (w, h, mx) == (2, 1, 255)
+    assert px.tolist() == [[[10, 20, 30], [40, 50, 60]]]
+
+
+def test_parse_ppm_16bit_maxval():
+    import struct
+
+    pix = struct.pack(">6H", 256, 512, 1024, 2048, 4096, 65535)
+    w, h, mx, px = mm.parse_ppm(b"P6 2 1 65535\n" + pix)
+    assert (w, h, mx) == (2, 1, 65535)
+    assert px.tolist() == [[[256, 512, 1024], [2048, 4096, 65535]]]
+
+
+def test_parse_ppm_malformed():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.parse_ppm(b"P5 2 1 255\n\x00\x00")  # wrong magic
+    with pytest.raises(ValueError):
+        mm.parse_ppm(b"P6 2 1 255\n\x00\x00")  # truncated pixels
+    with pytest.raises(ValueError):
+        mm.parse_ppm(b"P6 2 1")  # truncated header
+
+
+def test_parse_bmp_bottom_up_and_top_down():
+    rows = [[(1, 2, 3), (4, 5, 6)], [(7, 8, 9), (10, 11, 12)]]
+    for bottom_up in (True, False):
+        w, h, bpp, px = mm.parse_bmp(_bmp_bytes(2, 2, rows, bottom_up))
+        assert (w, h, bpp) == (2, 2, 24)
+        assert px.tolist() == [
+            [[1, 2, 3], [4, 5, 6]],
+            [[7, 8, 9], [10, 11, 12]],
+        ], bottom_up
+
+
+def test_parse_bmp_rejects_unsupported():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.parse_bmp(b"XX" + b"\x00" * 60)
+    good = _bmp_bytes(1, 1, [[(1, 2, 3)]])
+    bad_bpp = bytearray(good)
+    bad_bpp[28] = 32  # declare 32-bit
+    with pytest.raises(ValueError):
+        mm.parse_bmp(bytes(bad_bpp))
+
+
+def test_decode_images_mixed_formats_and_errors(spark):
+    ppm = b"P6 1 1 255\n\x0A\x14\x1E"
+    bmp = _bmp_bytes(1, 1, [[(100, 150, 200)]])
+    df = spark.createDataFrame(
+        [(1, ppm), (2, bmp), (3, b"garbage")],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in mm.decode_images(df).collect()}
+    assert (got[1]["mean_r"], got[1]["mean_g"], got[1]["mean_b"]) == (
+        10.0,
+        20.0,
+        30.0,
+    )
+    assert got[1]["err"] is None
+    assert (got[2]["mean_r"], got[2]["mean_g"], got[2]["mean_b"]) == (
+        100.0,
+        150.0,
+        200.0,
+    )
+    assert got[2]["err"] is None
+    assert got[3]["err"] is not None and got[3]["width"] is None

@@ -205,3 +205,31 @@ def test_pyfunc_queries_are_arrow_batched(spark, sf_dir):
     plan2 = _plan(spark, sf_dir, "pyfunc_grouped_median")
     assert "FlatMapGroupsInPandas" in plan2
     assert "BatchEvalPython" not in plan2
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark, sf_dir):
+    """Decontamination must broadcast the eval shingle set and join it
+    map-side — the corpus must NOT shuffle keyed by shingle (at 100 TB
+    that exchange would dwarf the query). The only allowed corpus
+    exchange is the per-doc hit count keyed by doc_id."""
+    import re
+
+    plan = _plan(spark, sf_dir, "curation_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    # Exactly one shingle-keyed exchange: the eval set's own distinct,
+    # nested beneath the BroadcastExchange (build side) — never the corpus.
+    shingle_ex = list(
+        re.finditer(r"Exchange hashpartitioning\(shingle#\d+", plan)
+    )
+    assert len(shingle_ex) == 1
+    assert shingle_ex[0].start() > plan.index("BroadcastExchange")
+    # The corpus-side exchange is the per-doc hit count, keyed by doc_id.
+    assert re.search(r"Exchange hashpartitioning\(doc_id#\d+", plan)
+
+
+def test_paragraph_dedup_no_cartesian(spark, sf_dir):
+    """Paragraph-level LSH must keep the banded equi-join candidate shape
+    of the document-level path — no cross/nested-loop join."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_paragraphs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -293,3 +293,56 @@ def test_star_contraction_matches_python_union_find(spark, pairs):
         for r in dd.connected_components(df, algorithm="star").collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Connected-components: all three strategies agree on random graphs
+# ---------------------------------------------------------------------------
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 24), st.integers(0, 24)),
+    min_size=1,
+    max_size=50,
+).filter(lambda es: any(a != b for a, b in es))
+
+
+def _py_components(edges):
+    """Pure-Python union-find ground truth: node → min reachable id."""
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        if a == b:
+            continue
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    return {n: find(n) for n in parent}
+
+
+@given(edges=_edges_strategy)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_cc_star_label_local_agree(spark, edges):
+    """Star contraction, label propagation, and driver union-find must
+    produce identical (node → min-id component) labelings on arbitrary
+    graphs — star/label are distributed rewrites of the same closure, and
+    a divergence on any random graph is a correctness bug in one of them
+    (only the 400-node path case was pinned before)."""
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
+    )
+    expected = _py_components(edges)
+    for algo in ("star", "label", "local"):
+        got = {
+            r["node"]: r["component"]
+            for r in dd.connected_components(pairs, algorithm=algo).collect()
+        }
+        assert got == expected, algo
