@@ -65,6 +65,10 @@ HEADLINE = [
     "curation_decontaminate",
     "dedup_minhash_paragraphs",
     "mm_decode_ppm",
+    "dedup_simhash_pairs",
+    "text_rare_ngram_ratio",
+    "curation_dedup_paragraphs",
+    "dedup_incremental_minhash",
 ]
 
 
@@ -79,13 +83,29 @@ def main() -> None:
     qs["q1_pricing_summary"](spark, sf_dir).count()
 
     repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
+    # Repeat caps for the heavy tail so the bench's wall-clock stays
+    # bounded when the driver raises SPARK_GRAFT_BENCH_REPEATS:
+    # dedup_clusters_minhash is ~3 min/run at sf0.1 (an 8.5M-pair
+    # connected-components closure) and runs once; the other multi-
+    # ten-second pair/cluster pipelines cap at min-of-2.
+    heavy = {
+        "dedup_clusters_minhash": 1,
+        "dedup_clusters_star": 2,
+        "dedup_canonical_docs": 2,
+        "dedup_minhash_lsh": 2,
+        "dedup_ngram_jaccard": 2,
+        "dedup_minhash_paragraphs": 2,
+        "dedup_simhash_pairs": 2,
+        "dedup_incremental_minhash": 2,
+        "curation_dedup_paragraphs": 2,
+    }
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         runs = []
-        for _ in range(max(1, repeats)):
+        for _ in range(max(1, min(repeats, heavy.get(name, repeats)))):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
             n = df.count()

@@ -328,3 +328,65 @@ def pack_sequences(
             "bin", F.floor(prefix / F.lit(target_tokens)).cast("long")
         )
     )
+
+
+def dedup_paragraphs_rebuild(
+    df: DataFrame,
+    max_tokens: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style paragraph-level exact dedup with document rebuild: every
+    paragraph unit that repeats anywhere in the corpus keeps only its
+    FIRST occurrence (min doc id, then min paragraph position); each
+    document is then re-assembled from its surviving paragraphs.
+
+    Output: (id, clean_text, n_kept, n_dropped) for every input doc —
+    docs whose every paragraph was seen earlier come back with an empty
+    ``clean_text`` (the caller's filter decides their fate).
+
+    Scale shape: one shuffle keyed by paragraph content hash (the
+    global first-occurrence window — paragraph-hash cardinality, heavy
+    but irreducible for a global rule), one shuffle keyed by doc id for
+    the rebuild. Both aggregate partial map-side. The first-occurrence
+    rule is totally ordered (doc id, paragraph position), so the result
+    is deterministic under any partitioning.
+    """
+    paras = split_paragraphs(df, max_tokens, text_col, id_col)
+    w = Window.partitionBy(F.md5("para_text")).orderBy(id_col, "para_idx")
+    kept = paras.withColumn("__rn", F.row_number().over(w))
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("__rn") == 1,
+                                F.struct("para_idx", "para_text"),
+                            )
+                        )
+                    ),
+                    lambda s: s["para_text"],
+                ),
+                " ",
+            ).alias("clean_text"),
+            F.sum(F.when(F.col("__rn") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_kept"),
+            F.sum(F.when(F.col("__rn") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dropped"),
+        )
+    )
+    return (
+        df.select(F.col(id_col))
+        .join(rebuilt, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
+        )
+    )

@@ -844,3 +844,133 @@ def simhash(
         )
         .select(F.explode("__ids").alias(id_col), "simhash")
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    n_bands: int = 4,
+    max_hamming: int = 3,
+    block_size: int = 256,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: (id_a, id_b, hamming ≤ ``max_hamming``).
+
+    The Manku/Jain/Sarma WWW'07 scheme (public algorithm): split the
+    b-bit fingerprint into ``n_bands`` equal bit ranges; any two
+    fingerprints within hamming distance d < n_bands must agree EXACTLY
+    on at least one band (pigeonhole — d flipped bits can touch at most d
+    bands), so the band equi-join is a LOSSLESS candidate generator, not
+    a recall trade-off like MinHash banding. Candidates verify with one
+    integer popcount: ``bit_count(a XOR b)``.
+
+    Requires ``max_hamming < n_bands`` (the pigeonhole precondition) and
+    ``bits % n_bands == 0``.
+
+    Scale shape: candidate generation reuses the skew-proof bucketed
+    expansion of the MinHash path (:func:`lsh_candidate_pairs` —
+    per-bucket arrays, blocked expansion for degenerate buckets), the
+    fingerprint table re-joins candidates id-keyed, and verification is
+    one JVM integer op per candidate. Total: the fingerprint aggregation
+    + one bucket shuffle + one distinct over candidates — no all-pairs
+    stage anywhere. With b bits the band value domain is 2^(b/n_bands);
+    at 100 TB raise ``bits`` (wider fingerprints = fewer spurious band
+    collisions) rather than lowering bands.
+    """
+    assert max_hamming < n_bands, "pigeonhole guarantee needs d < n_bands"
+    assert bits % n_bands == 0
+    band_bits = bits // n_bands
+    fp = simhash(df, text_col, id_col, bits)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.expr(
+                f"(shiftright(simhash, {b * band_bits}) & "
+                f"{(1 << band_bits) - 1})"
+            ).alias("band_hash"),
+        )
+        for b in range(n_bands)
+    ]
+    bands = fp.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+    ).select(id_col, "band.band_idx", "band.band_hash")
+    cands = lsh_candidate_pairs(
+        bands, id_col, block_size=block_size, max_bucket_size=max_bucket_size
+    )
+    a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
+    b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def incremental_near_dups(
+    corpus: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 8,
+    rows_per_band: int = 2,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Incremental MinHash dedup: near-dup pairs BETWEEN an incoming batch
+    and an existing corpus — the production shape, where re-running the
+    full pairwise pipeline per ingest would redo corpus-scale work.
+
+    Output: (delta_id, corpus_id, jaccard ≥ t). Within-delta duplicates
+    are deliberately out of scope (run :func:`near_dup_pairs` on the
+    delta for those); the candidate join is delta-bands × corpus-bands
+    only, so per ingest the new work is |delta| signature computation
+    plus an equi-join against the corpus band index — in a deployed
+    pipeline the corpus side of this join is a PRECOMPUTED, stored table
+    (banding is per-doc and append-only), making ingest cost
+    O(|delta| + matches), never O(|corpus|).
+
+    Verification reuses the exact token-set Jaccard of the batch path
+    over the union frame, id-keyed joins only.
+    """
+    c_bands = lsh_bands(
+        minhash_signatures(corpus, text_col, id_col, num_perm),
+        id_col,
+        num_perm,
+        rows_per_band,
+    ).select(
+        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
+    )
+    d_bands = lsh_bands(
+        minhash_signatures(delta, text_col, id_col, num_perm),
+        id_col,
+        num_perm,
+        rows_per_band,
+    ).select(F.col(id_col).alias("delta_id"), "band_idx", "band_hash")
+    cands = (
+        d_bands.join(c_bands, ["band_idx", "band_hash"])
+        .select("delta_id", "corpus_id")
+        .distinct()
+    )
+    union_src = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
+        delta.select(F.col(id_col), F.col(text_col))
+    )
+    pairs = cands.select(
+        F.col("delta_id").alias("id_a"), F.col("corpus_id").alias("id_b")
+    )
+    return (
+        jaccard_pairs(union_src, pairs, text_col, id_col)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id_a").alias("delta_id"),
+            F.col("id_b").alias("corpus_id"),
+            "jaccard",
+        )
+    )

@@ -201,3 +201,68 @@ def fingerprint(
         .na.fill({"fingerprint": 0})
     )
     return _expand_to_docs(rep_out, groups, id_col)
+
+
+def rare_ngram_ratio(
+    df: DataFrame,
+    n: int = 2,
+    max_freq: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level n-gram novelty score — the integer-exact stand-in for
+    an n-gram LM perplexity filter (CCNet-style quality signal): the
+    fraction of a document's n-gram OCCURRENCES whose corpus-wide
+    frequency is ≤ ``max_freq``. Gibberish and OCR noise score high
+    (their n-grams appear nowhere else); boilerplate scores ~0.
+
+    Output: (id, n_ngrams, n_rare, rare_ratio) for every input doc (docs
+    shorter than n tokens score 0.0). All-integer counting plus one final
+    division keeps the result bit-reproducible on any engine — a real
+    log-prob LM sums floats whose addition order and libm rounding differ
+    across engines, which the hash-compare harness would reject.
+
+    Scale shape: two corpus-scale shuffles, both irreducible for a
+    corpus-frequency model — the n-gram count groupBy (map-side partial)
+    and the occurrence↔count equi-join (AQE handles the head-gram skew;
+    the long tail is the majority of DISTINCT grams at web scale, so the
+    count table is NOT broadcastable by design). The final per-doc
+    aggregate shuffles matched occurrences keyed by doc id.
+    """
+    toks = tokenize(F.col(text_col))
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(
+                " ",
+                *[
+                    F.element_at(toks, (i + j + 1).cast("int"))
+                    for j in range(n)
+                ],
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    counts = occ.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
+    per_doc = (
+        occ.join(counts, "g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.sum(
+                F.when(F.col("__c") <= max_freq, F.lit(1)).otherwise(F.lit(0))
+            ).alias("n_rare"),
+        )
+    )
+    return df.select(F.col(id_col)).join(per_doc, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_ngrams", F.lit(0)).cast("long").alias("n_ngrams"),
+        F.coalesce("n_rare", F.lit(0)).cast("long").alias("n_rare"),
+        F.when(
+            F.coalesce("n_ngrams", F.lit(0)) > 0,
+            F.col("n_rare").cast("double") / F.col("n_ngrams").cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rare_ratio"),
+    )

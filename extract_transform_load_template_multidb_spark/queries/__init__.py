@@ -93,6 +93,10 @@ _CHECK_FIRST = (
     "curation_decontaminate",
     "dedup_minhash_paragraphs",
     "mm_decode_ppm",
+    "dedup_simhash_pairs",
+    "text_rare_ngram_ratio",
+    "curation_dedup_paragraphs",
+    "dedup_incremental_minhash",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

@@ -1131,3 +1131,244 @@ def dedup_minhash_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id_b") % 1048576).cast("long").alias("para_b"),
         "jaccard",
     )
+
+
+# ---------------------------------------------------------------------------
+# SimHash near-dup pairs + corpus n-gram novelty (round 5, batch 2)
+# ---------------------------------------------------------------------------
+
+_SIMHASH_PAIRS_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_DISTINCT
+    + """,
+sp_th AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) AS h
+    FROM toks
+),
+sp_bits AS (
+    SELECT doc_id, h, unnest(range(0, 32)) AS j FROM sp_th
+),
+sp_votes AS (
+    SELECT doc_id, j,
+           SUM(CASE WHEN ((h >> j) & 1) = 1 THEN 1 ELSE -1 END) AS vote
+    FROM sp_bits GROUP BY doc_id, j
+),
+sp_fp AS (
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << j)
+                         ELSE 0 END) AS BIGINT) AS sh
+    FROM sp_votes GROUP BY doc_id
+),
+sp_bands AS (
+    SELECT doc_id, sh, unnest(range(0, 4)) AS b,
+           (sh >> (unnest(range(0, 4)) * 8)) & 255 AS bv
+    FROM sp_fp
+),
+sp_cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, a.sh AS sha,
+                    b.doc_id AS id_b, b.sh AS shb
+    FROM sp_bands a
+    JOIN sp_bands b
+      ON a.b = b.b AND a.bv = b.bv AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sha, shb)) AS BIGINT) AS hamming
+FROM sp_cands
+WHERE bit_count(xor(sha, shb)) <= 3
+"""
+)
+
+
+@query("dedup_simhash_pairs", oracle=_SIMHASH_PAIRS_ORACLE)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs at hamming ≤ 3 over 32-bit fingerprints,
+    4×8-bit band candidate generation (LOSSLESS by pigeonhole — d < bands
+    means every qualifying pair agrees on some band; see
+    operators/dedup.py:simhash_pairs). Complements MinHash: one integer
+    popcount per candidate instead of a token-set intersection."""
+    return dd.simhash_pairs(
+        load_table(spark, sf_dir, "documents"),
+        bits=32,
+        n_bands=4,
+        max_hamming=3,
+    )
+
+
+_RARE_NGRAM_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+rg AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, len(t)),
+                                 i -> t[i] || ' ' || t[i+1])) AS g
+    FROM toks_list
+),
+rg_counts AS (SELECT g, count(*) AS c FROM rg GROUP BY g),
+rg_doc AS (
+    SELECT doc_id,
+           count(*) AS n_ngrams,
+           SUM(CASE WHEN c <= 3 THEN 1 ELSE 0 END) AS n_rare
+    FROM rg JOIN rg_counts USING (g)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(p.n_rare, 0) AS BIGINT) AS n_rare,
+       CASE WHEN coalesce(p.n_ngrams, 0) > 0
+            THEN CAST(p.n_rare AS DOUBLE) / CAST(p.n_ngrams AS DOUBLE)
+            ELSE 0.0 END AS rare_ratio
+FROM documents d LEFT JOIN rg_doc p USING (doc_id)
+"""
+)
+
+
+@query("text_rare_ngram_ratio", oracle=_RARE_NGRAM_ORACLE)
+def text_rare_ngram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram novelty score per document (occurrences with corpus
+    frequency ≤ 3 over total occurrences) — the integer-exact perplexity
+    proxy for LM-based quality filtering."""
+    return tx.rare_ngram_ratio(
+        load_table(spark, sf_dir, "documents"), n=2, max_freq=3
+    )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph dedup-rebuild + incremental corpus dedup (round 5, batch 3)
+# ---------------------------------------------------------------------------
+
+# Paragraph-unit CTE shared with _PARA_ORACLE (pw: doc_id, para_idx, ptext).
+_PARA_UNITS_SQL = """
+paras AS (
+    SELECT doc_id,
+           unnest(string_split_regex(text, '\\n[ \\t]*\\n+')) AS p,
+           generate_subscripts(
+               string_split_regex(text, '\\n[ \\t]*\\n+'), 1) - 1 AS p_pos
+    FROM documents
+),
+ptoks AS (
+    SELECT doc_id, p_pos,
+           list_filter(string_split_regex(lower(p), '[^a-z0-9]+'),
+                       w -> w <> '') AS t
+    FROM paras
+),
+wins0 AS (
+    SELECT doc_id, p_pos, t,
+           unnest(range(0, greatest(len(t) - 1, 0) + 1, {W})) AS s,
+           generate_subscripts(
+               range(0, greatest(len(t) - 1, 0) + 1, {W}), 1) - 1 AS w_pos
+    FROM ptoks
+),
+wins AS (
+    SELECT doc_id, p_pos, w_pos,
+           array_to_string(list_slice(t, s + 1, s + {W}), ' ') AS w
+    FROM wins0
+),
+pw AS (
+    SELECT doc_id,
+           row_number() OVER (PARTITION BY doc_id ORDER BY p_pos, w_pos)
+               - 1 AS para_idx,
+           w AS ptext
+    FROM wins WHERE w <> ''
+)
+""".format(W=_PARA_TOKENS)
+
+
+_PARA_REBUILD_ORACLE = (
+    "WITH "
+    + _PARA_UNITS_SQL
+    + """,
+marked AS (
+    SELECT doc_id, para_idx, ptext,
+           row_number() OVER (PARTITION BY md5(ptext)
+                              ORDER BY doc_id, para_idx) AS rn
+    FROM pw
+),
+reb AS (
+    SELECT doc_id,
+           coalesce(string_agg(ptext, ' ' ORDER BY para_idx)
+                        FILTER (WHERE rn = 1), '') AS clean_text,
+           SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+           SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dropped
+    FROM marked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(r.clean_text, '') AS clean_text,
+       CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(coalesce(r.n_dropped, 0) AS BIGINT) AS n_dropped
+FROM documents d LEFT JOIN reb r USING (doc_id)
+"""
+)
+
+
+@query("curation_dedup_paragraphs", oracle=_PARA_REBUILD_ORACLE)
+def curation_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global paragraph dedup with document rebuild: repeated
+    paragraph units (32-token windows here) keep only their first
+    occurrence (min doc id, then position) and each document is
+    re-assembled from its survivors. One content-hash shuffle + one
+    doc-id shuffle."""
+    return cu.dedup_paragraphs_rebuild(
+        load_table(spark, sf_dir, "documents"), max_tokens=_PARA_TOKENS
+    )
+
+
+# Incremental dedup: delta = every 10th doc, corpus = the rest.
+_INCR_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_DISTINCT
+    + """,
+i_sigs AS (
+    SELECT doc_id,
+           min(md5('0:' || w)) AS s0, min(md5('1:' || w)) AS s1,
+           min(md5('2:' || w)) AS s2, min(md5('3:' || w)) AS s3,
+           min(md5('4:' || w)) AS s4, min(md5('5:' || w)) AS s5,
+           min(md5('6:' || w)) AS s6, min(md5('7:' || w)) AS s7
+    FROM toks GROUP BY doc_id
+),
+i_bands AS (
+    SELECT doc_id, 0 AS band_idx, md5(s0 || '|' || s1) AS band_hash FROM i_sigs
+    UNION ALL SELECT doc_id, 1, md5(s2 || '|' || s3) FROM i_sigs
+    UNION ALL SELECT doc_id, 2, md5(s4 || '|' || s5) FROM i_sigs
+    UNION ALL SELECT doc_id, 3, md5(s6 || '|' || s7) FROM i_sigs
+),
+i_cands AS (
+    SELECT DISTINCT d.doc_id AS delta_id, c.doc_id AS corpus_id
+    FROM i_bands d
+    JOIN i_bands c
+      ON d.band_idx = c.band_idx AND d.band_hash = c.band_hash
+    WHERE d.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+),
+i_sizes AS (SELECT doc_id, count(*) AS n FROM toks GROUP BY doc_id),
+i_inter AS (
+    SELECT p.delta_id, p.corpus_id, count(*) AS n_inter
+    FROM i_cands p
+    JOIN toks ta ON ta.doc_id = p.delta_id
+    JOIN toks tb ON tb.doc_id = p.corpus_id AND tb.w = ta.w
+    GROUP BY p.delta_id, p.corpus_id
+)
+SELECT i.delta_id, i.corpus_id,
+       i.n_inter / (sa.n + sb.n - i.n_inter) AS jaccard
+FROM i_inter i
+JOIN i_sizes sa ON sa.doc_id = i.delta_id
+JOIN i_sizes sb ON sb.doc_id = i.corpus_id
+WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.5
+"""
+)
+
+
+@query("dedup_incremental_minhash", oracle=_INCR_ORACLE)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup: the incoming batch (every 10th doc)
+    checked against the existing corpus (the rest) — delta-bands ×
+    corpus-bands candidates only, so deployed ingest cost is
+    O(|delta| + matches) against a stored band index, never a corpus
+    re-pair (see operators/dedup.py:incremental_near_dups)."""
+    doc = load_table(spark, sf_dir, "documents")
+    return dd.incremental_near_dups(
+        corpus=doc.filter(F.col("doc_id") % 10 != 0),
+        delta=doc.filter(F.col("doc_id") % 10 == 0),
+        num_perm=8,
+        rows_per_band=2,
+        threshold=0.5,
+    )

@@ -314,3 +314,36 @@ def test_split_paragraphs_drops_tokenless_blocks(spark):
         for r in cu.split_paragraphs(df, max_tokens=8).collect()
     ]
     assert got == [(1, 0, "real words")]
+
+
+def test_dedup_paragraphs_rebuild_keeps_first_occurrence(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "shared para here\n\nunique one alpha"),
+            (2, "shared para here\n\nunique two beta"),
+            (3, "shared para here"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r
+        for r in cu.dedup_paragraphs_rebuild(df).collect()
+    }
+    # doc 1 owns the first occurrence of the shared paragraph
+    assert got[1]["clean_text"] == "shared para here unique one alpha"
+    assert (got[1]["n_kept"], got[1]["n_dropped"]) == (2, 0)
+    assert got[2]["clean_text"] == "unique two beta"
+    assert (got[2]["n_kept"], got[2]["n_dropped"]) == (1, 1)
+    # doc 3 loses everything → empty but still present
+    assert got[3]["clean_text"] == ""
+    assert (got[3]["n_kept"], got[3]["n_dropped"]) == (0, 1)
+
+
+def test_dedup_paragraphs_rebuild_preserves_order(spark):
+    df = spark.createDataFrame(
+        [(1, "zz last\n\naa first\n\nmm middle")],
+        "doc_id long, text string",
+    )
+    got = cu.dedup_paragraphs_rebuild(df).collect()[0]
+    # document order, not lexicographic
+    assert got["clean_text"] == "zz last aa first mm middle"

@@ -233,3 +233,21 @@ def test_paragraph_dedup_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_minhash_paragraphs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_new_pair_generators_no_cartesian(spark, sf_dir):
+    """SimHash banding, incremental delta×corpus banding, and the
+    paragraph rebuild must all stay equi-join/window shaped — any
+    cross/nested-loop join is an all-pairs scale bug."""
+    for name in ("dedup_simhash_pairs", "dedup_incremental_minhash",
+                 "curation_dedup_paragraphs", "text_rare_ngram_ratio"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_rare_ngram_partial_aggregates(spark, sf_dir):
+    """The corpus n-gram count must map-side combine before its shuffle —
+    at web scale the partial agg is what keeps the gram exchange bounded."""
+    plan = _plan(spark, sf_dir, "text_rare_ngram_ratio")
+    assert plan.count("HashAggregate") >= 2
