@@ -227,20 +227,25 @@ def decontaminate(
     (doc, shingle) hit exactly once and the count is exactly
     |doc_shingles ∩ eval_shingles|.
     """
+    # Materialize token arrays before shingling: word_shingles references
+    # its token input 2+3n times and Spark does not CSE across lambda
+    # bodies — inlining tokenize() would re-run the regex split ~11×/row.
     ev = (
-        eval_df.select(
-            F.explode(
-                word_shingles_from_tokens(tokenize(F.col(text_col)), n)
-            ).alias("shingle")
+        eval_df.select(tokenize(F.col(text_col)).alias("__t"))
+        .select(
+            F.explode(word_shingles_from_tokens(F.col("__t"), n)).alias(
+                "shingle"
+            )
         )
         .distinct()
     )
     return (
-        corpus.select(
+        corpus.select(F.col(id_col), tokenize(F.col(text_col)).alias("__t"))
+        .select(
             F.col(id_col),
-            F.explode(
-                word_shingles_from_tokens(tokenize(F.col(text_col)), n)
-            ).alias("shingle"),
+            F.explode(word_shingles_from_tokens(F.col("__t"), n)).alias(
+                "shingle"
+            ),
         )
         .join(F.broadcast(ev), "shingle")
         .groupBy(id_col)
@@ -270,18 +275,22 @@ def split_paragraphs(
     if max_tokens is None:
         wins = F.transform(paras, lambda p: F.array_join(tokenize(p), " "))
     else:
+        # Two-level transform: tokenize each paragraph ONCE into a bound
+        # lambda variable, then window it — inlining tokenize(p) at its 3
+        # references would re-run the regex split per window (no CSE
+        # across lambda bodies).
+        tok_arrays = F.transform(paras, lambda p: tokenize(p))
         wins = F.flatten(
             F.transform(
-                paras,
-                lambda p: F.transform(
+                tok_arrays,
+                lambda tp: F.transform(
                     F.sequence(
                         F.lit(0),
-                        F.greatest(F.size(tokenize(p)) - 1, F.lit(0)),
+                        F.greatest(F.size(tp) - 1, F.lit(0)),
                         F.lit(max_tokens),
                     ),
                     lambda s: F.array_join(
-                        F.slice(tokenize(p), (s + 1).cast("int"), max_tokens),
-                        " ",
+                        F.slice(tp, (s + 1).cast("int"), max_tokens), " "
                     ),
                 ),
             )

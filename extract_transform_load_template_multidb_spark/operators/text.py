@@ -229,7 +229,10 @@ def rare_ngram_ratio(
     count table is NOT broadcastable by design). The final per-doc
     aggregate shuffles matched occurrences keyed by doc id.
     """
-    toks = tokenize(F.col(text_col))
+    # Tokenize once into a concrete column — the gram expression
+    # references its token input 2+n times and Spark does not CSE across
+    # lambda bodies.
+    toks = F.col("__t")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -243,7 +246,9 @@ def rare_ngram_ratio(
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    occ = df.select(F.col(id_col), F.explode(grams).alias("g"))
+    occ = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__t")
+    ).select(F.col(id_col), F.explode(grams).alias("g"))
     counts = occ.groupBy("g").agg(F.count(F.lit(1)).alias("__c"))
     per_doc = (
         occ.join(counts, "g")

@@ -97,6 +97,8 @@ _CHECK_FIRST = (
     "text_rare_ngram_ratio",
     "curation_dedup_paragraphs",
     "dedup_incremental_minhash",
+    "text_top_ngrams",
+    "dedup_embedding_clusters",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

@@ -1372,3 +1372,116 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows_per_band=2,
         threshold=0.5,
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus stop-shingle stats + embedding dedup clusters (round 5, batch 4)
+# ---------------------------------------------------------------------------
+
+_TOP_NGRAMS_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+tg AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS g
+    FROM toks_list
+    WHERE len(t) >= 3
+)
+SELECT g AS shingle, CAST(count(*) AS BIGINT) AS doc_freq
+FROM tg GROUP BY g
+ORDER BY doc_freq DESC, shingle
+LIMIT 100
+"""
+)
+
+
+@query("text_top_ngrams", oracle=_TOP_NGRAMS_ORACLE)
+def text_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 3-gram shingles by document frequency — the corpus stat
+    that feeds stop-shingle caps (``max_posting_list`` /
+    ``max_bucket_size``) in the dedup family: shingles shared by
+    thousands of documents carry no dedup signal but dominate
+    inverted-index fan-out. Deterministic (doc_freq desc, shingle asc)
+    total order; plans as partial+final count then
+    TakeOrderedAndProject — never a global sort."""
+    doc = load_table(spark, sf_dir, "documents")
+    # Materialize the token array BEFORE shingling: word_shingles
+    # references its token input 2+3n times and Spark does not CSE across
+    # lambda bodies, so an inlined tokenize() would re-run the regex split
+    # ~11× per row (word_shingles docstring).
+    sh = (
+        doc.select(dd.tokenize(F.col("text")).alias("__toks"))
+        .select(
+            F.explode(
+                dd.word_shingles_from_tokens(F.col("__toks"), 3)
+            ).alias("shingle")
+        )
+    )
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).cast("long").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("shingle"))
+        .limit(100)
+    )
+
+
+_EMB_CLUSTERS_ORACLE = (
+    "WITH RECURSIVE "
+    + _SQL_ELEMS
+    + ","
+    + _SQL_BUCKETS
+    + """,
+ec_cands AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+ec_dots AS (
+    SELECT c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot
+    FROM ec_cands c
+    JOIN elems ea ON ea.vec_id = c.id_a
+    JOIN elems eb ON eb.vec_id = c.id_b AND eb.d = ea.d
+    GROUP BY c.id_a, c.id_b
+),
+ec_pairs AS (
+    SELECT id_a, id_b
+    FROM ec_dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          >= 0.3
+),
+ec_edges AS (
+    SELECT id_a AS src, id_b AS dst FROM ec_pairs
+    UNION
+    SELECT id_b, id_a FROM ec_pairs
+),
+ec_nodes AS (SELECT DISTINCT src AS node FROM ec_edges),
+ec_reach(node, label) AS (
+    SELECT node, node FROM ec_nodes
+    UNION
+    SELECT e.dst, r.label
+    FROM ec_reach r JOIN ec_edges e ON e.src = r.node
+    WHERE r.label < e.dst
+)
+SELECT node, min(label) AS component
+FROM ec_reach GROUP BY node
+"""
+)
+
+
+@query("dedup_embedding_clusters", oracle=_EMB_CLUSTERS_ORACLE)
+def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup clusters: connected components over the
+    embedding-cosine near-dup pairs — the embedding-space analogue of the
+    text-shingle clustering, closing the near-dup → cluster → keeper
+    pipeline for vector-indexed corpora."""
+    pairs = sim.embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=4
+    )
+    return dd.connected_components(pairs)

@@ -32,7 +32,8 @@ def test_filter_pushed_to_scan(spark, sf_dir):
 def test_topk_no_global_sort(spark, sf_dir):
     """ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a full
     Sort→Limit (a global sort of the fact table at 100 TB)."""
-    for name in ("sort_limit_topk", "q3_shipping_priority"):
+    for name in ("sort_limit_topk", "q3_shipping_priority",
+                 "text_top_ngrams"):
         plan = _plan(spark, sf_dir, name)
         assert "TakeOrderedAndProject" in plan, name
 

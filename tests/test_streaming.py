@@ -346,3 +346,49 @@ def test_resample_rejects_mismatched_step(spark, events_landing):
     # '1 day' is a legal grid: buckets truncate to days and stride by days
     out = tsops.resample_carry_forward(batch, "user_id", "ts", "value", "1 day")
     assert out.filter(out.n_events > 0).count() > 0
+
+
+def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
+    """Per-micro-batch corpus dedup (foreachBatch + incremental MinHash)
+    must union to exactly the batch answer over the same delta docs, and
+    the checkpoint must prevent re-matching on replay."""
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        incremental_near_dups,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "completely different words")],
+        "doc_id long, text string",
+    )
+    wave1 = spark.createDataFrame(
+        [(10, "alpha beta gamma delta"), (11, "no match at all here")],
+        "doc_id long, text string",
+    )
+    wave2 = spark.createDataFrame(
+        [(12, "completely different words")], "doc_id long, text string"
+    )
+    landing = str(tmp_path / "landing_incr")
+    target = ParquetSink(str(tmp_path / "target_incr"))
+    ckpt = str(tmp_path / "ckpt_incr")
+
+    wave1.write.parquet(landing)
+    stream = inc.read_file_stream(spark, landing, wave1.schema)
+    inc.run_incremental_dedup(stream, corpus, target, ckpt, threshold=0.5)
+    # replay with no new files: checkpoint prevents duplicate pairs
+    stream = inc.read_file_stream(spark, landing, wave1.schema)
+    inc.run_incremental_dedup(stream, corpus, target, ckpt, threshold=0.5)
+    wave2.write.mode("append").parquet(landing)
+    stream = inc.read_file_stream(spark, landing, wave1.schema)
+    inc.run_incremental_dedup(stream, corpus, target, ckpt, threshold=0.5)
+
+    got = {
+        (r["delta_id"], r["corpus_id"], r["jaccard"])
+        for r in spark.read.parquet(target.path).collect()
+    }
+    expected = {
+        (r["delta_id"], r["corpus_id"], r["jaccard"])
+        for r in incremental_near_dups(
+            corpus, wave1.unionByName(wave2), threshold=0.5
+        ).collect()
+    }
+    assert got == expected and len(got) == 2
