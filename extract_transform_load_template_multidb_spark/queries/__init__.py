@@ -99,6 +99,8 @@ _CHECK_FIRST = (
     "dedup_incremental_minhash",
     "text_top_ngrams",
     "dedup_embedding_clusters",
+    "layout_zvalue_events",
+    "agg_exact_median_distributed",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

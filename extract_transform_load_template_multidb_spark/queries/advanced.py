@@ -488,3 +488,119 @@ def scalar_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_purchase"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (round 5): the Morton code itself, oracle-checked
+# ---------------------------------------------------------------------------
+
+from extract_transform_load_template_multidb_spark.operators import (  # noqa: E402
+    layout as ly,
+)
+
+_Z_BITS = 12
+
+
+def _z_interleave_sql(bu: str, bt: str, bits: int) -> str:
+    terms = []
+    for j in range(bits):
+        terms.append(f"((({bu} >> {j}) & 1) << {j * 2})")
+        terms.append(f"((({bt} >> {j}) & 1) << {j * 2 + 1})")
+    return " + ".join(terms)
+
+
+_ZVALUE_ORACLE = f"""
+WITH zb AS (
+    SELECT min(user_id) AS ulo, max(user_id) AS uhi,
+           min(epoch_us(ts)) AS tlo, max(epoch_us(ts)) AS thi
+    FROM events
+),
+zs AS (
+    SELECT event_id,
+           greatest(0, least({(1 << _Z_BITS) - 1},
+               ((user_id - zb.ulo) * {(1 << _Z_BITS) - 1})
+                   // greatest(zb.uhi - zb.ulo, 1))) AS bu,
+           greatest(0, least({(1 << _Z_BITS) - 1},
+               ((epoch_us(ts) - zb.tlo) * {(1 << _Z_BITS) - 1})
+                   // greatest(zb.thi - zb.tlo, 1))) AS bt
+    FROM events, zb
+)
+SELECT event_id,
+       CAST({_z_interleave_sql("bu", "bt", _Z_BITS)} AS BIGINT) AS zval
+FROM zs
+"""
+
+
+@query("layout_zvalue_events", oracle=_ZVALUE_ORACLE)
+def layout_zvalue_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton z-value per event over (user_id, ts) — the integer-exact
+    clustering key behind ``operators/layout.py:zorder_write`` (Delta/
+    Iceberg OPTIMIZE ZORDER BY semantics): bucketize each dimension to
+    2^12 with integer-division normalization, interleave the bits with
+    shifts/ors. Pure whole-stage-codegen expressions; the write path
+    range-partitions on this key so every interleaved column gets bounded
+    per-file min/max spans (locality proven in tests/test_layout.py)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    return ly.with_z_value(ev, ["user_id", "ts"], bits=_Z_BITS).select(
+        "event_id", F.col("__z").alias("zval")
+    )
+
+
+_DIST_MEDIAN_ORACLE = """
+WITH clean AS (
+    SELECT event_type, event_id, value
+    FROM events WHERE value IS NOT NULL AND NOT isnan(value)
+),
+r AS (
+    SELECT event_type, value,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY value, event_id) AS rn,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM clean
+)
+SELECT event_type,
+       CAST(max(n) AS BIGINT) AS n,
+       (max(CASE WHEN rn = (n + 1) // 2 THEN value END)
+        + max(CASE WHEN rn = (n + 2) // 2 THEN value END)) / 2
+           AS median_value
+FROM r GROUP BY event_type
+"""
+
+
+@query("agg_exact_median_distributed", oracle=_DIST_MEDIAN_ORACLE)
+def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT grouped median with no per-group materialization — the
+    scale-safe alternative the ``pyfunc_grouped_median`` docstring points
+    to: rank rows in-place with a window (one shuffle keyed by group;
+    the sort is per-partition, never global), pick the middle one/two
+    positions by rank, midpoint-average for even counts. Works for 5
+    groups × 20 TB where groupBy().applyInPandas would pin each group on
+    one executor; the window/groupBy pair reuses a single exchange
+    (plan-pinned). NaN/NULL values are excluded up front so the order
+    statistic is defined identically on every engine."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull() & ~F.isnan("value")
+    )
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    lo = F.expr("(n + 1) div 2")
+    hi = F.expr("(n + 2) div 2")
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        (
+            (
+                F.max(F.when(F.col("rn") == lo, F.col("value")))
+                + F.max(F.when(F.col("rn") == hi, F.col("value")))
+            )
+            / 2
+        ).alias("median_value"),
+    )

@@ -252,3 +252,12 @@ def test_rare_ngram_partial_aggregates(spark, sf_dir):
     at web scale the partial agg is what keeps the gram exchange bounded."""
     plan = _plan(spark, sf_dir, "text_rare_ngram_ratio")
     assert plan.count("HashAggregate") >= 2
+
+
+def test_distributed_median_single_exchange(spark, sf_dir):
+    """The exact-median query must reuse ONE exchange keyed by the group
+    for both windows and the final aggregate — the property that makes it
+    the scale-safe alternative to grouped applyInPandas."""
+    assert _n_exchanges(
+        _plan(spark, sf_dir, "agg_exact_median_distributed")
+    ) == 1
