@@ -122,3 +122,48 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_files(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    size-targeted files (the maintenance op every streaming/incremental
+    sink needs — thousands of KB-scale micro-batch files turn each later
+    scan into a file-listing and task-scheduling storm).
+
+    File count = ceil(total_bytes / target) from the source listing (no
+    data pass); rows land via one round-robin repartition — or one range
+    shuffle when ``sort_cols`` is given, preserving a clustering while
+    compacting (compose with the z-value for full Z-order maintenance).
+    Returns the output file count. Parquet has no transactional swap, so
+    the rewrite goes to ``dst_path``; on Delta/Iceberg this is OPTIMIZE
+    and the swap is a metadata commit.
+    """
+    import math
+
+    from py4j.java_gateway import java_import
+
+    jvm = spark.sparkContext._jvm
+    java_import(jvm, "org.apache.hadoop.fs.Path")
+    hpath = jvm.Path(src_path)
+    fs = hpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    total = sum(
+        f.getLen()
+        for f in fs.listStatus(hpath)
+        if f.getPath().getName().endswith(".parquet")
+    )
+    n_files = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(src_path)
+    if sort_cols:
+        df = df.repartitionByRange(n_files, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        df = df.repartition(n_files)
+    df.write.mode("overwrite").parquet(dst_path)
+    return n_files

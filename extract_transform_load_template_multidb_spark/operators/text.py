@@ -271,3 +271,75 @@ def rare_ngram_ratio(
         .otherwise(F.lit(0.0))
         .alias("rare_ratio"),
     )
+
+
+def quality_filter(
+    df: DataFrame,
+    min_tokens: int = 20,
+    max_tokens: int = 1000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_repetition: float = 0.3,
+    min_stopword_ratio: float = 0.02,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Composite Gopher/C4-style keep/drop verdict per document — the
+    production filter rule assembled from the individual signals: token
+    count bounds, mean word length bounds, duplicate-3-gram repetition
+    cap, and a minimum stopword ratio (gibberish/non-prose gate).
+
+    Output: (id, n_tokens, mean_word_len, repetition_3gram,
+    stopword_ratio, ok_length, ok_word_len, ok_repetition, ok_stopwords,
+    keep). All per-rule booleans ship alongside the verdict so a pipeline
+    can audit WHY a document dropped (the filter-transparency practice of
+    public corpus reports). Every ratio is one int/int IEEE division —
+    engine-portable — and the whole thing is a zero-exchange narrow map:
+    filters at any corpus size cost one scan.
+    """
+    toks = F.col("__t")
+    n_tokens = F.size(toks)
+    sum_wl = F.aggregate(
+        toks, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    mean_wl = F.when(
+        n_tokens > 0, sum_wl.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, (i + 1).cast("int")),
+            F.element_at(toks, (i + 2).cast("int")),
+            F.element_at(toks, (i + 3).cast("int")),
+        ),
+    )
+    total3 = F.greatest(F.lit(0), n_tokens - 2)
+    rep3 = F.when(
+        total3 > 0,
+        F.lit(1.0)
+        - F.size(F.array_distinct(grams)).cast("double")
+        / total3.cast("double"),
+    ).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.filter(toks, lambda w: w.isin(*LANG_LEXICON["en"])))
+    stop_ratio = F.when(
+        n_tokens > 0, stop_hits.cast("double") / n_tokens.cast("double")
+    ).otherwise(F.lit(0.0))
+    ok_length = (n_tokens >= min_tokens) & (n_tokens <= max_tokens)
+    ok_wl = (mean_wl >= min_mean_word_len) & (mean_wl <= max_mean_word_len)
+    ok_rep = rep3 <= max_repetition
+    ok_stop = stop_ratio >= min_stopword_ratio
+    return df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__t")
+    ).select(
+        F.col(id_col),
+        n_tokens.cast("long").alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        rep3.alias("repetition_3gram"),
+        stop_ratio.alias("stopword_ratio"),
+        ok_length.alias("ok_length"),
+        ok_wl.alias("ok_word_len"),
+        ok_rep.alias("ok_repetition"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_length & ok_wl & ok_rep & ok_stop).alias("keep"),
+    )

@@ -101,6 +101,7 @@ _CHECK_FIRST = (
     "dedup_embedding_clusters",
     "layout_zvalue_events",
     "agg_exact_median_distributed",
+    "text_quality_filter",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

@@ -1485,3 +1485,63 @@ def dedup_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings"), threshold=0.3, num_planes=4
     )
     return dd.connected_components(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Composite quality filter (round 5, batch 5)
+# ---------------------------------------------------------------------------
+
+_QFILTER_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+qf AS (
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           coalesce(list_sum(list_transform(t, w -> length(w))), 0)
+               AS sum_wl,
+           len(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS n_d3,
+           greatest(0, len(t) - 2) AS total3,
+           len(list_filter(t, w -> w IN
+               ('the','and','of','to','in','is','it','you','that','for')))
+               AS stop_hits
+    FROM toks_list
+),
+qg AS (
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CASE WHEN n_tokens > 0
+                THEN CAST(sum_wl AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN total3 > 0
+                THEN 1.0 - CAST(n_d3 AS DOUBLE) / CAST(total3 AS DOUBLE)
+                ELSE 0.0 END AS repetition_3gram,
+           CASE WHEN n_tokens > 0
+                THEN CAST(stop_hits AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+                ELSE 0.0 END AS stopword_ratio
+    FROM qf
+)
+SELECT doc_id, n_tokens, mean_word_len, repetition_3gram, stopword_ratio,
+       (n_tokens >= 20 AND n_tokens <= 1000) AS ok_length,
+       (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS ok_word_len,
+       (repetition_3gram <= 0.3) AS ok_repetition,
+       (stopword_ratio >= 0.02) AS ok_stopwords,
+       ((n_tokens >= 20 AND n_tokens <= 1000)
+        AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        AND (repetition_3gram <= 0.3)
+        AND (stopword_ratio >= 0.02)) AS keep
+FROM qg
+"""
+)
+
+
+@query("text_quality_filter", oracle=_QFILTER_ORACLE)
+def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite Gopher/C4-style keep/drop verdict (token-count bounds,
+    mean-word-length bounds, duplicate-3-gram cap, minimum stopword
+    ratio) with per-rule booleans for filter-transparency audits — a
+    zero-exchange narrow map at any corpus size."""
+    return tx.quality_filter(load_table(spark, sf_dir, "documents"))

@@ -80,3 +80,24 @@ def test_zorder_accepts_metadata_bounds(spark, sf_dir, tmp_path):
     )
     assert spark.read.parquet(path).count() == ev.count()
     assert _file_span_fraction(spark, path, "user_id") < 0.6
+
+
+def test_compact_files_reduces_count_and_preserves_rows(spark, sf_dir, tmp_path):
+    ev = load_table(spark, sf_dir, "events")
+    frag = str(tmp_path / "fragmented")
+    ev.repartition(64).write.parquet(frag)  # simulate micro-batch litter
+    compacted = str(tmp_path / "compacted")
+    n = ly.compact_files(spark, frag, compacted, target_file_bytes=10**9)
+    assert n == 1
+    import glob
+
+    assert len(glob.glob(compacted + "/*.parquet")) == 1
+    got = spark.read.parquet(compacted)
+    assert got.count() == ev.count()
+    # sorted variant keeps a clustering while compacting
+    sorted_path = str(tmp_path / "compacted_sorted")
+    ly.compact_files(
+        spark, frag, sorted_path, target_file_bytes=10**9,
+        sort_cols=["user_id"],
+    )
+    assert spark.read.parquet(sorted_path).count() == ev.count()

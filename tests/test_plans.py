@@ -261,3 +261,12 @@ def test_distributed_median_single_exchange(spark, sf_dir):
     assert _n_exchanges(
         _plan(spark, sf_dir, "agg_exact_median_distributed")
     ) == 1
+
+
+def test_quality_filter_is_exchange_free(spark, sf_dir):
+    """The composite keep/drop filter must stay a pure narrow map — at
+    100 TB any exchange here is a corpus-scale shuffle for a row-local
+    decision."""
+    plan = _plan(spark, sf_dir, "text_quality_filter")
+    assert _n_exchanges(plan) == 0
+    assert plan.count("FileScan") == 1
