@@ -32,6 +32,7 @@ def asof_join(
     right_ts: str,
     payload_cols: tuple[str, ...],
     how: str = "left",
+    tolerance_days: int | None = None,
 ) -> DataFrame:
     """For each left row, attach the payload of the latest right row with
     ``right_ts <= left_ts`` on the same key (ties on timestamp: the right
@@ -39,6 +40,12 @@ def asof_join(
 
     ``right`` must be unique per (key, ts) — pre-aggregate it otherwise;
     ambiguity there would make the result nondeterministic.
+
+    ``tolerance_days`` bounds the match age (market-data / feature-store
+    semantics: a quote or feature older than the bound is stale, not a
+    match): payloads whose matched right row is more than that many days
+    before the left timestamp are nulled — same single shuffle, the bound
+    is a post-carry row-local predicate.
     """
     l_tag = left.select(
         F.col(left_key).alias("__k"),
@@ -65,10 +72,21 @@ def asof_join(
             F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
             for c in payload_cols
         ],
+        F.last(
+            F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
+        ).over(w).alias("__m_ts"),
+    )
+    fresh = (
+        F.lit(True)
+        if tolerance_days is None
+        else F.datediff(F.col("__t"), F.col("__m_ts")) <= tolerance_days
     )
     out = carried.filter(F.col("__is_left") == 1).select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__m_{c}").alias(c) for c in payload_cols],
+        *[
+            F.when(fresh, F.col(f"__m_{c}")).alias(c)
+            for c in payload_cols
+        ],
     )
     if how == "inner":
         out = out.na.drop(subset=[payload_cols[0]])

@@ -102,6 +102,7 @@ _CHECK_FIRST = (
     "layout_zvalue_events",
     "agg_exact_median_distributed",
     "text_quality_filter",
+    "join_asof_tolerance",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

@@ -604,3 +604,52 @@ def agg_exact_median_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2
         ).alias("median_value"),
     )
+
+
+_ASOF_TOL_ORACLE = """
+WITH r AS (
+    SELECT o_custkey, o_orderdate,
+           count(*) AS n_orders_day,
+           max(o_orderkey) AS last_orderkey
+    FROM orders GROUP BY o_custkey, o_orderdate
+)
+SELECT e.event_id, e.user_id, e.ts,
+       CASE WHEN r.o_orderdate IS NOT NULL
+                 AND date_diff('day', r.o_orderdate, CAST(e.ts AS DATE)) <= 7
+            THEN r.last_orderkey END AS last_orderkey,
+       CASE WHEN r.o_orderdate IS NOT NULL
+                 AND date_diff('day', r.o_orderdate, CAST(e.ts AS DATE)) <= 7
+            THEN r.n_orders_day END AS n_orders_day
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+@query("join_asof_tolerance", oracle=_ASOF_TOL_ORACLE)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join with a 7-day staleness bound — the market-data /
+    feature-store variant: a match older than the tolerance is stale and
+    reads as NULL instead. Same union + window carry-forward single
+    shuffle as the unbounded as-of; the bound is a row-local post-carry
+    predicate, so the 100 TB cost is unchanged."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    day_orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders_day"),
+            F.max("o_orderkey").alias("last_orderkey"),
+        )
+    )
+    return tp.asof_join(
+        ev,
+        day_orders,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        payload_cols=("last_orderkey", "n_orders_day"),
+        tolerance_days=7,
+    )

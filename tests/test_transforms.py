@@ -60,3 +60,28 @@ def test_window_filter_explicit_anchor(spark):
     kept = [r["id"] for r in
             window_filter(df, "ts", days=30, anchor=dt.datetime(2024, 3, 15)).collect()]
     assert kept == [1]
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    from extract_transform_load_template_multidb_spark.operators import (
+        temporal as tp,
+    )
+
+    left = spark.createDataFrame(
+        [(1, 1, dt.date(2024, 1, 10)), (2, 1, dt.date(2024, 3, 1)),
+         (3, 2, dt.date(2024, 1, 5))],
+        "event_id long, k long, d date",
+    )
+    right = spark.createDataFrame(
+        [(1, dt.date(2024, 1, 8), 100)], "k long, rd date, payload long"
+    )
+    got = {
+        r["event_id"]: r["payload"]
+        for r in tp.asof_join(
+            left, right, "k", "k", "d", "rd", ("payload",),
+            tolerance_days=7,
+        ).collect()
+    }
+    # event 1: match 2 days old → kept; event 2: 53 days old → stale;
+    # event 3: different key, no match at all.
+    assert got == {1: 100, 2: None, 3: None}
