@@ -399,3 +399,50 @@ def dedup_paragraphs_rebuild(
             F.coalesce("n_dropped", F.lit(0)).cast("long").alias("n_dropped"),
         )
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    weights: dict[str, float],
+    strata_col: str = "source",
+    id_col: str = "doc_id",
+    default_weight: float = 1.0,
+) -> DataFrame:
+    """Epoch-weighted dataset mixture: emit each document ``w`` times
+    where ``w`` is its source's mixing weight — the "2.5 epochs of
+    source A, 0.5 of B" recipe every LM training mix is specified in.
+
+    Integer part = whole copies; fractional part = one more copy for a
+    deterministic md5-bucketed subset (same machinery as
+    :func:`hash_sample`, salted per stratum, so reruns and engines
+    agree). Output: input columns + ``epoch`` (1-based copy index).
+
+    A narrow map + explode — no shuffle at any corpus size; output
+    volume = Σ w_s·|stratum s|, which is the irreducible cost of
+    materialized oversampling (weight-aware loaders sample lazily
+    instead; this operator is for pipelines that want the mix burned
+    into the dataset).
+    """
+    whole = F.lit(int(default_weight))
+    frac_pct = F.lit(int(round((default_weight % 1) * 100)))
+    for stratum, w in sorted(weights.items()):
+        assert w >= 0
+        whole = F.when(
+            F.col(strata_col) == stratum, F.lit(int(w))
+        ).otherwise(whole)
+        frac_pct = F.when(
+            F.col(strata_col) == stratum, F.lit(int(round((w % 1) * 100)))
+        ).otherwise(frac_pct)
+    salted = F.concat(
+        F.col(strata_col).cast("string"),
+        F.lit(":"),
+        F.col(id_col).cast("string"),
+        F.lit(":mix"),
+    )
+    n = whole + F.when(hash_bucket(salted) < frac_pct, 1).otherwise(0)
+    copies = F.when(n > 0, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return df.withColumn("epoch", F.explode(copies)).withColumn(
+        "epoch", F.col("epoch").cast("long")
+    )

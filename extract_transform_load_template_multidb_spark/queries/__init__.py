@@ -103,6 +103,7 @@ _CHECK_FIRST = (
     "agg_exact_median_distributed",
     "text_quality_filter",
     "join_asof_tolerance",
+    "curation_mixture_sample",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

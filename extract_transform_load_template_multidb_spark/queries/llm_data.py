@@ -1545,3 +1545,36 @@ def text_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio) with per-rule booleans for filter-transparency audits — a
     zero-exchange narrow map at any corpus size."""
     return tx.quality_filter(load_table(spark, sf_dir, "documents"))
+
+
+_MIX_ORACLE = f"""
+WITH mw AS (
+    SELECT doc_id, source,
+           CASE source WHEN 'src0' THEN 2 WHEN 'src1' THEN 0 ELSE 1 END
+               AS whole,
+           CASE source WHEN 'src0' THEN 50 WHEN 'src1' THEN 50 ELSE 0 END
+               AS frac_pct
+    FROM documents
+),
+mn AS (
+    SELECT doc_id, source,
+           whole + CASE WHEN
+               {_sql_bucket("source || ':' || CAST(doc_id AS VARCHAR) || ':mix'")}
+               < frac_pct THEN 1 ELSE 0 END AS n
+    FROM mw
+)
+SELECT doc_id, source, CAST(unnest(range(1, n + 1)) AS BIGINT) AS epoch
+FROM mn WHERE n > 0
+"""
+
+
+@query("curation_mixture_sample", oracle=_MIX_ORACLE)
+def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch-weighted training mixture (src0×2.5, src1×0.5, rest×1):
+    whole copies plus a deterministic md5-bucketed fractional copy,
+    emitted as (doc, epoch) rows — a narrow map + explode, no shuffle."""
+    return cu.mixture_sample(
+        load_table(spark, sf_dir, "documents").select("doc_id", "source"),
+        weights={"src0": 2.5, "src1": 0.5},
+        default_weight=1.0,
+    )

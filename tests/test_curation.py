@@ -347,3 +347,44 @@ def test_dedup_paragraphs_rebuild_preserves_order(spark):
     got = cu.dedup_paragraphs_rebuild(df).collect()[0]
     # document order, not lexicographic
     assert got["clean_text"] == "zz last aa first mm middle"
+
+
+def test_mixture_sample_epoch_weights(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(100)] + [(i, "b") for i in range(100, 200)],
+        "doc_id long, source string",
+    )
+    out = cu.mixture_sample(
+        df, weights={"a": 2.0, "b": 0.5}, default_weight=1.0
+    )
+    counts = {
+        r["source"]: r["n"]
+        for r in out.groupBy("source").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    # a: exactly 2 copies each; b: ~50% of docs once (deterministic subset)
+    assert counts["a"] == 200
+    assert 30 <= counts["b"] <= 70
+    # reruns identical (no rand())
+    again = {
+        (r["doc_id"], r["epoch"])
+        for r in cu.mixture_sample(
+            df, weights={"a": 2.0, "b": 0.5}, default_weight=1.0
+        ).collect()
+    }
+    first = {(r["doc_id"], r["epoch"]) for r in out.collect()}
+    assert first == again
+    # epoch indices are 1..n per doc
+    a_doc = [r["epoch"] for r in out.filter("doc_id = 0").collect()]
+    assert sorted(a_doc) == [1, 2]
+
+
+def test_mixture_sample_zero_weight_drops_stratum(spark):
+    df = spark.createDataFrame(
+        [(1, "keep"), (2, "drop")], "doc_id long, source string"
+    )
+    got = cu.mixture_sample(
+        df, weights={"drop": 0.0}, default_weight=1.0
+    ).collect()
+    assert [(r["doc_id"], r["epoch"]) for r in got] == [(1, 1)]
