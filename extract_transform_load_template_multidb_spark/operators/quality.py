@@ -84,3 +84,47 @@ def dup_key_count(df: DataFrame, keys: list[str]) -> DataFrame:
         F.count(F.lit(1)).alias("n_dup_groups"),
         F.coalesce(F.sum(F.col("__n") - 1), F.lit(0)).alias("n_extra_rows"),
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: tuple[str, ...],
+    compare_cols: tuple[str, ...],
+) -> DataFrame:
+    """Snapshot reconciliation: classify every key as ``added`` /
+    ``removed`` / ``changed`` / ``unchanged`` between two table versions —
+    the check a migration or a rewritten pipeline runs before cutover.
+
+    Output: one row per classification with its row count (stable 4-row
+    summary; drill-down is the same join un-aggregated). One full outer
+    join on the keys — a single co-partitioned shuffle of both sides; the
+    value comparison is null-safe (``<=>``) so NULL→value transitions
+    count as changes, not matches.
+    """
+    o = old.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_old"),
+    )
+    n = new.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+        F.lit(1).alias("__in_new"),
+    )
+    joined = o.join(n, list(keys), "full_outer")
+    same_vals = None
+    for c in compare_cols:
+        eq = F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+        same_vals = eq if same_vals is None else (same_vals & eq)
+    status = (
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+        .when(F.col("__in_new").isNull(), F.lit("removed"))
+        .when(same_vals, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return (
+        joined.select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )

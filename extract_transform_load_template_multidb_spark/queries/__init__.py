@@ -104,6 +104,7 @@ _CHECK_FIRST = (
     "text_quality_filter",
     "join_asof_tolerance",
     "curation_mixture_sample",
+    "dq_table_diff",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

@@ -235,3 +235,68 @@ def dq_dup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.dup_key_count(
         load_table(spark, sf_dir, "events"), ["user_id", "event_type"]
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot reconciliation (round 5)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic "new version" of orders: every 100th key dropped,
+# every 97th gets a +1.0 price, every 89th key re-appears shifted into a
+# key range above the original maximum (an insert).
+_DIFF_ORACLE = """
+WITH old_v AS (
+    SELECT o_orderkey, o_totalprice FROM orders
+),
+new_v AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 97 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 100 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_totalprice
+    FROM orders WHERE o_orderkey % 89 = 0
+),
+j AS (
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+           CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                WHEN n.o_orderkey IS NULL THEN 'removed'
+                WHEN o.o_totalprice = n.o_totalprice THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM old_v o FULL OUTER JOIN new_v n USING (o_orderkey)
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows
+FROM j GROUP BY status
+"""
+
+
+@query("dq_table_diff", oracle=_DIFF_ORACLE)
+def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation summary (added/removed/changed/unchanged
+    counts) between the orders table and a deterministically mutated
+    "new version" — one co-partitioned full outer join, null-safe value
+    compare (operators/quality.py:table_diff); the pre-cutover check for
+    any pipeline rewrite."""
+    old = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    new = (
+        old.filter(F.col("o_orderkey") % 100 != 0)
+        .select(
+            "o_orderkey",
+            F.when(
+                F.col("o_orderkey") % 97 == 0, F.col("o_totalprice") + 1.0
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("o_totalprice"),
+        )
+        .unionByName(
+            old.filter(F.col("o_orderkey") % 89 == 0).select(
+                (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+                "o_totalprice",
+            )
+        )
+    )
+    return dq.table_diff(
+        old, new, keys=("o_orderkey",), compare_cols=("o_totalprice",)
+    )
