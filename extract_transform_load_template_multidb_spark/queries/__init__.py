@@ -105,6 +105,7 @@ _CHECK_FIRST = (
     "join_asof_tolerance",
     "curation_mixture_sample",
     "dq_table_diff",
+    "curation_cluster_split",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

@@ -1578,3 +1578,62 @@ def curation_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         weights={"src0": 2.5, "src1": 0.5},
         default_weight=1.0,
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup-aware train/test split (round 5, batch 6)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_SPLIT_ORACLE = (
+    "WITH RECURSIVE "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM cnodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+cc AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+grp AS (
+    SELECT d.doc_id,
+           coalesce(cc.component, d.doc_id) AS split_group
+    FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+)
+SELECT doc_id, CAST(split_group AS BIGINT) AS split_group,
+       CASE WHEN
+           (CAST(('0x' || substr(md5(CAST(split_group AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 100) < 10
+           THEN 'test' ELSE 'train' END AS split
+FROM grp
+"""
+)
+
+
+@query("curation_cluster_split", oracle=_CLUSTER_SPLIT_ORACLE)
+def curation_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-dup-aware leakage-safe train/test split: documents are
+    grouped by their near-dup CLUSTER (connected components over the
+    n-gram Jaccard pairs; singletons group as themselves) and the whole
+    cluster lands on one side — the strictly stronger guarantee than
+    exact-text grouping, because a paraphrased test document's training
+    twin leaks exactly the signal a held-out split exists to deny."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(doc, n=3, threshold=0.2)
+    cc = dd.connected_components(pairs)
+    grp = doc.join(
+        cc.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce("component", "doc_id").cast("long").alias("split_group"),
+    )
+    return cu.group_split(
+        grp, group_col="split_group", test_pct=10
+    ).select("doc_id", "split_group", "split")

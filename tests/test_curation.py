@@ -388,3 +388,22 @@ def test_mixture_sample_zero_weight_drops_stratum(spark):
         df, weights={"drop": 0.0}, default_weight=1.0
     ).collect()
     assert [(r["doc_id"], r["epoch"]) for r in got] == [(1, 1)]
+
+
+def test_cluster_split_keeps_cluster_together(spark, sf_dir):
+    """Every near-dup cluster must land wholly on one side of the split."""
+    from extract_transform_load_template_multidb_spark.queries import (
+        all_queries,
+    )
+
+    out = all_queries()["curation_cluster_split"](spark, sf_dir)
+    violations = (
+        out.groupBy("split_group")
+        .agg(F.count_distinct("split").alias("n_sides"))
+        .filter(F.col("n_sides") > 1)
+        .count()
+    )
+    assert violations == 0
+    # both sides non-empty at fixture scale
+    sides = {r["split"] for r in out.select("split").distinct().collect()}
+    assert sides == {"train", "test"}
