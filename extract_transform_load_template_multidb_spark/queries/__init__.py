@@ -106,6 +106,7 @@ _CHECK_FIRST = (
     "curation_mixture_sample",
     "dq_table_diff",
     "curation_cluster_split",
+    "window_funnel_steps",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

@@ -653,3 +653,90 @@ def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=("last_orderkey", "n_orders_day"),
         tolerance_days=7,
     )
+
+
+_FUNNEL_ORACLE = """
+WITH w AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS t1
+    FROM events
+),
+w1 AS (SELECT DISTINCT user_id, t1 FROM w),
+w2 AS (
+    SELECT e.user_id, w1.t1,
+           min(CASE WHEN e.event_type = 'click' AND e.ts > w1.t1
+                    THEN e.ts END) AS t2
+    FROM events e JOIN w1 USING (user_id)
+    GROUP BY e.user_id, w1.t1
+),
+w3 AS (
+    SELECT e.user_id, w2.t1, w2.t2,
+           min(CASE WHEN e.event_type = 'purchase' AND e.ts > w2.t2
+                    THEN e.ts END) AS t3
+    FROM events e JOIN w2 USING (user_id)
+    GROUP BY e.user_id, w2.t1, w2.t2
+)
+SELECT CAST(count(CASE WHEN t1 IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_step_view,
+       CAST(count(CASE WHEN t2 IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_step_click,
+       CAST(count(CASE WHEN t3 IS NOT NULL THEN 1 END) AS BIGINT)
+           AS n_step_purchase
+FROM w3
+"""
+
+
+@query("window_funnel_steps", oracle=_FUNNEL_ORACLE)
+def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users whose earliest 'view' precedes a 'click'
+    that precedes a 'purchase' — per-step completion counts with strict
+    event-order semantics (a purchase before the click does not count).
+
+    Plan shape: all three conditional step-minima ride windows over the
+    SAME user partition, so Catalyst plans one exchange keyed by user_id
+    and three Window/aggregate levels on top — never a per-step self-join
+    of the fact table (3 corpus shuffles at 100 TB) and never a per-user
+    event-array materialization (unbounded per-user state)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
+    )
+    w = Window.partitionBy("user_id")
+    t1 = F.min(
+        F.when(F.col("event_type") == "view", F.col("ts"))
+    ).over(w)
+    step1 = ev.withColumn("t1", t1)
+    t2 = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts") > F.col("t1")),
+            F.col("ts"),
+        )
+    ).over(w)
+    step2 = step1.withColumn("t2", t2)
+    t3 = F.min(
+        F.when(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") > F.col("t2")),
+            F.col("ts"),
+        )
+    ).over(w)
+    per_user = (
+        step2.withColumn("t3", t3)
+        .groupBy("user_id")
+        .agg(
+            F.max("t1").alias("t1"),
+            F.max("t2").alias("t2"),
+            F.max("t3").alias("t3"),
+        )
+    )
+    return per_user.agg(
+        F.count(F.when(F.col("t1").isNotNull(), 1))
+        .cast("long")
+        .alias("n_step_view"),
+        F.count(F.when(F.col("t2").isNotNull(), 1))
+        .cast("long")
+        .alias("n_step_click"),
+        F.count(F.when(F.col("t3").isNotNull(), 1))
+        .cast("long")
+        .alias("n_step_purchase"),
+    )

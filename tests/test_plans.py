@@ -270,3 +270,13 @@ def test_quality_filter_is_exchange_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_quality_filter")
     assert _n_exchanges(plan) == 0
     assert plan.count("FileScan") == 1
+
+
+def test_funnel_single_user_shuffle(spark, sf_dir):
+    """All three funnel-step windows and the per-user aggregate must share
+    ONE user_id exchange; the only other exchange is the final 1-row
+    summary. A per-step self-join of the fact table would show here as
+    extra hash exchanges."""
+    plan = _plan(spark, sf_dir, "window_funnel_steps")
+    assert _n_exchanges(plan) <= 2
+    assert plan.count("Window") == 3
