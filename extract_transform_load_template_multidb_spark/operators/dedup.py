@@ -974,3 +974,48 @@ def incremental_near_dups(
             "jaccard",
         )
     )
+
+
+def blocked_edit_distance_pairs(
+    df: DataFrame,
+    block_cols: tuple[str, ...],
+    text_col: str,
+    id_col: str = "doc_id",
+    max_distance: int = 3,
+    block_size: int = 256,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Record linkage / entity resolution: candidate pairs from equality
+    BLOCKING on ``block_cols``, verified by Levenshtein edit distance on
+    ``text_col`` — the classic fuzzy-matching shape for names, titles,
+    and addresses where token-set methods (MinHash/Jaccard) are blind to
+    character-level typos.
+
+    Output: (id_a, id_b, dist ≤ ``max_distance``). Blocking IS the scale
+    technique — the quadratic verify runs per block, never corpus-wide —
+    and candidate generation reuses the skew-proof bucketed expansion of
+    the LSH path (:func:`lsh_candidate_pairs`), so one hot block cannot
+    pin a core. Levenshtein is a JVM built-in on both engines; at 100 TB
+    pick block keys so blocks stay ≪ ``max_bucket_size`` (e.g. add a
+    phonetic or prefix key), exactly as in production linkage systems.
+    """
+    bands = df.select(
+        F.col(id_col),
+        F.lit(0).alias("band_idx"),
+        F.xxhash64(*[F.col(c) for c in block_cols]).alias("band_hash"),
+    )
+    cands = lsh_candidate_pairs(
+        bands, id_col, block_size=block_size, max_bucket_size=max_bucket_size
+    )
+    a = df.select(F.col(id_col).alias("id_a"), F.col(text_col).alias("__ta"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(text_col).alias("__tb"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.levenshtein("__ta", "__tb").cast("long").alias("dist"),
+        )
+        .filter(F.col("dist") <= max_distance)
+    )

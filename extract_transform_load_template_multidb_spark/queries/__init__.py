@@ -107,6 +107,8 @@ _CHECK_FIRST = (
     "dq_table_diff",
     "curation_cluster_split",
     "window_funnel_steps",
+    "link_blocked_levenshtein",
+    "dq_numeric_profile_events",
     # Green only in round 1 — stalest remaining evidence.
     "window_distribution",
     "explode_unnest",

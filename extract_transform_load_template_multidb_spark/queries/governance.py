@@ -300,3 +300,97 @@ def dq_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dq.table_diff(
         old, new, keys=("o_orderkey",), compare_cols=("o_totalprice",)
     )
+
+
+# ---------------------------------------------------------------------------
+# One-pass numeric profile (round 5)
+# ---------------------------------------------------------------------------
+
+# Clean = finite, non-null. Moments route through DECIMAL(38,6): the
+# fixture's 2-decimal values square to ≤4 decimals, so sum and sum-of-
+# squares are exact and associative on both engines; mean/std are then
+# fixed-order float expressions over identical exact inputs.
+_NUM_PROFILE_ORACLE = """
+WITH s AS (
+    SELECT
+        count(*) AS n_rows,
+        count(CASE WHEN value IS NULL THEN 1 END) AS v_null,
+        count(CASE WHEN isnan(value) OR NOT isfinite(value) THEN 1 END)
+            AS v_bad,
+        count(CASE WHEN value IS NOT NULL AND isfinite(value) THEN 1 END)
+            AS v_n,
+        min(CASE WHEN isfinite(value) THEN value END) AS v_min,
+        max(CASE WHEN isfinite(value) THEN value END) AS v_max,
+        CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS v_sum,
+        CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value * value END
+                 AS DECIMAL(38,6))) AS DOUBLE) AS v_sumsq,
+        count(CASE WHEN user_id IS NULL THEN 1 END) AS u_null,
+        count(user_id) AS u_n,
+        CAST(min(user_id) AS DOUBLE) AS u_min,
+        CAST(max(user_id) AS DOUBLE) AS u_max,
+        CAST(SUM(CAST(user_id AS DECIMAL(38,6))) AS DOUBLE) AS u_sum,
+        CAST(SUM(CAST(CAST(user_id AS DOUBLE) * user_id
+                 AS DECIMAL(38,6))) AS DOUBLE) AS u_sumsq
+    FROM events
+)
+SELECT 'value' AS col_name,
+       CAST(v_n AS BIGINT) AS n_clean,
+       CAST(v_null AS BIGINT) AS n_null,
+       CAST(v_bad AS BIGINT) AS n_nonfinite,
+       v_min AS min_val, v_max AS max_val,
+       v_sum / v_n AS mean_val,
+       sqrt((v_sumsq - v_sum * v_sum / v_n) / (v_n - 1)) AS std_val
+FROM s
+UNION ALL
+SELECT 'user_id',
+       CAST(u_n AS BIGINT), CAST(u_null AS BIGINT), CAST(0 AS BIGINT),
+       u_min, u_max,
+       u_sum / u_n,
+       sqrt((u_sumsq - u_sum * u_sum / u_n) / (u_n - 1))
+FROM s
+"""
+
+
+@query("dq_numeric_profile_events", oracle=_NUM_PROFILE_ORACLE)
+def dq_numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass numeric profile (count/null/non-finite/min/max/mean/std
+    per column) — one scan, one aggregate, unpivoted to a row per column;
+    moments are decimal-routed so the stats are bit-reproducible."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = F.when(~F.isnan(v) & ~v.isin(float("inf"), float("-inf")), v)
+    u = F.col("user_id")
+    s = ev.agg(
+        F.count(F.when(v.isNull(), 1)).alias("v_null"),
+        F.count(F.when(F.isnan(v) | v.isin(float("inf"), float("-inf")), 1))
+        .alias("v_bad"),
+        F.count(clean).alias("v_n"),
+        F.min(clean).alias("v_min"),
+        F.max(clean).alias("v_max"),
+        F.sum(clean.cast("decimal(38,6)")).cast("double").alias("v_sum"),
+        F.sum((clean * v).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("v_sumsq"),
+        F.count(F.when(u.isNull(), 1)).alias("u_null"),
+        F.count(u).alias("u_n"),
+        F.min(u).cast("double").alias("u_min"),
+        F.max(u).cast("double").alias("u_max"),
+        F.sum(u.cast("decimal(38,6)")).cast("double").alias("u_sum"),
+        F.sum((u.cast("double") * u).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("u_sumsq"),
+    )
+    return s.selectExpr(
+        """stack(2,
+            'value', CAST(v_n AS BIGINT), CAST(v_null AS BIGINT),
+                CAST(v_bad AS BIGINT), v_min, v_max,
+                v_sum / v_n,
+                sqrt((v_sumsq - v_sum * v_sum / v_n) / (v_n - 1)),
+            'user_id', CAST(u_n AS BIGINT), CAST(u_null AS BIGINT),
+                CAST(0 AS BIGINT), u_min, u_max,
+                u_sum / u_n,
+                sqrt((u_sumsq - u_sum * u_sum / u_n) / (u_n - 1))
+        ) AS (col_name, n_clean, n_null, n_nonfinite, min_val, max_val,
+              mean_val, std_val)"""
+    )

@@ -1637,3 +1637,34 @@ def curation_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cu.group_split(
         grp, group_col="split_group", test_pct=10
     ).select("doc_id", "split_group", "split")
+
+
+# ---------------------------------------------------------------------------
+# Record linkage: blocked edit-distance matching (round 5, batch 7)
+# ---------------------------------------------------------------------------
+
+_LINK_ORACLE = """
+SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM part a
+JOIN part b
+  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 3
+"""
+
+
+@query("link_blocked_levenshtein", oracle=_LINK_ORACLE)
+def link_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution pairs over part names: equality blocking on
+    p_brand, Levenshtein ≤ 3 verify — character-level fuzzy matching the
+    token-set dedup family can't see (typos, transpositions). Candidate
+    generation reuses the skew-proof bucketed expansion, so one hot
+    block cannot pin a core (operators/dedup.py:
+    blocked_edit_distance_pairs)."""
+    return dd.blocked_edit_distance_pairs(
+        load_table(spark, sf_dir, "part"),
+        block_cols=("p_brand",),
+        text_col="p_name",
+        id_col="p_partkey",
+        max_distance=3,
+    )

@@ -280,3 +280,19 @@ def test_funnel_single_user_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_funnel_steps")
     assert _n_exchanges(plan) <= 2
     assert plan.count("Window") == 3
+
+
+def test_numeric_profile_one_pass(spark, sf_dir):
+    """All per-column stats must come from ONE scan + one 1-row
+    aggregate — a per-column job loop is the anti-pattern."""
+    plan = _plan(spark, sf_dir, "dq_numeric_profile_events")
+    assert plan.count("FileScan") == 1
+    assert _n_exchanges(plan) == 1
+
+
+def test_linkage_no_cartesian(spark, sf_dir):
+    """Blocked edit-distance candidates must come from the bucketed
+    expansion — never a cross join of the table with itself."""
+    plan = _plan(spark, sf_dir, "link_blocked_levenshtein")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
