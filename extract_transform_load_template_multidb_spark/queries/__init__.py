@@ -144,6 +144,7 @@ def _load_all() -> None:
         pyfunc,
         relational,
         time_windows,
+        tpch_patterns,
     )
 
     try:

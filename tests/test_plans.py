@@ -296,3 +296,56 @@ def test_linkage_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "link_blocked_levenshtein")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_pushdown_and_pruning(spark, sf_dir):
+    """Q6 is the pushdown showcase: every predicate must reach the parquet
+    scan, and the scan must read only the four referenced columns out of
+    eleven — at 100 TB this is the difference between scanning ~35% and
+    100% of the table bytes."""
+    plan = _plan(spark, sf_dir, "q6_forecast_revenue")
+    pushed = plan.split("PushedFilters")[1]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed[:400], col
+    read_schema = plan.split("ReadSchema")[1].split("\n")[0]
+    assert read_schema.count(",") == 3  # 4 columns, none extra
+
+
+def test_tpch_topk_queries_no_global_sort(spark, sf_dir):
+    """Q10/Q21 ORDER BY + LIMIT must plan as TakeOrderedAndProject."""
+    for name in ("q10_returned_items", "q21_waiting_suppliers"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_q19_broadcast_not_cartesian(spark, sf_dir):
+    """Q19's OR-of-ANDs predicate spans both join sides; the join must
+    remain a broadcast hash join on the p_partkey equi-key with the
+    disjunction as a post-join filter — never a nested-loop."""
+    plan = _plan(spark, sf_dir, "q19_disjunctive_revenue")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_single_backbone_shuffle(spark, sf_dir):
+    """Q21's EXISTS/NOT-EXISTS pair is algebraized into one per-order
+    aggregate: the flagged lineitem⋈orders join result must be shuffled
+    on l_orderkey for the distinct-supplier counts, not self-joined once
+    per quantifier (which would add two more lineitem-sized exchanges)."""
+    plan = _plan(spark, sf_dir, "q21_waiting_suppliers")
+    # flagged (lineitem⋈orders) feeds both the per-order agg and the
+    # probe side → ≤2 lineitem scans; the quantifier-per-self-join shape
+    # this guards against would need a third.
+    assert plan.count("lineitem.parquet") <= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_decorrelated_single_lineitem_agg(spark, sf_dir):
+    """Q17's correlated avg must decorrelate to one per-part aggregate
+    joined back — the plan has exactly one l_partkey aggregate exchange
+    feeding the probe join, not a per-row subquery."""
+    plan = _plan(spark, sf_dir, "q17_small_qty_revenue")
+    assert "Exchange hashpartitioning(l_partkey" in plan or (
+        "Exchange hashpartitioning(t_partkey" in plan
+    )
+    assert "CartesianProduct" not in plan
