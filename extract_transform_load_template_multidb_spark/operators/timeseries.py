@@ -96,3 +96,93 @@ def resample_carry_forward(
         "sum_value",
         F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
     )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str,
+    lookback: int = 20,
+    min_obs: int = 10,
+    threshold: float = 2.5,
+) -> DataFrame:
+    """Per-key rolling z-score outliers: each value vs its own trailing
+    window — the streaming-friendly anomaly-detection shape (bounded
+    state, no global statistics).
+
+    The frame is ROWS BETWEEN ``lookback`` PRECEDING AND 1 PRECEDING
+    (strictly historical — the current point never contaminates its own
+    baseline), ordered by (ts, tiebreak) so the frame row-set is unique.
+    Mean/variance come from decimal-routed Σv and Σv² within the frame —
+    exact and associative, so the z-score is bit-identical under any
+    partitioning, and an SQL oracle using the same two sums reproduces it
+    exactly (built-in ``stddev`` would not: engines disagree on the
+    one-pass vs Welford formulation in the last ulps).
+
+    NaN/±inf values are dropped before windowing (the engine's T3
+    cleaning rule). Scale: one shuffle by key; per-row state is the
+    O(lookback) frame. Returns rows with |z| > ``threshold`` and at least
+    ``min_obs`` baseline points: (*input columns*, n_base, base_mean, z).
+    """
+    v = F.col(value_col)
+    finite = df.filter(
+        ~F.isnan(v) & ~v.isin(float("inf"), float("-inf"))
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, order_tiebreak)
+        .rowsBetween(-lookback, -1)
+    )
+    s1 = F.sum(v.cast("decimal(38,6)")).over(w).cast("double")
+    s2 = F.sum((v * v).cast("decimal(38,6)")).over(w).cast("double")
+    n = F.count(v).over(w)
+    mean = s1 / n
+    var = (s2 - s1 * s1 / n) / (n - 1)
+    scored = finite.select(
+        "*",
+        n.alias("n_base"),
+        mean.alias("base_mean"),
+        ((v - mean) / F.sqrt(var)).alias("z"),
+    )
+    return scored.filter(
+        (F.col("n_base") >= min_obs) & (F.abs(F.col("z")) > threshold)
+    )
+
+
+def cohort_retention(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    unit: str = "week",
+) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity period,
+    counted in each later period they return.
+
+    Output: (cohort_start, period_offset, n_active) — ``n_active`` at
+    offset 0 is the cohort size. Two shuffles total: one by key for the
+    first-activity min (window, reusing the key partitioning for the
+    activity rows), one by (cohort, offset) for the distinct count.
+    Integer-exact throughout — no float drift possible.
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col)).cast("date")
+    days = {"day": 1, "week": 7, "month": None}[unit]
+    if days is None:
+        raise ValueError("month offsets are not fixed-width; use day|week")
+    active = df.select(
+        F.col(key_col).alias("key"), bucket.alias("period")
+    ).withColumn(
+        "cohort_start", F.min("period").over(Window.partitionBy("key"))
+    )
+    return (
+        active.select(
+            "key",
+            "cohort_start",
+            (F.datediff("period", "cohort_start") / days)
+            .cast("int")
+            .alias("period_offset"),
+        )
+        .groupBy("cohort_start", "period_offset")
+        .agg(F.countDistinct("key").alias("n_active"))
+    )

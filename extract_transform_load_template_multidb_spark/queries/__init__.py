@@ -140,6 +140,7 @@ def _load_all() -> None:
         advanced,
         etl,
         governance,
+        ir,
         multimodal,
         pyfunc,
         relational,

@@ -1,0 +1,109 @@
+"""Corpus-statistics IR queries: TF-IDF, BM25, unigram-LM quality.
+
+Beyond-reference extensions over the ``documents`` fixture (SURVEY.md §7
+phase 4) built on :mod:`operators.ir`. Every ``ln`` is quantized to 6
+decimals before arithmetic and every per-doc double sum is decimal-routed,
+so the DuckDB oracles reproduce the scores bit-for-bit (see the operator
+module docstring for the determinism discipline).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from extract_transform_load_template_multidb_spark.catalog import load_table
+from extract_transform_load_template_multidb_spark.operators import ir
+from extract_transform_load_template_multidb_spark.queries import query
+
+# Non-distinct token list per doc (matches operators.dedup.tokenize).
+_SQL_TOKS = """
+toks_list AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS t
+    FROM documents
+),
+tok AS (SELECT doc_id, unnest(t) AS w FROM toks_list)
+"""
+
+_TFIDF_ORACLE = f"""
+WITH {_SQL_TOKS},
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, w AS term, tf, df,
+         tf * round(ln((n + 1.0) / (df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (w) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS INT) AS rank
+  FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+"""
+
+
+@query("text_tfidf_topterms", oracle=_TFIDF_ORACLE)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (term salience extraction)."""
+    return ir.tfidf_top_terms(
+        load_table(spark, sf_dir, "documents"), k=3
+    )
+
+
+_BM25_TERMS = ("table", "join", "query")
+
+_BM25_ORACLE = f"""
+WITH {_SQL_TOKS},
+hits AS (SELECT * FROM tok WHERE w IN ('table', 'join', 'query')),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+dl AS (SELECT doc_id, CAST(len(t) AS INT) AS dl FROM toks_list),
+n AS (SELECT count(*) AS n FROM documents),
+ad AS (SELECT CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl)
+         AS avgdl FROM dl),
+contrib AS (
+  SELECT doc_id, dl,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS c
+  FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN ad
+)
+SELECT doc_id, dl,
+       CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score
+FROM contrib GROUP BY doc_id, dl
+ORDER BY score DESC, doc_id
+LIMIT 50
+"""
+
+
+@query("text_bm25_search", oracle=_BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-50 for the fixed query ('table', 'join', 'query')."""
+    return ir.bm25_scores(
+        load_table(spark, sf_dir, "documents"), _BM25_TERMS
+    )
+
+
+_UNIGRAM_ORACLE = f"""
+WITH {_SQL_TOKS},
+counts AS (SELECT w, count(*) AS ct FROM tok GROUP BY w),
+total AS (SELECT count(*) AS total FROM tok),
+lp AS (
+  SELECT doc_id, round(ln(ct / total), 6) AS lp
+  FROM tok JOIN counts USING (w) CROSS JOIN total
+)
+SELECT doc_id, count(*) AS n_tokens,
+       CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+         AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
+@query("text_unigram_logprob", oracle=_UNIGRAM_ORACLE)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-unigram-LM mean log-prob per doc (perplexity-style quality)."""
+    return ir.unigram_logprob(load_table(spark, sf_dir, "documents"))

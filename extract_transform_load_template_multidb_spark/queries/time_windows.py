@@ -197,3 +197,85 @@ def ts_resample_carry_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_col="value",
         step="1 hour",
     )
+
+
+_ZSCORE_ORACLE = """
+WITH finite AS (
+  SELECT * FROM events WHERE NOT isnan(value) AND isfinite(value)
+),
+framed AS (
+  SELECT event_id, user_id, ts, value,
+         CAST(SUM(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE) AS s1,
+         CAST(SUM(CAST(value * value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+           AS s2,
+         COUNT(value) OVER w AS n_base
+  FROM finite
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id, user_id, ts, value, n_base,
+       s1 / n_base AS base_mean,
+       (value - s1 / n_base)
+         / sqrt((s2 - s1 * s1 / n_base) / (n_base - 1)) AS z
+FROM framed
+WHERE n_base >= 10
+  AND abs((value - s1 / n_base)
+          / sqrt((s2 - s1 * s1 / n_base) / (n_base - 1))) > 2.5
+"""
+
+
+@query("ts_rolling_zscore", oracle=_ZSCORE_ORACLE)
+def ts_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score anomalies: each event's value vs its own
+    trailing-20 baseline (strictly historical frame; decimal-exact
+    Σv/Σv² so the score is partition-order-free)."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        timeseries as tsops,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    return tsops.rolling_zscore_anomalies(
+        events,
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        order_tiebreak="event_id",
+    )
+
+
+_COHORT_ORACLE = """
+WITH active AS (
+  SELECT user_id AS key, CAST(date_trunc('week', ts) AS DATE) AS period
+  FROM events
+),
+cohorts AS (
+  SELECT key, period,
+         min(period) OVER (PARTITION BY key) AS cohort_start
+  FROM active
+)
+SELECT cohort_start,
+       CAST(date_diff('day', cohort_start, period) / 7 AS INT)
+         AS period_offset,
+       count(DISTINCT key) AS n_active
+FROM cohorts
+GROUP BY cohort_start, period_offset
+"""
+
+
+@query("window_cohort_retention", oracle=_COHORT_ORACLE)
+def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix over events: users bucketed by
+    first-activity week, distinct-counted at each week offset they
+    return (offset 0 = cohort size). Integer-exact."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        timeseries as tsops,
+    )
+
+    return tsops.cohort_retention(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        unit="week",
+    )

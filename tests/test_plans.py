@@ -349,3 +349,29 @@ def test_q17_decorrelated_single_lineitem_agg(spark, sf_dir):
         "Exchange hashpartitioning(t_partkey" in plan
     )
     assert "CartesianProduct" not in plan
+
+
+def test_zscore_single_key_exchange(spark, sf_dir):
+    """The rolling z-score must be ONE shuffle by user_id feeding one
+    Window — Σv, Σv² and count all come from the same frame pass."""
+    plan = _plan(spark, sf_dir, "ts_rolling_zscore")
+    assert _n_exchanges(plan) == 1
+    assert plan.count("Window") == 1
+
+
+def test_cohort_retention_two_exchanges(spark, sf_dir):
+    """Cohort retention: one shuffle by user for first-activity, one by
+    (cohort, offset) for the distinct count — with partial per-partition
+    dedup before the second (the HashAggregate pair below the exchange)."""
+    plan = _plan(spark, sf_dir, "window_cohort_retention")
+    assert _n_exchanges(plan) == 2
+
+
+def test_ir_queries_no_cartesian(spark, sf_dir):
+    """TF-IDF / BM25 / unigram-LM corpus statistics must never plan a
+    CartesianProduct — the only conditionless joins are broadcast 1-row
+    scalar attaches (N, total, avgdl)."""
+    for name in ("text_tfidf_topterms", "text_bm25_search",
+                 "text_unigram_logprob"):
+        plan = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
