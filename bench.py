@@ -69,6 +69,15 @@ HEADLINE = [
     "text_rare_ngram_ratio",
     "curation_dedup_paragraphs",
     "dedup_incremental_minhash",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "text_tfidf_topterms",
+    "text_bm25_search",
+    "text_unigram_logprob",
+    "ts_rolling_zscore",
+    "window_cohort_retention",
 ]
 
 

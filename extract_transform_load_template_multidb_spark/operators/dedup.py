@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame, functions as F, types as T
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 
 def tokenize(text: Column) -> Column:
@@ -388,8 +388,9 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     return word_shingles_from_tokens(tokenize(text), n)
 
 
-def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
-    """Shingles from a token array column (see :func:`word_shingles`)."""
+def positional_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Non-distinct n-gram array — index i is the shingle starting at
+    token position i. Pure array expression, no explode/shuffle."""
     idx = F.sequence(F.lit(0), F.size(toks) - n)
     grams = F.transform(
         idx,
@@ -397,9 +398,14 @@ def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
             " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(n)]
         ),
     )
-    return F.array_distinct(
-        F.when(F.size(toks) >= n, grams).otherwise(F.array().cast("array<string>"))
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
+
+
+def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Shingles from a token array column (see :func:`word_shingles`)."""
+    return F.array_distinct(positional_shingles_from_tokens(toks, n))
 
 
 def ngram_jaccard_pairs(
@@ -1018,4 +1024,85 @@ def blocked_edit_distance_pairs(
             F.levenshtein("__ta", "__tb").cast("long").alias("dist"),
         )
         .filter(F.col("dist") <= max_distance)
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level exact-substring duplication: maximal token ranges whose
+    every k-gram also appears in ≥ ``min_docs - 1`` other documents.
+
+    The span-granular counterpart of document-level dedup (the
+    "remove the duplicated substring, keep the rest of the document"
+    operation of suffix-array training-data dedup — public method, Lee
+    et al., "Deduplicating Training Data Makes Language Models Better",
+    ACL'22 — re-expressed relationally: positional k-gram explode →
+    cross-document frequency → per-doc gaps-and-islands merge of the
+    covered ranges).
+
+    Returns (id, span_start, span_end, n_dup_shingles): token positions
+    inclusive, spans ≥ k tokens, non-overlapping per doc.
+
+    Scale: two shuffles by shingle text (frequency count with partial
+    aggregation, then the semi-join back) and one by doc for the island
+    merge. Shingles travel as full strings so an SQL oracle agrees
+    exactly; a production variant would band by ``xxhash64(gram)``
+    (8-byte shuffle keys, same spans modulo hash collision). Positions
+    and spans are integer-exact.
+    """
+    # Materialize the token array BEFORE shingling: the transform lambda
+    # references the array 2+3k times and Spark does not CSE across a
+    # lambda body — inlining tokenize() here re-runs the regex split ~26×
+    # per row at k=8 (observed 50 s vs 2 s at sf0.01).
+    toks = (
+        df.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+        )
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                positional_shingles_from_tokens(F.col("__toks"), k)
+            ).alias("pos", "g"),
+        )
+    )
+    dup = (
+        toks.groupBy("g")
+        .agg(F.countDistinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("g")
+    )
+    cand = toks.join(dup, "g", "left_semi").select(
+        F.col(id_col), "pos", (F.col("pos") + (k - 1)).alias("__end")
+    )
+    w = Window.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max("__end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = cand.select(
+        F.col(id_col),
+        "pos",
+        "__end",
+        F.when(
+            prev_end.isNull() | (F.col("pos") > prev_end + 1), 1
+        )
+        .otherwise(0)
+        .alias("__new"),
+    )
+    island = F.sum("__new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        flagged.withColumn("__island", island)
+        .groupBy(id_col, "__island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("__end").alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_shingles"),
+        )
+        .select(id_col, "span_start", "span_end", "n_dup_shingles")
     )

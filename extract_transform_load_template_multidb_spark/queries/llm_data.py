@@ -1668,3 +1668,127 @@ def link_blocked_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
         id_col="p_partkey",
         max_distance=3,
     )
+
+
+_DUP_SPANS_ORACLE = """
+WITH toks_list AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     w -> w <> '') AS t
+  FROM documents
+),
+pos_grams AS (
+  SELECT doc_id, CAST(gs.i AS INT) AS pos,
+         array_to_string(list_slice(t, gs.i + 1, gs.i + 8), ' ') AS g
+  FROM toks_list,
+       LATERAL (SELECT unnest(generate_series(0, len(t) - 8)) AS i) gs
+),
+dup AS (
+  SELECT g FROM pos_grams GROUP BY g HAVING count(DISTINCT doc_id) >= 2
+),
+cand AS (
+  SELECT doc_id, pos, pos + 7 AS e FROM pos_grams
+  WHERE g IN (SELECT g FROM dup)
+),
+flagged AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER w IS NULL OR pos > max(e) OVER w + 1
+              THEN 1 ELSE 0 END AS is_new
+  FROM cand
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+isl AS (
+  SELECT doc_id, pos, e,
+         SUM(is_new) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM flagged
+)
+SELECT doc_id, min(pos) AS span_start, max(e) AS span_end,
+       count(*) AS n_dup_shingles
+FROM isl GROUP BY doc_id, island
+"""
+
+
+@query("dedup_duplicated_spans", oracle=_DUP_SPANS_ORACLE)
+def dedup_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact-substring duplication (suffix-array-style dedup,
+    relationally): maximal token ranges whose every 8-gram recurs in
+    another document — the 'cut the duplicated passage, keep the doc'
+    granularity. Positional shingling is a pure array expression; the
+    island merge is one per-doc window."""
+    return dd.duplicated_spans(
+        load_table(spark, sf_dir, "documents"), k=8, min_docs=2
+    )
+
+
+_PAGERANK_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+nn AS (SELECT count(*) AS n FROM documents),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+r0 AS (
+  SELECT doc_id AS node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank FROM documents
+),
+c1 AS (
+  SELECT e.dst AS node, CAST(r.rank / d.deg AS DECIMAL(38,12)) AS c
+  FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+),
+r1 AS (
+  SELECT n0.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0) AS rank
+  FROM r0 n0 LEFT JOIN c1 ON c1.node = n0.node GROUP BY n0.node
+),
+c2 AS (
+  SELECT e.dst AS node, CAST(r.rank / d.deg AS DECIMAL(38,12)) AS c
+  FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+),
+r2 AS (
+  SELECT n0.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0) AS rank
+  FROM r0 n0 LEFT JOIN c2 ON c2.node = n0.node GROUP BY n0.node
+),
+c3 AS (
+  SELECT e.dst AS node, CAST(r.rank / d.deg AS DECIMAL(38,12)) AS c
+  FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+),
+r3 AS (
+  SELECT n0.node,
+         (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+           + CAST(0.85 AS DOUBLE) * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0) AS rank
+  FROM r0 n0 LEFT JOIN c3 ON c3.node = n0.node GROUP BY n0.node
+)
+SELECT node, rank FROM r3
+"""
+)
+
+
+@query("graph_pagerank_docs", oracle=_PAGERANK_ORACLE)
+def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration PageRank over the n-gram near-dup similarity graph
+    (symmetrized Jaccard-0.2 pairs; all docs as nodes). Ranks centrality
+    inside duplicate clusters — a better canonical-survivor signal than
+    min-id for large clusters. Decimal-routed contributions make the
+    unrolled-iteration SQL oracle bit-exact."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as gr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    return gr.pagerank(
+        edges, docs.select(F.col("doc_id").alias("node")), iterations=3
+    )

@@ -159,3 +159,88 @@ def test_cohort_retention_hand_computed(spark):
     assert out[("2024-01-01", 2)] == 2
     assert out[("2024-01-08", 0)] == 1
     assert ("2024-01-08", 1) not in out
+
+
+def test_duplicated_spans_hand_computed(spark):
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    shared = "one two three four five six seven eight nine ten"
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha {shared} beta"),
+            (2, f"gamma delta {shared}"),
+            (3, "epsilon zeta eta theta iota kappa lamda mu nu xi"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r.doc_id: r
+        for r in dd.duplicated_spans(docs, k=8, min_docs=2).collect()
+    }
+    # doc 3 shares nothing
+    assert set(out) == {1, 2}
+    # doc 1: tokens alpha(0) one(1)..ten(10) beta(11); shared 8-grams start
+    # at positions 1,2,3 → merged span [1, 10]
+    assert (out[1].span_start, out[1].span_end) == (1, 10)
+    assert out[1].n_dup_shingles == 3
+    # doc 2: gamma(0) delta(1) one(2)..ten(11) → span [2, 11]
+    assert (out[2].span_start, out[2].span_end) == (2, 11)
+
+
+def test_duplicated_spans_islands_split(spark):
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    a = "a1 a2 a3 a4 a5 a6 a7 a8"
+    b = "b1 b2 b3 b4 b5 b6 b7 b8"
+    docs = spark.createDataFrame(
+        [
+            (1, f"{a} gapword1 gapword2 {b}"),
+            (2, a),
+            (3, b),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = sorted(
+        dd.duplicated_spans(docs, k=8, min_docs=2)
+        .filter("doc_id = 1")
+        .collect(),
+        key=lambda r: r.span_start,
+    )
+    # two separate islands, split by the gap words
+    assert [(r.span_start, r.span_end) for r in rows] == [(0, 7), (10, 17)]
+
+
+def test_pagerank_star_graph(spark):
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as gr,
+    )
+
+    # undirected star: hub 0 — leaves 1..4, plus isolated node 5
+    pairs = [(0, i) for i in range(1, 5)]
+    edges = spark.createDataFrame(
+        pairs + [(b, a) for a, b in pairs], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(6)], ["node"])
+    ranks = {
+        r.node: r["rank"]
+        for r in gr.pagerank(edges, nodes, iterations=3).collect()
+    }
+    # python reference: same recurrence, no quantization (tolerance covers
+    # the DECIMAL(38,12) rounding)
+    n, d = 6, 0.85
+    deg = {0: 4, 1: 1, 2: 1, 3: 1, 4: 1}
+    adj_in = {0: [1, 2, 3, 4], 1: [0], 2: [0], 3: [0], 4: [0], 5: []}
+    r = {i: 1 / n for i in range(6)}
+    for _ in range(3):
+        r = {
+            v: (1 - d) / n + d * sum(r[u] / deg[u] for u in adj_in[v])
+            for v in range(6)
+        }
+    for v in range(6):
+        assert ranks[v] == pytest.approx(r[v], abs=1e-9), v
+    # hub dominates, isolated node sits at the damping floor trajectory
+    assert ranks[0] > ranks[1] > ranks[5]
