@@ -78,6 +78,8 @@ HEADLINE = [
     "text_unigram_logprob",
     "ts_rolling_zscore",
     "window_cohort_retention",
+    "mm_decode_wav",
+    "sim_cosine_topk_pq",
 ]
 
 

@@ -358,6 +358,189 @@ def synthesize_ppm(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def write_wav(samples: "object", sample_rate: int = 8000) -> bytes:
+    """REAL RIFF/WAVE writer for PCM16 mono — pure struct/numpy.
+
+    ``samples`` is any int16-coercible 1-D array; output is a canonical
+    44-byte-header WAV (fmt chunk then data chunk) that any standard
+    reader consumes.
+    """
+    import struct
+
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    hdr = (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm))
+        + b"WAVE"
+        + b"fmt "
+        + struct.pack(
+            "<IHHIIHH",
+            16,  # fmt chunk size
+            1,  # PCM
+            1,  # mono
+            sample_rate,
+            sample_rate * 2,  # byte rate
+            2,  # block align
+            16,  # bits per sample
+        )
+        + b"data"
+        + struct.pack("<I", len(pcm))
+    )
+    return hdr + pcm
+
+
+def parse_wav(payload: bytes) -> tuple[int, int, int, "object"]:
+    """REAL audio decode for PCM16 WAV: walks the RIFF chunk list (no
+    fixed-offset shortcut — handles extra chunks like LIST/INFO and odd-
+    size padding per spec), validates the fmt chunk, and returns
+    (n_channels, sample_rate, bits, samples) with ``samples`` a numpy
+    int16 array (frames × channels flattened in interleaved order).
+    Raises ``ValueError`` on malformed/unsupported input.
+    """
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    fmt = data = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if len(body) != size:
+            raise ValueError(f"truncated {cid!r} chunk")
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt or data chunk")
+    if len(fmt) < 16:
+        raise ValueError("short fmt chunk")
+    audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+        "<HHIIHH", fmt
+    )
+    if audio_fmt != 1 or bits != 16:
+        raise ValueError("unsupported WAV variant (need PCM 16-bit)")
+    if n_channels < 1 or sample_rate < 1:
+        raise ValueError("invalid WAV fmt fields")
+    if len(data) % (2 * n_channels):
+        raise ValueError("data chunk not frame-aligned")
+    return n_channels, sample_rate, bits, np.frombuffer(data, dtype="<i2")
+
+
+_AUDIO_SCHEMA = (
+    "asset_id bigint, sample_rate int, n_channels int, bits int, "
+    "n_samples bigint, duration_ms bigint, rms double, "
+    "zero_crossings bigint, err string"
+)
+
+
+def decode_audio(df: DataFrame) -> DataFrame:
+    """Decode PCM16 WAV payloads and emit per-asset audio features — the
+    audio twin of :func:`decode_images`, with the codec REAL in this
+    container (struct/numpy RIFF parsing, no external libs). Malformed
+    payloads surface in ``err`` instead of failing the stage.
+
+    Output: (asset_id, sample_rate, n_channels, bits, n_samples,
+    duration_ms, rms, zero_crossings, err). ``rms`` is computed as
+    sqrt(exact-int sum of squares / n) so a SQL oracle reproduces it
+    bit-for-bit; ``zero_crossings`` counts sign flips of the (v < 0)
+    predicate between consecutive samples. Arrow-batched ``mapInPandas``,
+    column-pruned input, narrow map — no shuffle.
+    """
+    import math
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    nch, sr, bits, v = parse_wav(raw)
+                    n = int(v.shape[0])
+                    sq = int((v.astype("int64") ** 2).sum())
+                    rms = math.sqrt(sq / n) if n else 0.0
+                    neg = v < 0
+                    zc = int((neg[1:] != neg[:-1]).sum())
+                    rows.append(
+                        (
+                            asset_id,
+                            sr,
+                            nch,
+                            bits,
+                            n,
+                            n * 1000 // (sr * nch),
+                            rms,
+                            zc,
+                            None,
+                        )
+                    )
+                except ValueError as ex:
+                    rows.append(
+                        (asset_id, None, None, None, None, None, None, None,
+                         str(ex))
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "sample_rate",
+                    "n_channels",
+                    "bits",
+                    "n_samples",
+                    "duration_ms",
+                    "rms",
+                    "zero_crossings",
+                    "err",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(fn, _AUDIO_SCHEMA)
+
+
+def synthesize_wav(
+    df: DataFrame,
+    text_col: str = "text",
+    n_samples: int = 16,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic PCM16 WAV payload per document: sample ``i`` is
+    ``(ord(char_i) - 79) * 256`` over the first ``n_samples`` characters
+    of the x-padded text (ASCII ⇒ a SQL oracle rebuilds the decoded
+    features with ``ord()`` arithmetic; the -79 bias puts chars below
+    'O' negative so zero-crossing counts are non-trivial). The payload is
+    a VALID WAV built by :func:`write_wav`: the real RIFF parser in
+    :func:`decode_audio` consumes it with no fixture-specific path."""
+
+    schema = "asset_id bigint, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = [
+                write_wav(
+                    [
+                        (ord(c) - 79) * 256
+                        for c in (t or "").ljust(n_samples, "x")[:n_samples]
+                    ],
+                    sample_rate,
+                )
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return df.select("doc_id", F.col(text_col).alias("text")).mapInPandas(
+        fn, schema
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Binary-column statistics with built-ins only (no UDF): byte length,
     md5, and a magic-byte sniff — the cheap pre-filter before any decode."""

@@ -372,6 +372,152 @@ def ivf_topk(
     )
 
 
+def _subspace_explode(
+    frame: DataFrame, m: int, sub_dim: int, id_col: str
+) -> DataFrame:
+    """(id, qv) → one row per subspace: (id, s, sub, sub_nsq).
+
+    ``posexplode`` over an array of slices — a narrow map, no shuffle.
+    """
+    subs = F.array(
+        *[F.slice(F.col("qv"), s * sub_dim + 1, sub_dim) for s in range(m)]
+    )
+    return frame.select(
+        F.col(id_col), F.posexplode(subs).alias("s", "sub")
+    ).withColumn("sub_nsq", norm_sq(F.col("sub")))
+
+
+def pq_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    m: int = 4,
+    n_codewords: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Product-quantization approximate top-k (FAISS-PQ ADC economics as
+    a Spark plan).
+
+    The vector space splits into ``m`` subspaces; each corpus subvector is
+    coarse-coded to its nearest of ``n_codewords`` codewords (exact-int L2
+    argmin, ties to the lowest codeword id), so a corpus vector compresses
+    to ``m`` small codes. A query is scored against a vector WITHOUT
+    touching the original floats — asymmetric distance computation: the
+    query's partial dot with every codeword of every subspace is a tiny
+    ``m × n_codewords`` table, and the approximate dot is the sum of ``m``
+    lookups; cosine then normalizes by the RECONSTRUCTED corpus norm.
+
+    ``codebook`` (same schema as the corpus, e.g. per-subspace k-means
+    centers with row-number ids) defines the codewords; when omitted the
+    first ``n_codewords`` corpus vectors stand in as a deterministic
+    untrained codebook (same plan shape, lower recall — pinned vs brute
+    force in ``tests/test_similarity.py``).
+
+    Output: (query_id, neighbor_id, rnk, cosine_pq).
+
+    Scale shape: the codebook and the query partial-dot table broadcast
+    (``m·n_codewords`` rows each); encoding is a narrow subspace explode +
+    broadcast join + map-side-combinable min(struct) agg — shuffle volume
+    is ``|corpus|·m`` structs, once, reusable across query batches; ADC
+    scoring shuffles ``|corpus|·|queries|`` partial aggregates. No
+    corpus × corpus join ever forms, and the per-vector storage the plan
+    carries forward is the ``m`` codes — the PQ compression that makes
+    billion-vector search fit a cluster's memory.
+    """
+    corpus = _corpus_quantized(df, vec_col, id_col)
+    # Slices past the end would silently shorten subvectors, so the
+    # dimension must divide evenly into m subspaces.
+    first_dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+    dim = first_dim.collect()[0]["d"]  # 1-row scalar fetch, driver-safe
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+
+    cb_src = (
+        _corpus_quantized(codebook, vec_col, id_col)
+        if codebook is not None
+        else corpus.filter(F.col(id_col) < n_codewords)
+    )
+    codewords = _subspace_explode(cb_src, m, sub_dim, id_col).select(
+        F.col(id_col).alias("cid"),
+        "s",
+        F.col("sub").alias("cw"),
+        F.col("sub_nsq").alias("cw_nsq"),
+    )
+
+    # Encode: nearest codeword per (vector, subspace) by exact-int L2 —
+    # dist = |x|² + |c|² − 2⟨x,c⟩; min(struct) is lexicographic, cid is
+    # unique per subspace, so the argmin is total-ordered.
+    corpus_subs = _subspace_explode(corpus, m, sub_dim, id_col)
+    dists = corpus_subs.join(F.broadcast(codewords), "s").select(
+        F.col(id_col),
+        "s",
+        F.struct(
+            (
+                F.col("sub_nsq")
+                + F.col("cw_nsq")
+                - 2 * dot_long(F.col("sub"), F.col("cw"))
+            ).alias("dist"),
+            F.col("cid").alias("cid"),
+            F.col("cw_nsq").alias("cw_nsq"),
+        ).alias("cand"),
+    )
+    codes = (
+        dists.groupBy(id_col, "s")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            F.col(id_col),
+            "s",
+            F.col("best.cid").alias("code"),
+            F.col("best.cw_nsq").alias("code_nsq"),
+        )
+    )
+
+    # Query-side ADC table: partial dot of each query subvector with each
+    # codeword — m·n_codewords rows per query, broadcastable.
+    qs = corpus.join(queries.select(F.col(id_col)), id_col, "left_semi")
+    q_subs = _subspace_explode(qs, m, sub_dim, id_col).select(
+        F.col(id_col).alias("query_id"), "s", "sub"
+    )
+    q_norms = qs.select(
+        F.col(id_col).alias("query_id"), F.col("nsq").alias("q_nsq")
+    )
+    adc = q_subs.join(F.broadcast(codewords), "s").select(
+        "query_id",
+        "s",
+        F.col("cid").alias("code"),
+        dot_long(F.col("sub"), F.col("cw")).alias("pdot"),
+    )
+
+    scored = (
+        codes.join(F.broadcast(adc), ["s", "code"])
+        .groupBy("query_id", id_col)
+        .agg(
+            F.sum("pdot").alias("adot"),
+            F.sum("code_nsq").alias("recon_nsq"),
+        )
+        .filter(F.col("query_id") != F.col(id_col))
+        .join(F.broadcast(q_norms), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(
+                F.col("adot"), F.col("q_nsq"), F.col("recon_nsq")
+            ).alias("cosine_pq"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_pq").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "rnk", "cosine_pq")
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

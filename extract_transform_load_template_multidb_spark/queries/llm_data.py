@@ -434,6 +434,90 @@ def sim_cosine_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PQ-ADC oracle: 4 subspaces of 16 dims, codebook = subvectors of corpus
+# vectors 0..7, queries = vectors 16..23. Encoding argmin ties break on
+# the lowest codeword id (matching Spark's min(struct(dist, cid, ...))).
+_PQ_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+sub AS (
+    SELECT vec_id, CAST(d // 16 AS INT) AS s, d, v FROM elems
+),
+cw AS (
+    SELECT vec_id AS cid, s, d, v FROM sub WHERE vec_id < 8
+),
+cw_nsq AS (
+    SELECT cid, s, SUM(v * v) AS nsq FROM cw GROUP BY cid, s
+),
+sub_nsq AS (
+    SELECT vec_id, s, SUM(v * v) AS nsq FROM sub GROUP BY vec_id, s
+),
+enc_dots AS (
+    SELECT x.vec_id, x.s, c.cid, SUM(x.v * c.v) AS dot
+    FROM sub x JOIN cw c ON c.s = x.s AND c.d = x.d
+    GROUP BY x.vec_id, x.s, c.cid
+),
+codes AS (
+    SELECT vec_id, s, cid AS code, code_nsq FROM (
+        SELECT e.vec_id, e.s, e.cid, cn.nsq AS code_nsq,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, e.s
+                   ORDER BY (sn.nsq + cn.nsq - 2 * e.dot), e.cid
+               ) AS rn
+        FROM enc_dots e
+        JOIN sub_nsq sn ON sn.vec_id = e.vec_id AND sn.s = e.s
+        JOIN cw_nsq cn ON cn.cid = e.cid AND cn.s = e.s
+    ) WHERE rn = 1
+),
+adc AS (
+    SELECT q.vec_id AS query_id, q.s, c.cid AS code, SUM(q.v * c.v) AS pdot
+    FROM sub q JOIN cw c ON c.s = q.s AND c.d = q.d
+    WHERE q.vec_id >= 16 AND q.vec_id < 24
+    GROUP BY q.vec_id, q.s, c.cid
+),
+scored AS (
+    SELECT a.query_id, k.vec_id AS neighbor_id,
+           SUM(a.pdot) AS adot, SUM(k.code_nsq) AS recon_nsq
+    FROM codes k JOIN adc a ON a.s = k.s AND a.code = k.code
+    WHERE k.vec_id <> a.query_id
+    GROUP BY a.query_id, k.vec_id
+),
+cos AS (
+    SELECT s.query_id, s.neighbor_id,
+           CAST(s.adot AS DOUBLE)
+             / (sqrt(CAST(nq.nsq AS DOUBLE)) * sqrt(CAST(s.recon_nsq AS DOUBLE)))
+               AS cosine_pq
+    FROM scored s JOIN norms nq ON nq.vec_id = s.query_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cosine_pq,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine_pq DESC, neighbor_id) AS rnk
+    FROM cos
+)
+SELECT query_id, neighbor_id, rnk, cosine_pq FROM ranked WHERE rnk <= 3
+"""
+)
+
+
+@query("sim_cosine_topk_pq", oracle=_PQ_ORACLE)
+def sim_cosine_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization approximate top-3: corpus vectors compress to
+    4 subspace codes against an 8-codeword codebook (deterministic seed
+    codewords standing in for per-subspace k-means); queries score via
+    asymmetric distance computation — the FAISS-PQ memory/computation
+    economics as a Spark plan (broadcast codebook + ADC lookup join)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_topk(
+        emb,
+        emb.filter((F.col("vec_id") >= 16) & (F.col("vec_id") < 24)),
+        k=3,
+        m=4,
+        n_codewords=8,
+    )
+
+
 _EMB_NEARDUP_ORACLE = (
     "WITH "
     + _SQL_ELEMS

@@ -133,6 +133,51 @@ FROM px
 """
 
 
+# Audio samples of the synthesized WAV: sample i = (ord(char_i)-79)*256
+# over the first 16 chars of the x-padded text; 8 kHz mono PCM16. The
+# oracle rebuilds the decoded features with ord() arithmetic: rms as
+# sqrt(exact-int sum of squares / 16) — bit-identical to the numpy path —
+# and zero_crossings as sign flips of (v < 0) between consecutive samples.
+_DECODE_WAV_ORACLE = """
+WITH s AS (
+    SELECT doc_id AS asset_id, i,
+           (ord(substr(rpad(text, 16, 'x'), i, 1)) - 79) * 256 AS v
+    FROM documents, LATERAL (SELECT unnest(range(1, 17)) AS i)
+),
+lagged AS (
+    SELECT asset_id, v,
+           lag(v) OVER (PARTITION BY asset_id ORDER BY i) AS pv
+    FROM s
+)
+SELECT asset_id,
+       CAST(8000 AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16 AS INT) AS bits,
+       CAST(16 AS BIGINT) AS n_samples,
+       CAST(2 AS BIGINT) AS duration_ms,
+       sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / 16) AS rms,
+       CAST(count(*) FILTER (
+           WHERE pv IS NOT NULL AND ((v < 0) <> (pv < 0))
+       ) AS BIGINT) AS zero_crossings,
+       CAST(NULL AS VARCHAR) AS err
+FROM lagged
+GROUP BY asset_id
+"""
+
+
+@query("mm_decode_wav", oracle=_DECODE_WAV_ORACLE)
+def mm_decode_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode in this container: each doc synthesizes a valid
+    8 kHz PCM16 mono WAV (:func:`operators.multimodal.synthesize_wav`,
+    real RIFF writer) and :func:`operators.multimodal.decode_audio` walks
+    the RIFF chunk list with pure struct/numpy — no codec library, no
+    fixture-specific shortcut — emitting per-asset features (RMS, zero
+    crossings, duration) the SQL oracle rebuilds with ``ord()``
+    arithmetic."""
+    wav = mm.synthesize_wav(load_table(spark, sf_dir, "documents"))
+    return mm.decode_audio(wav)
+
+
 @query("mm_decode_ppm", oracle=_DECODE_PPM_ORACLE)
 def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL image decode in this container: each doc synthesizes a valid

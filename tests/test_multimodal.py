@@ -204,3 +204,68 @@ def test_decode_images_mixed_formats_and_errors(spark):
     )
     assert got[2]["err"] is None
     assert got[3]["err"] is not None and got[3]["width"] is None
+
+
+def test_wav_roundtrip_and_chunk_walk():
+    import struct
+
+    samples = [0, 1000, -1000, 32767, -32768, 7]
+    payload = mm.write_wav(samples, sample_rate=8000)
+    nch, sr, bits, v = mm.parse_wav(payload)
+    assert (nch, sr, bits) == (1, 8000, 16)
+    assert v.tolist() == samples
+    # Parser must walk chunks, not assume a 44-byte header: splice an
+    # odd-size LIST chunk (word-aligned with a pad byte) before data.
+    hdr, data = payload[:36], payload[36:]
+    extra = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = (
+        payload[:4]
+        + struct.pack("<I", len(payload) - 8 + len(extra))
+        + payload[8:36]
+        + extra
+        + data
+    )
+    nch2, sr2, bits2, v2 = mm.parse_wav(spliced)
+    assert v2.tolist() == samples and (nch2, sr2, bits2) == (1, 8000, 16)
+
+
+def test_parse_wav_malformed():
+    import pytest
+
+    with pytest.raises(ValueError):
+        mm.parse_wav(b"RIFX1234WAVE")  # wrong magic
+    with pytest.raises(ValueError):
+        mm.parse_wav(mm.write_wav([1, 2, 3])[:20])  # truncated chunk
+    good = bytearray(mm.write_wav([1, 2, 3]))
+    good[20] = 3  # audio format = 3 (float), unsupported
+    with pytest.raises(ValueError):
+        mm.parse_wav(bytes(good))
+
+
+def test_decode_audio_features_and_errors(spark):
+    import math
+
+    # Samples +256/-256 alternating: rms = 256, zero crossings = 3.
+    wav = mm.write_wav([256, -256, 256, -256], sample_rate=1000)
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"garbage")], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in mm.decode_audio(df).collect()}
+    r1 = got[1]
+    assert r1["err"] is None
+    assert (r1["sample_rate"], r1["n_channels"], r1["bits"]) == (1000, 1, 16)
+    assert r1["n_samples"] == 4 and r1["duration_ms"] == 4
+    assert math.isclose(r1["rms"], 256.0)
+    assert r1["zero_crossings"] == 3
+    assert got[2]["err"] is not None and got[2]["n_samples"] is None
+
+
+def test_synthesize_wav_is_valid_and_text_derived(spark):
+    df = spark.createDataFrame([(7, "AZ")], "doc_id long, text string")
+    row = mm.synthesize_wav(df).collect()[0]
+    nch, sr, bits, v = mm.parse_wav(bytes(row["payload"]))
+    assert (nch, sr, bits) == (1, 8000, 16)
+    assert v.shape[0] == 16
+    assert v[0] == (ord("A") - 79) * 256  # negative: 'A' < 'O'
+    assert v[1] == (ord("Z") - 79) * 256
+    assert all(x == (ord("x") - 79) * 256 for x in v[2:])  # x-padding

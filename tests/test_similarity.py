@@ -125,3 +125,51 @@ def test_ivf_kmeans_trained_centroids(spark, emb, bf_topk):
     qs = emb.filter(F.col("vec_id") < 20)
     out = sim.ivf_topk(emb, qs, k=5, nprobe=4, centroids=cents)
     assert _recall(out, bf_topk) >= 0.6
+
+
+def test_pq_recall_floor_vs_bruteforce(emb, bf_topk):
+    """PQ-ADC with the untrained 8-codeword codebook: recall is bounded
+    below — ADC approximates, it does not collapse — and a finer codebook
+    (more codewords) must not hurt."""
+    qs = emb.filter(F.col("vec_id") < 20)
+    r8 = _recall(sim.pq_topk(emb, qs, k=5, m=4, n_codewords=8), bf_topk)
+    r32 = _recall(sim.pq_topk(emb, qs, k=5, m=4, n_codewords=32), bf_topk)
+    assert r8 >= 0.15, r8  # untrained codebook on unclustered vectors
+    assert r32 >= r8, (r32, r8)
+
+
+def test_pq_codebook_injectable_matches_default(emb):
+    qs = emb.filter(F.col("vec_id") < 10)
+    cb = emb.filter(F.col("vec_id") < 8)
+    default = {
+        tuple(r)
+        for r in sim.pq_topk(emb, qs, k=5, m=4, n_codewords=8).collect()
+    }
+    injected = {
+        tuple(r) for r in sim.pq_topk(emb, qs, k=5, m=4, codebook=cb).collect()
+    }
+    assert default == injected
+
+
+def test_pq_rejects_indivisible_subspaces(emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not divisible"):
+        sim.pq_topk(emb, emb.filter(F.col("vec_id") < 2), m=5)
+
+
+def test_pq_output_shape_and_ranks(emb):
+    qs = emb.filter(F.col("vec_id") < 6)
+    rows = sim.pq_topk(emb, qs, k=3, m=4, n_codewords=8).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(6))
+    for q, rs in per_q.items():
+        assert sorted(r.rnk for r in rs) == list(range(1, len(rs) + 1))
+        assert all(r.neighbor_id != q for r in rs)
+        cos_sorted = sorted(rs, key=lambda r: r.rnk)
+        assert all(
+            cos_sorted[i].cosine_pq >= cos_sorted[i + 1].cosine_pq
+            for i in range(len(cos_sorted) - 1)
+        )
