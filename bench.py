@@ -80,6 +80,7 @@ HEADLINE = [
     "window_cohort_retention",
     "mm_decode_wav",
     "sim_cosine_topk_pq",
+    "ts_ohlc_rollup",
 ]
 
 

@@ -186,3 +186,50 @@ def cohort_retention(
         .groupBy("cohort_start", "period_offset")
         .agg(F.countDistinct("key").alias("n_active"))
     )
+
+
+def ohlc_rollup(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    val_col: str = "value",
+    id_col: str = "event_id",
+    bucket: str = "hour",
+) -> DataFrame:
+    """Hypertable-style OHLC continuous aggregate: per (key, time bucket)
+    emit open/high/low/close plus count and an exact sum.
+
+    Open/close use the min/max of ``struct(ts, id, value)`` — struct
+    comparison is lexicographic and ``id`` is unique, so first/last are
+    total-ordered even under duplicate timestamps, and the whole rollup is
+    ONE map-side-combinable aggregation: no window function, no second
+    shuffle — the partial-aggregate shape a 100 TB continuous aggregate
+    needs (each executor folds its slice to one struct per group before
+    the exchange). Non-finite values are excluded up front (the ±inf/NaN
+    discipline of ``transforms.clean_inf_null``); the sum routes through
+    DECIMAL(38,6) so it is order-independent under any partitioning.
+    """
+    finite = df.filter(
+        ~F.isnan(F.col(val_col)) & (F.abs(F.col(val_col)) != float("inf"))
+    )
+    probe = F.struct(
+        F.col(ts_col).alias("ts"),
+        F.col(id_col).alias("id"),
+        F.col(val_col).alias("v"),
+    )
+    return (
+        finite.groupBy(
+            F.col(key_col),
+            F.date_trunc(bucket, F.col(ts_col)).alias("bucket"),
+        )
+        .agg(
+            F.min(probe).getField("v").alias("open"),
+            F.max(F.col(val_col)).alias("high"),
+            F.min(F.col(val_col)).alias("low"),
+            F.max(probe).getField("v").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col(val_col).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("sum_value"),
+        )
+    )

@@ -279,3 +279,38 @@ def window_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         ts_col="ts",
         unit="week",
     )
+
+
+_OHLC_ORACLE = """
+WITH finite AS (
+    SELECT event_type, ts, event_id, value
+    FROM events
+    WHERE NOT isnan(value) AND NOT isinf(value)
+)
+SELECT event_type,
+       date_trunc('hour', ts) AS bucket,
+       CAST((min(struct_pack(ts := ts, id := event_id, v := value))).v
+            AS DOUBLE) AS open,
+       max(value) AS high,
+       min(value) AS low,
+       CAST((max(struct_pack(ts := ts, id := event_id, v := value))).v
+            AS DOUBLE) AS close,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM finite
+GROUP BY event_type, date_trunc('hour', ts)
+"""
+
+
+@query("ts_ohlc_rollup", oracle=_OHLC_ORACLE)
+def ts_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style OHLC continuous aggregate per (event_type, hour):
+    open/close via lexicographic min/max of struct(ts, event_id, value) —
+    total-ordered under duplicate timestamps — high/low/count/exact-sum
+    alongside, all in ONE map-side-combinable aggregation (no window
+    shuffle)."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        timeseries as TS,
+    )
+
+    return TS.ohlc_rollup(load_table(spark, sf_dir, "events"))

@@ -375,3 +375,13 @@ def test_ir_queries_no_cartesian(spark, sf_dir):
                  "text_unigram_logprob"):
         plan = _plan(spark, sf_dir, name)
         assert "CartesianProduct" not in plan, name
+
+
+def test_ohlc_rollup_single_shuffle_no_window(spark, sf_dir):
+    """The OHLC continuous aggregate must plan as ONE partial+final
+    aggregation pair — struct-argmin open/close instead of a window
+    function, so no sort-based Window exchange ever appears."""
+    plan = _plan(spark, sf_dir, "ts_ohlc_rollup")
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert plan.count("Exchange") == 1, plan
