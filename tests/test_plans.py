@@ -385,3 +385,12 @@ def test_ohlc_rollup_single_shuffle_no_window(spark, sf_dir):
     assert "Window" not in plan
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
     assert plan.count("Exchange") == 1, plan
+
+
+def test_pq_codebook_and_adc_broadcast(spark, sf_dir):
+    """PQ encoding and ADC scoring must broadcast the codebook/lookup
+    sides — the corpus never shuffles against them, and no cartesian
+    product may appear anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "sim_cosine_topk_pq")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
