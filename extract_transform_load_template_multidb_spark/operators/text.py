@@ -15,7 +15,7 @@ per document). Nothing shuffles the corpus by content.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from extract_transform_load_template_multidb_spark.operators.dedup import tokenize
 
@@ -342,4 +342,47 @@ def quality_filter(
         ok_rep.alias("ok_repetition"),
         ok_stop.alias("ok_stopwords"),
         (ok_length & ok_wl & ok_rep & ok_stop).alias("keep"),
+    )
+
+
+def bpe_pair_stats(
+    df: DataFrame, text_col: str = "text", top_k: int = 20
+) -> DataFrame:
+    """One merge-selection step of BPE tokenizer training: the corpus-wide
+    frequencies of ADJACENT character pairs inside whitespace words, top-k
+    by count (ties on the pair string so the result is total-ordered).
+
+    This is the statistic a byte-pair-encoding trainer computes each
+    round before merging the winner; distributed, it is two narrow
+    explodes (word, then in-word bigram positions via
+    ``transform(sequence(...))``) feeding ONE map-side-combinable count —
+    shuffle volume is the distinct-pair space (≤ alphabet², tiny), never
+    the corpus. The top-k plans as TakeOrderedAndProject.
+
+    Output: (pair, cnt, rnk).
+    """
+    words = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: F.length(w) >= 2,
+            )
+        ).alias("w")
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+        ).alias("pair")
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(top_k)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("cnt").desc(), F.col("pair"))
+            ),
+        )
     )

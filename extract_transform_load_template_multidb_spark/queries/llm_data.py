@@ -1876,3 +1876,33 @@ def graph_pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gr.pagerank(
         edges, docs.select(F.col("doc_id").alias("node")), iterations=3
     )
+
+
+_BPE_PAIRS_ORACLE = """
+WITH words AS (
+    SELECT unnest(string_split_regex(lower(text), '\\s+')) AS w
+    FROM documents
+),
+pairs AS (
+    SELECT substr(w, i, 2) AS pair
+    FROM words, LATERAL (SELECT unnest(range(1, length(w))) AS i)
+    WHERE length(w) >= 2
+),
+counted AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair),
+ranked AS (
+    SELECT pair, cnt, row_number() OVER (ORDER BY cnt DESC, pair) AS rnk
+    FROM counted
+)
+SELECT pair, cnt, rnk FROM ranked WHERE rnk <= 20
+"""
+
+
+@query("text_bpe_pair_stats", oracle=_BPE_PAIRS_ORACLE)
+def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One merge-selection step of BPE tokenizer training: corpus-wide
+    top-20 adjacent in-word character pairs — two narrow explodes into a
+    map-side-combinable count whose shuffle is the distinct-pair space
+    (≤ alphabet²), never the corpus; top-k via TakeOrderedAndProject."""
+    return tx.bpe_pair_stats(
+        load_table(spark, sf_dir, "documents"), top_k=20
+    )

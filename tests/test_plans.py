@@ -394,3 +394,11 @@ def test_pq_codebook_and_adc_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_cosine_topk_pq")
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_bpe_pair_stats_topk_and_partial_agg(spark, sf_dir):
+    """BPE pair counting must map-side combine (partial+final aggregate)
+    and take the top-k without a global sort."""
+    plan = _plan(spark, sf_dir, "text_bpe_pair_stats")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2, plan
