@@ -394,3 +394,72 @@ def dq_numeric_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) AS (col_name, n_clean, n_null, n_nonfinite, min_val, max_val,
               mean_val, std_val)"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-width value histogram (round 5)
+# ---------------------------------------------------------------------------
+
+# Bucket arithmetic is the same fixed-order IEEE double expression on
+# both engines over identical exact inputs (min/max of stored doubles),
+# so bucket ids and edges hash identically.
+_HISTOGRAM_ORACLE = """
+WITH finite AS (
+    SELECT event_type, value FROM events
+    WHERE value IS NOT NULL AND isfinite(value) AND NOT isnan(value)
+),
+b AS (SELECT min(value) AS vmin, max(value) AS vmax FROM finite),
+assigned AS (
+    SELECT event_type,
+           least(CAST(floor((value - vmin) / ((vmax - vmin) / 20))
+                      AS BIGINT), 19) AS bucket,
+           vmin, vmax
+    FROM finite, b
+)
+SELECT event_type, bucket,
+       vmin + bucket * ((vmax - vmin) / 20) AS lo,
+       vmin + (bucket + 1) * ((vmax - vmin) / 20) AS hi,
+       COUNT(*) AS cnt
+FROM assigned
+GROUP BY event_type, bucket, vmin, vmax
+"""
+
+
+@query("dq_value_histogram", oracle=_HISTOGRAM_ORACLE)
+def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram of finite ``events.value`` per
+    event type — the profiling primitive behind data-drift dashboards.
+
+    Two passes by construction (a histogram needs global bounds): pass 1
+    is a tiny min/max aggregate broadcast back as a 1-row literal join;
+    pass 2 assigns buckets in a narrow map and counts map-side before the
+    one shuffle. The top bucket is closed (``least(..., 19)``) so
+    value == max lands in bucket 19, matching the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    finite = ev.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
+    ).select("event_type", "value")
+    bounds = finite.agg(
+        F.min(v).alias("vmin"), F.max(v).alias("vmax")
+    )
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(20)
+    assigned = finite.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.least(
+            F.floor((v - F.col("vmin")) / width).cast("long"), F.lit(19)
+        ).alias("bucket"),
+        "vmin",
+        "vmax",
+    )
+    return (
+        assigned.groupBy("event_type", "bucket", "vmin", "vmax")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "event_type",
+            "bucket",
+            (F.col("vmin") + F.col("bucket") * width).alias("lo"),
+            (F.col("vmin") + (F.col("bucket") + 1) * width).alias("hi"),
+            "cnt",
+        )
+    )
