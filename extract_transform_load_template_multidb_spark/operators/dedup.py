@@ -668,6 +668,7 @@ def connected_components(
     max_iter: int = 25,
     small_graph_edges: int = 4_000_000,
     algorithm: str = "auto",
+    broadcast_nodes: int = 2_000_000,
 ) -> DataFrame:
     """Cluster near-dup pairs into components: (node, component) where
     component = the minimum node id reachable through the pair graph.
@@ -692,7 +693,11 @@ def connected_components(
       (diameter 2–3). Round 1 is join-free (``min(node, min(neighbors))``
       — one groupBy over the edge list); rounds are localCheckpoint()ed
       so lineage stays flat, and the convergence check rides the SAME
-      action that materializes the checkpoint (one job per round).
+      action that materializes the checkpoint (one job per round). When
+      the label table is small (≤ ``broadcast_nodes``) each round
+      broadcast-joins it against the checkpointed edges instead of
+      paying a 2×|E| sort-merge exchange — the clique-heavy near-dup
+      case where |E| ≫ |V|.
     - ``"star"``: alternating large-star/small-star contraction
       (:func:`_cc_star_contraction`) — O(log n) rounds independent of
       diameter, ~3 shuffles per round. Choose it for chain/mesh-shaped
@@ -732,13 +737,29 @@ def connected_components(
         .agg(F.least(F.col("node"), F.min("src")).alias("component"))
         .localCheckpoint(eager=True)
     )
+    # Near-dup graphs are clique-heavy: |E| can be huge while |V| stays
+    # small (every doc in a dup clique contributes O(clique) edges). When
+    # the label table fits a broadcast (≤ broadcast_nodes rows — it is
+    # already materialized, so the count is a cheap local job), each
+    # propagation round becomes a broadcast-hash join over the
+    # checkpointed edges plus a |V|-bounded map-side-combined groupBy —
+    # no 2×|E| sort-merge exchange per round. localCheckpoint hides row
+    # stats from AQE, so without the explicit hint Spark must assume the
+    # label side is large; this is the same runtime adaptivity AQE would
+    # apply if it could see the stats. Graphs with |V| above the
+    # threshold keep the shuffle join — broadcasting a corpus-scale
+    # label table would OOM every executor.
+    bcast = labels.count() <= broadcast_nodes
     n_changed = -1
     for _ in range(max_iter - 1):
+        lab_src = labels.withColumnRenamed("node", "src")
         neighbor_min = (
-            edges.join(labels.withColumnRenamed("node", "src"), "src")
+            edges.join(F.broadcast(lab_src) if bcast else lab_src, "src")
             .groupBy(F.col("dst").alias("node"))
             .agg(F.min("component").alias("__nbr_min"))
         )
+        if bcast:
+            neighbor_min = F.broadcast(neighbor_min)
         updated = labels.join(neighbor_min, "node", "left").select(
             "node",
             F.least(

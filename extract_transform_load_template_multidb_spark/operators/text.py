@@ -386,3 +386,52 @@ def bpe_pair_stats(
             ),
         )
     )
+
+
+def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document Shannon entropy (bits/char) of the character
+    distribution — the gibberish/binary-blob detector quality signal
+    (natural text sits ~4–4.5 bits; base64/hex/random bytes run higher,
+    repeated-char spam far lower).
+
+    Shape: the char explode partial-aggregates per (doc, char) map-side —
+    the one shuffle carries ≤ |docs| × |alphabet| rows, never |corpus|
+    characters — and the per-doc total rides the same partitioning (the
+    window and final aggregate reuse the exchange). Per-char
+    contributions are ``c · round(ln(c/n), 6)`` summed through
+    DECIMAL(38,6) — the engine's float discipline — so the entropy is
+    bit-reproducible under any partitioning and an oracle can rebuild it.
+
+    Output: (doc_id, n_chars, n_distinct, entropy_bits).
+    """
+    chars = df.filter(F.length(F.col(text_col)) > 0).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})), "
+                f"i -> substring({text_col}, i, 1))"
+            )
+        ).alias("ch"),
+    )
+    per = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("doc_id")
+    per = per.withColumn("n", F.sum("c").over(w))
+    contrib = (
+        F.col("c")
+        * F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
+    ).cast("decimal(38,6)")
+    return (
+        per.groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(contrib).cast("double").alias("s"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").alias("n_chars"),
+            "n_distinct",
+            (
+                -((F.col("s") / F.col("n")) / F.lit(0.6931471805599453))
+            ).alias("entropy_bits"),
+        )
+    )

@@ -1906,3 +1906,35 @@ def text_bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tx.bpe_pair_stats(
         load_table(spark, sf_dir, "documents"), top_k=20
     )
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+    SELECT doc_id, substr(text, i, 1) AS ch
+    FROM documents, LATERAL (SELECT unnest(range(1, length(text) + 1)) AS i)
+    WHERE length(text) > 0
+),
+per AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+tot AS (
+    SELECT doc_id, ch, c, SUM(c) OVER (PARTITION BY doc_id) AS n FROM per
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_chars,
+       COUNT(*) AS n_distinct,
+       -((CAST(SUM(CAST(c * round(ln(CAST(c AS DOUBLE) / n), 6)
+                        AS DECIMAL(38,6))) AS DOUBLE) / n)
+         / 0.6931471805599453) AS entropy_bits
+FROM tot
+GROUP BY doc_id, n
+"""
+
+
+@query("text_char_entropy", oracle=_CHAR_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc character-distribution Shannon entropy (bits/char) — the
+    gibberish/base64-blob quality signal; shuffle bounded by
+    docs × alphabet via map-side combine, decimal-routed contributions
+    for bit-reproducible floats."""
+    return tx.char_entropy(load_table(spark, sf_dir, "documents"))
