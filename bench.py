@@ -81,6 +81,9 @@ HEADLINE = [
     "mm_decode_wav",
     "sim_cosine_topk_pq",
     "ts_ohlc_rollup",
+    "text_bpe_pair_stats",
+    "dq_value_histogram",
+    "text_char_entropy",
 ]
 
 
