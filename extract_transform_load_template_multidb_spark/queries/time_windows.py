@@ -314,3 +314,53 @@ def ts_ohlc_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return TS.ohlc_rollup(load_table(spark, sf_dir, "events"))
+
+
+_SSJOIN_LEFT_ORACLE = """
+SELECT p.event_id AS purchase_id, f.event_id AS follow_id,
+       p.ts AS purchase_ts, f.ts AS follow_ts
+FROM events p
+LEFT JOIN events f
+  ON f.user_id = p.user_id
+ AND f.event_type = 'click'
+ AND f.ts >= p.ts
+ AND f.ts < p.ts + INTERVAL 1 HOUR
+WHERE p.event_type = 'purchase'
+"""
+
+
+@query("stream_interval_join_left", oracle=_SSJOIN_LEFT_ORACLE)
+def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join in batch mode: every
+    purchase with the same user's clicks in the following hour, null-
+    padded when no click follows (did-NOT-convert detection — the outer
+    variant is what makes absence observable). In stream mode the same
+    builder is a watermarked left-outer join whose null-padded rows emit
+    once the watermark passes the purchase's match window."""
+    from pyspark.sql import functions as F
+
+    from extract_transform_load_template_multidb_spark.streaming import (
+        joins as J,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("follow_id"),
+        F.col("user_id").alias("f_user"),
+        F.col("ts").alias("follow_ts"),
+    )
+    return J.interval_join(
+        purchases,
+        clicks,
+        left_key="p_user",
+        right_key="f_user",
+        left_ts="purchase_ts",
+        right_ts="follow_ts",
+        interval="1 hour",
+        how="left_outer",
+    ).select("purchase_id", "follow_id", "purchase_ts", "follow_ts")

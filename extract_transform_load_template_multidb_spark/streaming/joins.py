@@ -35,14 +35,23 @@ def interval_join(
     right_ts: str,
     interval: str = "3 days",
     watermark: str = "0 seconds",
+    how: str = "inner",
 ) -> DataFrame:
     """Join right rows to left rows of the same key with
     ``left_ts ≤ right_ts < left_ts + interval``.
 
     In stream mode both inputs carry event-time watermarks, making this a
-    legal append-mode stream-stream inner join whose state Spark can
-    evict; in batch mode the watermarks are no-ops and Catalyst plans a
-    plain equi-join with the range as a post-join filter.
+    legal append-mode stream-stream join whose state Spark can evict; in
+    batch mode the watermarks are no-ops and Catalyst plans a plain
+    equi-join with the range as a post-join filter.
+
+    ``how`` extends the inner form to ``left_outer``/``right_outer``/
+    ``full_outer`` — the streaming semantics Spark documents: matched
+    rows emit as usual, and an unmatched row emits null-padded only once
+    the watermark passes its join window (so outer results trail the
+    inner ones by interval + watermark; in batch mode they appear
+    immediately). The interval bound is what makes outer emission
+    decidable at all — without it an unmatched row could match forever.
     """
     lw = with_watermark(left, left_ts, watermark)
     rw = with_watermark(right, right_ts, watermark)
@@ -51,7 +60,7 @@ def interval_join(
         & (rw[right_ts] >= lw[left_ts])
         & (rw[right_ts] < lw[left_ts] + F.expr(f"INTERVAL {interval}"))
     )
-    return lw.join(rw, cond)
+    return lw.join(rw, cond, how)
 
 
 def stream_static_enrich(

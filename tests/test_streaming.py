@@ -392,3 +392,57 @@ def test_streaming_incremental_dedup_equals_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expected and len(got) == 2
+
+
+def test_stream_stream_interval_join_left_outer(spark, events_landing, tmp_path):
+    """The LEFT OUTER interval join as a watermarked stream: inner
+    (matched) rows must equal the batch twin exactly, and the null-padded
+    outer rows that have flushed by end-of-drain must be a subset of the
+    batch outer rows, disjoint from the matched purchases. (Outer
+    emission trails the watermark, so a suffix of the stream may hold
+    back its outer rows at AvailableNow drain end — Spark only emits a
+    null-pad once the watermark PROVES no match can arrive.)"""
+    from extract_transform_load_template_multidb_spark.streaming import (
+        joins as J,
+    )
+
+    path, batch = events_landing
+
+    def build(ev):
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        clicks = ev.filter(F.col("event_type") == "click").select(
+            F.col("event_id").alias("follow_id"),
+            F.col("user_id").alias("f_user"),
+            F.col("ts").alias("follow_ts"),
+        )
+        return J.interval_join(
+            purchases,
+            clicks,
+            left_key="p_user",
+            right_key="f_user",
+            left_ts="purchase_ts",
+            right_ts="follow_ts",
+            interval="1 hour",
+            watermark="10 minutes",
+            how="left_outer",
+        )
+
+    cols = ["purchase_id", "follow_id", "purchase_ts", "follow_ts"]
+    stream = inc.read_file_stream(spark, path, batch.schema)
+    got = _drain(build(stream), spark, tmp_path, "t_ssjoin_left", "append")
+    want = build(batch)
+
+    got_inner = _rows(got.filter(F.col("follow_id").isNotNull()), cols)
+    want_inner = _rows(want.filter(F.col("follow_id").isNotNull()), cols)
+    assert got_inner == want_inner
+    assert len(got_inner) > 0
+
+    got_outer = _rows(got.filter(F.col("follow_id").isNull()), cols)
+    want_outer = _rows(want.filter(F.col("follow_id").isNull()), cols)
+    assert set(got_outer) <= set(want_outer)
+    matched = {r[0] for r in got_inner}
+    assert all(r[0] not in matched for r in got_outer)
