@@ -84,3 +84,77 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_stats(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Global triangle census of an undirected pair graph: one row with
+    (n_nodes, n_edges, n_triangles, n_wedges, clustering_coeff).
+
+    Triangles are counted on a DEGREE-ordered orientation (lower
+    (degree, id) endpoint → higher): joining oriented edges
+    (u→v)·(v→w)·(u→w) sees each triangle exactly once, and degree
+    ordering bounds every node's out-degree by O(√|E|) (Schank & Wagner
+    2005, public algorithm) — the skew guard that keeps the two
+    self-joins from exploding on hub nodes, where an id-ordered
+    orientation would fan a low-id hub out to its full degree. The
+    triangle COUNT is orientation-invariant, so an SQL oracle may use
+    the simpler id ordering and still match. Wedges (length-2 paths) are
+    Σ d·(d−1)/2 — exact integers — and the global clustering coefficient
+    3·T / wedges is a fixed-order double division.
+
+    Scale: degree table is node-sized; the oriented edge list shuffles
+    twice (once per join hop). All aggregates are map-side combinable.
+    """
+    e_raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    deg = (
+        e_raw.select(F.col("a").alias("v"))
+        .unionByName(e_raw.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    lower_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    e = (
+        e_raw.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+        )
+    )
+    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
+    tri = (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src"))
+            & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    # Σ d·(d−1) is even and stays in exact long arithmetic (float /2
+    # would round above 2^53 at hub-node degrees); halve with int div.
+    stats = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.expr("sum(d * (d - 1)) div 2").alias("n_wedges"),
+    )
+    edges_n = e_raw.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        stats.crossJoin(edges_n)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_triangles",
+            "n_wedges",
+            F.when(
+                F.col("n_wedges") > 0,
+                (F.col("n_triangles") * 3).cast("double") / F.col("n_wedges"),
+            ).alias("clustering_coeff"),
+        )
+    )

@@ -1938,3 +1938,51 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs × alphabet via map-side combine, decimal-routed contributions
     for bit-reproducible floats."""
     return tx.char_entropy(load_table(spark, sf_dir, "documents"))
+
+
+_TRIANGLE_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+deg AS (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+    ) GROUP BY v
+),
+tri AS (
+    SELECT COUNT(*) AS n_triangles
+    FROM e ab JOIN e bc ON bc.a = ab.b
+    JOIN e ac ON ac.a = ab.a AND ac.b = bc.b
+),
+w AS (
+    SELECT COUNT(*) AS n_nodes,
+           CAST(SUM(d * (d - 1)) // 2 AS BIGINT) AS n_wedges
+    FROM deg
+),
+m AS (SELECT COUNT(*) AS n_edges FROM e)
+SELECT w.n_nodes, m.n_edges, tri.n_triangles, w.n_wedges,
+       CASE WHEN w.n_wedges > 0
+            THEN CAST(tri.n_triangles * 3 AS DOUBLE) / w.n_wedges
+       END AS clustering_coeff
+FROM w, m, tri
+"""
+)
+
+
+@query("graph_triangle_stats", oracle=_TRIANGLE_ORACLE)
+def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the 3-gram near-dup similarity graph: triangle
+    count on a degree-ordered orientation (skew-bounded O(sqrt(E))
+    out-degree self-joins), wedge count, and the global clustering
+    coefficient — how clique-like the duplicate structure is. The oracle
+    uses the simpler id orientation: triangle counts are
+    orientation-invariant."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as G,
+    )
+
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return G.triangle_stats(pairs)

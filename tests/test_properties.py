@@ -346,3 +346,43 @@ def test_cc_star_label_local_agree(spark, edges):
             for r in dd.connected_components(pairs, algorithm=algo).collect()
         }
         assert got == expected, algo
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 25), st.integers(0, 25)),
+        min_size=0,
+        max_size=60,
+    )
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_triangle_stats_match_bruteforce(spark, pairs):
+    """Degree-ordered distributed triangle counting equals a brute-force
+    itertools census on random graphs (count is orientation-invariant)."""
+    import itertools
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as G,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    row = G.triangle_stats(df).collect()[0]
+    es = set(edges)
+    nodes = sorted({v for e in edges for v in e})
+    tri = sum(
+        1
+        for a, b, c in itertools.combinations(nodes, 3)
+        if (a, b) in es and (b, c) in es and (a, c) in es
+    )
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert row["n_triangles"] == tri
+    assert row["n_nodes"] == len(nodes)
+    assert row["n_edges"] == len(edges)
+    assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
