@@ -1127,3 +1127,117 @@ def duplicated_spans(
         )
         .select(id_col, "span_start", "span_end", "n_dup_shingles")
     )
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """n-gram shingle CONTAINMENT near-dup pairs: |A∩B|/|A| and |A∩B|/|B|,
+    kept when either direction ≥ ``threshold``.
+
+    Containment is the superset detector Jaccard structurally misses: a
+    short document embedded verbatim in a long one (article + boilerplate
+    wrapper, quote + commentary) has containment ≈ 1 from the short side
+    while Jaccard ≈ |A|/|B| stays arbitrarily low. Same inverted-index
+    economics as :func:`ngram_jaccard_pairs` — candidate pairs come from
+    the shingle equi-join (all-pairs never materializes), the quadratic
+    stage runs per DISTINCT TEXT with exact copies expanded back at the
+    end, and shingles are 64-bit-hashed before the join.
+
+    Output: (id_a < id_b, containment_a = |A∩B|/|A|, containment_b).
+    """
+    groups = df.groupBy(F.md5(F.col(text_col)).alias("__th")).agg(
+        F.min(id_col).alias("__rep"),
+        F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"),
+    )
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
+    )
+    toks = reps.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    )
+    sh = toks.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                word_shingles_from_tokens(F.col("__toks"), n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("s"),
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col(id_col).alias("id_a"), "s")
+    b = sh.select(F.col(id_col).alias("id_b"), "s")
+    inter = (
+        a.join(b, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    rep_pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("n_inter") / F.col("n_a")).alias("containment_a"),
+            (F.col("n_inter") / F.col("n_b")).alias("containment_b"),
+        )
+        .filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= threshold
+        )
+    )
+
+    shingled = groups.join(
+        sizes.select(F.col(id_col).alias("__rep")), "__rep", "left_semi"
+    )
+    same_pairs = expand_sorted_array_pairs(
+        shingled.filter(F.size("__ids") >= 2).select("__ids")
+    ).select(
+        "id_a",
+        "id_b",
+        F.lit(1.0).alias("containment_a"),
+        F.lit(1.0).alias("containment_b"),
+    )
+
+    ga = groups.select(
+        F.col("__rep").alias("id_a"), F.col("__ids").alias("__ia")
+    )
+    gb = groups.select(
+        F.col("__rep").alias("id_b"), F.col("__ids").alias("__ib")
+    )
+    cross_pairs = (
+        rep_pairs.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select(
+            "containment_a", "containment_b", "__ib",
+            F.explode("__ia").alias("x"),
+        )
+        .select(
+            "containment_a", "containment_b", "x",
+            F.explode("__ib").alias("y"),
+        )
+        .select(
+            F.least("x", "y").alias("id_a"),
+            F.greatest("x", "y").alias("id_b"),
+            # The rep pair is oriented id_a < id_b over REP ids; member
+            # expansion can flip the orientation, and containment is
+            # direction-specific — swap the two values when x > y.
+            F.when(F.col("x") <= F.col("y"), F.col("containment_a"))
+            .otherwise(F.col("containment_b"))
+            .alias("containment_a"),
+            F.when(F.col("x") <= F.col("y"), F.col("containment_b"))
+            .otherwise(F.col("containment_a"))
+            .alias("containment_b"),
+        )
+    )
+    if threshold > 1.0:
+        same_pairs = same_pairs.filter(F.lit(False))
+    return same_pairs.unionByName(cross_pairs)

@@ -1986,3 +1986,46 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
     )
     return G.triangle_stats(pairs)
+
+
+_CONTAINMENT_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS s
+    FROM toks_list
+    WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT i.id_a, i.id_b,
+       i.n_inter / sa.n_sh AS containment_a,
+       i.n_inter / sb.n_sh AS containment_b
+FROM inter i
+JOIN sizes sa ON sa.doc_id = i.id_a
+JOIN sizes sb ON sb.doc_id = i.id_b
+WHERE greatest(i.n_inter / sa.n_sh, i.n_inter / sb.n_sh) >= 0.6
+"""
+)
+
+
+@query("dedup_ngram_containment", oracle=_CONTAINMENT_ORACLE)
+def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shingle-containment near-dup pairs (|A∩B|/|A|, |A∩B|/|B|; keep if
+    either ≥ 0.6) — the superset detector Jaccard misses: a short doc
+    embedded verbatim in a long one scores ≈1 from the short side while
+    Jaccard stays low. Inverted-index candidate generation, distinct-text
+    collapse, 64-bit shingle keys."""
+    return dd.ngram_containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.6
+    )

@@ -407,3 +407,43 @@ def test_cluster_split_keeps_cluster_together(spark, sf_dir):
     # both sides non-empty at fixture scale
     sides = {r["split"] for r in out.select("split").distinct().collect()}
     assert sides == {"train", "test"}
+
+
+def test_ngram_containment_detects_supersets(spark):
+    """A short doc verbatim inside a long one: containment ≈ 1 from the
+    short side while Jaccard stays below a dedup threshold — the pair
+    the containment operator exists to catch. Directional values must
+    follow the OUTPUT pair orientation, including for exact copies."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"word{i} filler{i} pad{i}" for i in range(30))
+    rows = [
+        (1, short),
+        (2, short + " " + filler),  # superset of 1
+        (3, "completely unrelated content here entirely"),
+        (4, short),  # exact copy of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["containment_a"], r["containment_b"])
+        for r in dd.ngram_containment_pairs(df, n=3, threshold=0.6).collect()
+    }
+    # 1 ⊂ 2: containment from the short side (id_a=1) is 1.0.
+    assert (1, 2) in got
+    ca, cb = got[(1, 2)]
+    assert ca == 1.0 and cb < 0.6
+    # jaccard on the same pair would be far below the 0.6 bar
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, n=3, threshold=0.0).collect()
+    }
+    assert jac[(1, 2)] < 0.6
+    # the exact copy pairs up with both 1 and 2, orientation-correct
+    assert got[(1, 4)] == (1.0, 1.0)
+    assert (2, 4) in got
+    ca24, cb24 = got[(2, 4)]
+    assert cb24 == 1.0 and ca24 < 0.6  # 4 is the short side of (2, 4)
+    assert all(k != (1, 3) and k != (2, 3) for k in got)
