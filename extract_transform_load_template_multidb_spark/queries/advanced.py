@@ -740,3 +740,33 @@ def window_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_step_purchase"),
     )
+
+
+_SALTED_JOIN_ORACLE = """
+WITH dim AS (
+    SELECT event_type, COUNT(*) AS type_count FROM events GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, d.type_count
+FROM events e JOIN dim d USING (event_type)
+"""
+
+
+@query("join_salted_skew", oracle=_SALTED_JOIN_ORACLE)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant equi-join through :func:`operators.skew.
+    salted_broadcast_left`: ``event_type`` has ~5 values, so a plain
+    shuffle join would put each key's entire fact side on one task. The
+    salted form scatters the fact rows over 8 salts (deterministic hash
+    of event_id) and replicates the 5-row dim 8× — every (key, salt)
+    shuffle partition carries ~1/8 of a hot key. Identical result set to
+    the plain join the oracle runs."""
+    from extract_transform_load_template_multidb_spark.operators.skew import (
+        salted_broadcast_left,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    fact = ev.select("event_id", "event_type")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_count"))
+    return salted_broadcast_left(
+        fact, dim, "event_type", n_salts=8, salt_from=["event_id"]
+    ).select("event_id", "event_type", "type_count")

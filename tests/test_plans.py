@@ -402,3 +402,18 @@ def test_bpe_pair_stats_topk_and_partial_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_bpe_pair_stats")
     assert "TakeOrderedAndProject" in plan
     assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_salted_join_keys_include_salt(spark, sf_dir):
+    """The salted join's keys must be (event_type, __salt) — the salt in
+    the join keys IS the skew fix: if the dim is big enough to shuffle,
+    each (key, salt) partition carries ~1/n of a hot key; here the
+    40-row salted dim auto-broadcasts (better still — no fact shuffle),
+    but the salt must survive into the join either way."""
+    plan = _plan(spark, sf_dir, "join_salted_skew")
+    import re
+
+    m = re.search(
+        r"(HashJoin|SortMergeJoin) \[event_type[^\]]*__salt", plan
+    )
+    assert m, plan
