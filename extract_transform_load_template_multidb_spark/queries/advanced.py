@@ -770,3 +770,43 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_broadcast_left(
         fact, dim, "event_type", n_salts=8, salt_from=["event_id"]
     ).select("event_id", "event_type", "type_count")
+
+
+_MODE_ORACLE = """
+WITH counts AS (
+    SELECT event_type, user_id, COUNT(*) AS cnt
+    FROM events GROUP BY event_type, user_id
+),
+ranked AS (
+    SELECT event_type, user_id, cnt,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY cnt DESC, user_id) AS rn
+    FROM counts
+)
+SELECT event_type, user_id AS modal_user, cnt AS modal_count
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("agg_mode_per_group", oracle=_MODE_ORACLE)
+def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic MODE per group (most frequent user per event type,
+    ties to the lowest user id): two map-side-combinable aggregations —
+    count per (group, value), then lexicographic max of
+    struct(cnt, -value) — with NO window function, so no per-group sort
+    at scale (Spark's built-in ``mode`` is tie-nondeterministic and
+    useless under hash verification)."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    best = counts.groupBy("event_type").agg(
+        F.max(
+            F.struct(F.col("cnt"), (-F.col("user_id")).alias("nid"))
+        ).alias("b")
+    )
+    return best.select(
+        "event_type",
+        (-F.col("b.nid")).alias("modal_user"),
+        F.col("b.cnt").alias("modal_count"),
+    )
