@@ -158,3 +158,70 @@ def triangle_stats(
             ).alias("clustering_coeff"),
         )
     )
+
+
+def kcore(
+    pairs: DataFrame,
+    k: int = 2,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 12,
+) -> DataFrame:
+    """k-core of an undirected pair graph: the (unique) maximal subgraph
+    in which every node has degree ≥ k, computed by iterative peeling —
+    drop all nodes of degree < k, recompute, repeat to the fixed point.
+
+    The dense-core extractor for near-dup graphs: a k-core survives only
+    where duplication is mutually reinforcing (template farms, mirror
+    rings), while chains and stray pair edges peel away — a sharper
+    "boilerplate cluster" signal than connected components, which glue
+    everything reachable together.
+
+    Each round is one degree aggregation (map-side combinable) plus two
+    semi-joins of the edge list against the surviving-node set, and rounds
+    are localCheckpoint()ed with the convergence check (edge count
+    unchanged) riding the materializing action — the
+    ``connected_components`` loop discipline. The fixed point is
+    order-independent, so any engine peeling to convergence agrees;
+    convergence within ``max_iter`` is enforced (raise) so a returned
+    result IS the true k-core. Peeling removes at least one node per
+    non-final round — rounds needed is typically ≪ diameter.
+
+    Output: (node, degree) — survivors with their in-core degree.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    for _ in range(max_iter):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionByName(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.filter(F.col("d") >= k).select("v")
+        pruned = (
+            edges.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+        n_new = pruned.count()  # materializes the checkpoint
+        if n_new == n_edges:
+            break
+        edges, n_edges = pruned, n_new
+    else:
+        raise RuntimeError(
+            f"k-core peeling did not converge in {max_iter} rounds — "
+            "raise max_iter (each round is one degree agg + two semi-joins)"
+        )
+    return (
+        edges.select(F.col("a").alias("node"))
+        .unionByName(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )

@@ -2029,3 +2029,66 @@ def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dd.ngram_containment_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.6
     )
+
+
+def _kcore_unrolled_sql(k: int, rounds: int) -> str:
+    """Unrolled k-core peel: ``rounds`` fixed iterations in plain SQL.
+
+    The Spark operator peels to the fixed point and RAISES if it needs
+    more than ``max_iter`` rounds, so whenever it returns, the result
+    equals any unrolling long enough to converge — the oracle just has
+    to run at least as many rounds."""
+    # AS MATERIALIZED is load-bearing: DuckDB inlines plain CTEs, and
+    # round r references round r-1 several times — inlined, the unrolled
+    # chain expands exponentially (observed: "Too many open files" from
+    # re-scanning the parquet once per expansion at 12 rounds).
+    ctes = ["e0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs)"]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e{p} UNION ALL SELECT b AS v FROM e{p}
+    ) GROUP BY v
+),
+k{r} AS MATERIALIZED (SELECT v FROM d{r} WHERE d >= {k}),
+e{r} AS MATERIALIZED (
+    SELECT a, b FROM e{p}
+    WHERE a IN (SELECT v FROM k{r}) AND b IN (SELECT v FROM k{r})
+)"""
+        )
+    last = f"e{rounds}"
+    return (
+        ",\n".join(ctes)
+        + f""",
+dfin AS (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM {last} UNION ALL SELECT b AS v FROM {last}
+    ) GROUP BY v
+)
+SELECT v AS node, d AS degree FROM dfin
+"""
+    )
+
+
+_KCORE_ORACLE = (
+    "WITH " + _NGRAM_CHAIN + "," + _kcore_unrolled_sql(k=2, rounds=12)
+)
+
+
+@query("graph_kcore", oracle=_KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the 3-gram near-dup graph: iterative peeling to the
+    unique fixed point (convergence enforced, so the result IS the true
+    k-core) — the dense-duplication extractor that drops chains and
+    stray pair edges connected components would glue in. Oracle: the
+    same peel unrolled 12 rounds in SQL (the fixed point is reached
+    earlier and is stable)."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as G,
+    )
+
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    return G.kcore(pairs, k=2)

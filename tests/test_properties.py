@@ -386,3 +386,45 @@ def test_triangle_stats_match_bruteforce(spark, pairs):
     assert row["n_nodes"] == len(nodes)
     assert row["n_edges"] == len(edges)
     assert row["n_wedges"] == sum(d * (d - 1) // 2 for d in deg.values())
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 18), st.integers(0, 18)),
+        min_size=0,
+        max_size=45,
+    ),
+    st.integers(1, 4),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_kcore_matches_bruteforce_peel(spark, pairs, k):
+    """Distributed k-core peeling equals a driver-side peel on random
+    graphs for k in 1..4 (the fixed point is unique)."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as G,
+    )
+
+    edges = sorted({(min(a, b), max(a, b)) for a, b in pairs if a != b})
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {
+        (r["node"], r["degree"]) for r in G.kcore(df, k=k, max_iter=25).collect()
+    }
+    es = set(edges)
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        nes = {(a, b) for a, b in es if a in keep and b in keep}
+        if nes == es:
+            break
+        es = nes
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    assert got == set(deg.items())
