@@ -84,6 +84,12 @@ HEADLINE = [
     "text_bpe_pair_stats",
     "dq_value_histogram",
     "text_char_entropy",
+    "stream_interval_join_left",
+    "graph_triangle_stats",
+    "dedup_ngram_containment",
+    "join_salted_skew",
+    "agg_mode_per_group",
+    "graph_kcore",
 ]
 
 
