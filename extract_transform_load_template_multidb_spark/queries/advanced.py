@@ -810,3 +810,40 @@ def agg_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         (-F.col("b.nid")).alias("modal_user"),
         F.col("b.cnt").alias("modal_count"),
     )
+
+
+_NTILE_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey AS custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_spend
+    FROM orders GROUP BY o_custkey
+)
+SELECT custkey, total_spend,
+       ntile(4) OVER (ORDER BY total_spend DESC, custkey) AS spend_quartile
+FROM spend
+"""
+
+
+@query("window_ntile_quartiles", oracle=_NTILE_ORACLE)
+def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer spend quartiles via ntile(4): decimal-routed spend sum,
+    total-ordered ntile (ties on custkey) — the cohort-bucketing window
+    shape. The global ORDER BY window is a single-partition sort by
+    construction; at scale bucket by approx quantile cutpoints instead
+    (the ntile form is for reporting-sized inputs like this per-customer
+    rollup, |customers| ≪ |orders|)."""
+    from extract_transform_load_template_multidb_spark.queries._util import (
+        DEC,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias(
+            "total_spend"
+        )
+    )
+    w = Window.orderBy(F.col("total_spend").desc(), F.col("custkey"))
+    return spend.select(
+        "custkey", "total_spend", F.ntile(4).over(w).alias("spend_quartile")
+    )
