@@ -107,7 +107,14 @@ def triangle_stats(
     Scale: degree table is node-sized; the oriented edge list shuffles
     twice (once per join hop). All aggregates are map-side combinable.
     """
-    e_raw = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # Materialize the pair stream once: it is referenced by the degree
+    # table, the edge-count aggregate, AND three aliases of the oriented
+    # edge list — without the checkpoint an expensive pair lineage (e.g.
+    # the ngram near-dup pipeline) re-runs per reference (observed: ~290
+    # exchanges in one plan at sf0.001).
+    e_raw = pairs.select(
+        F.col(id_a).alias("a"), F.col(id_b).alias("b")
+    ).localCheckpoint(eager=True)
     deg = (
         e_raw.select(F.col("a").alias("v"))
         .unionByName(e_raw.select(F.col("b").alias("v")))
@@ -119,6 +126,8 @@ def triangle_stats(
     lower_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # The oriented list feeds three join aliases — checkpoint it too so
+    # the degree-orientation join runs once, not three times.
     e = (
         e_raw.join(da, "a")
         .join(db, "b")
@@ -126,6 +135,7 @@ def triangle_stats(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
+        .localCheckpoint(eager=True)
     )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
