@@ -119,6 +119,9 @@ def main() -> None:
         "dedup_simhash_pairs": 2,
         "dedup_incremental_minhash": 2,
         "curation_dedup_paragraphs": 2,
+        "dedup_ngram_containment": 2,
+        "graph_triangle_stats": 2,
+        "graph_kcore": 2,
     }
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
