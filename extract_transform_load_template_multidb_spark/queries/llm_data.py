@@ -2092,3 +2092,125 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
     )
     return G.kcore(pairs, k=2)
+
+
+# Recursive-CTE connected components over the ngram pairs, shared by the
+# soft-dedup weight / keep-longest oracles.
+_CC_COMP_CTES = """
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+cnodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM cnodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node)
+"""
+
+_DEDUP_WEIGHTS_ORACLE = (
+    "WITH RECURSIVE "
+    + _NGRAM_CHAIN
+    + ","
+    + _CC_COMP_CTES
+    + """,
+csizes AS (SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS component,
+       CAST(coalesce(s.cluster_size, 1) AS BIGINT) AS cluster_size,
+       CAST(1 AS DOUBLE) / coalesce(s.cluster_size, 1) AS weight
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN csizes s ON s.component = c.component
+"""
+)
+
+
+@query("curation_dedup_weights", oracle=_DEDUP_WEIGHTS_ORACLE)
+def curation_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SOFT dedup: instead of dropping near-duplicates, weight every doc
+    by 1/|duplicate cluster| so a training mix keeps all text while each
+    duplicated CONTENT contributes one document's worth of loss mass —
+    the down-weighting alternative to hard removal. Clusters come from
+    connected components over the ngram near-dup pairs; docs outside any
+    cluster get weight 1."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    comp = dd.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return (
+        docs.select("doc_id")
+        .join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).alias("component"),
+            F.coalesce(F.col("cluster_size"), F.lit(1)).cast("long").alias(
+                "cluster_size"
+            ),
+            (
+                F.lit(1.0)
+                / F.coalesce(F.col("cluster_size"), F.lit(1))
+            ).alias("weight"),
+        )
+    )
+
+
+_KEEP_LONGEST_ORACLE = (
+    "WITH RECURSIVE "
+    + _NGRAM_CHAIN
+    + ","
+    + _CC_COMP_CTES
+    + """,
+ranked AS (
+    SELECT c.node, c.component,
+           row_number() OVER (PARTITION BY c.component
+                              ORDER BY length(d.text) DESC, c.node) AS rn
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+)
+SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars
+FROM documents d
+LEFT JOIN comp c ON c.node = d.doc_id
+LEFT JOIN ranked r ON r.node = d.doc_id
+WHERE c.node IS NULL OR r.rn = 1
+"""
+)
+
+
+@query("curation_keep_longest", oracle=_KEEP_LONGEST_ORACLE)
+def curation_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster dedup keeping the LONGEST doc per near-dup cluster (ties
+    to the lowest id) — the keep-most-complete policy, versus the min-id
+    keeper of dedup_canonical_docs: truncated variants drop, the fullest
+    copy survives. Keeper selection is one map-side-combinable
+    lexicographic max of struct(n_chars, -doc_id) per component — no
+    window."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    comp = dd.connected_components(pairs)
+    lens = docs.select(
+        "doc_id", F.length("text").cast("long").alias("n_chars")
+    )
+    keepers = (
+        comp.withColumnRenamed("node", "doc_id")
+        .join(lens, "doc_id")
+        .groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+            ).alias("b")
+        )
+        .select((-F.col("b.nid")).alias("doc_id"))
+    )
+    clustered = comp.select(F.col("node").alias("doc_id"))
+    survivors = lens.join(clustered, "doc_id", "left_anti").unionByName(
+        lens.join(keepers, "doc_id", "left_semi")
+    )
+    return survivors
