@@ -179,3 +179,61 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-bigram-LM mean log-probability per document, add-one
+    smoothed: P(w₂|w₁) = (C(w₁w₂)+1) / (C(w₁)+V).
+
+    The next-order quality signal above :func:`unigram_logprob` — a doc
+    of common words in UNCOMMON order (word-salad spam, shuffled
+    boilerplate) scores high under the unigram model but low here.
+    Trained on the corpus itself; smoothing keeps unseen bigrams finite.
+
+    Shape: the bigram stream is a narrow array expression (adjacent-pair
+    structs, no self-join); it shuffles twice — once joined to bigram
+    counts by (w₁,w₂), once to unigram counts by w₁ — with the vocab
+    size V a broadcast scalar. Per-bigram log-probs are quantized
+    (``round(ln(·), 6)``) then decimal-summed, so the mean is
+    partitioning-independent. Returns (id, n_bigrams, avg_logprob) for
+    docs with ≥ 2 tokens.
+    """
+    arrs = df.select(
+        F.col(id_col), tokenize(F.col(text_col)).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = arrs.select(
+        F.col(id_col),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select(F.col(id_col), F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    toks = _token_stream(df, text_col, id_col)
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = toks.groupBy(F.col("w").alias("w1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    v = toks.agg(F.count_distinct(F.col("w")).alias("__v"))
+    lp = F.round(
+        F.log((F.col("c2") + 1) / (F.col("c1") + F.col("__v"))), 6
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(F.broadcast(v))
+        .select(F.col(id_col), lp.alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (
+                F.sum(F.col("__lp").cast(DEC)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_logprob"),
+        )
+    )

@@ -107,3 +107,35 @@ FROM lp GROUP BY doc_id
 def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-unigram-LM mean log-prob per doc (perplexity-style quality)."""
     return ir.unigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+_BIGRAM_ORACLE = f"""
+WITH {_SQL_TOKS},
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM toks_list, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+c1 AS (SELECT w AS w1, count(*) AS c1 FROM tok GROUP BY w),
+v AS (SELECT count(DISTINCT w) AS v FROM tok),
+lp AS (
+    SELECT b.doc_id, round(ln((c.c2 + 1) / (u.c1 + v.v)), 6) AS lp
+    FROM bg b
+    JOIN c2 c ON c.w1 = b.w1 AND c.w2 = b.w2
+    JOIN c1 u ON u.w1 = b.w1
+    CROSS JOIN v
+)
+SELECT doc_id, count(*) AS n_bigrams,
+       CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+         AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
+@query("text_bigram_logprob", oracle=_BIGRAM_ORACLE)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-bigram-LM mean log-prob per doc (add-one smoothed): the
+    word-ORDER quality signal — common words in uncommon order score low
+    here while the unigram model cannot tell."""
+    return ir.bigram_logprob(load_table(spark, sf_dir, "documents"))
