@@ -847,3 +847,67 @@ def scalar_text_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bar"
         ),
     )
+
+
+_INTERSECT_ALL_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+INTERSECT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+@query("set_intersect_all", oracle=_INTERSECT_ALL_ORACLE)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — multiset semantics: a user clicking 5× and viewing
+    3× contributes 3 rows (min of the multiplicities), where INTERSECT
+    collapses to 1. Plans as a count-compare aggregate, not a join."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.intersectAll(views)
+
+
+_EXCEPT_ALL_ORACLE = """
+SELECT user_id FROM events WHERE event_type = 'click'
+EXCEPT ALL
+SELECT user_id FROM events WHERE event_type = 'view'
+"""
+
+
+@query("set_except_all", oracle=_EXCEPT_ALL_ORACLE)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — multiset difference: clicks minus views per user by
+    multiplicity (5 clicks − 3 views → 2 rows), where EXCEPT drops the
+    user entirely if they viewed even once."""
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id")
+    views = ev.filter(F.col("event_type") == "view").select("user_id")
+    return clicks.exceptAll(views)
+
+
+_NULLSAFE_ORACLE = """
+SELECT DISTINCT a.user_id
+FROM (SELECT DISTINCT user_id FROM events WHERE event_type = 'click') a
+JOIN (SELECT DISTINCT user_id FROM events WHERE event_type = 'error') b
+  ON a.user_id IS NOT DISTINCT FROM b.user_id
+"""
+
+
+@query("join_null_safe_equal", oracle=_NULLSAFE_ORACLE)
+def join_null_safe_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (<=> / IS NOT DISTINCT FROM): NULL keys MATCH
+    each other instead of vanishing — the semantics CDC/merge pipelines
+    need when the business key is nullable. Still plans as a hash join
+    (null-safe equality is a valid equi-key), not a cartesian filter."""
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    b = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("b_uid"))
+        .distinct()
+    )
+    return (
+        a.join(b, F.col("user_id").eqNullSafe(F.col("b_uid")))
+        .select("user_id")
+        .distinct()
+    )
