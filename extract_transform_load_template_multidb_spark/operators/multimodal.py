@@ -577,3 +577,82 @@ def synthesize_media(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.lit(None).cast("int").alias("height"),
         (F.length(F.col(text_col)) * 100).cast("long").alias("duration_ms"),
     )
+
+
+def synthesize_tone_wav(
+    df: DataFrame,
+    n_samples: int = 16,
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Deterministic square-wave WAV per document: frequency 500·2^(id%3)
+    Hz (500/1000/2000 — each an integer number of cycles in the 16-sample
+    window), amplitude ±8000, built by pure integer arithmetic (no trig:
+    sample i is +A when ⌊2·f·i/sr⌋ is even). The payload is a VALID WAV
+    via :func:`write_wav`; the expected dominant FFT bin is exactly
+    n·f/sr, so a SQL oracle predicts the spectral analysis with CASE
+    arithmetic."""
+
+    schema = "asset_id bigint, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for did in pdf["doc_id"]:
+                f = 500 * (2 ** (int(did) % 3))
+                samples = [
+                    8000 if (2 * f * i // sample_rate) % 2 == 0 else -8000
+                    for i in range(n_samples)
+                ]
+                payloads.append(write_wav(samples, sample_rate))
+            yield pd.DataFrame(
+                {"asset_id": pdf["doc_id"].values, "payload": payloads}
+            )
+
+    return df.select("doc_id").mapInPandas(fn, schema)
+
+
+_SPECTRUM_SCHEMA = (
+    "asset_id bigint, n_samples bigint, dominant_bin int, "
+    "dominant_freq_hz int, err string"
+)
+
+
+def dominant_frequency(df: DataFrame) -> DataFrame:
+    """REAL spectral analysis in this container: parse the WAV (RIFF
+    chunk walk) and run an actual numpy FFT over the PCM samples,
+    emitting the dominant non-DC frequency bin per asset — the
+    feature-extraction stage of an audio curation pipeline (tone/DTMF
+    detection, bandwidth sniffing). Output stays INTEGER (argmax bin +
+    its frequency), so the result is engine-portable even though the
+    spectrum itself is floating point. Narrow Arrow-batched map; bad
+    payloads surface in ``err``."""
+    import numpy as np
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    _, sr, _, v = parse_wav(raw)
+                    n = int(v.shape[0])
+                    if n < 2:
+                        raise ValueError("need >= 2 samples for a spectrum")
+                    mag = np.abs(np.fft.rfft(v.astype("float64")))
+                    # skip DC; argmax returns the LOWEST bin on ties
+                    b = int(np.argmax(mag[1:])) + 1
+                    rows.append((asset_id, n, b, b * sr // n, None))
+                except ValueError as ex:
+                    rows.append((asset_id, None, None, None, str(ex)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_samples",
+                    "dominant_bin",
+                    "dominant_freq_hz",
+                    "err",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(fn, _SPECTRUM_SCHEMA)

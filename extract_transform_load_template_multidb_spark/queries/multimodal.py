@@ -189,3 +189,29 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     absent codecs (JPEG/PNG)."""
     ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
     return mm.decode_images(ppm)
+
+
+# Square wave at 500·2^(id%3) Hz over 16 samples @ 8 kHz: the window
+# holds exactly 1/2/4 cycles, so the FFT fundamental (= dominant bin)
+# is n·f/sr = 2^(id%3) — pure CASE arithmetic for the oracle.
+_DOMINANT_FREQ_ORACLE = """
+SELECT doc_id AS asset_id,
+       CAST(16 AS BIGINT) AS n_samples,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 4 END
+            AS INT) AS dominant_bin,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 500 WHEN 1 THEN 1000 ELSE 2000 END
+            AS INT) AS dominant_freq_hz,
+       CAST(NULL AS VARCHAR) AS err
+FROM documents
+"""
+
+
+@query("mm_audio_dominant_freq", oracle=_DOMINANT_FREQ_ORACLE)
+def mm_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL spectral analysis: integer-arithmetic square-wave WAVs (valid
+    RIFF payloads, 1/2/4 cycles per window) decoded by the chunk-walking
+    parser and run through an actual numpy FFT in ``mapInPandas``; the
+    dominant bin is integral, so the SQL oracle predicts the spectrum
+    argmax exactly."""
+    tones = mm.synthesize_tone_wav(load_table(spark, sf_dir, "documents"))
+    return mm.dominant_frequency(tones)

@@ -269,3 +269,19 @@ def test_synthesize_wav_is_valid_and_text_derived(spark):
     assert v[0] == (ord("A") - 79) * 256  # negative: 'A' < 'O'
     assert v[1] == (ord("Z") - 79) * 256
     assert all(x == (ord("x") - 79) * 256 for x in v[2:])  # x-padding
+
+
+def test_dominant_frequency_fft_and_errors(spark):
+    """A pure 1 kHz square wave at 8 kHz/16 samples must peak at bin 2;
+    garbage payloads surface in err."""
+    samples = [8000 if (2 * 1000 * i // 8000) % 2 == 0 else -8000
+               for i in range(16)]
+    wav = mm.write_wav(samples, 8000)
+    df = spark.createDataFrame(
+        [(1, wav), (2, b"junk")], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in mm.dominant_frequency(df).collect()}
+    assert got[1]["dominant_bin"] == 2
+    assert got[1]["dominant_freq_hz"] == 1000
+    assert got[1]["err"] is None
+    assert got[2]["err"] is not None and got[2]["dominant_bin"] is None
