@@ -2214,3 +2214,61 @@ def curation_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
         lens.join(keepers, "doc_id", "left_semi")
     )
     return survivors
+
+
+_NN_DOC_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+directed AS (
+    SELECT id_a AS doc_id, id_b AS nn_doc_id, jaccard FROM pairs
+    UNION ALL
+    SELECT id_b, id_a, jaccard FROM pairs
+),
+ranked AS (
+    SELECT doc_id, nn_doc_id, jaccard,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY jaccard DESC, nn_doc_id) AS rn
+    FROM directed
+)
+SELECT doc_id, nn_doc_id, jaccard FROM ranked WHERE rn = 1
+"""
+)
+
+
+@query("dedup_nearest_neighbor_doc", oracle=_NN_DOC_ORACLE)
+def dedup_nearest_neighbor_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Each document's most similar near-dup (argmax Jaccard over the
+    pair stream, ties to the lowest neighbor id) — the review surface a
+    curation pipeline shows humans ("what did this almost duplicate?").
+    One map-side-combinable lexicographic max of
+    struct(jaccard, -neighbor) per doc — no window."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("nn_doc_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("nn_doc_id"),
+            "jaccard",
+        )
+    )
+    return (
+        directed.groupBy("doc_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("jaccard"), (-F.col("nn_doc_id")).alias("nn")
+                )
+            ).alias("b")
+        )
+        .select(
+            "doc_id",
+            (-F.col("b.nn")).alias("nn_doc_id"),
+            F.col("b.jaccard").alias("jaccard"),
+        )
+    )
