@@ -656,3 +656,54 @@ def dominant_frequency(df: DataFrame) -> DataFrame:
             )
 
     return df.select("asset_id", "payload").mapInPandas(fn, _SPECTRUM_SCHEMA)
+
+
+_RESIZE_SCHEMA = "asset_id bigint, width int, height int, payload binary, err string"
+
+
+def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL image resize: decode PPM/BMP payloads, nearest-neighbor
+    downsample by an integer ``factor`` (keep every factor-th pixel,
+    anchored top-left), and re-encode as binary PPM (P6) — a decode →
+    transform → encode media stage that runs for real in this container
+    (struct/numpy only). Composes with :func:`decode_images`: the output
+    payloads are themselves valid PPMs.
+
+    Narrow Arrow-batched map, no shuffle; malformed/too-small inputs
+    surface in ``err`` (output payload NULL) instead of failing the
+    stage. 16-bit PPMs are rejected (the re-encode targets maxval 255).
+    """
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if raw.startswith(b"BM"):
+                        w, h, _, px = parse_bmp(raw)
+                    else:
+                        w, h, mx, px = parse_ppm(raw)
+                        if mx > 255:
+                            raise ValueError(
+                                "16-bit PPM unsupported for resize re-encode"
+                            )
+                    small = px[::factor, ::factor]
+                    nh, nw = small.shape[0], small.shape[1]
+                    if nh < 1 or nw < 1:
+                        raise ValueError("resize factor exceeds image size")
+                    out = (
+                        f"P6\n{nw} {nh}\n255\n".encode()
+                        + small.astype("uint8").tobytes()
+                    )
+                    rows.append((asset_id, nw, nh, out, None))
+                except ValueError as ex:
+                    rows.append((asset_id, None, None, None, str(ex)))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "width", "height", "payload", "err"],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(fn, _RESIZE_SCHEMA)

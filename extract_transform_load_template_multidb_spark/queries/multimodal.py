@@ -215,3 +215,42 @@ def mm_audio_dominant_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax exactly."""
     tones = mm.synthesize_tone_wav(load_table(spark, sf_dir, "documents"))
     return mm.dominant_frequency(tones)
+
+
+# 4×4 PPM downsampled 2×: surviving pixels are (0,0),(0,2),(2,0),(2,2) →
+# flat indices {0,2,8,10}; channel c lives at 1-based char position
+# 3·idx + c + 1 of the x-padded text.
+def _rs_mean(c: int) -> str:
+    terms = " + ".join(f"ord(substr(p, {3 * i + c + 1}, 1))" for i in (0, 2, 8, 10))
+    return f"CAST(({terms}) AS DOUBLE) / 4"
+
+
+_RESIZE_PPM_ORACLE = f"""
+WITH px AS (
+    SELECT doc_id AS asset_id,
+           substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+)
+SELECT asset_id,
+       CAST(2 AS INT) AS width,
+       CAST(2 AS INT) AS height,
+       CAST(255 AS INT) AS maxval,
+       {_rs_mean(0)} AS mean_r,
+       {_rs_mean(1)} AS mean_g,
+       {_rs_mean(2)} AS mean_b,
+       CAST(NULL AS VARCHAR) AS err
+FROM px
+"""
+
+
+@query("mm_resize_ppm", oracle=_RESIZE_PPM_ORACLE)
+def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode → transform → encode media chain: the 4×4 synthesized
+    PPMs are nearest-neighbor downsampled 2× (:func:`operators.
+    multimodal.resize_images` — actual pixel-array slicing + P6
+    re-encode) and the RESIZED payloads decoded again for channel stats;
+    the oracle rebuilds the surviving pixels' means with ord()
+    arithmetic. Two chained mapInPandas stages, both real codecs."""
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    resized = mm.resize_images(ppm, factor=2).select("asset_id", "payload")
+    return mm.decode_images(resized)

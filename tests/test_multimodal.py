@@ -285,3 +285,22 @@ def test_dominant_frequency_fft_and_errors(spark):
     assert got[1]["dominant_freq_hz"] == 1000
     assert got[1]["err"] is None
     assert got[2]["err"] is not None and got[2]["dominant_bin"] is None
+
+
+def test_resize_images_roundtrip_and_errors(spark):
+    """2×2 downsample of a 4×4 PPM keeps the top-left pixel of each 2×2
+    block, re-encodes as a VALID P6, and rejects junk via err."""
+    import numpy as np
+
+    px = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    payload = b"P6\n4 4\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"nope")], "asset_id long, payload binary"
+    )
+    got = {r["asset_id"]: r for r in mm.resize_images(df, 2).collect()}
+    r = got[1]
+    assert (r["width"], r["height"], r["err"]) == (2, 2, None)
+    w, h, mx, small = mm.parse_ppm(bytes(r["payload"]))
+    assert (w, h, mx) == (2, 2, 255)
+    assert small.tolist() == px[::2, ::2].tolist()
+    assert got[2]["err"] is not None and got[2]["payload"] is None
