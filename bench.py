@@ -90,6 +90,16 @@ HEADLINE = [
     "join_salted_skew",
     "agg_mode_per_group",
     "graph_kcore",
+    "window_ntile_quartiles",
+    "curation_dedup_weights",
+    "curation_keep_longest",
+    "text_bigram_logprob",
+    "set_intersect_all",
+    "set_except_all",
+    "join_null_safe_equal",
+    "mm_audio_dominant_freq",
+    "mm_resize_ppm",
+    "dedup_nearest_neighbor_doc",
 ]
 
 
@@ -122,6 +132,9 @@ def main() -> None:
         "dedup_ngram_containment": 2,
         "graph_triangle_stats": 2,
         "graph_kcore": 2,
+        "curation_dedup_weights": 2,
+        "curation_keep_longest": 2,
+        "dedup_nearest_neighbor_doc": 2,
     }
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
