@@ -847,3 +847,36 @@ def window_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spend.select(
         "custkey", "total_spend", F.ntile(4).over(w).alias("spend_quartile")
     )
+
+
+_PRANK_ORACLE = """
+WITH spend AS (
+    SELECT o_custkey AS custkey,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS total_spend
+    FROM orders GROUP BY o_custkey
+)
+SELECT custkey, total_spend,
+       percent_rank() OVER (ORDER BY total_spend, custkey) AS pct_rank,
+       cume_dist() OVER (ORDER BY total_spend, custkey) AS cume
+FROM spend
+"""
+
+
+@query("window_percent_rank_cume", oracle=_PRANK_ORACLE)
+def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank + cume_dist over customer spend (total-ordered on
+    (spend, custkey)) — the relative-standing window functions; both are
+    rank/(n-1)-style exact rational-in-double expressions, so any engine
+    agrees bit-for-bit on a total order."""
+    orders = load_table(spark, sf_dir, "orders")
+    spend = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        dsum(F.col("o_totalprice"), "total_spend")
+    )
+    w = Window.orderBy("total_spend", "custkey")
+    return spend.select(
+        "custkey",
+        "total_spend",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

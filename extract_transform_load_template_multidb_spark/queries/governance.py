@@ -463,3 +463,53 @@ def dq_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit profile (round 5)
+# ---------------------------------------------------------------------------
+
+# First digit from the INTEGER part formatted as BIGINT text (float
+# formatting differs across engines; integer formatting does not).
+_BENFORD_ORACLE = """
+WITH digits AS (
+    SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+    FROM orders WHERE o_totalprice >= 1
+),
+counts AS (SELECT digit, COUNT(*) AS n FROM digits GROUP BY digit),
+total AS (SELECT COUNT(*) AS t FROM digits)
+SELECT c.digit, c.n,
+       CAST(c.n AS DOUBLE) / t.t AS observed_p,
+       round(ln(1 + CAST(1 AS DOUBLE) / CAST(c.digit AS BIGINT))
+             / ln(CAST(10 AS DOUBLE)), 6) AS benford_p
+FROM counts c CROSS JOIN total t
+"""
+
+
+@query("dq_benford_first_digit", oracle=_BENFORD_ORACLE)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit profile of order totals — the
+    fabricated-numbers detector: naturally occurring amounts follow
+    log10(1+1/d); synthetic/fraudulent ones usually don't. One
+    map-side-combinable count over a narrow digit projection; the
+    expected proportions are round(ln,6)-quantized so both engines emit
+    identical doubles."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    total = digits.agg(F.count(F.lit(1)).alias("t"))
+    return counts.join(F.broadcast(total)).select(
+        "digit",
+        "n",
+        (F.col("n").cast("double") / F.col("t")).alias("observed_p"),
+        F.round(
+            F.log(1 + F.lit(1.0) / F.col("digit").cast("long"))
+            / F.log(F.lit(10.0)),
+            6,
+        ).alias("benford_p"),
+    )
