@@ -880,3 +880,83 @@ def window_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+# Regression moments as EXACT integer sums: y is quantized to 1e-3
+# (floor(y*1000), the engine's QUANT_SCALE discipline — floor of the
+# identical double is engine-portable where double->DECIMAL casts are
+# not: Spark casts via the double's shortest string repr, DuckDB via the
+# binary expansion, and x*y products land between 6dp grid points).
+# Slope/intercept un-scale by 1000 at the end; Pearson corr is
+# scale-invariant. The closed forms are then fixed-order double
+# expressions over bit-identical exact sums.
+_TREND_ORACLE = """
+WITH pts AS (
+    SELECT event_type,
+           epoch_us(ts) // 1000000 AS x,
+           CAST(floor(value * 1000) AS BIGINT) AS yq
+    FROM events
+    WHERE value IS NOT NULL AND isfinite(value) AND NOT isnan(value)
+),
+s AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(yq AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * yq AS DECIMAL(38,0))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,0))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(yq * yq AS DECIMAL(38,0))) AS DOUBLE) AS syy
+    FROM pts GROUP BY event_type
+)
+SELECT event_type, n,
+       ((n * sxy - sx * sy) / (n * sxx - sx * sx)) / 1000 AS slope,
+       ((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n) / 1000
+           AS intercept,
+       (n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr
+FROM s
+"""
+
+
+@query("agg_linear_trend", oracle=_TREND_ORACLE)
+def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares trend of value over event time per event type
+    (slope/intercept/Pearson corr) — the drift-detection aggregate. The
+    five regression moments are exact integer sums over 1e-3-quantized
+    values (one map-side combinable pass), and the closed-form results
+    are fixed-order double expressions over them — bit-reproducible
+    where the engines' built-in one-pass regr_*/corr aggregates are
+    not."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    pts = ev.filter(
+        v.isNotNull() & ~F.isnan(v) & (F.abs(v) != float("inf"))
+    ).select(
+        "event_type",
+        F.expr("unix_micros(ts) div 1000000").alias("x"),
+        F.floor(v * 1000).cast("long").alias("yq"),
+    )
+    DEC0 = "decimal(38,0)"
+    s = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("x").cast(DEC0)).cast("double").alias("sx"),
+        F.sum(F.col("yq").cast(DEC0)).cast("double").alias("sy"),
+        F.sum((F.col("x") * F.col("yq")).cast(DEC0)).cast("double").alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(DEC0)).cast("double").alias("sxx"),
+        F.sum((F.col("yq") * F.col("yq")).cast(DEC0)).cast("double").alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col("n"), F.col("sx"), F.col("sy"),
+        F.col("sxy"), F.col("sxx"), F.col("syy"),
+    )
+    slope_s = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return s.select(
+        "event_type",
+        "n",
+        (slope_s / 1000).alias("slope"),
+        (((sy - slope_s * sx) / n) / 1000).alias("intercept"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+        ).alias("corr"),
+    )
