@@ -911,3 +911,33 @@ def join_null_safe_equal(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id")
         .distinct()
     )
+
+
+_BITWISE_ORACLE = """
+SELECT event_id,
+       event_id & 255 AS low_byte,
+       event_id | 4096 AS with_flag,
+       xor(event_id, user_id) AS xored,
+       event_id << 2 AS shifted_l,
+       event_id >> 3 AS shifted_r,
+       bit_count(event_id) AS popcount
+FROM events
+WHERE user_id IS NOT NULL AND event_id < 1000
+"""
+
+
+@query("scalar_bitwise_ops", oracle=_BITWISE_ORACLE)
+def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise scalar surface (AND/OR/XOR, shifts, popcount) — flag-field
+    and bitmap-index manipulation; all JVM-side codegen expressions."""
+    ev = load_table(spark, sf_dir, "events")
+    e = F.col("event_id")
+    return ev.filter(F.col("user_id").isNotNull() & (e < 1000)).select(
+        "event_id",
+        e.bitwiseAND(F.lit(255)).alias("low_byte"),
+        e.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        e.bitwiseXOR(F.col("user_id")).alias("xored"),
+        F.shiftleft(e, 2).alias("shifted_l"),
+        F.shiftright(e, 3).alias("shifted_r"),
+        F.bit_count(e).alias("popcount"),
+    )
