@@ -100,6 +100,10 @@ HEADLINE = [
     "mm_audio_dominant_freq",
     "mm_resize_ppm",
     "dedup_nearest_neighbor_doc",
+    "dq_benford_first_digit",
+    "window_percent_rank_cume",
+    "agg_linear_trend",
+    "scalar_bitwise_ops",
 ]
 
 
