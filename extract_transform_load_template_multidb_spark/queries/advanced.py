@@ -960,3 +960,36 @@ def agg_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
         ).alias("corr"),
     )
+
+
+_BOOL_AGG_ORACLE = """
+SELECT user_id,
+       bool_and(value >= 0) AS all_nonneg,
+       bool_or(event_type = 'error') AS any_error,
+       CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+           AS n_purchases
+FROM events
+WHERE user_id IS NOT NULL AND NOT isnan(value) AND isfinite(value)
+GROUP BY user_id
+"""
+
+
+@query("agg_bool_flags", oracle=_BOOL_AGG_ORACLE)
+def agg_bool_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boolean aggregates (every/any) + conditional count per user — the
+    flag-rollup shape of audit queries; one map-side-combinable pass."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        ev.filter(
+            F.col("user_id").isNotNull()
+            & ~F.isnan(v)
+            & (F.abs(v) != float("inf"))
+        )
+        .groupBy("user_id")
+        .agg(
+            F.every(v >= 0).alias("all_nonneg"),
+            F.some((F.col("event_type") == "error")).alias("any_error"),
+            F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
+        )
+    )

@@ -2272,3 +2272,64 @@ def dedup_nearest_neighbor_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.jaccard").alias("jaccard"),
         )
     )
+
+
+_BUCKET_STATS_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS t
+    FROM (SELECT min(doc_id) AS doc_id, text FROM documents GROUP BY text)
+),
+dtoks AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks),
+sigs AS (
+    SELECT doc_id,
+           min(CASE WHEN p = 0 THEN md5('0:' || w) END) AS sig_0,
+           min(CASE WHEN p = 1 THEN md5('1:' || w) END) AS sig_1,
+           min(CASE WHEN p = 2 THEN md5('2:' || w) END) AS sig_2,
+           min(CASE WHEN p = 3 THEN md5('3:' || w) END) AS sig_3
+    FROM dtoks, (SELECT unnest(range(0, 4)) AS p)
+    GROUP BY doc_id
+),
+bands AS (
+    SELECT 0 AS band_idx, sig_0 || '|' || sig_1 AS key FROM sigs
+    UNION ALL
+    SELECT 1, sig_2 || '|' || sig_3 FROM sigs
+),
+buckets AS (
+    SELECT band_idx, key, COUNT(*) AS bucket_size
+    FROM bands GROUP BY band_idx, key
+)
+SELECT band_idx, bucket_size, COUNT(*) AS n_buckets
+FROM buckets GROUP BY band_idx, bucket_size
+"""
+
+
+@query("dedup_lsh_bucket_stats", oracle=_BUCKET_STATS_ORACLE)
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH health diagnostic: the bucket-size distribution per band over
+    the distinct-text corpus (4 permutations, 2 rows/band — a small
+    config so the oracle can unroll the signature min-hashes). The
+    operator a 100 TB dedup run checks BEFORE paying the pair expansion:
+    a fat bucket tail means stop-shingle pollution and quadratic blowup
+    (cap via max_bucket_size); a flat distribution means the bands are
+    discriminating. Two map-side-combinable counts — no pairs ever
+    form."""
+    docs = load_table(spark, sf_dir, "documents")
+    reps = docs.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    sigs = dd.minhash_signatures(reps, "text", "doc_id", num_perm=4)
+    bands = sigs.select(
+        F.lit(0).alias("band_idx"),
+        F.concat_ws("|", "sig_0", "sig_1").alias("key"),
+    ).unionByName(
+        sigs.select(
+            F.lit(1).alias("band_idx"),
+            F.concat_ws("|", "sig_2", "sig_3").alias("key"),
+        )
+    )
+    buckets = bands.groupBy("band_idx", "key").agg(
+        F.count(F.lit(1)).alias("bucket_size")
+    )
+    return buckets.groupBy("band_idx", "bucket_size").agg(
+        F.count(F.lit(1)).alias("n_buckets")
+    )

@@ -364,3 +364,38 @@ def stream_interval_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
         interval="1 hour",
         how="left_outer",
     ).select("purchase_id", "follow_id", "purchase_ts", "follow_ts")
+
+
+_HOUR_PROFILE_ORACLE = """
+SELECT event_type,
+       CAST(hour(ts) AS INT) AS hour_of_day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST((CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                           ELSE value END) AS DECIMAL(38,6))) AS DOUBLE)
+         / count(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                      ELSE value END) AS avg_value
+FROM events
+GROUP BY event_type, hour(ts)
+"""
+
+
+@query("ts_hour_of_day_profile", oracle=_HOUR_PROFILE_ORACLE)
+def ts_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality profile: event volume and decimal-exact mean value per
+    (event_type, hour-of-day) — the daily-cycle baseline an anomaly
+    detector normalizes against. UTC session pins hour() on both
+    engines; one map-side-combinable aggregation."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = F.when(~F.isnan(v) & (F.abs(v) != float("inf")), v)
+    return ev.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hour_of_day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(clean.cast("decimal(38,6)")).cast("double")
+            / F.count(clean)
+        ).alias("avg_value"),
+    )
