@@ -180,3 +180,34 @@ def sink_window_overwrite_roundtrip(
     # Idempotency: replaying the same window extract changes nothing.
     sink.window_overwrite(reextract, "o_orderdate", cutoff, spark)
     return spark.read.parquet(path)
+
+
+_SCHEMA_EVOLUTION_ORACLE = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(NULL AS VARCHAR) AS o_orderpriority, 'v1' AS snapshot
+FROM orders WHERE o_orderkey % 2 = 0
+UNION ALL
+SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority, 'v2'
+FROM orders WHERE o_orderkey % 2 = 1
+"""
+
+
+@query("etl_schema_evolution_union", oracle=_SCHEMA_EVOLUTION_ORACLE)
+def etl_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-evolution union: an old snapshot missing a column unions
+    with the new one via ``unionByName(allowMissingColumns=True)`` —
+    absent columns null-fill instead of failing, the mergeSchema
+    semantics an evolving landing zone needs (reference pipelines assume
+    frozen schemas; a long-lived lake cannot)."""
+    orders = load_table(spark, sf_dir, "orders")
+    v1 = (
+        orders.filter(F.col("o_orderkey") % 2 == 0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .withColumn("snapshot", F.lit("v1"))
+    )
+    v2 = (
+        orders.filter(F.col("o_orderkey") % 2 == 1)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .withColumn("snapshot", F.lit("v2"))
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

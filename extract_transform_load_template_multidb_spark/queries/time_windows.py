@@ -399,3 +399,54 @@ def ts_hour_of_day_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(clean)
         ).alias("avg_value"),
     )
+
+
+_SESSION_IDS_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT user_id, event_id, ts,
+       CAST(SUM(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS session_seq
+FROM flagged
+"""
+
+
+@query("window_session_gap_ids", oracle=_SESSION_IDS_ORACLE)
+def window_session_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization with explicit per-user session SEQUENCE
+    numbers — the gaps-and-islands id assignment (lag → gap flag →
+    running sum) that labels every event, where ``session_window``
+    only aggregates per session. One shuffle by user; both windows share
+    the same (ts, event_id) total order so the exchange and sort are
+    reused."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            >= gap_us
+        ),
+        1,
+    ).otherwise(0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("session_seq"),
+    )
