@@ -450,3 +450,200 @@ def window_session_gap_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("session_seq"),
     )
+
+
+_TWAP_ORACLE = """
+WITH seq AS (
+  SELECT user_id,
+         epoch_us(ts) AS t,
+         lead(epoch_us(ts)) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id) AS t_next,
+         CASE WHEN isnan(value) OR isinf(value) THEN NULL
+              ELSE CAST(floor(value * 1000) AS BIGINT) END AS v_q
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_intervals,
+       CAST(SUM(t_next - t) AS BIGINT) AS weight_us,
+       CAST(SUM(v_q * (t_next - t)) AS DOUBLE) / 1000.0
+           / CAST(SUM(t_next - t) AS DOUBLE) AS time_weighted_avg
+FROM seq
+WHERE t_next IS NOT NULL AND v_q IS NOT NULL
+GROUP BY user_id
+"""
+
+
+@query("ts_time_weighted_avg", oracle=_TWAP_ORACLE)
+def ts_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average (TWAP) over irregular samples: each
+    value weighted by its hold duration until the next observation — the
+    correct mean for unevenly-sampled gauges, where a plain AVG
+    over-weights bursts. Values are floor-quantized to int64 millis so
+    the Σ(v·Δt) accumulates in exact integer math (order-independent,
+    hash-stable vs the oracle); the final division is scalar double.
+    One window sort + one aggregation, both on the same user_id exchange.
+    Beyond-reference: the reference has no aggregation surface at all
+    (SURVEY §2.5); this is the hypertable-style gauge rollup."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    v = F.col("value")
+    v_q = F.when(
+        ~F.isnan(v) & (F.abs(v) != float("inf")),
+        F.floor(v * 1000).cast("long"),
+    )
+    seq = ev.select(
+        "user_id",
+        (F.lead(t).over(w) - t).alias("dt"),
+        v_q.alias("v_q"),
+    ).where(F.col("dt").isNotNull() & F.col("v_q").isNotNull())
+    return seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt").cast("long").alias("weight_us"),
+        (
+            F.sum(F.col("v_q") * F.col("dt")).cast("double")
+            / F.lit(1000.0)
+            / F.sum("dt").cast("double")
+        ).alias("time_weighted_avg"),
+    )
+
+
+_INTERP_ORACLE = """
+WITH clean AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t,
+         CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
+             AS v
+  FROM events
+  WHERE NOT isnan(value) AND isfinite(value)
+),
+spans AS (
+  SELECT user_id,
+         ((min(t) + 3599999999) // 3600000000) * 3600000000 AS g0,
+         (max(t) // 3600000000) * 3600000000 AS g1
+  FROM clean GROUP BY user_id
+),
+grid AS (
+  SELECT user_id, unnest(range(g0, g1 + 1, 3600000000)) AS t,
+         CAST(NULL AS BIGINT) AS event_id,
+         CAST(NULL AS DOUBLE) AS v, 1 AS is_grid
+  FROM spans WHERE g0 <= g1
+),
+merged AS (
+  SELECT user_id, t, event_id, v, 0 AS is_grid FROM clean
+  UNION ALL SELECT user_id, t, event_id, v, is_grid FROM grid
+),
+bracketed AS (
+  SELECT user_id, t, is_grid,
+         last_value(v IGNORE NULLS) OVER wb AS v_prev,
+         last_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+             OVER wb AS t_prev,
+         first_value(v IGNORE NULLS) OVER wf AS v_next,
+         first_value(CASE WHEN is_grid = 0 THEN t END IGNORE NULLS)
+             OVER wf AS t_next
+  FROM merged
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+    wf AS (PARTITION BY user_id ORDER BY t, is_grid, event_id
+           ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, make_timestamp(t) AS grid_ts,
+       v_prev, v_next,
+       CAST(t - t_prev AS BIGINT) AS us_since_prev,
+       v_prev + (v_next - v_prev)
+           * (CAST(t - t_prev AS DOUBLE) / CAST(t_next - t_prev AS DOUBLE))
+           AS v_interp
+FROM bracketed
+WHERE is_grid = 1 AND v_prev IS NOT NULL AND v_next IS NOT NULL
+"""
+
+
+@query("ts_interpolate_linear", oracle=_INTERP_ORACLE)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap-fill: per-user hourly grid points between
+    the first and last observation, each valued by interpolating the
+    bracketing samples. Implemented as the single-sort union trick — grid
+    rows and events merge into ONE per-user ordered stream; prev/next
+    brackets come from IGNORE NULLS running windows, so there is no range
+    join and no per-gridpoint probe (the naive as-of join would rescan
+    events per grid row). Two window passes share one user_id exchange
+    and one sort — at 100 TB this is a linear scan per key, not a
+    quadratic bracket search. The interpolation itself is scalar IEEE
+    double math, expression-identical to the oracle."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    hour_us = 3_600_000_000
+    v = F.col("value")
+    clean = ev.where(~F.isnan(v) & (F.abs(v) != float("inf"))).select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        v.alias("v"),
+        F.lit(0).alias("is_grid"),
+    )
+    spans = clean.groupBy("user_id").agg(
+        (
+            ((F.min("t") + (hour_us - 1)) / hour_us).cast("long") * hour_us
+        ).alias("g0"),
+        ((F.max("t") / hour_us).cast("long") * hour_us).alias("g1"),
+    )
+    grid = (
+        spans.where(F.col("g0") <= F.col("g1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("g0", "g1", F.lit(hour_us).cast("long"))
+            ).alias("t"),
+        )
+        .select(
+            "user_id",
+            "t",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("v"),
+            F.lit(1).alias("is_grid"),
+        )
+    )
+    merged = clean.select(
+        "user_id", "t", "event_id", "v", "is_grid"
+    ).unionByName(grid)
+    order = ["t", "is_grid", "event_id"]
+    wb = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wf = (
+        W.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, W.unboundedFollowing)
+    )
+    ev_t = F.when(F.col("is_grid") == 0, F.col("t"))
+    bracketed = merged.select(
+        "user_id",
+        "t",
+        "is_grid",
+        F.last("v", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last(ev_t, ignorenulls=True).over(wb).alias("t_prev"),
+        F.first("v", ignorenulls=True).over(wf).alias("v_next"),
+        F.first(ev_t, ignorenulls=True).over(wf).alias("t_next"),
+    )
+    frac = (F.col("t") - F.col("t_prev")).cast("double") / (
+        F.col("t_next") - F.col("t_prev")
+    ).cast("double")
+    return bracketed.where(
+        (F.col("is_grid") == 1)
+        & F.col("v_prev").isNotNull()
+        & F.col("v_next").isNotNull()
+    ).select(
+        "user_id",
+        F.timestamp_micros("t").alias("grid_ts"),
+        "v_prev",
+        "v_next",
+        (F.col("t") - F.col("t_prev")).cast("long").alias("us_since_prev"),
+        (
+            F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac
+        ).alias("v_interp"),
+    )
