@@ -993,3 +993,66 @@ def agg_bool_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_if(F.col("event_type") == "purchase").alias("n_purchases"),
         )
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH stream AS (
+    SELECT user_id, event_id, ts,
+           last_value(CASE WHEN event_type = 'click' THEN event_id END
+                      IGNORE NULLS) OVER w AS click_id,
+           last_value(CASE WHEN event_type = 'click' THEN ts END
+                      IGNORE NULLS) OVER w AS click_ts,
+           event_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id AS purchase_id, ts AS purchase_ts,
+       click_id, click_ts,
+       CAST(epoch_us(ts) - epoch_us(click_ts) AS BIGINT) AS lag_us
+FROM stream
+WHERE event_type = 'purchase'
+  AND click_ts IS NOT NULL
+  AND epoch_us(ts) - epoch_us(click_ts) <= 1800 * 1000000
+"""
+
+
+@query("window_last_touch_attribution", oracle=_ATTRIBUTION_ORACLE)
+def window_last_touch_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Last-touch attribution: each purchase credits the most recent
+    click by the same user within 30 minutes. Single-sort formulation —
+    a strictly-historical IGNORE NULLS running window carries the last
+    click along the per-user event stream, so attribution needs NO
+    self-join (the naive event×event range join is quadratic in bursty
+    users; this is one exchange + one sort, linear per key)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    stream = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("click_id"),
+        F.last(click_ts, ignorenulls=True).over(w).alias("click_ts"),
+    )
+    lag_us = F.unix_micros("ts") - F.unix_micros("click_ts")
+    return stream.where(
+        (F.col("event_type") == "purchase")
+        & F.col("click_ts").isNotNull()
+        & (lag_us <= 1800 * 1_000_000)
+    ).select(
+        "user_id",
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("purchase_ts"),
+        "click_id",
+        "click_ts",
+        lag_us.cast("long").alias("lag_us"),
+    )

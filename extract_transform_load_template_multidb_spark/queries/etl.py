@@ -211,3 +211,101 @@ def etl_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("snapshot", F.lit("v2"))
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+_CDC_LATEST_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_type, event_id, ts, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+       CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
+           AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("etl_cdc_latest_state", oracle=_CDC_LATEST_ORACLE)
+def etl_cdc_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log compaction: collapse an append-only change stream to the
+    latest row per key — the read-side materialization every merge-on-read
+    upsert sink needs (the reference's W2 upsert delegates this to MySQL's
+    ``ON DUPLICATE KEY UPDATE``, reference ``Template-to-MySQL/
+    PgSQL-to-MySQL-Method-1.py:77-81``; at lake scale it is a rank-1
+    window). (ts, event_id) breaks update ties deterministically. One
+    hash exchange on the key; at 100 TB this is the standard
+    partition-local top-1 — AQE handles the skewed-key case and the
+    window's rank predicate is pushed into the sort as a
+    group-top-k (WindowGroupLimit) so no full per-key sort materializes."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    v = F.col("value")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.when(~F.isnan(v) & (F.abs(v) != float("inf")), v).alias(
+                "last_value"
+            ),
+        )
+    )
+
+
+_MV_INCREMENTAL_ORACLE = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST((CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                           ELSE value END) AS DECIMAL(38,6)))
+            AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type, CAST(ts AS DATE)
+"""
+
+
+@query("etl_mv_incremental_refresh", oracle=_MV_INCREMENTAL_ORACLE)
+def etl_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: a daily-rollup MV built
+    from a historical snapshot is refreshed by merging ONLY the delta
+    partition's partial aggregates (re-aggregate the union of partials —
+    never rescan history). The oracle is the full-table aggregation, so
+    the check proves merge(refresh(snapshot), delta) == full recompute —
+    the algebraic property (count/sum are commutative monoids) that makes
+    incremental view maintenance sound. Decimal-routed sums keep the
+    merge order-independent. At 100 TB the snapshot side is the
+    already-materialized MV (tiny vs raw events) and the delta is one
+    day's partition — this query IS the cost model of a streaming MV."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = F.when(~F.isnan(v) & (F.abs(v) != float("inf")), v)
+    cutoff = "2024-01-20"
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(clean.cast("decimal(38,6)")).alias("sum_value_dec"),
+        )
+
+    snapshot_mv = partial(ev.where(F.col("ts") < F.lit(cutoff)))
+    delta_mv = partial(ev.where(F.col("ts") >= F.lit(cutoff)))
+    merged = (
+        snapshot_mv.unionByName(delta_mv)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_value_dec").cast("double").alias("sum_value"),
+        )
+    )
+    return merged

@@ -2333,3 +2333,88 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buckets.groupBy("band_idx", "bucket_size").agg(
         F.count(F.lit(1)).alias("n_buckets")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-domain quota capping + similarity-graph degree census (round 5, batch 9)
+# ---------------------------------------------------------------------------
+
+_DOMAIN_CAP_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           row_number() OVER (
+               PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS rn
+    FROM documents
+)
+SELECT doc_id, source, n_chars, CAST(rn AS BIGINT) AS source_rank
+FROM ranked WHERE rn <= 50
+"""
+
+
+@query("curation_domain_cap", oracle=_DOMAIN_CAP_ORACLE)
+def curation_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quota capping: keep the top-50 documents per source
+    (longest first, doc_id tiebreak) — the domain-balancing step that
+    stops one crawl host from dominating a training mix (the C4/RefinedWeb
+    per-domain cap). Rank-k window per source: Spark rewrites the rn<=k
+    filter into WindowGroupLimit, so each partition keeps a bounded
+    top-k heap instead of fully sorting every domain — the property that
+    matters when one domain has a billion pages."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.row_number().over(w).alias("source_rank"),
+        )
+        .where(F.col("source_rank") <= 50)
+        .withColumn("source_rank", F.col("source_rank").cast("long"))
+    )
+
+
+_DEGREE_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+deg AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+    FROM (
+        SELECT id_a AS doc_id FROM pairs
+        UNION ALL
+        SELECT id_b AS doc_id FROM pairs
+    ) GROUP BY doc_id
+)
+SELECT degree,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM deg GROUP BY degree
+"""
+)
+
+
+@query("graph_degree_distribution", oracle=_DEGREE_ORACLE)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the 3-gram near-dup similarity graph — the
+    first diagnostic a dedup run reads: a fat-tailed degree distribution
+    means template/boilerplate super-nodes that will blow up pair
+    expansion and connected components (the signal that triggers
+    stop-shingle caps). Two map-side-combinable aggregations over the
+    edge list; no per-node state."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    nodes = pairs.select(F.col("id_a").alias("doc_id")).unionByName(
+        pairs.select(F.col("id_b").alias("doc_id"))
+    )
+    deg = nodes.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
