@@ -417,3 +417,44 @@ def test_salted_join_keys_include_salt(spark, sf_dir):
         r"(HashJoin|SortMergeJoin) \[event_type[^\]]*__salt", plan
     )
     assert m, plan
+
+
+def test_rank1_compaction_uses_group_limit(spark, sf_dir):
+    """CDC latest-state and the per-domain quota cap filter on
+    row_number()<=k — Spark must rewrite both into WindowGroupLimit
+    (bounded per-partition top-k heap), never a full per-key sort of the
+    change log."""
+    for name in ("etl_cdc_latest_state", "curation_domain_cap"):
+        plan = _plan(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan, name
+
+
+def test_attribution_single_sort_no_join(spark, sf_dir):
+    """Last-touch attribution must be the single-sort running-window
+    formulation: no join operator of any kind in the plan (the naive
+    event-to-event range self-join is quadratic in bursty users)."""
+    plan = _plan(spark, sf_dir, "window_last_touch_attribution")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_interpolation_single_exchange_per_key(spark, sf_dir):
+    """Linear-interpolation gap-fill merges grid+events into one per-user
+    ordered stream: no join for the bracket search, and every exchange is
+    keyed by user_id (grid generation + two window passes reuse it)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ts_interpolate_linear")
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+    keys = set(
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    )
+    assert keys <= {"user_id"}, keys
+
+
+def test_iqr_fences_broadcast(spark, sf_dir):
+    """The per-group Tukey fences must broadcast back onto the value
+    stream — the fact side never shuffles for a 5-row fence table."""
+    plan = _plan(spark, sf_dir, "dq_outlier_iqr")
+    assert "BroadcastHashJoin" in plan
