@@ -707,3 +707,49 @@ def resize_images(df: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return df.select("asset_id", "payload").mapInPandas(fn, _RESIZE_SCHEMA)
+
+
+def dhash_images(df: DataFrame) -> DataFrame:
+    """Perceptual difference-hash (dHash) per image: integer luma
+    (r+g+b) per pixel, then one bit per horizontal and vertical
+    neighbor-gradient (bit k set iff the left/upper pixel is strictly
+    brighter) packed into a single int64 fingerprint — the standard
+    near-duplicate image signature (equal fingerprints = perceptual
+    dup bucket; hamming distance = similarity). All-integer math, so
+    an engine-portable oracle can rebuild the exact hash. Arrow-batched
+    ``mapInPandas`` narrow map over the same REAL PPM/BMP parsers as
+    :func:`decode_images`; undecodable payloads surface in ``err``.
+
+    Bit layout for a w×h image: horizontal bits first (row-major,
+    h·(w−1) bits), then vertical bits (column-major, (h−1)·w bits).
+    """
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    if raw.startswith(b"BM"):
+                        w, h, _, px = parse_bmp(raw)
+                    else:
+                        w, h, _, px = parse_ppm(raw)
+                    s = px.reshape(h, w, 3).astype("int64").sum(axis=2)
+                    bits_h = (s[:, :-1] > s[:, 1:]).flatten()
+                    bits_v = (s[:-1, :] > s[1:, :]).T.flatten()
+                    dh = 0
+                    for k, b in enumerate(
+                        list(bits_h) + list(bits_v)
+                    ):
+                        if b:
+                            dh |= 1 << k
+                    rows.append((asset_id, dh, None))
+                except ValueError as ex:
+                    rows.append((asset_id, None, str(ex)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "dhash", "err"]
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        fn, "asset_id long, dhash long, err string"
+    )

@@ -11,7 +11,7 @@ hashes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from extract_transform_load_template_multidb_spark.catalog import load_table
 from extract_transform_load_template_multidb_spark.operators import (
@@ -254,3 +254,68 @@ def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
     resized = mm.resize_images(ppm, factor=2).select("asset_id", "payload")
     return mm.decode_images(resized)
+
+
+# dHash oracle: luma = r+g+b at ord() positions; horizontal bits
+# (row-major) then vertical bits (column-major), bit k weight 2^k —
+# generated to mirror operators.multimodal.dhash_images exactly.
+_DHASH_ORACLE = """
+WITH px AS (
+    SELECT doc_id AS asset_id, substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+),
+hashed AS (
+    SELECT asset_id,
+       CAST((CASE WHEN (ord(substr(p,1,1)) + ord(substr(p,2,1)) + ord(substr(p,3,1))) > (ord(substr(p,4,1)) + ord(substr(p,5,1)) + ord(substr(p,6,1))) THEN 1 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,4,1)) + ord(substr(p,5,1)) + ord(substr(p,6,1))) > (ord(substr(p,7,1)) + ord(substr(p,8,1)) + ord(substr(p,9,1))) THEN 2 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,7,1)) + ord(substr(p,8,1)) + ord(substr(p,9,1))) > (ord(substr(p,10,1)) + ord(substr(p,11,1)) + ord(substr(p,12,1))) THEN 4 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,13,1)) + ord(substr(p,14,1)) + ord(substr(p,15,1))) > (ord(substr(p,16,1)) + ord(substr(p,17,1)) + ord(substr(p,18,1))) THEN 8 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,16,1)) + ord(substr(p,17,1)) + ord(substr(p,18,1))) > (ord(substr(p,19,1)) + ord(substr(p,20,1)) + ord(substr(p,21,1))) THEN 16 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,19,1)) + ord(substr(p,20,1)) + ord(substr(p,21,1))) > (ord(substr(p,22,1)) + ord(substr(p,23,1)) + ord(substr(p,24,1))) THEN 32 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,25,1)) + ord(substr(p,26,1)) + ord(substr(p,27,1))) > (ord(substr(p,28,1)) + ord(substr(p,29,1)) + ord(substr(p,30,1))) THEN 64 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,28,1)) + ord(substr(p,29,1)) + ord(substr(p,30,1))) > (ord(substr(p,31,1)) + ord(substr(p,32,1)) + ord(substr(p,33,1))) THEN 128 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,31,1)) + ord(substr(p,32,1)) + ord(substr(p,33,1))) > (ord(substr(p,34,1)) + ord(substr(p,35,1)) + ord(substr(p,36,1))) THEN 256 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,37,1)) + ord(substr(p,38,1)) + ord(substr(p,39,1))) > (ord(substr(p,40,1)) + ord(substr(p,41,1)) + ord(substr(p,42,1))) THEN 512 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,40,1)) + ord(substr(p,41,1)) + ord(substr(p,42,1))) > (ord(substr(p,43,1)) + ord(substr(p,44,1)) + ord(substr(p,45,1))) THEN 1024 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,43,1)) + ord(substr(p,44,1)) + ord(substr(p,45,1))) > (ord(substr(p,46,1)) + ord(substr(p,47,1)) + ord(substr(p,48,1))) THEN 2048 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,1,1)) + ord(substr(p,2,1)) + ord(substr(p,3,1))) > (ord(substr(p,13,1)) + ord(substr(p,14,1)) + ord(substr(p,15,1))) THEN 4096 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,13,1)) + ord(substr(p,14,1)) + ord(substr(p,15,1))) > (ord(substr(p,25,1)) + ord(substr(p,26,1)) + ord(substr(p,27,1))) THEN 8192 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,25,1)) + ord(substr(p,26,1)) + ord(substr(p,27,1))) > (ord(substr(p,37,1)) + ord(substr(p,38,1)) + ord(substr(p,39,1))) THEN 16384 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,4,1)) + ord(substr(p,5,1)) + ord(substr(p,6,1))) > (ord(substr(p,16,1)) + ord(substr(p,17,1)) + ord(substr(p,18,1))) THEN 32768 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,16,1)) + ord(substr(p,17,1)) + ord(substr(p,18,1))) > (ord(substr(p,28,1)) + ord(substr(p,29,1)) + ord(substr(p,30,1))) THEN 65536 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,28,1)) + ord(substr(p,29,1)) + ord(substr(p,30,1))) > (ord(substr(p,40,1)) + ord(substr(p,41,1)) + ord(substr(p,42,1))) THEN 131072 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,7,1)) + ord(substr(p,8,1)) + ord(substr(p,9,1))) > (ord(substr(p,19,1)) + ord(substr(p,20,1)) + ord(substr(p,21,1))) THEN 262144 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,19,1)) + ord(substr(p,20,1)) + ord(substr(p,21,1))) > (ord(substr(p,31,1)) + ord(substr(p,32,1)) + ord(substr(p,33,1))) THEN 524288 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,31,1)) + ord(substr(p,32,1)) + ord(substr(p,33,1))) > (ord(substr(p,43,1)) + ord(substr(p,44,1)) + ord(substr(p,45,1))) THEN 1048576 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,10,1)) + ord(substr(p,11,1)) + ord(substr(p,12,1))) > (ord(substr(p,22,1)) + ord(substr(p,23,1)) + ord(substr(p,24,1))) THEN 2097152 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,22,1)) + ord(substr(p,23,1)) + ord(substr(p,24,1))) > (ord(substr(p,34,1)) + ord(substr(p,35,1)) + ord(substr(p,36,1))) THEN 4194304 ELSE 0 END)
+         + (CASE WHEN (ord(substr(p,34,1)) + ord(substr(p,35,1)) + ord(substr(p,36,1))) > (ord(substr(p,46,1)) + ord(substr(p,47,1)) + ord(substr(p,48,1))) THEN 8388608 ELSE 0 END) AS BIGINT) AS dhash
+    FROM px
+)
+SELECT asset_id, dhash,
+       CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS bucket_size
+FROM hashed
+"""
+
+
+@query("mm_image_dhash", oracle=_DHASH_ORACLE)
+def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image dedup signature: dHash fingerprints from REAL
+    PPM decodes (:func:`operators.multimodal.dhash_images` — integer
+    luma gradients packed into int64), plus the size of each exact-hash
+    bucket (equal dHash = perceptual duplicate candidates; at scale the
+    bucket join replaces pairwise image comparison the same way LSH
+    bands do for text). The oracle rebuilds every gradient bit with
+    ord() arithmetic."""
+    from pyspark.sql import Window as W
+
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    hashed = mm.dhash_images(ppm).where(F.col("err").isNull())
+    return hashed.select(
+        "asset_id",
+        "dhash",
+        F.count(F.lit(1))
+        .over(W.partitionBy("dhash"))
+        .cast("long")
+        .alias("bucket_size"),
+    )
