@@ -104,6 +104,15 @@ HEADLINE = [
     "window_percent_rank_cume",
     "agg_linear_trend",
     "scalar_bitwise_ops",
+    "ts_time_weighted_avg",
+    "ts_interpolate_linear",
+    "etl_cdc_latest_state",
+    "etl_mv_incremental_refresh",
+    "window_last_touch_attribution",
+    "dq_outlier_iqr",
+    "curation_domain_cap",
+    "graph_degree_distribution",
+    "mm_image_dhash",
 ]
 
 
