@@ -96,6 +96,35 @@ class ParquetSink:
         else:
             self.overwrite(df)
 
+    def merge_aggregate(
+        self,
+        delta: DataFrame,
+        group_cols: tuple[str, ...],
+        spark: SparkSession,
+    ) -> None:
+        """Incremental materialized-view merge: re-aggregate
+        (current MV ∪ delta partial aggregates) by ``group_cols``.
+
+        Every non-group column of ``delta`` must be a mergeable partial
+        (count / sum monoids — SUM combines both), which is what makes
+        incremental view maintenance sound: merge(MV, partial(delta)) ==
+        full recompute, proven by the ``etl_mv_incremental_refresh``
+        oracle. The MV stays aggregate-sized — history is never
+        rescanned, the refresh cost is O(|delta| + |MV|).
+        """
+        sum_cols = [c for c in delta.columns if c not in group_cols]
+        merged = delta
+        existed = self._exists()
+        if existed:
+            merged = spark.read.parquet(self.path).unionByName(delta)
+        merged = merged.groupBy(*group_cols).agg(
+            *[F.sum(c).alias(c) for c in sum_cols]
+        )
+        if existed:
+            self._swap(merged)
+        else:
+            self.overwrite(merged)
+
     # -- helpers -----------------------------------------------------------
 
     def _writer(self, df: DataFrame):

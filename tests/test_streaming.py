@@ -446,3 +446,48 @@ def test_stream_stream_interval_join_left_outer(spark, events_landing, tmp_path)
     assert set(got_outer) <= set(want_outer)
     matched = {r[0] for r in got_inner}
     assert all(r[0] not in matched for r in got_outer)
+
+
+def test_streaming_mv_refresh_equals_batch(spark, tmp_path):
+    """Streaming MV maintenance == batch recompute, across two arrivals:
+    drain half the events, then land the rest and re-run — the second run
+    merges only the new files' partials (checkpoint skips the old ones),
+    and the final MV matches a full batch aggregation of everything."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    landing = str(tmp_path / "landing")
+    first = ev.filter(F.col("event_id") % 2 == 0)
+    second = ev.filter(F.col("event_id") % 2 == 1)
+    first.coalesce(1).write.mode("append").parquet(landing)
+
+    v = F.col("value")
+    clean = F.when(~F.isnan(v) & (F.abs(v) != float("inf")), v)
+
+    def partial(df):
+        return df.groupBy(
+            "event_type", F.col("ts").cast("date").alias("day")
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(clean.cast("decimal(38,6)")).alias("sum_value_dec"),
+        )
+
+    sink = ParquetSink(str(tmp_path / "mv"))
+    ckpt = str(tmp_path / "ckpt_mv")
+
+    def run():
+        stream = inc.read_file_stream(spark, landing, ev.schema)
+        inc.run_mv_refresh(
+            stream, sink, ckpt, partial, ("event_type", "day")
+        )
+
+    run()
+    mid = spark.read.parquet(sink.path)
+    assert _rows(mid, ["event_type", "day", "n_events"]) == _rows(
+        partial(first), ["event_type", "day", "n_events"]
+    )
+
+    second.coalesce(1).write.mode("append").parquet(landing)
+    run()
+    got = spark.read.parquet(sink.path)
+    want = partial(ev)
+    cols = ["event_type", "day", "n_events", "sum_value_dec"]
+    assert _rows(got, cols) == _rows(want, cols)
