@@ -2418,3 +2418,18 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("long").alias("n_nodes")
     )
+
+
+@query("sim_cosine_topk_matmul", oracle=_BRUTE_ORACLE)
+def sim_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SIMD form of exact top-k: Arrow-batched numpy int64 matmul
+    (:func:`operators.similarity.cosine_topk_matmul`) with batch-local
+    top-k pruning, proven bit-identical to the JVM expression path by
+    sharing ``sim_cosine_topk_bruteforce``'s oracle. This is the shape
+    that wins when scoring is exhaustive (corpus × many queries): one
+    BLAS-grade matmul per Arrow batch instead of per-row interpreted
+    array folds, and only q·k candidate rows per batch leave Python."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_matmul(
+        emb, emb.filter(F.col("vec_id") < 8), k=5
+    )

@@ -458,3 +458,20 @@ def test_iqr_fences_broadcast(spark, sf_dir):
     stream — the fact side never shuffles for a 5-row fence table."""
     plan = _plan(spark, sf_dir, "dq_outlier_iqr")
     assert "BroadcastHashJoin" in plan
+
+
+def test_matmul_topk_is_arrow_and_prunes(spark, sf_dir):
+    """The matmul top-k must be an Arrow mapInPandas stage (never
+    BatchEvalPython) and its only exchange is the final rank shuffle
+    keyed by query_id — batch-local pruning means the full score matrix
+    never shuffles."""
+    import re
+
+    plan = _plan(spark, sf_dir, "sim_cosine_topk_matmul")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    keys = set(
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    )
+    assert keys <= {"query_id"}, keys
