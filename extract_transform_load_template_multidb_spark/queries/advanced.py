@@ -1056,3 +1056,128 @@ def window_last_touch_attribution(
         "click_ts",
         lag_us.cast("long").alias("lag_us"),
     )
+
+
+_SKEW_KURT_ORACLE = """
+WITH s AS (
+    SELECT event_type,
+           CAST(count(value) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+           CAST(SUM(CAST(value * value * value AS DECIMAL(38,6)))
+                AS DOUBLE) AS s3,
+           CAST(SUM(CAST(value * value * value * value AS DECIMAL(38,6)))
+                AS DOUBLE) AS s4
+    FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+    GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n,
+       s1 / n AS mean_val,
+       (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+            * (s1 / n))
+         / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) AS skewness,
+       (s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n)
+            * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
+         / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3 AS excess_kurtosis
+FROM s
+"""
+
+
+@query("agg_skew_kurtosis", oracle=_SKEW_KURT_ORACLE)
+def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per group from raw power
+    sums (Σv..Σv⁴ decimal-routed, so the one-pass moments are
+    order-independent and bit-reproducible; the closed-form combination
+    is scalar double math, expression-identical to the oracle). One
+    map-side-combinable aggregate — the distribution-shape profile a data
+    steward reads next to mean/std. At 100 TB identical plan: partial
+    power sums merge associatively."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    v = F.col("value")
+    s = ev.groupBy("event_type").agg(
+        F.count(v).cast("double").alias("n"),
+        F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        F.sum((v * v * v).cast("decimal(38,6)")).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    skew = (s3 / n - 3 * mean * (s2 / n) + 2 * mean * mean * mean) / F.pow(
+        m2, 1.5
+    )
+    kurt = (
+        s4 / n
+        - 4 * mean * (s3 / n)
+        + 6 * mean * mean * (s2 / n)
+        - 3 * mean * mean * mean * mean
+    ) / F.pow(m2, 2.0) - 3
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        mean.alias("mean_val"),
+        skew.alias("skewness"),
+        kurt.alias("excess_kurtosis"),
+    )
+
+
+_CORR_ORACLE = """
+WITH s AS (
+    SELECT l_returnflag,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sy,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n,
+       (sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+           AS corr_qty_price
+FROM s
+"""
+
+
+@query("agg_corr_per_group", oracle=_CORR_ORACLE)
+def agg_corr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation per group from decimal-routed cross moments
+    (Σx, Σy, Σxy, Σx², Σy²) — the bit-reproducible form of ``corr()``
+    (the builtin's double accumulation is merge-order-dependent and
+    cannot hash-match an oracle run). Same one-pass, partial-merge plan
+    shape as the builtin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return s.select(
+        "l_returnflag",
+        n.cast("long").alias("n"),
+        corr.alias("corr_qty_price"),
+    )
