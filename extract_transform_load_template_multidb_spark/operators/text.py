@@ -435,3 +435,86 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
             ).alias("entropy_bits"),
         )
     )
+
+
+def bpe_learn_merges(
+    df: DataFrame, n_merges: int = 4, text_col: str = "text"
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges (Sennrich ACL'16): count
+    adjacent symbol pairs weighted by word frequency, merge the argmax
+    everywhere, repeat.
+
+    Driver-coordinated iteration — the only driver traffic is ONE row per
+    round (the argmax pair); pair counting and the merge rewrite stay
+    distributed. Symbol sequences are encoded as a ``"(a)(b)(c)"`` string
+    so the merge pass is a pure JVM ``replace``: non-overlapping
+    left-to-right replacement of ``"(l)(r)"`` by ``"(lr)"`` is exactly
+    the greedy BPE merge scan (adjacent matches cannot share characters
+    in this encoding). The vocabulary table is cached across rounds; ties
+    break on (freq desc, l, r) so the learned merges are total-ordered
+    and reproducible.
+
+    Output: (merge_rank, l, r, merged, pair_freq) — one row per merge.
+    """
+    spark = df.sparkSession
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(
+                    F.lower(F.col(text_col)), r"[^a-z0-9]+"
+                ),
+                lambda w: w != "",
+            )
+        ).alias("word")
+    )
+    wfreq = toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    words = wfreq.select(
+        F.regexp_replace("word", r"(.)", r"($1)").alias("sym"), "freq"
+    ).cache()
+    learned = []
+    for rank in range(1, n_merges + 1):
+        syms = words.select(
+            F.split(
+                F.regexp_replace("sym", r"^\(|\)$", ""), r"\)\("
+            ).alias("a"),
+            "freq",
+        )
+        pc = (
+            syms.where(F.size("a") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(a) - 1),"
+                        " k -> struct(a[k - 1] AS l, a[k] AS r))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("freq").alias("pair_freq"))
+        )
+        best = pc.orderBy(
+            F.col("pair_freq").desc(), F.col("l"), F.col("r")
+        ).limit(1).collect()
+        if not best:
+            break
+        b = best[0]
+        learned.append(
+            (rank, b.l, b.r, b.l + b.r, int(b.pair_freq))
+        )
+        nxt = words.select(
+            F.replace(
+                "sym",
+                F.lit(f"({b.l})({b.r})"),
+                F.lit(f"({b.l}{b.r})"),
+            ).alias("sym"),
+            "freq",
+        ).cache()
+        words.unpersist()
+        words = nxt
+    words.unpersist()
+    return spark.createDataFrame(
+        learned,
+        "merge_rank long, l string, r string, merged string, "
+        "pair_freq long",
+    )

@@ -2433,3 +2433,141 @@ def sim_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_topk_matmul(
         emb, emb.filter(F.col("vec_id") < 8), k=5
     )
+
+
+# BPE merge learning: 4 unrolled iterations (pair count → top-1 →
+# greedy left-to-right merge via non-overlapping replace on the
+# paren-wrapped symbol string — "(a)(b)" encoding makes replace-all
+# exactly the greedy BPE merge pass). Generated to mirror the Spark
+# driver loop line for line.
+_BPE_MERGES_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+wfreq AS (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks_list, unnest(t) AS u(w)
+    GROUP BY w
+),
+words0 AS (
+    SELECT '(' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), ')(') || ')'
+               AS sym,
+           freq
+    FROM wfreq
+),
+syms0 AS (
+    SELECT string_split(regexp_replace(sym, '^\(|\)$', '', 'g'),
+                        ')(') AS a, freq
+    FROM words0
+),
+pc0 AS (
+    SELECT a[k] AS l, a[k + 1] AS r, SUM(freq) AS pair_freq
+    FROM syms0, unnest(range(1, len(a))) AS u(k)
+    GROUP BY a[k], a[k + 1]
+),
+best0 AS (
+    SELECT l, r, CAST(pair_freq AS BIGINT) AS pair_freq,
+           CAST(1 AS BIGINT) AS merge_rank
+    FROM pc0
+    ORDER BY pair_freq DESC, l, r LIMIT 1
+),
+words1 AS (
+    SELECT replace(w.sym, '(' || b.l || ')(' || b.r || ')',
+                   '(' || b.l || b.r || ')') AS sym, w.freq
+    FROM words0 w CROSS JOIN best0 b
+),
+syms1 AS (
+    SELECT string_split(regexp_replace(sym, '^\(|\)$', '', 'g'),
+                        ')(') AS a, freq
+    FROM words1
+),
+pc1 AS (
+    SELECT a[k] AS l, a[k + 1] AS r, SUM(freq) AS pair_freq
+    FROM syms1, unnest(range(1, len(a))) AS u(k)
+    GROUP BY a[k], a[k + 1]
+),
+best1 AS (
+    SELECT l, r, CAST(pair_freq AS BIGINT) AS pair_freq,
+           CAST(2 AS BIGINT) AS merge_rank
+    FROM pc1
+    ORDER BY pair_freq DESC, l, r LIMIT 1
+),
+words2 AS (
+    SELECT replace(w.sym, '(' || b.l || ')(' || b.r || ')',
+                   '(' || b.l || b.r || ')') AS sym, w.freq
+    FROM words1 w CROSS JOIN best1 b
+),
+syms2 AS (
+    SELECT string_split(regexp_replace(sym, '^\(|\)$', '', 'g'),
+                        ')(') AS a, freq
+    FROM words2
+),
+pc2 AS (
+    SELECT a[k] AS l, a[k + 1] AS r, SUM(freq) AS pair_freq
+    FROM syms2, unnest(range(1, len(a))) AS u(k)
+    GROUP BY a[k], a[k + 1]
+),
+best2 AS (
+    SELECT l, r, CAST(pair_freq AS BIGINT) AS pair_freq,
+           CAST(3 AS BIGINT) AS merge_rank
+    FROM pc2
+    ORDER BY pair_freq DESC, l, r LIMIT 1
+),
+words3 AS (
+    SELECT replace(w.sym, '(' || b.l || ')(' || b.r || ')',
+                   '(' || b.l || b.r || ')') AS sym, w.freq
+    FROM words2 w CROSS JOIN best2 b
+),
+syms3 AS (
+    SELECT string_split(regexp_replace(sym, '^\(|\)$', '', 'g'),
+                        ')(') AS a, freq
+    FROM words3
+),
+pc3 AS (
+    SELECT a[k] AS l, a[k + 1] AS r, SUM(freq) AS pair_freq
+    FROM syms3, unnest(range(1, len(a))) AS u(k)
+    GROUP BY a[k], a[k + 1]
+),
+best3 AS (
+    SELECT l, r, CAST(pair_freq AS BIGINT) AS pair_freq,
+           CAST(4 AS BIGINT) AS merge_rank
+    FROM pc3
+    ORDER BY pair_freq DESC, l, r LIMIT 1
+),
+words4 AS (
+    SELECT replace(w.sym, '(' || b.l || ')(' || b.r || ')',
+                   '(' || b.l || b.r || ')') AS sym, w.freq
+    FROM words3 w CROSS JOIN best3 b
+)
+SELECT merge_rank, l, r, l || r AS merged, pair_freq FROM best0
+UNION ALL
+SELECT merge_rank, l, r, l || r AS merged, pair_freq FROM best1
+UNION ALL
+SELECT merge_rank, l, r, l || r AS merged, pair_freq FROM best2
+UNION ALL
+SELECT merge_rank, l, r, l || r AS merged, pair_freq FROM best3"""
+)
+
+
+@query("text_bpe_learn_merges", oracle=_BPE_MERGES_ORACLE)
+def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first 4 BPE merges from the corpus — the iterative
+    tokenizer-training loop (Sennrich ACL'16): count adjacent symbol
+    pairs weighted by word frequency, take the argmax, merge it
+    everywhere, repeat. Driver-coordinated iteration with a 1-row
+    collect per round (the argmax); everything heavy — pair counting
+    over the vocabulary, the merge rewrite — is distributed. The merge
+    itself is a pure JVM string replace on a "(sym)(sym)" encoding whose
+    non-overlapping left-to-right semantics IS the greedy BPE pass, so
+    there is no Python in the loop body and the unrolled SQL oracle
+    reproduces every round bit-for-bit. At real-tokenizer scale the
+    vocabulary table is cached between rounds and the argmax stays a
+    sub-kilobyte driver fetch per merge."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        text as tx,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tx.bpe_learn_merges(docs, n_merges=4)
