@@ -2571,3 +2571,68 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tx.bpe_learn_merges(docs, n_merges=4)
+
+
+_LSH_RECALL_ORACLE = (
+    "WITH "
+    + _MINHASH_CHAIN
+    + """,
+exact AS (
+    SELECT i.id_a, i.id_b
+    FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM toks a JOIN toks b ON a.w = b.w AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n + sb.n - i.n_inter) >= 0.5
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM mh_pairs) AS BIGINT) AS n_found,
+       CAST((SELECT count(*) FROM exact e
+             WHERE NOT EXISTS (SELECT 1 FROM mh_pairs m
+                               WHERE m.id_a = e.id_a
+                                 AND m.id_b = e.id_b))
+            AS BIGINT) AS n_missed,
+       CAST((SELECT count(*) FROM mh_pairs) AS DOUBLE)
+         / CAST((SELECT count(*) FROM exact) AS DOUBLE) AS recall
+"""
+)
+
+
+@query("dedup_lsh_recall_audit", oracle=_LSH_RECALL_ORACLE)
+def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measure, don't guess: the MinHash/LSH path's RECALL against the
+    exhaustive inverted-index ground truth at the same Jaccard-≥0.5
+    definition (precision is 1.0 by construction — candidates are
+    exact-verified). One summary row: exact-pair count, banded-path
+    count, missed pairs (anti-join consistency check), recall. This is
+    the calibration run a 100 TB dedup does on a sample BEFORE trusting
+    banding parameters (num_perm/rows_per_band) corpus-wide; the
+    exhaustive side stays sample-sized, the banded side is the
+    production plan."""
+    docs = load_table(spark, sf_dir, "documents")
+    exact = dd.ngram_jaccard_pairs(
+        docs, n=1, threshold=0.5
+    ).select("id_a", "id_b")
+    found = dd.near_dup_pairs(
+        docs, num_perm=8, rows_per_band=2, threshold=0.5
+    ).select("id_a", "id_b")
+    missed = exact.join(found, ["id_a", "id_b"], "left_anti")
+    ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    nf = found.agg(F.count(F.lit(1)).alias("n_found"))
+    nm = missed.agg(F.count(F.lit(1)).alias("n_missed"))
+    return (
+        ne.crossJoin(nf)
+        .crossJoin(nm)
+        .select(
+            "n_exact",
+            "n_found",
+            "n_missed",
+            (
+                F.col("n_found").cast("double")
+                / F.col("n_exact").cast("double")
+            ).alias("recall"),
+        )
+    )
