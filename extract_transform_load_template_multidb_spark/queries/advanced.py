@@ -1075,12 +1075,13 @@ WITH s AS (
 SELECT event_type,
        CAST(n AS BIGINT) AS n,
        s1 / n AS mean_val,
-       (s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
+       round((s3 / n - 3 * (s1 / n) * (s2 / n) + 2 * (s1 / n) * (s1 / n)
             * (s1 / n))
-         / pow(s2 / n - (s1 / n) * (s1 / n), 1.5) AS skewness,
-       (s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n)
+         / pow(s2 / n - (s1 / n) * (s1 / n), 1.5), 6) AS skewness,
+       round((s4 / n - 4 * (s1 / n) * (s3 / n) + 6 * (s1 / n) * (s1 / n)
             * (s2 / n) - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))
-         / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3 AS excess_kurtosis
+         / pow(s2 / n - (s1 / n) * (s1 / n), 2.0) - 3, 6)
+           AS excess_kurtosis
 FROM s
 """
 
@@ -1090,7 +1091,8 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population skewness and excess kurtosis per group from raw power
     sums (Σv..Σv⁴ decimal-routed, so the one-pass moments are
     order-independent and bit-reproducible; the closed-form combination
-    is scalar double math, expression-identical to the oracle). One
+    is scalar double math quantized to 6 decimals — last-ulp decimal→
+    double cast drift between engines is below the quantum). One
     map-side-combinable aggregate — the distribution-shape profile a data
     steward reads next to mean/std. At 100 TB identical plan: partial
     power sums merge associatively."""
@@ -1124,8 +1126,8 @@ def agg_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         n.cast("long").alias("n"),
         mean.alias("mean_val"),
-        skew.alias("skewness"),
-        kurt.alias("excess_kurtosis"),
+        F.round(skew, 6).alias("skewness"),
+        F.round(kurt, 6).alias("excess_kurtosis"),
     )
 
 
@@ -1147,8 +1149,8 @@ WITH s AS (
 )
 SELECT l_returnflag,
        CAST(n AS BIGINT) AS n,
-       (sxy - sx * sy / n)
-         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+       round((sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
            AS corr_qty_price
 FROM s
 """
@@ -1159,8 +1161,9 @@ def agg_corr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pearson correlation per group from decimal-routed cross moments
     (Σx, Σy, Σxy, Σx², Σy²) — the bit-reproducible form of ``corr()``
     (the builtin's double accumulation is merge-order-dependent and
-    cannot hash-match an oracle run). Same one-pass, partial-merge plan
-    shape as the builtin."""
+    cannot hash-match an oracle run); the final scalar is quantized to 6
+    decimals to absorb last-ulp cast drift. Same one-pass, partial-merge
+    plan shape as the builtin."""
     li = load_table(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     s = li.groupBy("l_returnflag").agg(
@@ -1179,5 +1182,5 @@ def agg_corr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         n.cast("long").alias("n"),
-        corr.alias("corr_qty_price"),
+        F.round(corr, 6).alias("corr_qty_price"),
     )
