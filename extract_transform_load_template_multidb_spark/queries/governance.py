@@ -574,3 +574,75 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_outliers"),
         )
     )
+
+
+_CHECKSUM_ORACLE = """
+WITH h AS (
+    SELECT CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               coalesce(CAST(o_custkey AS VARCHAR), '') || '|' ||
+               coalesce(o_orderstatus, '') || '|' ||
+               coalesce(CAST(CAST(o_totalprice AS DECIMAL(18,2))
+                              AS VARCHAR), '') || '|' ||
+               coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR), '')
+                   || '|' ||
+               coalesce(o_orderpriority, '')
+           ), 1, 12)) AS BIGINT) AS rh
+    FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(rh AS DECIMAL(38,0))) % 9223372036854775807
+            AS BIGINT) AS checksum_sum,
+       CAST(min(rh) AS BIGINT) AS checksum_min,
+       CAST(max(rh) AS BIGINT) AS checksum_max
+FROM h
+"""
+
+
+@query("dq_table_checksum", oracle=_CHECKSUM_ORACLE)
+def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent whole-table checksum: per-row md5 over a
+    canonical '|'-joined projection, truncated to 48 bits and
+    DECIMAL(38,0)-SUM-folded mod 2^63−1 (overflow-free at any table
+    size, bigint on the wire)
+    (commutative — partition order, file order, and parallelism cannot
+    change it) plus min/max witnesses. The cross-system reconciliation
+    primitive: run the same digest on source and target after a
+    migration and compare ONE row — floats are digested via a fixed
+    DECIMAL(18,2) rendering and timestamps via DATE so the canonical
+    string is engine-independent; the reference's record-count check
+    (C5, reference ``Template-to-MySQL/BigQuery-to-MySQL-Method-1.py:86``)
+    upgraded to content equality. Engine-portable by construction (md5 +
+    integer sum, no xxhash64 — DuckDB lacks Spark's seed); one narrow
+    map + one scalar aggregate, no shuffle beyond the final reduce."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def s(c: str) -> F.Column:
+        return F.coalesce(F.col(c).cast("string"), F.lit(""))
+
+    row = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        s("o_custkey"),
+        s("o_orderstatus"),
+        F.coalesce(
+            F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+            F.lit(""),
+        ),
+        F.coalesce(
+            F.col("o_orderdate").cast("date").cast("string"), F.lit("")
+        ),
+        s("o_orderpriority"),
+    )
+    rh = F.conv(F.substring(F.md5(row), 1, 12), 16, 10).cast("long")
+    return o.select(rh.alias("rh")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col("rh").cast("decimal(38,0)"))
+            % F.lit(9223372036854775807)
+        )
+        .cast("long")
+        .alias("checksum_sum"),
+        F.min("rh").cast("long").alias("checksum_min"),
+        F.max("rh").cast("long").alias("checksum_max"),
+    )
