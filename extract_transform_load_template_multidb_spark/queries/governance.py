@@ -646,3 +646,50 @@ def dq_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("rh").cast("long").alias("checksum_min"),
         F.max("rh").cast("long").alias("checksum_max"),
     )
+
+
+_MAD_ORACLE = """
+WITH finite AS (
+    SELECT event_type, value FROM events
+    WHERE NOT isnan(value) AND NOT isinf(value)
+),
+med AS (
+    SELECT event_type, quantile_cont(value, 0.5) AS med
+    FROM finite GROUP BY event_type
+)
+SELECT f.event_type,
+       any_value(m.med) AS median_val,
+       quantile_cont(abs(f.value - m.med), 0.5) AS mad,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM finite f JOIN med m USING (event_type)
+GROUP BY f.event_type
+"""
+
+
+@query("dq_mad_robust_spread", oracle=_MAD_ORACLE)
+def dq_mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per group — the robust spread measure
+    that, unlike stddev, one corrupted sensor spike cannot poison (the
+    robust-z cousin of dq_outlier_iqr). Two exact-percentile passes: the
+    5-row per-group median table broadcasts back onto the stream, then a
+    second interpolated percentile over the absolute residuals; at 100 TB
+    both swap to approx_percentile with the same shape."""
+    ev = load_table(spark, sf_dir, "events")
+    finite = ev.where(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    ).select("event_type", "value")
+    med = finite.groupBy("event_type").agg(
+        F.percentile("value", 0.5).alias("med")
+    )
+    return (
+        finite.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.any_value("med").alias("median_val"),
+            F.percentile(
+                F.abs(F.col("value") - F.col("med")), 0.5
+            ).alias("mad"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )

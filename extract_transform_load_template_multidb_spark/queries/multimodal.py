@@ -259,7 +259,7 @@ def mm_resize_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dHash oracle: luma = r+g+b at ord() positions; horizontal bits
 # (row-major) then vertical bits (column-major), bit k weight 2^k —
 # generated to mirror operators.multimodal.dhash_images exactly.
-_DHASH_ORACLE = """
+_DHASH_CHAIN = """
 WITH px AS (
     SELECT doc_id AS asset_id, substr(rpad(text, 48, 'x'), 1, 48) AS p
     FROM documents
@@ -292,10 +292,15 @@ hashed AS (
          + (CASE WHEN (ord(substr(p,34,1)) + ord(substr(p,35,1)) + ord(substr(p,36,1))) > (ord(substr(p,46,1)) + ord(substr(p,47,1)) + ord(substr(p,48,1))) THEN 8388608 ELSE 0 END) AS BIGINT) AS dhash
     FROM px
 )
-SELECT asset_id, dhash,
+"""
+
+_DHASH_ORACLE = (
+    _DHASH_CHAIN
+    + """SELECT asset_id, dhash,
        CAST(COUNT(*) OVER (PARTITION BY dhash) AS BIGINT) AS bucket_size
 FROM hashed
 """
+)
 
 
 @query("mm_image_dhash", oracle=_DHASH_ORACLE)
@@ -318,4 +323,70 @@ def mm_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(W.partitionBy("dhash"))
         .cast("long")
         .alias("bucket_size"),
+    )
+
+
+_DHASH_PAIRS_ORACLE = (
+    _DHASH_CHAIN
+    + """,
+bands AS (
+    SELECT asset_id, dhash, b, (dhash >> (b * 8)) & 255 AS band_val
+    FROM hashed, (SELECT unnest(range(0, 3)) AS b)
+),
+cands AS (
+    SELECT DISTINCT a.asset_id AS id_a, a.dhash AS dh_a,
+                    b.asset_id AS id_b, b.dhash AS dh_b
+    FROM bands a
+    JOIN bands b ON a.b = b.b AND a.band_val = b.band_val
+               AND a.asset_id < b.asset_id
+)
+SELECT id_a, id_b,
+       CAST(bit_count(xor(dh_a, dh_b)) AS INT) AS hamming
+FROM cands
+WHERE bit_count(xor(dh_a, dh_b)) <= 2
+"""
+)
+
+
+@query("mm_dhash_hamming_pairs", oracle=_DHASH_PAIRS_ORACLE)
+def mm_dhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-duplicate IMAGE pairs: dHash fingerprints banded
+    into 3×8-bit slices (pigeonhole: hamming ≤ 2 differing bits cannot
+    touch all 3 bands, so every qualifying pair collides in ≥1 band —
+    the lossless-recall guarantee of the SimHash pair path, applied to
+    images), candidates equi-join on (band, value), then an exact
+    popcount verify. No image ever compares against the full corpus; at
+    100 TB the band join is the same skew-capped bucket expansion the
+    text dedup uses."""
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    hashed = mm.dhash_images(ppm).where(F.col("err").isNull())
+    bands = hashed.select(
+        "asset_id",
+        "dhash",
+        F.explode(F.array(*[F.lit(b) for b in range(3)])).alias("b"),
+    ).withColumn(
+        "band_val", F.expr("shiftright(dhash, b * 8) & 255")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.asset_id") < F.col("b.asset_id")),
+        )
+        .select(
+            F.col("a.asset_id").alias("id_a"),
+            F.col("a.dhash").alias("dh_a"),
+            F.col("b.asset_id").alias("id_b"),
+            F.col("b.dhash").alias("dh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(
+        F.col("dh_a").bitwiseXOR(F.col("dh_b"))
+    ).cast("int")
+    return cands.where(hamming <= 2).select(
+        "id_a", "id_b", hamming.alias("hamming")
     )
