@@ -1184,3 +1184,48 @@ def agg_corr_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n"),
         F.round(corr, 6).alias("corr_qty_price"),
     )
+
+
+_ENTROPY_ORACLE = """
+WITH c AS (
+    SELECT user_id, event_type, count(*) AS k
+    FROM events GROUP BY user_id, event_type
+),
+tot AS (
+    SELECT user_id, CAST(SUM(k) AS BIGINT) AS n FROM c GROUP BY user_id
+)
+SELECT c.user_id,
+       any_value(t.n) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(CAST(-k * round(
+               ln(CAST(k AS DOUBLE) / t.n), 6
+           ) AS DECIMAL(38,6))) AS DOUBLE) / t.n AS entropy_nats
+FROM c JOIN tot t USING (user_id)
+GROUP BY c.user_id, t.n
+"""
+
+
+@query("agg_entropy_categorical", oracle=_ENTROPY_ORACLE)
+def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution — the
+    behavioural-diversity / data-mixing signal (a user or corpus source
+    with near-zero entropy is one-note; training mixtures target high
+    aggregate entropy). ln() outputs are quantized to 6 decimals then
+    decimal-summed, the same portability discipline as the LM-scoring
+    queries, so the aggregate is order-independent and hash-stable. Two
+    map-side-combinable aggregations on one user_id exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    w = Window.partitionBy("user_id")
+    c = c.withColumn("n", F.sum("k").over(w).cast("long"))
+    term = (
+        -F.col("k")
+        * F.round(F.log(F.col("k").cast("double") / F.col("n")), 6)
+    ).cast("decimal(38,6)")
+    return c.groupBy("user_id", "n").agg(
+        F.any_value("n").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        (F.sum(term).cast("double") / F.col("n")).alias("entropy_nats"),
+    ).drop("n")
