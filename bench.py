@@ -113,6 +113,13 @@ HEADLINE = [
     "curation_domain_cap",
     "graph_degree_distribution",
     "mm_image_dhash",
+    "sim_cosine_topk_matmul",
+    "dq_table_checksum",
+    "dq_mad_robust_spread",
+    "mm_dhash_hamming_pairs",
+    "agg_entropy_categorical",
+    "agg_skew_kurtosis",
+    "agg_corr_per_group",
 ]
 
 
