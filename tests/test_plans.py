@@ -475,3 +475,27 @@ def test_matmul_topk_is_arrow_and_prunes(spark, sf_dir):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
     )
     assert keys <= {"query_id"}, keys
+
+
+def test_mad_median_broadcast(spark, sf_dir):
+    """MAD's per-group median table must broadcast back onto the value
+    stream — same contract as the IQR fences."""
+    plan = _plan(spark, sf_dir, "dq_mad_robust_spread")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_dhash_pairs_banded_no_cartesian(spark, sf_dir):
+    """Perceptual-pair candidates must come from the (band, value)
+    equi-join — never an all-pairs image comparison."""
+    plan = _plan(spark, sf_dir, "mm_dhash_hamming_pairs")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_checksum_partial_final_agg(spark, sf_dir):
+    """The table checksum must partial-aggregate map-side: two
+    HashAggregate/SortAggregate levels, so only one partial row per
+    partition reaches the final reduce."""
+    plan = _plan(spark, sf_dir, "dq_table_checksum")
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 2
