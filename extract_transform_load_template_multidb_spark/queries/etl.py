@@ -309,3 +309,57 @@ def etl_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+_DEAD_LETTER_ORACLE = """
+WITH raw AS (
+    SELECT event_type,
+           CASE WHEN event_id % 7 = 0
+                THEN substr(props, 1, length(props) - 3)
+                ELSE props END AS raw
+    FROM events
+),
+parsed AS (
+    SELECT event_type,
+           CASE WHEN json_valid(raw)
+                THEN CAST(json_extract_string(raw, '$.k') AS BIGINT)
+           END AS k
+    FROM raw
+)
+SELECT event_type,
+       CAST(COUNT(k) AS BIGINT) AS n_good,
+       CAST(COUNT(*) - COUNT(k) AS BIGINT) AS n_dead,
+       CAST(SUM(k) AS BIGINT) AS sum_k_good
+FROM parsed
+GROUP BY event_type
+"""
+
+
+@query("etl_dead_letter_json", oracle=_DEAD_LETTER_ORACLE)
+def etl_dead_letter_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dead-letter routing for semi-structured ingest: parse the JSON
+    payload column against an expected schema and split good rows from
+    unparseable ones instead of failing the job — the one-corrupt-record-
+    must-not-kill-the-batch posture (every 7th payload is deterministically
+    truncated to simulate upstream corruption; the oracle applies the
+    identical mutilation). ``from_json`` is a narrow JVM map — no UDF;
+    the per-type good/dead/sum rollup is one map-side-combinable
+    aggregate. In production the dead rows route to a quarantine sink
+    with the raw payload preserved; here the audit counts stand in."""
+    ev = load_table(spark, sf_dir, "events")
+    raw = F.when(
+        F.col("event_id") % 7 == 0,
+        F.substring(
+            F.col("props"), 1, (F.length("props") - 3).cast("int")
+        ),
+    ).otherwise(F.col("props"))
+    k = F.from_json(raw, "k BIGINT")["k"]
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_good"),
+            (F.count(F.lit(1)) - F.count("k")).alias("n_dead"),
+            F.sum("k").alias("sum_k_good"),
+        )
+    )

@@ -647,3 +647,73 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v_prev") + (F.col("v_next") - F.col("v_prev")) * frac
         ).alias("v_interp"),
     )
+
+
+_AUTOCORR_ORACLE = """
+WITH seq AS (
+    SELECT user_id,
+           CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                ELSE value END AS v,
+           lag(CASE WHEN isnan(value) OR isinf(value) THEN NULL
+                    ELSE value END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS pv
+    FROM events
+),
+s AS (
+    SELECT user_id,
+           CAST(count(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(pv AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(v * pv AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(v * v AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(pv * pv AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM seq
+    WHERE v IS NOT NULL AND pv IS NOT NULL
+    GROUP BY user_id
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_pairs,
+       round((sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+           AS autocorr_lag1
+FROM s
+"""
+
+
+@query("ts_autocorr_lag1", oracle=_AUTOCORR_ORACLE)
+def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lag-1 autocorrelation of the value series — the
+    persistence/memory diagnostic (near 0: noise; near 1: trending
+    gauge; negative: oscillation) that decides whether a forecast model
+    is even worth fitting. Consecutive-pair construction shares one
+    (ts, event_id) window sort with the aggregation's user_id exchange;
+    Pearson over the pairs uses the decimal cross-moment discipline of
+    agg_corr_per_group, final scalar quantized to 6 decimals."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val = F.col("value")
+    v = F.when(~F.isnan(val) & (F.abs(val) != float("inf")), val)
+    seq = ev.select(
+        "user_id", v.alias("v"), F.lag(v).over(w).alias("pv")
+    ).where(F.col("v").isNotNull() & F.col("pv").isNotNull())
+    x, y = F.col("v"), F.col("pv")
+    s = seq.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return s.select(
+        "user_id",
+        n.cast("long").alias("n_pairs"),
+        F.round(corr, 6).alias("autocorr_lag1"),
+    )
