@@ -1229,3 +1229,33 @@ def agg_entropy_categorical(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_types"),
         (F.sum(term).cast("double") / F.col("n")).alias("entropy_nats"),
     ).drop("n")
+
+
+_VARIANT_ORACLE = """
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+       CASE WHEN json_valid(props) THEN 'OBJECT<k: BIGINT>' END
+           AS variant_schema,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+FROM events
+"""
+
+
+@query("scalar_variant_ops", oracle=_VARIANT_ORACLE)
+def scalar_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface: ``parse_json`` to the binary
+    semi-structured type, typed path extraction with ``variant_get``,
+    runtime schema inference with ``schema_of_variant`` — the
+    shred-on-read column that replaces string-JSON re-parsing per
+    expression (VARIANT parses once per row; three json_extract calls
+    on a string column parse three times). The oracle reproduces the
+    extracted VALUES with plain JSON functions — what's checked is the
+    extraction semantics, not the binary encoding."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k"),
+        F.schema_of_variant(v).alias("variant_schema"),
+        (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
+    )
