@@ -491,3 +491,79 @@ def test_streaming_mv_refresh_equals_batch(spark, tmp_path):
     want = partial(ev)
     cols = ["event_type", "day", "n_events", "sum_value_dec"]
     assert _rows(got, cols) == _rows(want, cols)
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas running totals == batch aggregation:
+    drain the events fixture through multiple micro-batches
+    (maxFilesPerTrigger=1 over a 3-file landing) so per-key ValueState
+    must persist across batches, then compare each key's LAST emitted
+    row against the batch groupBy."""
+    pytest.importorskip(
+        "google.protobuf",
+        reason="transformWithStateInPandas needs protobuf (absent in "
+        "this container; operator code is env-agnostic)",
+    )
+    from extract_transform_load_template_multidb_spark.streaming.stateful import (
+        running_totals,
+    )
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    landing = str(tmp_path / "landing")
+    ev.repartition(3).write.parquet(landing)
+
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = inc.read_file_stream(
+            spark, landing, ev.schema, max_files_per_trigger=1
+        )
+        out = str(tmp_path / "out")
+        q = (
+            running_totals(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .outputMode("append")
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.read.parquet(out)
+        # Emitted totals are running; the per-key MAX emitted row is the
+        # final state (counts only grow).
+        final = got.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"),
+            F.max("max_value").alias("max_value"),
+        )
+        v = F.col("value")
+        want = (
+            ev.withColumn(
+                "value",
+                F.when(
+                    ~F.isnan(v) & (F.abs(v) != float("inf")), v
+                ),
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max("value").alias("max_value"),
+            )
+        )
+        cols = ["user_id", "n_events", "max_value"]
+        assert _rows(final, cols) == _rows(want, cols)
+    finally:
+        if prev is None:
+            spark.conf.unset(
+                "spark.sql.streaming.stateStore.providerClass"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev
+            )
