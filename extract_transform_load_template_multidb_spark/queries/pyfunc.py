@@ -110,3 +110,49 @@ def pyfunc_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type string, n bigint, median_value double, "
         "min_value double, max_value double",
     )
+
+
+_UDTF_CHUNK_ORACLE = """
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       substr(text, CAST(i * 64 + 1 AS BIGINT), 64) AS chunk,
+       CAST(length(substr(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS INT)
+           AS n_chars
+FROM documents,
+     unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) u(i)
+WHERE length(text) > 0
+"""
+
+
+@query("pyfunc_udtf_chunks", oracle=_UDTF_CHUNK_ORACLE)
+def pyfunc_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (Spark 3.5+/4 ``@udtf``): a table function
+    that explodes each document into fixed-width character chunks via
+    ``LATERAL`` join — the row→rows escape hatch when the expansion
+    logic is genuinely procedural. This chunker is deliberately also
+    expressible as a JVM ``sequence``+``substring`` expression (which is
+    what ``operators.curation.chunk_documents`` does, and what the
+    oracle runs) — the point pinned here is the UDTF API contract and
+    its exact parity with the built-in path, not a recommendation to
+    route hot-path chunking through Python."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "chunk_idx int, chunk string, n_chars int"
+    ))
+    class CharChunker:
+        def eval(self, text: str, size: int):
+            if not text:
+                return
+            for i in range(0, len(text), size):
+                piece = text[i : i + size]
+                yield i // size, piece, len(piece)
+
+    spark.udtf.register("char_chunker", CharChunker)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_chars "
+        "FROM _udtf_docs d, LATERAL char_chunker(d.text, 64) c"
+    )
