@@ -1259,3 +1259,51 @@ def scalar_variant_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.schema_of_variant(v).alias("variant_schema"),
         (F.variant_get(v, "$.k", "bigint") % 10).alias("k_mod"),
     )
+
+
+_HLL_MERGE_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS merged_within_tol
+FROM events
+GROUP BY event_type
+"""
+
+
+@query("agg_hll_sketch_merge", oracle=_HLL_MERGE_ORACLE)
+def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch storage: per-DAY DataSketches HLL binaries
+    (``hll_sketch_agg``) unioned into a per-type total
+    (``hll_union_agg``) whose estimate must land within 5% of the exact
+    distinct count. This is the property `approx_count_distinct` alone
+    doesn't give you: the sketch BINARY is a storable, re-mergeable
+    partial — daily sketches roll up to monthly without rescanning
+    history (the sketch form of etl_mv_incremental_refresh). Estimates
+    are engine-specific, so the oracle checks a tolerance verdict plus
+    the hash-anchored exact count (the agg_approx_sketches pattern)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(
+        F.hll_sketch_agg("user_id").alias("sketch"),
+        F.count_distinct("user_id").alias("day_users"),
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+            "merged_estimate"
+        )
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return exact.join(merged, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(
+                F.col("merged_estimate") - F.col("exact_users")
+            )
+            / F.col("exact_users")
+            <= 0.05
+        ).alias("merged_within_tol"),
+    )
