@@ -120,6 +120,10 @@ HEADLINE = [
     "agg_entropy_categorical",
     "agg_skew_kurtosis",
     "agg_corr_per_group",
+    "etl_dead_letter_json",
+    "ts_autocorr_lag1",
+    "scalar_variant_ops",
+    "agg_hll_sketch_merge",
 ]
 
 
