@@ -130,6 +130,29 @@ _CHECK_LAST = (
     "dedup_minhash_lsh",
 )
 
+# ROUND-6 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r05
+# confirms the current window, replace _CHECK_FIRST with the next 50
+# still-never-driver-green names — the round-4-era tail (q4/q6–q12/q14/
+# q15/q17/q19–q22 TPC-H variants, set_intersect_all/set_except_all,
+# join_null_safe_equal, scalar_bitwise_ops, ts_rolling_zscore,
+# window_cohort_retention, ts_ohlc_rollup, stream_interval_join_left,
+# ts_hour_of_day_profile, window_session_gap_ids, agg_mode_per_group,
+# window_ntile_quartiles, window_percent_rank_cume, agg_linear_trend,
+# agg_bool_flags, etl_schema_evolution_union, dq_value_histogram,
+# dq_benford_first_digit, text_tfidf/bm25/unigram/bigram, mm_decode_wav,
+# mm_audio_dominant_freq, mm_resize_ppm, sim_cosine_topk_pq,
+# dedup_duplicated_spans, graph_pagerank_docs, ...) plus every round-5
+# session-3/4 addition (ts_time_weighted_avg, ts_interpolate_linear,
+# etl_cdc_latest_state, etl_mv_incremental_refresh,
+# window_last_touch_attribution, dq_outlier_iqr, curation_domain_cap,
+# graph_degree_distribution, mm_image_dhash, sim_cosine_topk_matmul,
+# agg_skew_kurtosis, agg_corr_per_group, text_bpe_learn_merges,
+# dedup_lsh_recall_audit, dq_table_checksum, dq_mad_robust_spread,
+# mm_dhash_hamming_pairs, agg_entropy_categorical, etl_dead_letter_json,
+# ts_autocorr_lag1, scalar_variant_ops, pyfunc_udtf_chunks,
+# agg_hll_sketch_merge). All pass the local gate; rotation converts that
+# into driver-proven union coverage.
+
 
 def _load_all() -> None:
     global _loaded

@@ -499,3 +499,26 @@ def test_checksum_partial_final_agg(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_table_checksum")
     n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
     assert n_aggs >= 2
+
+
+def test_dead_letter_parse_is_jvm_side(spark, sf_dir):
+    """Dead-letter JSON routing must stay whole-stage JVM (from_json):
+    any Python eval node means payload parsing fell off the fast path."""
+    plan = _plan(spark, sf_dir, "etl_dead_letter_json")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_entropy_single_key_exchange(spark, sf_dir):
+    """Categorical entropy: the (user,type) count, the per-user total
+    window, and the final rollup must all ride ONE user_id-compatible
+    exchange chain — no second shuffle key."""
+    import re
+
+    plan = _plan(spark, sf_dir, "agg_entropy_categorical")
+    keys = set(
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    )
+    assert keys <= {"user_id"}, keys
