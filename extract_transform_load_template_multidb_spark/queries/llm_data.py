@@ -2636,3 +2636,79 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+_STITCH_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+sheared AS (
+    SELECT doc_id * 2 AS rec_id, t[1 : len(t) // 2 + 8] AS rt
+    FROM toks_list WHERE len(t) >= 24
+    UNION ALL
+    SELECT doc_id * 2 + 1, t[len(t) // 2 + 1 :]
+    FROM toks_list WHERE len(t) >= 24
+),
+ends AS (
+    SELECT rec_id,
+           array_to_string(rt[1:8], ' ') AS prefix8,
+           array_to_string(rt[-8:], ' ') AS suffix8
+    FROM sheared
+    WHERE len(rt) >= 8
+)
+SELECT a.rec_id AS id_a, b.rec_id AS id_b, a.suffix8 AS shared_run
+FROM ends a
+JOIN ends b ON a.suffix8 = b.prefix8 AND a.rec_id <> b.rec_id
+"""
+)
+
+
+@query("dedup_split_doc_stitch", oracle=_STITCH_ORACLE)
+def dedup_split_doc_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-document stitch detection: find record pairs where the last
+    8 tokens of A equal the first 8 tokens of B — the signature of one
+    source document sheared into two records by a scraper or chunker
+    (such pairs leak spans across a train/eval split even when neither
+    record near-dups the other). The corpus is first sheared
+    DETERMINISTICALLY (each ≥24-token doc splits at the midpoint with an
+    8-token overlap — ids 2k/2k+1), so the detector provably recovers
+    every constructed seam plus any accidental boundary collision; the
+    oracle applies the identical shear. Detection is one narrow map
+    (both boundary runs per record) + a single equi-join on the 8-token
+    run — no pair expansion beyond genuine collisions; at 100 TB hash
+    the run to 8 bytes (xxhash64) before the join and verify on the
+    string."""
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        tokenize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    ).where(F.size("t") >= 24)
+    n = F.size("t")
+    mid = (n / 2).cast("int")
+    rec_a = docs.select(
+        (F.col("doc_id") * 2).alias("rec_id"),
+        F.slice("t", 1, mid + 8).alias("rt"),
+    )
+    rec_b = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("rec_id"),
+        F.slice("t", mid + 1, n - mid).alias("rt"),
+    )
+    sheared = rec_a.unionByName(rec_b)
+    ends = sheared.where(F.size("rt") >= 8).select(
+        "rec_id",
+        F.concat_ws(" ", F.slice("rt", 1, 8)).alias("prefix8"),
+        F.concat_ws(" ", F.slice("rt", -8, 8)).alias("suffix8"),
+    )
+    a = ends.alias("a")
+    b = ends.alias("b")
+    return a.join(
+        b,
+        (F.col("a.suffix8") == F.col("b.prefix8"))
+        & (F.col("a.rec_id") != F.col("b.rec_id")),
+    ).select(
+        F.col("a.rec_id").alias("id_a"),
+        F.col("b.rec_id").alias("id_b"),
+        F.col("a.suffix8").alias("shared_run"),
+    )
