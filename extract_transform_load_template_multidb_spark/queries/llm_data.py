@@ -2712,3 +2712,76 @@ def dedup_split_doc_stitch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("b.rec_id").alias("id_b"),
         F.col("a.suffix8").alias("shared_run"),
     )
+
+
+_LANG_CONFUSION_ORACLE = (
+    "SELECT d.lang AS lang_true, p.lang_pred, "
+    "CAST(COUNT(*) AS BIGINT) AS n_docs "
+    "FROM documents d JOIN (" + _LANG_ID_ORACLE + ") p USING (doc_id) "
+    "GROUP BY d.lang, p.lang_pred"
+)
+
+
+@query("text_lang_id_confusion", oracle=_LANG_CONFUSION_ORACLE)
+def text_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation in-engine: confusion matrix of the stopword
+    language-ID against the corpus's ground-truth ``lang`` labels (zh has
+    no latin-stopword signal, so its row collapsing into 'und'/'en' is
+    the expected, measured failure mode — the point of shipping the
+    matrix, not hiding it). The predictor is the zero-exchange narrow
+    map; the matrix adds one (lang_true, lang_pred) rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.lang_id_scores(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", F.col("lang").alias("lang_true"))
+        .join(pred, "doc_id")
+        .groupBy("lang_true", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+_DATACARD_ORACLE = """
+WITH per_source AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS mean_chars,
+           quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p50_chars
+    FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(total_chars) AS g FROM per_source)
+SELECT source, n_docs, total_chars, mean_chars, p50_chars,
+       CAST(total_chars AS DOUBLE) / g AS char_share
+FROM per_source, tot
+"""
+
+
+@query("curation_corpus_datacard", oracle=_DATACARD_ORACLE)
+def curation_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source data card a corpus release ships: document counts,
+    character volume, mean/median length, and each source's share of the
+    total — the table a training-mixture recipe is negotiated over. One
+    groupBy plus a broadcast 1-row total; integer sums are exact, the
+    two ratios are scalar double divisions."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (
+            F.sum("n_chars").cast("double") / F.count(F.lit(1))
+        ).alias("mean_chars"),
+        F.percentile(F.col("n_chars").cast("double"), 0.5).alias(
+            "p50_chars"
+        ),
+    )
+    tot = per_source.agg(F.sum("total_chars").alias("g"))
+    return per_source.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "mean_chars",
+        "p50_chars",
+        (F.col("total_chars").cast("double") / F.col("g")).alias(
+            "char_share"
+        ),
+    )
