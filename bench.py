@@ -124,6 +124,8 @@ HEADLINE = [
     "ts_autocorr_lag1",
     "scalar_variant_ops",
     "agg_hll_sketch_merge",
+    "text_lang_id_confusion",
+    "curation_corpus_datacard",
 ]
 
 
