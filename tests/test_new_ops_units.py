@@ -1,0 +1,122 @@
+"""Unit/property tests for the round-5 session additions: dHash bit
+layout vs a pure-Python reference, BPE merges vs a reference trainer,
+and checksum invariance under physical layout changes."""
+
+from __future__ import annotations
+
+import collections
+import hashlib
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from extract_transform_load_template_multidb_spark.operators import (
+    multimodal as mm,
+    text as tx,
+)
+
+
+def _ref_dhash(pixels, w, h):
+    """Reference dHash: luma = r+g+b; horizontal bits row-major, then
+    vertical bits column-major, bit k weight 2**k."""
+    s = [
+        [sum(pixels[3 * (r * w + c) + ch] for ch in range(3)) for c in range(w)]
+        for r in range(h)
+    ]
+    bits = []
+    for r in range(h):
+        for c in range(w - 1):
+            bits.append(s[r][c] > s[r][c + 1])
+    for c in range(w):
+        for r in range(h - 1):
+            bits.append(s[r][c] > s[r + 1][c])
+    return sum(1 << k for k, b in enumerate(bits) if b)
+
+
+def test_dhash_matches_python_reference(spark):
+    texts = ["abcdefghijklmnopqrstuvwxyz0123456789ABCDEFGHIJKL",
+             "zyxwvutsrqponmlkjihgfedcba", "aaaa"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r.asset_id: r.dhash
+        for r in mm.dhash_images(mm.synthesize_ppm(df)).collect()
+    }
+    for i, t in enumerate(texts):
+        padded = (t + "x" * 48)[:48]
+        want = _ref_dhash([ord(ch) for ch in padded], 4, 4)
+        assert got[i] == want, t
+
+
+def _ref_bpe(word_freqs, n_merges):
+    """Reference BPE trainer (greedy left-to-right merge)."""
+    words = {tuple(w): f for w, f in word_freqs.items()}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pc = collections.Counter()
+        for syms, f in words.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += f
+        if not pc:
+            break
+        # deterministic tie-break: freq desc, then (l, r) asc
+        top = max(pc.values())
+        cands = sorted([p for p, c in pc.items() if c == top])
+        l, r = cands[0]
+        merges.append((rank, l, r, l + r, top))
+        new_words = {}
+        for syms, f in words.items():
+            out = []
+            for x in syms:
+                if out and out[-1] == l and x == r:
+                    out[-1] = l + r
+                else:
+                    out.append(x)
+            new_words[tuple(out)] = new_words.get(tuple(out), 0) + f
+        words = new_words
+    return merges
+
+
+def test_bpe_learn_merges_matches_reference(spark):
+    corpus = ["low lower lowest", "low low newer newest", "wider wide new"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    got = [
+        (r.merge_rank, r.l, r.r, r.merged, r.pair_freq)
+        for r in tx.bpe_learn_merges(df, n_merges=3)
+        .orderBy("merge_rank")
+        .collect()
+    ]
+    wf = collections.Counter(w for t in corpus for w in t.split())
+    want = _ref_bpe(wf, 3)
+    assert got == want
+
+
+def test_table_checksum_invariant_under_layout(spark, sf_dir):
+    """The checksum must not change when the same rows are repartitioned
+    or reordered — the property that makes it a cross-SYSTEM primitive."""
+    from extract_transform_load_template_multidb_spark.queries import (
+        all_queries,
+    )
+    import tempfile
+
+    from extract_transform_load_template_multidb_spark.catalog import (
+        load_table,
+    )
+
+    q = all_queries()["dq_table_checksum"]
+    base = q(spark, sf_dir).collect()[0]
+
+    shuffled_dir = tempfile.mkdtemp(prefix="cksum_") 
+    (
+        load_table(spark, sf_dir, "orders")
+        .repartition(17)
+        .sortWithinPartitions("o_orderpriority")
+        .write.mode("overwrite")
+        .parquet(shuffled_dir + "/orders.parquet")
+    )
+    got = q(spark, shuffled_dir).collect()[0]
+    assert got == base
