@@ -693,3 +693,63 @@ def dq_mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
         )
     )
+
+
+@query(
+    "join_scd2_point_in_time",
+    oracle=(
+        "WITH hist AS ("
+        + _SCD2_ORACLE
+        + """)
+SELECT o.o_orderkey, o.o_orderdate,
+       h.o_custkey AS custkey,
+       h.o_orderpriority AS priority_at_order,
+       h.valid_from
+FROM orders o
+JOIN hist h
+  ON h.o_custkey = o.o_custkey
+ AND h.valid_from <= o.o_orderdate
+ AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+"""
+    ),
+)
+def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join against an SCD2 dimension: each order picks up
+    the priority run VALID AT its own order date (valid_from ≤ d <
+    valid_to, open-ended current rows) — the temporal-correctness join
+    every feature store and audited warehouse needs, where joining the
+    CURRENT dimension row silently leaks the future into history. The
+    history is equi-joined on the key (one shuffle) and the validity
+    interval is a residual row-local predicate — never a range-join
+    explosion, because runs per key are few and non-overlapping by
+    construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd.scd2_from_history(
+        orders,
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+    ).select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.col("o_orderpriority").alias("priority_at_order"),
+        "valid_from",
+        "valid_to",
+    )
+    return (
+        orders.join(
+            hist,
+            (F.col("h_custkey") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("o_orderdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.col("h_custkey").alias("custkey"),
+            "priority_at_order",
+            "valid_from",
+        )
+    )
