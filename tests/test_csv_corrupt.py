@@ -48,7 +48,6 @@ def test_csv_permissive_routes_corrupt_records(spark, tmp_path):
 
 def test_csv_failfast_raises(spark, tmp_path):
     import pytest
-    from pyspark.errors.exceptions.captured import SparkUpgradeException
     p = tmp_path / "in2.csv"
     p.write_text("id,qty\n1,10\n2,bad\n")
     schema = "id BIGINT, qty BIGINT"
