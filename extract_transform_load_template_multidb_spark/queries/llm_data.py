@@ -2785,3 +2785,105 @@ def curation_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "char_share"
         ),
     )
+
+
+_PREFIX_ORACLE = """
+WITH keyed AS (
+    SELECT doc_id, text, length(text) AS n,
+           substr(text, 1, 64) AS bucket
+    FROM documents WHERE length(text) >= 64
+)
+SELECT a.doc_id AS id_short, b.doc_id AS id_long,
+       CAST(a.n AS BIGINT) AS len_short, CAST(b.n AS BIGINT) AS len_long
+FROM keyed a
+JOIN keyed b
+  ON a.bucket = b.bucket AND a.n < b.n
+ AND substr(b.text, 1, a.n) = a.text
+"""
+
+
+@query("dedup_prefix_truncates", oracle=_PREFIX_ORACLE)
+def dedup_prefix_truncates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-duplicate detection: document A is a strict PREFIX of
+    document B — the re-crawl-cut-short / partial-download signature
+    that Jaccard-style near-dup misses when the truncation is severe
+    (tiny shingle overlap ratio) yet the short doc contributes zero new
+    content. Candidates bucket on the first 64 chars (equi-join — a
+    prefix pair MUST share its first 64 chars), then an exact
+    startswith verify; at 100 TB the bucket key becomes xxhash64 of the
+    prefix and the comparison stays row-local."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id",
+        "text",
+        F.length("text").alias("n"),
+        F.substring("text", 1, 64).alias("bucket"),
+    ).where(F.col("n") >= 64)
+    a = keyed.alias("a")
+    b = keyed.alias("b")
+    return a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.n") < F.col("b.n"))
+        & (
+            F.expr("substring(b.text, 1, a.n)") == F.col("a.text")
+        ),
+    ).select(
+        F.col("a.doc_id").alias("id_short"),
+        F.col("b.doc_id").alias("id_long"),
+        F.col("a.n").cast("long").alias("len_short"),
+        F.col("b.n").cast("long").alias("len_long"),
+    )
+
+
+_GINI_ORACLE = """
+WITH sizes AS (
+    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS x
+    FROM documents GROUP BY source
+),
+ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, source) AS i,
+           COUNT(*) OVER () AS n
+    FROM sizes
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_sources,
+       CAST(SUM(x) AS BIGINT) AS total_chars,
+       2.0 * CAST(SUM(i * x) AS DOUBLE)
+           / (any_value(n) * CAST(SUM(x) AS DOUBLE))
+         - (any_value(n) + 1.0) / any_value(n) AS gini
+FROM ranked
+"""
+
+
+@query("curation_source_gini", oracle=_GINI_ORACLE)
+def curation_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-source character volume — the one-number
+    corpus-balance diagnostic (0 = perfectly even mix, →1 = one source
+    dominates) read next to the data card before fixing mixture weights.
+    Rank-weighted closed form over the SORTED per-source sizes: integer
+    Σ(i·xᵢ) is exact, the two divisions are scalar doubles. The sort is
+    over #sources rows (tiny), never the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    sizes = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("x")
+    )
+    ranked = sizes.select(
+        "x",
+        F.row_number()
+        .over(W.orderBy("x", "source"))
+        .alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    n = F.any_value("n")
+    return ranked.agg(
+        n.cast("long").alias("n_sources"),
+        F.sum("x").cast("long").alias("total_chars"),
+        (
+            2.0
+            * F.sum(F.col("i") * F.col("x")).cast("double")
+            / (n * F.sum("x").cast("double"))
+            - (n + 1.0) / n
+        ).alias("gini"),
+    )

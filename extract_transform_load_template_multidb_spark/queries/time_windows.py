@@ -717,3 +717,77 @@ def ts_autocorr_lag1(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_pairs"),
         F.round(corr, 6).alias("autocorr_lag1"),
     )
+
+
+_SESSION_CONVERSION_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id, event_type,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS session_seq
+    FROM flagged
+),
+per_session AS (
+    SELECT user_id, session_seq,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+    FROM sessions GROUP BY user_id, session_seq
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(converted) AS BIGINT) AS n_converted,
+       CAST(SUM(converted) AS DOUBLE) / COUNT(*) AS conversion_rate
+FROM per_session
+GROUP BY user_id
+"""
+
+
+@query("ts_session_conversion", oracle=_SESSION_CONVERSION_ORACLE)
+def ts_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session conversion rate: sessionize with the 30-minute
+    gap rule (same gaps-and-islands ids as window_session_gap_ids), mark
+    sessions containing a purchase, report converted/total — the product
+    metric sessionization exists to serve. All three windows and both
+    rollups ride ONE user_id exchange."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            >= gap_us
+        ),
+        1,
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    per_session = sessions.groupBy("user_id", "session_seq").agg(
+        F.max(
+            F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+        ).alias("converted")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("converted").cast("long").alias("n_converted"),
+        (
+            F.sum("converted").cast("double") / F.count(F.lit(1))
+        ).alias("conversion_rate"),
+    )
