@@ -363,3 +363,49 @@ def etl_dead_letter_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").alias("sum_k_good"),
         )
     )
+
+
+_CDC_APPLY_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_type AS op_type, event_id, ts, value,
+           row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+)
+SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+       CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
+           AS last_value
+FROM ranked
+WHERE rn = 1 AND op_type <> 'error'
+"""
+
+
+@query("etl_cdc_apply_with_deletes", oracle=_CDC_APPLY_ORACLE)
+def etl_cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC MERGE semantics with tombstones: the change log collapses to
+    the latest operation per key (rank-1 window, WindowGroupLimit), and
+    keys whose LAST operation is a delete ('error' events stand in for
+    tombstones) vanish from the materialized state — the
+    upsert-then-maybe-delete outcome a Delta/Iceberg MERGE produces,
+    computed in one pass. The delete filter applies AFTER the rank:
+    earlier upserts must not resurrect a deleted key."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    v = F.col("value")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("event_type") != "error"))
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.when(~F.isnan(v) & (F.abs(v) != float("inf")), v).alias(
+                "last_value"
+            ),
+        )
+    )

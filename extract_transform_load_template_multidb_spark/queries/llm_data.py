@@ -2887,3 +2887,83 @@ def curation_source_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + 1.0) / n
         ).alias("gini"),
     )
+
+
+_HASHVEC_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+bucketed AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 16 AS b
+    FROM toks_list, unnest(t) AS u(w)
+),
+counts AS (
+    SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM bucketed GROUP BY doc_id, b
+)
+SELECT doc_id, [v0, v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15] AS vec, norm_sq
+FROM (
+    SELECT doc_id,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 0), 0) AS BIGINT) AS v0,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 1), 0) AS BIGINT) AS v1,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 2), 0) AS BIGINT) AS v2,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 3), 0) AS BIGINT) AS v3,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 4), 0) AS BIGINT) AS v4,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 5), 0) AS BIGINT) AS v5,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 6), 0) AS BIGINT) AS v6,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 7), 0) AS BIGINT) AS v7,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 8), 0) AS BIGINT) AS v8,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 9), 0) AS BIGINT) AS v9,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 10), 0) AS BIGINT) AS v10,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 11), 0) AS BIGINT) AS v11,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 12), 0) AS BIGINT) AS v12,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 13), 0) AS BIGINT) AS v13,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 14), 0) AS BIGINT) AS v14,
+           CAST(coalesce(SUM(c) FILTER (WHERE b = 15), 0) AS BIGINT) AS v15,
+           CAST(SUM(c * c) AS BIGINT) AS norm_sq
+    FROM counts GROUP BY doc_id
+)
+"""
+)
+
+
+@query("text_hashing_vectorizer", oracle=_HASHVEC_ORACLE)
+def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick vectorizer: every token hashes (md5 → 32-bit → mod
+    16) into a fixed 16-bucket count vector per document — the
+    vocabulary-free featurization (no dictionary build, no OOV) that
+    feeds the engine's quantized cosine machinery when no learned
+    embeddings exist. Pure integer math end to end (engine-portable),
+    one doc_id exchange for the bucket counts, and the dense vector is a
+    pivot-free array aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokenize(F.col("text"))
+    bucketed = docs.select(
+        "doc_id", F.explode(toks).alias("w")
+    ).select(
+        "doc_id",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            % 16
+        ).alias("b"),
+    )
+    counts = bucketed.groupBy("doc_id", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    agged = counts.groupBy("doc_id").agg(
+        *[
+            F.coalesce(
+                F.sum(F.when(F.col("b") == i, F.col("c"))), F.lit(0)
+            )
+            .cast("long")
+            .alias(f"v{i}")
+            for i in range(16)
+        ],
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("norm_sq"),
+    )
+    return agged.select(
+        "doc_id",
+        F.array(*[F.col(f"v{i}") for i in range(16)]).alias("vec"),
+        "norm_sq",
+    )
