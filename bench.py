@@ -126,6 +126,12 @@ HEADLINE = [
     "agg_hll_sketch_merge",
     "text_lang_id_confusion",
     "curation_corpus_datacard",
+    "join_scd2_point_in_time",
+    "dedup_prefix_truncates",
+    "curation_source_gini",
+    "ts_session_conversion",
+    "etl_cdc_apply_with_deletes",
+    "text_hashing_vectorizer",
 ]
 
 
