@@ -791,3 +791,45 @@ def ts_session_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("converted").cast("double") / F.count(F.lit(1))
         ).alias("conversion_rate"),
     )
+
+
+_CUM_UNIQUE_ORACLE = """
+WITH firsts AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+    FROM events GROUP BY user_id
+),
+daily AS (
+    SELECT first_day AS day, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM firsts GROUP BY first_day
+)
+SELECT day, n_new,
+       CAST(SUM(n_new) OVER (
+           ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS BIGINT) AS cumulative_users
+FROM daily
+"""
+
+
+@query("ts_cumulative_unique_users", oracle=_CUM_UNIQUE_ORACLE)
+def ts_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-distinct growth curve: new users per day (first-seen
+    date) and the running total — the audience-growth metric. COUNT
+    DISTINCT inside a running window is not executable at scale; the
+    first-seen rewrite (min-date per user, then an ordinary running sum
+    over daily counts) is — one user_id aggregation plus a window over
+    #days rows. The pattern generalizes to any cumulative-distinct ask."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily = firsts.groupBy(
+        F.col("first_day").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_new"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.select(
+        "day",
+        "n_new",
+        F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
+    )
