@@ -1307,3 +1307,56 @@ def agg_hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("merged_within_tol"),
     )
+
+
+_TIME_TO_PURCHASE_ORACLE = """
+WITH stream AS (
+    SELECT user_id, event_id, ts, event_type,
+           first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                       IGNORE NULLS) OVER w AS next_purchase_ts
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+)
+SELECT user_id, event_id AS view_id, ts AS view_ts, next_purchase_ts,
+       CAST(epoch_us(next_purchase_ts) - epoch_us(ts) AS BIGINT)
+           AS lead_us
+FROM stream
+WHERE event_type = 'view' AND next_purchase_ts IS NOT NULL
+"""
+
+
+@query("window_time_to_purchase", oracle=_TIME_TO_PURCHASE_ORACLE)
+def window_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-looking attribution: for every product view, the time
+    until the same user's NEXT purchase (any horizon) — the
+    time-to-convert distribution input. The mirror of
+    window_last_touch_attribution: one strictly-future IGNORE NULLS
+    window carries the next purchase along the per-user stream, no
+    self-join, one key exchange."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
+    stream = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.first(p_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
+    )
+    return stream.where(
+        (F.col("event_type") == "view")
+        & F.col("next_purchase_ts").isNotNull()
+    ).select(
+        "user_id",
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+        "next_purchase_ts",
+        (
+            F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
+        ).cast("long").alias("lead_us"),
+    )

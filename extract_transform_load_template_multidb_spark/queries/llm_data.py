@@ -2967,3 +2967,43 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array(*[F.col(f"v{i}") for i in range(16)]).alias("vec"),
         "norm_sq",
     )
+
+
+_CLUSTER_SIZES_ORACLE = (
+    _CLUSTERS_ORACLE
+    .replace("SELECT node, min(label) AS component\nFROM reach GROUP BY node",
+             """, comp AS (
+    SELECT node, min(label) AS component FROM reach GROUP BY node
+),
+csizes AS (
+    SELECT component, CAST(COUNT(*) AS BIGINT) AS cluster_size
+    FROM comp GROUP BY component
+)
+SELECT cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM csizes GROUP BY cluster_size""")
+    .replace("),\nnodes AS", "),\nnodes AS")
+)
+
+
+@query("dedup_cluster_size_histogram", oracle=_CLUSTER_SIZES_ORACLE)
+def dedup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-size histogram of the near-dup components — the
+    distribution a dedup run reports before choosing a keep policy: many
+    small clusters = organic duplication (keep-one is cheap), a fat tail
+    = template farms where keep-one deletes real content. Two tiny
+    rollups on top of the connected-components labels."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    comp = dd.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("cluster_size").cast("long").alias("n_docs"),
+    )
