@@ -1360,3 +1360,66 @@ def window_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("next_purchase_ts") - F.unix_micros("ts")
         ).cast("long").alias("lead_us"),
     )
+
+
+_SHARE_OF_PARENT_ORACLE = """
+WITH rev AS (
+    SELECT r.r_name AS region, n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS nation_rev
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+)
+SELECT region, nation, nation_rev,
+       nation_rev / SUM(nation_rev) OVER (PARTITION BY region)
+           AS share_of_region
+FROM rev
+"""
+
+
+@query("window_share_of_parent", oracle=_SHARE_OF_PARENT_ORACLE)
+def window_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical share-of-parent: each nation's revenue as a fraction
+    of its region's total — the drill-down ratio every BI rollup needs,
+    computed as a window sum over the already-aggregated level (25
+    nations — the window costs nothing; the heavy work is the one
+    fact-side aggregation with broadcast dimension joins). Decimal-routed
+    revenue sums; the share is a scalar double division."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    rev = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .join(
+            F.broadcast(region.select("r_regionkey", "r_name")),
+            F.col("r_regionkey") == F.col("n_regionkey"),
+        )
+        .groupBy(
+            F.col("r_name").alias("region"), F.col("n_name").alias("nation")
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("nation_rev")
+        )
+    )
+    w = Window.partitionBy("region")
+    return rev.select(
+        "region",
+        "nation",
+        "nation_rev",
+        (F.col("nation_rev") / F.sum("nation_rev").over(w)).alias(
+            "share_of_region"
+        ),
+    )

@@ -833,3 +833,49 @@ def ts_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         F.sum("n_new").over(w).cast("long").alias("cumulative_users"),
     )
+
+
+_WOW_ORACLE = """
+WITH weekly AS (
+    SELECT event_type, date_trunc('week', ts) AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY event_type, date_trunc('week', ts)
+),
+laged AS (
+    SELECT event_type, week_start, n_events,
+           lag(n_events) OVER (
+               PARTITION BY event_type ORDER BY week_start) AS prev_n
+    FROM weekly
+)
+SELECT event_type, week_start, n_events, prev_n,
+       CAST(n_events - prev_n AS DOUBLE) / prev_n AS wow_growth
+FROM laged
+WHERE prev_n IS NOT NULL
+"""
+
+
+@query("ts_wow_growth", oracle=_WOW_ORACLE)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly rollup, lag, relative
+    delta — the BI trend primitive. Weekly volume is integer-exact; the
+    growth ratio is one scalar double division. The lag window runs over
+    #weeks rows per type (tiny) after the one real aggregation."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    weekly = ev.groupBy(
+        "event_type",
+        F.date_trunc("week", F.col("ts")).alias("week_start"),
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.partitionBy("event_type").orderBy("week_start")
+    laged = weekly.withColumn("prev_n", F.lag("n_events").over(w))
+    return laged.where(F.col("prev_n").isNotNull()).select(
+        "event_type",
+        "week_start",
+        "n_events",
+        "prev_n",
+        (
+            (F.col("n_events") - F.col("prev_n")).cast("double")
+            / F.col("prev_n")
+        ).alias("wow_growth"),
+    )
