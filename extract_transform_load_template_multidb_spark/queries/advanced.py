@@ -1365,16 +1365,17 @@ def window_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARE_OF_PARENT_ORACLE = """
 WITH rev AS (
     SELECT r.r_name AS region, n.n_name AS nation,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
-               AS nation_rev
+           SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS nation_rev_dec
     FROM orders o
     JOIN customer c ON c.c_custkey = o.o_custkey
     JOIN nation n ON n.n_nationkey = c.c_nationkey
     JOIN region r ON r.r_regionkey = n.n_regionkey
     GROUP BY r.r_name, n.n_name
 )
-SELECT region, nation, nation_rev,
-       nation_rev / SUM(nation_rev) OVER (PARTITION BY region)
+SELECT region, nation,
+       CAST(nation_rev_dec AS DOUBLE) AS nation_rev,
+       CAST(nation_rev_dec AS DOUBLE)
+         / CAST(SUM(nation_rev_dec) OVER (PARTITION BY region) AS DOUBLE)
            AS share_of_region
 FROM rev
 """
@@ -1386,8 +1387,10 @@ def window_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
     of its region's total — the drill-down ratio every BI rollup needs,
     computed as a window sum over the already-aggregated level (25
     nations — the window costs nothing; the heavy work is the one
-    fact-side aggregation with broadcast dimension joins). Decimal-routed
-    revenue sums; the share is a scalar double division."""
+    fact-side aggregation with broadcast dimension joins). Revenue stays
+    DECIMAL through the window sum (a double window accumulation would be
+    merge-order-dependent); only the final ratio is a scalar double
+    division."""
     orders = load_table(spark, sf_dir, "orders")
     customer = load_table(spark, sf_dir, "customer")
     nation = load_table(spark, sf_dir, "nation")
@@ -1409,17 +1412,18 @@ def window_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r_name").alias("region"), F.col("n_name").alias("nation")
         )
         .agg(
-            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
-            .cast("double")
-            .alias("nation_rev")
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "nation_rev_dec"
+            )
         )
     )
     w = Window.partitionBy("region")
     return rev.select(
         "region",
         "nation",
-        "nation_rev",
-        (F.col("nation_rev") / F.sum("nation_rev").over(w)).alias(
-            "share_of_region"
-        ),
+        F.col("nation_rev_dec").cast("double").alias("nation_rev"),
+        (
+            F.col("nation_rev_dec").cast("double")
+            / F.sum("nation_rev_dec").over(w).cast("double")
+        ).alias("share_of_region"),
     )

@@ -837,7 +837,8 @@ def ts_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _WOW_ORACLE = """
 WITH weekly AS (
-    SELECT event_type, date_trunc('week', ts) AS week_start,
+    SELECT event_type, CAST(date_trunc('week', ts) AS DATE)
+               AS week_start,
            CAST(COUNT(*) AS BIGINT) AS n_events
     FROM events GROUP BY event_type, date_trunc('week', ts)
 ),
@@ -865,7 +866,7 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     weekly = ev.groupBy(
         "event_type",
-        F.date_trunc("week", F.col("ts")).alias("week_start"),
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
     ).agg(F.count(F.lit(1)).alias("n_events"))
     w = W.partitionBy("event_type").orderBy("week_start")
     laged = weekly.withColumn("prev_n", F.lag("n_events").over(w))
