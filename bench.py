@@ -132,6 +132,10 @@ HEADLINE = [
     "ts_session_conversion",
     "etl_cdc_apply_with_deletes",
     "text_hashing_vectorizer",
+    "ts_cumulative_unique_users",
+    "window_time_to_purchase",
+    "window_share_of_parent",
+    "ts_wow_growth",
 ]
 
 
