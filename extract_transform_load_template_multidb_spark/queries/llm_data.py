@@ -3007,3 +3007,47 @@ def dedup_cluster_size_histogram(
         F.count(F.lit(1)).cast("long").alias("n_clusters"),
         F.sum("cluster_size").cast("long").alias("n_docs"),
     )
+
+
+_DUP_RATE_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+in_pairs AS (
+    SELECT id_a AS doc_id FROM pairs
+    UNION
+    SELECT id_b FROM pairs
+)
+SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+       CAST((SELECT COUNT(*) FROM in_pairs) AS BIGINT) AS n_near_dup,
+       CAST((SELECT COUNT(*) FROM in_pairs) AS DOUBLE)
+         / (SELECT COUNT(*) FROM documents) AS dup_rate
+"""
+)
+
+
+@query("dedup_dup_rate_report", oracle=_DUP_RATE_ORACLE)
+def dedup_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplication-rate headline every dedup run reports: how many
+    documents participate in at least one near-dup pair (Jaccard ≥ 0.2
+    on 3-gram shingles), as a count and a corpus fraction — the number
+    that decides whether dedup is worth the compute at all, and the
+    before/after metric once it runs. Distinct-union of pair endpoints +
+    two scalar counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    in_pairs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+    )
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_dup = in_pairs.agg(F.count(F.lit(1)).alias("n_near_dup"))
+    return n_docs.crossJoin(n_dup).select(
+        "n_docs",
+        "n_near_dup",
+        (
+            F.col("n_near_dup").cast("double")
+            / F.col("n_docs").cast("double")
+        ).alias("dup_rate"),
+    )
