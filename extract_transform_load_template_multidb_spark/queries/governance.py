@@ -753,3 +753,46 @@ def join_scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
             "valid_from",
         )
     )
+
+
+_MISSING_HOURS_ORACLE = """
+WITH present AS (
+    SELECT DISTINCT date_trunc('hour', ts) AS h
+    FROM events WHERE event_type = 'signup'
+),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM present),
+spine AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+    FROM bounds
+)
+SELECT s.h AS missing_hour
+FROM spine s LEFT JOIN present p USING (h)
+WHERE p.h IS NULL
+"""
+
+
+@query("dq_missing_hours", oracle=_MISSING_HOURS_ORACLE)
+def dq_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gap detection: hours between the first and last signup
+    with NO signup event — the backfill worklist a late-arriving-data
+    monitor emits (a silent upstream outage shows up here before any
+    aggregate looks wrong). Dense calendar spine via sequence+explode
+    against the distinct present hours; anti-join semantics via left
+    join + null filter. The spine is #hours rows — never corpus-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    present = (
+        ev.where(F.col("event_type") == "signup")
+        .select(F.date_trunc("hour", F.col("ts")).alias("h"))
+        .distinct()
+    )
+    bounds = present.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("h")
+    )
+    return spine.join(present, "h", "left_anti").select(
+        F.col("h").alias("missing_hour")
+    )
