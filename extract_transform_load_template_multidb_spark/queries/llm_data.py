@@ -3051,3 +3051,48 @@ def dedup_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n_docs").cast("double")
         ).alias("dup_rate"),
     )
+
+
+_BUDGET_ORACLE = """
+WITH ranked AS (
+    SELECT doc_id, source, n_chars,
+           SUM(n_chars) OVER (
+               ORDER BY n_chars DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_chars
+    FROM documents
+)
+SELECT doc_id, source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(cum_chars AS BIGINT) AS cum_chars
+FROM ranked
+WHERE cum_chars <= 50000
+"""
+
+
+@query("curation_token_budget_select", oracle=_BUDGET_ORACLE)
+def curation_token_budget_select(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Budgeted corpus selection: keep the best documents (longest-first
+    here; swap in any quality score) until a 50k-character budget is
+    exhausted — the fixed-token-budget cut every training run makes.
+    One global ordered running sum with a deterministic (score, id)
+    total order; integer-exact cumulative sums. At 100 TB the global
+    window becomes a two-pass selection: per-partition partial sums pick
+    an approximate threshold, one more pass finalizes the boundary —
+    same semantics, no single-task sort."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        W.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    ranked = docs.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.sum("n_chars").over(w).cast("long").alias("cum_chars"),
+    )
+    return ranked.where(F.col("cum_chars") <= 50_000)
