@@ -796,3 +796,41 @@ def dq_missing_hours(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spine.join(present, "h", "left_anti").select(
         F.col("h").alias("missing_hour")
     )
+
+
+_FRESHNESS_ORACLE = """
+WITH per_type AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           max(ts) AS high_watermark
+    FROM events GROUP BY event_type
+),
+g AS (SELECT max(high_watermark) AS global_hwm FROM per_type)
+SELECT event_type, n_events, high_watermark,
+       CAST(epoch_us(global_hwm) - epoch_us(high_watermark) AS BIGINT)
+           AS freshness_lag_us
+FROM per_type, g
+"""
+
+
+@query("dq_freshness_watermarks", oracle=_FRESHNESS_ORACLE)
+def dq_freshness_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream freshness: each event type's high watermark and its lag
+    behind the freshest stream — the staleness panel an ingestion
+    dashboard shows (a pipeline stuck for hours surfaces here first,
+    in exact microseconds). One map-side-combinable aggregate + a
+    broadcast 1-row global watermark."""
+    ev = load_table(spark, sf_dir, "events")
+    per_type = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("ts").alias("high_watermark"),
+    )
+    g = per_type.agg(F.max("high_watermark").alias("global_hwm"))
+    return per_type.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "high_watermark",
+        (
+            F.unix_micros("global_hwm") - F.unix_micros("high_watermark")
+        ).cast("long").alias("freshness_lag_us"),
+    )
