@@ -136,6 +136,10 @@ HEADLINE = [
     "window_time_to_purchase",
     "window_share_of_parent",
     "ts_wow_growth",
+    "dedup_dup_rate_report",
+    "dq_missing_hours",
+    "curation_token_budget_select",
+    "dq_freshness_watermarks",
 ]
 
 
