@@ -1427,3 +1427,70 @@ def window_share_of_parent(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("nation_rev_dec").over(w).cast("double")
         ).alias("share_of_region"),
     )
+
+
+_PARETO_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+    FROM orders GROUP BY o_custkey
+),
+ranked AS (
+    SELECT r,
+           SUM(r) OVER (ORDER BY r DESC, o_custkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_r,
+           SUM(r) OVER () AS total_r,
+           row_number() OVER (ORDER BY r DESC, o_custkey) AS i,
+           COUNT(*) OVER () AS n
+    FROM rev
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_customers,
+       CAST(min(CASE WHEN cum_r >= total_r * 0.8 THEN i END) AS BIGINT)
+           AS n_top_for_80pct,
+       CAST(min(CASE WHEN cum_r >= total_r * 0.8 THEN i END) AS DOUBLE)
+         / any_value(n) AS top_fraction
+FROM ranked
+"""
+
+
+@query("window_pareto_concentration", oracle=_PARETO_ORACLE)
+def window_pareto_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Pareto concentration: how few customers produce 80% of revenue —
+    the 80/20 check behind account prioritization and skew planning (a
+    tiny n_top_for_80pct also predicts hot-key trouble in any
+    customer-keyed shuffle). Per-customer decimal revenue, one ordered
+    running sum with a deterministic tiebreak, and the threshold rank;
+    all comparisons in exact DECIMAL (total·0.8 included), only the
+    final fraction is a double."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
+    )
+    w_cum = (
+        W.orderBy(F.col("r").desc(), F.col("o_custkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy()
+    ranked = rev.select(
+        F.sum("r").over(w_cum).alias("cum_r"),
+        F.sum("r").over(w_all).alias("total_r"),
+        F.row_number()
+        .over(W.orderBy(F.col("r").desc(), F.col("o_custkey")))
+        .alias("i"),
+        F.count(F.lit(1)).over(w_all).alias("n"),
+    )
+    hit = F.when(
+        F.col("cum_r") >= F.col("total_r") * 0.8, F.col("i")
+    )
+    return ranked.agg(
+        F.any_value("n").cast("long").alias("n_customers"),
+        F.min(hit).cast("long").alias("n_top_for_80pct"),
+        (
+            F.min(hit).cast("double")
+            / F.any_value("n").cast("double")
+        ).alias("top_fraction"),
+    )
