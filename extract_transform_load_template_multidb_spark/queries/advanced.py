@@ -1494,3 +1494,81 @@ def window_pareto_concentration(
             / F.any_value("n").cast("double")
         ).alias("top_fraction"),
     )
+
+
+_AFFINITY_ORACLE = """
+WITH ut AS (
+    SELECT DISTINCT user_id, event_type FROM events
+),
+counts AS (
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM ut GROUP BY event_type
+),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n FROM events),
+pairs AS (
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(COUNT(*) AS BIGINT) AS n_both
+    FROM ut a
+    JOIN ut b ON a.user_id = b.user_id AND a.event_type < b.event_type
+    GROUP BY a.event_type, b.event_type
+)
+SELECT p.type_a, p.type_b, p.n_both, ca.n_users AS n_a, cb.n_users AS n_b,
+       CAST(p.n_both AS DOUBLE) * t.n
+         / (CAST(ca.n_users AS DOUBLE) * cb.n_users) AS lift
+FROM pairs p
+JOIN counts ca ON ca.event_type = p.type_a
+JOIN counts cb ON cb.event_type = p.type_b
+CROSS JOIN tot t
+"""
+
+
+@query("agg_type_affinity_lift", oracle=_AFFINITY_ORACLE)
+def agg_type_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity over event types: for every type pair, the
+    users doing both and the LIFT (observed co-occurrence over the
+    independence expectation, >1 = affinity) — association mining's core
+    statistic as a self-join on the distinct (user, type) set, which at
+    5 types is at most 10 pairs out of the aggregation. Integer-exact
+    counts; lift is one scalar double expression."""
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    counts = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+    tot = ev.agg(F.count_distinct("user_id").alias("n"))
+    a = ut.alias("a")
+    b = ut.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = counts.select(
+        F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a")
+    )
+    cb = counts.select(
+        F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                F.col("n_both").cast("double") * F.col("n")
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )
