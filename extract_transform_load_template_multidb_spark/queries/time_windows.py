@@ -880,3 +880,50 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("prev_n")
         ).alias("wow_growth"),
     )
+
+
+_PEAKS_ORACLE = """
+WITH hourly AS (
+    SELECT date_trunc('hour', ts) AS hour_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY date_trunc('hour', ts)
+),
+neighbored AS (
+    SELECT hour_start, n_events,
+           lag(n_events) OVER (ORDER BY hour_start) AS prev_n,
+           lead(n_events) OVER (ORDER BY hour_start) AS next_n
+    FROM hourly
+)
+SELECT hour_start, n_events, prev_n, next_n
+FROM neighbored
+WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+  AND n_events > prev_n AND n_events > next_n
+"""
+
+
+@query("ts_peak_detection", oracle=_PEAKS_ORACLE)
+def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the hourly volume series: hours
+    strictly busier than both neighbors — the spike shortlist an
+    on-call reviews (integer counts make 'strictly greater'
+    unambiguous; interior points only, so boundary hours can't
+    fake a peak). One rollup + one ordered window over #hours rows."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour_start")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = W.orderBy("hour_start")
+    nb = hourly.select(
+        "hour_start",
+        "n_events",
+        F.lag("n_events").over(w).alias("prev_n"),
+        F.lead("n_events").over(w).alias("next_n"),
+    )
+    return nb.where(
+        F.col("prev_n").isNotNull()
+        & F.col("next_n").isNotNull()
+        & (F.col("n_events") > F.col("prev_n"))
+        & (F.col("n_events") > F.col("next_n"))
+    )
