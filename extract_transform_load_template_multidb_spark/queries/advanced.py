@@ -1572,3 +1572,65 @@ def agg_type_affinity_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+_NORMALIZE_ORACLE = """
+WITH finite AS (
+    SELECT event_id, event_type, value FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+),
+stats AS (
+    SELECT event_type,
+           min(value) AS vmin, max(value) AS vmax,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM finite GROUP BY event_type
+)
+SELECT f.event_id, f.event_type, f.value,
+       (f.value - vmin) / (vmax - vmin) AS minmax_scaled,
+       round((f.value - s1 / n)
+         / sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS zscore
+FROM finite f JOIN stats USING (event_type)
+"""
+
+
+@query("feature_normalize_per_group", oracle=_NORMALIZE_ORACLE)
+def feature_normalize_per_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Feature normalization, the ML-preprocessing staple: per-group
+    min-max scaling and z-scores in one pass — a broadcast 5-row stats
+    table mapped back over the stream (the fact side never shuffles).
+    Moments are decimal-routed; z-scores quantize to 6 decimals (the
+    engine-portability discipline), min-max is exact scalar IEEE."""
+    ev = load_table(spark, sf_dir, "events")
+    finite = ev.where(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    ).select("event_id", "event_type", "value")
+    stats = finite.groupBy("event_type").agg(
+        F.min("value").alias("vmin"),
+        F.max("value").alias("vmax"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s1"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    z = (F.col("value") - s1 / n) / F.sqrt(
+        (s2 - s1 * s1 / n) / (n - 1)
+    )
+    return finite.join(F.broadcast(stats), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        (
+            (F.col("value") - F.col("vmin"))
+            / (F.col("vmax") - F.col("vmin"))
+        ).alias("minmax_scaled"),
+        F.round(z, 6).alias("zscore"),
+    )
