@@ -1634,3 +1634,62 @@ def feature_normalize_per_group(
         ).alias("minmax_scaled"),
         F.round(z, 6).alias("zscore"),
     )
+
+
+_WMEDIAN_ORACLE = """
+WITH w AS (
+    SELECT l_returnflag, l_extendedprice AS price,
+           CAST(l_quantity AS BIGINT) AS wt
+    FROM lineitem
+),
+cum AS (
+    SELECT l_returnflag, price, wt,
+           SUM(wt) OVER (PARTITION BY l_returnflag
+                         ORDER BY price, wt
+                         ROWS UNBOUNDED PRECEDING) AS cum_wt,
+           SUM(wt) OVER (PARTITION BY l_returnflag) AS total_wt
+    FROM w
+)
+SELECT l_returnflag,
+       CAST(any_value(total_wt) AS BIGINT) AS total_weight,
+       min(CASE WHEN 2 * cum_wt >= total_wt THEN price END)
+           AS weighted_median_price
+FROM cum
+GROUP BY l_returnflag
+"""
+
+
+@query("agg_weighted_median", oracle=_WMEDIAN_ORACLE)
+def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the price at which half the total QUANTITY
+    (not half the rows) lies below — the volume-weighted central price a
+    plain median misstates whenever line sizes vary. Ordered running
+    weight sum per group with a deterministic (price, weight) order,
+    threshold at 2·cum ≥ total in pure integer arithmetic — no doubles
+    anywhere until the answer itself, which is a data value."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    w_cum = (
+        W.partitionBy("l_returnflag")
+        .orderBy("price", "wt")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy("l_returnflag")
+    cum = li.select(
+        "l_returnflag",
+        "price",
+        F.sum("wt").over(w_cum).alias("cum_wt"),
+        F.sum("wt").over(w_all).alias("total_wt"),
+    )
+    hit = F.when(
+        2 * F.col("cum_wt") >= F.col("total_wt"), F.col("price")
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.any_value("total_wt").cast("long").alias("total_weight"),
+        F.min(hit).alias("weighted_median_price"),
+    )
