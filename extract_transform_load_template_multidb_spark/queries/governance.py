@@ -834,3 +834,84 @@ def dq_freshness_watermarks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_micros("global_hwm") - F.unix_micros("high_watermark")
         ).cast("long").alias("freshness_lag_us"),
     )
+
+
+_RULES_ORACLE = """
+SELECT 'o_totalprice_positive' AS rule,
+       CAST(COUNT(*) FILTER (WHERE o_totalprice <= 0
+                                OR o_totalprice IS NULL) AS BIGINT)
+           AS n_violations,
+       CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM orders
+UNION ALL
+SELECT 'o_orderstatus_in_domain',
+       CAST(COUNT(*) FILTER (WHERE o_orderstatus NOT IN ('O','F','P')
+                                OR o_orderstatus IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_orderdate_in_range',
+       CAST(COUNT(*) FILTER (WHERE o_orderdate < TIMESTAMP '1990-01-01'
+                                OR o_orderdate >= TIMESTAMP '2035-01-01'
+                                OR o_orderdate IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+UNION ALL
+SELECT 'o_custkey_not_null',
+       CAST(COUNT(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT),
+       CAST(COUNT(*) AS BIGINT)
+FROM orders
+"""
+
+
+@query("dq_rule_violations", oracle=_RULES_ORACLE)
+def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality rule audit (the dbt-tests / Great-
+    Expectations shape): a rule set evaluates in ONE scan — every rule is
+    a conditional count in the same aggregate, unpivoted to a row per
+    rule with violation and total counts. Adding a rule adds a column to
+    the aggregate, never a scan; NULL counts as a violation of the rule
+    it breaks, not a skipped row."""
+    o = load_table(spark, sf_dir, "orders")
+    tp, st, od, ck = (
+        F.col("o_totalprice"),
+        F.col("o_orderstatus"),
+        F.col("o_orderdate"),
+        F.col("o_custkey"),
+    )
+    agg = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when((tp <= 0) | tp.isNull(), 1)).alias("v_price"),
+        F.count(
+            F.when(~st.isin("O", "F", "P") | st.isNull(), 1)
+        ).alias("v_status"),
+        F.count(
+            F.when(
+                (od < F.lit("1990-01-01").cast("timestamp"))
+                | (od >= F.lit("2035-01-01").cast("timestamp"))
+                | od.isNull(),
+                1,
+            )
+        ).alias("v_date"),
+        F.count(F.when(ck.isNull(), 1)).alias("v_custkey"),
+    )
+    rules = [
+        ("o_totalprice_positive", "v_price"),
+        ("o_orderstatus_in_domain", "v_status"),
+        ("o_orderdate_in_range", "v_date"),
+        ("o_custkey_not_null", "v_custkey"),
+    ]
+    return agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("rule"),
+                        F.col(col).alias("n_violations"),
+                        F.col("n_rows").alias("n_rows"),
+                    )
+                    for name, col in rules
+                ]
+            )
+        ).alias("r")
+    ).select("r.rule", "r.n_violations", "r.n_rows")
