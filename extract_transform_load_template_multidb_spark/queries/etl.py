@@ -409,3 +409,39 @@ def etl_cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PARTITION_PLAN_ORACLE = """
+SELECT CAST(o_orderdate AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(CEIL(COUNT(*) / 5000.0) AS BIGINT) AS target_files,
+       CAST(CEIL(CAST(COUNT(*) AS DOUBLE)
+                 / CEIL(COUNT(*) / 5000.0)) AS BIGINT)
+           AS rows_per_file
+FROM orders
+GROUP BY CAST(o_orderdate AS DATE)
+"""
+
+
+@query("etl_partition_planning", oracle=_PARTITION_PLAN_ORACLE)
+def etl_partition_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-side partition planning: per day-partition row counts and
+    the file count that keeps each output file near a target size (5 000
+    rows here standing in for the 128 MB rule) — the numbers a writer
+    feeds into repartitionByRange before committing, and the difference
+    between a healthy table and the small-files problem
+    (operators/layout.py:compact_files fixes it after the fact; this
+    plans it away). One aggregation; the ceil arithmetic is
+    integer-exact on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    n = F.count(F.lit(1))
+    files = F.ceil(n / 5000.0)
+    return o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        n.alias("n_rows"),
+        files.cast("long").alias("target_files"),
+        F.ceil(n.cast("double") / files).cast("long").alias(
+            "rows_per_file"
+        ),
+    )
