@@ -927,3 +927,71 @@ def ts_peak_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("n_events") > F.col("prev_n"))
         & (F.col("n_events") > F.col("next_n"))
     )
+
+
+_CHURN_ORACLE = """
+WITH uw AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+    FROM events
+),
+weeks AS (SELECT DISTINCT week FROM uw),
+flagged AS (
+    SELECT a.week, a.user_id,
+           CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+    FROM uw a
+    LEFT JOIN uw b ON b.user_id = a.user_id
+                  AND b.week = a.week + INTERVAL 7 DAY
+)
+SELECT f.week,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(SUM(churned) AS BIGINT) AS n_churned,
+       CAST(SUM(churned) AS DOUBLE) / COUNT(*) AS churn_rate
+FROM flagged f
+WHERE f.week < (SELECT max(week) FROM weeks)
+GROUP BY f.week
+"""
+
+
+@query("ts_weekly_churn", oracle=_CHURN_ORACLE)
+def ts_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn: users active in week w with NO activity in week
+    w+1 — the retention complement (the cohort matrix tracks who stays;
+    this names how many leave, per week). Distinct (user, week) set
+    left-joined to its own one-week shift; the final week is excluded
+    (its churn is unknowable yet). Integer-exact counts, one scalar
+    rate."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("date").alias("week"),
+    ).distinct()
+    nxt = uw.select(
+        "user_id", F.date_sub(F.col("week"), 7).alias("week")
+    )
+    flagged = uw.join(
+        nxt.withColumn("has_next", F.lit(1)),
+        ["user_id", "week"],
+        "left",
+    )
+    max_week = uw.agg(F.max("week").alias("max_week"))
+    return (
+        flagged.crossJoin(F.broadcast(max_week))
+        .where(F.col("week") < F.col("max_week"))
+        .groupBy("week")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(
+                F.when(F.col("has_next").isNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_churned"),
+            (
+                F.sum(
+                    F.when(F.col("has_next").isNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("churn_rate"),
+        )
+    )
