@@ -3096,3 +3096,45 @@ def curation_token_budget_select(
         F.sum("n_chars").over(w).cast("long").alias("cum_chars"),
     )
     return ranked.where(F.col("cum_chars") <= 50_000)
+
+
+_LENGTH_BUCKET_MIX_ORACLE = """
+WITH b AS (
+    SELECT source,
+           CASE WHEN n_chars < 128 THEN 'xs'
+                WHEN n_chars < 256 THEN 's'
+                WHEN n_chars < 384 THEN 'm'
+                ELSE 'l' END AS length_bucket,
+           n_chars
+    FROM documents
+)
+SELECT source, length_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM b GROUP BY source, length_bucket
+"""
+
+
+@query("curation_length_bucket_mix", oracle=_LENGTH_BUCKET_MIX_ORACLE)
+def curation_length_bucket_mix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Length-bucket composition per source: how each source's volume
+    splits across xs/s/m/l document-length bands — the companion to the
+    data card that exposes a source shipping only fragments (or only
+    monoliths) before it skews sequence packing. One fixed CASE banding
+    + one rollup, integer-exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.col("n_chars")
+    bucket = (
+        F.when(n < 128, "xs")
+        .when(n < 256, "s")
+        .when(n < 384, "m")
+        .otherwise("l")
+    )
+    return docs.select(
+        "source", bucket.alias("length_bucket"), "n_chars"
+    ).groupBy("source", "length_bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
