@@ -915,3 +915,66 @@ def dq_rule_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.rule", "r.n_violations", "r.n_rows")
+
+
+_RECON_ORACLE = """
+WITH li AS (
+    SELECT l_orderkey,
+           SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                    AS DECIMAL(38,6))) AS computed
+    FROM lineitem GROUP BY l_orderkey
+),
+j AS (
+    SELECT o.o_orderkey,
+           abs(CAST(o.o_totalprice AS DECIMAL(38,6))
+               - coalesce(li.computed, CAST(0 AS DECIMAL(38,6))))
+               AS adiff
+    FROM orders o LEFT JOIN li ON li.l_orderkey = o.o_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(COUNT(*) FILTER (WHERE adiff > 1.0) AS BIGINT)
+           AS n_mismatched,
+       CAST(max(adiff) AS DOUBLE) AS max_abs_diff
+FROM j
+"""
+
+
+@query("dq_order_total_reconciliation", oracle=_RECON_ORACLE)
+def dq_order_total_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-table business-rule reconciliation: does each order header's
+    total equal the sum of its lines' extended price with discount and
+    tax applied? The invariant check a finance pipeline runs nightly;
+    here it also measures how far the synthetic fixture deviates from
+    the TPC-H pricing identity. Per-order decimal sums (exact), decimal
+    absolute differences, count beyond a 1.00 tolerance — headerless
+    orders compare against zero rather than vanishing from the audit."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    computed = li.groupBy("l_orderkey").agg(
+        F.sum(
+            (
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).cast("decimal(38,6)")
+        ).alias("computed")
+    )
+    j = orders.join(
+        computed, F.col("l_orderkey") == F.col("o_orderkey"), "left"
+    ).select(
+        F.abs(
+            F.col("o_totalprice").cast("decimal(38,6)")
+            - F.coalesce(
+                F.col("computed"), F.lit(0).cast("decimal(38,6)")
+            )
+        ).alias("adiff")
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(F.when(F.col("adiff") > 1.0, 1))
+        .cast("long")
+        .alias("n_mismatched"),
+        F.max("adiff").cast("double").alias("max_abs_diff"),
+    )
