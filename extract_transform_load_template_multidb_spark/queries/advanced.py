@@ -1693,3 +1693,49 @@ def agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("total_wt").cast("long").alias("total_weight"),
         F.min(hit).alias("weighted_median_price"),
     )
+
+
+_ORDER_GAP_ORACLE = """
+WITH gaps AS (
+    SELECT o_custkey,
+           datediff('day',
+                    lag(o_orderdate) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey),
+                    o_orderdate) AS gap_days
+    FROM orders
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_gap,
+       quantile_cont(CAST(gap_days AS DOUBLE), 0.5) AS p50_gap,
+       quantile_cont(CAST(gap_days AS DOUBLE), 0.9) AS p90_gap,
+       CAST(max(gap_days) AS BIGINT) AS max_gap
+FROM gaps WHERE gap_days IS NOT NULL
+"""
+
+
+@query("ts_inter_order_gaps", oracle=_ORDER_GAP_ORACLE)
+def ts_inter_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-purchase interval distribution: day gaps between each
+    customer's consecutive orders, summarized by exact percentiles — the
+    repurchase-cycle profile behind replenishment forecasts and
+    dormancy thresholds (q22's 'dormant' cutoff should come from THIS
+    distribution, not a guess). Integer day gaps from one per-customer
+    window; the summary is a single global aggregate."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = o.select(
+        F.datediff(
+            F.col("o_orderdate"), F.lag("o_orderdate").over(w)
+        ).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    g = F.col("gap_days").cast("double")
+    return gaps.agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.min("gap_days").cast("long").alias("min_gap"),
+        F.percentile(g, 0.5).alias("p50_gap"),
+        F.percentile(g, 0.9).alias("p90_gap"),
+        F.max("gap_days").cast("long").alias("max_gap"),
+    )
