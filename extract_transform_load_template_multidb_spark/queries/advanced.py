@@ -1739,3 +1739,43 @@ def ts_inter_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(g, 0.9).alias("p90_gap"),
         F.max("gap_days").cast("long").alias("max_gap"),
     )
+
+
+_MEANS_ORACLE = """
+WITH pos AS (
+    SELECT event_type, value FROM events
+    WHERE NOT isnan(value) AND isfinite(value) AND value > 0
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       exp(CAST(SUM(CAST(round(ln(value), 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*)) AS geometric_mean,
+       COUNT(*) / CAST(SUM(CAST(round(1.0 / value, 6) AS DECIMAL(38,6)))
+                       AS DOUBLE) AS harmonic_mean
+FROM pos
+GROUP BY event_type
+"""
+
+
+@query("agg_geo_harmonic_means", oracle=_MEANS_ORACLE)
+def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric and harmonic means per group — the right averages for
+    ratios/growth factors and for rates, where the arithmetic mean
+    overstates. Both are transforms of order-independent sums: ln() and
+    reciprocals quantize to 6 decimals then accumulate in DECIMAL (the
+    LM-scoring discipline), so the one-pass aggregate hash-matches the
+    oracle; the final exp()/division is scalar IEEE. Positive finite
+    values only — both means are undefined otherwise."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    pos = ev.where(
+        ~F.isnan(v) & (F.abs(v) != float("inf")) & (v > 0)
+    )
+    ln_q = F.round(F.log(v), 6).cast("decimal(38,6)")
+    inv_q = F.round(1.0 / v, 6).cast("decimal(38,6)")
+    n = F.count(F.lit(1))
+    return pos.groupBy("event_type").agg(
+        n.alias("n"),
+        F.exp(F.sum(ln_q).cast("double") / n).alias("geometric_mean"),
+        (n / F.sum(inv_q).cast("double")).alias("harmonic_mean"),
+    )
