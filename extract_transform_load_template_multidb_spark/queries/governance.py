@@ -978,3 +978,66 @@ def dq_order_total_reconciliation(
         .alias("n_mismatched"),
         F.max("adiff").cast("double").alias("max_abs_diff"),
     )
+
+
+_DRIFT_ORACLE = """
+WITH marked AS (
+    SELECT event_type,
+           CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'a' ELSE 'b' END
+               AS half
+    FROM events
+),
+counts AS (
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (WHERE half = 'a') AS BIGINT) AS n_a,
+           CAST(COUNT(*) FILTER (WHERE half = 'b') AS BIGINT) AS n_b
+    FROM marked GROUP BY event_type
+),
+tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+SELECT CAST(SUM(n_a) AS BIGINT) AS n_first_half,
+       CAST(SUM(n_b) AS BIGINT) AS n_second_half,
+       0.5 * CAST(SUM(CAST(round(abs(
+                 CAST(n_a AS DOUBLE) / t.ta
+                 - CAST(n_b AS DOUBLE) / t.tb), 6)
+             AS DECIMAL(38,6))) AS DOUBLE) AS total_variation_distance
+FROM counts, tot t
+GROUP BY t.ta, t.tb
+"""
+
+
+@query("dq_distribution_drift", oracle=_DRIFT_ORACLE)
+def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical drift detection: total variation distance between the
+    event-type mix of the window's first and second halves — the
+    one-number alarm that a traffic mix shifted (new client rollout,
+    broken emitter) before any single count looks anomalous. Per-type
+    share deltas quantize to 6 decimals then decimal-sum (order
+    independent); fixed midpoint split keeps the oracle deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "a"
+    ).otherwise("b")
+    counts = ev.select("event_type", half.alias("half")).groupBy(
+        "event_type"
+    ).agg(
+        F.count(F.when(F.col("half") == "a", 1)).alias("n_a"),
+        F.count(F.when(F.col("half") == "b", 1)).alias("n_b"),
+    )
+    tot = counts.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb")
+    )
+    withtot = counts.crossJoin(F.broadcast(tot))
+    term = F.round(
+        F.abs(
+            F.col("n_a").cast("double") / F.col("ta")
+            - F.col("n_b").cast("double") / F.col("tb")
+        ),
+        6,
+    ).cast("decimal(38,6)")
+    return withtot.groupBy("ta", "tb").agg(
+        F.sum("n_a").cast("long").alias("n_first_half"),
+        F.sum("n_b").cast("long").alias("n_second_half"),
+        (0.5 * F.sum(term).cast("double")).alias(
+            "total_variation_distance"
+        ),
+    ).drop("ta", "tb")
