@@ -3138,3 +3138,75 @@ def curation_length_bucket_mix(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+_VOCAB_GROWTH_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+sh_growth AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS w
+    FROM toks_list WHERE len(t) >= 3
+),
+first_seen AS (
+    SELECT w, min(doc_id) AS first_doc
+    FROM sh_growth
+    GROUP BY w
+),
+new_per_doc AS (
+    SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new_types
+    FROM first_seen GROUP BY first_doc
+),
+buckets AS (
+    SELECT (doc_id // 50) * 50 AS doc_bucket,
+           SUM(n_new_types) AS bucket_new
+    FROM new_per_doc GROUP BY (doc_id // 50) * 50
+)
+SELECT CAST(doc_bucket AS BIGINT) AS doc_bucket,
+       CAST(bucket_new AS BIGINT) AS new_types,
+       CAST(SUM(bucket_new) OVER (
+           ORDER BY doc_bucket ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS vocab_size
+FROM buckets
+"""
+)
+
+
+@query("text_vocab_growth_curve", oracle=_VOCAB_GROWTH_ORACLE)
+def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth over 3-gram shingle types: new types
+    first seen per 50-document bucket and the cumulative type count — the curve
+    that says whether a corpus is still contributing novelty or has gone
+    asymptotic (the data-acquisition stop signal). First-seen rewrite
+    (min doc_id per type) keeps it one token-keyed aggregation plus a
+    tiny windowed rollup — no per-prefix recount of the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            dd.word_shingles(F.col("text"), n=3)
+        ).alias("w"),
+    )
+    first_seen = toks.groupBy("w").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    new_per_doc = first_seen.groupBy("first_doc").agg(
+        F.count(F.lit(1)).alias("n_new_types")
+    )
+    buckets = new_per_doc.groupBy(
+        ((F.col("first_doc") / 50).cast("long") * 50).alias("doc_bucket")
+    ).agg(F.sum("n_new_types").alias("bucket_new"))
+    w = W.orderBy("doc_bucket").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return buckets.select(
+        "doc_bucket",
+        F.col("bucket_new").cast("long").alias("new_types"),
+        F.sum("bucket_new").over(w).cast("long").alias("vocab_size"),
+    )
