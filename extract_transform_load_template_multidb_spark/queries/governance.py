@@ -1041,3 +1041,65 @@ def dq_distribution_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_variation_distance"
         ),
     ).drop("ta", "tb")
+
+
+_JOIN_COVERAGE_ORACLE = """
+SELECT 'lineitem->orders' AS fk_edge,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_matched,
+       CAST(COUNT(o.o_orderkey) AS DOUBLE) / COUNT(*) AS coverage
+FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+UNION ALL
+SELECT 'orders->customer',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(c.c_custkey) AS BIGINT),
+       CAST(COUNT(c.c_custkey) AS DOUBLE) / COUNT(*)
+FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+UNION ALL
+SELECT 'customer->nation',
+       CAST(COUNT(*) AS BIGINT),
+       CAST(COUNT(n.n_nationkey) AS BIGINT),
+       CAST(COUNT(n.n_nationkey) AS DOUBLE) / COUNT(*)
+FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+"""
+
+
+@query("dq_join_coverage", oracle=_JOIN_COVERAGE_ORACLE)
+def dq_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-coverage panel: for each FK edge of the star schema,
+    what fraction of child rows find their parent — the metric that
+    catches a partially-loaded dimension BEFORE every downstream join
+    silently drops facts (inner joins hide this; the left-join count
+    measures it). Three broadcast-dimension left joins, one row each;
+    dq_fk_orphans lists the offenders, this reports the rates."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, parent, ck, pk):
+        j = child.join(
+            F.broadcast(parent.select(pk)),
+            F.col(pk) == F.col(ck),
+            "left",
+        )
+        return j.agg(
+            F.lit(name).alias("fk_edge"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(pk).alias("n_matched"),
+            (F.count(pk).cast("double") / F.count(F.lit(1))).alias(
+                "coverage"
+            ),
+        )
+
+    return (
+        edge("lineitem->orders", li, orders, "l_orderkey", "o_orderkey")
+        .unionByName(
+            edge("orders->customer", orders, customer,
+                 "o_custkey", "c_custkey")
+        )
+        .unionByName(
+            edge("customer->nation", customer, nation,
+                 "c_nationkey", "n_nationkey")
+        )
+    )
