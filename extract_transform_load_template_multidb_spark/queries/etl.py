@@ -445,3 +445,52 @@ def etl_partition_planning(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rows_per_file"
         ),
     )
+
+
+_CDC_AS_OF_ORACLE = """
+WITH ranked AS (
+    SELECT user_id, event_type, event_id, ts, value,
+           row_number() OVER (
+               PARTITION BY user_id, event_type
+               ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+    WHERE ts < TIMESTAMP '2024-01-15'
+)
+SELECT user_id, event_type, event_id AS last_event_id, ts AS last_ts,
+       CASE WHEN isnan(value) OR isinf(value) THEN NULL ELSE value END
+           AS last_value
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("etl_cdc_state_as_of", oracle=_CDC_AS_OF_ORACLE)
+def etl_cdc_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time travel on the change log: the latest state per key AS OF a
+    past instant — reconstruct what the table looked like on Jan 15
+    (audit reruns, feature backfills at training-time correctness). The
+    only change from etl_cdc_latest_state is the cutoff predicate, which
+    pushes into the scan BEFORE the rank window — at 100 TB the
+    time-travel read prunes to partitions older than the cutoff instead
+    of ranking all history."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("ts") < F.lit("2024-01-15").cast("timestamp")
+    )
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    v = F.col("value")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.when(~F.isnan(v) & (F.abs(v) != float("inf")), v).alias(
+                "last_value"
+            ),
+        )
+    )
