@@ -995,3 +995,59 @@ def ts_weekly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("churn_rate"),
         )
     )
+
+
+_DAU_WAU_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+dau AS (
+    SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY day
+),
+contrib AS (
+    SELECT DISTINCT user_id,
+           day + CAST(k AS INTEGER) AS target_day
+    FROM ud, (SELECT unnest(range(0, 7)) AS k)
+),
+wau AS (
+    SELECT target_day AS day, CAST(COUNT(*) AS BIGINT) AS wau
+    FROM contrib GROUP BY target_day
+)
+SELECT d.day, d.dau, w.wau,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM dau d JOIN wau w USING (day)
+"""
+
+
+@query("ts_dau_wau_stickiness", oracle=_DAU_WAU_ORACLE)
+def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness — the standard engagement
+    panel. Rolling COUNT DISTINCT doesn't exist as a window function at
+    scale; the rewrite is contribution explosion: each (user, day)
+    contributes to 7 target days, distinct-count per target day — two
+    distincts and two rollups, all exact integers (only days with any
+    activity report, via the DAU join). Stickiness is the one scalar
+    double."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(6))
+        ).alias("k"),
+        "day",
+    ).select(
+        "user_id", F.date_add(F.col("day"), F.col("k")).alias("day")
+    ).distinct()
+    wau = contrib.groupBy("day").agg(F.count(F.lit(1)).alias("wau"))
+    return dau.join(wau, "day").select(
+        "day",
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau").cast("long").alias("wau"),
+        (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+    )
