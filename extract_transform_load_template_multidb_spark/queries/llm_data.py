@@ -3210,3 +3210,73 @@ def text_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket_new").cast("long").alias("new_types"),
         F.sum("bucket_new").over(w).cast("long").alias("vocab_size"),
     )
+
+
+_MIXTURE_SHIFT_ORACLE = (
+    _CANONICAL_ORACLE.replace(
+        """SELECT d.doc_id, d.source, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)""",
+        """, kept AS (
+    SELECT d.source FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM cc WHERE node <> component)
+),
+before AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_before FROM documents
+    GROUP BY source
+),
+after AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_after FROM kept
+    GROUP BY source
+),
+tb AS (SELECT SUM(n_before) AS t FROM before),
+ta AS (SELECT SUM(n_after) AS t FROM after)
+SELECT b.source, b.n_before, coalesce(a.n_after, 0) AS n_after,
+       round(CAST(coalesce(a.n_after, 0) AS DOUBLE) / ta.t
+             - CAST(b.n_before AS DOUBLE) / tb.t, 6) AS share_shift
+FROM before b
+LEFT JOIN after a ON a.source = b.source
+CROSS JOIN tb CROSS JOIN ta""",
+    )
+)
+
+
+@query("dedup_mixture_shift_audit", oracle=_MIXTURE_SHIFT_ORACLE)
+def dedup_mixture_shift_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dedup bias audit: per-source corpus share BEFORE vs AFTER
+    keep-canonical dedup — near-dup removal hits template-heavy sources
+    hardest, silently re-weighting the training mixture; this query
+    measures the shift per source (quantized to 6 decimals) so mixture
+    weights can be re-balanced post-dedup. Reuses the canonical-keeper
+    path; the audit itself is two tiny rollups and a broadcast join."""
+    doc = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(doc, n=3, threshold=0.2)
+    kept = dd.dedup_keep_canonical(doc, pairs).select("source")
+    before = doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_before")
+    )
+    after = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_after")
+    )
+    tb = before.agg(F.sum("n_before").alias("tb"))
+    ta = after.agg(F.sum("n_after").alias("ta"))
+    return (
+        before.join(F.broadcast(after), "source", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(ta))
+        .select(
+            "source",
+            F.col("n_before").cast("long").alias("n_before"),
+            F.coalesce(F.col("n_after"), F.lit(0))
+            .cast("long")
+            .alias("n_after"),
+            F.round(
+                F.coalesce(F.col("n_after"), F.lit(0)).cast("double")
+                / F.col("ta")
+                - F.col("n_before").cast("double") / F.col("tb"),
+                6,
+            ).alias("share_shift"),
+        )
+    )
