@@ -1779,3 +1779,54 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.exp(F.sum(ln_q).cast("double") / n).alias("geometric_mean"),
         (n / F.sum(inv_q).cast("double")).alias("harmonic_mean"),
     )
+
+
+_TRANSITIONS_ORACLE = """
+WITH seq AS (
+    SELECT o_custkey, o_orderstatus AS s,
+           lead(o_orderstatus) OVER (
+               PARTITION BY o_custkey
+               ORDER BY o_orderdate, o_orderkey) AS s_next
+    FROM orders
+),
+trans AS (
+    SELECT s AS from_status, s_next AS to_status,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE s_next IS NOT NULL
+    GROUP BY s, s_next
+),
+totals AS (
+    SELECT from_status, SUM(n) AS t FROM trans GROUP BY from_status
+)
+SELECT tr.from_status, tr.to_status, tr.n,
+       CAST(tr.n AS DOUBLE) / tt.t AS p_transition
+FROM trans tr JOIN totals tt USING (from_status)
+"""
+
+
+@query("window_status_transitions", oracle=_TRANSITIONS_ORACLE)
+def window_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over order statuses: for each
+    customer's consecutive orders, count (status → next status) and
+    normalize per source state — the sequence model behind
+    next-state prediction and anomaly scoring on lifecycle flows. One
+    per-customer window + two tiny rollups; probabilities are scalar
+    double divisions of exact counts."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        F.col("o_orderstatus").alias("from_status"),
+        F.lead("o_orderstatus").over(w).alias("to_status"),
+    ).where(F.col("to_status").isNotNull())
+    trans = seq.groupBy("from_status", "to_status").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    totals = trans.groupBy("from_status").agg(F.sum("n").alias("t"))
+    return trans.join(F.broadcast(totals), "from_status").select(
+        "from_status",
+        "to_status",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n").cast("double") / F.col("t")).alias("p_transition"),
+    )
