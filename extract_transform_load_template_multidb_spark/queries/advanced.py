@@ -1830,3 +1830,72 @@ def window_status_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         (F.col("n").cast("double") / F.col("t")).alias("p_transition"),
     )
+
+
+_ABC_ORACLE = """
+WITH rev AS (
+    SELECT l_partkey,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS r
+    FROM lineitem GROUP BY l_partkey
+),
+ranked AS (
+    SELECT l_partkey, r,
+           SUM(r) OVER (ORDER BY r DESC, l_partkey
+                        ROWS UNBOUNDED PRECEDING) AS cum_r,
+           SUM(r) OVER () AS total_r
+    FROM rev
+),
+classed AS (
+    SELECT l_partkey,
+           CASE WHEN cum_r <= total_r * 0.80 THEN 'A'
+                WHEN cum_r <= total_r * 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class,
+           r
+    FROM ranked
+)
+SELECT abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       CAST(SUM(r) AS DOUBLE) AS class_revenue
+FROM classed GROUP BY abc_class
+"""
+
+
+@query("window_abc_classification", oracle=_ABC_ORACLE)
+def window_abc_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC inventory classification: parts banded by cumulative revenue
+    share (A ≤ 80%, B ≤ 95%, C rest) — the stock-priority segmentation
+    warehouses run monthly. The running share uses DECIMAL cumulative
+    sums over a deterministic (revenue, key) order; class boundaries
+    compare decimal·constant, and the only doubles are the reported
+    class totals. The window runs over the per-part AGGREGATE (not the
+    fact table) — at 100 TB that's the parts dimension, not lineitem."""
+    from pyspark.sql import Window as W
+
+    li = load_table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("r")
+    )
+    w_cum = (
+        W.orderBy(F.col("r").desc(), F.col("l_partkey"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_all = W.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "r",
+        F.sum("r").over(w_cum).alias("cum_r"),
+        F.sum("r").over(w_all).alias("total_r"),
+    )
+    cls = (
+        F.when(F.col("cum_r") <= F.col("total_r") * 0.80, "A")
+        .when(F.col("cum_r") <= F.col("total_r") * 0.95, "B")
+        .otherwise("C")
+    )
+    return ranked.select(cls.alias("abc_class"), "r").groupBy(
+        "abc_class"
+    ).agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum("r").cast("double").alias("class_revenue"),
+    )
