@@ -1051,3 +1051,46 @@ def ts_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau").cast("long").alias("wau"),
         (F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
     )
+
+
+_NEW_RETURNING_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+firsts AS (
+    SELECT user_id, min(day) AS first_day FROM ud GROUP BY user_id
+)
+SELECT u.day,
+       CAST(COUNT(*) AS BIGINT) AS n_active,
+       CAST(COUNT(*) FILTER (WHERE u.day = f.first_day) AS BIGINT)
+           AS n_new,
+       CAST(COUNT(*) FILTER (WHERE u.day > f.first_day) AS BIGINT)
+           AS n_returning
+FROM ud u JOIN firsts f USING (user_id)
+GROUP BY u.day
+"""
+
+
+@query("ts_new_vs_returning", oracle=_NEW_RETURNING_ORACLE)
+def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users split into NEW (first-ever day) vs RETURNING —
+    the acquisition-vs-retention decomposition on every growth
+    dashboard. First-seen day per user broadcast back onto the distinct
+    (user, day) set; all integer-exact, one small join."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    firsts = ud.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    j = ud.join(F.broadcast(firsts), "user_id")
+    return j.groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.count(F.when(F.col("day") == F.col("first_day"), 1))
+        .cast("long")
+        .alias("n_new"),
+        F.count(F.when(F.col("day") > F.col("first_day"), 1))
+        .cast("long")
+        .alias("n_returning"),
+    )
