@@ -1899,3 +1899,58 @@ def window_abc_classification(
         F.count(F.lit(1)).alias("n_parts"),
         F.sum("r").cast("double").alias("class_revenue"),
     )
+
+
+_COPURCHASE_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+)
+SELECT part_a, part_b, n_orders
+FROM pairs
+WHERE n_orders >= 2
+ORDER BY n_orders DESC, part_a, part_b
+LIMIT 20
+"""
+
+
+@query("join_copurchase_part_pairs", oracle=_COPURCHASE_ORACLE)
+def join_copurchase_part_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Co-purchase mining: part pairs appearing in the same order at
+    least twice, top-20 — the 'frequently bought together' candidate
+    join. The self-join keys on l_orderkey, so fan-out is bounded by
+    lines-per-order squared (TPC-H ~4 lines → ~6 pairs per order), never
+    corpus-quadratic; the top-20 plans as TakeOrderedAndProject with a
+    total-order tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    )
+    return (
+        pairs.where(F.col("n_orders") >= 2)
+        .orderBy(
+            F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
+        )
+        .limit(20)
+    )
