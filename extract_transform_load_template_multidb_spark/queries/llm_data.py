@@ -3280,3 +3280,104 @@ def dedup_mixture_shift_audit(
             ).alias("share_shift"),
         )
     )
+
+
+_JSD_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST.replace("FROM documents", "FROM documents""")
+    + """,
+tok_counts AS (
+    SELECT d.source, u.w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents d
+    JOIN toks_list tl ON tl.doc_id = d.doc_id, unnest(tl.t) AS u(w)
+    WHERE d.source IN ('src0', 'src1')
+    GROUP BY d.source, u.w
+),
+p AS (SELECT w, c FROM tok_counts WHERE source = 'src0'),
+q AS (SELECT w, c FROM tok_counts WHERE source = 'src1'),
+tp AS (SELECT SUM(c) AS t FROM p),
+tq AS (SELECT SUM(c) AS t FROM q),
+joined AS (
+    SELECT coalesce(p.w, q.w) AS w,
+           coalesce(p.c, 0) AS cp, coalesce(q.c, 0) AS cq
+    FROM p FULL OUTER JOIN q ON p.w = q.w
+),
+terms AS (
+    SELECT
+      CASE WHEN cp > 0 THEN cp * CAST(round(ln(
+          (CAST(cp AS DOUBLE) / tp.t)
+          / (0.5 * (CAST(cp AS DOUBLE) / tp.t
+                    + CAST(cq AS DOUBLE) / tq.t))), 6)
+          AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END AS kp,
+      CASE WHEN cq > 0 THEN cq * CAST(round(ln(
+          (CAST(cq AS DOUBLE) / tq.t)
+          / (0.5 * (CAST(cp AS DOUBLE) / tp.t
+                    + CAST(cq AS DOUBLE) / tq.t))), 6)
+          AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END AS kq,
+      tp.t AS tpt, tq.t AS tqt
+    FROM joined, tp, tq
+)
+SELECT CAST(any_value(tpt) AS BIGINT) AS n_tokens_a,
+       CAST(any_value(tqt) AS BIGINT) AS n_tokens_b,
+       0.5 * (CAST(SUM(kp) AS DOUBLE) / any_value(tpt)
+              + CAST(SUM(kq) AS DOUBLE) / any_value(tqt))
+           AS js_divergence_nats
+FROM terms
+"""
+)
+
+
+@query("text_source_js_divergence", oracle=_JSD_ORACLE)
+def text_source_js_divergence(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' unigram
+    distributions — the symmetric, bounded corpus-similarity measure
+    behind mixture design ('is src1 novel relative to src0, or the same
+    thing again?'). KL terms use the quantized-ln × integer-count ×
+    decimal-sum discipline, so the token-order-free aggregation
+    hash-matches; one full outer join on the (tiny) joint vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.where(F.col("source").isin("src0", "src1")).select(
+        "source", F.explode(dd.tokenize(F.col("text"))).alias("w")
+    )
+    counts = toks.groupBy("source", "w").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = counts.where(F.col("source") == "src0").select(
+        "w", F.col("c").alias("cp")
+    )
+    q = counts.where(F.col("source") == "src1").select(
+        "w", F.col("c").alias("cq")
+    )
+    joined = p.join(q, "w", "full_outer").select(
+        F.coalesce(F.col("cp"), F.lit(0)).alias("cp"),
+        F.coalesce(F.col("cq"), F.lit(0)).alias("cq"),
+    )
+    tp = joined.agg(F.sum("cp").alias("tpt"))
+    tq = joined.agg(F.sum("cq").alias("tqt"))
+    jt = joined.crossJoin(F.broadcast(tp)).crossJoin(F.broadcast(tq))
+    pr = F.col("cp").cast("double") / F.col("tpt")
+    qr = F.col("cq").cast("double") / F.col("tqt")
+    m = 0.5 * (pr + qr)
+    kp = F.when(
+        F.col("cp") > 0,
+        F.col("cp")
+        * F.round(F.log(pr / m), 6).cast("decimal(38,6)"),
+    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+    kq = F.when(
+        F.col("cq") > 0,
+        F.col("cq")
+        * F.round(F.log(qr / m), 6).cast("decimal(38,6)"),
+    ).otherwise(F.lit(0).cast("decimal(38,6)"))
+    return jt.agg(
+        F.any_value("tpt").cast("long").alias("n_tokens_a"),
+        F.any_value("tqt").cast("long").alias("n_tokens_b"),
+        (
+            0.5
+            * (
+                F.sum(kp).cast("double") / F.any_value("tpt")
+                + F.sum(kq).cast("double") / F.any_value("tqt")
+            )
+        ).alias("js_divergence_nats"),
+    )
