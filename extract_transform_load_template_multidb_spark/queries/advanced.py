@@ -1954,3 +1954,66 @@ def join_copurchase_part_pairs(
         )
         .limit(20)
     )
+
+
+_RFM_ORACLE = """
+WITH anchor AS (SELECT max(o_orderdate) AS mx FROM orders),
+cust AS (
+    SELECT o_custkey,
+           datediff('day', max(o_orderdate), any_value(a.mx))
+               AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS monetary
+    FROM orders, anchor a
+    GROUP BY o_custkey
+),
+scored AS (
+    SELECT o_custkey,
+           ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r,
+           ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+           ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m
+    FROM cust
+)
+SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS rfm_segment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM scored GROUP BY r * 100 + f * 10 + m
+"""
+
+
+@query("agg_rfm_segments", oracle=_RFM_ORACLE)
+def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quartiled on Recency / Frequency /
+    Monetary (deterministic custkey tiebreaks; monetary stays DECIMAL
+    so its ordering is exact) and bucketed into the classic 111–444
+    segment codes — the CRM workhorse. Quartiling runs over the
+    per-customer AGGREGATE; the segment rollup is a tiny count."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("mx"))
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.any_value("mx"), F.max("o_orderdate")).alias(
+                "recency_days"
+            ),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "monetary"
+            ),
+        )
+    )
+    r = F.ntile(4).over(W.orderBy("recency_days", "o_custkey"))
+    f = F.ntile(4).over(
+        W.orderBy(F.col("frequency").desc(), F.col("o_custkey"))
+    )
+    m = F.ntile(4).over(
+        W.orderBy(F.col("monetary").desc(), F.col("o_custkey"))
+    )
+    scored = cust.select(
+        (r * 100 + f * 10 + m).cast("long").alias("rfm_segment")
+    )
+    return scored.groupBy("rfm_segment").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
