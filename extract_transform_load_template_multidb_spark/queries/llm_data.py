@@ -3381,3 +3381,55 @@ def text_source_js_divergence(
             )
         ).alias("js_divergence_nats"),
     )
+
+
+_THRESH_SENS_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN.replace(">= 0.2", ">= 0.1")
+    + """,
+bucketed AS (
+    SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY CAST(floor(jaccard * 10) AS BIGINT)
+)
+SELECT bucket,
+       CAST(bucket AS DOUBLE) / 10 AS threshold,
+       n_pairs,
+       CAST(SUM(n_pairs) OVER (
+           ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING
+       ) AS BIGINT) AS n_pairs_at_or_above
+FROM bucketed
+"""
+)
+
+
+@query("dedup_threshold_sensitivity", oracle=_THRESH_SENS_ORACLE)
+def dedup_threshold_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Threshold sensitivity of the near-dup pair count: pairs per 0.1
+    Jaccard band and the reverse-cumulative count at-or-above each band
+    — ONE pass at the loosest threshold answers 'how many pairs would
+    every stricter threshold yield', the tuning table that replaces
+    re-running dedup per candidate threshold. floor-bucketing is exact
+    on the rational jaccard values; the cumulative window runs over 10
+    bands."""
+    from pyspark.sql import Window as W
+
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.1
+    )
+    bucketed = pairs.groupBy(
+        F.floor(F.col("jaccard") * 10).cast("long").alias("bucket")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    w = W.orderBy(F.col("bucket").desc()).rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return bucketed.select(
+        "bucket",
+        (F.col("bucket").cast("double") / 10).alias("threshold"),
+        "n_pairs",
+        F.sum("n_pairs").over(w).cast("long").alias(
+            "n_pairs_at_or_above"
+        ),
+    )
