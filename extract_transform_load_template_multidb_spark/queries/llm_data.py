@@ -3433,3 +3433,51 @@ def dedup_threshold_sensitivity(
             "n_pairs_at_or_above"
         ),
     )
+
+
+_NDUP_PER_SOURCE_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+dup_docs AS (
+    SELECT id_a AS doc_id FROM pairs
+    UNION
+    SELECT id_b FROM pairs
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(dd.doc_id) AS BIGINT) AS n_in_near_dup,
+       CAST(COUNT(dd.doc_id) AS DOUBLE) / COUNT(*) AS dup_rate
+FROM documents d
+LEFT JOIN dup_docs dd ON dd.doc_id = d.doc_id
+GROUP BY d.source
+"""
+)
+
+
+@query("dedup_rate_by_source", oracle=_NDUP_PER_SOURCE_ORACLE)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication rate broken down BY SOURCE — the attribution behind
+    the corpus-wide dup_rate headline: which crawl host or data vendor
+    is shipping the duplicates (the number that drives a vendor
+    conversation or a per-source stop-shingle policy). Pair endpoints
+    distinct-unioned, left join onto the doc table, per-source rates."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    dup_docs = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        docs.join(dup_docs, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("is_dup").cast("long").alias("n_in_near_dup"),
+            (
+                F.count("is_dup").cast("double") / F.count(F.lit(1))
+            ).alias("dup_rate"),
+        )
+    )
