@@ -2017,3 +2017,57 @@ def agg_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("rfm_segment").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+_PRICE_DISPERSION_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           min(l_extendedprice / l_quantity) AS min_unit_price,
+           max(l_extendedprice / l_quantity) AS max_unit_price
+    FROM lineitem
+    WHERE l_quantity > 0
+    GROUP BY l_partkey
+)
+SELECT l_partkey, n_suppliers, min_unit_price, max_unit_price,
+       max_unit_price / min_unit_price AS spread_ratio
+FROM per_part
+WHERE n_suppliers >= 3
+ORDER BY max_unit_price / min_unit_price DESC, l_partkey
+LIMIT 20
+"""
+
+
+@query("agg_part_price_dispersion", oracle=_PRICE_DISPERSION_ORACLE)
+def agg_part_price_dispersion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Procurement price dispersion: per part sold by ≥3 suppliers, the
+    unit-price min/max and spread ratio, top-20 widest — the
+    negotiation-target list (a 3× spread on the same part is money on
+    the table). Unit price is a row-local scalar division; min/max/
+    distinct-count in one aggregate; top-20 plans as
+    TakeOrderedAndProject with a key tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_quantity") > 0
+    )
+    unit = F.col("l_extendedprice") / F.col("l_quantity")
+    per_part = li.groupBy("l_partkey").agg(
+        F.count_distinct("l_suppkey").cast("long").alias("n_suppliers"),
+        F.min(unit).alias("min_unit_price"),
+        F.max(unit).alias("max_unit_price"),
+    )
+    return (
+        per_part.where(F.col("n_suppliers") >= 3)
+        .select(
+            "l_partkey",
+            "n_suppliers",
+            "min_unit_price",
+            "max_unit_price",
+            (
+                F.col("max_unit_price") / F.col("min_unit_price")
+            ).alias("spread_ratio"),
+        )
+        .orderBy(F.col("spread_ratio").desc(), F.col("l_partkey"))
+        .limit(20)
+    )
