@@ -1094,3 +1094,56 @@ def ts_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_returning"),
     )
+
+
+_STREAK_ORACLE = """
+WITH ud AS (
+    SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+grouped AS (
+    SELECT user_id, day,
+           day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INTEGER) AS grp
+    FROM ud
+),
+streaks AS (
+    SELECT user_id, grp, CAST(COUNT(*) AS BIGINT) AS streak_len
+    FROM grouped GROUP BY user_id, grp
+)
+SELECT user_id,
+       CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+       CAST(max(streak_len) AS BIGINT) AS longest_streak,
+       CAST(COUNT(*) AS BIGINT) AS n_streaks
+FROM streaks GROUP BY user_id
+"""
+
+
+@query("window_longest_streak", oracle=_STREAK_ORACLE)
+def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the
+    engagement-habit metric (and the canonical gaps-and-islands trick:
+    day minus row_number is constant within a consecutive run, so
+    streaks fall out of one GROUP BY with no self-join). All integer
+    dates and counts; two rollups on one user_id exchange."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grouped = ud.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("grp"),
+    )
+    streaks = grouped.groupBy("user_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return streaks.groupBy("user_id").agg(
+        F.sum("streak_len").cast("long").alias("n_active_days"),
+        F.max("streak_len").cast("long").alias("longest_streak"),
+        F.count(F.lit(1)).alias("n_streaks"),
+    )
