@@ -2071,3 +2071,35 @@ def agg_part_price_dispersion(
         .orderBy(F.col("spread_ratio").desc(), F.col("l_partkey"))
         .limit(20)
     )
+
+
+_TRIG_ORACLE = """
+SELECT event_id,
+       round(sin(radians(value)), 6) AS sin_v,
+       round(cos(radians(value)), 6) AS cos_v,
+       round(atan2(value, 10.0), 6) AS atan2_v,
+       round(degrees(atan(value / 100.0)), 6) AS angle_deg
+FROM events
+WHERE NOT isnan(value) AND isfinite(value)
+"""
+
+
+@query("scalar_trig_functions", oracle=_TRIG_ORACLE)
+def scalar_trig_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric scalar surface (sin/cos/atan2/degrees/radians) —
+    the geo-bearing / phase-feature math. JVM Math and C libm differ in
+    the last ulp for transcendentals, so outputs quantize to 6 decimals
+    (same discipline as ln/pow elsewhere); everything stays in
+    whole-stage codegen."""
+    ev = load_table(spark, sf_dir, "events").where(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    v = F.col("value")
+    return ev.select(
+        "event_id",
+        F.round(F.sin(F.radians(v)), 6).alias("sin_v"),
+        F.round(F.cos(F.radians(v)), 6).alias("cos_v"),
+        F.round(F.atan2(v, F.lit(10.0)), 6).alias("atan2_v"),
+        F.round(F.degrees(F.atan(v / 100.0)), 6).alias("angle_deg"),
+    )
