@@ -2103,3 +2103,31 @@ def scalar_trig_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.atan2(v, F.lit(10.0)), 6).alias("atan2_v"),
         F.round(F.degrees(F.atan(v / 100.0)), 6).alias("angle_deg"),
     )
+
+
+_DENSITY2D_ORACLE = """
+SELECT CAST(floor(l_quantity / 10) AS BIGINT) AS qty_bucket,
+       CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM lineitem
+GROUP BY CAST(floor(l_quantity / 10) AS BIGINT),
+         CAST(floor(l_extendedprice / 10000) AS BIGINT)
+"""
+
+
+@query("agg_density_grid_2d", oracle=_DENSITY2D_ORACLE)
+def agg_density_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D density grid over (quantity, extended price) — the binned
+    heatmap a scatter plot becomes at 100 TB (plotting raw points is a
+    driver collect; binning makes visualization a map-side-combinable
+    aggregate whose output is the PLOT, not the data). floor-bucketing
+    is exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.floor(F.col("l_quantity") / 10)
+        .cast("long")
+        .alias("qty_bucket"),
+        F.floor(F.col("l_extendedprice") / 10000)
+        .cast("long")
+        .alias("price_bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
