@@ -1147,3 +1147,35 @@ def window_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("streak_len").cast("long").alias("longest_streak"),
         F.count(F.lit(1)).alias("n_streaks"),
     )
+
+
+_CALENDAR_HEATMAP_ORACLE = """
+SELECT CAST(isodow(ts) AS BIGINT) AS day_of_week,
+       CAST(hour(ts) AS BIGINT) AS hour_of_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY isodow(ts), hour(ts)
+"""
+
+
+@query("ts_calendar_heatmap", oracle=_CALENDAR_HEATMAP_ORACLE)
+def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap with distinct users —
+    the weekly-rhythm fingerprint (capacity planning reads the peak
+    cell; anomaly detection reads deviations from it). ISO day numbering
+    (Mon=1) matches across engines under the pinned UTC session; one
+    map-side-combinable aggregate plus the distinct count."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek: Sun=1..Sat=7; ISO dow (Mon=1..Sun=7) mirrors
+    # DuckDB isodow.
+    isodow = ((F.dayofweek("ts") + 5) % 7) + 1
+    return ev.groupBy(
+        isodow.cast("long").alias("day_of_week"),
+        F.hour("ts").cast("long").alias("hour_of_day"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").cast("long").alias("n_users"),
+    )
