@@ -1103,3 +1103,72 @@ def dq_join_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
                  "c_nationkey", "n_nationkey")
         )
     )
+
+
+_SAMPLE_BIAS_ORACLE = """
+WITH marked AS (
+    SELECT event_type,
+           CASE WHEN CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+                          1, 8)) AS BIGINT) % 10 = 0
+                THEN 1 ELSE 0 END AS in_sample
+    FROM events
+),
+counts AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_full,
+           CAST(SUM(in_sample) AS BIGINT) AS n_sample
+    FROM marked GROUP BY event_type
+),
+tot AS (SELECT SUM(n_full) AS tf, SUM(n_sample) AS ts FROM counts)
+SELECT CAST(SUM(n_full) AS BIGINT) AS n_full,
+       CAST(SUM(n_sample) AS BIGINT) AS n_sample,
+       0.5 * CAST(SUM(CAST(round(abs(
+             CAST(n_sample AS DOUBLE) / t.ts
+             - CAST(n_full AS DOUBLE) / t.tf), 6)
+           AS DECIMAL(38,6))) AS DOUBLE) AS sample_bias_tvd
+FROM counts, tot t
+GROUP BY t.tf, t.ts
+"""
+
+
+@query("dq_sample_bias_audit", oracle=_SAMPLE_BIAS_ORACLE)
+def dq_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampling-soundness audit: total variation distance between the
+    event-type mix of the deterministic 10% md5-hash sample and the full
+    table — the check that says a hash sample is safe to profile on
+    (a biased sample silently poisons every downstream estimate). Same
+    quantized-TVD machinery as the drift monitor, applied
+    sample-vs-population; one scan computes both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    in_sample = F.when(
+        F.conv(
+            F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        % 10
+        == 0,
+        1,
+    ).otherwise(0)
+    counts = ev.select(
+        "event_type", in_sample.alias("in_sample")
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_full"),
+        F.sum("in_sample").alias("n_sample"),
+    )
+    tot = counts.agg(
+        F.sum("n_full").alias("tf"), F.sum("n_sample").alias("ts")
+    )
+    withtot = counts.crossJoin(F.broadcast(tot))
+    term = F.round(
+        F.abs(
+            F.col("n_sample").cast("double") / F.col("ts")
+            - F.col("n_full").cast("double") / F.col("tf")
+        ),
+        6,
+    ).cast("decimal(38,6)")
+    return withtot.groupBy("tf", "ts").agg(
+        F.sum("n_full").cast("long").alias("n_full"),
+        F.sum("n_sample").cast("long").alias("n_sample"),
+        (0.5 * F.sum(term).cast("double")).alias("sample_bias_tvd"),
+    ).drop("tf", "ts")
