@@ -494,3 +494,58 @@ def etl_cdc_state_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_MERGE_PREVIEW_ORACLE = """
+WITH target AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+),
+batch AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+classified AS (
+    SELECT CASE
+             WHEN t.o_orderkey IS NULL THEN 'insert'
+             WHEN b.o_totalprice = t.o_totalprice THEN 'unchanged'
+             ELSE 'update'
+           END AS action
+    FROM batch b LEFT JOIN target t USING (o_orderkey)
+)
+SELECT action, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM classified GROUP BY action
+"""
+
+
+@query("etl_merge_outcome_preview", oracle=_MERGE_PREVIEW_ORACLE)
+def etl_merge_outcome_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dry-run MERGE: classify an incoming batch against the target as
+    insert / update / unchanged BEFORE writing — the sanity gate that
+    catches a mis-keyed batch (everything 'insert') or a no-op replay
+    (everything 'unchanged') while the write is still abortable.
+    Deterministic synthetic split: target = even keys, batch = keys
+    divisible by 3 with every 4th price doubled; classification is one
+    left join + CASE, the same plan MERGE itself would run."""
+    o = load_table(spark, sf_dir, "orders")
+    target = o.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", F.col("o_totalprice").alias("t_price")
+    )
+    batch = o.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 4 == 0, F.col("o_totalprice") * 2
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("b_price"),
+    )
+    classified = batch.join(target, "o_orderkey", "left").select(
+        F.when(F.col("t_price").isNull(), "insert")
+        .when(F.col("b_price") == F.col("t_price"), "unchanged")
+        .otherwise("update")
+        .alias("action")
+    )
+    return classified.groupBy("action").agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
