@@ -3481,3 +3481,90 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+_ASSORT_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+deg AS (
+    SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+    FROM edges GROUP BY src
+),
+ed AS (
+    SELECT da.d AS dx, db.d AS dy
+    FROM edges e
+    JOIN deg da ON da.node = e.src
+    JOIN deg db ON db.node = e.dst
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(dx AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(dy AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(dx * dy AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(dx * dx AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(dy * dy AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM ed
+)
+SELECT CAST(n AS BIGINT) AS n_directed_edges,
+       round((sxy - sx * sy / n)
+         / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+           AS assortativity
+FROM s
+"""
+)
+
+
+@query("graph_degree_assortativity", oracle=_ASSORT_ORACLE)
+def graph_degree_assortativity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Degree assortativity of the near-dup graph: Pearson correlation of
+    endpoint degrees over the symmetrized edge list — positive means
+    hubs connect to hubs (a template-farm core that will merge into one
+    giant dedup component), negative means hub-and-spoke duplication.
+    Reads the graph's FUTURE under transitive closure before paying for
+    it. Integer degrees through decimal cross moments, 6-decimal final."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("src"), F.col("id_a").alias("dst")
+        )
+    )
+    deg = edges.groupBy("src").agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    da = deg.select(F.col("src").alias("s_node"), F.col("d").alias("dx"))
+    db = deg.select(F.col("src").alias("d_node"), F.col("d").alias("dy"))
+    ed = (
+        edges.join(da, F.col("src") == F.col("s_node"))
+        .join(db, F.col("dst") == F.col("d_node"))
+        .select("dx", "dy")
+    )
+    x, y = F.col("dx"), F.col("dy")
+    s = ed.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x.cast("decimal(38,6)")).cast("double").alias("sx"),
+        F.sum(y.cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((x * y).cast("decimal(38,6)")).cast("double").alias("sxy"),
+        F.sum((x * x).cast("decimal(38,6)")).cast("double").alias("sxx"),
+        F.sum((y * y).cast("decimal(38,6)")).cast("double").alias("syy"),
+    )
+    n = F.col("n")
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    return s.select(
+        n.cast("long").alias("n_directed_edges"),
+        F.round(corr, 6).alias("assortativity"),
+    )
