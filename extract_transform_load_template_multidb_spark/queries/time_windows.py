@@ -1179,3 +1179,71 @@ def ts_calendar_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.count_distinct("user_id").cast("long").alias("n_users"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH clean AS (
+    SELECT user_id, ts, event_id,
+           CAST((CASE WHEN isnan(value) OR isinf(value) THEN 0
+                      ELSE value END) AS DECIMAL(38,6)) AS v
+    FROM events
+),
+cums AS (
+    SELECT user_id, ts, event_id,
+           SUM(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS cum
+    FROM clean
+),
+runn AS (
+    SELECT user_id, cum,
+           max(cum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS peak
+    FROM cums
+)
+SELECT user_id,
+       CAST(max(peak - cum) AS DOUBLE) AS max_drawdown,
+       CAST(max(peak) AS DOUBLE) AS peak_value
+FROM runn GROUP BY user_id
+"""
+
+
+@query("ts_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each user's cumulative value series: the
+    largest peak-to-trough drop of the running sum — the risk metric
+    every equity-curve readout leads with, computed as a running max
+    OVER a running sum (two stacked windows on one (ts, event_id) order,
+    one exchange). Every accumulation is DECIMAL, so the nested windows
+    stay bit-exact; only the reported extrema cast to double."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = F.when(~F.isnan(v) & (F.abs(v) != float("inf")), v).otherwise(
+        F.lit(0)
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = F.sum(clean.cast("decimal(38,6)")).over(w)
+    staged = ev.select(
+        "user_id", "ts", "event_id", cum.alias("cum")
+    ).select(
+        "user_id",
+        "cum",
+        F.max("cum")
+        .over(
+            W.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(W.unboundedPreceding, W.currentRow)
+        )
+        .alias("peak"),
+    )
+    return staged.groupBy("user_id").agg(
+        F.max(F.col("peak") - F.col("cum"))
+        .cast("double")
+        .alias("max_drawdown"),
+        F.max("peak").cast("double").alias("peak_value"),
+    )
