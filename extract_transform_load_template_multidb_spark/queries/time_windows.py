@@ -1247,3 +1247,67 @@ def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("max_drawdown"),
         F.max("peak").cast("double").alias("peak_value"),
     )
+
+
+_BURSTINESS_ORACLE = """
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - epoch_us(lag(ts) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id)) AS g
+    FROM events
+),
+s AS (
+    SELECT user_id,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(g AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(CAST(g AS DOUBLE) * g AS DECIMAL(38,6)))
+                AS DOUBLE) AS s2
+    FROM gaps WHERE g IS NOT NULL
+    GROUP BY user_id
+    HAVING COUNT(*) >= 10
+)
+SELECT user_id,
+       CAST(n AS BIGINT) AS n_gaps,
+       round((sqrt(s2 / n - (s1 / n) * (s1 / n)) - s1 / n)
+             / (sqrt(s2 / n - (s1 / n) * (s1 / n)) + s1 / n), 6)
+           AS burstiness
+FROM s
+"""
+
+
+@query("ts_burstiness_index", oracle=_BURSTINESS_ORACLE)
+def ts_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh-Barabási burstiness of each user's inter-event times:
+    B = (σ−μ)/(σ+μ) over the gap distribution — −1 is a metronome, 0 is
+    Poisson, →1 is bursty (bots and humans separate cleanly on this
+    axis). Integer microsecond gaps through decimal power sums; the
+    closed form is scalar double quantized to 6. Users need ≥10 gaps for
+    the estimate to mean anything."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros("ts")
+    gaps = ev.select(
+        "user_id", (t - F.lag(t).over(w)).alias("g")
+    ).where(F.col("g").isNotNull())
+    g = F.col("g")
+    s = (
+        gaps.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(g.cast("decimal(38,6)")).cast("double").alias("s1"),
+            F.sum((g.cast("double") * g).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("s2"),
+        )
+        .where(F.col("n") >= 10)
+    )
+    n, s1, s2 = F.col("n"), F.col("s1"), F.col("s2")
+    mean = s1 / n
+    sd = F.sqrt(s2 / n - mean * mean)
+    return s.select(
+        "user_id",
+        n.cast("long").alias("n_gaps"),
+        F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
+    )
