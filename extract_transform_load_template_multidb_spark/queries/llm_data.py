@@ -3568,3 +3568,111 @@ def graph_degree_assortativity(
         n.cast("long").alias("n_directed_edges"),
         F.round(corr, 6).alias("assortativity"),
     )
+
+
+_KEEP_POLICY_ORACLE = (
+    _CLUSTERS_ORACLE.replace(
+        """SELECT node, min(label) AS component
+FROM reach GROUP BY node""",
+        """, comp2 AS (
+    SELECT node, min(label) AS component FROM reach GROUP BY node
+),
+t AS (SELECT SUM(n_chars) AS total_chars, COUNT(*) AS total_docs
+      FROM documents),
+canonical AS (
+    SELECT d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (
+        SELECT node FROM comp2 WHERE node <> component)
+),
+ranked AS (
+    SELECT d.doc_id, d.n_chars, c.component,
+           row_number() OVER (
+               PARTITION BY c.component
+               ORDER BY d.n_chars DESC, d.doc_id) AS rn
+    FROM documents d JOIN comp2 c ON c.node = d.doc_id
+),
+longest AS (
+    SELECT n_chars FROM ranked WHERE rn = 1
+    UNION ALL
+    SELECT d.n_chars FROM documents d
+    WHERE d.doc_id NOT IN (SELECT node FROM comp2)
+)
+SELECT 'keep_canonical' AS policy,
+       CAST((SELECT COUNT(*) FROM canonical) AS BIGINT) AS n_kept,
+       CAST((SELECT SUM(n_chars) FROM canonical) AS BIGINT)
+           AS chars_kept,
+       CAST((SELECT SUM(n_chars) FROM canonical) AS DOUBLE)
+         / (SELECT total_chars FROM t) AS char_retention
+UNION ALL
+SELECT 'keep_longest',
+       CAST((SELECT COUNT(*) FROM longest) AS BIGINT),
+       CAST((SELECT SUM(n_chars) FROM longest) AS BIGINT),
+       CAST((SELECT SUM(n_chars) FROM longest) AS DOUBLE)
+         / (SELECT total_chars FROM t)""",
+    )
+)
+
+
+@query("dedup_keep_policy_comparison", oracle=_KEEP_POLICY_ORACLE)
+def dedup_keep_policy_comparison(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Keep-policy bake-off: min-id canonical vs keep-longest, compared
+    on documents kept and CHARACTER retention — the decision table for
+    'which keeper' (keep-longest always retains at least as many chars
+    per cluster; the delta is what min-id throws away). Both policies
+    share one pair generation and one connected-components run."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    comp = dd.connected_components(pairs).cache()
+    total = docs.agg(
+        F.sum("n_chars").alias("total_chars")
+    )
+
+    def summarize(kept: DataFrame, policy: str) -> DataFrame:
+        return (
+            kept.agg(
+                F.count(F.lit(1)).alias("n_kept"),
+                F.sum("n_chars").cast("long").alias("chars_kept"),
+            )
+            .crossJoin(F.broadcast(total))
+            .select(
+                F.lit(policy).alias("policy"),
+                "n_kept",
+                "chars_kept",
+                (
+                    F.col("chars_kept").cast("double")
+                    / F.col("total_chars")
+                ).alias("char_retention"),
+            )
+        )
+
+    losers_min = comp.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    canonical = docs.join(losers_min, "doc_id", "left_anti")
+
+    from pyspark.sql import Window as W
+
+    in_cluster = docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id"
+    )
+    rn = F.row_number().over(
+        W.partitionBy("component").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+    )
+    longest_keepers = in_cluster.withColumn("rn", rn).where(
+        F.col("rn") == 1
+    )
+    outside = docs.join(
+        comp.select(F.col("node").alias("doc_id")), "doc_id", "left_anti"
+    )
+    longest = longest_keepers.select("n_chars").unionByName(
+        outside.select("n_chars")
+    )
+    out = summarize(canonical.select("n_chars"), "keep_canonical").unionByName(
+        summarize(longest, "keep_longest")
+    )
+    comp.unpersist()
+    return out
