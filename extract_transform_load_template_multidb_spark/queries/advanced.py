@@ -2131,3 +2131,61 @@ def agg_density_grid_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("price_bucket"),
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+_LORENZ_ORACLE = """
+WITH rev AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+    FROM orders GROUP BY o_custkey
+),
+deciled AS (
+    SELECT r, ntile(10) OVER (ORDER BY r, o_custkey) AS decile
+    FROM rev
+),
+per_decile AS (
+    SELECT decile, SUM(r) AS dr, CAST(COUNT(*) AS BIGINT) AS n_cust
+    FROM deciled GROUP BY decile
+),
+tot AS (SELECT SUM(dr) AS t FROM per_decile)
+SELECT CAST(decile AS BIGINT) AS decile, n_cust,
+       CAST(dr AS DOUBLE) AS decile_revenue,
+       CAST(SUM(dr) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING)
+            AS DOUBLE) / CAST(t.t AS DOUBLE) AS cum_revenue_share
+FROM per_decile, tot t
+"""
+
+
+@query("agg_lorenz_curve", oracle=_LORENZ_ORACLE)
+def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of customer revenue: cumulative revenue share at
+    each population decile (poorest first) — the curve whose area gap IS
+    the Gini, giving the shape behind curation_source_gini's single
+    number. Deciles by ntile with deterministic tiebreaks; revenue stays
+    DECIMAL through both the decile sums and the cumulative window, so
+    only the reported shares are doubles."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
+    )
+    deciled = rev.select(
+        "r",
+        F.ntile(10).over(W.orderBy("r", "o_custkey")).alias("decile"),
+    )
+    per_decile = deciled.groupBy("decile").agg(
+        F.sum("r").alias("dr"), F.count(F.lit(1)).alias("n_cust")
+    )
+    tot = per_decile.agg(F.sum("dr").alias("t"))
+    w = W.orderBy("decile").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    return per_decile.crossJoin(F.broadcast(tot)).select(
+        F.col("decile").cast("long").alias("decile"),
+        "n_cust",
+        F.col("dr").cast("double").alias("decile_revenue"),
+        (
+            F.sum("dr").over(w).cast("double")
+            / F.col("t").cast("double")
+        ).alias("cum_revenue_share"),
+    )
