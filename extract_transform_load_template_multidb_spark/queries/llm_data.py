@@ -3676,3 +3676,40 @@ def dedup_keep_policy_comparison(
     )
     comp.unpersist()
     return out
+
+
+_TTR_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+       CASE WHEN len(t) > 0
+            THEN round(CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+       END AS type_token_ratio
+FROM toks_list
+"""
+)
+
+
+@query("text_type_token_ratio", oracle=_TTR_ORACLE)
+def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexical diversity per document: distinct types over total tokens —
+    the repetitiveness signal that catches keyword-stuffed and
+    template-generated text (TTR near 0) without any corpus statistics.
+    Pure array expressions (size + array_distinct) — a zero-exchange
+    narrow map like the lang-ID path; ratio quantized to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokenize(F.col("text"))
+    n_tok = F.size(toks)
+    n_typ = F.size(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        n_typ.cast("long").alias("n_types"),
+        F.when(
+            n_tok > 0,
+            F.round(n_typ.cast("double") / n_tok, 6),
+        ).alias("type_token_ratio"),
+    )
