@@ -1172,3 +1172,54 @@ def dq_sample_bias_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_sample").cast("long").alias("n_sample"),
         (0.5 * F.sum(term).cast("double")).alias("sample_bias_tvd"),
     ).drop("tf", "ts")
+
+
+_CARDINALITY_ORACLE = """
+WITH s AS (
+    SELECT o_orderstatus AS v FROM orders
+),
+sc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM s GROUP BY v),
+p AS (
+    SELECT o_orderpriority AS v FROM orders
+),
+pc AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM p GROUP BY v)
+SELECT 'o_orderstatus' AS col_name,
+       CAST((SELECT COUNT(*) FROM sc) AS BIGINT) AS n_distinct,
+       (SELECT v FROM sc ORDER BY c DESC, v LIMIT 1) AS top_value,
+       (SELECT c FROM sc ORDER BY c DESC, v LIMIT 1) AS top_count
+UNION ALL
+SELECT 'o_orderpriority',
+       CAST((SELECT COUNT(*) FROM pc) AS BIGINT),
+       (SELECT v FROM pc ORDER BY c DESC, v LIMIT 1),
+       (SELECT c FROM pc ORDER BY c DESC, v LIMIT 1)
+"""
+
+
+@query("dq_column_cardinality_profile", oracle=_CARDINALITY_ORACLE)
+def dq_column_cardinality_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Column cardinality profile: distinct count plus the modal value
+    and its frequency per categorical column — the catalog metadata that
+    drives encoding choices (dictionary vs plain), broadcast-join
+    eligibility, and skew warnings. Ties on the mode break to the
+    smallest value so the profile is deterministic; one aggregation per
+    column, unioned into a catalog-shaped table."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def profile(col: str) -> DataFrame:
+        counts = o.groupBy(F.col(col).alias("v")).agg(
+            F.count(F.lit(1)).alias("c")
+        )
+        top = counts.orderBy(F.col("c").desc(), F.col("v")).limit(1)
+        nd = counts.agg(F.count(F.lit(1)).alias("n_distinct"))
+        return nd.crossJoin(top).select(
+            F.lit(col).alias("col_name"),
+            "n_distinct",
+            F.col("v").alias("top_value"),
+            F.col("c").alias("top_count"),
+        )
+
+    return profile("o_orderstatus").unionByName(
+        profile("o_orderpriority")
+    )
