@@ -2189,3 +2189,81 @@ def agg_lorenz_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("t").cast("double")
         ).alias("cum_revenue_share"),
     )
+
+
+_TOPK_SHARE_ORACLE = """
+WITH tr AS (
+    SELECT n_name,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY n_name
+),
+ranked AS (
+    SELECT n_name, rev,
+           row_number() OVER (ORDER BY rev DESC, n_name) AS rnk
+    FROM tr
+),
+tot AS (SELECT SUM(rev) AS t FROM tr)
+SELECT CASE WHEN rnk <= 5 THEN n_name ELSE 'OTHER' END AS nation_group,
+       CAST(COUNT(*) AS BIGINT) AS n_nations,
+       CAST(SUM(rev) AS DOUBLE) AS revenue,
+       CAST(SUM(rev) AS DOUBLE) / CAST(any_value(t.t) AS DOUBLE)
+           AS revenue_share
+FROM ranked, tot t
+GROUP BY CASE WHEN rnk <= 5 THEN n_name ELSE 'OTHER' END
+"""
+
+
+@query("agg_topn_with_other_rollup", oracle=_TOPK_SHARE_ORACLE)
+def agg_topn_with_other_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-N with OTHER rollup: the five highest-revenue nations named,
+    everything else collapsed into one OTHER row with its share — the
+    presentation aggregate every dashboard needs (a raw top-N silently
+    drops the tail; OTHER keeps totals honest). Rank over the per-nation
+    aggregate, conditional regroup, decimal-exact revenue."""
+    from pyspark.sql import Window as W
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    tr = (
+        orders.join(
+            F.broadcast(customer.select("c_custkey", "c_nationkey")),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            F.col("n_nationkey") == F.col("c_nationkey"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias(
+                "rev"
+            )
+        )
+    )
+    ranked = tr.select(
+        "n_name",
+        "rev",
+        F.row_number()
+        .over(W.orderBy(F.col("rev").desc(), F.col("n_name")))
+        .alias("rnk"),
+    )
+    tot = tr.agg(F.sum("rev").alias("t"))
+    grp = F.when(F.col("rnk") <= 5, F.col("n_name")).otherwise("OTHER")
+    return (
+        ranked.crossJoin(F.broadcast(tot))
+        .groupBy(grp.alias("nation_group"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.sum("rev").cast("double").alias("revenue"),
+            (
+                F.sum("rev").cast("double")
+                / F.any_value("t").cast("double")
+            ).alias("revenue_share"),
+        )
+    )
