@@ -549,3 +549,52 @@ def etl_merge_outcome_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classified.groupBy("action").agg(
         F.count(F.lit(1)).alias("n_rows")
     )
+
+
+_DEBOUNCE_ORACLE = """
+WITH flagged AS (
+    SELECT event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     > 5 * 1000000
+                THEN 1 ELSE 0 END AS keep_first
+    FROM events
+    WINDOW w AS (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(keep_first) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) - SUM(keep_first) AS BIGINT) AS n_debounced
+FROM flagged GROUP BY event_type
+"""
+
+
+@query("etl_event_debounce", oracle=_DEBOUNCE_ORACLE)
+def etl_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry debounce: within each (user, type) stream, keep only
+    the first event of any burst (gap > 5 s starts a new burst) — the
+    double-click / retry-storm suppression every event pipeline applies
+    before counting anything. One lag window per key; the audit reports
+    kept vs suppressed per type (the keep-side filter is the same flag).
+    """
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    keep = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            > 5 * 1_000_000
+        ),
+        1,
+    ).otherwise(0)
+    flagged = ev.select("event_type", keep.alias("keep_first"))
+    return flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("keep_first").cast("long").alias("n_kept"),
+        (F.count(F.lit(1)) - F.sum("keep_first"))
+        .cast("long")
+        .alias("n_debounced"),
+    )
