@@ -3713,3 +3713,44 @@ def text_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(n_typ.cast("double") / n_tok, 6),
         ).alias("type_token_ratio"),
     )
+
+
+_TAIL_MASS_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+tf AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM (SELECT unnest(t) AS w FROM toks_list) GROUP BY w
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_types,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       CAST(COUNT(*) FILTER (WHERE c <= 2) AS BIGINT) AS n_rare_types,
+       CAST(coalesce(SUM(c) FILTER (WHERE c <= 2), 0) AS DOUBLE)
+         / SUM(c) AS rare_token_mass
+FROM tf
+"""
+)
+
+
+@query("text_rare_type_mass", oracle=_TAIL_MASS_ORACLE)
+def text_rare_type_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy-tail mass of the token distribution: how many types occur
+    ≤2 times and what fraction of ALL tokens they carry — the number
+    that sizes a tokenizer's vocabulary and predicts OOV pressure
+    (high rare-mass = open vocabulary, hashing or BPE mandatory). One
+    token-frequency aggregation, one summary row."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(
+        F.explode(dd.tokenize(F.col("text"))).alias("w")
+    ).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    rare = F.when(F.col("c") <= 2, F.col("c"))
+    return tf.agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(rare).cast("long").alias("n_rare_types"),
+        (
+            F.coalesce(F.sum(rare), F.lit(0)).cast("double")
+            / F.sum("c")
+        ).alias("rare_token_mass"),
+    )
