@@ -2267,3 +2267,64 @@ def agg_topn_with_other_rollup(
             ).alias("revenue_share"),
         )
     )
+
+
+_DECILE_MIGRATION_ORACLE = """
+WITH ra AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+    FROM orders WHERE o_orderdate < TIMESTAMP '1998-06-01'
+    GROUP BY o_custkey
+),
+rb AS (
+    SELECT o_custkey, SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS r
+    FROM orders WHERE o_orderdate >= TIMESTAMP '1998-06-01'
+    GROUP BY o_custkey
+),
+da AS (
+    SELECT o_custkey,
+           ntile(5) OVER (ORDER BY r, o_custkey) AS q_before
+    FROM ra
+),
+db AS (
+    SELECT o_custkey,
+           ntile(5) OVER (ORDER BY r, o_custkey) AS q_after
+    FROM rb
+)
+SELECT CAST(q_before AS BIGINT) AS q_before,
+       CAST(q_after AS BIGINT) AS q_after,
+       CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM da JOIN db USING (o_custkey)
+GROUP BY q_before, q_after
+"""
+
+
+@query("window_decile_migration", oracle=_DECILE_MIGRATION_ORACLE)
+def window_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-quintile migration matrix: each customer's revenue quintile
+    before vs after a period split — the up/down-grade flow behind churn
+    and CLV narratives (the diagonal is stability; the lower triangle is
+    declining accounts worth a call). Quintiles per period with
+    deterministic tiebreaks on DECIMAL revenue; the matrix is one join +
+    count over the per-customer aggregates."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+
+    def quintiles(df: DataFrame, alias: str) -> DataFrame:
+        rev = df.groupBy("o_custkey").agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("r")
+        )
+        return rev.select(
+            "o_custkey",
+            F.ntile(5)
+            .over(W.orderBy("r", "o_custkey"))
+            .cast("long")
+            .alias(alias),
+        )
+
+    da = quintiles(o.where(F.col("o_orderdate") < cutoff), "q_before")
+    db = quintiles(o.where(F.col("o_orderdate") >= cutoff), "q_after")
+    return da.join(db, "o_custkey").groupBy(
+        "q_before", "q_after"
+    ).agg(F.count(F.lit(1)).alias("n_customers"))
