@@ -2328,3 +2328,40 @@ def window_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return da.join(db, "o_custkey").groupBy(
         "q_before", "q_after"
     ).agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+_CONDITIONAL_ORACLE = """
+SELECT o_orderkey,
+       least(o_totalprice, 100000.0) AS capped_price,
+       greatest(o_totalprice, 50000.0) AS floored_price,
+       nullif(o_orderstatus, 'O') AS status_unless_open,
+       coalesce(nullif(o_orderpriority, '1-URGENT'), 'TOP') AS prio_class,
+       CASE WHEN o_totalprice BETWEEN 50000 AND 100000
+            THEN 'mid' ELSE 'edge' END AS price_band
+FROM orders
+"""
+
+
+@query("scalar_conditional_funcs", oracle=_CONDITIONAL_ORACLE)
+def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional scalar surface: least/greatest clamping, nullif
+    sentinel-to-NULL, coalesce fallback chains, BETWEEN banding — the
+    defensive-SQL idioms of every cleaning layer, all whole-stage
+    codegen."""
+    o = load_table(spark, sf_dir, "orders")
+    tp = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        F.least(tp, F.lit(100000.0)).alias("capped_price"),
+        F.greatest(tp, F.lit(50000.0)).alias("floored_price"),
+        F.nullif(F.col("o_orderstatus"), F.lit("O")).alias(
+            "status_unless_open"
+        ),
+        F.coalesce(
+            F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")),
+            F.lit("TOP"),
+        ).alias("prio_class"),
+        F.when(tp.between(50000, 100000), "mid")
+        .otherwise("edge")
+        .alias("price_band"),
+    )
