@@ -3754,3 +3754,70 @@ def text_rare_type_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("c")
         ).alias("rare_token_mass"),
     )
+
+
+_CHAR_NGRAM_LANG_ORACLE = (
+    """
+WITH chars AS (
+    SELECT doc_id, lang,
+           substr(lower(text), k, 2) AS bg
+    FROM documents,
+         unnest(range(1, length(text))) AS u(k)
+    WHERE length(text) >= 2
+),
+clean AS (
+    SELECT doc_id, lang, bg FROM chars
+    WHERE bg NOT LIKE '% %'
+),
+profile AS (
+    SELECT lang, bg, CAST(COUNT(*) AS BIGINT) AS c
+    FROM clean GROUP BY lang, bg
+),
+top_bg AS (
+    SELECT lang, bg, c,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY c DESC, bg) AS rnk
+    FROM profile
+)
+SELECT lang, bg AS bigram, c AS cnt, CAST(rnk AS BIGINT) AS rnk
+FROM top_bg WHERE rnk <= 5
+"""
+    )
+
+
+@query("text_char_bigram_profile", oracle=_CHAR_NGRAM_LANG_ORACLE)
+def text_char_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language character-bigram profile (top-5 bigrams per
+    ground-truth language) — the classic n-gram fingerprint a trainable
+    language identifier learns from (textcat/CLD lineage; the stopword
+    lexicon in text_lang_id is the word-level shortcut, this is the
+    character-level model's feature table). Space-crossing bigrams are
+    excluded; top-5 per language is a WindowGroupLimit."""
+    docs = load_table(spark, sf_dir, "documents").where(
+        F.length("text") >= 2
+    )
+    from pyspark.sql import Window as W
+
+    bg = docs.select(
+        "lang",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(text) - 1),"
+                " k -> substring(lower(text), k, 2))"
+            )
+        ).alias("bg"),
+    ).where(~F.col("bg").contains(" "))
+    profile = bg.groupBy("lang", "bg").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("bg"))
+    return (
+        profile.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "lang",
+            F.col("bg").alias("bigram"),
+            F.col("c").alias("cnt"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
