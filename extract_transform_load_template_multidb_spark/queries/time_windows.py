@@ -1311,3 +1311,93 @@ def ts_burstiness_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_gaps"),
         F.round((sd - mean) / (sd + mean), 6).alias("burstiness"),
     )
+
+
+_CONCURRENCY_ORACLE = """
+WITH flagged AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 1800 * 1000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+    SELECT user_id,
+           SUM(new_session) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING) AS seq,
+           ts
+    FROM flagged
+),
+bounds AS (
+    SELECT user_id, seq,
+           min(ts) AS s_start,
+           max(ts) + INTERVAL 30 MINUTE AS s_end
+    FROM sessions GROUP BY user_id, seq
+),
+deltas AS (
+    SELECT s_start AS t, 1 AS d FROM bounds
+    UNION ALL
+    SELECT s_end, -1 FROM bounds
+),
+swept AS (
+    SELECT t,
+           SUM(d) OVER (ORDER BY t, d
+                        ROWS UNBOUNDED PRECEDING) AS active
+    FROM deltas
+)
+SELECT CAST(max(active) AS BIGINT) AS peak_concurrency,
+       CAST((SELECT COUNT(*) FROM bounds) AS BIGINT) AS n_sessions
+FROM swept
+"""
+
+
+@query("ts_peak_concurrency", oracle=_CONCURRENCY_ORACLE)
+def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions: sweep-line over session intervals —
+    +1 at each session start, −1 at its (last-event + 30 min) close,
+    maximum of the running sum — the capacity number a serving fleet is
+    sized against. Sessionization reuses the gaps-and-islands ids;
+    closes sort BEFORE opens at the same instant (d ascending) so a
+    back-to-back session never double-counts. All integers."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            >= gap_us
+        ),
+        1,
+    ).otherwise(0)
+    sessions = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("seq"),
+    )
+    bounds = sessions.groupBy("user_id", "seq").agg(
+        F.min("ts").alias("s_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("s_end"),
+    )
+    deltas = bounds.select(
+        F.col("s_start").alias("t"), F.lit(1).alias("d")
+    ).unionByName(
+        bounds.select(F.col("s_end").alias("t"), F.lit(-1).alias("d"))
+    )
+    w_sweep = W.orderBy("t", "d").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    swept = deltas.select(F.sum("d").over(w_sweep).alias("active"))
+    n_sessions = bounds.agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    return swept.agg(
+        F.max("active").cast("long").alias("peak_concurrency")
+    ).crossJoin(F.broadcast(n_sessions))
