@@ -1223,3 +1223,57 @@ def dq_column_cardinality_profile(
     return profile("o_orderstatus").unionByName(
         profile("o_orderpriority")
     )
+
+
+_NORM_COLLISION_ORACLE = """
+WITH raw AS (
+    SELECT CASE WHEN c_custkey % 2 = 1
+                THEN upper(c_name) ELSE c_name END AS name_raw
+    FROM customer
+),
+norm AS (
+    SELECT name_raw, lower(trim(name_raw)) AS name_norm FROM raw
+),
+groups AS (
+    SELECT name_norm,
+           CAST(COUNT(DISTINCT name_raw) AS BIGINT) AS n_variants
+    FROM norm GROUP BY name_norm
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_normalized_keys,
+       CAST(COUNT(*) FILTER (WHERE n_variants > 1) AS BIGINT)
+           AS n_colliding_keys,
+       CAST(coalesce(SUM(n_variants) FILTER (WHERE n_variants > 1), 0)
+            AS BIGINT) AS n_variant_spellings
+FROM groups
+"""
+
+
+@query("dq_normalized_key_collisions", oracle=_NORM_COLLISION_ORACLE)
+def dq_normalized_key_collisions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Master-data normalization audit: keys that are distinct as raw
+    strings but collide after lower/trim normalization — the
+    'A-1 vs a-1' duplicate-entity smell that breaks joins and inflates
+    distinct counts (every odd custkey's name is deterministically
+    upper-cased to seed the collisions; a real run drops that stage).
+    One normalization map + one distinct-variant rollup."""
+    c = load_table(spark, sf_dir, "customer")
+    raw = F.when(
+        F.col("c_custkey") % 2 == 1, F.upper(F.col("c_name"))
+    ).otherwise(F.col("c_name"))
+    norm = c.select(
+        raw.alias("name_raw"),
+        F.lower(F.trim(raw)).alias("name_norm"),
+    )
+    groups = norm.groupBy("name_norm").agg(
+        F.count_distinct("name_raw").cast("long").alias("n_variants")
+    )
+    multi = F.when(F.col("n_variants") > 1, F.col("n_variants"))
+    return groups.agg(
+        F.count(F.lit(1)).alias("n_normalized_keys"),
+        F.count(multi).cast("long").alias("n_colliding_keys"),
+        F.coalesce(F.sum(multi), F.lit(0))
+        .cast("long")
+        .alias("n_variant_spellings"),
+    )
