@@ -2365,3 +2365,40 @@ def scalar_conditional_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("edge")
         .alias("price_band"),
     )
+
+
+_EXPOSURE_ORACLE = """
+SELECT c_mktsegment,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(COUNT(*) FILTER (WHERE c_acctbal < 0) AS BIGINT)
+           AS n_negative,
+       CAST(SUM(CAST(CASE WHEN c_acctbal < 0 THEN c_acctbal
+                          ELSE 0 END AS DECIMAL(38,6))) AS DOUBLE)
+           AS negative_exposure,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE)
+           AS net_balance
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
+@query("agg_negative_exposure", oracle=_EXPOSURE_ORACLE)
+def agg_negative_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Credit exposure per market segment: how many customers carry a
+    negative balance and the summed magnitude of that exposure next to
+    the segment's net position — the receivables-risk slice finance asks
+    for first. Conditional decimal sums keep both totals exact; one
+    map-side-combinable aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    neg = F.when(bal < 0, bal).otherwise(F.lit(0))
+    return c.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.count(F.when(bal < 0, 1)).cast("long").alias("n_negative"),
+        F.sum(neg.cast("decimal(38,6)"))
+        .cast("double")
+        .alias("negative_exposure"),
+        F.sum(bal.cast("decimal(38,6)"))
+        .cast("double")
+        .alias("net_balance"),
+    )
