@@ -3821,3 +3821,43 @@ def text_char_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+_COMPRESSION_PROXY_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+       CASE WHEN length(text) > 0 THEN
+           round(CAST(length(array_to_string(list_distinct(t), ' '))
+                 AS DOUBLE) / length(text), 6)
+       END AS unique_char_ratio
+FROM toks_list JOIN documents USING (doc_id)
+"""
+)
+
+
+@query("text_compression_proxy", oracle=_COMPRESSION_PROXY_ORACLE)
+def text_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressibility proxy per document: the length of the distinct
+    vocabulary re-joined, over the raw length — a gzip-free stand-in for
+    compression ratio (highly repetitive text scores near 0; a real
+    pipeline swaps in a codec UDF, the plumbing and the filter threshold
+    stay identical). Pure array/string expressions, zero exchanges."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokenize(F.col("text"))
+    uniq = F.concat_ws(" ", F.array_distinct(toks))
+    n_chars = F.length("text")
+    return docs.select(
+        "doc_id",
+        n_chars.cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_types"),
+        F.when(
+            n_chars > 0,
+            F.round(F.length(uniq).cast("double") / n_chars, 6),
+        ).alias("unique_char_ratio"),
+    )
