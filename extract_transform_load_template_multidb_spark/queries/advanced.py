@@ -2402,3 +2402,59 @@ def agg_negative_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("net_balance"),
     )
+
+
+_BASKET_SIZE_TREND_ORACLE = """
+WITH per_order AS (
+    SELECT l_orderkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           SUM(CAST(l_quantity AS DECIMAL(38,6))) AS total_qty
+    FROM lineitem GROUP BY l_orderkey
+),
+dated AS (
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month,
+           p.n_lines, p.total_qty
+    FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
+)
+SELECT month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(n_lines) AS DOUBLE) / COUNT(*) AS avg_lines,
+       CAST(SUM(total_qty) AS DOUBLE) / COUNT(*) AS avg_qty
+FROM dated GROUP BY month
+"""
+
+
+@query("agg_basket_size_trend", oracle=_BASKET_SIZE_TREND_ORACLE)
+def agg_basket_size_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Basket-size trend: average lines and quantity per order by month —
+    the order-composition drift a merchandiser watches (shrinking
+    baskets with steady order counts is a different problem from
+    shrinking orders). Per-order rollup first, then the date join and
+    monthly means; decimal sums, scalar divisions."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(F.col("l_quantity").cast("decimal(38,6)")).alias(
+            "total_qty"
+        ),
+    )
+    dated = per_order.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        F.date_trunc("month", F.col("o_orderdate"))
+        .cast("date")
+        .alias("month"),
+        "n_lines",
+        "total_qty",
+    )
+    return dated.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        (
+            F.sum("n_lines").cast("double") / F.count(F.lit(1))
+        ).alias("avg_lines"),
+        (
+            F.sum("total_qty").cast("double") / F.count(F.lit(1))
+        ).alias("avg_qty"),
+    )
