@@ -3861,3 +3861,52 @@ def text_compression_proxy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.length(uniq).cast("double") / n_chars, 6),
         ).alias("unique_char_ratio"),
     )
+
+
+_SELFSIM_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+halves AS (
+    SELECT doc_id,
+           list_distinct(t[1 : len(t) // 2]) AS h1,
+           list_distinct(t[len(t) // 2 + 1 :]) AS h2
+    FROM toks_list WHERE len(t) >= 8
+)
+SELECT doc_id,
+       CAST(len(h1) AS BIGINT) AS n_types_first,
+       CAST(len(h2) AS BIGINT) AS n_types_second,
+       round(CAST(len(list_intersect(h1, h2)) AS DOUBLE)
+             / len(list_distinct(list_concat(h1, h2))), 6)
+           AS half_jaccard
+FROM halves
+"""
+)
+
+
+@query("text_internal_self_similarity", oracle=_SELFSIM_ORACLE)
+def text_internal_self_similarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Internal self-similarity: Jaccard between the vocabularies of each
+    document's first and second halves — near 1 means the document
+    repeats itself (looping template, scraper echo), near 0 means it
+    moves on; a within-document complement to cross-document near-dup.
+    Pure array expressions, zero exchanges; ratio quantized to 6."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokenize(F.col("text"))
+    staged = docs.select("doc_id", toks.alias("t")).where(
+        F.size("t") >= 8
+    )
+    n = F.size("t")
+    mid = (n / 2).cast("int")
+    h1 = F.array_distinct(F.slice("t", 1, mid))
+    h2 = F.array_distinct(F.slice("t", mid + 1, n - mid))
+    inter = F.size(F.array_intersect(h1, h2))
+    union = F.size(F.array_distinct(F.concat(h1, h2)))
+    return staged.select(
+        "doc_id",
+        F.size(h1).cast("long").alias("n_types_first"),
+        F.size(h2).cast("long").alias("n_types_second"),
+        F.round(inter.cast("double") / union, 6).alias("half_jaccard"),
+    )
