@@ -1401,3 +1401,56 @@ def ts_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     return swept.agg(
         F.max("active").cast("long").alias("peak_concurrency")
     ).crossJoin(F.broadcast(n_sessions))
+
+
+_RATE_LIMIT_ORACLE = """
+WITH counted AS (
+    SELECT user_id, ts, event_id,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts)
+               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW
+           ) AS events_in_window
+    FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(max(events_in_window) AS BIGINT) AS peak_per_hour,
+       CAST(COUNT(*) FILTER (WHERE events_in_window > 2) AS BIGINT)
+           AS n_over_limit
+FROM counted
+GROUP BY user_id
+HAVING COUNT(*) FILTER (WHERE events_in_window > 2) > 0
+"""
+
+
+@query("ts_rate_limit_audit", oracle=_RATE_LIMIT_ORACLE)
+def ts_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-limit audit: per user, the peak events-per-trailing-minute
+    and how many events exceeded a 2-per-hour policy — the abuse/throttling
+    readout, computed with a time-RANGE window (value-based frame over
+    epoch micros, so ties share one frame and no tiebreak is needed).
+    Only offending users report."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, W.currentRow)
+    )
+    counted = ev.select(
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("events_in_window"),
+    )
+    over = F.when(F.col("events_in_window") > 2, 1)
+    return (
+        counted.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max("events_in_window")
+            .cast("long")
+            .alias("peak_per_hour"),
+            F.count(over).cast("long").alias("n_over_limit"),
+        )
+        .where(F.col("n_over_limit") > 0)
+    )
