@@ -2458,3 +2458,64 @@ def agg_basket_size_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("total_qty").cast("double") / F.count(F.lit(1))
         ).alias("avg_qty"),
     )
+
+
+_HHI_ORACLE = """
+WITH srev AS (
+    SELECT s.s_nationkey, l.l_suppkey,
+           SUM(CAST(l.l_extendedprice AS DECIMAL(38,6))) AS r
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    GROUP BY s.s_nationkey, l.l_suppkey
+),
+tot AS (
+    SELECT s_nationkey, SUM(r) AS t,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM srev GROUP BY s_nationkey
+)
+SELECT sr.s_nationkey AS nationkey,
+       any_value(t2.n_suppliers) AS n_suppliers,
+       CAST(SUM(CAST(round(
+           (CAST(sr.r AS DOUBLE) / t2.t)
+           * (CAST(sr.r AS DOUBLE) / t2.t) * 10000, 6)
+       AS DECIMAL(38,6))) AS DOUBLE) AS hhi
+FROM srev sr JOIN tot t2 USING (s_nationkey)
+GROUP BY sr.s_nationkey
+"""
+
+
+@query("agg_supplier_hhi", oracle=_HHI_ORACLE)
+def agg_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation (×10 000, the regulator's scale: <1 500 competitive, >2 500
+    concentrated) — the supply-chain fragility score. Share-squared
+    terms quantize to 6 decimals then decimal-sum (order independent);
+    per-supplier revenue stays DECIMAL to the division."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    srev = (
+        li.join(
+            F.broadcast(sup.select("s_suppkey", "s_nationkey")),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+        )
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(38,6)")
+            ).alias("r")
+        )
+    )
+    tot = srev.groupBy("s_nationkey").agg(
+        F.sum("r").alias("t"),
+        F.count(F.lit(1)).alias("n_suppliers"),
+    )
+    share = F.col("r").cast("double") / F.col("t")
+    term = F.round(share * share * 10000, 6).cast("decimal(38,6)")
+    return (
+        srev.join(F.broadcast(tot), "s_nationkey")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(
+            F.any_value("n_suppliers").alias("n_suppliers"),
+            F.sum(term).cast("double").alias("hhi"),
+        )
+    )
