@@ -598,3 +598,63 @@ def etl_event_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_debounced"),
     )
+
+
+_LATE_ARRIVAL_ORACLE = """
+WITH arrivals AS (
+    SELECT event_id, ts,
+           -- synthetic processing time: every 11th event arrives one
+           -- day late, every 23rd three days late
+           ts + CASE WHEN event_id % 23 = 0 THEN INTERVAL 3 DAY
+                     WHEN event_id % 11 = 0 THEN INTERVAL 1 DAY
+                     ELSE INTERVAL 0 DAY END AS processed_at
+    FROM events
+),
+lagged AS (
+    SELECT CAST(date_trunc('day', processed_at) AS DATE) AS process_day,
+           CAST(epoch_us(processed_at) - epoch_us(ts) AS BIGINT)
+               AS lateness_us
+    FROM arrivals
+)
+SELECT process_day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(*) FILTER (WHERE lateness_us > 0) AS BIGINT)
+           AS n_late,
+       CAST(max(lateness_us) AS BIGINT) AS max_lateness_us
+FROM lagged GROUP BY process_day
+"""
+
+
+@query("etl_late_arrival_profile", oracle=_LATE_ARRIVAL_ORACLE)
+def etl_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival profile: per processing day, how many events carried
+    an event time older than their arrival (and by how much) — the
+    measurement that SIZES a streaming watermark (set it below the
+    observed lateness tail and you drop data; above it and state lingers).
+    Synthetic deterministic lateness (every 11th event +1 day, every
+    23rd +3 days — the oracle applies the identical skew); the profile
+    is one scalar map + one rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    delay = (
+        F.when(F.col("event_id") % 23 == 0, F.expr("INTERVAL 3 DAY"))
+        .when(F.col("event_id") % 11 == 0, F.expr("INTERVAL 1 DAY"))
+        .otherwise(F.expr("INTERVAL 0 DAY"))
+    )
+    arrivals = ev.select(
+        "ts", (F.col("ts") + delay).alias("processed_at")
+    )
+    lagged = arrivals.select(
+        F.date_trunc("day", F.col("processed_at"))
+        .cast("date")
+        .alias("process_day"),
+        (
+            F.unix_micros("processed_at") - F.unix_micros("ts")
+        ).alias("lateness_us"),
+    )
+    return lagged.groupBy("process_day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count(F.when(F.col("lateness_us") > 0, 1))
+        .cast("long")
+        .alias("n_late"),
+        F.max("lateness_us").cast("long").alias("max_lateness_us"),
+    )
