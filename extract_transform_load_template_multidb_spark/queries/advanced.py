@@ -2519,3 +2519,55 @@ def agg_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(term).cast("double").alias("hhi"),
         )
     )
+
+
+_SURVIVAL_ORACLE = """
+WITH spans AS (
+    SELECT user_id,
+           datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE)))
+               AS lifetime_days
+    FROM events GROUP BY user_id
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spans)
+SELECT CAST(k AS BIGINT) AS day_k,
+       CAST((SELECT COUNT(*) FROM spans
+             WHERE lifetime_days >= k) AS BIGINT) AS n_surviving,
+       CAST((SELECT COUNT(*) FROM spans WHERE lifetime_days >= k)
+            AS DOUBLE) / t.n AS survival_rate
+FROM (SELECT unnest(range(0, 31, 5)) AS k), tot t
+"""
+
+
+@query("agg_survival_curve", oracle=_SURVIVAL_ORACLE)
+def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survival curve of user lifetimes: the fraction of users whose
+    observed activity span reaches day k, sampled at k = 0,5,…,30 —
+    the Kaplan-Meier-style retention readout product teams plot (here
+    without censoring, since the window is closed). Lifetimes from one
+    per-user aggregate; each curve point is a conditional count against
+    the broadcast total."""
+    ev = load_table(spark, sf_dir, "events")
+    spans = ev.groupBy("user_id").agg(
+        F.datediff(
+            F.max(F.col("ts").cast("date")),
+            F.min(F.col("ts").cast("date")),
+        ).alias("lifetime_days")
+    )
+    ks = spans.sparkSession.range(0, 31, 5).select(
+        F.col("id").alias("day_k")
+    )
+    tot = spans.agg(F.count(F.lit(1)).alias("n"))
+    joined = ks.crossJoin(spans).groupBy("day_k").agg(
+        F.count(
+            F.when(F.col("lifetime_days") >= F.col("day_k"), 1)
+        )
+        .cast("long")
+        .alias("n_surviving")
+    )
+    return joined.crossJoin(F.broadcast(tot)).select(
+        "day_k",
+        "n_surviving",
+        (
+            F.col("n_surviving").cast("double") / F.col("n")
+        ).alias("survival_rate"),
+    )
