@@ -2571,3 +2571,47 @@ def agg_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_surviving").cast("double") / F.col("n")
         ).alias("survival_rate"),
     )
+
+
+_SEASONAL_INDEX_ORACLE = """
+WITH monthly AS (
+    SELECT CAST(month(o_orderdate) AS BIGINT) AS month_num,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY month(o_orderdate)
+),
+base AS (
+    SELECT CAST(SUM(rev) AS DOUBLE) / 12 AS mean_month_rev FROM monthly
+)
+SELECT month_num, n_orders,
+       CAST(rev AS DOUBLE) AS revenue,
+       round(CAST(rev AS DOUBLE) / b.mean_month_rev, 6)
+           AS seasonal_index
+FROM monthly, base b
+"""
+
+
+@query("agg_seasonal_index", oracle=_SEASONAL_INDEX_ORACLE)
+def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly seasonal indices: each calendar month's revenue against
+    the mean month (index 1.0 = average; the multiplier a demand
+    forecast deseasonalizes with). Calendar-month rollup across all
+    years, decimal revenue, 6-decimal quantized index."""
+    o = load_table(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.month("o_orderdate").cast("long").alias("month_num")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    base = monthly.agg(
+        (F.sum("rev").cast("double") / 12).alias("mean_month_rev")
+    )
+    return monthly.crossJoin(F.broadcast(base)).select(
+        "month_num",
+        "n_orders",
+        F.col("rev").cast("double").alias("revenue"),
+        F.round(
+            F.col("rev").cast("double") / F.col("mean_month_rev"), 6
+        ).alias("seasonal_index"),
+    )
