@@ -3910,3 +3910,72 @@ def text_internal_self_similarity(
         F.size(h2).cast("long").alias("n_types_second"),
         F.round(inter.cast("double") / union, 6).alias("half_jaccard"),
     )
+
+
+_EMBED_NORM_AUDIT_ORACLE = """
+WITH elems AS (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                AS BIGINT) AS v
+    FROM embeddings
+),
+norms AS (
+    SELECT vec_id, CAST(SUM(v * v) AS BIGINT) AS nsq,
+           CAST(COUNT(*) AS BIGINT) AS dim,
+           CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero
+    FROM elems GROUP BY vec_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(min(dim) AS BIGINT) AS min_dim,
+       CAST(max(dim) AS BIGINT) AS max_dim,
+       CAST(COUNT(*) FILTER (WHERE nsq = 0) AS BIGINT) AS n_zero_vectors,
+       CAST(COUNT(*) FILTER (WHERE n_zero * 2 > dim) AS BIGINT)
+           AS n_mostly_zero,
+       round(CAST(SUM(CAST(round(sqrt(CAST(nsq AS DOUBLE)) / 1000, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*), 6)
+           AS mean_l2_norm
+FROM norms
+"""
+
+
+@query("sim_embedding_health_audit", oracle=_EMBED_NORM_AUDIT_ORACLE)
+def sim_embedding_health_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Embedding-table health audit: vector count, dimension consistency,
+    zero/mostly-zero vectors, mean L2 norm — the pre-flight every ANN
+    index build runs (a batch of zero vectors means the encoder crashed
+    upstream; inconsistent dims poison the index silently). Quantized
+    int64 norms via the engine's standard embedding quantization;
+    per-vector norms quantize to 6 before the decimal mean."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = sim.quantize(F.col("embedding"))
+    norms = emb.select(
+        sim.norm_sq(q).alias("nsq"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.size(F.filter(q, lambda x: x == 0)).cast("long").alias(
+            "n_zero"
+        ),
+    )
+    l2 = F.round(
+        F.sqrt(F.col("nsq").cast("double")) / 1000, 6
+    ).cast("decimal(38,6)")
+    return norms.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.count(F.when(F.col("nsq") == 0, 1))
+        .cast("long")
+        .alias("n_zero_vectors"),
+        F.count(F.when(F.col("n_zero") * 2 > F.col("dim"), 1))
+        .cast("long")
+        .alias("n_mostly_zero"),
+        F.round(
+            F.sum(l2).cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_l2_norm"),
+    )
