@@ -3979,3 +3979,90 @@ def sim_embedding_health_audit(
             F.sum(l2).cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_l2_norm"),
     )
+
+
+_DIVERSITY_ORACLE = """
+WITH elems AS (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000)
+                AS BIGINT) AS v,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(v * v) AS nsq FROM elems GROUP BY vec_id),
+sampled_pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM (SELECT DISTINCT vec_id FROM elems) a
+    JOIN (SELECT DISTINCT vec_id FROM elems) b
+      ON b.vec_id = a.vec_id + 7 AND a.vec_id % 5 = 0
+),
+dots AS (
+    SELECT p.id_a, p.id_b, SUM(ea.v * eb.v) AS dot
+    FROM sampled_pairs p
+    JOIN elems ea ON ea.vec_id = p.id_a
+    JOIN elems eb ON eb.vec_id = p.id_b AND eb.d = ea.d
+    GROUP BY p.id_a, p.id_b
+),
+cos AS (
+    SELECT round(CAST(dot AS DOUBLE)
+           / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))),
+           6) AS c
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mean_pairwise_cosine,
+       min(c) AS min_cosine,
+       max(c) AS max_cosine
+FROM cos
+"""
+
+
+@query("sim_corpus_diversity", oracle=_DIVERSITY_ORACLE)
+def sim_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus diversity: mean pairwise cosine over a
+    deterministic pair sample (every 5th vector vs its +7 neighbor) —
+    high mean cosine flags mode collapse / duplicated content in the
+    embedding space before any index is built. Quantized int64 dots,
+    6-decimal cosines, decimal mean — the engine's standard exactness
+    stack on a bounded O(n/5) pair set."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select(
+        "vec_id",
+        sim.quantize(F.col("embedding")).alias("qv"),
+    ).withColumn("nsq", sim.dot_long(F.col("qv"), F.col("qv")))
+    a = qv.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("id_a"),
+        F.col("qv").alias("qa"),
+        F.col("nsq").alias("na"),
+    )
+    b = qv.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("qv").alias("qb"),
+        F.col("nsq").alias("nb"),
+    )
+    pairs = a.join(b, F.col("id_b") == F.col("id_a") + 7)
+    c = F.round(
+        sim.cosine(
+            sim.dot_long(F.col("qa"), F.col("qb")),
+            F.col("na"),
+            F.col("nb"),
+        ),
+        6,
+    )
+    cos = pairs.select(c.alias("c"))
+    return cos.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum(F.col("c").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_pairwise_cosine"),
+        F.min("c").alias("min_cosine"),
+        F.max("c").alias("max_cosine"),
+    )
