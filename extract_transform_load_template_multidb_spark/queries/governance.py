@@ -1277,3 +1277,54 @@ def dq_normalized_key_collisions(
         .cast("long")
         .alias("n_variant_spellings"),
     )
+
+
+_SNAPSHOT_ROWDRIFT_ORACLE = """
+WITH a AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY CAST(o_orderdate AS DATE)
+),
+b AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT coalesce(a.day, b.day) AS day,
+       coalesce(a.n, 0) AS n_yesterday,
+       coalesce(b.n, 0) AS n_today,
+       coalesce(b.n, 0) - coalesce(a.n, 0) AS delta
+FROM a FULL OUTER JOIN b ON a.day = b.day
+WHERE coalesce(b.n, 0) - coalesce(a.n, 0) <> 0
+"""
+
+
+@query("dq_partition_rowcount_drift", oracle=_SNAPSHOT_ROWDRIFT_ORACLE)
+def dq_partition_rowcount_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Partition row-count drift between two snapshot loads: per-day
+    counts from yesterday's load (simulated by dropping every 7th key)
+    vs today's, reporting only changed partitions — the cheap diff that
+    catches a partial reload or backfill touching history it shouldn't
+    (full content diff is dq_table_diff; this is the row-count early
+    warning at 1/1000th the cost). Full outer join of two tiny rollups.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date").alias("day")
+    a = o.where(F.col("o_orderkey") % 7 != 0).groupBy(day).agg(
+        F.count(F.lit(1)).alias("n_a")
+    )
+    b = o.groupBy(day).agg(F.count(F.lit(1)).alias("n_b"))
+    j = a.join(b, "day", "full_outer").select(
+        "day",
+        F.coalesce(F.col("n_a"), F.lit(0)).alias("n_yesterday"),
+        F.coalesce(F.col("n_b"), F.lit(0)).alias("n_today"),
+        (
+            F.coalesce(F.col("n_b"), F.lit(0))
+            - F.coalesce(F.col("n_a"), F.lit(0))
+        ).alias("delta"),
+    )
+    return j.where(F.col("delta") != 0)
