@@ -2615,3 +2615,54 @@ def agg_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev").cast("double") / F.col("mean_month_rev"), 6
         ).alias("seasonal_index"),
     )
+
+
+_PRIORITY_SLA_ORACLE = """
+WITH lines AS (
+    SELECT o.o_orderpriority,
+           datediff('day', o.o_orderdate, l.l_shipdate) AS days_to_ship
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_lines,
+       quantile_cont(CAST(days_to_ship AS DOUBLE), 0.5) AS p50_days,
+       quantile_cont(CAST(days_to_ship AS DOUBLE), 0.95) AS p95_days,
+       CAST(COUNT(*) FILTER (WHERE days_to_ship > 90) AS BIGINT)
+           AS n_over_90d,
+       CAST(COUNT(*) FILTER (WHERE days_to_ship > 90) AS DOUBLE)
+         / COUNT(*) AS sla_breach_rate
+FROM lines GROUP BY o_orderpriority
+"""
+
+
+@query("agg_priority_sla_compliance", oracle=_PRIORITY_SLA_ORACLE)
+def agg_priority_sla_compliance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """SLA compliance by order priority: ship-latency percentiles and
+    the 90-day breach rate per priority class — the fulfilment
+    scorecard (if URGENT ships no faster than LOW, the priority field
+    is theater, and this table proves it). Day latencies from one join;
+    exact interpolated percentiles per class."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    lines = li.join(
+        o.select("o_orderkey", "o_orderpriority", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(
+        "o_orderpriority",
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias(
+            "days_to_ship"
+        ),
+    )
+    d = F.col("days_to_ship").cast("double")
+    late = F.when(F.col("days_to_ship") > 90, 1)
+    return lines.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.percentile(d, 0.5).alias("p50_days"),
+        F.percentile(d, 0.95).alias("p95_days"),
+        F.count(late).cast("long").alias("n_over_90d"),
+        (F.count(late).cast("double") / F.count(F.lit(1))).alias(
+            "sla_breach_rate"
+        ),
+    )
