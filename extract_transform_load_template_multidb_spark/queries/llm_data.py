@@ -4066,3 +4066,71 @@ def sim_corpus_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").alias("min_cosine"),
         F.max("c").alias("max_cosine"),
     )
+
+
+_ANCHOR_TEXT_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+positions AS (
+    SELECT doc_id, t[1] AS first_tok, t[len(t)] AS last_tok
+    FROM toks_list WHERE len(t) >= 1
+),
+firsts AS (
+    SELECT first_tok AS tok, CAST(COUNT(*) AS BIGINT) AS c,
+           'first' AS position
+    FROM positions GROUP BY first_tok
+),
+lasts AS (
+    SELECT last_tok, CAST(COUNT(*) AS BIGINT) AS c, 'last'
+    FROM positions GROUP BY last_tok
+),
+unioned AS (SELECT * FROM firsts UNION ALL SELECT * FROM lasts),
+ranked AS (
+    SELECT position, tok, c,
+           row_number() OVER (PARTITION BY position
+                              ORDER BY c DESC, tok) AS rnk
+    FROM unioned
+)
+SELECT position, tok, c AS cnt, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 5
+"""
+)
+
+
+@query("text_boundary_token_profile", oracle=_ANCHOR_TEXT_ORACLE)
+def text_boundary_token_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Document-boundary token profile: the top-5 first tokens and top-5
+    last tokens across the corpus — over-represented boundary tokens are
+    the boilerplate header/footer fingerprint (cookie banners,
+    signatures) that a cleaning pass strips before dedup. Pure array
+    element access, one rollup per boundary, WindowGroupLimit top-k."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokenize(F.col("text"))
+    positions = docs.select(toks.alias("t")).where(F.size("t") >= 1)
+    firsts = positions.select(
+        F.element_at("t", 1).alias("tok"), F.lit("first").alias("position")
+    )
+    lasts = positions.select(
+        F.element_at("t", -1).alias("tok"), F.lit("last").alias("position")
+    )
+    counted = firsts.unionByName(lasts).groupBy(
+        "position", "tok"
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.partitionBy("position").orderBy(
+        F.col("c").desc(), F.col("tok")
+    )
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 5)
+        .select(
+            "position",
+            "tok",
+            F.col("c").alias("cnt"),
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
