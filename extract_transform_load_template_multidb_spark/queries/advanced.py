@@ -2666,3 +2666,47 @@ def agg_priority_sla_compliance(
             "sla_breach_rate"
         ),
     )
+
+
+_RETURN_RATE_ORACLE = """
+WITH per_supp AS (
+    SELECT l_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (WHERE l_returnflag = 'R') AS BIGINT)
+               AS n_returned
+    FROM lineitem GROUP BY l_suppkey
+)
+SELECT l_suppkey,
+       n_lines, n_returned,
+       CAST(n_returned AS DOUBLE) / n_lines AS return_rate
+FROM per_supp
+WHERE n_lines >= 30
+ORDER BY CAST(n_returned AS DOUBLE) / n_lines DESC, l_suppkey
+LIMIT 15
+"""
+
+
+@query("agg_supplier_return_rates", oracle=_RETURN_RATE_ORACLE)
+def agg_supplier_return_rates(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Supplier quality control: the 15 highest return rates among
+    suppliers with ≥30 shipped lines — the vendor-scorecard cut that a
+    raw return count would mis-rank (high volume ≠ high rate) and a
+    no-minimum rate would fill with 1-of-1 noise. One aggregate +
+    TakeOrderedAndProject with a key tiebreak."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_supp = li.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count(F.when(F.col("l_returnflag") == "R", 1))
+        .cast("long")
+        .alias("n_returned"),
+    )
+    rate = F.col("n_returned").cast("double") / F.col("n_lines")
+    return (
+        per_supp.where(F.col("n_lines") >= 30)
+        .select("l_suppkey", "n_lines", "n_returned",
+                rate.alias("return_rate"))
+        .orderBy(F.col("return_rate").desc(), F.col("l_suppkey"))
+        .limit(15)
+    )
