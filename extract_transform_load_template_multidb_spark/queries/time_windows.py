@@ -1454,3 +1454,58 @@ def ts_rate_limit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("n_over_limit") > 0)
     )
+
+
+_ANOM_DAYS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+stats AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+           CAST(SUM(CAST(n AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(CAST(n AS DOUBLE) * n AS DECIMAL(38,6)))
+                AS DOUBLE) AS s2
+    FROM daily
+)
+SELECT d.day, d.n,
+       round((d.n - s.s1 / s.k)
+             / sqrt((s.s2 - s.s1 * s.s1 / s.k) / (s.k - 1)), 6)
+           AS volume_zscore
+FROM daily d, stats s
+WHERE abs((d.n - s.s1 / s.k)
+          / sqrt((s.s2 - s.s1 * s.s1 / s.k) / (s.k - 1))) > 1.5
+"""
+
+
+@query("ts_anomalous_days", oracle=_ANOM_DAYS_ORACLE)
+def ts_anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomalous-volume days: daily event counts more than 1.5σ from the
+    period mean — the incident-review shortlist at day granularity
+    (ts_rolling_zscore does this per event against a trailing baseline;
+    this is the global daily cut an SRE scans first). Decimal power sums
+    over integer counts; the z-score is scalar, quantized to 6."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    n = F.col("n")
+    stats = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(n.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((n.cast("double") * n).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    j = daily.crossJoin(F.broadcast(stats))
+    mean = F.col("s1") / F.col("k")
+    sd = F.sqrt(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("k"))
+        / (F.col("k") - 1)
+    )
+    z = (F.col("n") - mean) / sd
+    return j.where(F.abs(z) > 1.5).select(
+        "day", "n", F.round(z, 6).alias("volume_zscore")
+    )
