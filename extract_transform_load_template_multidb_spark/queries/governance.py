@@ -1328,3 +1328,54 @@ def dq_partition_rowcount_drift(
         ).alias("delta"),
     )
     return j.where(F.col("delta") != 0)
+
+
+_COMPLETENESS_SCORE_ORACLE = """
+WITH per_row AS (
+    SELECT (CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN o_orderstatus IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN o_totalprice IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN o_orderdate IS NOT NULL THEN 1 ELSE 0 END
+          + CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END)
+              AS n_filled
+    FROM orders
+)
+SELECT CAST(n_filled AS BIGINT) AS fields_filled,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(n_filled AS DOUBLE) / 5 AS completeness_score
+FROM per_row GROUP BY n_filled
+"""
+
+
+@query("dq_row_completeness_histogram", oracle=_COMPLETENESS_SCORE_ORACLE)
+def dq_row_completeness_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Row-completeness histogram: how many of the five payload fields
+    each row fills, bucketed — the record-level view column null-rates
+    hide (1% nulls in each of five columns is harmless if scattered,
+    catastrophic if the same rows miss everything). One scalar sum of
+    indicator CASEs, one rollup."""
+    o = load_table(spark, sf_dir, "orders")
+    cols = [
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ]
+    n_filled = sum(
+        F.when(F.col(c).isNotNull(), 1).otherwise(0) for c in cols
+    )
+    return (
+        o.select(n_filled.alias("n_filled"))
+        .groupBy(F.col("n_filled").cast("long").alias("fields_filled"))
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            "fields_filled",
+            "n_rows",
+            (F.col("fields_filled").cast("double") / 5).alias(
+                "completeness_score"
+            ),
+        )
+    )
