@@ -4134,3 +4134,31 @@ def text_boundary_token_profile(
             F.col("rnk").cast("long").alias("rnk"),
         )
     )
+
+
+_DOC_LANG_MISMATCH_ORACLE = (
+    "SELECT d.doc_id, d.source, d.lang AS lang_true, p.lang_pred "
+    "FROM documents d JOIN (" + _LANG_ID_ORACLE + ") p USING (doc_id) "
+    "WHERE p.lang_pred <> 'und' AND p.lang_pred <> d.lang"
+)
+
+
+@query("text_lang_mismatch_docs", oracle=_DOC_LANG_MISMATCH_ORACLE)
+def text_lang_mismatch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-label disagreement worklist: documents where the
+    stopword language-ID CONFIDENTLY (non-'und') contradicts the stored
+    label — each row is either a mislabeled document or a code-switched
+    one, and both matter to a monolingual training mix. The row-level
+    drill-down behind text_lang_id_confusion's matrix."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.lang_id_scores(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select(
+            "doc_id", "source", F.col("lang").alias("lang_true")
+        )
+        .join(pred, "doc_id")
+        .where(
+            (F.col("lang_pred") != "und")
+            & (F.col("lang_pred") != F.col("lang_true"))
+        )
+    )
