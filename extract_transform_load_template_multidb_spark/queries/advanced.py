@@ -2710,3 +2710,56 @@ def agg_supplier_return_rates(
         .orderBy(F.col("return_rate").desc(), F.col("l_suppkey"))
         .limit(15)
     )
+
+
+_COHORT_REV_ORACLE = """
+WITH firsts AS (
+    SELECT o_custkey,
+           CAST(date_trunc('year', min(o_orderdate)) AS DATE)
+               AS cohort_year
+    FROM orders GROUP BY o_custkey
+),
+rev AS (
+    SELECT f.cohort_year,
+           CAST(date_trunc('year', o.o_orderdate) AS DATE) AS order_year,
+           SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS r,
+           CAST(COUNT(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+    FROM orders o JOIN firsts f USING (o_custkey)
+    GROUP BY f.cohort_year, CAST(date_trunc('year', o.o_orderdate) AS DATE)
+)
+SELECT cohort_year, order_year, n_active,
+       CAST(r AS DOUBLE) AS revenue
+FROM rev
+"""
+
+
+@query("agg_cohort_revenue_matrix", oracle=_COHORT_REV_ORACLE)
+def agg_cohort_revenue_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cohort REVENUE matrix: customers grouped by first-order year,
+    revenue and active count tracked per subsequent year — the
+    money-weighted companion to the user-count retention matrix (a
+    cohort can retain users while its spend collapses; this shows
+    which). First-order year broadcast back; decimal revenue."""
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.date_trunc("year", F.min("o_orderdate"))
+        .cast("date")
+        .alias("cohort_year")
+    )
+    return (
+        o.join(F.broadcast(firsts), "o_custkey")
+        .groupBy(
+            "cohort_year",
+            F.date_trunc("year", F.col("o_orderdate"))
+            .cast("date")
+            .alias("order_year"),
+        )
+        .agg(
+            F.count_distinct("o_custkey").cast("long").alias("n_active"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
