@@ -658,3 +658,69 @@ def etl_late_arrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_late"),
         F.max("lateness_us").cast("long").alias("max_lateness_us"),
     )
+
+
+_BACKFILL_PLAN_ORACLE = """
+WITH present AS (
+    SELECT DISTINCT epoch_us(date_trunc('hour', ts)) // 3600000000 AS h
+    FROM events WHERE event_type = 'signup'
+),
+bounds AS (SELECT min(h) AS lo, max(h) AS hi FROM present),
+spine AS (
+    SELECT unnest(range(lo, hi + 1)) AS h FROM bounds
+),
+missing AS (
+    SELECT s.h FROM spine s LEFT JOIN present p USING (h)
+    WHERE p.h IS NULL
+),
+grouped AS (
+    SELECT h, h - row_number() OVER (ORDER BY h) AS grp
+    FROM missing
+)
+SELECT make_timestamp(min(h) * 3600000000) AS gap_start,
+       make_timestamp(max(h) * 3600000000) AS gap_end,
+       CAST(COUNT(*) AS BIGINT) AS gap_hours
+FROM grouped GROUP BY grp
+"""
+
+
+@query("etl_backfill_plan", oracle=_BACKFILL_PLAN_ORACLE)
+def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backfill plan: contiguous RANGES of missing signup hours (start,
+    end, length) instead of a flat hour list — the unit a backfill job
+    actually executes (one range = one run), built by gaps-and-islands
+    over the missing-hour set from dq_missing_hours' spine technique."""
+    from pyspark.sql import Window as W
+
+    hour_us = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    present = (
+        ev.where(F.col("event_type") == "signup")
+        .select(
+            (
+                F.unix_micros(F.date_trunc("hour", F.col("ts")))
+                / hour_us
+            )
+            .cast("long")
+            .alias("h")
+        )
+        .distinct()
+    )
+    bounds = present.agg(
+        F.min("h").alias("lo"), F.max("h").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("h")
+    )
+    missing = spine.join(present, "h", "left_anti")
+    grouped = missing.select(
+        "h",
+        (F.col("h") - F.row_number().over(W.orderBy("h"))).alias(
+            "grp"
+        ),
+    )
+    return grouped.groupBy("grp").agg(
+        F.timestamp_micros(F.min("h") * hour_us).alias("gap_start"),
+        F.timestamp_micros(F.max("h") * hour_us).alias("gap_end"),
+        F.count(F.lit(1)).alias("gap_hours"),
+    ).drop("grp")
