@@ -4162,3 +4162,78 @@ def text_lang_mismatch_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("lang_pred") != F.col("lang_true"))
         )
     )
+
+
+_MINHASH_EST_CAL_ORACLE = (
+    "WITH "
+    + _MINHASH_CHAIN
+    + """,
+sig_agree AS (
+    SELECT p.id_a, p.id_b, p.jaccard,
+           (CASE WHEN sa.s0 = sb.s0 THEN 1 ELSE 0 END
+          + CASE WHEN sa.s1 = sb.s1 THEN 1 ELSE 0 END
+          + CASE WHEN sa.s2 = sb.s2 THEN 1 ELSE 0 END
+          + CASE WHEN sa.s3 = sb.s3 THEN 1 ELSE 0 END
+          + CASE WHEN sa.s4 = sb.s4 THEN 1 ELSE 0 END
+          + CASE WHEN sa.s5 = sb.s5 THEN 1 ELSE 0 END
+          + CASE WHEN sa.s6 = sb.s6 THEN 1 ELSE 0 END
+          + CASE WHEN sa.s7 = sb.s7 THEN 1 ELSE 0 END) AS n_agree
+    FROM mh_pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(round(abs(n_agree / 8.0 - jaccard), 6)
+                AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mean_abs_estimate_error,
+       round(max(abs(n_agree / 8.0 - jaccard)), 6)
+           AS max_abs_estimate_error
+FROM sig_agree
+"""
+)
+
+
+@query("dedup_minhash_estimator_calibration", oracle=_MINHASH_EST_CAL_ORACLE)
+def dedup_minhash_estimator_calibration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """MinHash estimator calibration: signature-agreement fraction (the
+    8-perm Jaccard ESTIMATE) against the exact verified Jaccard on every
+    surviving pair — mean and max absolute estimator error, the number
+    that justifies (or raises) num_perm before a corpus-wide run.
+    Signatures and exact values come from the same minhash chain; error
+    terms quantize to 6 then decimal-average."""
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.near_dup_pairs(
+        docs, num_perm=8, rows_per_band=2, threshold=0.5
+    )
+    sigs = minhash_signatures(docs, num_perm=8)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(8)],
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+    n_agree = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    err = F.round(
+        F.abs(n_agree.cast("double") / 8.0 - F.col("jaccard")), 6
+    )
+    terms = joined.select(err.alias("e"))
+    return terms.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        (
+            F.sum(F.col("e").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_abs_estimate_error"),
+        F.round(F.max("e"), 6).alias("max_abs_estimate_error"),
+    )
