@@ -2763,3 +2763,69 @@ def agg_cohort_revenue_matrix(
             .alias("revenue"),
         )
     )
+
+
+_PRICE_QTY_ELASTICITY_ORACLE = """
+WITH pts AS (
+    SELECT l_partkey,
+           CAST(round(ln(l_extendedprice / l_quantity), 6)
+                AS DECIMAL(38,6)) AS lx,
+           CAST(round(ln(CAST(l_quantity AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS ly
+    FROM lineitem WHERE l_quantity > 0 AND l_extendedprice > 0
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(lx) AS DOUBLE) AS sx,
+           CAST(SUM(ly) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(CAST(lx AS DOUBLE) * CAST(ly AS DOUBLE), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(round(CAST(lx AS DOUBLE) * CAST(lx AS DOUBLE), 6)
+                    AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_lines,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+           AS log_log_elasticity
+FROM s
+"""
+
+
+@query("agg_price_elasticity", oracle=_PRICE_QTY_ELASTICITY_ORACLE)
+def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of quantity: the OLS slope of ln(qty) on
+    ln(unit price) — the classic demand-curve estimate (negative slope =
+    normal good; near zero = price-insensitive). ln terms quantize to 6
+    then all four moments accumulate in DECIMAL; the slope is one scalar
+    expression, quantized."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_quantity") > 0) & (F.col("l_extendedprice") > 0)
+    )
+    lx = F.round(
+        F.log(F.col("l_extendedprice") / F.col("l_quantity")), 6
+    ).cast("decimal(38,6)")
+    ly = F.round(
+        F.log(F.col("l_quantity").cast("double")), 6
+    ).cast("decimal(38,6)")
+    pts = li.select(lx.alias("lx"), ly.alias("ly"))
+    sxy_t = F.round(
+        F.col("lx").cast("double") * F.col("ly").cast("double"), 6
+    ).cast("decimal(38,6)")
+    sxx_t = F.round(
+        F.col("lx").cast("double") * F.col("lx").cast("double"), 6
+    ).cast("decimal(38,6)")
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(sxy_t).cast("double").alias("sxy"),
+        F.sum(sxx_t).cast("double").alias("sxx"),
+    )
+    n = F.col("n")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / n
+    )
+    return s.select(
+        n.cast("long").alias("n_lines"),
+        F.round(slope, 6).alias("log_log_elasticity"),
+    )
