@@ -1379,3 +1379,40 @@ def dq_row_completeness_histogram(
             ),
         )
     )
+
+
+_FANOUT_ORACLE = """
+WITH per_parent AS (
+    SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS n_children
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_parents,
+       CAST(min(n_children) AS BIGINT) AS min_fanout,
+       quantile_cont(CAST(n_children AS DOUBLE), 0.5) AS p50_fanout,
+       CAST(max(n_children) AS BIGINT) AS max_fanout,
+       CAST(SUM(n_children) AS DOUBLE) / COUNT(*) AS mean_fanout
+FROM per_parent
+"""
+
+
+@query("dq_join_fanout_profile", oracle=_FANOUT_ORACLE)
+def dq_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join fan-out profile of the lineitem→orders FK edge: children per
+    parent (min/median/mean/max) — the cardinality metadata a join
+    planner and a cost estimate both need (a max fan-out of 10⁶ on a
+    'one-to-few' assumption is how row-explosion incidents start). One
+    per-parent rollup + one summary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_parent = li.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_children")
+    )
+    n = F.col("n_children")
+    return per_parent.agg(
+        F.count(F.lit(1)).alias("n_parents"),
+        F.min(n).cast("long").alias("min_fanout"),
+        F.percentile(n.cast("double"), 0.5).alias("p50_fanout"),
+        F.max(n).cast("long").alias("max_fanout"),
+        (F.sum(n).cast("double") / F.count(F.lit(1))).alias(
+            "mean_fanout"
+        ),
+    )
