@@ -1509,3 +1509,53 @@ def ts_anomalous_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.where(F.abs(z) > 1.5).select(
         "day", "n", F.round(z, 6).alias("volume_zscore")
     )
+
+
+_ACTIVITY_GINI_ORACLE = """
+WITH ua AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT x, row_number() OVER (ORDER BY x, user_id) AS i,
+           COUNT(*) OVER () AS n
+    FROM ua
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_users,
+       CAST(SUM(x) AS BIGINT) AS total_events,
+       2.0 * CAST(SUM(i * x) AS DOUBLE)
+           / (any_value(n) * CAST(SUM(x) AS DOUBLE))
+         - (any_value(n) + 1.0) / any_value(n) AS activity_gini
+FROM ranked
+"""
+
+
+@query("ts_activity_gini", oracle=_ACTIVITY_GINI_ORACLE)
+def ts_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user event volume — how concentrated the
+    traffic is in a few heavy users (the engagement analogue of the
+    corpus-balance Gini; also the skew forecast for any user_id-keyed
+    shuffle). Rank-weighted closed form over per-user counts; the sort
+    runs over #users, never events."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    ua = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("x")
+    )
+    ranked = ua.select(
+        "x",
+        F.row_number().over(W.orderBy("x", "user_id")).alias("i"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    n = F.any_value("n")
+    return ranked.agg(
+        n.cast("long").alias("n_users"),
+        F.sum("x").cast("long").alias("total_events"),
+        (
+            2.0
+            * F.sum(F.col("i") * F.col("x")).cast("double")
+            / (n * F.sum("x").cast("double"))
+            - (n + 1.0) / n
+        ).alias("activity_gini"),
+    )
