@@ -4237,3 +4237,66 @@ def dedup_minhash_estimator_calibration(
         ).alias("mean_abs_estimate_error"),
         F.round(F.max("e"), 6).alias("max_abs_estimate_error"),
     )
+
+
+_SHINGLE_ENTROPY_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN.replace(
+        "inter AS (",
+        "shingle_df AS (\n"
+        "    SELECT s, CAST(COUNT(*) AS BIGINT) AS df\n"
+        "    FROM sh GROUP BY s\n"
+        "),\n"
+        "inter AS (",
+    )
+    + """,
+tot AS (SELECT CAST(SUM(df) AS BIGINT) AS t FROM shingle_df)
+SELECT CAST((SELECT COUNT(*) FROM shingle_df) AS BIGINT)
+           AS n_shingle_types,
+       CAST(any_value(t.t) AS BIGINT) AS n_postings,
+       -(CAST(SUM(CAST(df * round(ln(CAST(df AS DOUBLE) / t.t), 6)
+            AS DECIMAL(38,6))) AS DOUBLE) / any_value(t.t))
+           AS shingle_entropy_nats
+FROM shingle_df, tot t
+GROUP BY t.t
+"""
+)
+
+
+@query("dedup_shingle_entropy", oracle=_SHINGLE_ENTROPY_ORACLE)
+def dedup_shingle_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy of the shingle document-frequency distribution — the
+    one-number health check of the dedup index: LOW entropy means a few
+    stop-shingles dominate the posting lists (pair expansion will
+    explode; raise the caps), high entropy means the index discriminates.
+    Quantized-ln × integer-df decimal sums over the same shingle CTE the
+    pair path uses."""
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        tokenize,
+        word_shingles_from_tokens,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        F.explode(
+            word_shingles_from_tokens(tokenize(F.col("text")), 3)
+        ).alias("s")
+    )
+    shingle_df = sh.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("df")
+    )
+    tot = shingle_df.agg(F.sum("df").alias("t"))
+    term = (
+        F.col("df")
+        * F.round(
+            F.log(F.col("df").cast("double") / F.col("t")), 6
+        )
+    ).cast("decimal(38,6)")
+    j = shingle_df.crossJoin(F.broadcast(tot))
+    return j.groupBy("t").agg(
+        F.count(F.lit(1)).cast("long").alias("n_shingle_types"),
+        F.any_value("t").cast("long").alias("n_postings"),
+        (
+            -(F.sum(term).cast("double") / F.any_value("t"))
+        ).alias("shingle_entropy_nats"),
+    ).drop("t")
