@@ -2829,3 +2829,54 @@ def agg_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("long").alias("n_lines"),
         F.round(slope, 6).alias("log_log_elasticity"),
     )
+
+
+_REORDER_RATE_ORACLE = """
+WITH pairs AS (
+    SELECT DISTINCT o.o_custkey, l.l_partkey, o.o_orderkey
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+),
+per_cp AS (
+    SELECT o_custkey, l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY o_custkey, l_partkey
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_customer_part_pairs,
+       CAST(COUNT(*) FILTER (WHERE n_orders >= 2) AS BIGINT)
+           AS n_reordered,
+       CAST(COUNT(*) FILTER (WHERE n_orders >= 2) AS DOUBLE)
+         / COUNT(*) AS reorder_rate,
+       CAST(max(n_orders) AS BIGINT) AS max_repeat_orders
+FROM per_cp
+"""
+
+
+@query("agg_reorder_rate", oracle=_REORDER_RATE_ORACLE)
+def agg_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorder rate: of all (customer, part) pairs ever ordered, the
+    fraction ordered in two or more DISTINCT orders — the repeat-demand
+    signal behind subscription and replenishment bets. Distinct triple
+    first (multi-line orders must not fake repeats), then the pair
+    rollup and one summary."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        li.join(
+            o.select("o_orderkey", "o_custkey"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .select("o_custkey", "l_partkey", "o_orderkey")
+        .distinct()
+    )
+    per_cp = pairs.groupBy("o_custkey", "l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    rep = F.when(F.col("n_orders") >= 2, 1)
+    return per_cp.agg(
+        F.count(F.lit(1)).alias("n_customer_part_pairs"),
+        F.count(rep).cast("long").alias("n_reordered"),
+        (F.count(rep).cast("double") / F.count(F.lit(1))).alias(
+            "reorder_rate"
+        ),
+        F.max("n_orders").cast("long").alias("max_repeat_orders"),
+    )
