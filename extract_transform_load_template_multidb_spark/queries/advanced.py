@@ -1748,8 +1748,8 @@ WITH pos AS (
 )
 SELECT event_type,
        CAST(COUNT(*) AS BIGINT) AS n,
-       exp(CAST(SUM(CAST(round(ln(value), 6) AS DECIMAL(38,6)))
-                AS DOUBLE) / COUNT(*)) AS geometric_mean,
+       round(exp(CAST(SUM(CAST(round(ln(value), 6) AS DECIMAL(38,6)))
+                      AS DOUBLE) / COUNT(*)), 6) AS geometric_mean,
        COUNT(*) / CAST(SUM(CAST(round(1.0 / value, 6) AS DECIMAL(38,6)))
                        AS DOUBLE) AS harmonic_mean
 FROM pos
@@ -1764,8 +1764,10 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     overstates. Both are transforms of order-independent sums: ln() and
     reciprocals quantize to 6 decimals then accumulate in DECIMAL (the
     LM-scoring discipline), so the one-pass aggregate hash-matches the
-    oracle; the final exp()/division is scalar IEEE. Positive finite
-    values only — both means are undefined otherwise."""
+    oracle; the final exp() is rounded to the 6-dp hash grid because
+    libm and java.lang.Math legitimately disagree by 1 ulp (IEEE only
+    mandates correct rounding for +-*/ and sqrt, not transcendentals).
+    Positive finite values only — both means are undefined otherwise."""
     ev = load_table(spark, sf_dir, "events")
     v = F.col("value")
     pos = ev.where(
@@ -1776,7 +1778,9 @@ def agg_geo_harmonic_means(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1))
     return pos.groupBy("event_type").agg(
         n.alias("n"),
-        F.exp(F.sum(ln_q).cast("double") / n).alias("geometric_mean"),
+        F.round(F.exp(F.sum(ln_q).cast("double") / n), 6).alias(
+            "geometric_mean"
+        ),
         (n / F.sum(inv_q).cast("double")).alias("harmonic_mean"),
     )
 
@@ -2879,4 +2883,355 @@ def agg_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "reorder_rate"
         ),
         F.max("n_orders").cast("long").alias("max_repeat_orders"),
+    )
+
+
+_EXISTS_FLAGS_ORACLE = """
+SELECT p.p_partkey, p.p_brand,
+       EXISTS (SELECT 1 FROM lineitem l
+               WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+           AS has_heavy_line,
+       NOT EXISTS (SELECT 1 FROM lineitem l
+                   WHERE l.l_partkey = p.p_partkey
+                     AND l.l_returnflag = 'R')
+           AS never_returned
+FROM part p
+WHERE p.p_partkey IN (SELECT l_partkey FROM lineitem)
+"""
+
+
+@query("subquery_exists_flags", oracle=_EXISTS_FLAGS_ORACLE)
+def subquery_exists_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXISTS / NOT EXISTS / IN-subquery predicates, decorrelated the way
+    Catalyst's RewritePredicateSubquery does: the IN becomes a left-semi
+    join and both EXISTS flags collapse into ONE pre-aggregated boolean
+    table (``bool_or`` per part) joined inner — a single lineitem pass
+    instead of three correlated probes, and the per-part flag table is
+    dimension-sized so the join broadcasts at any corpus scale."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    flags = li.groupBy(F.col("l_partkey").alias("f_partkey")).agg(
+        F.max(F.col("l_quantity") >= 45).alias("has_heavy_line"),
+        (~F.max(F.col("l_returnflag") == "R")).alias("never_returned"),
+    )
+    # Inner join == the IN semi-join (flags exists iff the part has lines).
+    return part.join(
+        F.broadcast(flags), part.p_partkey == flags.f_partkey
+    ).select("p_partkey", "p_brand", "has_heavy_line", "never_returned")
+
+
+_MOVING_MEDIAN_ORACLE = """
+WITH e AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN isinf(value) OR isnan(value) THEN 0 ELSE value END AS v
+    FROM events
+)
+SELECT event_id, user_id, ts,
+       median(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS mov_median
+FROM e
+"""
+
+
+@query("window_moving_median", oracle=_MOVING_MEDIAN_ORACLE)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving median (7-row trailing frame) per user — the robust smoother
+    Spark lacks as a native window function. Implemented as
+    ``array_sort(collect_list)`` over the bounded ROWS frame plus a
+    middle-element pick (even counts interpolate like DuckDB's
+    ``median``); the frame is 7 rows, so per-row state is O(7) — no
+    whole-partition materialization, safe at any user count."""
+    ev = load_table(spark, sf_dir, "events")
+    safe = F.when(
+        F.isnan("value") | F.col("value").isin(float("inf"), float("-inf")),
+        F.lit(0.0),
+    ).otherwise(F.col("value"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list(safe).over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(n % 2 == 1, odd).otherwise(even).alias("mov_median"),
+    )
+
+
+_CHI2_ORACLE = """
+WITH obs AS (
+    SELECT c.c_mktsegment AS seg, o.o_orderpriority AS pri,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+),
+row_m AS (SELECT seg, SUM(n) AS rn FROM obs GROUP BY seg),
+col_m AS (SELECT pri, SUM(n) AS cn FROM obs GROUP BY pri),
+tot AS (SELECT SUM(n) AS t FROM obs)
+SELECT CAST(tot.t AS BIGINT) AS n_orders,
+       CAST((COUNT(DISTINCT obs.seg) - 1)
+            * (COUNT(DISTINCT obs.pri) - 1) AS BIGINT) AS dof,
+       ROUND(SUM(POWER(obs.n - row_m.rn * col_m.cn / tot.t, 2)
+                 / (row_m.rn * col_m.cn / tot.t)), 6) AS chi2,
+       ROUND(SQRT(SUM(POWER(obs.n - row_m.rn * col_m.cn / tot.t, 2)
+                      / (row_m.rn * col_m.cn / tot.t))
+                  / (tot.t * LEAST(COUNT(DISTINCT obs.seg) - 1,
+                                   COUNT(DISTINCT obs.pri) - 1))), 6)
+           AS cramers_v
+FROM obs
+JOIN row_m USING (seg)
+JOIN col_m USING (pri)
+CROSS JOIN tot
+GROUP BY tot.t
+"""
+
+
+@query("agg_chi_square_independence", oracle=_CHI2_ORACLE)
+def agg_chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence (market segment × order priority)
+    with Cramér's V effect size. One fact-table aggregation to the R×C
+    contingency cells, then marginals derived FROM the cells (no second
+    fact pass) and broadcast back — the whole test costs one shuffle of
+    R×C≈25 rows regardless of fact size. Cell counts are exact integers,
+    so the only float work is the final 25-term reduction, rounded to
+    the hash grid."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    obs = (
+        o.join(F.broadcast(c.select("c_custkey", "c_mktsegment")),
+               o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("o_orderpriority").alias("pri"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("n"))
+    )
+    row_m = obs.groupBy("seg").agg(F.sum("n").alias("rn"))
+    col_m = obs.groupBy("pri").agg(F.sum("n").alias("cn"))
+    tot = obs.agg(F.sum("n").alias("t"))
+    exp = F.col("rn") * F.col("cn") / F.col("t")
+    cell = F.pow(F.col("n") - exp, 2) / exp
+    return (
+        obs.join(F.broadcast(row_m), "seg")
+        .join(F.broadcast(col_m), "pri")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("t")
+        .agg(
+            F.first("t").cast("long").alias("n_orders"),
+            (
+                (F.count_distinct("seg") - 1)
+                * (F.count_distinct("pri") - 1)
+            ).cast("long").alias("dof"),
+            F.round(F.sum(cell), 6).alias("chi2"),
+            F.round(
+                F.sqrt(
+                    F.sum(cell)
+                    / (
+                        F.first("t")
+                        * F.least(
+                            F.count_distinct("seg") - 1,
+                            F.count_distinct("pri") - 1,
+                        )
+                    )
+                ),
+                6,
+            ).alias("cramers_v"),
+        )
+        .drop("t")
+    )
+
+
+_LINKPRED_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+),
+sym AS (
+    SELECT part_a AS a, part_b AS b FROM pairs
+    UNION ALL
+    SELECT part_b AS a, part_a AS b FROM pairs
+),
+two_hop AS (
+    SELECT x.b AS a, y.b AS b, CAST(COUNT(*) AS BIGINT) AS common_neighbors
+    FROM sym x JOIN sym y ON x.a = y.a AND x.b < y.b
+    GROUP BY x.b, y.b
+)
+SELECT t.a AS part_a, t.b AS part_b, t.common_neighbors
+FROM two_hop t
+LEFT JOIN pairs p ON p.part_a = t.a AND p.part_b = t.b
+WHERE p.part_a IS NULL
+ORDER BY t.common_neighbors DESC, t.a, t.b
+LIMIT 30
+"""
+
+
+@query("graph_linkpred_common_neighbors", oracle=_LINKPRED_ORACLE)
+def graph_linkpred_common_neighbors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Common-neighbors link prediction on the co-purchase graph: for
+    part pairs NOT yet co-purchased, count shared co-purchase partners
+    (paths of length 2) and surface the top-30 — the classic
+    'recommend what neighbors bought' candidate generator. The wedge
+    join keys on the shared middle vertex, so cost is Σ deg(v)² over the
+    ≥2-support edge set (support pruning IS the hub-degree cap that
+    keeps this subquadratic at 100 TB); existing edges drop out via a
+    left-anti join and top-30 plans as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .where(F.col("n_orders") >= 2)
+        .drop("n_orders")
+    )
+    sym = pairs.selectExpr("part_a AS a", "part_b AS b").unionAll(
+        pairs.selectExpr("part_b AS a", "part_a AS b")
+    )
+    x = sym.alias("x")
+    y = sym.alias("y")
+    two_hop = (
+        x.join(
+            y,
+            (F.col("x.a") == F.col("y.a"))
+            & (F.col("x.b") < F.col("y.b")),
+        )
+        .groupBy(
+            F.col("x.b").alias("a"), F.col("y.b").alias("b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("common_neighbors"))
+    )
+    return (
+        two_hop.join(
+            pairs,
+            (two_hop.a == pairs.part_a) & (two_hop.b == pairs.part_b),
+            "left_anti",
+        )
+        .select(
+            F.col("a").alias("part_a"),
+            F.col("b").alias("part_b"),
+            "common_neighbors",
+        )
+        .orderBy(
+            F.col("common_neighbors").desc(), "part_a", "part_b"
+        )
+        .limit(30)
+    )
+
+
+_WELCH_ORACLE = """
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+      AND event_type IN ('click', 'purchase')
+    GROUP BY event_type
+),
+st AS (
+    SELECT event_type, n, s1 / n AS mean,
+           (s2 - (s1 / n) * s1) / (n - 1) AS var
+    FROM g
+),
+ab AS (
+    SELECT a.n AS n1, a.mean AS m1, a.var AS v1,
+           b.n AS n2, b.mean AS m2, b.var AS v2
+    FROM st a, st b
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+       m1 AS mean_click, m2 AS mean_purchase,
+       (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS t_stat,
+       ((v1 / n1 + v2 / n2) * (v1 / n1 + v2 / n2))
+           / (((v1 / n1) * (v1 / n1)) / (n1 - 1)
+              + ((v2 / n2) * (v2 / n2)) / (n2 - 1)) AS welch_df
+FROM ab
+"""
+
+
+@query("agg_welch_t_test", oracle=_WELCH_ORACLE)
+def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations
+    (click vs purchase values) with the Welch–Satterthwaite df — the A/B
+    comparison primitive. Sufficient statistics (n, Σx, Σx²) accumulate
+    exactly in DECIMAL in ONE fact pass; everything after is a fixed
+    dag of correctly-rounded IEEE +-*/ and sqrt on those exact sums, so
+    the t-stat is bit-identical across engines with no output rounding.
+    The two 1-row stats join as a broadcast — constant cost at any
+    fact size."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = (
+        ev.where(
+            ~F.isnan(v)
+            & (F.abs(v) != float("inf"))
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+            F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        )
+    )
+    st = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - (F.col("s1") / F.col("n")) * F.col("s1"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = st.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"), F.col("mean").alias("m1"),
+        F.col("var").alias("v1"),
+    )
+    b = st.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"), F.col("mean").alias("m2"),
+        F.col("var").alias("v2"),
+    )
+    se1 = F.col("v1") / F.col("n1")
+    se2 = F.col("v2") / F.col("n2")
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_purchase"),
+        F.col("m1").alias("mean_click"),
+        F.col("m2").alias("mean_purchase"),
+        ((F.col("m1") - F.col("m2")) / F.sqrt(se1 + se2)).alias("t_stat"),
+        (
+            ((se1 + se2) * (se1 + se2))
+            / (
+                (se1 * se1) / (F.col("n1") - 1)
+                + (se2 * se2) / (F.col("n2") - 1)
+            )
+        ).alias("welch_df"),
     )

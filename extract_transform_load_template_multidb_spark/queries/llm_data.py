@@ -4300,3 +4300,233 @@ def dedup_shingle_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             -(F.sum(term).cast("double") / F.any_value("t"))
         ).alias("shingle_entropy_nats"),
     ).drop("t")
+
+
+_KNN_VOTE_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           SUM(a.v * b.v) AS dot
+    FROM elems a
+    JOIN elems b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id % 25 = 0
+    GROUP BY a.vec_id, b.vec_id
+),
+cos AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+),
+top5 AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM cos
+    ) WHERE rnk <= 5
+),
+votes AS (
+    SELECT t.query_id, e.label, CAST(COUNT(*) AS BIGINT) AS n_votes
+    FROM top5 t JOIN embeddings e ON e.vec_id = t.neighbor_id
+    GROUP BY t.query_id, e.label
+),
+pred AS (
+    SELECT query_id, label AS predicted_label, n_votes,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY n_votes DESC, label) AS r
+    FROM votes
+)
+SELECT p.query_id,
+       CAST(q.label AS BIGINT) AS true_label,
+       CAST(p.predicted_label AS BIGINT) AS predicted_label,
+       p.n_votes,
+       (p.predicted_label = q.label) AS correct
+FROM pred p JOIN embeddings q ON q.vec_id = p.query_id
+WHERE p.r = 1
+"""
+)
+
+
+@query("sim_knn_label_vote", oracle=_KNN_VOTE_ORACLE)
+def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN majority-vote classification over the embedding corpus: every
+    25th vector is a held-out query, its 5 exact-cosine neighbors vote on
+    the label (ties → smallest label), and the vote is scored against the
+    query's own label — the standard embedding-quality probe a training
+    pipeline runs after each encoder change. Reuses the broadcast
+    brute-force top-k (one corpus pass); the vote is a k·|queries|-row
+    aggregate, so the add-on cost over top-k is nil at any scale."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = sim.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), k=5
+    )
+    labels = emb.select("vec_id", "label")
+    votes = (
+        topk.join(
+            F.broadcast(labels),
+            topk.neighbor_id == labels.vec_id,
+        )
+        .groupBy("query_id", "label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("n_votes").desc(), F.col("label")
+    )
+    pred = (
+        votes.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("predicted_label"),
+            "n_votes",
+        )
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").cast("long").alias("true_label"),
+    )
+    return (
+        pred.join(F.broadcast(truth), "query_id")
+        .select(
+            "query_id",
+            "true_label",
+            "predicted_label",
+            "n_votes",
+            (F.col("predicted_label") == F.col("true_label")).alias(
+                "correct"
+            ),
+        )
+    )
+
+
+_CENTROID_MARGIN_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+lab AS (SELECT vec_id, label FROM embeddings),
+ln_ AS (SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM lab GROUP BY label),
+csum AS (
+    SELECT l.label, e.d, CAST(SUM(e.v) AS BIGINT) AS s
+    FROM elems e JOIN lab l ON l.vec_id = e.vec_id
+    GROUP BY l.label, e.d
+),
+d2 AS (
+    SELECT e.vec_id, l.label AS own_label, c.label AS cand_label,
+           CAST(SUM((e.v * n.n - c.s) * (e.v * n.n - c.s)) AS BIGINT)
+               AS num,
+           n.n AS n
+    FROM elems e
+    JOIN lab l ON l.vec_id = e.vec_id
+    JOIN csum c ON c.d = e.d
+    JOIN ln_ n ON n.label = c.label
+    GROUP BY e.vec_id, l.label, c.label, n.n
+),
+dist AS (
+    SELECT vec_id, own_label, cand_label,
+           sqrt(CAST(num AS DOUBLE)) / n AS dist
+    FROM d2
+),
+own AS (
+    SELECT vec_id, own_label, dist AS dist_own
+    FROM dist WHERE cand_label = own_label
+),
+other AS (
+    SELECT vec_id, cand_label AS nearest_other_label, dist AS dist_other
+    FROM (
+        SELECT vec_id, cand_label, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cand_label) AS r
+        FROM dist WHERE cand_label <> own_label
+    ) WHERE r = 1
+)
+SELECT o.vec_id,
+       CAST(o.own_label AS BIGINT) AS label,
+       o.dist_own,
+       CAST(t.nearest_other_label AS BIGINT) AS nearest_other_label,
+       t.dist_other,
+       t.dist_other - o.dist_own AS margin
+FROM own o JOIN other t ON t.vec_id = o.vec_id
+"""
+)
+
+
+@query("sim_label_centroid_margin", oracle=_CENTROID_MARGIN_ORACLE)
+def sim_label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding separability audit: each vector's distance to its own
+    label centroid vs the nearest other-label centroid — negative
+    margins mark vectors a nearest-centroid classifier already gets
+    wrong (label noise / encoder weakness candidates). All geometry is
+    INTEGER: on the quantized grid, |x − c|² scales by n_label² to
+    Σ(v·n − s)², an exact int64 sum, so the only floats are one
+    correctly-rounded sqrt and one division — bit-identical on any
+    engine. Centroid table is labels × dims (tiny) and broadcasts; the
+    corpus streams through once at any scale."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "d",
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("v"),
+    )
+    ln = emb.groupBy("label").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    csum = (
+        elems.groupBy(F.col("label").alias("c_label"), "d")
+        .agg(F.sum("v").alias("s"))
+        .join(F.broadcast(ln), F.col("c_label") == ln.label)
+        .select("c_label", "d", "s", "n")
+    )
+    term = (F.col("v") * F.col("n") - F.col("s"))
+    d2 = (
+        elems.join(F.broadcast(csum), "d")
+        .groupBy(
+            "vec_id",
+            F.col("label").alias("own_label"),
+            F.col("c_label").alias("cand_label"),
+            "n",
+        )
+        .agg(F.sum(term * term).alias("num"))
+    )
+    dist = d2.select(
+        "vec_id",
+        "own_label",
+        "cand_label",
+        (F.sqrt(F.col("num").cast("double")) / F.col("n")).alias("dist"),
+    )
+    own = dist.where(F.col("cand_label") == F.col("own_label")).select(
+        "vec_id",
+        F.col("own_label").cast("long").alias("label"),
+        F.col("dist").alias("dist_own"),
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cand_label")
+    other = (
+        dist.where(F.col("cand_label") != F.col("own_label"))
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select(
+            "vec_id",
+            F.col("cand_label").cast("long").alias("nearest_other_label"),
+            F.col("dist").alias("dist_other"),
+        )
+    )
+    return own.join(other, "vec_id").select(
+        "vec_id",
+        "label",
+        "dist_own",
+        "nearest_other_label",
+        "dist_other",
+        (F.col("dist_other") - F.col("dist_own")).alias("margin"),
+    )

@@ -1559,3 +1559,133 @@ def ts_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (n + 1.0) / n
         ).alias("activity_gini"),
     )
+
+
+_EWMA_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev_usd
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day, rev_usd,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS rn
+    FROM daily
+)
+SELECT day, rev_usd,
+       ROUND(POWER(0.9, rn)
+             * SUM(rev_usd * POWER(0.9, -rn))
+                   OVER (ORDER BY day ROWS BETWEEN 29 PRECEDING
+                         AND CURRENT ROW)
+             / ((1 - POWER(0.9, LEAST(rn, 30))) / 0.1), 2) AS ewma_usd
+FROM seq
+"""
+
+
+@query("ts_ewma_revenue", oracle=_EWMA_ORACLE)
+def ts_ewma_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of daily revenue (alpha=0.1,
+    30-day effective window). EWMA is a recursion Spark windows cannot
+    express directly; the closed form ``0.9^t * SUM(x_i / 0.9^i)`` over a
+    BOUNDED 29-preceding frame turns it into one ordinary window sum —
+    the in-frame weight spread is at most 0.9^-29 ≈ 21×, so the rescaling
+    is loss-free in doubles. Daily revenue stays on the exact
+    decimal grid (no rounding tie risk); the EWMA is quantized to cents,
+    ~4 orders of magnitude above accumulated double noise. The
+    single global sort is one series of ~2.4k daily rows — at 100 TB the
+    same plan runs per entity key with partitionBy."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev_usd")
+    )
+    seq = daily.withColumn(
+        "rn", F.row_number().over(Win.orderBy("day")).cast("double")
+    )
+    frame = Win.orderBy("day").rowsBetween(-29, Win.currentRow)
+    num = F.pow(F.lit(0.9), F.col("rn")) * F.sum(
+        F.col("rev_usd") * F.pow(F.lit(0.9), -F.col("rn"))
+    ).over(frame)
+    den = (1 - F.pow(F.lit(0.9), F.least(F.col("rn"), F.lit(30.0)))) / 0.1
+    return seq.select(
+        "day",
+        "rev_usd",
+        F.round(num / den, 2).alias("ewma_usd"),
+    )
+
+
+_CUSUM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day,
+           CAST(SUM(rev) OVER (ORDER BY day
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS DOUBLE) AS s_t,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS t,
+           CAST(SUM(rev) OVER () AS DOUBLE) AS s_n,
+           CAST(COUNT(*) OVER () AS DOUBLE) AS n
+    FROM daily
+)
+SELECT day AS changepoint_day,
+       CAST(t AS BIGINT) AS day_index,
+       CAST(n AS BIGINT) AS n_days,
+       s_t - t * (s_n / n) AS cusum,
+       abs(s_t - t * (s_n / n)) AS abs_cusum
+FROM seq
+ORDER BY abs_cusum DESC, day
+LIMIT 1
+"""
+
+
+@query("window_cusum_changepoint", oracle=_CUSUM_ORACLE)
+def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on daily revenue: the day where the
+    cumulative deviation from the global mean peaks — the standard
+    level-shift locator for drift monitoring. The naive running
+    Σ(x_i − mean) is float-order-sensitive; instead cusum_t is computed
+    as S_t − t·(S_N/N) with S_t an EXACT decimal prefix sum, so every
+    value is two correctly-rounded IEEE ops from exact integers —
+    bit-identical on any engine, any partitioning. One series-wide
+    window (per-entity partitionBy at scale); argmax is a 1-row
+    TakeOrderedAndProject."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    w_cum = Win.orderBy("day").rowsBetween(
+        Win.unboundedPreceding, Win.currentRow
+    )
+    w_all = Win.partitionBy()
+    seq = daily.select(
+        "day",
+        F.sum("rev").over(w_cum).cast("double").alias("s_t"),
+        F.row_number().over(Win.orderBy("day")).cast("double").alias("t"),
+        F.sum("rev").over(w_all).cast("double").alias("s_n"),
+        F.count(F.lit(1)).over(w_all).cast("double").alias("n"),
+    )
+    cusum = F.col("s_t") - F.col("t") * (F.col("s_n") / F.col("n"))
+    return (
+        seq.select(
+            F.col("day").alias("changepoint_day"),
+            F.col("t").cast("long").alias("day_index"),
+            F.col("n").cast("long").alias("n_days"),
+            cusum.alias("cusum"),
+            F.abs(cusum).alias("abs_cusum"),
+        )
+        .orderBy(F.col("abs_cusum").desc(), "changepoint_day")
+        .limit(1)
+    )
