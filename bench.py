@@ -140,6 +140,15 @@ HEADLINE = [
     "dq_missing_hours",
     "curation_token_budget_select",
     "dq_freshness_watermarks",
+    "subquery_exists_flags",
+    "window_moving_median",
+    "agg_chi_square_independence",
+    "ts_ewma_revenue",
+    "graph_linkpred_common_neighbors",
+    "sim_knn_label_vote",
+    "window_cusum_changepoint",
+    "agg_welch_t_test",
+    "sim_label_centroid_margin",
 ]
 
 

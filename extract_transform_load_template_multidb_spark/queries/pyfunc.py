@@ -156,3 +156,72 @@ def pyfunc_udtf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk, c.n_chars "
         "FROM _udtf_docs d, LATERAL char_chunker(d.text, 64) c"
     )
+
+
+_COGROUP_ORACLE = """
+WITH e AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(max(ts) AS DATE) AS last_event_day
+    FROM events GROUP BY user_id
+),
+o AS (
+    SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           max(CAST(o_orderdate AS DATE)) AS last_order_day
+    FROM orders GROUP BY o_custkey
+)
+SELECT COALESCE(e.user_id, o.user_id) AS user_id,
+       COALESCE(e.n_events, 0) AS n_events,
+       COALESCE(o.n_orders, 0) AS n_orders,
+       CASE WHEN e.user_id IS NOT NULL AND o.user_id IS NOT NULL
+            THEN date_diff('day', o.last_order_day, e.last_event_day)
+       END AS event_after_order_days
+FROM e FULL OUTER JOIN o ON o.user_id = e.user_id
+"""
+
+
+@query("pyfunc_cogrouped_user_profile", oracle=_COGROUP_ORACLE)
+def pyfunc_cogrouped_user_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cogrouped ``applyInPandas`` (the two-table grouped-map shape):
+    each user's event stream and order history arrive as two pandas
+    frames in one call, which emits a per-user profile — counts and the
+    day lag between last order and last event. The pandas body computes
+    only counts, order statistics, and integer day arithmetic, so the
+    result is exactly the full-outer-join aggregate the oracle runs.
+    SCALE: cogroup shuffles both sides by user_id once and streams
+    group pairs through Arrow — the right tool when per-entity logic
+    genuinely needs both frames at once (feature backfills, per-entity
+    reconciliation); for purely relational profiles like this one the
+    JVM join is the production path, which is the parity being pinned."""
+
+    def _profile(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame):
+        n_e = len(events_pdf)
+        n_o = len(orders_pdf)
+        lag = None
+        if n_e and n_o:
+            last_e = events_pdf["ts"].max().date()
+            last_o = orders_pdf["o_orderdate"].max().date()
+            lag = (last_e - last_o).days
+        return pd.DataFrame(
+            {
+                "user_id": [int(key[0])],
+                "n_events": [n_e],
+                "n_orders": [n_o],
+                "event_after_order_days": [lag],
+            }
+        )
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(orders.groupBy("user_id"))
+        .applyInPandas(
+            _profile,
+            "user_id bigint, n_events bigint, n_orders bigint, "
+            "event_after_order_days int",
+        )
+    )

@@ -941,3 +941,52 @@ def scalar_bitwise_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.shiftright(e, 3).alias("shifted_r"),
         F.bit_count(e).alias("popcount"),
     )
+
+
+_URL_ORACLE = """
+WITH u AS (
+    SELECT doc_id,
+           'https://' || source || '.example.com/docs/'
+               || CAST(doc_id AS VARCHAR) || '?lang=' || lang
+               || '&sz=' || CAST(n_chars AS VARCHAR) AS url
+    FROM documents
+)
+SELECT doc_id,
+       regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+       regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+       regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+       CAST(regexp_extract(url, '[?&]sz=([^&]*)', 1) AS BIGINT) AS sz_param,
+       regexp_extract(url, '\\.([a-z]+)\\.com', 1) AS subdomain_tld
+FROM u
+"""
+
+
+@query("scalar_url_parsing", oracle=_URL_ORACLE)
+def scalar_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL decomposition — host / path / query-parameter extraction via
+    Spark's ``parse_url`` (plus one regexp), the log-parsing scalar
+    surface every clickstream pipeline needs. ``parse_url(url, 'QUERY',
+    key)`` does keyed query-string lookup natively; the oracle proves
+    the same semantics in portable regexp form. Pure narrow projection:
+    no shuffle, whole-stage codegen, scales linearly."""
+    d = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="),
+        F.col("lang"),
+        F.lit("&sz="),
+        F.col("n_chars").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("sz"))
+        .cast("long")
+        .alias("sz_param"),
+        F.regexp_extract(url, r"\.([a-z]+)\.com", 1).alias("subdomain_tld"),
+    )

@@ -522,3 +522,45 @@ def test_entropy_single_key_exchange(spark, sf_dir):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
     )
     assert keys <= {"user_id"}, keys
+
+
+def test_linkpred_topk_no_cartesian(spark, sf_dir):
+    """Common-neighbors link prediction: the wedge join must stay an
+    equi-join on the shared middle vertex (no all-pairs), and the top-30
+    must plan as TakeOrderedAndProject, not a global sort."""
+    plan = _plan(spark, sf_dir, "graph_linkpred_common_neighbors")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_centroid_margin_broadcasts_centroids(spark, sf_dir):
+    """Label-centroid margins: the labels×dims centroid table must
+    broadcast — the corpus side must never shuffle for the join."""
+    plan = _plan(spark, sf_dir, "sim_label_centroid_margin")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_knn_vote_broadcasts_queries_and_labels(spark, sf_dir):
+    """k-NN label vote: both the query vectors and the label lookup are
+    dimension-sized and must broadcast against the corpus pass."""
+    plan = _plan(spark, sf_dir, "sim_knn_label_vote")
+    assert plan.count("BroadcastHashJoin") + plan.count(
+        "BroadcastNestedLoopJoin"
+    ) >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_cusum_argmax_single_row_limit(spark, sf_dir):
+    """CUSUM change-point: the argmax must plan as TakeOrderedAndProject
+    (1-row), never a full sort of the daily series."""
+    plan = _plan(spark, sf_dir, "window_cusum_changepoint")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_welch_sufficient_stats_partial_agg(spark, sf_dir):
+    """Welch t-test: the (n, Σx, Σx²) sufficient statistics must
+    partial-aggregate map-side so only per-partition partials shuffle."""
+    plan = _plan(spark, sf_dir, "agg_welch_t_test")
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
