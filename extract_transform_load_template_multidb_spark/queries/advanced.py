@@ -3235,3 +3235,87 @@ def agg_welch_t_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("welch_df"),
     )
+
+
+_LATERAL_ORACLE = """
+SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+FROM customer c,
+LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+"""
+
+
+@query("join_lateral_topn_orders", oracle=_LATERAL_ORACLE)
+def join_lateral_topn_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row LIMIT: each customer's
+    top-2 orders by price — the SQL-standard spelling of per-group
+    top-n. Catalyst decorrelates the correlated ORDER BY+LIMIT into a
+    join plus per-key group-limit (the same physical shape as the
+    window-rank rewrite), so the lateral NEVER executes per-row — this
+    query pins that decorrelation. Same answer as
+    ``window_rank_topn_per_group``'s pattern; the surface under test is
+    the LATERAL SQL API."""
+    from extract_transform_load_template_multidb_spark.catalog import (
+        load_table as _lt,
+    )
+
+    _lt(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    _lt(spark, sf_dir, "orders").createOrReplaceTempView("_lat_orders")
+    return spark.sql(
+        """
+        SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        FROM _lat_customer c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM _lat_orders
+                 WHERE o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+        """
+    )
+
+
+_ANY_ALL_ORACLE = """
+SELECT s.s_suppkey, s.s_nationkey, s.s_acctbal,
+       s.s_acctbal > ALL (SELECT c.c_acctbal FROM customer c
+                          WHERE c.c_nationkey = s.s_nationkey)
+           AS beats_all_customers,
+       s.s_acctbal > ANY (SELECT c.c_acctbal FROM customer c
+                          WHERE c.c_nationkey = s.s_nationkey)
+           AS beats_any_customer
+FROM supplier s
+"""
+
+
+@query("subquery_any_all_quantified", oracle=_ANY_ALL_ORACLE)
+def subquery_any_all_quantified(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Quantified comparisons (> ALL / > ANY correlated subqueries),
+    which Spark SQL lacks, decorrelated by hand the way a rewriter
+    would: > ALL becomes a comparison against the group MAX (empty
+    group ⇒ TRUE), > ANY against the group MIN (empty group ⇒ FALSE).
+    One dimension-sized per-nation extrema table, broadcast — the
+    supplier scan streams through untouched at any scale. (Fixture
+    balances are non-NULL; with NULLs the rewrite needs the
+    three-valued count(*)/count(col) guards.)"""
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    ext = c.groupBy(F.col("c_nationkey").alias("n_key")).agg(
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )
+    joined = s.join(
+        F.broadcast(ext), s.s_nationkey == F.col("n_key"), "left"
+    )
+    return joined.select(
+        "s_suppkey",
+        "s_nationkey",
+        "s_acctbal",
+        F.when(F.col("max_bal").isNull(), F.lit(True))
+        .otherwise(F.col("s_acctbal") > F.col("max_bal"))
+        .alias("beats_all_customers"),
+        F.when(F.col("min_bal").isNull(), F.lit(False))
+        .otherwise(F.col("s_acctbal") > F.col("min_bal"))
+        .alias("beats_any_customer"),
+    )

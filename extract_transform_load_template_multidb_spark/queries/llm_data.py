@@ -4530,3 +4530,78 @@ def sim_label_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dist_other",
         (F.col("dist_other") - F.col("dist_own")).alias("margin"),
     )
+
+
+_MODULARITY_ORACLE = (
+    "WITH RECURSIVE "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+deg AS (SELECT src AS node, count(*) AS d FROM edges GROUP BY src),
+dc AS (
+    SELECT c.component, CAST(SUM(g.d) AS BIGINT) AS d_c
+    FROM comp c JOIN deg g ON g.node = c.node
+    GROUP BY c.component
+),
+m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pairs)
+SELECT CAST((SELECT count(*) FROM dc) AS BIGINT) AS n_communities,
+       m.m AS n_edges,
+       1.0 - CAST((SELECT SUM(d_c * d_c) FROM dc) AS DOUBLE)
+             / CAST(4 * m.m * m.m AS DOUBLE) AS modularity
+FROM m
+"""
+)
+
+
+@query("graph_modularity_dedup_partition", oracle=_MODULARITY_ORACLE)
+def graph_modularity_dedup_partition(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Newman modularity of the dedup clustering over the ngram near-dup
+    graph — the quality score for 'did the transitive closure produce
+    tight communities or one giant hairball'. Connected components make
+    every edge intra-community, so Q reduces to 1 − Σ_c d_c²/(2m)²:
+    exact integer degree sums per component (one broadcast-joinable
+    component table), one final correctly-rounded division — bit-
+    identical cross-engine with no rounding. Monitoring Q per corpus
+    snapshot catches LSH-threshold drift (Q collapsing toward 0 means
+    the graph is merging into a hairball)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    comp = dd.connected_components(pairs)
+    sym = pairs.selectExpr("id_a AS node", "id_b AS other").unionAll(
+        pairs.selectExpr("id_b AS node", "id_a AS other")
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    dc = (
+        comp.join(deg, "node")
+        .groupBy("component")
+        .agg(F.sum("d").cast("long").alias("d_c"))
+    )
+    m_df = pairs.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    stats = dc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.sum(F.col("d_c") * F.col("d_c")).cast("long").alias("sumsq"),
+    )
+    return stats.crossJoin(F.broadcast(m_df)).select(
+        "n_communities",
+        F.col("m").alias("n_edges"),
+        (
+            1.0
+            - F.col("sumsq").cast("double")
+            / (4 * F.col("m") * F.col("m")).cast("double")
+        ).alias("modularity"),
+    )

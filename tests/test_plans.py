@@ -564,3 +564,19 @@ def test_welch_sufficient_stats_partial_agg(spark, sf_dir):
     partial-aggregate map-side so only per-partition partials shuffle."""
     plan = _plan(spark, sf_dir, "agg_welch_t_test")
     assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+
+
+def test_lateral_topn_decorrelates_to_group_limit(spark, sf_dir):
+    """Correlated LATERAL (ORDER BY+LIMIT per customer) must decorrelate
+    into a join + WindowGroupLimit — never a per-row subquery re-execution
+    or a cartesian."""
+    plan = _plan(spark, sf_dir, "join_lateral_topn_orders")
+    assert "WindowGroupLimit" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_any_all_broadcasts_extrema(spark, sf_dir):
+    """Quantified ALL/ANY rewrite: the per-nation extrema table must
+    broadcast against the supplier scan."""
+    plan = _plan(spark, sf_dir, "subquery_any_all_quantified")
+    assert "BroadcastHashJoin" in plan
