@@ -3319,3 +3319,88 @@ def subquery_any_all_quantified(
         .otherwise(F.col("s_acctbal") > F.col("min_bal"))
         .alias("beats_any_customer"),
     )
+
+
+_MWU_ORACLE = """
+WITH v AS (
+    SELECT event_type AS g, value AS x FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+      AND event_type IN ('click', 'purchase')
+),
+per_val AS (
+    SELECT x,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(COUNT(*) FILTER (WHERE g = 'click') AS BIGINT) AS cnt1
+    FROM v GROUP BY x
+),
+ranked AS (
+    SELECT x, cnt, cnt1,
+           COALESCE(SUM(cnt) OVER (ORDER BY x
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND 1 PRECEDING), 0) AS c_less
+    FROM per_val
+),
+tot AS (
+    SELECT CAST(SUM(cnt1) AS BIGINT) AS n1,
+           CAST(SUM(cnt - cnt1) AS BIGINT) AS n2,
+           CAST(SUM(CAST(cnt1 AS DECIMAL(38,6))
+                    * (c_less + (cnt + 1) / CAST(2 AS DOUBLE)))
+                AS DOUBLE) AS r1
+    FROM ranked
+)
+SELECT n1, n2, r1 AS rank_sum_click,
+       r1 - n1 * (n1 + 1) / CAST(2 AS DOUBLE) AS u_click,
+       CAST(n1 AS DOUBLE) * n2
+           - (r1 - n1 * (n1 + 1) / CAST(2 AS DOUBLE)) AS u_purchase
+FROM tot
+"""
+
+
+@query("agg_mann_whitney_u", oracle=_MWU_ORACLE)
+def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (rank-sum) statistic between two event populations
+    — the nonparametric sibling of ``agg_welch_t_test`` for skewed or
+    heavy-tailed metrics. Computed WITHOUT ranking individual rows: one
+    groupBy collapses the data to distinct values with per-group counts,
+    tie-averaged ranks come from a running count over that (much
+    smaller) value table, and the rank-sum is an exact decimal dot
+    product — so the shuffle is bounded by distinct values, never rows,
+    and every output is exact integer-or-half arithmetic (bit-identical
+    cross-engine)."""
+    from pyspark.sql import Window as Win
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    filt = ev.where(
+        ~F.isnan(v)
+        & (F.abs(v) != float("inf"))
+        & F.col("event_type").isin("click", "purchase")
+    ).select(F.col("event_type").alias("g"), v.alias("x"))
+    per_val = filt.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.count(F.when(F.col("g") == "click", 1)).cast("long").alias(
+            "cnt1"
+        ),
+    )
+    w = Win.orderBy("x").rowsBetween(Win.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "c_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    avg_rank = F.col("c_less") + (F.col("cnt") + 1) / F.lit(2.0)
+    tot = ranked.agg(
+        F.sum("cnt1").cast("long").alias("n1"),
+        F.sum(F.col("cnt") - F.col("cnt1")).cast("long").alias("n2"),
+        F.sum((F.col("cnt1").cast("decimal(38,6)") * avg_rank))
+        .cast("double")
+        .alias("r1"),
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / F.lit(2.0)
+    return tot.select(
+        "n1",
+        "n2",
+        F.col("r1").alias("rank_sum_click"),
+        u1.alias("u_click"),
+        (F.col("n1").cast("double") * F.col("n2") - u1).alias(
+            "u_purchase"
+        ),
+    )

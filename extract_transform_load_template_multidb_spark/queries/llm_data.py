@@ -4605,3 +4605,106 @@ def graph_modularity_dedup_partition(
             / (4 * F.col("m") * F.col("m")).cast("double")
         ).alias("modularity"),
     )
+
+
+_SRC_OVERLAP_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+sh AS (
+    SELECT DISTINCT d.source, u.s
+    FROM toks_list t
+    JOIN documents d ON d.doc_id = t.doc_id,
+    LATERAL (
+        SELECT unnest(list_distinct(
+            list_transform(range(1, len(t.t) - 1),
+                           i -> t.t[i] || ' ' || t.t[i+1] || ' ' || t.t[i+2])
+        )) AS s
+    ) u
+    WHERE len(t.t) >= 3
+),
+sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh
+          GROUP BY source),
+inter AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_inter
+    FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT i.source_a, i.source_b, i.n_inter,
+       sa.n_sh AS n_sh_a, sb.n_sh AS n_sh_b,
+       CAST(i.n_inter AS DOUBLE)
+           / (sa.n_sh + sb.n_sh - i.n_inter) AS jaccard,
+       CAST(i.n_inter AS DOUBLE) / LEAST(sa.n_sh, sb.n_sh)
+           AS containment
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+)
+
+
+@query("dedup_source_shingle_overlap", oracle=_SRC_OVERLAP_ORACLE)
+def dedup_source_shingle_overlap(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cross-source contamination matrix: 3-gram shingle Jaccard and
+    containment between every PAIR of corpus sources — the scraping-
+    pipeline audit that catches one source re-hosting another before
+    mixture weights are trusted. The corpus collapses to DISTINCT
+    (source, shingle) postings first, so the pair join fans out only on
+    shared shingles across the handful of sources (bounded by
+    sources² × shared vocabulary, never docs²); integer intersections,
+    two correctly-rounded divisions at the end."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source",
+            F.explode(dd.word_shingles(F.col("text"), n=3)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sizes = sh.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_sh")
+    )
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("n_sh").alias("n_sh_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("n_sh").alias("n_sh_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            "n_sh_a",
+            "n_sh_b",
+            (
+                F.col("n_inter").cast("double")
+                / (F.col("n_sh_a") + F.col("n_sh_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+            (
+                F.col("n_inter").cast("double")
+                / F.least("n_sh_a", "n_sh_b")
+            ).alias("containment"),
+        )
+    )

@@ -1689,3 +1689,113 @@ def window_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_cusum").desc(), "changepoint_day")
         .limit(1)
     )
+
+
+_SEASONALITY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day, rev,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn,
+           COUNT(*) OVER () AS n,
+           CAST(SUM(CAST(rev AS DECIMAL(38,6)))
+                    OVER (ORDER BY day ROWS BETWEEN 14 PRECEDING
+                          AND 14 FOLLOWING) AS DOUBLE) / 29 AS trend
+    FROM daily
+),
+detr AS (
+    SELECT dayofweek(day) AS dow, rev - trend AS r
+    FROM seq WHERE rn > 14 AND rn <= n - 14
+),
+dowm AS (
+    SELECT dow,
+           CAST(SUM(CAST(r AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS dow_mean,
+           CAST(COUNT(*) AS BIGINT) AS n_days
+    FROM detr GROUP BY dow
+),
+resid AS (
+    SELECT d.r,
+           d.r - m.dow_mean AS e
+    FROM detr d JOIN dowm m ON m.dow = d.dow
+),
+vars AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_detr,
+           CAST(SUM(CAST(r * r AS DECIMAL(38,6))) AS DOUBLE) AS ss_detr,
+           CAST(SUM(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) AS ss_resid
+    FROM resid
+)
+SELECT n_detr, ss_detr, ss_resid,
+       1 - ss_resid / ss_detr AS seasonality_strength
+FROM vars
+"""
+
+
+@query("ts_seasonality_strength", oracle=_SEASONALITY_ORACLE)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonal-strength score: detrend daily revenue with a
+    centered 29-day moving average, fit day-of-week means to the
+    detrended series, and report 1 − SS_resid/SS_detrended — how much
+    of the non-trend variance weekday seasonality explains. Every sum
+    routes through DECIMAL after a deterministic per-row product (the
+    engine's float discipline), the trend window is a bounded ROWS
+    frame, and the dow-mean table is 7 rows broadcast back — one sort
+    per series, constant memory per row at any history length."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    w_ord = Win.orderBy("day")
+    w_c = w_ord.rowsBetween(-14, 14)
+    seq = daily.select(
+        "day",
+        "rev",
+        F.row_number().over(w_ord).alias("rn"),
+        F.count(F.lit(1)).over(Win.partitionBy()).alias("n"),
+        (
+            F.sum(F.col("rev").cast("decimal(38,6)")).over(w_c)
+            .cast("double")
+            / 29
+        ).alias("trend"),
+    )
+    detr = seq.where(
+        (F.col("rn") > 14) & (F.col("rn") <= F.col("n") - 14)
+    ).select(
+        F.dayofweek("day").alias("dow"),
+        (F.col("rev") - F.col("trend")).alias("r"),
+    )
+    dowm = detr.groupBy("dow").agg(
+        (
+            F.sum(F.col("r").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("dow_mean")
+    )
+    resid = detr.join(F.broadcast(dowm), "dow").select(
+        "r", (F.col("r") - F.col("dow_mean")).alias("e")
+    )
+    return resid.agg(
+        F.count(F.lit(1)).cast("long").alias("n_detr"),
+        F.sum((F.col("r") * F.col("r")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss_detr"),
+        F.sum((F.col("e") * F.col("e")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss_resid"),
+    ).select(
+        "n_detr",
+        "ss_detr",
+        "ss_resid",
+        (1 - F.col("ss_resid") / F.col("ss_detr")).alias(
+            "seasonality_strength"
+        ),
+    )
