@@ -4708,3 +4708,148 @@ def dedup_source_shingle_overlap(
             ).alias("containment"),
         )
     )
+
+
+_HARD_NEG_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+lab AS (SELECT vec_id, label FROM embeddings),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           SUM(a.v * b.v) AS dot
+    FROM elems a
+    JOIN elems b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id % 25 = 0
+    GROUP BY a.vec_id, b.vec_id
+),
+cos AS (
+    SELECT d.query_id, d.neighbor_id,
+           la.label AS anchor_label, lb.label AS neighbor_label,
+           CAST(d.dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots d
+    JOIN norms na ON na.vec_id = d.query_id
+    JOIN norms nb ON nb.vec_id = d.neighbor_id
+    JOIN lab la ON la.vec_id = d.query_id
+    JOIN lab lb ON lb.vec_id = d.neighbor_id
+    WHERE la.label <> lb.label
+)
+SELECT query_id,
+       CAST(anchor_label AS BIGINT) AS anchor_label,
+       neighbor_id,
+       CAST(neighbor_label AS BIGINT) AS neighbor_label,
+       CAST(rnk AS BIGINT) AS rnk,
+       cosine
+FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rnk
+    FROM cos
+) WHERE rnk <= 3
+"""
+)
+
+
+@query("sim_hard_negative_mining", oracle=_HARD_NEG_ORACLE)
+def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    (every 25th vector), the 3 highest-cosine vectors with a DIFFERENT
+    label — the near-misses that make the strongest negatives for
+    embedding fine-tuning. One broadcast brute-force corpus pass (the
+    same shape as the top-k family, here with k=|corpus| so every score
+    survives; at scale use an overfetch k of a few × the negative
+    count), a label filter BEFORE the final ranking so positives never
+    crowd out the negative slots, then a per-anchor group-limit — the
+    anchor set stays broadcast-sized and the corpus streams through
+    once."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    scored = sim.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), k=500
+    ).drop("rnk")
+    la = labels.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("anchor_label"),
+    )
+    lb = labels.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("neighbor_label"),
+    )
+    neg = (
+        scored.join(F.broadcast(la), "query_id")
+        .join(F.broadcast(lb), "neighbor_id")
+        .where(F.col("anchor_label") != F.col("neighbor_label"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        neg.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("anchor_label").cast("long").alias("anchor_label"),
+            "neighbor_id",
+            F.col("neighbor_label").cast("long").alias("neighbor_label"),
+            F.col("rnk").cast("long").alias("rnk"),
+            "cosine",
+        )
+    )
+
+
+_NORM_EXACT_ORACLE = """
+WITH norm AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+               ' +', ' ', 'g'))) AS h
+    FROM documents
+),
+grp AS (
+    SELECT h, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keeper_doc_id
+    FROM norm GROUP BY h
+    HAVING COUNT(*) >= 2
+)
+SELECT g.h AS norm_hash, g.n_docs, g.keeper_doc_id, n.doc_id
+FROM grp g JOIN norm n ON n.h = g.h
+"""
+
+
+@query("dedup_exact_normalized", oracle=_NORM_EXACT_ORACLE)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalization-tier exact dedup: lowercase, strip non-alphanumerics,
+    collapse whitespace, THEN hash-group — the tier between byte-exact
+    dedup and MinHash that catches re-encodes, punctuation edits, and
+    case changes for the cost of one narrow map + one hash shuffle.
+    Emits every member of each ≥2 group with the min-id keeper, ready
+    for an anti-join drop. The md5 is on the normalized form, so the
+    shuffle key is 16 bytes regardless of document length."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+                " +",
+                " ",
+            )
+        )
+    )
+    norm = docs.select("doc_id", h.alias("h"))
+    grp = (
+        norm.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )
+    return grp.join(norm, "h").select(
+        F.col("h").alias("norm_hash"),
+        "n_docs",
+        "keeper_doc_id",
+        "doc_id",
+    )

@@ -120,3 +120,29 @@ def test_table_checksum_invariant_under_layout(spark, sf_dir):
     )
     got = q(spark, shuffled_dir).collect()[0]
     assert got == base
+
+
+def test_dedup_exact_normalized_catches_reencodes(spark, tmp_path):
+    """The normalization tier must group case/punctuation/whitespace
+    variants (invisible to byte-exact dedup) and keep the min doc_id.
+    The sf0.01 fixture has no such variants (the driver row there is
+    legitimately empty), so semantics are pinned on planted data."""
+    from extract_transform_load_template_multidb_spark.queries import (
+        all_queries,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "Hello, World!  The quick brown fox.", "en", "a", 35),
+            (2, "hello world the QUICK brown fox", "en", "b", 31),
+            (3, "a completely different document", "en", "a", 31),
+            (4, "hello world... the quick brown fox?!", "en", "c", 36),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = all_queries()["dedup_exact_normalized"](
+        spark, str(tmp_path)
+    ).collect()
+    got = {(r.doc_id, r.keeper_doc_id, r.n_docs) for r in out}
+    assert got == {(1, 1, 3), (2, 1, 3), (4, 1, 3)}
