@@ -642,3 +642,69 @@ def cosine_topk_matmul(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "rnk", "cosine")
     )
+
+
+def pq_reconstruction_errors(
+    df: DataFrame,
+    m: int = 4,
+    n_codewords: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """Per-subspace PQ quantization-error audit for :func:`pq_topk`.
+
+    For every corpus vector's subvector, the exact-int squared L2 to its
+    assigned codeword (the same argmin encode as ``pq_topk``), rolled up
+    per subspace: (s, n_vectors, total_sq_err, mean_sq_err). A subspace
+    whose mean error dwarfs the others is where the codebook needs more
+    codewords (or the dimensions need a rotation) — THE metric that
+    decides when a PQ index must be retrained as the corpus drifts.
+
+    Scale shape: identical to the encode half of ``pq_topk`` — narrow
+    subspace explode, broadcast codebook join, map-side-combinable
+    min(struct) argmin, then an m-row rollup. All error terms are exact
+    int64; the single division per subspace is correctly-rounded IEEE.
+    """
+    corpus = _corpus_quantized(df, vec_col, id_col)
+    first_dim = df.select(F.size(F.col(vec_col)).alias("d")).limit(1)
+    dim = first_dim.collect()[0]["d"]  # 1-row scalar fetch, driver-safe
+    if dim % m:
+        raise ValueError(f"embedding dim {dim} not divisible by m={m}")
+    sub_dim = dim // m
+    cb_src = (
+        _corpus_quantized(codebook, vec_col, id_col)
+        if codebook is not None
+        else corpus.filter(F.col(id_col) < n_codewords)
+    )
+    codewords = _subspace_explode(cb_src, m, sub_dim, id_col).select(
+        F.col(id_col).alias("cid"),
+        "s",
+        F.col("sub").alias("cw"),
+        F.col("sub_nsq").alias("cw_nsq"),
+    )
+    corpus_subs = _subspace_explode(corpus, m, sub_dim, id_col)
+    dists = corpus_subs.join(F.broadcast(codewords), "s").select(
+        F.col(id_col),
+        "s",
+        F.struct(
+            (
+                F.col("sub_nsq")
+                + F.col("cw_nsq")
+                - 2 * dot_long(F.col("sub"), F.col("cw"))
+            ).alias("dist"),
+            F.col("cid").alias("cid"),
+        ).alias("cand"),
+    )
+    best = (
+        dists.groupBy(id_col, "s")
+        .agg(F.min("cand").alias("best"))
+        .select("s", F.col("best.dist").alias("sq_err"))
+    )
+    return best.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors"),
+        F.sum("sq_err").cast("long").alias("total_sq_err"),
+        (
+            F.sum("sq_err").cast("double") / F.count(F.lit(1))
+        ).alias("mean_sq_err"),
+    )

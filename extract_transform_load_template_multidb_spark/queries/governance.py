@@ -1416,3 +1416,87 @@ def dq_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mean_fanout"
         ),
     )
+
+
+_CKEY_ORACLE = """
+WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM events)
+SELECT c.candidate, n.n_rows, c.n_distinct,
+       n.n_rows - c.n_distinct AS n_collisions,
+       c.n_distinct = n.n_rows AS is_key
+FROM (
+    SELECT 'event_id' AS candidate,
+           CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_distinct
+    FROM events
+    UNION ALL
+    SELECT 'user_id', CAST(COUNT(DISTINCT user_id) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'ts', CAST(COUNT(DISTINCT ts) AS BIGINT) FROM events
+    UNION ALL
+    SELECT 'user_id,ts',
+           CAST(COUNT(DISTINCT (CAST(user_id AS VARCHAR) || '|'
+                                || CAST(epoch_us(ts) AS VARCHAR)))
+                AS BIGINT)
+    FROM events
+    UNION ALL
+    SELECT 'user_id,event_type,ts',
+           CAST(COUNT(DISTINCT (CAST(user_id AS VARCHAR) || '|'
+                                || event_type || '|'
+                                || CAST(epoch_us(ts) AS VARCHAR)))
+                AS BIGINT)
+    FROM events
+) c CROSS JOIN n
+"""
+
+
+@query("dq_candidate_key_discovery", oracle=_CKEY_ORACLE)
+def dq_candidate_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery: test a ladder of column combinations for
+    uniqueness in one pass each — the profiling step that decides the
+    upsert key before a pipeline is wired (reference Method-1 templates
+    assume the key; this measures it). Composite candidates hash their
+    canonical string encoding, so each test is one exact distinct-count
+    whose shuffle carries only the combo values; at 100 TB swap
+    ``approx_count_distinct`` in first and confirm exact only on the
+    survivors."""
+    ev = load_table(spark, sf_dir, "events")
+    n_rows = F.count(F.lit(1)).cast("long")
+    combos = [
+        ("event_id", F.col("event_id").cast("string")),
+        ("user_id", F.col("user_id").cast("string")),
+        ("ts", F.unix_micros("ts").cast("string")),
+        (
+            "user_id,ts",
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.unix_micros("ts").cast("string"),
+            ),
+        ),
+        (
+            "user_id,event_type,ts",
+            F.concat_ws(
+                "|",
+                F.col("user_id").cast("string"),
+                F.col("event_type"),
+                F.unix_micros("ts").cast("string"),
+            ),
+        ),
+    ]
+    parts = [
+        ev.agg(
+            F.lit(name).alias("candidate"),
+            n_rows.alias("n_rows"),
+            F.count_distinct(expr).cast("long").alias("n_distinct"),
+        )
+        for name, expr in combos
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "candidate",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") - F.col("n_distinct")).alias("n_collisions"),
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+    )

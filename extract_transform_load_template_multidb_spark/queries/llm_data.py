@@ -4853,3 +4853,59 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_doc_id",
         "doc_id",
     )
+
+
+_PQ_RECON_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+sub AS (
+    SELECT vec_id, CAST(d // 16 AS INT) AS s, d, v FROM elems
+),
+cw AS (
+    SELECT vec_id AS cid, s, d, v FROM sub WHERE vec_id < 8
+),
+cw_nsq AS (
+    SELECT cid, s, SUM(v * v) AS nsq FROM cw GROUP BY cid, s
+),
+sub_nsq AS (
+    SELECT vec_id, s, SUM(v * v) AS nsq FROM sub GROUP BY vec_id, s
+),
+enc_dots AS (
+    SELECT x.vec_id, x.s, c.cid, SUM(x.v * c.v) AS dot
+    FROM sub x JOIN cw c ON c.s = x.s AND c.d = x.d
+    GROUP BY x.vec_id, x.s, c.cid
+),
+best AS (
+    SELECT vec_id, s, dist FROM (
+        SELECT e.vec_id, e.s,
+               (sn.nsq + cn.nsq - 2 * e.dot) AS dist,
+               row_number() OVER (
+                   PARTITION BY e.vec_id, e.s
+                   ORDER BY (sn.nsq + cn.nsq - 2 * e.dot), e.cid
+               ) AS rn
+        FROM enc_dots e
+        JOIN sub_nsq sn ON sn.vec_id = e.vec_id AND sn.s = e.s
+        JOIN cw_nsq cn ON cn.cid = e.cid AND cn.s = e.s
+    ) WHERE rn = 1
+)
+SELECT s,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       CAST(SUM(dist) AS BIGINT) AS total_sq_err,
+       CAST(SUM(dist) AS DOUBLE) / COUNT(*) AS mean_sq_err
+FROM best GROUP BY s
+"""
+)
+
+
+@query("sim_pq_reconstruction_error", oracle=_PQ_RECON_ORACLE)
+def sim_pq_reconstruction_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-subspace PQ quantization-error audit — the retrain trigger for
+    a product-quantized ANN index (`sim_cosine_topk_pq`): when one
+    subspace's mean reconstruction error drifts above its siblings, that
+    subspace's codebook no longer fits the corpus. Same broadcast encode
+    plan as PQ search; exact int64 error sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_reconstruction_errors(emb, m=4, n_codewords=8)
