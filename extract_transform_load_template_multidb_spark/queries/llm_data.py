@@ -4909,3 +4909,74 @@ def sim_pq_reconstruction_error(
     plan as PQ search; exact int64 error sums."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.pq_reconstruction_errors(emb, m=4, n_codewords=8)
+
+
+_TEMP_WEIGHTS_ORACLE = """
+WITH counts AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS t FROM counts),
+powed AS (
+    SELECT c.source, c.n_docs, c.n_chars,
+           c.n_chars / tot.t AS p_raw,
+           round(power(c.n_chars / tot.t, CAST(0.7 AS DOUBLE)), 9) AS p_pow
+    FROM counts c CROSS JOIN tot
+),
+z AS (
+    SELECT CAST(SUM(CAST(p_pow AS DECIMAL(38,9))) AS DOUBLE) AS z
+    FROM powed
+)
+SELECT p.source, p.n_docs, p.n_chars, p.p_raw,
+       round(p.p_pow / z.z, 9) AS p_sample,
+       round(p.p_pow / z.z / p.p_raw, 6) AS upsample_factor
+FROM powed p CROSS JOIN z
+"""
+
+
+@query("curation_temperature_mixture_weights", oracle=_TEMP_WEIGHTS_ORACLE)
+def curation_temperature_mixture_weights(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-based mixture reweighting (τ=0.7): the multilingual/
+    multi-source sampling trick — raise each source's mass share to α<1
+    and renormalize, so low-resource sources upsample and giants
+    downsample, with the per-source upsample factor a scheduler feeds
+    straight into sampling rates. One source-level rollup (sources ≪
+    corpus, broadcastable); the α-power is the one transcendental, so
+    it quantizes to a 9-dp decimal BEFORE the normalizing sum (libm vs
+    JVM pow may differ by 1 ulp) and the final ratios round onto the
+    hash grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("n_chars"),
+    )
+    tot = counts.agg(
+        F.sum("n_chars").cast("double").alias("t")
+    )
+    powed = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        (F.col("n_chars") / F.col("t")).alias("p_raw"),
+        F.round(
+            F.pow(F.col("n_chars") / F.col("t"), F.lit(0.7)), 9
+        ).alias("p_pow"),
+    )
+    z = powed.agg(
+        F.sum(F.col("p_pow").cast("decimal(38,9)"))
+        .cast("double")
+        .alias("z")
+    )
+    return powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        "p_raw",
+        F.round(F.col("p_pow") / F.col("z"), 9).alias("p_sample"),
+        F.round(F.col("p_pow") / F.col("z") / F.col("p_raw"), 6).alias(
+            "upsample_factor"
+        ),
+    )

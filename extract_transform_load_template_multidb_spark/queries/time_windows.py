@@ -1799,3 +1799,75 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "seasonality_strength"
         ),
     )
+
+
+_BOUNCE_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS session_seq
+    FROM seq
+),
+per_sess AS (
+    SELECT user_id, session_seq, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, session_seq
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS BIGINT)
+           AS n_bounce_sessions,
+       CAST(COUNT(*) FILTER (WHERE n_events = 1) AS DOUBLE) / COUNT(*)
+           AS bounce_rate,
+       CAST(SUM(n_events) AS DOUBLE) / COUNT(*) AS events_per_session
+FROM per_sess
+"""
+
+
+@query("ts_bounce_rate", oracle=_BOUNCE_ORACLE)
+def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized bounce rate: share of 30-minute-gap sessions containing
+    exactly one event, plus events-per-session — the engagement KPI pair
+    computed on top of the gaps-and-islands session ids
+    (`window_session_gap_ids`'s assignment, rolled up twice). One
+    user-keyed shuffle does the sessionization; the rollups are exact
+    integer counts with two correctly-rounded final divisions."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            >= gap_us
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    per_sess = sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    bounce = F.count(F.when(F.col("n_events") == 1, 1))
+    return per_sess.agg(
+        F.count(F.lit(1)).cast("long").alias("n_sessions"),
+        bounce.cast("long").alias("n_bounce_sessions"),
+        (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+        (
+            F.sum("n_events").cast("double") / F.count(F.lit(1))
+        ).alias("events_per_session"),
+    )
