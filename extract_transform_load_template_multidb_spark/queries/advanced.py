@@ -3404,3 +3404,41 @@ def agg_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
             "u_purchase"
         ),
     )
+
+
+_ARGMAX_ORACLE = """
+SELECT c_nationkey,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       arg_max(c_custkey, c_acctbal * 10000000.0 - c_custkey)
+           AS richest_custkey,
+       max(c_acctbal) AS richest_balance,
+       arg_min(c_custkey, c_acctbal * 10000000.0 + c_custkey)
+           AS poorest_custkey,
+       min(c_acctbal) AS poorest_balance
+FROM customer
+GROUP BY c_nationkey
+"""
+
+
+@query("agg_argmax_min_by_max_by", oracle=_ARGMAX_ORACLE)
+def agg_argmax_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax/argmin aggregation (``max_by``/``min_by``): each nation's
+    richest and poorest customer in ONE pass — no rank window, no
+    self-join. Raw ``max_by`` is nondeterministic under ties, so the
+    ordering key is the exact composite ``balance·10⁷ ∓ custkey`` (2-dp
+    money × 10⁷ is integer-valued and custkey-dominated ties pick the
+    LOWEST id on both ends) — the documented pattern for making argmax
+    reproducible across engines and partitionings."""
+    c = load_table(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal") * 10000000.0
+    return c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.max_by(F.col("c_custkey"), bal - F.col("c_custkey")).alias(
+            "richest_custkey"
+        ),
+        F.max("c_acctbal").alias("richest_balance"),
+        F.min_by(F.col("c_custkey"), bal + F.col("c_custkey")).alias(
+            "poorest_custkey"
+        ),
+        F.min("c_acctbal").alias("poorest_balance"),
+    )

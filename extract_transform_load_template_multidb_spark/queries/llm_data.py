@@ -4980,3 +4980,78 @@ def curation_temperature_mixture_weights(
             "upsample_factor"
         ),
     )
+
+
+_CODE_DETECT_ORACLE = """
+WITH m AS (
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(replace(text, chr(10), ''))
+                + 1 AS BIGINT) AS n_lines,
+           CAST(length(text) - length(regexp_replace(
+                text, '[{};()\\[\\]<>=]', '', 'g')) AS BIGINT) AS n_syntax,
+           CAST(length(text) - length(regexp_replace(
+                text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+           CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                AS BIGINT) AS n_spaces
+    FROM documents WHERE length(text) > 0
+)
+SELECT doc_id, n_chars, n_lines,
+       CAST(n_syntax AS DOUBLE) / n_chars AS syntax_density,
+       CAST(n_digits AS DOUBLE) / n_chars AS digit_ratio,
+       CAST(n_spaces AS DOUBLE) / n_chars AS space_ratio,
+       CAST(n_chars AS DOUBLE) / n_lines AS avg_line_len,
+       (CAST(n_syntax AS DOUBLE) / n_chars) >= CAST(0.05 AS DOUBLE)
+           AS is_codelike
+FROM m
+"""
+
+
+@query("text_code_detection", oracle=_CODE_DETECT_ORACLE)
+def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose structural profile: syntax-character density
+    (braces/semicolons/brackets/comparison glyphs), digit and whitespace
+    ratios, average line length, and a codelike flag — the curation
+    signal that routes documents to a code-aware tokenizer pipeline or
+    drops markup masquerading as prose. Pure narrow character counting
+    (length-after-strip deltas, no explode, no shuffle), exact integer
+    counts with correctly-rounded final ratios."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_chars = F.length(t).cast("long")
+    n_lines = (
+        F.length(t) - F.length(F.replace(t, F.lit("\n"), F.lit(""))) + 1
+    ).cast("long")
+    n_syntax = (
+        F.length(t)
+        - F.length(F.regexp_replace(t, r"[{};()\[\]<>=]", ""))
+    ).cast("long")
+    n_digits = (
+        F.length(t) - F.length(F.regexp_replace(t, "[0-9]", ""))
+    ).cast("long")
+    n_spaces = F.length(F.regexp_replace(t, "[^ ]", "")).cast("long")
+    m = docs.where(F.length(t) > 0).select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_lines.alias("n_lines"),
+        n_syntax.alias("n_syntax"),
+        n_digits.alias("n_digits"),
+        n_spaces.alias("n_spaces"),
+    )
+    syntax_density = F.col("n_syntax").cast("double") / F.col("n_chars")
+    return m.select(
+        "doc_id",
+        "n_chars",
+        "n_lines",
+        syntax_density.alias("syntax_density"),
+        (F.col("n_digits").cast("double") / F.col("n_chars")).alias(
+            "digit_ratio"
+        ),
+        (F.col("n_spaces").cast("double") / F.col("n_chars")).alias(
+            "space_ratio"
+        ),
+        (F.col("n_chars").cast("double") / F.col("n_lines")).alias(
+            "avg_line_len"
+        ),
+        (syntax_density >= 0.05).alias("is_codelike"),
+    )

@@ -990,3 +990,86 @@ def scalar_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sz_param"),
         F.regexp_extract(url, r"\.([a-z]+)\.com", 1).alias("subdomain_tld"),
     )
+
+
+_IP_ORACLE = """
+WITH ip AS (
+    SELECT event_id,
+           (user_id * 2654435761) % 4294967296 AS ip_int
+    FROM events
+),
+oct AS (
+    SELECT event_id, ip_int,
+           ip_int // 16777216 AS o1,
+           (ip_int // 65536) % 256 AS o2,
+           (ip_int // 256) % 256 AS o3,
+           ip_int % 256 AS o4
+    FROM ip
+),
+q AS (
+    SELECT event_id, ip_int,
+           CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+               || CAST(o3 AS VARCHAR) || '.' || CAST(o4 AS VARCHAR)
+               AS ip_addr,
+           CAST(o1 AS VARCHAR) || '.' || CAST(o2 AS VARCHAR) || '.'
+               || CAST(o3 AS VARCHAR) || '.0/24' AS subnet,
+           (ip_int // 256) * 256 AS subnet_base
+    FROM oct
+)
+SELECT subnet,
+       CAST(subnet_base AS BIGINT) AS subnet_base,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT ip_int) AS BIGINT) AS n_ips,
+       min(ip_addr) AS sample_ip
+FROM q
+GROUP BY subnet, subnet_base
+ORDER BY n_events DESC, subnet
+LIMIT 20
+"""
+
+
+@query("scalar_ipv4_subnet_rollup", oracle=_IP_ORACLE)
+def scalar_ipv4_subnet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 integer↔dotted-quad conversion and /24 CIDR rollup — the
+    network-log scalar surface (the fixture has no IP column, so a
+    deterministic Knuth-hash of user_id stands in; the arithmetic under
+    test is the octet decomposition and subnet masking itself). Pure
+    integer div/mod in whole-stage codegen, one map-side-combined count
+    per subnet, top-20 via TakeOrderedAndProject."""
+    ev = load_table(spark, sf_dir, "events")
+    ip_int = (F.col("user_id") * F.lit(2654435761)) % F.lit(4294967296)
+    o1 = (ip_int / 16777216).cast("long")
+    o2 = ((ip_int / 65536) % 256).cast("long")
+    o3 = ((ip_int / 256) % 256).cast("long")
+    o4 = (ip_int % 256).cast("long")
+    q = ev.select(
+        "event_id",
+        ip_int.alias("ip_int"),
+        F.concat_ws(
+            ".",
+            o1.cast("string"),
+            o2.cast("string"),
+            o3.cast("string"),
+            o4.cast("string"),
+        ).alias("ip_addr"),
+        F.concat(
+            F.concat_ws(
+                ".",
+                o1.cast("string"),
+                o2.cast("string"),
+                o3.cast("string"),
+            ),
+            F.lit(".0/24"),
+        ).alias("subnet"),
+        ((ip_int / 256).cast("long") * 256).alias("subnet_base"),
+    )
+    return (
+        q.groupBy("subnet", "subnet_base")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count_distinct("ip_int").cast("long").alias("n_ips"),
+            F.min("ip_addr").alias("sample_ip"),
+        )
+        .orderBy(F.col("n_events").desc(), "subnet")
+        .limit(20)
+    )
