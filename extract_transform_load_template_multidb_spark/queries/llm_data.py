@@ -5055,3 +5055,96 @@ def text_code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (syntax_density >= 0.05).alias("is_codelike"),
     )
+
+
+_DRIFT_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+half AS (
+    SELECT e.vec_id, e.d, e.v, m.label,
+           CASE WHEN e.vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS h
+    FROM elems e JOIN embeddings m ON m.vec_id = e.vec_id
+),
+sums AS (
+    SELECT label, d,
+           CAST(SUM(v) FILTER (WHERE h = 'a') AS BIGINT) AS s1,
+           CAST(SUM(v) FILTER (WHERE h = 'b') AS BIGINT) AS s2
+    FROM half GROUP BY label, d
+),
+cnts AS (
+    SELECT label,
+           CAST(COUNT(DISTINCT vec_id) FILTER (WHERE h = 'a') AS BIGINT)
+               AS n1,
+           CAST(COUNT(DISTINCT vec_id) FILTER (WHERE h = 'b') AS BIGINT)
+               AS n2
+    FROM half GROUP BY label
+),
+num AS (
+    SELECT s.label, c.n1, c.n2,
+           SUM((s.s1 * c.n2 - s.s2 * c.n1)
+               * (s.s1 * c.n2 - s.s2 * c.n1)) AS ss
+    FROM sums s JOIN cnts c ON c.label = s.label
+    GROUP BY s.label, c.n1, c.n2
+)
+SELECT CAST(label AS BIGINT) AS label, n1 AS n_half_a, n2 AS n_half_b,
+       sqrt(CAST(ss AS DOUBLE)) / (n1 * n2) AS centroid_shift
+FROM num
+"""
+)
+
+
+@query("sim_embedding_drift_by_label", oracle=_DRIFT_ORACLE)
+def sim_embedding_drift_by_label(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-label embedding drift probe: split the corpus into two
+    deterministic halves (even/odd ids standing in for before/after
+    snapshots) and measure the L2 distance between each label's half
+    centroids — the re-embed/re-index trigger when an encoder or
+    upstream distribution moves. The half-centroid difference is exact
+    integer arithmetic on the quantized grid via the common-denominator
+    form (s1·n2 − s2·n1, summed in DECIMAL so 64 squared terms cannot
+    overflow int64), with ONE sqrt and one division at the end — bit-
+    identical cross-engine. Sums are labels × dims rows; corpus streams
+    once."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        (F.col("vec_id") % 2 == 0).alias("is_a"),
+        F.posexplode("embedding").alias("d", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "is_a",
+        "d",
+        F.floor(F.col("x").cast("double") * 1000).cast("long").alias("v"),
+    )
+    sums = elems.groupBy("label", "d").agg(
+        F.sum(F.when(F.col("is_a"), F.col("v"))).alias("s1"),
+        F.sum(F.when(~F.col("is_a"), F.col("v"))).alias("s2"),
+    )
+    cnts = emb.groupBy("label").agg(
+        F.count(F.when(F.col("vec_id") % 2 == 0, 1))
+        .cast("long")
+        .alias("n1"),
+        F.count(F.when(F.col("vec_id") % 2 != 0, 1))
+        .cast("long")
+        .alias("n2"),
+    )
+    diff = F.col("s1") * F.col("n2") - F.col("s2") * F.col("n1")
+    num = (
+        sums.join(F.broadcast(cnts), "label")
+        .groupBy("label", "n1", "n2")
+        .agg(F.sum((diff * diff).cast("decimal(38,0)")).alias("ss"))
+    )
+    return num.select(
+        F.col("label").cast("long").alias("label"),
+        F.col("n1").alias("n_half_a"),
+        F.col("n2").alias("n_half_b"),
+        (
+            F.sqrt(F.col("ss").cast("double"))
+            / (F.col("n1") * F.col("n2"))
+        ).alias("centroid_shift"),
+    )

@@ -1871,3 +1871,146 @@ def ts_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_events").cast("double") / F.count(F.lit(1))
         ).alias("events_per_session"),
     )
+
+
+_SNAIVE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT day, rev,
+           lag(rev, 7) OVER (ORDER BY day) AS forecast
+    FROM daily
+),
+scored AS (
+    SELECT CAST(rev AS DOUBLE) AS rev,
+           CAST(forecast AS DOUBLE) AS forecast,
+           CAST(abs(rev - forecast) AS DECIMAL(38,6)) AS abs_err
+    FROM lagged WHERE forecast IS NOT NULL
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(abs_err) AS DOUBLE) / COUNT(*) AS mae,
+       CAST(SUM(abs_err) AS DOUBLE)
+           / CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS wape
+FROM scored
+"""
+
+
+@query("ts_seasonal_naive_backtest", oracle=_SNAIVE_ORACLE)
+def ts_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast backtest: predict each day's revenue with
+    the value 7 days earlier and report MAE and WAPE — the baseline any
+    real forecasting model must beat, and the cheapest drift alarm for
+    a daily KPI. LAG over the exact decimal series keeps errors on the
+    decimal grid, so both accuracy sums are exact; the index positions
+    (not calendar dates) define the lag, matching the oracle exactly.
+    One series sort; per-entity partitionBy at scale."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    lagged = daily.select(
+        F.col("rev").cast("double").alias("rev"),
+        F.lag("rev", 7).over(Win.orderBy("day")).cast("double").alias(
+            "forecast"
+        ),
+    ).where(F.col("forecast").isNotNull())
+    abs_err = F.abs(F.col("rev") - F.col("forecast")).cast(
+        "decimal(38,6)"
+    )
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        (F.sum(abs_err).cast("double") / F.count(F.lit(1))).alias("mae"),
+        (
+            F.sum(abs_err).cast("double")
+            / F.sum(F.col("rev").cast("decimal(38,6)")).cast("double")
+        ).alias("wape"),
+    )
+
+
+_ROLLCORR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS x,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS y
+    FROM events GROUP BY 1
+),
+win AS (
+    SELECT day, x, y,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n,
+           CAST(SUM(x) OVER w AS BIGINT) AS sx,
+           CAST(SUM(y) OVER w AS BIGINT) AS sy,
+           CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+           CAST(SUM(y * y) OVER w AS BIGINT) AS syy,
+           CAST(SUM(x * y) OVER w AS BIGINT) AS sxy,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT day, x AS clicks, y AS purchases,
+       CASE WHEN (n * sxx - sx * sx) > 0 AND (n * syy - sy * sy) > 0
+            THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+       END AS rolling_corr_7d
+FROM win
+WHERE rn >= 7
+"""
+
+
+@query("ts_rolling_corr_clicks_purchases", oracle=_ROLLCORR_ORACLE)
+def ts_rolling_corr_clicks_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """7-day rolling Pearson correlation between daily click and
+    purchase counts — the co-movement monitor that flags when engagement
+    decouples from conversion. All five sufficient-statistic window sums
+    are exact integers (counts and their products), so the correlation
+    is a fixed dag of correctly-rounded IEEE ops — bit-identical with
+    no rounding; degenerate windows (zero variance) yield NULL. Bounded
+    7-row frame, one series sort."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("y"),
+    )
+    w = Win.orderBy("day").rowsBetween(-6, Win.currentRow)
+    win = daily.select(
+        "day",
+        "x",
+        "y",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+        F.row_number().over(Win.orderBy("day")).alias("rn"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return win.where(F.col("rn") >= 7).select(
+        "day",
+        F.col("x").alias("clicks"),
+        F.col("y").alias("purchases"),
+        F.when(
+            (vx > 0) & (vy > 0),
+            cov.cast("double")
+            / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+        ).alias("rolling_corr_7d"),
+    )
