@@ -3442,3 +3442,70 @@ def agg_argmax_min_by_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("c_acctbal").alias("poorest_balance"),
     )
+
+
+_HILL_ORACLE = """
+WITH ranked AS (
+    SELECT o_totalprice,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rnk
+    FROM orders
+),
+topk AS (
+    SELECT o_totalprice,
+           CAST(max(o_totalprice) FILTER (WHERE rnk = 201) OVER ()
+                AS DOUBLE) AS x_k
+    FROM ranked WHERE rnk <= 201
+),
+contrib AS (
+    SELECT CAST(round(ln(o_totalprice / x_k), 9) AS DECIMAL(38,9)) AS c
+    FROM topk WHERE o_totalprice > x_k
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(c) AS DOUBLE) / COUNT(*) AS hill_estimate,
+       CAST(COUNT(*) AS DOUBLE)
+           / CAST(SUM(c) AS DOUBLE) AS tail_index_alpha
+FROM contrib
+"""
+
+
+@query("agg_hill_tail_index", oracle=_HILL_ORACLE)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the order-value tail index: mean log-excess of
+    the top-200 order totals over the 201st — α below ~2 means the
+    revenue tail is heavy enough that mean-based capacity planning
+    understates risk. The top-(k+1) order statistics come from one
+    rank window (TakeOrdered-sized state, never a full sort shuffle at
+    scale with a pre-filter on a quantile sketch); each log-excess
+    quantizes to a 9-dp decimal before summing so libm/JVM ln ulp
+    drift cannot reach the hash."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    ranked = o.select(
+        "o_totalprice",
+        F.row_number()
+        .over(Win.orderBy(F.col("o_totalprice").desc(), "o_orderkey"))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 201)
+    topk = ranked.select(
+        "o_totalprice",
+        F.max(F.when(F.col("rnk") == 201, F.col("o_totalprice")))
+        .over(Win.partitionBy())
+        .cast("double")
+        .alias("x_k"),
+    )
+    contrib = topk.where(F.col("o_totalprice") > F.col("x_k")).select(
+        F.round(F.log(F.col("o_totalprice") / F.col("x_k")), 9)
+        .cast("decimal(38,9)")
+        .alias("c")
+    )
+    return contrib.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (F.sum("c").cast("double") / F.count(F.lit(1))).alias(
+            "hill_estimate"
+        ),
+        (
+            F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")
+        ).alias("tail_index_alpha"),
+    )

@@ -1729,8 +1729,9 @@ vars AS (
            CAST(SUM(CAST(e * e AS DECIMAL(38,6))) AS DOUBLE) AS ss_resid
     FROM resid
 )
-SELECT n_detr, ss_detr, ss_resid,
-       1 - ss_resid / ss_detr AS seasonality_strength
+SELECT n_detr, round(ss_detr, 0) AS ss_detr,
+       round(ss_resid, 0) AS ss_resid,
+       round(1 - ss_resid / ss_detr, 9) AS seasonality_strength
 FROM vars
 """
 
@@ -1742,9 +1743,13 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     detrended series, and report 1 − SS_resid/SS_detrended — how much
     of the non-trend variance weekday seasonality explains. Every sum
     routes through DECIMAL after a deterministic per-row product (the
-    engine's float discipline), the trend window is a bounded ROWS
-    frame, and the dow-mean table is 7 rows broadcast back — one sort
-    per series, constant memory per row at any history length."""
+    engine's float discipline); the squared deviations are off the
+    6-dp grid, so a double→decimal cast can tie-round differently per
+    engine (HALF_UP vs half-even) by one grid unit — the outputs
+    therefore round to whole units / 9 dp, far above that noise. The
+    trend window is a bounded ROWS frame and the dow-mean table is 7
+    rows broadcast back — one sort per series, constant memory per row
+    at any history length."""
     from pyspark.sql import Window as Win, functions as F
 
     o = load_table(spark, sf_dir, "orders")
@@ -1793,9 +1798,9 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("ss_resid"),
     ).select(
         "n_detr",
-        "ss_detr",
-        "ss_resid",
-        (1 - F.col("ss_resid") / F.col("ss_detr")).alias(
+        F.round("ss_detr", 0).alias("ss_detr"),
+        F.round("ss_resid", 0).alias("ss_resid"),
+        F.round(1 - F.col("ss_resid") / F.col("ss_detr"), 9).alias(
             "seasonality_strength"
         ),
     )
