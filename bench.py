@@ -149,6 +149,28 @@ HEADLINE = [
     "window_cusum_changepoint",
     "agg_welch_t_test",
     "sim_label_centroid_margin",
+    "scalar_url_parsing",
+    "join_lateral_topn_orders",
+    "subquery_any_all_quantified",
+    "graph_modularity_dedup_partition",
+    "agg_mann_whitney_u",
+    "ts_seasonality_strength",
+    "dedup_source_shingle_overlap",
+    "sim_hard_negative_mining",
+    "dedup_exact_normalized",
+    "sim_pq_reconstruction_error",
+    "dq_candidate_key_discovery",
+    "ts_bounce_rate",
+    "curation_temperature_mixture_weights",
+    "text_code_detection",
+    "scalar_ipv4_subnet_rollup",
+    "agg_argmax_min_by_max_by",
+    "ts_seasonal_naive_backtest",
+    "ts_rolling_corr_clicks_purchases",
+    "sim_embedding_drift_by_label",
+    "agg_hill_tail_index",
+    "window_top_movers_wow",
+    "dq_referential_health_dashboard",
 ]
 
 

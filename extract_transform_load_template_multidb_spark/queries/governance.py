@@ -1500,3 +1500,100 @@ def dq_candidate_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_rows") - F.col("n_distinct")).alias("n_collisions"),
         (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
     )
+
+
+_REF_SUMMARY_ORACLE = """
+SELECT * FROM (
+    SELECT 'orders.o_custkey -> customer.c_custkey' AS fk_relation,
+           CAST(COUNT(*) AS BIGINT) AS child_rows,
+           CAST(COUNT(c.c_custkey) AS BIGINT) AS matched_rows,
+           CAST(COUNT(*) - COUNT(c.c_custkey) AS BIGINT) AS orphan_rows,
+           CAST(COUNT(c.c_custkey) AS DOUBLE) / COUNT(*) AS coverage
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'lineitem.l_orderkey -> orders.o_orderkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(o.o_orderkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o.o_orderkey) AS BIGINT),
+           CAST(COUNT(o.o_orderkey) AS DOUBLE) / COUNT(*)
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part.p_partkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(p.p_partkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(p.p_partkey) AS BIGINT),
+           CAST(COUNT(p.p_partkey) AS DOUBLE) / COUNT(*)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier.s_suppkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(s.s_suppkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(s.s_suppkey) AS BIGINT),
+           CAST(COUNT(s.s_suppkey) AS DOUBLE) / COUNT(*)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation.n_nationkey',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(n.n_nationkey) AS BIGINT),
+           CAST(COUNT(*) - COUNT(n.n_nationkey) AS BIGINT),
+           CAST(COUNT(n.n_nationkey) AS DOUBLE) / COUNT(*)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+)
+"""
+
+
+@query("dq_referential_health_dashboard", oracle=_REF_SUMMARY_ORACLE)
+def dq_referential_health_dashboard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Whole-schema referential-integrity dashboard: one row per FK
+    relation with child/matched/orphan counts and coverage — the single
+    table an on-call engineer checks before trusting any join result
+    (`dq_fk_orphans` drills into one relation; this sweeps them all).
+    Each relation is a left join against a dimension that broadcasts;
+    the five probes are independent so Spark schedules their stages
+    concurrently; counts are exact."""
+    t = {
+        n: load_table(spark, sf_dir, n)
+        for n in ("orders", "customer", "lineitem", "part", "supplier",
+                  "nation")
+    }
+
+    def probe(name, child, ckey, parent, pkey, bcast=True):
+        # Dimension parents broadcast; fact-sized parents (orders under
+        # lineitem) are left to AQE, which still converts when the
+        # key projection turns out small.
+        par = parent.select(pkey)
+        if bcast:
+            par = F.broadcast(par)
+        j = child.join(par, F.col(ckey) == F.col(pkey), "left")
+        matched = F.count(F.col(pkey))
+        return j.agg(
+            F.lit(name).alias("fk_relation"),
+            F.count(F.lit(1)).cast("long").alias("child_rows"),
+            matched.cast("long").alias("matched_rows"),
+            (F.count(F.lit(1)) - matched).cast("long").alias(
+                "orphan_rows"
+            ),
+            (matched.cast("double") / F.count(F.lit(1))).alias(
+                "coverage"
+            ),
+        )
+
+    parts = [
+        probe("orders.o_custkey -> customer.c_custkey",
+              t["orders"], "o_custkey", t["customer"], "c_custkey"),
+        probe("lineitem.l_orderkey -> orders.o_orderkey",
+              t["lineitem"], "l_orderkey", t["orders"], "o_orderkey",
+              bcast=False),
+        probe("lineitem.l_partkey -> part.p_partkey",
+              t["lineitem"], "l_partkey", t["part"], "p_partkey"),
+        probe("lineitem.l_suppkey -> supplier.s_suppkey",
+              t["lineitem"], "l_suppkey", t["supplier"], "s_suppkey"),
+        probe("customer.c_nationkey -> nation.n_nationkey",
+              t["customer"], "c_nationkey", t["nation"], "n_nationkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

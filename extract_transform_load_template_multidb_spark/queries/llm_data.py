@@ -4651,37 +4651,95 @@ def dedup_source_shingle_overlap(
     """Cross-source contamination matrix: 3-gram shingle Jaccard and
     containment between every PAIR of corpus sources — the scraping-
     pipeline audit that catches one source re-hosting another before
-    mixture weights are trusted. The corpus collapses to DISTINCT
-    (source, shingle) postings first, so the pair join fans out only on
-    shared shingles across the handful of sources (bounded by
-    sources² × shared vocabulary, never docs²); integer intersections,
-    two correctly-rounded divisions at the end."""
+    mixture weights are trusted. NO shingle self-join: each shingle
+    collapses to a SOURCE BITMASK (bit_or of 1<<source_index — sources
+    are few), identical masks collapse to one counted row, and pair
+    intersections come from exploding each mask's bit pairs weighted by
+    its count — the whole matrix costs two map-side-combinable
+    aggregations over at most min(vocabulary, 2^|sources|) mask rows,
+    never a shared-vocabulary × sources² join fan-out; integer
+    intersections, two correctly-rounded divisions at the end."""
+    from pyspark.sql import Window
+
     docs = load_table(spark, sf_dir, "documents")
+    # Materialize tokens once: the word_shingles convenience form would
+    # re-run the regex tokenize at each of its 11 lambda references.
+    toks = docs.select(
+        "source", dd.tokenize(F.col("text")).alias("toks")
+    )
     sh = (
-        docs.select(
+        toks.select(
             "source",
-            F.explode(dd.word_shingles(F.col("text"), n=3)).alias(
-                "shingle"
-            ),
+            F.explode(
+                dd.word_shingles_from_tokens(F.col("toks"), n=3)
+            ).alias("shingle"),
         )
         .distinct()
     )
-    sizes = sh.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_sh")
+    # Dense 0-based source index (tiny distinct set; 1-task window OK).
+    idx = (
+        sh.select("source")
+        .distinct()
+        .select(
+            "source",
+            (F.row_number().over(Window.orderBy("source")) - 1).alias(
+                "sidx"
+            ),
+        )
     )
-    a = sh.alias("a")
-    b = sh.alias("b")
+    masks = (
+        sh.join(F.broadcast(idx), "source")
+        .groupBy("shingle")
+        .agg(
+            F.bit_or(
+                F.expr("shiftleft(CAST(1 AS BIGINT), sidx)")
+            ).alias("mask")
+        )
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .withColumn(
+            "bits",
+            F.expr(
+                "filter(sequence(0, 62),"
+                " b -> ((mask >> b) & CAST(1 AS BIGINT)) = 1)"
+            ),
+        )
+    )
+    sizes = (
+        masks.select(F.explode("bits").alias("sidx"), "cnt")
+        .groupBy("sidx")
+        .agg(F.sum("cnt").cast("long").alias("n_sh"))
+        .join(F.broadcast(idx), "sidx")
+        .select("source", "n_sh")
+    )
+    pair_arr = F.expr(
+        "flatten(transform(bits, i ->"
+        " transform(filter(bits, j -> j > i),"
+        " j -> struct(i AS ia, j AS ib))))"
+    )
     inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
+        masks.select(F.explode(pair_arr).alias("p"), "cnt")
+        .groupBy(F.col("p.ia").alias("ia"), F.col("p.ib").alias("ib"))
+        .agg(F.sum("cnt").cast("long").alias("n_inter"))
+        .join(
+            F.broadcast(
+                idx.select(
+                    F.col("sidx").alias("ia"),
+                    F.col("source").alias("source_a"),
+                )
+            ),
+            "ia",
         )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
+        .join(
+            F.broadcast(
+                idx.select(
+                    F.col("sidx").alias("ib"),
+                    F.col("source").alias("source_b"),
+                )
+            ),
+            "ib",
         )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_inter"))
+        .select("source_a", "source_b", "n_inter")
     )
     sa = sizes.select(
         F.col("source").alias("source_a"), F.col("n_sh").alias("n_sh_a")
@@ -5147,4 +5205,101 @@ def sim_embedding_drift_by_label(
             F.sqrt(F.col("ss").cast("double"))
             / (F.col("n1") * F.col("n2"))
         ).alias("centroid_shift"),
+    )
+
+
+_ZIPF_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+wf AS (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks_list, unnest(t) AS u(w)
+    GROUP BY w
+),
+ranked AS (
+    SELECT freq,
+           row_number() OVER (ORDER BY freq DESC, word) AS rnk
+    FROM wf
+),
+pts AS (
+    SELECT round(ln(CAST(rnk AS DOUBLE)), 9) AS x,
+           round(ln(CAST(freq AS DOUBLE)), 9) AS y
+    FROM ranked WHERE rnk <= 200
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS sxy,
+           CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+       (sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx)) / n
+           AS log_intercept
+FROM s
+"""
+)
+
+
+@query("text_zipf_fit", oracle=_ZIPF_ORACLE)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf-law fit of the corpus word-frequency distribution: log-log
+    OLS slope over the top-200 ranks — a healthy natural-language corpus
+    sits near −1; a flat slope flags boilerplate/template spam and a
+    cliff flags truncated vocabulary. The frequency table shuffles by
+    word with map-side combine; both logs quantize to 9-dp decimals so
+    the regression's sufficient statistics are exact and the closed-form
+    slope/intercept are bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(
+            F.explode(dd.tokenize(F.col("text"))).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    ranked = wf.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "word"))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 200)
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("freq").cast("double")), 9).alias("y"),
+    )
+    # Points stay grid-snapped DOUBLES: a decimal×decimal product would
+    # hit Spark's precision-overflow scale truncation; instead products
+    # round on the double grid and only the SUMs route through decimal.
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,9)")).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x") * F.col("y"), 9).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 9).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        slope.alias("zipf_slope"),
+        ((F.col("sy") - F.col("sx") * slope) / F.col("n")).alias(
+            "log_intercept"
+        ),
     )

@@ -2019,3 +2019,74 @@ def ts_rolling_corr_clicks_purchases(
             / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
         ).alias("rolling_corr_7d"),
     )
+
+
+_TOP_MOVERS_ORACLE = """
+WITH weekly AS (
+    SELECT l_partkey,
+           CAST(date_trunc('week', l_shipdate) AS DATE) AS week,
+           SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS rev
+    FROM lineitem GROUP BY 1, 2
+),
+lagged AS (
+    SELECT l_partkey, week,
+           CAST(rev AS DOUBLE) AS rev,
+           CAST(lag(rev) OVER (PARTITION BY l_partkey ORDER BY week)
+                AS DOUBLE) AS prev_rev,
+           lag(week) OVER (PARTITION BY l_partkey ORDER BY week)
+               AS prev_week
+    FROM weekly
+),
+movers AS (
+    SELECT l_partkey, week, rev, prev_rev,
+           rev - prev_rev AS delta
+    FROM lagged
+    WHERE prev_rev IS NOT NULL
+      AND date_diff('day', prev_week, week) = 7
+)
+SELECT l_partkey, week, rev, prev_rev, delta
+FROM movers
+ORDER BY abs(delta) DESC, l_partkey, week
+LIMIT 25
+"""
+
+
+@query("window_top_movers_wow", oracle=_TOP_MOVERS_ORACLE)
+def window_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week top movers: the 25 largest absolute revenue swings
+    between CONSECUTIVE calendar weeks of the same part — the anomaly
+    shortlist a category manager actually reads. The consecutive-week
+    guard (gap must be exactly 7 days) stops stale comparisons across
+    dormant periods from faking swings; deltas are exact decimal
+    differences cast once, and the top-25 plans as
+    TakeOrderedAndProject over the per-part lag window."""
+    from pyspark.sql import Window as Win, functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.date_trunc("week", "l_shipdate").cast("date").alias("week"),
+    ).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)")).alias("rev")
+    )
+    w = Win.partitionBy("l_partkey").orderBy("week")
+    lagged = weekly.select(
+        "l_partkey",
+        "week",
+        F.col("rev").cast("double").alias("rev"),
+        F.lag("rev").over(w).cast("double").alias("prev_rev"),
+        F.lag("week").over(w).alias("prev_week"),
+    )
+    movers = lagged.where(
+        F.col("prev_rev").isNotNull()
+        & (F.datediff("week", "prev_week") == 7)
+    ).select(
+        "l_partkey",
+        "week",
+        "rev",
+        "prev_rev",
+        (F.col("rev") - F.col("prev_rev")).alias("delta"),
+    )
+    return movers.orderBy(
+        F.abs("delta").desc(), "l_partkey", "week"
+    ).limit(25)
