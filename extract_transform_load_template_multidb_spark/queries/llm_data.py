@@ -5303,3 +5303,66 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "log_intercept"
         ),
     )
+
+
+_BFS_ORACLE = (
+    "WITH RECURSIVE "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+seed AS (SELECT min(src) AS s FROM edges),
+walk(node, d) AS (
+    SELECT s, 0 FROM seed
+    UNION ALL
+    SELECT e.dst, w.d + 1
+    FROM walk w JOIN edges e ON e.src = w.node
+    WHERE w.d < 3
+)
+SELECT node AS doc_id, CAST(min(d) AS BIGINT) AS hops
+FROM walk GROUP BY node
+"""
+)
+
+
+@query("graph_bfs_khop_reach", oracle=_BFS_ORACLE)
+def graph_bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-hop BFS over the near-dup graph: every document within
+    3 hops of the lowest-id connected document, with its hop distance —
+    the 'blast radius' probe for contamination spread (if doc X is
+    tainted, everything within k near-dup hops inherits suspicion).
+    Three join-and-min rounds — each a frontier×edges equi-join with an
+    anti-join against the settled set, the textbook distributed BFS:
+    the edge list materializes ONCE (localCheckpoint, so the expensive
+    pair generation never re-evaluates per round) and each round's
+    shuffle is bounded by the NEW frontier, never the whole graph; the
+    oracle is the equivalent depth-bounded recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    edges = (
+        pairs.selectExpr("id_a AS src", "id_b AS dst")
+        .unionAll(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+        .localCheckpoint(eager=True)
+    )
+    seed = edges.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).alias("d")
+    )
+    dist = seed.localCheckpoint(eager=True)
+    frontier = dist
+    for k in range(1, 4):
+        new = (
+            frontier.join(edges, frontier.node == edges.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(dist, "node", "left_anti")
+            .select("node", F.lit(k).alias("d"))
+            .localCheckpoint(eager=True)
+        )
+        dist = dist.unionAll(new).localCheckpoint(eager=True)
+        frontier = new
+    return dist.select(
+        F.col("node").alias("doc_id"), F.col("d").cast("long").alias("hops")
+    )

@@ -428,3 +428,84 @@ def test_kcore_matches_bruteforce_peel(spark, pairs, k):
         deg[a] = deg.get(a, 0) + 1
         deg[b] = deg.get(b, 0) + 1
     assert got == set(deg.items())
+
+
+@given(
+    vals=st.lists(
+        st.floats(
+            min_value=-1e6,
+            max_value=1e6,
+            allow_nan=False,
+            allow_infinity=False,
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_moving_median_matches_python_reference(spark, vals):
+    """The collect_list/array_sort window median must equal a pure-Python
+    trailing-7 median (with the same even-count midpoint average) for
+    any value sequence."""
+    import statistics
+
+    rows = [(i, float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i long, v double")
+    from pyspark.sql import Window
+
+    w = Window.orderBy("i").rowsBetween(-6, Window.currentRow)
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    odd = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    even = (
+        F.element_at(arr, (n / 2).cast("int"))
+        + F.element_at(arr, (n / 2 + 1).cast("int"))
+    ) / 2.0
+    got = {
+        r["i"]: r["m"]
+        for r in df.select(
+            "i", F.when(n % 2 == 1, odd).otherwise(even).alias("m")
+        ).collect()
+    }
+    for i in range(len(vals)):
+        window = vals[max(0, i - 6) : i + 1]
+        assert got[i] == pytest.approx(statistics.median(window), abs=1e-9)
+
+
+@given(
+    a=st.lists(st.integers(0, 50), min_size=2, max_size=40),
+    b=st.lists(st.integers(0, 50), min_size=2, max_size=40),
+)
+@settings(**_SETTINGS)
+def test_mann_whitney_matches_bruteforce(spark, a, b):
+    """The distinct-value rank-sum U must equal the O(n·m) pairwise
+    definition U = #{(i,j): a_i > b_j} + 0.5·#{a_i = b_j} for any
+    integer samples (ties included)."""
+    rows = [("click", float(x)) for x in a] + [
+        ("purchase", float(x)) for x in b
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    per_val = df.groupBy("x").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.count(F.when(F.col("g") == "click", 1))
+        .cast("long")
+        .alias("cnt1"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = per_val.withColumn(
+        "c_less", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    avg_rank = F.col("c_less") + (F.col("cnt") + 1) / F.lit(2.0)
+    r1 = ranked.agg(
+        F.sum(F.col("cnt1").cast("decimal(38,6)") * avg_rank)
+        .cast("double")
+        .alias("r1")
+    ).collect()[0]["r1"]
+    n1 = len(a)
+    u_spark = r1 - n1 * (n1 + 1) / 2.0
+    u_brute = sum(
+        1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
+    )
+    assert u_spark == pytest.approx(u_brute, abs=1e-9)
