@@ -3509,3 +3509,76 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("double") / F.sum("c").cast("double")
         ).alias("tail_index_alpha"),
     )
+
+
+_TRIM_ORACLE = """
+WITH v AS (
+    SELECT event_type, value FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+),
+cuts AS (
+    SELECT event_type,
+           quantile_cont(value, 0.05) AS lo,
+           quantile_cont(value, 0.95) AS hi
+    FROM v GROUP BY event_type
+)
+SELECT v.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(COUNT(*) FILTER (WHERE v.value >= c.lo AND v.value <= c.hi)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(v.value AS DECIMAL(38,6)))
+                FILTER (WHERE v.value >= c.lo AND v.value <= c.hi)
+            AS DOUBLE)
+           / COUNT(*) FILTER (WHERE v.value >= c.lo AND v.value <= c.hi)
+           AS trimmed_mean,
+       CAST(SUM(CAST(CASE WHEN v.value < c.lo THEN c.lo
+                          WHEN v.value > c.hi THEN c.hi
+                          ELSE v.value END AS DECIMAL(38,6)))
+            AS DOUBLE) / COUNT(*) AS winsorized_mean
+FROM v JOIN cuts c ON c.event_type = v.event_type
+GROUP BY v.event_type
+"""
+
+
+@query("agg_trimmed_winsorized_means", oracle=_TRIM_ORACLE)
+def agg_trimmed_winsorized_means(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Robust means per group: 5–95% trimmed (drop the tails) and
+    winsorized (clamp the tails) — the outlier-resistant KPIs that keep
+    one fat-fingered value from moving a dashboard. Exact percentile
+    cutoffs per group (one pass), broadcast back, then ONE decimal
+    aggregation computes both; the clamped/kept values are either raw
+    grid values or the interpolated cutoffs, so decimal routing keeps
+    the sums order-independent. At extreme scale swap the exact cutoffs
+    for ``approx_percentile`` — the aggregation shape is unchanged."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    filt = ev.where(~F.isnan(v) & (F.abs(v) != float("inf"))).select(
+        "event_type", "value"
+    )
+    cuts = filt.groupBy(F.col("event_type").alias("c_type")).agg(
+        F.percentile(v, 0.05).alias("lo"),
+        F.percentile(v, 0.95).alias("hi"),
+    )
+    j = filt.join(
+        F.broadcast(cuts), filt.event_type == cuts.c_type
+    )
+    kept = (v >= F.col("lo")) & (v <= F.col("hi"))
+    clamped = (
+        F.when(v < F.col("lo"), F.col("lo"))
+        .when(v > F.col("hi"), F.col("hi"))
+        .otherwise(v)
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        (
+            F.sum(F.when(kept, v.cast("decimal(38,6)"))).cast("double")
+            / F.count(F.when(kept, 1))
+        ).alias("trimmed_mean"),
+        (
+            F.sum(clamped.cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("winsorized_mean"),
+    )

@@ -2090,3 +2090,28 @@ def window_top_movers_wow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return movers.orderBy(
         F.abs("delta").desc(), "l_partkey", "week"
     ).limit(25)
+
+
+_TUMBLING_USERS_ORACLE = f"""
+SELECT make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US})
+           AS window_start,
+       make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US}
+                      + {_HOUR_US}) AS window_end,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("stream_tumbling_distinct_users", oracle=_TUMBLING_USERS_ORACLE)
+def stream_tumbling_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly exact distinct users via the streaming-safe rewrite
+    (dedupe (user, window) pairs, then count) — COUNT(DISTINCT) is
+    forbidden in streaming aggregations, so this builder is the form
+    that runs unchanged under ``readStream`` with a watermark bounding
+    the dedupe state. Batch mode here is oracle-checked against plain
+    COUNT(DISTINCT)."""
+    ev = load_table(spark, sf_dir, "events")
+    return W.tumbling_distinct_users(ev, window="1 hour")

@@ -132,3 +132,36 @@ def session_agg(
             "n_events",
         )
     )
+
+
+def tumbling_distinct_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    window: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling-window exact distinct-user counts, streaming-safe.
+
+    COUNT(DISTINCT) is not allowed in streaming aggregations, so the
+    standard rewrite applies in BOTH modes: dedupe (user, window) pairs
+    first — in streaming via watermarked ``dropDuplicates`` with
+    bounded state, in batch the identical plan — then count per window.
+    Output: (window_start, window_end, n_users). At extreme cardinality
+    swap the dedupe for ``approx_count_distinct`` and accept the error
+    bound; the window shape is unchanged.
+    """
+    src = with_watermark(df, ts_col, watermark) if watermark else df
+    w = F.window(F.col(ts_col), window)
+    deduped = src.select(
+        F.col(ts_col), F.col(user_col), w.alias("w")
+    ).dropDuplicates([user_col, "w"])
+    return (
+        deduped.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "n_users",
+        )
+    )

@@ -567,3 +567,24 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.set(
                 "spark.sql.streaming.stateStore.providerClass", prev
             )
+
+
+def test_tumbling_distinct_users_stream_equals_batch(
+    spark, events_landing, tmp_path
+):
+    """The streaming-safe distinct-user rewrite (watermarked dedupe →
+    windowed count) must produce the same per-window cardinalities under
+    readStream as in batch."""
+    path, batch = events_landing
+    stream = inc.read_file_stream(spark, path, batch.schema)
+    got = _drain(
+        W.tumbling_distinct_users(stream, watermark="10 minutes"),
+        spark,
+        tmp_path,
+        "t_tumbling_users",
+        "complete",
+    )
+    cols = ["window_start", "window_end", "n_users"]
+    assert _rows(got, cols) == _rows(
+        W.tumbling_distinct_users(batch), cols
+    )
