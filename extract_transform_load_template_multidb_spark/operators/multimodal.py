@@ -753,3 +753,69 @@ def dhash_images(df: DataFrame) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(
         fn, "asset_id long, dhash long, err string"
     )
+
+
+def silence_windows(
+    df: DataFrame, window_samples: int = 4, rms_threshold: float = 2048.0
+) -> DataFrame:
+    """Windowed voice-activity profile per WAV asset.
+
+    Splits each decoded PCM stream into fixed ``window_samples`` frames,
+    computes per-frame RMS (exact int64 energy sum, one sqrt), and
+    reports the silent-frame ratio under ``rms_threshold`` plus the
+    min/max frame RMS — the trim-leading-silence / drop-dead-air signal
+    an audio-curation pipeline runs before transcription. Arrow-batched
+    ``mapInPandas`` over the RIFF parser; output is one row per asset,
+    so the Python stage is a narrow map with no shuffle.
+    """
+    import numpy as np
+
+    schema = (
+        "asset_id bigint, n_windows bigint, n_silent bigint, "
+        "silence_ratio double, min_rms double, max_rms double, err string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _, _, _, samples = parse_wav(bytes(payload))
+                    n_win = len(samples) // window_samples
+                    frames = (
+                        samples[: n_win * window_samples]
+                        .astype(np.int64)
+                        .reshape(n_win, window_samples)
+                    )
+                    energy = (frames * frames).sum(axis=1)
+                    rms = np.sqrt(energy / float(window_samples))
+                    silent = int((rms < rms_threshold).sum())
+                    rows.append(
+                        (
+                            int(aid),
+                            n_win,
+                            silent,
+                            silent / n_win if n_win else None,
+                            float(rms.min()) if n_win else None,
+                            float(rms.max()) if n_win else None,
+                            None,
+                        )
+                    )
+                except Exception as exc:  # malformed payload → typed err
+                    rows.append(
+                        (int(aid), 0, 0, None, None, None, str(exc)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_windows",
+                    "n_silent",
+                    "silence_ratio",
+                    "min_rms",
+                    "max_rms",
+                    "err",
+                ],
+            )
+
+    return repartition_for_media(df).mapInPandas(fn, schema)

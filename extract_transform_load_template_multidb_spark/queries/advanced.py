@@ -3582,3 +3582,77 @@ def agg_trimmed_winsorized_means(
             / F.count(F.lit(1))
         ).alias("winsorized_mean"),
     )
+
+
+_THETA_BAND_ORACLE = """
+WITH p AS (
+    SELECT p_partkey, p_retailprice,
+           CAST(floor(ln(p_retailprice) * 100) AS BIGINT) AS band
+    FROM part WHERE p_retailprice > 0
+),
+cand AS (
+    SELECT a.p_partkey, a.p_retailprice,
+           b.p_partkey AS other_key, b.p_retailprice AS other_price
+    FROM p a
+    JOIN p b
+      ON b.band BETWEEN a.band - 1 AND a.band + 1
+     AND b.p_partkey <> a.p_partkey
+)
+SELECT p_partkey, p_retailprice,
+       CAST(COUNT(CASE WHEN abs(other_price - p_retailprice)
+                            <= p_retailprice * 0.01 THEN 1 END)
+            AS BIGINT) AS n_similar_price
+FROM cand
+GROUP BY p_partkey, p_retailprice
+"""
+
+
+@query("join_theta_price_band", oracle=_THETA_BAND_ORACLE)
+def join_theta_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta join made scalable: parts priced within ±1% of each other —
+    a non-equi predicate that would plan as a cartesian — banded onto a
+    log-price grid (1% ≈ one ln·100 bucket) so candidates come from an
+    EQUI-join on adjacent bands and the exact |Δ| ≤ 1% check runs only
+    inside bands. The candidate fan-out is bounded by band occupancy,
+    never |parts|²; the same banding trick underlies every range/
+    similarity join in this engine. A part reports count 0 when its
+    adjacent bands hold candidates that all miss the exact check;
+    parts with NO band-adjacent candidate at all drop out (inner
+    join, mirrored by the oracle)."""
+    p = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_retailprice") > 0)
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.floor(F.log(F.col("p_retailprice")) * 100)
+            .cast("long")
+            .alias("band"),
+        )
+    )
+    a = p.alias("a")
+    b = (
+        p.select(
+            F.col("p_partkey").alias("other_key"),
+            F.col("p_retailprice").alias("other_price"),
+            F.explode(
+                F.array(
+                    F.col("band") - 1, F.col("band"), F.col("band") + 1
+                )
+            ).alias("band"),
+        )
+    ).alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.p_partkey") != F.col("b.other_key")),
+    )
+    similar = F.when(
+        F.abs(F.col("b.other_price") - F.col("a.p_retailprice"))
+        <= F.col("a.p_retailprice") * 0.01,
+        1,
+    )
+    return cand.groupBy(
+        F.col("a.p_partkey").alias("p_partkey"),
+        F.col("a.p_retailprice").alias("p_retailprice"),
+    ).agg(F.count(similar).cast("long").alias("n_similar_price"))

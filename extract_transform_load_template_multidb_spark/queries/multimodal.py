@@ -390,3 +390,38 @@ def mm_dhash_hamming_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.where(hamming <= 2).select(
         "id_a", "id_b", hamming.alias("hamming")
     )
+
+
+_SILENCE_ORACLE = """
+WITH s AS (
+    SELECT doc_id AS asset_id,
+           CAST((i - 1) // 4 AS BIGINT) AS w,
+           (ord(substr(rpad(text, 16, 'x'), i, 1)) - 79) * 256 AS v
+    FROM documents, LATERAL (SELECT unnest(range(1, 17)) AS i)
+),
+frames AS (
+    SELECT asset_id, w,
+           sqrt(CAST(SUM(CAST(v AS BIGINT) * v) AS DOUBLE) / 4) AS rms
+    FROM s GROUP BY asset_id, w
+)
+SELECT asset_id,
+       CAST(COUNT(*) AS BIGINT) AS n_windows,
+       CAST(COUNT(*) FILTER (WHERE rms < 2048) AS BIGINT) AS n_silent,
+       CAST(COUNT(*) FILTER (WHERE rms < 2048) AS DOUBLE) / COUNT(*)
+           AS silence_ratio,
+       min(rms) AS min_rms,
+       max(rms) AS max_rms,
+       CAST(NULL AS VARCHAR) AS err
+FROM frames GROUP BY asset_id
+"""
+
+
+@query("mm_wav_silence_ratio", oracle=_SILENCE_ORACLE)
+def mm_wav_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed voice-activity detection on REAL decoded WAVs: 4-sample
+    frame RMS under a threshold marks silence; the per-asset silent
+    ratio is the drop-dead-air curation signal. Exact int64 frame
+    energies (one sqrt each) let the SQL oracle predict every frame
+    bit-identically via ``ord()`` arithmetic."""
+    wav = mm.synthesize_wav(load_table(spark, sf_dir, "documents"))
+    return mm.silence_windows(wav)
