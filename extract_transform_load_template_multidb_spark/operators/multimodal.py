@@ -819,3 +819,48 @@ def silence_windows(
             )
 
     return repartition_for_media(df).mapInPandas(fn, schema)
+
+
+def channel_histograms(df: DataFrame, n_bins: int = 4) -> DataFrame:
+    """Per-channel luminance histograms for decoded PPM/BMP assets.
+
+    Each RGB channel's 0–255 range splits into ``n_bins`` equal bins;
+    output is one row per (asset, channel) with the bin counts as an
+    array — the exposure/contrast profile an image-curation pipeline
+    thresholds before training (all-dark, all-blown, or single-bin
+    images are crop/decode failures). Exact integer binning inside the
+    same Arrow ``mapInPandas`` decode pass; one row per asset×3, no
+    shuffle.
+    """
+    import numpy as np
+
+    width = 256 // n_bins
+    schema = (
+        "asset_id bigint, channel string, n_pixels bigint, "
+        f"bins array<bigint>, err string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _, _, _, px = parse_ppm(bytes(payload))
+                    arr = np.asarray(px, dtype=np.int64)
+                    for ci, cname in enumerate(("r", "g", "b")):
+                        chan = arr[:, :, ci].ravel()
+                        bins = [
+                            int(((chan // width) == b).sum())
+                            for b in range(n_bins)
+                        ]
+                        rows.append(
+                            (int(aid), cname, int(chan.size), bins, None)
+                        )
+                except Exception as exc:
+                    rows.append((int(aid), None, 0, None, str(exc)[:80]))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "channel", "n_pixels", "bins", "err"],
+            )
+
+    return repartition_for_media(df).mapInPandas(fn, schema)

@@ -425,3 +425,38 @@ def mm_wav_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-identically via ``ord()`` arithmetic."""
     wav = mm.synthesize_wav(load_table(spark, sf_dir, "documents"))
     return mm.silence_windows(wav)
+
+
+_CHAN_HIST_ORACLE = """
+WITH px AS (
+    SELECT doc_id AS asset_id,
+           substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+),
+chan AS (
+    SELECT asset_id, c.cname AS channel, c.off AS off, p
+    FROM px, (VALUES ('r', 0), ('g', 1), ('b', 2)) AS c(cname, off)
+),
+binned AS (
+    SELECT asset_id, channel,
+           list_transform(range(0, 4), b -> CAST(
+               list_sum(list_transform(range(0, 16), i ->
+                   CASE WHEN ord(substr(p, off + 1 + i * 3, 1)) // 64 = b
+                        THEN 1 ELSE 0 END)) AS BIGINT)) AS bins
+    FROM chan
+)
+SELECT asset_id, channel, CAST(16 AS BIGINT) AS n_pixels, bins,
+       CAST(NULL AS VARCHAR) AS err
+FROM binned
+"""
+
+
+@query("mm_ppm_channel_histogram", oracle=_CHAN_HIST_ORACLE)
+def mm_ppm_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel 4-bin luminance histograms from REAL decoded PPM
+    pixels — the exposure/contrast screen (all-dark or single-bin
+    images are decode/crop failures) — exact integer binning inside the
+    Arrow decode pass, rebuilt bit-identically by the ``ord()``
+    oracle."""
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    return mm.channel_histograms(ppm)
