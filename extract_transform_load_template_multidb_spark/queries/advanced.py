@@ -3656,3 +3656,83 @@ def join_theta_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.p_partkey").alias("p_partkey"),
         F.col("a.p_retailprice").alias("p_retailprice"),
     ).agg(F.count(similar).cast("long").alias("n_similar_price"))
+
+
+_KS_ORACLE = """
+WITH v AS (
+    SELECT event_type AS g, value AS x FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+      AND event_type IN ('click', 'purchase')
+),
+per_val AS (
+    SELECT x,
+           CAST(COUNT(*) FILTER (WHERE g = 'click') AS BIGINT) AS c1,
+           CAST(COUNT(*) FILTER (WHERE g = 'purchase') AS BIGINT) AS c2
+    FROM v GROUP BY x
+),
+cum AS (
+    SELECT x,
+           SUM(c1) OVER (ORDER BY x) AS f1,
+           SUM(c2) OVER (ORDER BY x) AS f2,
+           SUM(c1) OVER () AS n1,
+           SUM(c2) OVER () AS n2
+    FROM per_val
+)
+SELECT CAST(n1 AS BIGINT) AS n_click,
+       CAST(n2 AS BIGINT) AS n_purchase,
+       x AS ks_at_value,
+       CAST(abs(f1 * n2 - f2 * n1) AS DOUBLE) / (n1 * n2) AS ks_stat
+FROM cum
+ORDER BY abs(f1 * n2 - f2 * n1) DESC, x
+LIMIT 1
+"""
+
+
+@query("agg_ks_two_sample", oracle=_KS_ORACLE)
+def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov two-sample statistic between the click and
+    purchase value distributions — the distribution-shift detector that
+    sees shape changes a mean test misses. D = max|ECDF₁−ECDF₂| is
+    computed over the DISTINCT value table (shuffle bounded by distinct
+    values, one sort), and the sup runs in EXACT integers via the
+    common-denominator form |F₁·n₂ − F₂·n₁| so the argmax cannot flip
+    on float noise; the single division happens once, at the winner."""
+    from pyspark.sql import Window as Win
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    filt = ev.where(
+        ~F.isnan(v)
+        & (F.abs(v) != float("inf"))
+        & F.col("event_type").isin("click", "purchase")
+    ).select(F.col("event_type").alias("g"), v.alias("x"))
+    per_val = filt.groupBy("x").agg(
+        F.count(F.when(F.col("g") == "click", 1)).cast("long").alias("c1"),
+        F.count(F.when(F.col("g") == "purchase", 1))
+        .cast("long")
+        .alias("c2"),
+    )
+    w_cum = Win.orderBy("x").rowsBetween(Win.unboundedPreceding, 0)
+    w_all = Win.partitionBy()
+    cum = per_val.select(
+        "x",
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum("c2").over(w_cum).alias("f2"),
+        F.sum("c1").over(w_all).alias("n1"),
+        F.sum("c2").over(w_all).alias("n2"),
+    )
+    num = F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+    return (
+        cum.select(
+            F.col("n1").cast("long").alias("n_click"),
+            F.col("n2").cast("long").alias("n_purchase"),
+            F.col("x").alias("ks_at_value"),
+            (num.cast("double") / (F.col("n1") * F.col("n2"))).alias(
+                "ks_stat"
+            ),
+            num.alias("__num"),
+        )
+        .orderBy(F.col("__num").desc(), "ks_at_value")
+        .limit(1)
+        .drop("__num")
+    )

@@ -5366,3 +5366,78 @@ def graph_bfs_khop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("node").alias("doc_id"), F.col("d").cast("long").alias("hops")
     )
+
+
+_BURSTINESS_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+wc AS (
+    SELECT doc_id, w AS word, CAST(COUNT(*) AS BIGINT) AS c
+    FROM toks_list, unnest(t) AS u(w)
+    GROUP BY doc_id, w
+),
+tot AS (
+    SELECT word,
+           CAST(SUM(c) AS BIGINT) AS s,
+           CAST(SUM(c * c) AS BIGINT) AS ss,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_with
+    FROM wc GROUP BY word
+),
+nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+top AS (
+    SELECT word, s, ss, n_docs_with,
+           row_number() OVER (ORDER BY s DESC, word) AS rnk
+    FROM tot
+)
+SELECT t.word, t.s AS total_occurrences, t.n_docs_with,
+       ((nd.n * t.ss - CAST(t.s AS DOUBLE) * t.s) / (nd.n - 1)) / t.s
+           AS burstiness_vmr
+FROM top t CROSS JOIN nd
+WHERE t.rnk <= 50
+"""
+)
+
+
+@query("text_word_burstiness", oracle=_BURSTINESS_ORACLE)
+def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Katz burstiness (variance-to-mean ratio of per-document counts)
+    for the top-50 corpus words: VMR ≈ 1 marks Poisson-scattered
+    function words, VMR ≫ 1 marks topical words that cluster in few
+    documents — the signal separating stopword candidates from content
+    vocabulary. Absent-doc zeros fold in algebraically (N·Σc² − (Σc)²),
+    so the whole statistic comes from three exact integer sums per word
+    with word-bounded shuffle; the final divisions are a fixed IEEE dag
+    — bit-identical cross-engine."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(
+            "doc_id", F.explode(dd.tokenize(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = wc.groupBy("word").agg(
+        F.sum("c").cast("long").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("ss"),
+        F.count(F.lit(1)).cast("long").alias("n_docs_with"),
+    )
+    nd = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    top = tot.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("s").desc(), "word"))
+        .alias("rnk"),
+    ).where(F.col("rnk") <= 50)
+    n = F.col("n")
+    var = (n * F.col("ss") - F.col("s").cast("double") * F.col("s")) / (
+        n - 1
+    )
+    return top.crossJoin(F.broadcast(nd)).select(
+        "word",
+        F.col("s").alias("total_occurrences"),
+        "n_docs_with",
+        (var / F.col("s")).alias("burstiness_vmr"),
+    )
