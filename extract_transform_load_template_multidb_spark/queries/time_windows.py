@@ -2115,3 +2115,99 @@ def stream_tumbling_distinct_users(
     COUNT(DISTINCT)."""
     ev = load_table(spark, sf_dir, "events")
     return W.tumbling_distinct_users(ev, window="1 hour")
+
+
+_PERIODOGRAM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT rev,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS DOUBLE) AS t,
+           CAST(COUNT(*) OVER () AS DOUBLE) AS n
+    FROM daily
+),
+freqs AS (SELECT CAST(unnest(range(1, 21)) AS DOUBLE) AS k),
+terms AS (
+    SELECT f.k, s.n,
+           CAST(round(s.rev * round(cos(2 * pi() * f.k * s.t / s.n), 9),
+                      2) AS DECIMAL(38,2)) AS c_term,
+           CAST(round(s.rev * round(sin(2 * pi() * f.k * s.t / s.n), 9),
+                      2) AS DECIMAL(38,2)) AS s_term
+    FROM seq s CROSS JOIN freqs f
+),
+power AS (
+    SELECT k, any_value(n) AS n,
+           CAST(SUM(c_term) AS DOUBLE) AS cs,
+           CAST(SUM(s_term) AS DOUBLE) AS ss
+    FROM terms GROUP BY k
+)
+SELECT CAST(k AS BIGINT) AS k,
+       round(n / k, 2) AS period_days,
+       round(sqrt(cs * cs + ss * ss) / n, 2) AS amplitude
+FROM power
+ORDER BY sqrt(cs * cs + ss * ss) DESC, k
+LIMIT 5
+"""
+
+
+@query("ts_fourier_top_periods", oracle=_PERIODOGRAM_ORACLE)
+def ts_fourier_top_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of daily revenue: DFT power at the first 20 harmonics,
+    top-5 by amplitude — the periodicity detector that finds weekly /
+    monthly cycles without assuming them (compare
+    `ts_seasonality_strength`, which TESTS a known weekday cycle). Each
+    cos/sin factor quantizes to a 9-dp grid (libm vs JVM transcendental
+    ulp) and each term to exact cents before the DECIMAL sum, so the
+    spectrum is engine-invariant; cost is days × 20 narrow rows, one
+    small aggregation, and amplitudes round to cents at the end."""
+    from pyspark.sql import Window as Win, functions as F
+    import math
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    seq = daily.select(
+        "rev",
+        (F.row_number().over(Win.orderBy("day")) - 1)
+        .cast("double")
+        .alias("t"),
+        F.count(F.lit(1)).over(Win.partitionBy()).cast("double").alias("n"),
+    )
+    freqs = spark.range(1, 21).select(F.col("id").cast("double").alias("k"))
+    ang = 2 * math.pi * F.col("k") * F.col("t") / F.col("n")
+    terms = seq.crossJoin(F.broadcast(freqs)).select(
+        "k",
+        "n",
+        F.round(F.col("rev") * F.round(F.cos(ang), 9), 2)
+        .cast("decimal(38,2)")
+        .alias("c_term"),
+        F.round(F.col("rev") * F.round(F.sin(ang), 9), 2)
+        .cast("decimal(38,2)")
+        .alias("s_term"),
+    )
+    power = terms.groupBy("k").agg(
+        F.any_value("n").alias("n"),
+        F.sum("c_term").cast("double").alias("cs"),
+        F.sum("s_term").cast("double").alias("ss"),
+    )
+    amp = F.sqrt(F.col("cs") * F.col("cs") + F.col("ss") * F.col("ss"))
+    return (
+        power.select(
+            F.col("k").cast("long").alias("k"),
+            F.round(F.col("n") / F.col("k"), 2).alias("period_days"),
+            F.round(amp / F.col("n"), 2).alias("amplitude"),
+            amp.alias("__p"),
+        )
+        .orderBy(F.col("__p").desc(), "k")
+        .limit(5)
+        .drop("__p")
+    )
