@@ -3736,3 +3736,64 @@ def agg_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("__num")
     )
+
+
+_EB_RATES_ORACLE = """
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+                AS BIGINT) AS n_urgent
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY 1
+),
+prior AS (
+    SELECT CAST(SUM(n_urgent) AS DOUBLE) / SUM(n_orders) AS p0 FROM seg
+)
+SELECT s.segment, s.n_orders, s.n_urgent,
+       CAST(s.n_urgent AS DOUBLE) / s.n_orders AS raw_rate,
+       (s.n_urgent + 100 * g.p0) / (s.n_orders + 100)
+           AS smoothed_rate
+FROM seg s CROSS JOIN prior g
+"""
+
+
+@query("agg_empirical_bayes_rates", oracle=_EB_RATES_ORACLE)
+def agg_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical-Bayes rate smoothing: per-segment urgent-order rates
+    shrunk toward the global prior with pseudo-count 100 — the estimator
+    that stops a 3-order segment from topping a leaderboard with a 100%
+    'rate'. One fact aggregation; the global prior is a 1-row broadcast;
+    every number is a fixed IEEE dag over exact integer counts."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+            .cast("long")
+            .alias("n_urgent"),
+        )
+    )
+    glob = seg.agg(
+        (
+            F.sum("n_urgent").cast("double") / F.sum("n_orders")
+        ).alias("p0")
+    )
+    return seg.crossJoin(F.broadcast(glob)).select(
+        "segment",
+        "n_orders",
+        "n_urgent",
+        (F.col("n_urgent").cast("double") / F.col("n_orders")).alias(
+            "raw_rate"
+        ),
+        (
+            (F.col("n_urgent") + 100 * F.col("p0"))
+            / (F.col("n_orders") + 100)
+        ).alias("smoothed_rate"),
+    )

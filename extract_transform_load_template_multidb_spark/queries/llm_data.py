@@ -5441,3 +5441,94 @@ def text_word_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs_with",
         (var / F.col("s")).alias("burstiness_vmr"),
     )
+
+
+_MANIFEST_ORACLE = """
+WITH counts AS (
+    SELECT source, CAST(SUM(n_chars) AS BIGINT) AS n_chars
+    FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_chars) AS DOUBLE) AS t FROM counts),
+powed AS (
+    SELECT c.source, c.n_chars,
+           round(power(c.n_chars / tot.t, CAST(0.7 AS DOUBLE)), 9) AS pp
+    FROM counts c CROSS JOIN tot
+),
+z AS (
+    SELECT CAST(SUM(CAST(pp AS DECIMAL(38,9))) AS DOUBLE) AS z FROM powed
+),
+alloc AS (
+    SELECT p.source, p.n_chars, p.pp / z.z AS w,
+           CAST(floor(100000 * (p.pp / z.z)) AS BIGINT) AS base_alloc,
+           100000 * (p.pp / z.z)
+               - floor(100000 * (p.pp / z.z)) AS frac
+    FROM powed p CROSS JOIN z
+),
+ranked AS (
+    SELECT *,
+           row_number() OVER (ORDER BY frac DESC, source) AS r,
+           CAST(100000 - SUM(base_alloc) OVER () AS BIGINT) AS leftover
+    FROM alloc
+)
+SELECT source, n_chars, round(w, 9) AS weight, base_alloc,
+       CAST(CASE WHEN r <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS extra,
+       base_alloc + CASE WHEN r <= leftover THEN 1 ELSE 0 END
+           AS target_chars
+FROM ranked
+"""
+
+
+@query("curation_sampling_manifest", oracle=_MANIFEST_ORACLE)
+def curation_sampling_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sampling manifest: a 100k-character budget
+    apportioned across sources by the τ=0.7 temperature weights using
+    the LARGEST-REMAINDER method — floors first, then the leftover
+    units go to the largest fractional parts (ties by source), so the
+    per-source integer targets sum to the budget EXACTLY. This is the
+    deterministic integer apportionment a sampler executes directly;
+    all floats derive from the 9-dp-quantized power weights, so the
+    remainder ranking is engine-invariant."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.sum("n_chars").cast("long").alias("n_chars")
+    )
+    tot = counts.agg(F.sum("n_chars").cast("double").alias("t"))
+    powed = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_chars",
+        F.round(F.pow(F.col("n_chars") / F.col("t"), F.lit(0.7)), 9).alias(
+            "pp"
+        ),
+    )
+    z = powed.agg(
+        F.sum(F.col("pp").cast("decimal(38,9)")).cast("double").alias("z")
+    )
+    w = F.col("pp") / F.col("z")
+    alloc = powed.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_chars",
+        w.alias("w"),
+        F.floor(100000 * w).cast("long").alias("base_alloc"),
+        (100000 * w - F.floor(100000 * w)).alias("frac"),
+    )
+    ranked = alloc.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("frac").desc(), "source"))
+        .alias("r"),
+        (100000 - F.sum("base_alloc").over(Window.partitionBy()))
+        .cast("long")
+        .alias("leftover"),
+    )
+    extra = F.when(F.col("r") <= F.col("leftover"), 1).otherwise(0)
+    return ranked.select(
+        "source",
+        "n_chars",
+        F.round("w", 9).alias("weight"),
+        "base_alloc",
+        extra.cast("long").alias("extra"),
+        (F.col("base_alloc") + extra).alias("target_chars"),
+    )
