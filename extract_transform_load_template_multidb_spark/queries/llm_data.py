@@ -5532,3 +5532,103 @@ def curation_sampling_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         extra.cast("long").alias("extra"),
         (F.col("base_alloc") + extra).alias("target_chars"),
     )
+
+
+_RICH_CLUB_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+deg AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e
+    ) GROUP BY v
+),
+ks AS (SELECT unnest([1, 2, 4]) AS k),
+club AS (
+    SELECT k.k, d.v
+    FROM ks k JOIN deg d ON d.d > k.k
+),
+nk AS (
+    SELECT k.k, CAST(COUNT(c.v) AS BIGINT) AS n_k
+    FROM ks k LEFT JOIN club c ON c.k = k.k
+    GROUP BY k.k
+),
+ek AS (
+    SELECT k.k, CAST(COUNT(*) AS BIGINT) AS e_k
+    FROM ks k
+    JOIN e ON EXISTS (SELECT 1 FROM club c
+                      WHERE c.k = k.k AND c.v = e.a)
+          AND EXISTS (SELECT 1 FROM club c
+                      WHERE c.k = k.k AND c.v = e.b)
+    GROUP BY k.k
+)
+SELECT n.k AS degree_threshold, n.n_k AS n_club_nodes,
+       COALESCE(ek.e_k, 0) AS n_club_edges,
+       CASE WHEN n.n_k >= 2
+            THEN CAST(2 * COALESCE(ek.e_k, 0) AS DOUBLE)
+                 / (n.n_k * (n.n_k - 1))
+       END AS rich_club_coeff
+FROM nk n LEFT JOIN ek ON ek.k = n.k
+"""
+)
+
+
+@query("graph_rich_club_coefficient", oracle=_RICH_CLUB_ORACLE)
+def graph_rich_club_coefficient(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rich-club coefficient of the near-dup graph at degree thresholds
+    1/2/4: how densely the highest-degree documents interlink — a
+    rising φ(k) means heavy duplicators duplicate EACH OTHER (template
+    farms), guiding whether to drop whole clusters or single docs. The
+    degree table is node-sized and broadcast back onto the edge list
+    twice (semi-join membership per threshold); exact integer edge
+    counts, one division per threshold."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    e = pairs.selectExpr("id_a AS a", "id_b AS b")
+    deg = (
+        e.selectExpr("a AS v")
+        .unionAll(e.selectExpr("b AS v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ks = spark.createDataFrame([(1,), (2,), (4,)], "k long")
+    club = ks.join(F.broadcast(deg), F.col("d") > F.col("k")).select(
+        "k", "v"
+    )
+    nk = (
+        ks.join(
+            club.groupBy("k").agg(
+                F.count(F.lit(1)).cast("long").alias("nn")
+            ),
+            "k",
+            "left",
+        )
+        .select("k", F.coalesce("nn", F.lit(0)).cast("long").alias("n_k"))
+    )
+    ca = club.select(F.col("k"), F.col("v").alias("a"))
+    cb = club.select(F.col("k").alias("kb"), F.col("v").alias("b"))
+    ek = (
+        e.join(F.broadcast(ca), "a")
+        .join(
+            F.broadcast(cb),
+            (F.col("k") == F.col("kb")) & (e.b == cb.b),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("e_k"))
+    )
+    return (
+        nk.join(ek, "k", "left")
+        .select(
+            F.col("k").alias("degree_threshold"),
+            F.col("n_k").alias("n_club_nodes"),
+            F.coalesce("e_k", F.lit(0)).cast("long").alias("n_club_edges"),
+            F.when(
+                F.col("n_k") >= 2,
+                2 * F.coalesce("e_k", F.lit(0)).cast("double")
+                / (F.col("n_k") * (F.col("n_k") - 1)),
+            ).alias("rich_club_coeff"),
+        )
+    )
