@@ -1597,3 +1597,99 @@ def dq_referential_health_dashboard(
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+_CONFORMANCE_ORACLE = """
+SELECT * FROM (
+    SELECT 'customer.c_name' AS column_name,
+           'Customer#\\d{9}' AS pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (
+               WHERE regexp_full_match(c_name, 'Customer#\\d{9}'))
+               AS BIGINT) AS n_conforming,
+           CAST(COUNT(*) FILTER (
+               WHERE regexp_full_match(c_name, 'Customer#\\d{9}'))
+               AS DOUBLE) / COUNT(*) AS conformance
+    FROM customer
+    UNION ALL
+    SELECT 'supplier.s_name', 'Supplier#\\d{9}',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE regexp_full_match(s_name, 'Supplier#\\d{9}'))
+               AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE regexp_full_match(s_name, 'Supplier#\\d{9}'))
+               AS DOUBLE) / COUNT(*)
+    FROM supplier
+    UNION ALL
+    SELECT 'part.p_brand', 'Brand#\\d{1,2}',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE regexp_full_match(p_brand, 'Brand#\\d{1,2}'))
+               AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE regexp_full_match(p_brand, 'Brand#\\d{1,2}'))
+               AS DOUBLE) / COUNT(*)
+    FROM part
+    UNION ALL
+    SELECT 'events.props', 'json_object',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE json_valid(props)
+                 AND regexp_full_match(trim(props), '\\{.*\\}'))
+               AS BIGINT),
+           CAST(COUNT(*) FILTER (
+               WHERE json_valid(props)
+                 AND regexp_full_match(trim(props), '\\{.*\\}'))
+               AS DOUBLE) / COUNT(*)
+    FROM events
+)
+"""
+
+
+@query("dq_format_conformance", oracle=_CONFORMANCE_ORACLE)
+def dq_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format-conformance sweep: each string column checked against its
+    expected shape (entity-name templates, brand codes, JSON payloads)
+    with exact conforming counts and rates — the contract check that
+    catches an upstream format change (padding width, charset, broken
+    JSON) before it breaks keyed joins downstream. Pure narrow regex
+    maps with map-side-combined counts; one row per rule."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    ev = load_table(spark, sf_dir, "events")
+
+    def probe(df, label, col, pattern, cond):
+        ok = F.count(F.when(cond, 1))
+        return df.agg(
+            F.lit(label).alias("column_name"),
+            F.lit(pattern).alias("pattern"),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            ok.cast("long").alias("n_conforming"),
+            (ok.cast("double") / F.count(F.lit(1))).alias("conformance"),
+        )
+
+    parts = [
+        probe(
+            cust, "customer.c_name", "c_name", r"Customer#\d{9}",
+            F.col("c_name").rlike(r"^Customer#[0-9]{9}$"),
+        ),
+        probe(
+            supp, "supplier.s_name", "s_name", r"Supplier#\d{9}",
+            F.col("s_name").rlike(r"^Supplier#[0-9]{9}$"),
+        ),
+        probe(
+            part, "part.p_brand", "p_brand", r"Brand#\d{1,2}",
+            F.col("p_brand").rlike(r"^Brand#[0-9]{1,2}$"),
+        ),
+        probe(
+            ev, "events.props", "props", "json_object",
+            F.get_json_object(F.col("props"), "$").isNotNull()
+            & F.trim(F.col("props")).rlike(r"^\{.*\}$"),
+        ),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -139,3 +139,105 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     word-ORDER quality signal — common words in uncommon order score low
     here while the unigram model cannot tell."""
     return ir.bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
+_PRF_ORACLE = f"""
+WITH {_SQL_TOKS},
+hits AS (SELECT * FROM tok WHERE w IN ('table', 'join', 'query')),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+dl AS (SELECT doc_id, CAST(len(t) AS INT) AS dl FROM toks_list),
+n AS (SELECT count(*) AS n FROM documents),
+ad AS (SELECT CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl)
+         AS avgdl FROM dl),
+contrib AS (
+  SELECT doc_id, dl,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS c
+  FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN ad
+),
+top10 AS (
+  SELECT doc_id
+  FROM (SELECT doc_id,
+               CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score
+        FROM contrib GROUP BY doc_id, dl)
+  ORDER BY score DESC, doc_id LIMIT 10
+),
+fb_tf AS (
+  SELECT t.w, CAST(COUNT(*) AS BIGINT) AS fb_occurrences,
+         CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS fb_docs
+  FROM tok t JOIN top10 USING (doc_id)
+  WHERE t.w NOT IN ('table', 'join', 'query')
+  GROUP BY t.w
+),
+cdf AS (SELECT w, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY w),
+scored AS (
+  SELECT f.w AS term, f.fb_occurrences, f.fb_docs,
+         CAST(f.fb_occurrences AS DOUBLE)
+           * round(ln((n.n + 1.0) / (cdf.df + 1.0)), 6) AS rocchio_score
+  FROM fb_tf f JOIN cdf USING (w) CROSS JOIN n
+)
+SELECT term, fb_occurrences, fb_docs, rocchio_score
+FROM scored
+ORDER BY rocchio_score DESC, term
+LIMIT 8
+"""
+
+
+@query("text_prf_query_expansion", oracle=_PRF_ORACLE)
+def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance-feedback query expansion (Rocchio-lite): run the
+    BM25 query, take the top-10 documents as assumed-relevant, and rank
+    their non-query terms by feedback-frequency × quantized IDF — the
+    8 expansion terms a second retrieval round would add. Two bounded
+    stages on top of the BM25 plan: the top-10 set broadcasts back onto
+    the posting list, and term scoring is one word-keyed aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    top10 = (
+        ir.bm25_scores(docs, _BM25_TERMS)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(10)
+        .select("doc_id")
+    )
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    fb = (
+        tok.join(F.broadcast(top10), "doc_id")
+        .where(~F.col("w").isin(*_BM25_TERMS))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("fb_occurrences"),
+            F.count_distinct("doc_id").cast("long").alias("fb_docs"),
+        )
+    )
+    cdf = tok.groupBy("w").agg(
+        F.count_distinct("doc_id").cast("long").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idf = F.round(
+        F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 6
+    )
+    return (
+        fb.join(cdf, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("w").alias("term"),
+            "fb_occurrences",
+            "fb_docs",
+            (F.col("fb_occurrences").cast("double") * idf).alias(
+                "rocchio_score"
+            ),
+        )
+        .orderBy(F.col("rocchio_score").desc(), "term")
+        .limit(8)
+    )
