@@ -3797,3 +3797,80 @@ def agg_empirical_bayes_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n_orders") + 100)
         ).alias("smoothed_rate"),
     )
+
+
+_POWER_ORACLE = """
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM events
+    WHERE NOT isnan(value) AND isfinite(value) AND value > 0
+    GROUP BY event_type
+),
+st AS (
+    SELECT event_type, n, s1 / n AS mean,
+           (s2 - (s1 / n) * s1) / (n - 1) AS var
+    FROM g
+),
+lifts AS (SELECT unnest([CAST(0.01 AS DOUBLE), CAST(0.05 AS DOUBLE),
+                         CAST(0.10 AS DOUBLE)]) AS lift)
+SELECT s.event_type, l.lift,
+       CAST(s.n AS BIGINT) AS n_observed,
+       s.mean, s.var,
+       CAST(ceil(2 * s.var
+                 * ((CAST(1.959963984540054 AS DOUBLE)
+                     + CAST(0.8416212335729143 AS DOUBLE))
+                    * (CAST(1.959963984540054 AS DOUBLE)
+                       + CAST(0.8416212335729143 AS DOUBLE)))
+                 / ((l.lift * s.mean) * (l.lift * s.mean)))
+            AS BIGINT) AS required_n_per_arm
+FROM st s CROSS JOIN lifts l
+"""
+
+
+@query("agg_ab_power_analysis", oracle=_POWER_ORACLE)
+def agg_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment sizing from observed variance: per event type, the
+    samples-per-arm needed to detect a 1% / 5% / 10% relative lift at
+    α=0.05 with 80% power — n = 2σ²(z₀.₉₇₅+z₀.₈)²/Δ². Sufficient
+    statistics accumulate exactly in DECIMAL in one pass; the z
+    constants are spelled as identical double literals on both sides
+    (per the engine's literal-arithmetic discipline), so the ceil'd
+    integer answers are engine-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = (
+        ev.where(~F.isnan(v) & (F.abs(v) != float("inf")) & (v > 0))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+            F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        )
+    )
+    st = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - (F.col("s1") / F.col("n")) * F.col("s1"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    lifts = spark.createDataFrame(
+        [(0.01,), (0.05,), (0.10,)], "lift double"
+    )
+    z = F.lit(1.959963984540054) + F.lit(0.8416212335729143)
+    delta = F.col("lift") * F.col("mean")
+    return st.crossJoin(F.broadcast(lifts)).select(
+        "event_type",
+        "lift",
+        F.col("n").cast("long").alias("n_observed"),
+        "mean",
+        "var",
+        F.ceil(2 * F.col("var") * (z * z) / (delta * delta))
+        .cast("long")
+        .alias("required_n_per_arm"),
+    )

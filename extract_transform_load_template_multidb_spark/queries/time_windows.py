@@ -2211,3 +2211,63 @@ def ts_fourier_top_periods(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(5)
         .drop("__p")
     )
+
+
+_CVAR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+    FROM orders GROUP BY 1
+),
+ranked AS (
+    SELECT rev,
+           ROW_NUMBER() OVER (ORDER BY rev, day) AS rnk,
+           COUNT(*) OVER () AS n
+    FROM daily
+),
+tail AS (
+    SELECT rev, n FROM ranked
+    WHERE rnk <= CAST(ceil(0.05 * n) AS BIGINT)
+)
+SELECT CAST(any_value(n) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_tail_days,
+       CAST(min(rev) AS DOUBLE) AS worst_day,
+       CAST(max(rev) AS DOUBLE) AS var_95,
+       CAST(SUM(rev) AS DOUBLE) / COUNT(*) AS expected_shortfall_95
+FROM tail
+"""
+
+
+@query("ts_expected_shortfall", oracle=_CVAR_ORACLE)
+def ts_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected shortfall (CVaR) of daily revenue at the 95% level: the
+    mean of the worst 5% days — the coherent tail-risk measure that,
+    unlike plain VaR (the cutoff itself, also reported), accounts for
+    HOW bad the bad days get. Exact decimal revenue, rank-based tail
+    selection with deterministic (rev, day) ordering, exact decimal tail
+    mean — no float ambiguity anywhere."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    ranked = daily.select(
+        "rev",
+        F.row_number().over(Win.orderBy("rev", "day")).alias("rnk"),
+        F.count(F.lit(1)).over(Win.partitionBy()).alias("n"),
+    )
+    tail = ranked.where(
+        F.col("rnk") <= F.ceil(0.05 * F.col("n")).cast("long")
+    )
+    return tail.agg(
+        F.any_value("n").cast("long").alias("n_days"),
+        F.count(F.lit(1)).cast("long").alias("n_tail_days"),
+        F.min("rev").cast("double").alias("worst_day"),
+        F.max("rev").cast("double").alias("var_95"),
+        (F.sum("rev").cast("double") / F.count(F.lit(1))).alias(
+            "expected_shortfall_95"
+        ),
+    )
