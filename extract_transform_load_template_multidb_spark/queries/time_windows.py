@@ -2271,3 +2271,87 @@ def ts_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "expected_shortfall_95"
         ),
     )
+
+
+_RSI_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS rev
+    FROM orders GROUP BY 1
+),
+diffs AS (
+    SELECT day,
+           rev - lag(rev) OVER (ORDER BY day) AS d,
+           ROW_NUMBER() OVER (ORDER BY day) AS rn
+    FROM daily
+),
+gl AS (
+    SELECT day, rn,
+           CAST(CASE WHEN d > 0 THEN d ELSE 0 END
+                AS DECIMAL(38,6)) AS gain,
+           CAST(CASE WHEN d < 0 THEN -d ELSE 0 END
+                AS DECIMAL(38,6)) AS loss
+    FROM diffs WHERE d IS NOT NULL
+),
+win AS (
+    SELECT day, rn,
+           CAST(SUM(gain) OVER w AS DOUBLE) AS g14,
+           CAST(SUM(loss) OVER w AS DOUBLE) AS l14
+    FROM gl
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       round(CASE WHEN l14 = 0 THEN 100
+                  ELSE 100 - 100 / (1 + g14 / l14) END, 6) AS rsi_14
+FROM win
+WHERE rn >= 15
+"""
+
+
+@query("ts_rsi_momentum", oracle=_RSI_ORACLE)
+def ts_rsi_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """14-day RSI of daily revenue (SMA variant): average gain vs average
+    loss over a trailing window, RSI = 100 − 100/(1+RS) — the
+    overbought/oversold momentum gauge, here flagging demand surges and
+    slumps. Gains/losses are exact decimal differences summed in a
+    bounded ROWS frame (the all-gain edge maps to RSI 100 explicitly);
+    one series sort, per-entity partitionBy at scale."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("rev")
+    )
+    w_ord = Win.orderBy("day")
+    diffs = daily.select(
+        "day",
+        (F.col("rev") - F.lag("rev").over(w_ord)).alias("d"),
+        F.row_number().over(w_ord).alias("rn"),
+    ).where(F.col("d").isNotNull())
+    gl = diffs.select(
+        "day",
+        "rn",
+        F.when(F.col("d") > 0, F.col("d"))
+        .otherwise(F.lit(0))
+        .cast("decimal(38,6)")
+        .alias("gain"),
+        F.when(F.col("d") < 0, -F.col("d"))
+        .otherwise(F.lit(0))
+        .cast("decimal(38,6)")
+        .alias("loss"),
+    )
+    w14 = Win.orderBy("day").rowsBetween(-13, Win.currentRow)
+    win = gl.select(
+        "day",
+        "rn",
+        F.sum("gain").over(w14).cast("double").alias("g14"),
+        F.sum("loss").over(w14).cast("double").alias("l14"),
+    )
+    rsi = F.when(F.col("l14") == 0, F.lit(100.0)).otherwise(
+        100 - 100 / (1 + F.col("g14") / F.col("l14"))
+    )
+    return win.where(F.col("rn") >= 15).select(
+        "day", F.round(rsi, 6).alias("rsi_14")
+    )
