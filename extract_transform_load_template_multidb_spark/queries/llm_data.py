@@ -5632,3 +5632,98 @@ def graph_rich_club_coefficient(
             ).alias("rich_club_coeff"),
         )
     )
+
+
+_AGREEMENT_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + ","
+    + _SQL_ELEMS
+    + ","
+    + _SQL_BUCKETS
+    + """,
+lex AS (SELECT id_a, id_b FROM pairs),
+cands AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM buckets a JOIN buckets b
+      ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+dots AS (
+    SELECT c.id_a, c.id_b, SUM(ea.v * eb.v) AS dot
+    FROM cands c
+    JOIN elems ea ON ea.vec_id = c.id_a
+    JOIN elems eb ON eb.vec_id = c.id_b AND eb.d = ea.d
+    GROUP BY c.id_a, c.id_b
+),
+sem AS (
+    SELECT id_a, id_b
+    FROM dots
+    JOIN norms na ON na.vec_id = id_a
+    JOIN norms nb ON nb.vec_id = id_b
+    WHERE CAST(dot AS DOUBLE)
+            / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+          >= 0.3
+),
+u AS (
+    SELECT COALESCE(l.id_a, s.id_a) AS id_a,
+           COALESCE(l.id_b, s.id_b) AS id_b,
+           l.id_a IS NOT NULL AS in_lex,
+           s.id_a IS NOT NULL AS in_sem
+    FROM lex l
+    FULL OUTER JOIN sem s ON s.id_a = l.id_a AND s.id_b = l.id_b
+)
+SELECT CAST(COUNT(*) FILTER (WHERE in_lex AND in_sem) AS BIGINT) AS n_both,
+       CAST(COUNT(*) FILTER (WHERE in_lex AND NOT in_sem) AS BIGINT)
+           AS n_lexical_only,
+       CAST(COUNT(*) FILTER (WHERE in_sem AND NOT in_lex) AS BIGINT)
+           AS n_semantic_only,
+       CASE WHEN COUNT(*) > 0
+            THEN CAST(COUNT(*) FILTER (WHERE in_lex AND in_sem) AS DOUBLE)
+                 / COUNT(*)
+       END AS pair_set_jaccard
+FROM u
+"""
+)
+
+
+@query("dedup_lexical_semantic_agreement", oracle=_AGREEMENT_ORACLE)
+def dedup_lexical_semantic_agreement(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Agreement audit between the two near-dup detectors: 3-gram
+    Jaccard pairs (lexical) vs embedding-cosine pairs (semantic) as a
+    both / lexical-only / semantic-only breakdown with the pair-set
+    Jaccard — the calibration readout that says whether the cheap
+    lexical tier can gate the expensive semantic one (high agreement)
+    or both must run (low). Both candidate generators are the engine's
+    bucketed paths; the comparison itself is one full-outer join on
+    pair keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    lex = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
+        "id_a", "id_b"
+    )
+    sem_pairs = sim.embedding_near_dup_pairs(
+        emb, threshold=0.3, num_planes=4
+    ).select("id_a", "id_b")
+    u = lex.withColumn("in_lex", F.lit(True)).join(
+        sem_pairs.withColumn("in_sem", F.lit(True)),
+        ["id_a", "id_b"],
+        "full_outer",
+    )
+    in_lex = F.coalesce("in_lex", F.lit(False))
+    in_sem = F.coalesce("in_sem", F.lit(False))
+    both = F.count(F.when(in_lex & in_sem, 1))
+    return u.agg(
+        both.cast("long").alias("n_both"),
+        F.count(F.when(in_lex & ~in_sem, 1)).cast("long").alias(
+            "n_lexical_only"
+        ),
+        F.count(F.when(in_sem & ~in_lex, 1)).cast("long").alias(
+            "n_semantic_only"
+        ),
+        F.when(
+            F.count(F.lit(1)) > 0,
+            both.cast("double") / F.count(F.lit(1)),
+        ).alias("pair_set_jaccard"),
+    )
