@@ -171,6 +171,24 @@ HEADLINE = [
     "agg_hill_tail_index",
     "window_top_movers_wow",
     "dq_referential_health_dashboard",
+    "text_zipf_fit",
+    "agg_trimmed_winsorized_means",
+    "stream_tumbling_distinct_users",
+    "join_theta_price_band",
+    "mm_wav_silence_ratio",
+    "mm_ppm_channel_histogram",
+    "agg_ks_two_sample",
+    "text_word_burstiness",
+    "ts_fourier_top_periods",
+    "agg_empirical_bayes_rates",
+    "curation_sampling_manifest",
+    "graph_rich_club_coefficient",
+    "text_prf_query_expansion",
+    "dq_format_conformance",
+    "ts_expected_shortfall",
+    "agg_ab_power_analysis",
+    "ts_rsi_momentum",
+    "dedup_lexical_semantic_agreement",
 ]
 
 

@@ -150,19 +150,15 @@ _CHECK_LAST = (
 # dedup_lsh_recall_audit, dq_table_checksum, dq_mad_robust_spread,
 # mm_dhash_hamming_pairs, agg_entropy_categorical, etl_dead_letter_json,
 # ts_autocorr_lag1, scalar_variant_ops, pyfunc_udtf_chunks,
-# agg_hll_sketch_merge) plus every session-19/20 addition
-# (subquery_exists_flags, window_moving_median,
-# agg_chi_square_independence, ts_ewma_revenue,
-# graph_linkpred_common_neighbors, sim_knn_label_vote,
-# window_cusum_changepoint, agg_welch_t_test, sim_label_centroid_margin,
-# pyfunc_cogrouped_user_profile, scalar_url_parsing,
-# join_lateral_topn_orders, subquery_any_all_quantified,
-# graph_modularity_dedup_partition, agg_mann_whitney_u,
-# ts_seasonality_strength, dedup_source_shingle_overlap,
-# sim_hard_negative_mining, dedup_exact_normalized,
-# sim_pq_reconstruction_error, dq_candidate_key_discovery,
-# ts_bounce_rate, curation_temperature_mixture_weights). All pass the
-# local gate; rotation converts that into driver-proven union coverage.
+# agg_hll_sketch_merge) plus EVERY session-19/20 addition — the ~50
+# queries registered after agg_reorder_rate (statistical tests, EWMA /
+# CUSUM / RSI / periodogram / CVaR series analytics, link prediction,
+# BFS reach, rich club, modularity, kNN / hard negatives / centroid
+# margins / PQ audit / drift probes, LATERAL + ALL/ANY decorrelations,
+# normalized dedup, source-overlap bitmasks, sampling manifests, format
+# conformance, silence / histogram multimodal ops). All pass the strict
+# local gate at sf0.001 AND sf0.01; rotation converts that into
+# driver-proven union coverage.
 
 
 def _load_all() -> None:

@@ -3874,3 +3874,82 @@ def agg_ab_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("required_n_per_arm"),
     )
+
+
+_TWO_PROP_ORACLE = """
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+                AS DOUBLE) AS x
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY 1
+),
+ab AS (
+    SELECT a.n AS n1, a.x AS x1, b.n AS n2, b.x AS x2
+    FROM seg a, seg b
+    WHERE a.segment = 'BUILDING' AND b.segment = 'MACHINERY'
+)
+SELECT CAST(n1 AS BIGINT) AS n_building,
+       CAST(x1 AS BIGINT) AS urgent_building,
+       CAST(n2 AS BIGINT) AS n_machinery,
+       CAST(x2 AS BIGINT) AS urgent_machinery,
+       x1 / n1 - x2 / n2 AS rate_diff,
+       (x1 / n1 - x2 / n2)
+           / sqrt(((x1 + x2) / (n1 + n2)) * (1 - (x1 + x2) / (n1 + n2))
+                  * (1 / n1 + 1 / n2)) AS z_stat,
+       abs((x1 / n1 - x2 / n2)
+           / sqrt(((x1 + x2) / (n1 + n2)) * (1 - (x1 + x2) / (n1 + n2))
+                  * (1 / n1 + 1 / n2)))
+           > CAST(1.959963984540054 AS DOUBLE) AS significant_95
+FROM ab
+"""
+
+
+@query("agg_two_proportion_z_test", oracle=_TWO_PROP_ORACLE)
+def agg_two_proportion_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test (pooled): do BUILDING and MACHINERY
+    segments have different urgent-order rates? — the conversion-rate
+    comparison that closes the experiment loop opened by
+    `agg_ab_power_analysis`. Exact integer counts in one pass; the
+    z-statistic is a fixed IEEE dag over them (sqrt is correctly
+    rounded), and the 95% verdict compares against the same double
+    literal on both sides."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+            .cast("double")
+            .alias("x"),
+        )
+    )
+    a = seg.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("n").alias("n1"), F.col("x").alias("x1")
+    )
+    b = seg.where(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("n").alias("n2"), F.col("x").alias("x2")
+    )
+    p1 = F.col("x1") / F.col("n1")
+    p2 = F.col("x2") / F.col("n2")
+    pp = (F.col("x1") + F.col("x2")) / (F.col("n1") + F.col("n2"))
+    z = (p1 - p2) / F.sqrt(
+        pp * (1 - pp) * (1 / F.col("n1") + 1 / F.col("n2"))
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        F.col("n1").cast("long").alias("n_building"),
+        F.col("x1").cast("long").alias("urgent_building"),
+        F.col("n2").cast("long").alias("n_machinery"),
+        F.col("x2").cast("long").alias("urgent_machinery"),
+        (p1 - p2).alias("rate_diff"),
+        z.alias("z_stat"),
+        (F.abs(z) > F.lit(1.959963984540054)).alias("significant_95"),
+    )
