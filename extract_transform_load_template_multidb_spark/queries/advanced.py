@@ -3953,3 +3953,196 @@ def agg_two_proportion_z_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         z.alias("z_stat"),
         (F.abs(z) > F.lit(1.959963984540054)).alias("significant_95"),
     )
+
+
+_DID_ORACLE = """
+WITH cells AS (
+    SELECT (c.c_mktsegment = 'BUILDING') AS treated,
+           (o.o_orderdate >= DATE '1996-01-01') AS post,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS mean_price
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    GROUP BY 1, 2
+),
+w AS (
+    SELECT
+        max(CASE WHEN treated AND post THEN mean_price END) AS t_post,
+        max(CASE WHEN treated AND NOT post THEN mean_price END) AS t_pre,
+        max(CASE WHEN NOT treated AND post THEN mean_price END) AS c_post,
+        max(CASE WHEN NOT treated AND NOT post THEN mean_price END)
+            AS c_pre,
+        CAST(SUM(n) AS BIGINT) AS n_orders
+    FROM cells
+)
+SELECT n_orders, t_pre, t_post, c_pre, c_post,
+       t_post - t_pre AS treated_delta,
+       c_post - c_pre AS control_delta,
+       (t_post - t_pre) - (c_post - c_pre) AS did_estimate
+FROM w
+"""
+
+
+@query("agg_diff_in_differences", oracle=_DID_ORACLE)
+def agg_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: BUILDING (treated) vs MACHINERY
+    (control) mean order value before/after a 1996 cutoff — the causal
+    panel estimator that nets out both the level gap between segments
+    and the common time trend. Four cell means from ONE decimal-exact
+    fact pass; the DiD contrast is three subtractions on them —
+    bit-identical cross-engine with no rounding."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    cells = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .where(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .groupBy(
+            (F.col("c_mktsegment") == "BUILDING").alias("treated"),
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("date")).alias(
+                "post"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            (
+                F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+                .cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_price"),
+        )
+    )
+    pick = lambda t, p: F.max(
+        F.when((F.col("treated") == t) & (F.col("post") == p),
+               F.col("mean_price"))
+    )
+    w = cells.agg(
+        pick(True, True).alias("t_post"),
+        pick(True, False).alias("t_pre"),
+        pick(False, True).alias("c_post"),
+        pick(False, False).alias("c_pre"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    return w.select(
+        "n_orders",
+        "t_pre",
+        "t_post",
+        "c_pre",
+        "c_post",
+        (F.col("t_post") - F.col("t_pre")).alias("treated_delta"),
+        (F.col("c_post") - F.col("c_pre")).alias("control_delta"),
+        (
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre"))
+        ).alias("did_estimate"),
+    )
+
+
+_GINI_SPLIT_ORACLE = """
+WITH lab AS (
+    SELECT o_totalprice AS x,
+           CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+    FROM orders
+),
+qarr AS (
+    SELECT quantile_cont(x, [0.1, 0.2, 0.3, 0.4, 0.5,
+                             0.6, 0.7, 0.8, 0.9]) AS a
+    FROM lab
+),
+cuts AS (
+    SELECT CAST(generate_subscripts(a, 1) AS BIGINT) AS decile,
+           unnest(a) AS thresh
+    FROM qarr
+),
+split AS (
+    SELECT c.decile, c.thresh,
+           CAST(COUNT(*) FILTER (WHERE l.x <= c.thresh) AS DOUBLE) AS nl,
+           CAST(SUM(l.y) FILTER (WHERE l.x <= c.thresh) AS DOUBLE) AS pl,
+           CAST(COUNT(*) FILTER (WHERE l.x > c.thresh) AS DOUBLE) AS nr,
+           CAST(SUM(l.y) FILTER (WHERE l.x > c.thresh) AS DOUBLE) AS pr,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(l.y) AS DOUBLE) AS p
+    FROM lab l CROSS JOIN cuts c
+    GROUP BY c.decile, c.thresh
+)
+SELECT CAST(decile AS BIGINT) AS decile, thresh,
+       CAST(nl AS BIGINT) AS n_left, CAST(nr AS BIGINT) AS n_right,
+       (2 * (p / n) * (1 - p / n))
+         - (nl / n) * (2 * (pl / nl) * (1 - pl / nl))
+         - (nr / n) * (2 * (pr / nr) * (1 - pr / nr)) AS gini_gain
+FROM split
+WHERE nl > 0 AND nr > 0
+ORDER BY gini_gain DESC, decile
+LIMIT 1
+"""
+
+
+@query("agg_gini_split_finder", oracle=_GINI_SPLIT_ORACLE)
+def agg_gini_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-stump split search: which order-value decile threshold
+    best separates urgent from non-urgent orders by Gini impurity
+    reduction — the feature-screening primitive behind tree learners
+    and binning decisions. Nine candidate cuts (exact deciles) broadcast
+    against ONE labeled fact pass that accumulates left/right class
+    counts per cut; the impurity algebra is a fixed IEEE dag over those
+    exact counts, and the argmax is a 1-row TakeOrderedAndProject."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    lab = o.select(
+        F.col("o_totalprice").alias("x"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .alias("y"),
+    )
+    qs = [i / 10 for i in range(1, 10)]
+    pcts = lab.agg(
+        *[
+            F.percentile(F.col("x"), q).alias(f"q{i}")
+            for i, q in enumerate(qs, start=1)
+        ]
+    )
+    cuts = pcts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).cast("long").alias("decile"),
+                        F.col(f"q{i}").alias("thresh"),
+                    )
+                    for i in range(1, 10)
+                ]
+            )
+        ).alias("c")
+    ).select("c.decile", "c.thresh")
+    j = lab.crossJoin(F.broadcast(cuts))
+    left = F.col("x") <= F.col("thresh")
+    split = j.groupBy("decile", "thresh").agg(
+        F.count(F.when(left, 1)).cast("double").alias("nl"),
+        F.sum(F.when(left, F.col("y"))).cast("double").alias("pl"),
+        F.count(F.when(~left, 1)).cast("double").alias("nr"),
+        F.sum(F.when(~left, F.col("y"))).cast("double").alias("pr"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").cast("double").alias("p"),
+    )
+    gini = lambda p, n: 2 * (p / n) * (1 - p / n)
+    gain = (
+        gini(F.col("p"), F.col("n"))
+        - (F.col("nl") / F.col("n")) * gini(F.col("pl"), F.col("nl"))
+        - (F.col("nr") / F.col("n")) * gini(F.col("pr"), F.col("nr"))
+    )
+    return (
+        split.where((F.col("nl") > 0) & (F.col("nr") > 0))
+        .select(
+            "decile",
+            "thresh",
+            F.col("nl").cast("long").alias("n_left"),
+            F.col("nr").cast("long").alias("n_right"),
+            gain.alias("gini_gain"),
+        )
+        .orderBy(F.col("gini_gain").desc(), "decile")
+        .limit(1)
+    )
