@@ -5727,3 +5727,78 @@ def dedup_lexical_semantic_agreement(
             both.cast("double") / F.count(F.lit(1)),
         ).alias("pair_set_jaccard"),
     )
+
+
+_KAPPA_ORACLE = (
+    "WITH cm AS (SELECT d.lang AS lt, p.lang_pred AS lp, "
+    "CAST(COUNT(*) AS BIGINT) AS n "
+    "FROM documents d JOIN (" + _LANG_ID_ORACLE + ") p USING (doc_id) "
+    "GROUP BY d.lang, p.lang_pred), "
+    """
+rows_m AS (SELECT lt, CAST(SUM(n) AS BIGINT) AS rn FROM cm GROUP BY lt),
+cols_m AS (SELECT lp, CAST(SUM(n) AS BIGINT) AS cn FROM cm GROUP BY lp),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cm),
+agree AS (
+    SELECT CAST(COALESCE(SUM(n) FILTER (WHERE lt = lp), 0) AS DOUBLE)
+        AS diag
+    FROM cm
+),
+pe AS (
+    SELECT CAST(SUM(r.rn * c.cn) AS DOUBLE) AS rc
+    FROM rows_m r JOIN cols_m c ON c.lp = r.lt
+)
+SELECT CAST(tot.t AS BIGINT) AS n_docs,
+       agree.diag / tot.t AS observed_agreement,
+       pe.rc / (tot.t * tot.t) AS expected_agreement,
+       (agree.diag / tot.t - pe.rc / (tot.t * tot.t))
+           / (1 - pe.rc / (tot.t * tot.t)) AS cohens_kappa
+FROM tot, agree, pe
+"""
+)
+
+
+@query("text_lang_id_cohens_kappa", oracle=_KAPPA_ORACLE)
+def text_lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa between the stopword language-ID and the ground-
+    truth labels — the chance-corrected scalar that summarizes
+    `text_lang_id_confusion`'s matrix (raw accuracy flatters a
+    classifier when one class dominates; kappa does not). All
+    marginals are exact integers off the same one-pass confusion
+    rollup; the kappa algebra is a fixed IEEE dag."""
+    docs = load_table(spark, sf_dir, "documents")
+    pred = tx.lang_id_scores(docs).select("doc_id", "lang_pred")
+    cm = (
+        docs.select("doc_id", F.col("lang").alias("lt"))
+        .join(pred, "doc_id")
+        .groupBy("lt", F.col("lang_pred").alias("lp"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rows_m = cm.groupBy("lt").agg(F.sum("n").alias("rn"))
+    cols_m = cm.groupBy("lp").agg(F.sum("n").alias("cn"))
+    tot = cm.agg(F.sum("n").cast("double").alias("t"))
+    diag = cm.agg(
+        F.coalesce(
+            F.sum(F.when(F.col("lt") == F.col("lp"), F.col("n"))),
+            F.lit(0),
+        )
+        .cast("double")
+        .alias("diag")
+    )
+    pe = (
+        rows_m.join(cols_m, rows_m.lt == cols_m.lp)
+        .agg(
+            F.sum(F.col("rn") * F.col("cn")).cast("double").alias("rc")
+        )
+    )
+    po_ = F.col("diag") / F.col("t")
+    pe_ = F.col("rc") / (F.col("t") * F.col("t"))
+    return (
+        tot.crossJoin(F.broadcast(diag))
+        .crossJoin(F.broadcast(pe))
+        .select(
+            F.col("t").cast("long").alias("n_docs"),
+            po_.alias("observed_agreement"),
+            pe_.alias("expected_agreement"),
+            ((po_ - pe_) / (1 - pe_)).alias("cohens_kappa"),
+        )
+    )
