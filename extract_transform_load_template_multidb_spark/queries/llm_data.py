@@ -5802,3 +5802,101 @@ def text_lang_id_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((po_ - pe_) / (1 - pe_)).alias("cohens_kappa"),
         )
     )
+
+
+_PREC_AT_K_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+lab AS (SELECT vec_id, label FROM embeddings),
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           SUM(a.v * b.v) AS dot
+    FROM elems a
+    JOIN elems b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id % 25 = 0
+    GROUP BY a.vec_id, b.vec_id
+),
+cos AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+),
+topk AS (
+    SELECT query_id, neighbor_id, rnk FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, neighbor_id) AS rnk
+        FROM cos
+    ) WHERE rnk <= 5
+),
+per_q AS (
+    SELECT t.query_id,
+           CAST(COUNT(*) FILTER (WHERE lb.label = lq.label) AS BIGINT)
+               AS n_relevant,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM topk t
+    JOIN lab lq ON lq.vec_id = t.query_id
+    JOIN lab lb ON lb.vec_id = t.neighbor_id
+    GROUP BY t.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(n_relevant) AS BIGINT) AS total_relevant,
+       CAST(SUM(n_relevant) AS DOUBLE) / SUM(k) AS micro_precision_at_5,
+       CAST(SUM(CAST(n_relevant AS DECIMAL(38,6)) / k) AS DOUBLE)
+           / COUNT(*) AS macro_precision_at_5
+FROM per_q
+"""
+)
+
+
+@query("sim_precision_at_k", oracle=_PREC_AT_K_ORACLE)
+def sim_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval quality of the embedding space itself: precision@5 with
+    same-label as the relevance proxy, micro and macro averaged over
+    the anchor set — the scalar tracked per encoder version next to
+    `sim_knn_label_vote`'s argmax view. The per-query relevant counts
+    are exact integers from one broadcast top-k pass; the macro mean
+    routes the exact per-query fractions (k=5 ⇒ multiples of 0.2,
+    on-grid) through DECIMAL."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    topk = sim.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") % 25 == 0), k=5
+    )
+    lab = emb.select("vec_id", "label")
+    lq = lab.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("ql")
+    )
+    lb = lab.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nl")
+    )
+    per_q = (
+        topk.join(F.broadcast(lq), "query_id")
+        .join(F.broadcast(lb), "neighbor_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.when(F.col("ql") == F.col("nl"), 1))
+            .cast("long")
+            .alias("n_relevant"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum("n_relevant").cast("long").alias("total_relevant"),
+        (F.sum("n_relevant").cast("double") / F.sum("k")).alias(
+            "micro_precision_at_5"
+        ),
+        (
+            F.sum(
+                F.col("n_relevant").cast("decimal(38,6)") / F.col("k")
+            ).cast("double")
+            / F.count(F.lit(1))
+        ).alias("macro_precision_at_5"),
+    )
