@@ -460,3 +460,60 @@ def mm_ppm_channel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle."""
     ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
     return mm.channel_histograms(ppm)
+
+
+_IMG_ENTROPY_ORACLE = """
+WITH px AS (
+    SELECT doc_id AS asset_id,
+           substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+),
+chan AS (
+    SELECT asset_id, c.cname AS channel, c.off AS off, p
+    FROM px, (VALUES ('r', 0), ('g', 1), ('b', 2)) AS c(cname, off)
+),
+bins AS (
+    SELECT asset_id, channel, b.b,
+           CAST(list_sum(list_transform(range(0, 16), i ->
+               CASE WHEN ord(substr(p, off + 1 + i * 3, 1)) // 64 = b.b
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS n
+    FROM chan, (SELECT unnest(range(0, 4)) AS b) b
+),
+terms AS (
+    SELECT asset_id, channel,
+           n * CAST(round(ln(CAST(n AS DOUBLE) / 16), 6)
+                    AS DECIMAL(38,6)) AS term
+    FROM bins WHERE n > 0
+)
+SELECT asset_id, channel,
+       -(CAST(SUM(term) AS DOUBLE) / 16) / 0.6931471805599453
+           AS entropy_bits
+FROM terms GROUP BY asset_id, channel
+"""
+
+
+@query("mm_image_channel_entropy", oracle=_IMG_ENTROPY_ORACLE)
+def mm_image_channel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel histogram entropy of decoded images (bits over the
+    4-bin luminance distribution): near-zero entropy flags flat/blown
+    channels, maximal entropy flags noise — the one-number version of
+    `mm_ppm_channel_histogram`. Each term is the INTEGER bin count
+    times the 6-dp-quantized ln(p) — integer×decimal is exact with no
+    second rounding (a p·q double product lands exactly ON grid ties
+    for dyadic p, where the engines' round() modes split) — then the
+    exact sum divides by 16 and ln 2 once at the end."""
+    hist = mm.channel_histograms(
+        mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    )
+    term = F.expr(
+        "aggregate(filter(bins, b -> b > 0), CAST(0 AS DECIMAL(38,6)), "
+        "(acc, b) -> CAST(acc + b * CAST(round(ln(CAST(b AS DOUBLE) / 16)"
+        ", 6) AS DECIMAL(38,6)) AS DECIMAL(38,6)))"
+    )
+    return hist.select(
+        "asset_id",
+        "channel",
+        (-(term.cast("double") / 16) / 0.6931471805599453).alias(
+            "entropy_bits"
+        ),
+    )
