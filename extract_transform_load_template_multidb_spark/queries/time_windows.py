@@ -2355,3 +2355,86 @@ def ts_rsi_momentum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.where(F.col("rn") >= 15).select(
         "day", F.round(rsi, 6).alias("rsi_14")
     )
+
+
+_PATHS_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_seq
+    FROM seq
+),
+tri AS (
+    SELECT event_type || ' > '
+               || lead(event_type, 1) OVER w2 || ' > '
+               || lead(event_type, 2) OVER w2 AS path3,
+           lead(ts, 2) OVER w2 AS t3
+    FROM sess
+    WINDOW w2 AS (PARTITION BY user_id, session_seq
+                  ORDER BY ts, event_id)
+)
+SELECT path3, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+FROM tri
+WHERE t3 IS NOT NULL
+GROUP BY path3
+ORDER BY n_occurrences DESC, path3
+LIMIT 15
+"""
+
+
+@query("ts_session_path_trigrams", oracle=_PATHS_ORACLE)
+def ts_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path analysis: the 15 most common 3-step event sequences WITHIN a
+    session — where funnel analysis checks a hypothesized order, this
+    discovers the orders users actually take. One user-keyed shuffle
+    covers sessionization and the in-session lead window (same sort
+    order reused); trigram counts map-side combine on the path string;
+    top-15 plans as TakeOrderedAndProject."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            >= gap_us
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_seq"),
+    )
+    w2 = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    tri = sess.select(
+        F.concat_ws(
+            " > ",
+            "event_type",
+            F.lead("event_type", 1).over(w2),
+            F.lead("event_type", 2).over(w2),
+        ).alias("path3"),
+        F.lead("ts", 2).over(w2).alias("t3"),
+    ).where(F.col("t3").isNotNull())
+    return (
+        tri.groupBy("path3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), "path3")
+        .limit(15)
+    )
