@@ -2438,3 +2438,135 @@ def ts_session_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_occurrences").desc(), "path3")
         .limit(15)
     )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_id, ts, event_type,
+           CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                     >= 1800000000
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+    SELECT user_id, event_id, ts, event_type,
+           SUM(new_session) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS s
+    FROM seq
+),
+conv AS (
+    SELECT user_id, s, min(ts) AS conv_ts,
+           min(event_id) FILTER (WHERE event_type = 'purchase'
+                                 AND ts = pts) AS conv_id
+    FROM (SELECT *, min(ts) FILTER (WHERE event_type = 'purchase')
+                    OVER (PARTITION BY user_id, s) AS pts
+          FROM sess)
+    WHERE pts IS NOT NULL AND event_type = 'purchase' AND ts = pts
+    GROUP BY user_id, s
+),
+path AS (
+    SELECT e.user_id, e.s, e.event_id, e.event_type, e.ts,
+           c.conv_ts, c.conv_id
+    FROM sess e JOIN conv c ON c.user_id = e.user_id AND c.s = e.s
+    WHERE e.ts < c.conv_ts
+       OR (e.ts = c.conv_ts AND e.event_id < c.conv_id)
+),
+sized AS (
+    SELECT *,
+           CAST(COUNT(*) OVER (PARTITION BY user_id, s) AS BIGINT) AS n,
+           row_number() OVER (PARTITION BY user_id, s
+                              ORDER BY ts, event_id) AS rn
+    FROM path
+)
+SELECT event_type,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT)
+           AS first_touch_conversions,
+       CAST(COUNT(*) FILTER (WHERE rn = n) AS BIGINT)
+           AS last_touch_conversions,
+       CAST(SUM(CAST(round(1.0 / n, 6) AS DECIMAL(38,6))) AS DOUBLE)
+           AS linear_credit
+FROM sized
+GROUP BY event_type
+"""
+
+
+@query("ts_multi_touch_attribution", oracle=_ATTRIBUTION_ORACLE)
+def ts_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-model comparison on purchase paths: for every session
+    that converts, the pre-purchase touches split credit three ways —
+    first-touch, last-touch, and linear (1/n each, quantized to the
+    6-dp grid per touch so the decimal credit sum is exact) — the
+    side-by-side that shows HOW MUCH the model choice moves budget
+    before anyone argues about it. One user-keyed shuffle covers
+    sessionization, conversion anchoring, and path sizing."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = 1800 * 1_000_000
+    new_session = F.when(
+        F.lag("ts").over(w).isNull()
+        | (
+            F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+            >= gap_us
+        ),
+        1,
+    ).otherwise(0)
+    sess = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.sum(new_session)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("s"),
+    )
+    ws = W.partitionBy("user_id", "s")
+    with_p = sess.withColumn(
+        "pts",
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).over(
+            ws
+        ),
+    )
+    conv = (
+        with_p.where(
+            F.col("pts").isNotNull()
+            & (F.col("event_type") == "purchase")
+            & (F.col("ts") == F.col("pts"))
+        )
+        .groupBy("user_id", "s")
+        .agg(
+            F.min("ts").alias("conv_ts"),
+            F.min("event_id").alias("conv_id"),
+        )
+    )
+    path = sess.join(conv, ["user_id", "s"]).where(
+        (F.col("ts") < F.col("conv_ts"))
+        | (
+            (F.col("ts") == F.col("conv_ts"))
+            & (F.col("event_id") < F.col("conv_id"))
+        )
+    )
+    sized = path.select(
+        "event_type",
+        F.count(F.lit(1)).over(ws).cast("long").alias("n"),
+        F.row_number()
+        .over(ws.orderBy("ts", "event_id"))
+        .alias("rn"),
+    )
+    return sized.groupBy("event_type").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).cast("long").alias(
+            "first_touch_conversions"
+        ),
+        F.count(F.when(F.col("rn") == F.col("n"), 1)).cast("long").alias(
+            "last_touch_conversions"
+        ),
+        F.sum(
+            F.round(1.0 / F.col("n"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("linear_credit"),
+    )
