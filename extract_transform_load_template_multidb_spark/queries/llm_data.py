@@ -5900,3 +5900,76 @@ def sim_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("macro_precision_at_5"),
     )
+
+
+_CLUSTER_MIX_ORACLE = (
+    "WITH RECURSIVE "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.dst, r.label
+    FROM reach r JOIN edges e ON e.src = r.node
+    WHERE r.label < e.dst
+),
+comp AS (SELECT node, min(label) AS component FROM reach GROUP BY node),
+mix AS (
+    SELECT c.component, d.source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM comp c JOIN documents d ON d.doc_id = c.node
+    GROUP BY c.component, d.source
+),
+per_comp AS (
+    SELECT component,
+           CAST(SUM(n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_sources,
+           CAST(MAX(n) AS BIGINT) AS majority_n
+    FROM mix GROUP BY component
+)
+SELECT component, n_docs, n_sources,
+       CAST(majority_n AS DOUBLE) / n_docs AS majority_source_share,
+       n_sources > 1 AS is_cross_source
+FROM per_comp
+"""
+)
+
+
+@query("dedup_cluster_source_mix", oracle=_CLUSTER_MIX_ORACLE)
+def dedup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster provenance audit: for every near-dup component,
+    how many sources its members span and how dominant the majority
+    source is — within-source clusters mean a crawler re-fetched its own
+    content (fix the crawler), cross-source clusters mean true
+    syndication (fix the mixture weights). One broadcast join of the
+    component table onto doc metadata and two small rollups on top of
+    the engine's connected-components path."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    comp = dd.connected_components(pairs)
+    mix = (
+        comp.join(
+            docs.select(F.col("doc_id").alias("node"), "source"), "node"
+        )
+        .groupBy("component", "source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    per_comp = mix.groupBy("component").agg(
+        F.sum("n").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_sources"),
+        F.max("n").cast("long").alias("majority_n"),
+    )
+    return per_comp.select(
+        "component",
+        "n_docs",
+        "n_sources",
+        (F.col("majority_n").cast("double") / F.col("n_docs")).alias(
+            "majority_source_share"
+        ),
+        (F.col("n_sources") > 1).alias("is_cross_source"),
+    )
