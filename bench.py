@@ -189,6 +189,15 @@ HEADLINE = [
     "agg_ab_power_analysis",
     "ts_rsi_momentum",
     "dedup_lexical_semantic_agreement",
+    "agg_two_proportion_z_test",
+    "agg_diff_in_differences",
+    "agg_gini_split_finder",
+    "text_lang_id_cohens_kappa",
+    "sim_precision_at_k",
+    "mm_image_channel_entropy",
+    "ts_session_path_trigrams",
+    "ts_multi_touch_attribution",
+    "dedup_cluster_source_mix",
 ]
 
 
