@@ -580,3 +580,43 @@ def test_any_all_broadcasts_extrema(spark, sf_dir):
     broadcast against the supplier scan."""
     plan = _plan(spark, sf_dir, "subquery_any_all_quantified")
     assert "BroadcastHashJoin" in plan
+
+
+def test_theta_band_join_no_cartesian(spark, sf_dir):
+    """The ±1% price theta join must ride the banded equi-join — a
+    cartesian/BNLJ here means the non-equi predicate leaked into the
+    join condition."""
+    plan = _plan(spark, sf_dir, "join_theta_price_band")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zipf_topn_group_limit(spark, sf_dir):
+    """Zipf fit: the top-200 rank cut must not global-sort the whole
+    vocabulary — WindowGroupLimit (or TakeOrdered) bounds it."""
+    plan = _plan(spark, sf_dir, "text_zipf_fit")
+    assert ("WindowGroupLimit" in plan) or ("TakeOrderedAndProject" in plan)
+
+
+def test_ks_shuffles_distinct_values_only(spark, sf_dir):
+    """KS statistic: the heavy input collapses to distinct values BEFORE
+    any window — the plan must aggregate, then window, never window the
+    raw rows."""
+    plan = _plan(spark, sf_dir, "agg_ks_two_sample")
+    assert plan.count("HashAggregate") + plan.count("SortAggregate") >= 2
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_attribution_single_user_exchange_chain(spark, sf_dir):
+    """Multi-touch attribution: sessionization, conversion anchoring,
+    and path sizing must all ride user_id-compatible exchanges — no
+    additional shuffle key creeps in before the final event_type
+    rollup."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ts_multi_touch_attribution")
+    keys = set(
+        m.group(1)
+        for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
+    )
+    assert keys <= {"user_id", "event_type"}, keys
