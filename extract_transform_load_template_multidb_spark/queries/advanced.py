@@ -4146,3 +4146,97 @@ def agg_gini_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("gini_gain").desc(), "decile")
         .limit(1)
     )
+
+
+_SPEARMAN_ORACLE = """
+WITH pairs AS (
+    SELECT o.o_totalprice AS x, c.c_acctbal AS y
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+),
+rx AS (
+    SELECT x, COALESCE(SUM(cnt) OVER (ORDER BY x
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + (cnt + 1) / CAST(2 AS DOUBLE) AS r
+    FROM (SELECT x, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY x)
+),
+ry AS (
+    SELECT y, COALESCE(SUM(cnt) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              + (cnt + 1) / CAST(2 AS DOUBLE) AS r
+    FROM (SELECT y, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM pairs GROUP BY y)
+),
+ranked AS (
+    SELECT rx.r AS ra, ry.r AS rb
+    FROM pairs p JOIN rx ON rx.x = p.x JOIN ry ON ry.y = p.y
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(ra AS DECIMAL(38,2))) AS DOUBLE) AS sa,
+           CAST(SUM(CAST(rb AS DECIMAL(38,2))) AS DOUBLE) AS sb,
+           CAST(SUM(CAST(ra * rb AS DECIMAL(38,2))) AS DOUBLE) AS sab,
+           CAST(SUM(CAST(ra * ra AS DECIMAL(38,2))) AS DOUBLE) AS saa,
+           CAST(SUM(CAST(rb * rb AS DECIMAL(38,2))) AS DOUBLE) AS sbb
+    FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_orders,
+       (n * sab - sa * sb)
+           / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))
+           AS spearman_rho
+FROM s
+"""
+
+
+@query("agg_spearman_rank_corr", oracle=_SPEARMAN_ORACLE)
+def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between order value and the customer's
+    account balance — the monotone-association measure that sees what
+    Pearson (`agg_corr_per_group`) misses under nonlinearity and
+    outliers. Tie-averaged ranks come from distinct-value running
+    counts (shuffle bounded by distinct values, same rewrite as the
+    Mann–Whitney path); ranks are half-integers, so every sufficient
+    statistic is exact on the 0.25 grid in DECIMAL and the final rho is
+    a fixed IEEE dag."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    pairs = o.join(
+        F.broadcast(c.select("c_custkey", "c_acctbal")),
+        o.o_custkey == c.c_custkey,
+    ).select(F.col("o_totalprice").alias("x"), F.col("c_acctbal").alias("y"))
+
+    def ranks(df, col):
+        per_val = df.groupBy(col).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        w = Win.orderBy(col).rowsBetween(Win.unboundedPreceding, -1)
+        return per_val.select(
+            col,
+            (
+                F.coalesce(F.sum("cnt").over(w), F.lit(0))
+                + (F.col("cnt") + 1) / F.lit(2.0)
+            ).alias(f"r_{col}"),
+        )
+
+    ranked = pairs.join(ranks(pairs, "x"), "x").join(
+        ranks(pairs, "y"), "y"
+    )
+    ra, rb = F.col("r_x"), F.col("r_y")
+    s = ranked.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(ra.cast("decimal(38,2)")).cast("double").alias("sa"),
+        F.sum(rb.cast("decimal(38,2)")).cast("double").alias("sb"),
+        F.sum((ra * rb).cast("decimal(38,2)")).cast("double").alias("sab"),
+        F.sum((ra * ra).cast("decimal(38,2)")).cast("double").alias("saa"),
+        F.sum((rb * rb).cast("decimal(38,2)")).cast("double").alias("sbb"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.sqrt(
+        F.col("n") * F.col("saa") - F.col("sa") * F.col("sa")
+    ) * F.sqrt(F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb"))
+    return s.select(
+        F.col("n").cast("long").alias("n_orders"),
+        (num / den).alias("spearman_rho"),
+    )
