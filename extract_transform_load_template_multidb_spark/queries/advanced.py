@@ -4240,3 +4240,103 @@ def agg_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_orders"),
         (num / den).alias("spearman_rho"),
     )
+
+
+_COV_MATRIX_ORACLE = """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sp,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqq,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqp,
+           CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqd,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS spd,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sdd
+    FROM lineitem
+)
+SELECT v.var_a, v.var_b,
+       CAST(s.n AS BIGINT) AS n_rows,
+       (v.sab - v.sa * v.sb / s.n) / (s.n - 1) AS covariance
+FROM s, LATERAL (
+    SELECT * FROM (VALUES
+        ('quantity', 'quantity', s.sq, s.sq, s.sqq),
+        ('quantity', 'extendedprice', s.sq, s.sp, s.sqp),
+        ('quantity', 'discount', s.sq, s.sd, s.sqd),
+        ('extendedprice', 'extendedprice', s.sp, s.sp, s.spp),
+        ('extendedprice', 'discount', s.sp, s.sd, s.spd),
+        ('discount', 'discount', s.sd, s.sd, s.sdd)
+    ) AS t(var_a, var_b, sa, sb, sab)
+) v
+"""
+
+
+@query("agg_covariance_matrix", oracle=_COV_MATRIX_ORACLE)
+def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample covariance matrix of (quantity, extendedprice, discount) —
+    the upper triangle as rows, the multivariate primitive under PCA /
+    whitening / anomaly scores. All nine sufficient statistics
+    accumulate exactly in DECIMAL in ONE fact pass (2-decimal measures ⇒
+    products stay on the 6-dp grid); each covariance is then a fixed
+    IEEE dag — bit-identical with no second pass and no rounding."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = (
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(q).alias("sq"),
+        dec(p).alias("sp"),
+        dec(d).alias("sd"),
+        dec(q * q).alias("sqq"),
+        dec(q * p).alias("sqp"),
+        dec(q * d).alias("sqd"),
+        dec(p * p).alias("spp"),
+        dec(p * d).alias("spd"),
+        dec(d * d).alias("sdd"),
+    )
+    combos = [
+        ("quantity", "quantity", "sq", "sq", "sqq"),
+        ("quantity", "extendedprice", "sq", "sp", "sqp"),
+        ("quantity", "discount", "sq", "sd", "sqd"),
+        ("extendedprice", "extendedprice", "sp", "sp", "spp"),
+        ("extendedprice", "discount", "sp", "sd", "spd"),
+        ("discount", "discount", "sd", "sd", "sdd"),
+    ]
+    rows = s.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("var_a"),
+                        F.lit(b).alias("var_b"),
+                        F.col(sa).alias("sa"),
+                        F.col(sb).alias("sb"),
+                        F.col(sab).alias("sab"),
+                    )
+                    for a, b, sa, sb, sab in combos
+                ]
+            )
+        ).alias("t"),
+    )
+    return rows.select(
+        F.col("t.var_a").alias("var_a"),
+        F.col("t.var_b").alias("var_b"),
+        F.col("n").cast("long").alias("n_rows"),
+        (
+            (F.col("t.sab") - F.col("t.sa") * F.col("t.sb") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("covariance"),
+    )
