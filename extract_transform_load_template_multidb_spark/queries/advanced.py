@@ -4340,3 +4340,204 @@ def agg_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         ).alias("covariance"),
     )
+
+
+def _pca_iter_sql(n_iters: int = 12) -> str:
+    """Generate the unrolled power-iteration CTE chain (mirrors the
+    Spark expression dag line for line, the BPE-oracle technique)."""
+    ctes = ["""it0 AS (
+    SELECT c11, c12, c13, c22, c23, c33,
+           CAST(1 AS DOUBLE) / sqrt(CAST(3 AS DOUBLE)) AS v1,
+           CAST(1 AS DOUBLE) / sqrt(CAST(3 AS DOUBLE)) AS v2,
+           CAST(1 AS DOUBLE) / sqrt(CAST(3 AS DOUBLE)) AS v3
+    FROM cov
+)"""]
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""it{i} AS (
+    SELECT c11, c12, c13, c22, c23, c33,
+           (c11 * v1 + c12 * v2 + c13 * v3)
+               / sqrt((c11 * v1 + c12 * v2 + c13 * v3)
+                      * (c11 * v1 + c12 * v2 + c13 * v3)
+                      + (c12 * v1 + c22 * v2 + c23 * v3)
+                      * (c12 * v1 + c22 * v2 + c23 * v3)
+                      + (c13 * v1 + c23 * v2 + c33 * v3)
+                      * (c13 * v1 + c23 * v2 + c33 * v3)) AS v1,
+           (c12 * v1 + c22 * v2 + c23 * v3)
+               / sqrt((c11 * v1 + c12 * v2 + c13 * v3)
+                      * (c11 * v1 + c12 * v2 + c13 * v3)
+                      + (c12 * v1 + c22 * v2 + c23 * v3)
+                      * (c12 * v1 + c22 * v2 + c23 * v3)
+                      + (c13 * v1 + c23 * v2 + c33 * v3)
+                      * (c13 * v1 + c23 * v2 + c33 * v3)) AS v2,
+           (c13 * v1 + c23 * v2 + c33 * v3)
+               / sqrt((c11 * v1 + c12 * v2 + c13 * v3)
+                      * (c11 * v1 + c12 * v2 + c13 * v3)
+                      + (c12 * v1 + c22 * v2 + c23 * v3)
+                      * (c12 * v1 + c22 * v2 + c23 * v3)
+                      + (c13 * v1 + c23 * v2 + c33 * v3)
+                      * (c13 * v1 + c23 * v2 + c33 * v3)) AS v3
+    FROM it{i - 1}
+)""")
+    return ",\n".join(ctes)
+
+
+_PCA_ORACLE = (
+    """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sp,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqq,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqp,
+           CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqd,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS spd,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sdd
+    FROM lineitem
+),
+cov AS (
+    SELECT (sqq - sq * sq / n) / (n - 1) AS c11,
+           (sqp - sq * sp / n) / (n - 1) AS c12,
+           (sqd - sq * sd / n) / (n - 1) AS c13,
+           (spp - sp * sp / n) / (n - 1) AS c22,
+           (spd - sp * sd / n) / (n - 1) AS c23,
+           (sdd - sd * sd / n) / (n - 1) AS c33
+    FROM s
+),
+"""
+    + _pca_iter_sql(12)
+    + """
+SELECT CASE WHEN v1 < 0 THEN -v1 ELSE v1 END AS loading_quantity,
+       CASE WHEN v1 < 0 THEN -v2 ELSE v2 END AS loading_extendedprice,
+       CASE WHEN v1 < 0 THEN -v3 ELSE v3 END AS loading_discount,
+       v1 * (c11 * v1 + c12 * v2 + c13 * v3)
+       + v2 * (c12 * v1 + c22 * v2 + c23 * v3)
+       + v3 * (c13 * v1 + c23 * v2 + c33 * v3) AS top_eigenvalue,
+       (v1 * (c11 * v1 + c12 * v2 + c13 * v3)
+        + v2 * (c12 * v1 + c22 * v2 + c23 * v3)
+        + v3 * (c13 * v1 + c23 * v2 + c33 * v3))
+           / (c11 + c22 + c33) AS explained_variance_share
+FROM it12
+"""
+)
+
+
+@query("agg_pca_top_component", oracle=_PCA_ORACLE)
+def agg_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA top principal component of (quantity, extendedprice,
+    discount), computed ENTIRELY in-plan: the 3×3 covariance from one
+    decimal-exact fact pass, then 12 unrolled power-iteration steps as
+    column expressions on that single row — no MLlib, no driver-side
+    numerics, and the oracle's CTE chain replays the identical IEEE dag
+    step for step (the generated-unroll technique the BPE oracle uses),
+    so loadings, eigenvalue, and explained-variance share are
+    bit-identical. Sign fixed by forcing the first loading positive.
+    At scale only the sufficient-statistics pass touches data."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = (
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(q).alias("sq"),
+        dec(p).alias("sp"),
+        dec(d).alias("sd"),
+        dec(q * q).alias("sqq"),
+        dec(q * p).alias("sqp"),
+        dec(q * d).alias("sqd"),
+        dec(p * p).alias("spp"),
+        dec(p * d).alias("spd"),
+        dec(d * d).alias("sdd"),
+    )
+    n = F.col("n")
+    cov = s.select(
+        ((F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)).alias(
+            "c11"
+        ),
+        ((F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1)).alias(
+            "c12"
+        ),
+        ((F.col("sqd") - F.col("sq") * F.col("sd") / n) / (n - 1)).alias(
+            "c13"
+        ),
+        ((F.col("spp") - F.col("sp") * F.col("sp") / n) / (n - 1)).alias(
+            "c22"
+        ),
+        ((F.col("spd") - F.col("sp") * F.col("sd") / n) / (n - 1)).alias(
+            "c23"
+        ),
+        ((F.col("sdd") - F.col("sd") * F.col("sd") / n) / (n - 1)).alias(
+            "c33"
+        ),
+    )
+    it = cov.select(
+        "*",
+        (F.lit(1.0) / F.sqrt(F.lit(3.0))).alias("v1"),
+        (F.lit(1.0) / F.sqrt(F.lit(3.0))).alias("v2"),
+        (F.lit(1.0) / F.sqrt(F.lit(3.0))).alias("v3"),
+    )
+    for _ in range(12):
+        w1 = (
+            F.col("c11") * F.col("v1")
+            + F.col("c12") * F.col("v2")
+            + F.col("c13") * F.col("v3")
+        )
+        w2 = (
+            F.col("c12") * F.col("v1")
+            + F.col("c22") * F.col("v2")
+            + F.col("c23") * F.col("v3")
+        )
+        w3 = (
+            F.col("c13") * F.col("v1")
+            + F.col("c23") * F.col("v2")
+            + F.col("c33") * F.col("v3")
+        )
+        nrm = F.sqrt(w1 * w1 + w2 * w2 + w3 * w3)
+        it = it.select(
+            "c11",
+            "c12",
+            "c13",
+            "c22",
+            "c23",
+            "c33",
+            (w1 / nrm).alias("v1"),
+            (w2 / nrm).alias("v2"),
+            (w3 / nrm).alias("v3"),
+        )
+    w1 = (
+        F.col("c11") * F.col("v1")
+        + F.col("c12") * F.col("v2")
+        + F.col("c13") * F.col("v3")
+    )
+    w2 = (
+        F.col("c12") * F.col("v1")
+        + F.col("c22") * F.col("v2")
+        + F.col("c23") * F.col("v3")
+    )
+    w3 = (
+        F.col("c13") * F.col("v1")
+        + F.col("c23") * F.col("v2")
+        + F.col("c33") * F.col("v3")
+    )
+    lam = F.col("v1") * w1 + F.col("v2") * w2 + F.col("v3") * w3
+    flip = F.when(F.col("v1") < 0, -1.0).otherwise(1.0)
+    return it.select(
+        (flip * F.col("v1")).alias("loading_quantity"),
+        (flip * F.col("v2")).alias("loading_extendedprice"),
+        (flip * F.col("v3")).alias("loading_discount"),
+        lam.alias("top_eigenvalue"),
+        (lam / (F.col("c11") + F.col("c22") + F.col("c33"))).alias(
+            "explained_variance_share"
+        ),
+    )
