@@ -4541,3 +4541,167 @@ def agg_pca_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
             "explained_variance_share"
         ),
     )
+
+
+_MAHAL_ORACLE = """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sp,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqq,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqp,
+           CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqd,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS spd,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sdd
+    FROM lineitem
+),
+cov AS (
+    SELECT sq / n AS m1, sp / n AS m2, sd / n AS m3,
+           (sqq - sq * sq / n) / (n - 1) AS c11,
+           (sqp - sq * sp / n) / (n - 1) AS c12,
+           (sqd - sq * sd / n) / (n - 1) AS c13,
+           (spp - sp * sp / n) / (n - 1) AS c22,
+           (spd - sp * sd / n) / (n - 1) AS c23,
+           (sdd - sd * sd / n) / (n - 1) AS c33
+    FROM s
+),
+inv AS (
+    SELECT m1, m2, m3,
+           (c22 * c33 - c23 * c23) AS a11,
+           (c13 * c23 - c12 * c33) AS a12,
+           (c12 * c23 - c13 * c22) AS a13,
+           (c11 * c33 - c13 * c13) AS a22,
+           (c13 * c12 - c11 * c23) AS a23,
+           (c11 * c22 - c12 * c12) AS a33,
+           c11 * (c22 * c33 - c23 * c23)
+             + c12 * (c13 * c23 - c12 * c33)
+             + c13 * (c12 * c23 - c13 * c22) AS det
+    FROM cov
+),
+scored AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           (l.l_quantity - i.m1) AS d1,
+           (l.l_extendedprice - i.m2) AS d2,
+           (l.l_discount - i.m3) AS d3,
+           i.a11, i.a12, i.a13, i.a22, i.a23, i.a33, i.det
+    FROM lineitem l CROSS JOIN inv i
+)
+SELECT l_orderkey, l_linenumber,
+       (d1 * (a11 * d1 + a12 * d2 + a13 * d3)
+        + d2 * (a12 * d1 + a22 * d2 + a23 * d3)
+        + d3 * (a13 * d1 + a23 * d2 + a33 * d3)) / det AS mahal_sq
+FROM scored
+ORDER BY mahal_sq DESC, l_orderkey, l_linenumber
+LIMIT 20
+"""
+
+
+@query("agg_mahalanobis_outliers", oracle=_MAHAL_ORACLE)
+def agg_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier shortlist: the 20 lineitems with the largest
+    squared Mahalanobis distance over (quantity, extendedprice,
+    discount) — the anomaly score that catches jointly-impossible
+    combinations (huge quantity at deep discount) that per-column IQR
+    fences miss. The 3×3 covariance INVERSE is closed-form adjugate
+    arithmetic on the one-row stats (no linear-algebra library), the
+    1-row matrix broadcasts onto the fact scan, and the top-20 plans as
+    TakeOrderedAndProject — two passes total at any scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = (
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(q).alias("sq"),
+        dec(p).alias("sp"),
+        dec(d).alias("sd"),
+        dec(q * q).alias("sqq"),
+        dec(q * p).alias("sqp"),
+        dec(q * d).alias("sqd"),
+        dec(p * p).alias("spp"),
+        dec(p * d).alias("spd"),
+        dec(d * d).alias("sdd"),
+    )
+    n = F.col("n")
+    cov = s.select(
+        (F.col("sq") / n).alias("m1"),
+        (F.col("sp") / n).alias("m2"),
+        (F.col("sd") / n).alias("m3"),
+        ((F.col("sqq") - F.col("sq") * F.col("sq") / n) / (n - 1)).alias(
+            "c11"
+        ),
+        ((F.col("sqp") - F.col("sq") * F.col("sp") / n) / (n - 1)).alias(
+            "c12"
+        ),
+        ((F.col("sqd") - F.col("sq") * F.col("sd") / n) / (n - 1)).alias(
+            "c13"
+        ),
+        ((F.col("spp") - F.col("sp") * F.col("sp") / n) / (n - 1)).alias(
+            "c22"
+        ),
+        ((F.col("spd") - F.col("sp") * F.col("sd") / n) / (n - 1)).alias(
+            "c23"
+        ),
+        ((F.col("sdd") - F.col("sd") * F.col("sd") / n) / (n - 1)).alias(
+            "c33"
+        ),
+    )
+    c11, c12, c13 = F.col("c11"), F.col("c12"), F.col("c13")
+    c22, c23, c33 = F.col("c22"), F.col("c23"), F.col("c33")
+    inv = cov.select(
+        "m1",
+        "m2",
+        "m3",
+        (c22 * c33 - c23 * c23).alias("a11"),
+        (c13 * c23 - c12 * c33).alias("a12"),
+        (c12 * c23 - c13 * c22).alias("a13"),
+        (c11 * c33 - c13 * c13).alias("a22"),
+        (c13 * c12 - c11 * c23).alias("a23"),
+        (c11 * c22 - c12 * c12).alias("a33"),
+        (
+            c11 * (c22 * c33 - c23 * c23)
+            + c12 * (c13 * c23 - c12 * c33)
+            + c13 * (c12 * c23 - c13 * c22)
+        ).alias("det"),
+    )
+    scored = li.crossJoin(F.broadcast(inv)).select(
+        "l_orderkey",
+        "l_linenumber",
+        (q - F.col("m1")).alias("d1"),
+        (p - F.col("m2")).alias("d2"),
+        (d - F.col("m3")).alias("d3"),
+        "a11",
+        "a12",
+        "a13",
+        "a22",
+        "a23",
+        "a33",
+        "det",
+    )
+    d1, d2, d3 = F.col("d1"), F.col("d2"), F.col("d3")
+    mahal = (
+        d1 * (F.col("a11") * d1 + F.col("a12") * d2 + F.col("a13") * d3)
+        + d2 * (F.col("a12") * d1 + F.col("a22") * d2 + F.col("a23") * d3)
+        + d3 * (F.col("a13") * d1 + F.col("a23") * d2 + F.col("a33") * d3)
+    ) / F.col("det")
+    return (
+        scored.select(
+            "l_orderkey", "l_linenumber", mahal.alias("mahal_sq")
+        )
+        .orderBy(
+            F.col("mahal_sq").desc(), "l_orderkey", "l_linenumber"
+        )
+        .limit(20)
+    )
