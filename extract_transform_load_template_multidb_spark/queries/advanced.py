@@ -4705,3 +4705,123 @@ def agg_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(20)
     )
+
+
+_OLS_ORACLE = """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx1,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sx2,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS s11,
+           CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS s12,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS s22,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS s1y,
+           CAST(SUM(CAST(l_discount * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS s2y,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM lineitem
+),
+xtx AS (
+    SELECT n, sy, syy,
+           n AS g11, sx1 AS g12, sx2 AS g13,
+           s11 AS g22, s12 AS g23, s22 AS g33,
+           sx1, sx2, s1y, s2y
+    FROM s
+),
+inv AS (
+    SELECT *,
+           g11 * (g22 * g33 - g23 * g23)
+             + g12 * (g13 * g23 - g12 * g33)
+             + g13 * (g12 * g23 - g13 * g22) AS det
+    FROM xtx
+),
+beta AS (
+    SELECT n, sy, syy, sx1, sx2, s1y, s2y,
+           ((g22 * g33 - g23 * g23) * sy
+            + (g13 * g23 - g12 * g33) * s1y
+            + (g12 * g23 - g13 * g22) * s2y) / det AS b0,
+           ((g13 * g23 - g12 * g33) * sy
+            + (g11 * g33 - g13 * g13) * s1y
+            + (g13 * g12 - g11 * g23) * s2y) / det AS b1,
+           ((g12 * g23 - g13 * g22) * sy
+            + (g13 * g12 - g11 * g23) * s1y
+            + (g11 * g22 - g12 * g12) * s2y) / det AS b2
+    FROM inv
+)
+SELECT CAST(n AS BIGINT) AS n_rows, b0 AS intercept,
+       b1 AS coef_quantity, b2 AS coef_discount,
+       1 - (syy - b0 * sy - b1 * s1y - b2 * s2y)
+           / (syy - sy * sy / n) AS r_squared
+FROM beta
+"""
+
+
+@query("agg_ols_two_features", oracle=_OLS_ORACLE)
+def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple linear regression IN-PLAN: extendedprice on quantity and
+    discount by closed-form normal equations — the 3×3 X'X assembles
+    from ten decimal-exact sufficient statistics in one pass, inverts
+    by adjugate arithmetic (same trick as the Mahalanobis query), and
+    R² falls out of the same sums — no MLlib, no second data pass,
+    bit-identical coefficients cross-engine. The multivariate upgrade
+    of `agg_linear_trend`."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x1, x2, y = (
+        F.col("l_quantity"),
+        F.col("l_discount"),
+        F.col("l_extendedprice"),
+    )
+    dec = lambda c: F.sum(c.cast("decimal(38,6)")).cast("double")
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(x1).alias("sx1"),
+        dec(x2).alias("sx2"),
+        dec(y).alias("sy"),
+        dec(x1 * x1).alias("s11"),
+        dec(x1 * x2).alias("s12"),
+        dec(x2 * x2).alias("s22"),
+        dec(x1 * y).alias("s1y"),
+        dec(x2 * y).alias("s2y"),
+        dec(y * y).alias("syy"),
+    )
+    g11, g12, g13 = F.col("n"), F.col("sx1"), F.col("sx2")
+    g22, g23, g33 = F.col("s11"), F.col("s12"), F.col("s22")
+    det = (
+        g11 * (g22 * g33 - g23 * g23)
+        + g12 * (g13 * g23 - g12 * g33)
+        + g13 * (g12 * g23 - g13 * g22)
+    )
+    sy, s1y, s2y = F.col("sy"), F.col("s1y"), F.col("s2y")
+    b0 = (
+        (g22 * g33 - g23 * g23) * sy
+        + (g13 * g23 - g12 * g33) * s1y
+        + (g12 * g23 - g13 * g22) * s2y
+    ) / det
+    b1 = (
+        (g13 * g23 - g12 * g33) * sy
+        + (g11 * g33 - g13 * g13) * s1y
+        + (g13 * g12 - g11 * g23) * s2y
+    ) / det
+    b2 = (
+        (g12 * g23 - g13 * g22) * sy
+        + (g13 * g12 - g11 * g23) * s1y
+        + (g11 * g22 - g12 * g12) * s2y
+    ) / det
+    return s.select(
+        F.col("n").cast("long").alias("n_rows"),
+        b0.alias("intercept"),
+        b1.alias("coef_quantity"),
+        b2.alias("coef_discount"),
+        (
+            1
+            - (F.col("syy") - b0 * sy - b1 * s1y - b2 * s2y)
+            / (F.col("syy") - sy * sy / F.col("n"))
+        ).alias("r_squared"),
+    )
