@@ -4825,3 +4825,96 @@ def agg_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("syy") - sy * sy / F.col("n"))
         ).alias("r_squared"),
     )
+
+
+def _kmeans_iter_sql(n_iters: int = 4) -> str:
+    """Unrolled 1-D 2-means Lloyd steps (generated to mirror the Spark
+    loop): centers update to the decimal-exact means of their halves,
+    split at the midpoint."""
+    ctes = []
+    for i in range(1, n_iters + 1):
+        ctes.append(f"""it{i} AS (
+    SELECT CAST(SUM(CAST(x AS DECIMAL(38,6)))
+                    FILTER (WHERE x < (c1 + c2) / 2) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE x < (c1 + c2) / 2) AS c1,
+           CAST(SUM(CAST(x AS DECIMAL(38,6)))
+                    FILTER (WHERE x >= (c1 + c2) / 2) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE x >= (c1 + c2) / 2) AS c2
+    FROM pts, it{i - 1}
+)""")
+    return ",\n".join(ctes)
+
+
+_KMEANS_ORACLE = (
+    """
+WITH pts AS (SELECT o_totalprice AS x FROM orders),
+it0 AS (
+    SELECT CAST(min(x) AS DOUBLE) AS c1, CAST(max(x) AS DOUBLE) AS c2
+    FROM pts
+),
+"""
+    + _kmeans_iter_sql(4)
+    + """
+SELECT CAST(COUNT(*) FILTER (WHERE x < (c1 + c2) / 2) AS BIGINT)
+           AS n_low,
+       CAST(COUNT(*) FILTER (WHERE x >= (c1 + c2) / 2) AS BIGINT)
+           AS n_high,
+       c1 AS center_low, c2 AS center_high,
+       (c1 + c2) / 2 AS split_point
+FROM pts, it4
+GROUP BY c1, c2
+"""
+)
+
+
+@query("agg_kmeans_1d_two_centers", oracle=_KMEANS_ORACLE)
+def agg_kmeans_1d_two_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D 2-means clustering of order values, four Lloyd iterations
+    unrolled IN-PLAN (min/max seed → split at the center midpoint →
+    decimal-exact half means): the natural low/high order-value
+    segmentation with a data-derived split point instead of an
+    arbitrary threshold. Each iteration is one map-side-combinable
+    aggregate over the fact scan with the 1-row center pair broadcast —
+    k passes for k iterations, no MLlib, and the oracle replays the
+    identical iteration dag."""
+    o = load_table(spark, sf_dir, "orders")
+    pts = o.select(F.col("o_totalprice").alias("x"))
+    centers = pts.agg(
+        F.min("x").cast("double").alias("c1"),
+        F.max("x").cast("double").alias("c2"),
+    )
+    for _ in range(4):
+        mid = (F.col("c1") + F.col("c2")) / 2
+        low = F.col("x") < mid
+        centers = pts.crossJoin(F.broadcast(centers)).agg(
+            (
+                F.sum(F.when(low, F.col("x").cast("decimal(38,6)")))
+                .cast("double")
+                / F.count(F.when(low, 1))
+            ).alias("c1"),
+            (
+                F.sum(F.when(~low, F.col("x").cast("decimal(38,6)")))
+                .cast("double")
+                / F.count(F.when(~low, 1))
+            ).alias("c2"),
+        )
+    mid = (F.col("c1") + F.col("c2")) / 2
+    return (
+        pts.crossJoin(F.broadcast(centers))
+        .groupBy("c1", "c2")
+        .agg(
+            F.count(F.when(F.col("x") < mid, 1)).cast("long").alias(
+                "n_low"
+            ),
+            F.count(F.when(F.col("x") >= mid, 1)).cast("long").alias(
+                "n_high"
+            ),
+        )
+        .select(
+            "n_low",
+            "n_high",
+            F.col("c1").alias("center_low"),
+            F.col("c2").alias("center_high"),
+            mid.alias("split_point"),
+        )
+    )
