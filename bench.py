@@ -198,6 +198,12 @@ HEADLINE = [
     "ts_session_path_trigrams",
     "ts_multi_touch_attribution",
     "dedup_cluster_source_mix",
+    "agg_spearman_rank_corr",
+    "agg_covariance_matrix",
+    "agg_pca_top_component",
+    "agg_mahalanobis_outliers",
+    "agg_ols_two_features",
+    "agg_kmeans_1d_two_centers",
 ]
 
 
