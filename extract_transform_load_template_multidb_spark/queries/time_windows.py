@@ -2570,3 +2570,150 @@ def ts_multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("linear_credit"),
     )
+
+
+_GRANGER_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS DOUBLE)
+               AS x,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               AS y
+    FROM events GROUP BY 1
+),
+lagged AS (
+    SELECT y,
+           lag(y) OVER (ORDER BY day) AS y1,
+           lag(x) OVER (ORDER BY day) AS x1
+    FROM daily
+),
+obs AS (SELECT y, y1, x1 FROM lagged WHERE y1 IS NOT NULL),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(y) AS sy, SUM(y1) AS s1, SUM(x1) AS s2,
+           SUM(y1 * y1) AS s11, SUM(y1 * x1) AS s12,
+           SUM(x1 * x1) AS s22,
+           SUM(y * y1) AS s1y, SUM(y * x1) AS s2y,
+           SUM(y * y) AS syy
+    FROM obs
+),
+runs AS (
+    SELECT n, sy, syy,
+           syy - sy * sy / n AS sst,
+           (syy - sy * sy / n)
+             - (s1y - s1 * sy / n) * (s1y - s1 * sy / n)
+               / (s11 - s1 * s1 / n) AS ssr_restricted
+    FROM s
+),
+beta AS (
+    SELECT n, sy, syy, s1, s2, s1y, s2y, s11, s12, s22,
+           n * (s11 * s22 - s12 * s12)
+             - s1 * (s1 * s22 - s12 * s2)
+             + s2 * (s1 * s12 - s11 * s2) AS det
+    FROM s
+),
+full_fit AS (
+    SELECT n, syy, sy, s1y, s2y,
+           ((s11 * s22 - s12 * s12) * sy
+            + (s12 * s2 - s1 * s22) * s1y
+            + (s1 * s12 - s11 * s2) * s2y) / det AS b0,
+           ((s12 * s2 - s1 * s22) * sy
+            + (n * s22 - s2 * s2) * s1y
+            + (s1 * s2 - n * s12) * s2y) / det AS b1,
+           ((s1 * s12 - s11 * s2) * sy
+            + (s1 * s2 - n * s12) * s1y
+            + (n * s11 - s1 * s1) * s2y) / det AS b2
+    FROM beta
+),
+fit AS (
+    SELECT r.n,
+           r.sst,
+           r.ssr_restricted,
+           f.syy - f.b0 * f.sy - f.b1 * f.s1y - f.b2 * f.s2y AS ssr_full
+    FROM runs r, full_fit f
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       1 - ssr_restricted / sst AS r2_restricted,
+       1 - ssr_full / sst AS r2_full,
+       ((ssr_restricted - ssr_full) / 1) / (ssr_full / (n - 3))
+           AS f_stat
+FROM fit
+"""
+
+
+@query("ts_granger_predictive_lift", oracle=_GRANGER_ORACLE)
+def ts_granger_predictive_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-style predictive-lift test: does YESTERDAY'S click count
+    improve today's purchase forecast beyond yesterday's purchases
+    alone? Restricted (AR-1) and full (AR-1 + lagged clicks) OLS fits
+    both come from ONE pass of exact integer sufficient statistics over
+    the lagged daily series; the F-statistic for the added regressor is
+    a fixed IEEE dag on those sums. The causal-screening primitive for
+    leading-indicator claims."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("double")
+        .alias("x"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("double")
+        .alias("y"),
+    )
+    w = Win.orderBy("day")
+    obs = daily.select(
+        "y",
+        F.lag("y").over(w).alias("y1"),
+        F.lag("x").over(w).alias("x1"),
+    ).where(F.col("y1").isNotNull())
+    s = obs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("y1").alias("s1"),
+        F.sum("x1").alias("s2"),
+        F.sum(F.col("y1") * F.col("y1")).alias("s11"),
+        F.sum(F.col("y1") * F.col("x1")).alias("s12"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s22"),
+        F.sum(F.col("y") * F.col("y1")).alias("s1y"),
+        F.sum(F.col("y") * F.col("x1")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sy, s1, s2 = F.col("sy"), F.col("s1"), F.col("s2")
+    s11, s12, s22 = F.col("s11"), F.col("s12"), F.col("s22")
+    s1y, s2y, syy = F.col("s1y"), F.col("s2y"), F.col("syy")
+    sst = syy - sy * sy / n
+    ssr_restricted = sst - (s1y - s1 * sy / n) * (s1y - s1 * sy / n) / (
+        s11 - s1 * s1 / n
+    )
+    det = (
+        n * (s11 * s22 - s12 * s12)
+        - s1 * (s1 * s22 - s12 * s2)
+        + s2 * (s1 * s12 - s11 * s2)
+    )
+    b0 = (
+        (s11 * s22 - s12 * s12) * sy
+        + (s12 * s2 - s1 * s22) * s1y
+        + (s1 * s12 - s11 * s2) * s2y
+    ) / det
+    b1 = (
+        (s12 * s2 - s1 * s22) * sy
+        + (n * s22 - s2 * s2) * s1y
+        + (s1 * s2 - n * s12) * s2y
+    ) / det
+    b2 = (
+        (s1 * s12 - s11 * s2) * sy
+        + (s1 * s2 - n * s12) * s1y
+        + (n * s11 - s1 * s1) * s2y
+    ) / det
+    ssr_full = syy - b0 * sy - b1 * s1y - b2 * s2y
+    return s.select(
+        n.cast("long").alias("n_days"),
+        (1 - ssr_restricted / sst).alias("r2_restricted"),
+        (1 - ssr_full / sst).alias("r2_full"),
+        (
+            ((ssr_restricted - ssr_full) / 1)
+            / (ssr_full / (n - 3))
+        ).alias("f_stat"),
+    )
