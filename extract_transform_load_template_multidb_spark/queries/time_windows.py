@@ -2717,3 +2717,113 @@ def ts_granger_predictive_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (ssr_full / (n - 3))
         ).alias("f_stat"),
     )
+
+
+_OVERDISP_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(c) AS DOUBLE) AS sc,
+           CAST(SUM(c * c) AS DOUBLE) AS scc
+    FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(n AS BIGINT) AS n_days,
+       sc / n AS mean_daily,
+       (scc - sc * sc / n) / (n - 1) AS var_daily,
+       ((scc - sc * sc / n) / (n - 1)) / (sc / n) AS dispersion_index,
+       ((scc - sc * sc / n) / (n - 1)) / (sc / n)
+           > CAST(1.5 AS DOUBLE) AS overdispersed
+FROM s
+"""
+
+
+@query("ts_count_overdispersion", oracle=_OVERDISP_ORACLE)
+def ts_count_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overdispersion audit of daily event counts: the variance-to-mean
+    dispersion index per event type — ≈1 means Poisson (bursts are
+    chance), ≫1 means clumping that invalidates Poisson-based alert
+    thresholds and sample-size math. Exact integer daily counts, exact
+    sufficient statistics, fixed IEEE dag, and a flagged verdict
+    against a shared double literal."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("scc"),
+    )
+    mean = F.col("sc") / F.col("n")
+    var = (F.col("scc") - F.col("sc") * F.col("sc") / F.col("n")) / (
+        F.col("n") - 1
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        mean.alias("mean_daily"),
+        var.alias("var_daily"),
+        (var / mean).alias("dispersion_index"),
+        (var / mean > F.lit(1.5)).alias("overdispersed"),
+    )
+
+
+_RATE_CI_ORACLE = """
+WITH daily AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1, 2
+),
+s AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(c) AS DOUBLE) AS sc
+    FROM daily GROUP BY event_type
+)
+SELECT event_type,
+       CAST(sc AS BIGINT) AS total_events,
+       CAST(n AS BIGINT) AS n_days,
+       sc / n AS rate_per_day,
+       sc / n - CAST(1.959963984540054 AS DOUBLE) * sqrt(sc) / n
+           AS ci95_low,
+       sc / n + CAST(1.959963984540054 AS DOUBLE) * sqrt(sc) / n
+           AS ci95_high
+FROM s
+"""
+
+
+@query("ts_event_rate_ci", oracle=_RATE_CI_ORACLE)
+def ts_event_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type daily event rate with a 95% Poisson CI (normal
+    approximation, rate ± z·√N/days) — the error bars a volume
+    dashboard should draw before anyone reads meaning into a ±5% wiggle.
+    Exact counts; z as the shared double literal; sqrt correctly
+    rounded — bit-identical."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("sc"),
+    )
+    rate = F.col("sc") / F.col("n")
+    half = F.lit(1.959963984540054) * F.sqrt(F.col("sc")) / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("sc").cast("long").alias("total_events"),
+        F.col("n").cast("long").alias("n_days"),
+        rate.alias("rate_per_day"),
+        (rate - half).alias("ci95_low"),
+        (rate + half).alias("ci95_high"),
+    )
