@@ -2827,3 +2827,111 @@ def ts_event_rate_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rate - half).alias("ci95_low"),
         (rate + half).alias("ci95_high"),
     )
+
+
+_ANOVA_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           dayofweek(o_orderdate) AS dow,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev
+    FROM orders GROUP BY 1, 2
+),
+g AS (
+    SELECT dow,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS s,
+           CAST(SUM(CAST(rev * rev AS DECIMAL(38,6))) AS DOUBLE) AS ss
+    FROM daily GROUP BY dow
+),
+tot AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS nt,
+           CAST(SUM(CAST(s AS DECIMAL(38,6))) AS DOUBLE) AS st,
+           CAST(COUNT(*) AS DOUBLE) AS k
+    FROM g
+),
+terms AS (
+    SELECT t.nt, t.k,
+           CAST(round(g.n * (g.s / g.n - t.st / t.nt)
+                          * (g.s / g.n - t.st / t.nt), -3)
+                AS DECIMAL(38,0)) AS ssb_term,
+           CAST(round(g.ss - g.s * g.s / g.n, -3)
+                AS DECIMAL(38,0)) AS ssw_term
+    FROM g CROSS JOIN tot t
+)
+SELECT CAST(any_value(nt) AS BIGINT) AS n_days,
+       CAST(any_value(k) AS BIGINT) AS n_groups,
+       CAST(SUM(ssb_term) AS DOUBLE) AS ss_between,
+       CAST(SUM(ssw_term) AS DOUBLE) AS ss_within,
+       (CAST(SUM(ssb_term) AS DOUBLE) / (any_value(k) - 1))
+           / (CAST(SUM(ssw_term) AS DOUBLE)
+              / (any_value(nt) - any_value(k))) AS f_stat
+FROM terms
+"""
+
+
+@query("ts_weekday_anova", oracle=_ANOVA_ORACLE)
+def ts_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of daily revenue across the 7 weekday groups — the
+    F-test that says whether ANY day differs before pairwise tests
+    start (the >2-group member of the engine's test family). Per-group
+    sufficient statistics are decimal-exact, so each group's SSB/SSW
+    term is a bit-identical IEEE value; each term rounds onto a 1000-
+    unit grid (these sums sit at 1e12–1e13 where double ulp ~1e-3, so
+    only a coarse grid is tie-safe) before the exact decimal sum — the
+    naive Σs²/n form dies here because at 1e20 magnitudes double ulp
+    exceeds any grid and catastrophic cancellation amplifies the
+    disagreement."""
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek("o_orderdate").alias("dow"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    g = daily.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("rev").cast("decimal(38,6)")).cast("double").alias("s"),
+        F.sum((F.col("rev") * F.col("rev")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.sum(F.col("s").cast("decimal(38,6)")).cast("double").alias("st"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+    )
+    m = F.col("s") / F.col("n")
+    grand = F.col("st") / F.col("nt")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "nt",
+        "k",
+        F.round(F.col("n") * (m - grand) * (m - grand), -3)
+        .cast("decimal(38,0)")
+        .alias("ssb_term"),
+        F.round(
+            F.col("ss") - F.col("s") * F.col("s") / F.col("n"), -3
+        )
+        .cast("decimal(38,0)")
+        .alias("ssw_term"),
+    )
+    out = terms.agg(
+        F.any_value("nt").alias("nt"),
+        F.any_value("k").alias("k"),
+        F.sum("ssb_term").cast("double").alias("ssb"),
+        F.sum("ssw_term").cast("double").alias("ssw"),
+    )
+    return out.select(
+        F.col("nt").cast("long").alias("n_days"),
+        F.col("k").cast("long").alias("n_groups"),
+        F.col("ssb").alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        (
+            (F.col("ssb") / (F.col("k") - 1))
+            / (F.col("ssw") / (F.col("nt") - F.col("k")))
+        ).alias("f_stat"),
+    )
