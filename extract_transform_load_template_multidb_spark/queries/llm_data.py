@@ -5973,3 +5973,136 @@ def dedup_cluster_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         (F.col("n_sources") > 1).alias("is_cross_source"),
     )
+
+
+_HEAPS_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+sh_growth AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS w
+    FROM toks_list WHERE len(t) >= 3
+),
+first_seen AS (
+    SELECT w, min(doc_id) AS first_doc FROM sh_growth GROUP BY w
+),
+new_per_doc AS (
+    SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_new
+    FROM first_seen GROUP BY first_doc
+),
+toks_per_doc AS (
+    SELECT doc_id, CAST(len(t) AS BIGINT) AS n_toks FROM toks_list
+),
+buckets AS (
+    SELECT (d.doc_id // 50) * 50 AS b,
+           CAST(SUM(d.n_toks) AS BIGINT) AS toks,
+           CAST(COALESCE(SUM(n.n_new), 0) AS BIGINT) AS newt
+    FROM toks_per_doc d LEFT JOIN new_per_doc n ON n.doc_id = d.doc_id
+    GROUP BY (d.doc_id // 50) * 50
+),
+curve AS (
+    SELECT SUM(toks) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS nn,
+           SUM(newt) OVER (ORDER BY b ROWS UNBOUNDED PRECEDING) AS vv
+    FROM buckets
+),
+pts AS (
+    SELECT round(ln(CAST(nn AS DOUBLE)), 9) AS x,
+           round(ln(CAST(vv AS DOUBLE)), 9) AS y
+    FROM curve WHERE vv > 0 AND nn > 0
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,9))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,9))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(x * y, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS sxy,
+           CAST(SUM(CAST(round(x * x, 9) AS DECIMAL(38,9))) AS DOUBLE)
+               AS sxx
+    FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_buckets,
+       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS heaps_beta,
+       round(exp((sy - sx * (n * sxy - sx * sy) / (n * sxx - sx * sx))
+                 / n), 6) AS heaps_k
+FROM s
+"""
+)
+
+
+@query("text_heaps_law_fit", oracle=_HEAPS_ORACLE)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V = k·N^β over the shingle-type growth curve: β
+    near the English-corpus 0.4–0.6 band means healthy novelty, β
+    collapsing toward 0 means the corpus has gone asymptotic and more
+    acquisition buys no vocabulary — the scalar form of
+    `text_vocab_growth_curve`'s stop signal. Same one-pass first-seen
+    rewrite; the log-log OLS uses the engine's grid-snapped-double /
+    decimal-sum regression discipline, and k's final exp() rounds onto
+    the hash grid (transcendental ulp)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", dd.tokenize(F.col("text")).alias("toks")
+    )
+    sh = toks.where(F.size("toks") >= 3).select(
+        "doc_id",
+        F.explode(
+            dd.word_shingles_from_tokens(F.col("toks"), n=3)
+        ).alias("w"),
+    )
+    first_seen = sh.groupBy("w").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = first_seen.groupBy(
+        F.col("first_doc").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_new"))
+    toks_per_doc = toks.select(
+        "doc_id", F.size("toks").cast("long").alias("n_toks")
+    )
+    buckets = (
+        toks_per_doc.join(new_per_doc, "doc_id", "left")
+        .groupBy(((F.col("doc_id") / 50).cast("long") * 50).alias("b"))
+        .agg(
+            F.sum("n_toks").cast("long").alias("toks"),
+            F.coalesce(F.sum("n_new"), F.lit(0))
+            .cast("long")
+            .alias("newt"),
+        )
+    )
+    w = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    curve = buckets.select(
+        F.sum("toks").over(w).alias("nn"),
+        F.sum("newt").over(w).alias("vv"),
+    )
+    pts = curve.where((F.col("vv") > 0) & (F.col("nn") > 0)).select(
+        F.round(F.log(F.col("nn").cast("double")), 9).alias("x"),
+        F.round(F.log(F.col("vv").cast("double")), 9).alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,9)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,9)")).cast("double").alias("sy"),
+        F.sum(
+            F.round(F.col("x") * F.col("y"), 9).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("sxy"),
+        F.sum(
+            F.round(F.col("x") * F.col("x"), 9).cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("sxx"),
+    )
+    slope = (
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    ) / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("n").cast("long").alias("n_buckets"),
+        slope.alias("heaps_beta"),
+        F.round(
+            F.exp((F.col("sy") - F.col("sx") * slope) / F.col("n")), 6
+        ).alias("heaps_k"),
+    )
