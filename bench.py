@@ -204,6 +204,11 @@ HEADLINE = [
     "agg_mahalanobis_outliers",
     "agg_ols_two_features",
     "agg_kmeans_1d_two_centers",
+    "ts_granger_predictive_lift",
+    "ts_count_overdispersion",
+    "ts_event_rate_ci",
+    "ts_weekday_anova",
+    "text_heaps_law_fit",
 ]
 
 
