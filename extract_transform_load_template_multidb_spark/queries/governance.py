@@ -1693,3 +1693,66 @@ def dq_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+_DOUBLE_FIRE_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type, ts, event_id,
+           lag(ts) OVER w AS prev_ts,
+           lag(event_type) OVER w AS prev_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+gaps AS (
+    SELECT event_type,
+           epoch_us(ts) - epoch_us(prev_ts) AS gap_us
+    FROM seq
+    WHERE prev_ts IS NOT NULL AND event_type = prev_type
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_consecutive_same_type,
+       CAST(COUNT(*) FILTER (WHERE gap_us < 1000000) AS BIGINT)
+           AS n_under_1s,
+       CAST(COUNT(*) FILTER (WHERE gap_us = 0) AS BIGINT) AS n_zero_gap,
+       CAST(COUNT(*) FILTER (WHERE gap_us < 1000000) AS DOUBLE)
+           / COUNT(*) AS double_fire_rate
+FROM gaps
+GROUP BY event_type
+"""
+
+
+@query("dq_double_fire_detector", oracle=_DOUBLE_FIRE_ORACLE)
+def dq_double_fire_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Telemetry double-fire audit: per event type, how often the SAME
+    user emits the SAME type again within a second (and at exactly the
+    same timestamp) — the client-side retry/debounce bug signature that
+    silently inflates engagement metrics. One user-keyed lag window,
+    exact integer microsecond gaps, one rollup."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        "ts",
+        F.lag("ts").over(w).alias("prev_ts"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    gaps = seq.where(
+        F.col("prev_ts").isNotNull()
+        & (F.col("event_type") == F.col("prev_type"))
+    ).select(
+        "event_type",
+        (F.unix_micros("ts") - F.unix_micros("prev_ts")).alias("gap_us"),
+    )
+    under = F.count(F.when(F.col("gap_us") < 1_000_000, 1))
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_consecutive_same_type"),
+        under.cast("long").alias("n_under_1s"),
+        F.count(F.when(F.col("gap_us") == 0, 1)).cast("long").alias(
+            "n_zero_gap"
+        ),
+        (under.cast("double") / F.count(F.lit(1))).alias(
+            "double_fire_rate"
+        ),
+    )
