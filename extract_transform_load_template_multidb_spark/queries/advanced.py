@@ -4918,3 +4918,58 @@ def agg_kmeans_1d_two_centers(spark: SparkSession, sf_dir: str) -> DataFrame:
             mid.alias("split_point"),
         )
     )
+
+
+_CAPTURE_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+marked AS (
+    SELECT user_id,
+           (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 7) < 3 AS in_a,
+           (CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8))
+                 AS BIGINT) % 11) < 5 AS in_b
+    FROM u
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS true_population,
+       CAST(COUNT(*) FILTER (WHERE in_a) AS BIGINT) AS n_sample_a,
+       CAST(COUNT(*) FILTER (WHERE in_b) AS BIGINT) AS n_sample_b,
+       CAST(COUNT(*) FILTER (WHERE in_a AND in_b) AS BIGINT) AS n_both,
+       CAST(COUNT(*) FILTER (WHERE in_a) AS DOUBLE)
+           * COUNT(*) FILTER (WHERE in_b)
+           / COUNT(*) FILTER (WHERE in_a AND in_b)
+           AS lincoln_petersen_estimate
+FROM marked
+"""
+
+
+@query("agg_capture_recapture", oracle=_CAPTURE_ORACLE)
+def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lincoln–Petersen capture-recapture: estimate the user population
+    from two INDEPENDENT deterministic hash samples and their overlap
+    (N̂ = n_A·n_B / n_both) — the coverage estimator for 'how many
+    entities exist that neither crawl fully saw', here checkable
+    against the true count the fixture makes visible. Independence
+    comes from disjoint md5 substrings driving the two marks; one
+    distinct pass, exact counts, one division."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.select("user_id").distinct()
+    h = F.md5(F.col("user_id").cast("string"))
+    in_a = (
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % 7 < 3
+    )
+    in_b = (
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("long") % 11 < 5
+    )
+    marked = u.select(in_a.alias("in_a"), in_b.alias("in_b"))
+    na = F.count(F.when(F.col("in_a"), 1))
+    nb = F.count(F.when(F.col("in_b"), 1))
+    nboth = F.count(F.when(F.col("in_a") & F.col("in_b"), 1))
+    return marked.agg(
+        F.count(F.lit(1)).cast("long").alias("true_population"),
+        na.cast("long").alias("n_sample_a"),
+        nb.cast("long").alias("n_sample_b"),
+        nboth.cast("long").alias("n_both"),
+        (na.cast("double") * nb / nboth).alias(
+            "lincoln_petersen_estimate"
+        ),
+    )
