@@ -6106,3 +6106,89 @@ def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp((F.col("sy") - F.col("sx") * slope) / F.col("n")), 6
         ).alias("heaps_k"),
     )
+
+
+_GOOD_TURING_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+wf AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM toks_list, unnest(t) AS u(w)
+    GROUP BY w
+),
+fof AS (
+    SELECT freq, CAST(COUNT(*) AS BIGINT) AS n_types
+    FROM wf GROUP BY freq
+),
+s AS (
+    SELECT CAST(SUM(n_types) AS BIGINT) AS v_observed,
+           CAST(SUM(freq * n_types) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(MAX(CASE WHEN freq = 1 THEN n_types END), 0)
+                AS BIGINT) AS f1,
+           CAST(COALESCE(MAX(CASE WHEN freq = 2 THEN n_types END), 0)
+                AS BIGINT) AS f2
+    FROM fof
+)
+SELECT v_observed, n_tokens, f1 AS singletons, f2 AS doubletons,
+       CAST(f1 AS DOUBLE) / n_tokens AS unseen_mass_gt,
+       CASE WHEN f2 > 0
+            THEN v_observed
+                 + CAST(f1 AS DOUBLE) * f1 / (2 * f2)
+       END AS chao1_total_vocab
+FROM s
+"""
+)
+
+
+@query("text_good_turing_unseen", oracle=_GOOD_TURING_ORACLE)
+def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unseen-vocabulary estimation: Good–Turing unseen probability mass
+    (f₁/N — the chance the NEXT token is a never-seen type) and the
+    Chao1 richness estimate (V + f₁²/2f₂) — the pair that says how much
+    vocabulary more crawling would still surface, complementing the
+    Heaps trajectory with point estimates. One word-count pass, one
+    tiny frequency-of-frequencies rollup, exact integers until two
+    final divisions."""
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    wf = (
+        docs.select(F.explode(dd.tokenize(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    fof = wf.groupBy("freq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_types")
+    )
+    s = fof.agg(
+        F.sum("n_types").cast("long").alias("v_observed"),
+        F.sum(F.col("freq") * F.col("n_types")).cast("long").alias(
+            "n_tokens"
+        ),
+        F.coalesce(
+            F.max(F.when(F.col("freq") == 1, F.col("n_types"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("f1"),
+        F.coalesce(
+            F.max(F.when(F.col("freq") == 2, F.col("n_types"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("f2"),
+    )
+    return s.select(
+        "v_observed",
+        "n_tokens",
+        F.col("f1").alias("singletons"),
+        F.col("f2").alias("doubletons"),
+        (F.col("f1").cast("double") / F.col("n_tokens")).alias(
+            "unseen_mass_gt"
+        ),
+        F.when(
+            F.col("f2") > 0,
+            F.col("v_observed")
+            + F.col("f1").cast("double") * F.col("f1")
+            / (2 * F.col("f2")),
+        ).alias("chao1_total_vocab"),
+    )
