@@ -4973,3 +4973,146 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lincoln_petersen_estimate"
         ),
     )
+
+
+def _boot_rep_sql(n_reps: int = 20) -> str:
+    """Per-replicate weighted sums: weight of row r in replicate b is
+    md5(id:b)-derived in {0,1,2,3} (mean 1.5) — the deterministic
+    replicate-weight trick that bootstraps WITHOUT duplicating data."""
+    cols = []
+    for b in range(n_reps):
+        w = (
+            f"(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) "
+            f"|| ':{b}'), 1, 8)) AS BIGINT) % 4)"
+        )
+        cols.append(
+            f"CAST(SUM(CAST({w} * v AS DECIMAL(38,6))) AS DOUBLE)"
+            f" / SUM({w}) AS m{b}"
+        )
+    return ",\n           ".join(cols)
+
+
+_BOOTSTRAP_ORACLE = (
+    """
+WITH v AS (
+    SELECT event_id,
+           CASE WHEN isnan(value) OR isinf(value) THEN 0
+                ELSE value END AS v
+    FROM events
+),
+reps AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+               AS point_mean,
+           """
+    + _boot_rep_sql(20)
+    + """
+    FROM v
+),
+stacked AS (
+    SELECT n_rows, point_mean,
+           CAST(round(CAST(CAST(m AS DECIMAL(38,6)) AS DOUBLE)
+                      * 1000000, 0) AS BIGINT) AS mi
+    FROM reps, LATERAL (SELECT unnest(["""
+    + ", ".join(f"m{b}" for b in range(20))
+    + """]) AS m)
+)
+SELECT any_value(n_rows) AS n_rows,
+       any_value(point_mean) AS point_mean,
+       CAST(COUNT(*) AS BIGINT) AS n_replicates,
+       sqrt((CAST(SUM(mi * mi) AS DOUBLE)
+             - CAST(SUM(mi) AS DOUBLE) * CAST(SUM(mi) AS DOUBLE)
+               / COUNT(*)) / (COUNT(*) - 1)) / 1000000 AS se_bootstrap
+FROM stacked
+GROUP BY n_rows, point_mean
+"""
+)
+
+
+@query("agg_bootstrap_se_mean", oracle=_BOOTSTRAP_ORACLE)
+def agg_bootstrap_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap standard error of the mean WITHOUT resampling the data:
+    20 deterministic replicate weights (md5(id:b) mod 4 per row per
+    replicate — the Poisson-bootstrap trick production engines use for
+    distributed uncertainty) ride ONE data pass as 20 weighted decimal
+    sums; the replicate means quantize onto the decimal grid and their
+    exact-sum variance yields the SE. Compare against
+    `agg_ab_power_analysis`'s parametric SE to audit normality
+    assumptions — all engine-invariant."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(
+        F.isnan("value") | F.col("value").isin(float("inf"), float("-inf")),
+        F.lit(0.0),
+    ).otherwise(F.col("value"))
+    base = ev.select(F.col("event_id"), v.alias("v"))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (
+            F.sum(F.col("v").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("point_mean"),
+    ]
+    for b in range(20):
+        w = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("event_id").cast("string"),
+                            F.lit(f":{b}"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 4
+        )
+        aggs.append(
+            (
+                F.sum((w * F.col("v")).cast("decimal(38,6)")).cast(
+                    "double"
+                )
+                / F.sum(w)
+            ).alias(f"m{b}")
+        )
+    reps = base.agg(*aggs)
+    stacked = reps.select(
+        "n_rows",
+        "point_mean",
+        F.explode(
+            F.array(*[F.col(f"m{b}") for b in range(20)])
+        ).alias("m"),
+    ).select(
+        "n_rows",
+        "point_mean",
+        # Grid-snap each replicate mean, then lift to exact integer
+        # micro-units: a decimal*decimal product would hit Spark's
+        # precision-loss truncation, but int64 sums of mi and mi^2 are
+        # exact in both engines.
+        F.round(
+            F.col("m").cast("decimal(38,6)").cast("double") * 1000000, 0
+        )
+        .cast("long")
+        .alias("mi"),
+    )
+    cnt = F.count(F.lit(1))
+    return stacked.groupBy("n_rows", "point_mean").agg(
+        cnt.cast("long").alias("n_replicates"),
+        (
+            F.sqrt(
+                (
+                    F.sum(F.col("mi") * F.col("mi")).cast("double")
+                    - F.sum("mi").cast("double")
+                    * F.sum("mi").cast("double")
+                    / cnt
+                )
+                / (cnt - 1)
+            )
+            / 1000000
+        ).alias("se_bootstrap"),
+    ).select("n_rows", "point_mean", "n_replicates", "se_bootstrap")
