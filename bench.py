@@ -209,6 +209,10 @@ HEADLINE = [
     "ts_event_rate_ci",
     "ts_weekday_anova",
     "text_heaps_law_fit",
+    "dq_double_fire_detector",
+    "agg_capture_recapture",
+    "text_good_turing_unseen",
+    "agg_bootstrap_se_mean",
 ]
 
 
