@@ -268,18 +268,60 @@ def main() -> None:
         raw[name] = runs
         timings[name] = min(runs)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query minima + raw per-repeat arrays go to a detail file on
+    # disk (committed per round); stdout gets ONE compact final line. The
+    # driver's stdout capture keeps only the last ~2000 characters, so the
+    # round-5 14 KB single-line output came back unparseable ("parsed":
+    # null). Budget the line: per-query entries are added slowest-first
+    # until ~1800 chars, the rest collapse into an "other" bucket whose
+    # count and summed seconds keep the total reconcilable.
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+    )
+    with open(detail_path, "w") as fh:
+        json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
                 "repeats": raw,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf_val,
+            },
+            fh,
+            indent=1,
         )
-    )
+
+    def _line(qmap: dict) -> str:
+        return json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "n_queries": len(timings),
+                "detail": "BENCH_DETAIL.json",
+                "queries": qmap,
+                "sf": sf_val,
+            },
+            separators=(",", ":"),
+        )
+
+    compact: dict[str, float] = {}
+    rest_n, rest_sum = 0, 0.0
+    for name in sorted(timings, key=timings.get, reverse=True):
+        candidate = dict(compact)
+        candidate[name] = round(timings[name], 3)
+        if len(_line(candidate)) > 1800:
+            rest_n += 1
+            rest_sum += timings[name]
+        else:
+            compact = candidate
+    if rest_n:
+        compact[f"other_{rest_n}_queries"] = round(rest_sum, 3)
+    sys.stdout.flush()
+    print(_line(compact), flush=True)
 
 
 if __name__ == "__main__":

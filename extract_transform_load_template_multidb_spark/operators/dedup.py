@@ -415,6 +415,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     threshold: float = 0.2,
     max_posting_list: int | None = None,
+    reuse_shingles: bool = False,
 ) -> DataFrame:
     """n-gram shingle Jaccard near-dup pairs via inverted-index self-join.
 
@@ -456,6 +457,17 @@ def ngram_jaccard_pairs(
             )
         ).alias("s"),
     )
+    if reuse_shingles:
+        # The shingle frame feeds three consumers (both self-join sides
+        # and the per-doc sizes); Spark's ReuseExchange covers the join
+        # but the sizes aggregation re-tokenizes the corpus from the
+        # scan. A lazy local checkpoint materializes the compact
+        # (id, hash64) frame once on executor storage and serves all
+        # three — worthwhile when the caller runs several pair
+        # pipelines in one query (e.g. lexical-vs-semantic agreement);
+        # at 100 TB it trades recompute for ~16 B/shingle of
+        # memory-and-disk blocks, the standard reuse of a shared stage.
+        sh = sh.localCheckpoint(eager=False)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_joinable = sh
     if max_posting_list is not None:

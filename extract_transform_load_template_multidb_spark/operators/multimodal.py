@@ -343,6 +343,106 @@ def decode_images(df: DataFrame) -> DataFrame:
     return df.select("asset_id", "payload").mapInPandas(fn, _DECODE_SCHEMA)
 
 
+def synthesize_jpeg(df: DataFrame) -> DataFrame:
+    """Deterministic baseline-JPEG payload per document: a solid-color
+    image whose color/size derive from ``doc_id`` by modular arithmetic,
+    encoded by the REAL pure-numpy encoder (`operators/jpeg.py`) with
+    the flat-16 quantizer. Solid color + power-of-two quantizer make the
+    decoded pixel an exact closed-form function of ``doc_id`` (see the
+    codec's determinism contract), so a SQL oracle can hash-match the
+    decode output of a genuinely entropy-coded JPEG bitstream."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        jpeg as J,
+    )
+
+    schema = "asset_id bigint, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        qt = J.flat_tables(16)
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                color = (did * 7 % 256, did * 13 % 256, did * 31 % 256)
+                w = 8 + did % 3 * 8
+                h = 8 + did % 2 * 8
+                img = np.full((h, w, 3), color, dtype=np.uint8)
+                rows.append(
+                    (did, J.encode_baseline_jpeg(img, qtables=qt))
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return (
+        repartition_for_media(df.select("doc_id"))
+        .mapInPandas(fn, schema)
+    )
+
+
+_DECODE_JPEG_SCHEMA = (
+    "asset_id bigint, width int, height int, n_components int, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def decode_jpegs(df: DataFrame) -> DataFrame:
+    """Decode baseline JPEG payloads with the REAL pure-numpy decoder
+    (Huffman + dequant + IDCT + chroma upsample + YCbCr→RGB; see
+    `operators/jpeg.py`) and emit per-image stats. Malformed payloads
+    surface in ``err``; progressive/arithmetic variants surface their
+    ``NotImplementedError`` message the same way — one exotic file must
+    not kill a 100 TB stage. Arrow-batched ``mapInPandas``, narrow map,
+    no shuffle."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        jpeg as J,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, nc, px = J.parse_jpeg(raw)
+                    n = w * h
+                    sums = px.reshape(n, 3).astype("int64").sum(axis=0)
+                    rows.append(
+                        (
+                            asset_id,
+                            w,
+                            h,
+                            nc,
+                            float(sums[0]) / n,
+                            float(sums[1]) / n,
+                            float(sums[2]) / n,
+                            None,
+                        )
+                    )
+                except (ValueError, NotImplementedError) as ex:
+                    rows.append(
+                        (asset_id, None, None, None, None, None, None,
+                         str(ex)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "n_components",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "err",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        fn, _DECODE_JPEG_SCHEMA
+    )
+
+
 def synthesize_ppm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 4×4 P6 payload per document: pixel bytes are the
     first 48 bytes of the (x-padded) text — ASCII, so byte values equal
@@ -834,6 +934,8 @@ def channel_histograms(df: DataFrame, n_bins: int = 4) -> DataFrame:
     """
     import numpy as np
 
+    if not 1 <= n_bins <= 256:
+        raise ValueError(f"n_bins must be in [1, 256], got {n_bins}")
     width = 256 // n_bins
     schema = (
         "asset_id bigint, channel string, n_pixels bigint, "
@@ -849,8 +951,13 @@ def channel_histograms(df: DataFrame, n_bins: int = 4) -> DataFrame:
                     arr = np.asarray(px, dtype=np.int64)
                     for ci, cname in enumerate(("r", "g", "b")):
                         chan = arr[:, :, ci].ravel()
+                        # Clamp the bin index: when n_bins does not
+                        # divide 256 the top of the range (e.g. values
+                        # ≥ width*n_bins) must land in the LAST bin,
+                        # not silently drop out of the histogram.
+                        idx = np.minimum(chan // width, n_bins - 1)
                         bins = [
-                            int(((chan // width) == b).sum())
+                            int((idx == b).sum())
                             for b in range(n_bins)
                         ]
                         rows.append(

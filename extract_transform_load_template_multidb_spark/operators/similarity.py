@@ -524,6 +524,7 @@ def embedding_near_dup_pairs(
     num_planes: int = 4,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    reuse_corpus: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via LSH bucket self-join.
 
@@ -534,6 +535,12 @@ def embedding_near_dup_pairs(
     corpus = _corpus_quantized(df, vec_col, id_col).withColumn(
         "bucket", signlsh_bucket(F.col("qv"), num_planes)
     )
+    if reuse_corpus:
+        # Quantization + bucket hashing feed both self-join sides; a
+        # lazy local checkpoint materializes the quantized corpus once
+        # instead of re-deriving it per side (see ngram_jaccard_pairs'
+        # reuse_shingles for the scale rationale).
+        corpus = corpus.localCheckpoint(eager=False)
     a = corpus.select(
         F.col("bucket"),
         F.col(id_col).alias("id_a"),

@@ -54,73 +54,83 @@ _loaded = False
 # pairs go last so a budget cut re-verifies proven heavy queries rather
 # than denying first evidence to cheap ones.
 _CHECK_FIRST = (
-    # Never driver-checked through round 4 (all pass the driver's own
-    # compare logic locally) — cheap first.
-    "window_first_last_nth",
-    "scalar_text_functions",
-    "stream_interval_join",
-    "ts_resample_carry_forward",
-    "dedup_simhash",
-    "sim_cosine_topk_bruteforce",
-    "sim_cosine_topk_ivf",
-    "sim_cosine_topk_lsh",
-    "text_token_counts",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "curation_scrub_pii",
-    "curation_hash_sample",
-    "curation_stratified_sample",
-    "curation_group_split",
-    "curation_chunk_documents",
-    "curation_repetition_ratio",
-    "curation_pack_sequences",
-    "dedup_clusters_ngram",
-    "dedup_clusters_star",
-    "dedup_clusters_minhash",
-    "dedup_canonical_docs",
-    "dedup_embedding_cosine",
-    # Regression fixed in round 5 (TIMESTAMP_NTZ) — needs a green row.
-    "window_lead_lag",
-    # §2-mapped reference surface: keep driver-checked every round.
+    # ROUND-6 WINDOW. Two priorities: (a) every query whose
+    # implementation changed this round (the exact-percentile
+    # running-sum rewrite + perf/ADVICE fixes) needs fresh driver
+    # evidence; (b) the families never driver-sampled in r1–r5 (graph,
+    # scalar, subquery, stream tail, set ops, window tail, join tail,
+    # pyfunc, TPC-H tail) convert already-green local runs into
+    # driver-proven union coverage (106/349 after r5; ≥156 after this
+    # window).
+    #
+    # (a) re-implemented this round — re-verify first.
+    "agg_percentiles",
+    "agg_approx_sketches",
+    "ts_inter_order_gaps",
+    "agg_priority_sla_compliance",
+    "agg_trimmed_winsorized_means",
+    "agg_gini_split_finder",
+    "dq_outlier_iqr",
+    "dq_mad_robust_spread",
+    "curation_corpus_datacard",
+    "dq_join_fanout_profile",
+    "dedup_lexical_semantic_agreement",
+    "dq_format_conformance",
+    "dedup_source_shingle_overlap",
+    "mm_ppm_channel_histogram",
+    # New in round 6: real baseline-JPEG codec (operators/jpeg.py).
+    "mm_decode_jpeg",
+    # (b) never driver-checked in any round (all green in the full
+    # local run of the driver's own compare logic).
+    "graph_degree_distribution",
+    "graph_pagerank_docs",
+    "graph_triangle_stats",
+    "graph_kcore",
+    "graph_linkpred_common_neighbors",
+    "graph_degree_assortativity",
+    "graph_modularity_dedup_partition",
+    "graph_bfs_khop_reach",
+    "graph_rich_club_coefficient",
+    "scalar_variant_ops",
+    "scalar_trig_functions",
+    "scalar_conditional_funcs",
+    "scalar_bitwise_ops",
+    "scalar_url_parsing",
+    "scalar_ipv4_subnet_rollup",
+    "subquery_exists_flags",
+    "subquery_any_all_quantified",
+    "stream_interval_join_left",
+    "stream_tumbling_distinct_users",
+    "set_intersect_all",
+    "set_except_all",
+    "window_moving_median",
+    "window_ntile_quartiles",
+    "window_percent_rank_cume",
+    "window_session_gap_ids",
+    "window_cusum_changepoint",
+    "window_longest_streak",
+    "window_cohort_retention",
+    "join_null_safe_equal",
+    "join_lateral_topn_orders",
+    "join_scd2_point_in_time",
+    "join_theta_price_band",
+    "pyfunc_udtf_chunks",
+    "pyfunc_cogrouped_user_profile",
+    "feature_normalize_per_group",
+    "q4_order_priority",
+    # Positions 51+: just outside the 50-slot window — the §2-mapped
+    # reference surface (driver-green in r5, unchanged this round)
+    # stays at the head of the remainder should the driver check more.
     "etl_full_snapshot",
     "etl_window_extract",
     "etl_retention_complement",
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
-    # New in round 5.
-    "curation_decontaminate",
-    "dedup_minhash_paragraphs",
-    "mm_decode_ppm",
-    "dedup_simhash_pairs",
-    "text_rare_ngram_ratio",
-    "curation_dedup_paragraphs",
-    "dedup_incremental_minhash",
-    "text_top_ngrams",
-    "dedup_embedding_clusters",
-    "layout_zvalue_events",
-    "agg_exact_median_distributed",
-    "text_quality_filter",
-    "join_asof_tolerance",
-    "curation_mixture_sample",
-    "dq_table_diff",
-    "curation_cluster_split",
-    "window_funnel_steps",
-    "link_blocked_levenshtein",
-    "dq_numeric_profile_events",
-    # Green only in round 1 — stalest remaining evidence.
-    "window_distribution",
-    "explode_unnest",
-    "q13_order_count_distribution",
-    "q18_large_volume_orders",
-    "q2_min_cost_supplier",
-    "q16_supplier_variety",
-    "stream_tumbling_counts",
-    "stream_sliding_counts",
-    "stream_session_agg",
-    "dedup_exact_groups",
-    "dedup_exact_keep",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
 )
 
 _CHECK_LAST = (
@@ -130,35 +140,21 @@ _CHECK_LAST = (
     "dedup_minhash_lsh",
 )
 
-# ROUND-6 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r05
-# confirms the current window, replace _CHECK_FIRST with the next 50
-# still-never-driver-green names — the round-4-era tail (q4/q6–q12/q14/
-# q15/q17/q19–q22 TPC-H variants, set_intersect_all/set_except_all,
-# join_null_safe_equal, scalar_bitwise_ops, ts_rolling_zscore,
-# window_cohort_retention, ts_ohlc_rollup, stream_interval_join_left,
-# ts_hour_of_day_profile, window_session_gap_ids, agg_mode_per_group,
-# window_ntile_quartiles, window_percent_rank_cume, agg_linear_trend,
-# agg_bool_flags, etl_schema_evolution_union, dq_value_histogram,
-# dq_benford_first_digit, text_tfidf/bm25/unigram/bigram, mm_decode_wav,
-# mm_audio_dominant_freq, mm_resize_ppm, sim_cosine_topk_pq,
-# dedup_duplicated_spans, graph_pagerank_docs, ...) plus every round-5
-# session-3/4 addition (ts_time_weighted_avg, ts_interpolate_linear,
-# etl_cdc_latest_state, etl_mv_incremental_refresh,
-# window_last_touch_attribution, dq_outlier_iqr, curation_domain_cap,
-# graph_degree_distribution, mm_image_dhash, sim_cosine_topk_matmul,
-# agg_skew_kurtosis, agg_corr_per_group, text_bpe_learn_merges,
-# dedup_lsh_recall_audit, dq_table_checksum, dq_mad_robust_spread,
-# mm_dhash_hamming_pairs, agg_entropy_categorical, etl_dead_letter_json,
-# ts_autocorr_lag1, scalar_variant_ops, pyfunc_udtf_chunks,
-# agg_hll_sketch_merge) plus EVERY session-19/20 addition — the ~50
-# queries registered after agg_reorder_rate (statistical tests, EWMA /
-# CUSUM / RSI / periodogram / CVaR series analytics, link prediction,
-# BFS reach, rich club, modularity, kNN / hard negatives / centroid
-# margins / PQ audit / drift probes, LATERAL + ALL/ANY decorrelations,
-# normalized dedup, source-overlap bitmasks, sampling manifests, format
-# conformance, silence / histogram multimodal ops). All pass the strict
-# local gate at sf0.001 AND sf0.01; rotation converts that into
-# driver-proven union coverage.
+# ROUND-7 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r06
+# confirms the round-6 window, replace _CHECK_FIRST with the next ~50
+# still-never-driver-green names. Largest remaining never-checked
+# families after r6: ts_* (~35: rolling_zscore, ohlc_rollup,
+# hour_of_day_profile, time_weighted_avg, interpolate_linear,
+# autocorr_lag1, session/cohort/stickiness/churn analytics, EWMA/CUSUM/
+# RSI/periodogram/CVaR), agg_* statistical tail (~35: mode_per_group,
+# linear_trend, weighted_median, chi_square/welch/mann_whitney/KS tests,
+# covariance/PCA/mahalanobis/OLS/kmeans, bootstrap/capture_recapture),
+# text_* IR tail (~25: tfidf/bm25/unigram/bigram logprob, zipf/heaps/
+# good_turing, hashing_vectorizer, code_detection), dedup audits (~16),
+# dq_* profiling tail (~15), mm_* (decode_wav/dominant_freq/resize/
+# dhash pairs), sim_* (pq/matmul/knn/drift), etl CDC tail, remaining
+# TPC-H variants (q10-q22). All pass the strict local gate at sf0.001
+# AND sf0.01; rotation converts that into driver-proven union coverage.
 
 
 def _load_all() -> None:

@@ -17,6 +17,8 @@ from extract_transform_load_template_multidb_spark.operators import (
 from extract_transform_load_template_multidb_spark.queries import query
 from extract_transform_load_template_multidb_spark.queries._util import (
     dsum,
+    exact_percentiles,
+    exact_percentiles_from_counts,
     sql_dsum,
 )
 
@@ -137,19 +139,22 @@ GROUP BY event_type
 
 @query("agg_percentiles", oracle=_PCTL_ORACLE)
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact interpolated percentiles per group (sort-based aggregate; for
-    100 TB use approx_percentile — t-digest sketch, no sort)."""
+    """Exact interpolated percentiles per group, via the distributed
+    running-count selection (`exact_percentiles`): `F.percentile` would
+    buffer every distinct value of a group in one reducer's memory —
+    OOM-shaped at 100 TB — while this collapses to value counts
+    map-side and external-sorts. n/min/max ride the same single pass."""
     ev = load_table(spark, sf_dir, "events").filter(
         ~F.isnan("value")
         & ~F.col("value").isin(float("inf"), float("-inf"))
     )
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.percentile("value", 0.5).alias("p50"),
-        F.percentile("value", 0.9).alias("p90"),
-        F.min("value").alias("vmin"),
-        F.max("value").alias("vmax"),
-    )
+    return exact_percentiles(
+        ev,
+        ["event_type"],
+        "value",
+        {"p50": 0.5, "p90": 0.9},
+        extras={"n": "n", "vmin": "min", "vmax": "max"},
+    ).select("event_type", "n", "p50", "p90", "vmin", "vmax")
 
 
 _PIVOT_ORACLE = f"""
@@ -315,12 +320,19 @@ def agg_approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_p50"),
         F.percentile_approx("value", 0.9, 10000).alias("approx_p90"),
-        # Exact rank neighborhoods bounding the approx answers: with
-        # accuracy=10000 the rank error is ~n/10000, far inside ±5 pct-pts.
-        F.percentile("value", 0.45).alias("p45"),
-        F.percentile("value", 0.55).alias("p55"),
-        F.percentile("value", 0.85).alias("p85"),
-        F.percentile("value", 0.95).alias("p95"),
+    )
+    # Exact rank neighborhoods bounding the approx answers: with
+    # accuracy=10000 the rank error is ~n/10000, far inside ±5 pct-pts.
+    # Distributed running-count selection, not F.percentile — the exact
+    # side of this audit must not itself be the thing that OOMs at scale.
+    bounds = exact_percentiles(
+        ev,
+        ["event_type"],
+        "value",
+        {"p45": 0.45, "p55": 0.55, "p85": 0.85, "p95": 0.95},
+    ).withColumnRenamed("event_type", "b_type")
+    agg = agg.join(
+        F.broadcast(bounds), agg.event_type == bounds.b_type
     )
     tol = F.greatest(
         (F.col("exact_users") * F.lit(0.05)).cast("double"), F.lit(2.0)
@@ -1731,13 +1743,22 @@ def ts_inter_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderdate"), F.lag("o_orderdate").over(w)
         ).alias("gap_days")
     ).where(F.col("gap_days").isNotNull())
-    g = F.col("gap_days").cast("double")
-    return gaps.agg(
-        F.count(F.lit(1)).alias("n_gaps"),
-        F.min("gap_days").cast("long").alias("min_gap"),
-        F.percentile(g, 0.5).alias("p50_gap"),
-        F.percentile(g, 0.9).alias("p90_gap"),
-        F.max("gap_days").cast("long").alias("max_gap"),
+    # One global group: F.percentile here would buffer every distinct
+    # gap count on the single final reducer. The running-count selector
+    # collapses to ~hundreds of distinct day-gaps map-side and returns
+    # n/min/max from the same pass.
+    return exact_percentiles(
+        gaps,
+        [],
+        "gap_days",
+        {"p50_gap": 0.5, "p90_gap": 0.9},
+        extras={"n_gaps": "n", "min_gap": "min", "max_gap": "max"},
+    ).select(
+        "n_gaps",
+        F.col("min_gap").cast("long").alias("min_gap"),
+        "p50_gap",
+        "p90_gap",
+        F.col("max_gap").cast("long").alias("max_gap"),
     )
 
 
@@ -2659,16 +2680,39 @@ def agg_priority_sla_compliance(
             "days_to_ship"
         ),
     )
-    d = F.col("days_to_ship").cast("double")
-    late = F.when(F.col("days_to_ship") > 90, 1)
-    return lines.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_lines"),
-        F.percentile(d, 0.5).alias("p50_days"),
-        F.percentile(d, 0.95).alias("p95_days"),
-        F.count(late).cast("long").alias("n_over_90d"),
-        (F.count(late).cast("double") / F.count(F.lit(1))).alias(
-            "sla_breach_rate"
-        ),
+    # Collapse the fact stream to (priority, integer-day) counts in ONE
+    # partial-aggregable pass — a few hundred rows — then percentiles
+    # (distributed running-count selection, not a one-reducer
+    # F.percentile buffer), totals, and the breach rate all derive from
+    # that tiny frame.
+    vc = lines.groupBy(
+        "o_orderpriority",
+        F.col("days_to_ship").cast("double").alias("d"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    pct = exact_percentiles_from_counts(
+        vc,
+        ["o_orderpriority"],
+        "d",
+        "cnt",
+        {"p50_days": 0.5, "p95_days": 0.95},
+        extras={"n_lines": "n"},
+    )
+    late = vc.groupBy(F.col("o_orderpriority").alias("l_prio")).agg(
+        F.sum(F.when(F.col("d") > 90, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("n_over_90d")
+    )
+    return pct.join(
+        F.broadcast(late), pct.o_orderpriority == late.l_prio
+    ).select(
+        "o_orderpriority",
+        "n_lines",
+        "p50_days",
+        "p95_days",
+        "n_over_90d",
+        (
+            F.col("n_over_90d").cast("double") / F.col("n_lines")
+        ).alias("sla_breach_rate"),
     )
 
 
@@ -3557,10 +3601,12 @@ def agg_trimmed_winsorized_means(
     filt = ev.where(~F.isnan(v) & (F.abs(v) != float("inf"))).select(
         "event_type", "value"
     )
-    cuts = filt.groupBy(F.col("event_type").alias("c_type")).agg(
-        F.percentile(v, 0.05).alias("lo"),
-        F.percentile(v, 0.95).alias("hi"),
-    )
+    # Exact cutoffs via the distributed running-count selector (the
+    # F.percentile aggregate would buffer each group's distinct values
+    # on one reducer); same interpolation arithmetic, same hashes.
+    cuts = exact_percentiles(
+        filt, ["event_type"], "value", {"lo": 0.05, "hi": 0.95}
+    ).withColumnRenamed("event_type", "c_type")
     j = filt.join(
         F.broadcast(cuts), filt.event_type == cuts.c_type
     )
@@ -4089,8 +4135,6 @@ def agg_gini_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
     against ONE labeled fact pass that accumulates left/right class
     counts per cut; the impurity algebra is a fixed IEEE dag over those
     exact counts, and the argmax is a 1-row TakeOrderedAndProject."""
-    from pyspark.sql import Window as Win
-
     o = load_table(spark, sf_dir, "orders")
     lab = o.select(
         F.col("o_totalprice").alias("x"),
@@ -4098,12 +4142,12 @@ def agg_gini_split_finder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("y"),
     )
-    qs = [i / 10 for i in range(1, 10)]
-    pcts = lab.agg(
-        *[
-            F.percentile(F.col("x"), q).alias(f"q{i}")
-            for i, q in enumerate(qs, start=1)
-        ]
+    # Nine exact deciles over ONE global group: the former F.percentile
+    # aggregate buffered every o_totalprice value on a single reducer
+    # (the 100×-scale hazard); the running-count selector computes all
+    # nine from one collapsed value-count pass + one external sort.
+    pcts = exact_percentiles(
+        lab, [], "x", {f"q{i}": i / 10 for i in range(1, 10)}
     )
     cuts = pcts.select(
         F.explode(

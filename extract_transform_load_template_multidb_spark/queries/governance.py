@@ -16,6 +16,9 @@ from extract_transform_load_template_multidb_spark.operators import (
 )
 from extract_transform_load_template_multidb_spark.operators import scd
 from extract_transform_load_template_multidb_spark.queries import query
+from extract_transform_load_template_multidb_spark.queries._util import (
+    exact_percentiles,
+)
 
 _SCD2_ORACLE = """
 WITH flagged AS (
@@ -552,9 +555,11 @@ def dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.isnan("value")
         & ~F.col("value").isin(float("inf"), float("-inf"))
     ).select("event_type", "value")
-    fences = finite.groupBy("event_type").agg(
-        F.percentile("value", 0.25).alias("q1"),
-        F.percentile("value", 0.75).alias("q3"),
+    # Exact quartiles via the distributed running-count selector — no
+    # per-group value buffer on a single reducer (the 100×-scale
+    # hazard of the F.percentile aggregate); identical interpolation.
+    fences = exact_percentiles(
+        finite, ["event_type"], "value", {"q1": 0.25, "q3": 0.75}
     )
     lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
     hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
@@ -679,19 +684,29 @@ def dq_mad_robust_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
         ~F.isnan("value")
         & ~F.col("value").isin(float("inf"), float("-inf"))
     ).select("event_type", "value")
-    med = finite.groupBy("event_type").agg(
-        F.percentile("value", 0.5).alias("med")
+    # Both medians via the distributed running-count selector (the
+    # F.percentile aggregate is a one-reducer value buffer per group —
+    # the 100×-scale hazard): first the per-group median, broadcast
+    # back; then the median of absolute residuals, whose selector pass
+    # also carries n. The tiny grouped frames join broadcast.
+    med = exact_percentiles(
+        finite, ["event_type"], "value", {"med": 0.5}
     )
-    return (
-        finite.join(F.broadcast(med), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.any_value("med").alias("median_val"),
-            F.percentile(
-                F.abs(F.col("value") - F.col("med")), 0.5
-            ).alias("mad"),
-            F.count(F.lit(1)).alias("n"),
-        )
+    resid = finite.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("r"),
+    )
+    mad = exact_percentiles(
+        resid, ["event_type"], "r", {"mad": 0.5}, extras={"n": "n"}
+    ).withColumnRenamed("event_type", "m_type")
+    return med.join(
+        F.broadcast(mad), med.event_type == mad.m_type
+    ).select(
+        "event_type",
+        F.col("med").alias("median_val"),
+        "mad",
+        "n",
     )
 
 
@@ -1406,15 +1421,27 @@ def dq_join_fanout_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_parent = li.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_children")
     )
-    n = F.col("n_children")
-    return per_parent.agg(
-        F.count(F.lit(1)).alias("n_parents"),
-        F.min(n).cast("long").alias("min_fanout"),
-        F.percentile(n.cast("double"), 0.5).alias("p50_fanout"),
-        F.max(n).cast("long").alias("max_fanout"),
-        (F.sum(n).cast("double") / F.count(F.lit(1))).alias(
-            "mean_fanout"
-        ),
+    # Global summary via the running-count selector: fan-outs collapse
+    # to a handful of distinct counts map-side; min/max/sum/median all
+    # come from that tiny frame (F.percentile on the ungrouped column
+    # would buffer every parent's fan-out on one reducer).
+    return exact_percentiles(
+        per_parent,
+        [],
+        "n_children",
+        {"p50_fanout": 0.5},
+        extras={
+            "n_parents": "n",
+            "min_fanout": "min",
+            "max_fanout": "max",
+            "sum_fanout": "sum",
+        },
+    ).select(
+        "n_parents",
+        F.col("min_fanout").cast("long").alias("min_fanout"),
+        "p50_fanout",
+        F.col("max_fanout").cast("long").alias("max_fanout"),
+        (F.col("sum_fanout") / F.col("n_parents")).alias("mean_fanout"),
     )
 
 
@@ -1685,7 +1712,11 @@ def dq_format_conformance(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         probe(
             ev, "events.props", "props", "json_object",
-            F.get_json_object(F.col("props"), "$").isNotNull()
+            # Strict RFC-8259 validity via try_parse_json (NULL on any
+            # malformed payload) — get_json_object's lenient parser
+            # accepts single quotes/unquoted keys that DuckDB
+            # json_valid (and any downstream strict consumer) rejects.
+            F.try_parse_json(F.col("props")).isNotNull()
             & F.trim(F.col("props")).rlike(r"^\{.*\}$"),
         ),
     ]

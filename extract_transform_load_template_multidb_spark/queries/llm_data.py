@@ -22,6 +22,9 @@ from extract_transform_load_template_multidb_spark.operators import (
 )
 from extract_transform_load_template_multidb_spark.operators import text as tx
 from extract_transform_load_template_multidb_spark.queries import query
+from extract_transform_load_template_multidb_spark.queries._util import (
+    exact_percentiles,
+)
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB dialect, mirroring operators/dedup.py etc.)
@@ -2443,7 +2446,7 @@ def sim_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES_ORACLE = (
     "WITH "
     + _SQL_TOKS_LIST
-    + """,
+    + r""",
 wfreq AS (
     SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
     FROM toks_list, unnest(t) AS u(w)
@@ -2764,15 +2767,21 @@ def curation_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy plus a broadcast 1-row total; integer sums are exact, the
     two ratios are scalar double divisions."""
     docs = load_table(spark, sf_dir, "documents")
-    per_source = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        (
-            F.sum("n_chars").cast("double") / F.count(F.lit(1))
-        ).alias("mean_chars"),
-        F.percentile(F.col("n_chars").cast("double"), 0.5).alias(
-            "p50_chars"
-        ),
+    # One collapsed (source, length)-count pass feeds counts, sums, and
+    # the exact median via the distributed running-count selector — no
+    # per-group F.percentile value buffer on a single reducer.
+    per_source = exact_percentiles(
+        docs,
+        ["source"],
+        "n_chars",
+        {"p50_chars": 0.5},
+        extras={"n_docs": "n", "sum_chars": "sum"},
+    ).select(
+        "source",
+        "n_docs",
+        F.col("sum_chars").cast("long").alias("total_chars"),
+        (F.col("sum_chars") / F.col("n_docs")).alias("mean_chars"),
+        "p50_chars",
     )
     tot = per_source.agg(F.sum("total_chars").alias("g"))
     return per_source.crossJoin(F.broadcast(tot)).select(
@@ -4687,12 +4696,23 @@ def dedup_source_shingle_overlap(
             ),
         )
     )
+    # Guard the 64-bit mask: Spark's shiftleft wraps the shift amount
+    # mod 64, so a 64th source would silently alias source 0 and corrupt
+    # every overlap number. Fail loudly instead — beyond 63 sources this
+    # query must switch to the pair-join formulation.
     masks = (
         sh.join(F.broadcast(idx), "source")
         .groupBy("shingle")
         .agg(
             F.bit_or(
-                F.expr("shiftleft(CAST(1 AS BIGINT), sidx)")
+                F.expr(
+                    "CASE WHEN sidx BETWEEN 0 AND 62"
+                    " THEN shiftleft(CAST(1 AS BIGINT), sidx)"
+                    " ELSE raise_error("
+                    "'dedup_source_shingle_overlap: more than 63"
+                    " distinct sources overflows the 64-bit source"
+                    " bitmask; use a pair-join formulation') END"
+                )
             ).alias("mask")
         )
         .groupBy("mask")
@@ -5700,11 +5720,15 @@ def dedup_lexical_semantic_agreement(
     pair keys."""
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
-    lex = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2).select(
-        "id_a", "id_b"
-    )
+    # Both pair pipelines reuse their tokenized/quantized scans via a
+    # lazy local checkpoint — this query runs the lexical AND the
+    # semantic candidate generator, and without reuse each re-derives
+    # its corpus projection per self-join side.
+    lex = dd.ngram_jaccard_pairs(
+        docs, n=3, threshold=0.2, reuse_shingles=True
+    ).select("id_a", "id_b")
     sem_pairs = sim.embedding_near_dup_pairs(
-        emb, threshold=0.3, num_planes=4
+        emb, threshold=0.3, num_planes=4, reuse_corpus=True
     ).select("id_a", "id_b")
     u = lex.withColumn("in_lex", F.lit(True)).join(
         sem_pairs.withColumn("in_sem", F.lit(True)),

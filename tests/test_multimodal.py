@@ -304,3 +304,161 @@ def test_resize_images_roundtrip_and_errors(spark):
     assert (w, h, mx) == (2, 2, 255)
     assert small.tolist() == px[::2, ::2].tolist()
     assert got[2]["err"] is not None and got[2]["payload"] is None
+
+
+def test_jpeg_roundtrip_solid_color_exact():
+    """Solid-color baseline JPEG with the flat-16 quantizer round-trips
+    to the codec's exact closed form (determinism contract in
+    operators/jpeg.py) — the property the mm_decode_jpeg oracle hashes."""
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        jpeg as J,
+    )
+
+    for r0, g0, b0, w, h in [
+        (200, 30, 99, 8, 8),
+        (12, 250, 7, 16, 24),
+        (0, 0, 0, 8, 16),
+        (255, 255, 255, 16, 8),
+    ]:
+        img = np.full((h, w, 3), (r0, g0, b0), dtype=np.uint8)
+        payload = J.encode_baseline_jpeg(img, qtables=J.flat_tables(16))
+        W, H, nc, out = J.parse_jpeg(payload)
+        assert (W, H, nc) == (w, h, 3)
+        fl = np.floor
+
+        def clip(x):
+            return min(255.0, max(0.0, x))
+
+        y0 = clip(fl(0.299 * r0 + 0.587 * g0 + 0.114 * b0 + 0.5))
+        cb0 = clip(
+            fl(-0.168736 * r0 - 0.331264 * g0 + 0.5 * b0 + 128.0 + 0.5)
+        )
+        cr0 = clip(
+            fl(0.5 * r0 - 0.418688 * g0 - 0.081312 * b0 + 128.0 + 0.5)
+        )
+
+        def rt(c):
+            dcq = fl((c - 128.0) / 2 + 0.5)
+            return clip(fl(dcq * 16 / 8 + 128.0 + 0.5))
+
+        y1, cb1, cr1 = rt(y0), rt(cb0), rt(cr0)
+        exp = [
+            clip(fl(y1 + 1.402 * (cr1 - 128.0) + 0.5)),
+            clip(
+                fl(
+                    y1
+                    - 0.344136 * (cb1 - 128.0)
+                    - 0.714136 * (cr1 - 128.0)
+                    + 0.5
+                )
+            ),
+            clip(fl(y1 + 1.772 * (cb1 - 128.0) + 0.5)),
+        ]
+        assert out.reshape(-1, 3).tolist() == [exp] * (w * h)
+
+
+def test_jpeg_roundtrip_tolerance_and_subsampling():
+    """Lossy-but-close on real content: gradients at q95 within a few
+    code values for both 4:4:4 and 4:2:0; noise at q90 within JPEG's
+    usual error envelope; odd (non-MCU-aligned) sizes crop correctly."""
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        jpeg as J,
+    )
+
+    grad = np.stack([np.linspace(0, 200, 32)] * 24).astype(np.uint8)
+    img = np.stack([grad, grad // 2, grad // 3], axis=2)
+    for sub, tol in (("4:4:4", 12), ("4:2:0", 30)):
+        out = J.parse_jpeg(
+            J.encode_baseline_jpeg(img, quality=95, subsampling=sub)
+        )[3]
+        err = np.abs(out.astype(int) - img.astype(int))
+        assert out.shape == img.shape and err.max() <= tol
+
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, (17, 9, 3), dtype=np.uint8)
+    W, H, nc, out = J.parse_jpeg(J.encode_baseline_jpeg(noise, quality=90))
+    assert (W, H) == (9, 17) and out.shape == (17, 9, 3)
+    assert np.abs(out.astype(int) - noise.astype(int)).mean() < 15
+
+
+def test_jpeg_rejects_malformed_and_exotic():
+    """ValueError for junk/truncation; NotImplementedError reserved for
+    the documented out-of-scope tail (progressive SOF2)."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        jpeg as J,
+    )
+
+    with pytest.raises(ValueError):
+        J.parse_jpeg(b"nope")
+    img = np.full((8, 8, 3), 80, dtype=np.uint8)
+    payload = J.encode_baseline_jpeg(img)
+    with pytest.raises(ValueError):
+        J.parse_jpeg(payload[:40] + b"\x00")  # desynced segment stream
+    # Flip SOF0 (FFC0) to progressive SOF2 (FFC2): must be the
+    # documented NotImplementedError, not a crash.
+    prog = payload.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        J.parse_jpeg(prog)
+    sof = payload.index(b"\xff\xc0")
+    twelve_bit = (
+        payload[: sof + 4] + b"\x0c" + payload[sof + 5 :]
+    )  # precision byte 8 → 12
+    with pytest.raises(NotImplementedError):
+        J.parse_jpeg(twelve_bit)
+
+
+def test_decode_jpegs_dataframe_and_errors(spark):
+    """The mapInPandas stage decodes real payloads and surfaces
+    malformed ones in err without failing the stage."""
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        jpeg as J,
+    )
+
+    img = np.full((8, 16, 3), (10, 200, 30), dtype=np.uint8)
+    df = spark.createDataFrame(
+        [
+            (1, J.encode_baseline_jpeg(img, qtables=J.flat_tables(16))),
+            (2, b"\xff\xd8garbage"),
+            (3, None),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in mm.decode_jpegs(df).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (16, 8)
+    assert got[1]["err"] is None and got[1]["n_components"] == 3
+    assert got[2]["err"] is not None and got[2]["width"] is None
+    assert got[3]["err"] is not None
+
+
+def test_channel_histograms_clamps_top_bin(spark):
+    """n_bins that does not divide 256 must clamp top-range values into
+    the last bin (no silently dropped pixels), and every histogram must
+    sum to n_pixels; invalid n_bins raises."""
+    import numpy as np
+    import pytest
+
+    px = np.full((4, 4, 3), 255, dtype=np.uint8)  # top-of-range
+    payload = b"P6\n4 4\n255\n" + px.tobytes()
+    df = spark.createDataFrame(
+        [(1, payload)], "asset_id long, payload binary"
+    )
+    rows = mm.channel_histograms(df, n_bins=3).collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert sum(r["bins"]) == r["n_pixels"] == 16
+        assert r["bins"][-1] == 16  # 255 lands in the LAST bin
+    with pytest.raises(ValueError):
+        mm.channel_histograms(df, n_bins=0)
+    with pytest.raises(ValueError):
+        mm.channel_histograms(df, n_bins=257)
