@@ -213,6 +213,18 @@ HEADLINE = [
     "agg_capture_recapture",
     "text_good_turing_unseen",
     "agg_bootstrap_se_mean",
+    "mm_decode_jpeg",
+    "scalar_datetime_functions",
+    "ts_acf_multi_lag",
+    "text_flesch_reading_ease",
+    "agg_benjamini_hochberg",
+    "window_gaps_islands",
+    "agg_theil_sen_trend",
+    "sim_range_search_cosine",
+    "ts_seasonal_decompose_additive",
+    "agg_quantile_bands_by_group",
+    "agg_kaplan_meier_survival",
+    "window_range_trailing_7d",
 ]
 
 

@@ -715,3 +715,42 @@ def pq_reconstruction_errors(
             F.sum("sq_err").cast("double") / F.count(F.lit(1))
         ).alias("mean_sq_err"),
     )
+
+
+def cosine_range_search(
+    df: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """All corpus neighbors with cosine ≥ ``threshold`` per query — the
+    RANGE-query companion to :func:`cosine_topk_bruteforce` (retrieval
+    wants top-k; dedup/recall audits want *everything above a bar*).
+
+    Output: (query_id, neighbor_id, cosine). Broadcast queries, ONE
+    narrow corpus pass, and — unlike top-k — no rank shuffle at all:
+    the threshold filter is row-local, so the whole operator is
+    exchange-free after the broadcast. At 100 TB this is the cheapest
+    shape similarity search can take; swap in the LSH-bucketed
+    candidate generator when the query set itself is large.
+    """
+    corpus = _corpus_quantized(df, vec_col, id_col)
+    qs = _corpus_quantized(queries, vec_col, id_col).select(
+        F.col(id_col).alias("query_id"),
+        F.col("qv").alias("q_qv"),
+        F.col("nsq").alias("q_nsq"),
+    )
+    return (
+        corpus.join(F.broadcast(qs), F.col("query_id") != F.col(id_col))
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            cosine(
+                dot_long(F.col("q_qv"), F.col("qv")),
+                F.col("q_nsq"),
+                F.col("nsq"),
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

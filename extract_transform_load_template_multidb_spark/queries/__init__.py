@@ -78,8 +78,18 @@ _CHECK_FIRST = (
     "dq_format_conformance",
     "dedup_source_shingle_overlap",
     "mm_ppm_channel_histogram",
-    # New in round 6: real baseline-JPEG codec (operators/jpeg.py).
+    # New in round 6: real baseline-JPEG codec (operators/jpeg.py) and
+    # the round-6 operator additions — new code gets driver evidence
+    # first.
     "mm_decode_jpeg",
+    "scalar_datetime_functions",
+    "ts_acf_multi_lag",
+    "text_flesch_reading_ease",
+    "agg_benjamini_hochberg",
+    "window_gaps_islands",
+    "agg_theil_sen_trend",
+    "sim_range_search_cosine",
+    "ts_seasonal_decompose_additive",
     # (b) never driver-checked in any round (all green in the full
     # local run of the driver's own compare logic).
     "graph_degree_distribution",
@@ -108,8 +118,19 @@ _CHECK_FIRST = (
     "window_percent_rank_cume",
     "window_session_gap_ids",
     "window_cusum_changepoint",
-    "window_longest_streak",
     "window_cohort_retention",
+    # Positions 51+: just outside the 50-slot window — the §2-mapped
+    # reference surface (driver-green in r5, unchanged this round)
+    # stays at the head of the remainder should the driver check more,
+    # followed by the never-checked tail displaced by the round-6
+    # additions (rotate these into round 7's window).
+    "etl_full_snapshot",
+    "etl_window_extract",
+    "etl_retention_complement",
+    "etl_inf_null_clean",
+    "etl_nvarchar_promotion",
+    "sink_window_overwrite_roundtrip",
+    "window_longest_streak",
     "join_null_safe_equal",
     "join_lateral_topn_orders",
     "join_scd2_point_in_time",
@@ -118,15 +139,6 @@ _CHECK_FIRST = (
     "pyfunc_cogrouped_user_profile",
     "feature_normalize_per_group",
     "q4_order_priority",
-    # Positions 51+: just outside the 50-slot window — the §2-mapped
-    # reference surface (driver-green in r5, unchanged this round)
-    # stays at the head of the remainder should the driver check more.
-    "etl_full_snapshot",
-    "etl_window_extract",
-    "etl_retention_complement",
-    "etl_inf_null_clean",
-    "etl_nvarchar_promotion",
-    "sink_window_overwrite_roundtrip",
     "q6_forecast_revenue",
     "q7_volume_shipping",
     "q8_market_share",

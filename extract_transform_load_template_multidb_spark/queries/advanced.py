@@ -5160,3 +5160,374 @@ def agg_bootstrap_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1000000
         ).alias("se_bootstrap"),
     ).select("n_rows", "point_mean", "n_replicates", "se_bootstrap")
+
+
+# Normal tail probability via the Abramowitz–Stegun 7.1.26 erf
+# polynomial — a fixed IEEE dag both engines evaluate identically
+# (exp() may differ by 1 ulp between libm and java.lang.Math, which the
+# 6-decimal rounding absorbs; the BH comparisons then use the ROUNDED
+# p-values on both sides, so accept/reject decisions cannot diverge).
+_BH_ORACLE = """
+WITH seg AS (
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(COUNT(*) FILTER (WHERE o.o_orderpriority = '1-URGENT')
+               AS DOUBLE) AS x
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+),
+tot AS (SELECT SUM(n) AS nn, SUM(x) AS xx, COUNT(*) AS m FROM seg),
+z AS (
+    SELECT segment, n, x, m,
+           (x / n - (xx - x) / (nn - n))
+           / sqrt((xx / nn) * (1 - xx / nn) * (1 / n + 1 / (nn - n)))
+               AS zval
+    FROM seg CROSS JOIN tot
+),
+p AS (
+    SELECT segment, n, x, m, zval,
+           round(2 * (0.5 - 0.5 * (1 - (CAST(0.254829592 AS DOUBLE)
+                     * (1 / (1 + CAST(0.3275911 AS DOUBLE)
+                                 * (abs(zval) / sqrt(CAST(2 AS DOUBLE)))))
+                 + CAST(-0.284496736 AS DOUBLE)
+                     * pow(1 / (1 + CAST(0.3275911 AS DOUBLE)
+                                * (abs(zval) / sqrt(CAST(2 AS DOUBLE)))), 2)
+                 + CAST(1.421413741 AS DOUBLE)
+                     * pow(1 / (1 + CAST(0.3275911 AS DOUBLE)
+                                * (abs(zval) / sqrt(CAST(2 AS DOUBLE)))), 3)
+                 + CAST(-1.453152027 AS DOUBLE)
+                     * pow(1 / (1 + CAST(0.3275911 AS DOUBLE)
+                                * (abs(zval) / sqrt(CAST(2 AS DOUBLE)))), 4)
+                 + CAST(1.061405429 AS DOUBLE)
+                     * pow(1 / (1 + CAST(0.3275911 AS DOUBLE)
+                                * (abs(zval) / sqrt(CAST(2 AS DOUBLE)))), 5))
+               * exp(-(abs(zval) / sqrt(CAST(2 AS DOUBLE)))
+                     * (abs(zval) / sqrt(CAST(2 AS DOUBLE)))))), 6)
+               AS pval
+    FROM z
+),
+ranked AS (
+    SELECT segment, n, x, m, zval, pval,
+           row_number() OVER (ORDER BY pval, segment) AS bh_rank
+    FROM p
+)
+SELECT segment,
+       CAST(n AS BIGINT) AS n_orders,
+       CAST(x AS BIGINT) AS n_urgent,
+       round(zval, 6) AS z,
+       pval AS p_value,
+       CAST(bh_rank AS BIGINT) AS bh_rank,
+       CAST(max(CASE WHEN pval <= CAST(0.05 AS DOUBLE) * bh_rank / m
+                     THEN 1 ELSE 0 END)
+            OVER (ORDER BY bh_rank
+                  ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) = 1
+            AS BOOLEAN) AS rejected
+FROM ranked
+"""
+
+
+@query("agg_benjamini_hochberg", oracle=_BH_ORACLE)
+def agg_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini–Hochberg FDR control over a family of per-segment
+    tests: each market segment's urgent-order rate vs the rest (pooled
+    two-proportion z), p-values from the A&S erf polynomial, then the
+    BH step-up — reject H(1..k*) for the largest k* whose ordered
+    p ≤ α·k/m — the multiple-testing guard every per-slice metric sweep
+    needs (5 slices at α=0.05 and *one* naive 'significant' hit is
+    expected by chance). One fact pass to exact per-segment counts; the
+    test algebra, ranking, and step-up run on the m-row frame. The
+    step-up is the MAX-to-the-right window — O(m), no self-join."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    seg = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_mktsegment")),
+            o.o_custkey == c.c_custkey,
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1))
+            .cast("double")
+            .alias("x"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n").alias("nn"),
+        F.sum("x").alias("xx"),
+        F.count(F.lit(1)).alias("m"),
+    )
+    j = seg.crossJoin(F.broadcast(tot))
+    nn, xx, n, x = F.col("nn"), F.col("xx"), F.col("n"), F.col("x")
+    pp = xx / nn
+    z = (x / n - (xx - x) / (nn - n)) / F.sqrt(
+        pp * (1 - pp) * (1 / n + 1 / (nn - n))
+    )
+    t = 1 / (1 + F.lit(0.3275911) * (F.abs(z) / F.sqrt(F.lit(2.0))))
+    xarg = F.abs(z) / F.sqrt(F.lit(2.0))
+    erf = 1 - (
+        F.lit(0.254829592) * t
+        + F.lit(-0.284496736) * F.pow(t, 2)
+        + F.lit(1.421413741) * F.pow(t, 3)
+        + F.lit(-1.453152027) * F.pow(t, 4)
+        + F.lit(1.061405429) * F.pow(t, 5)
+    ) * F.exp(-xarg * xarg)
+    pval = F.round(2 * (0.5 - 0.5 * erf), 6)
+    p = j.select(
+        "segment", "n", "x", "m", z.alias("zval"), pval.alias("pval")
+    )
+    ranked = p.withColumn(
+        "bh_rank", F.row_number().over(Win.orderBy("pval", "segment"))
+    )
+    wfwd = Win.orderBy("bh_rank").rowsBetween(0, Win.unboundedFollowing)
+    crit = F.lit(0.05) * F.col("bh_rank") / F.col("m")
+    return ranked.select(
+        "segment",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("x").cast("long").alias("n_urgent"),
+        F.round("zval", 6).alias("z"),
+        F.col("pval").alias("p_value"),
+        F.col("bh_rank").cast("long").alias("bh_rank"),
+        (
+            F.max(
+                F.when(F.col("pval") <= crit, 1).otherwise(0)
+            ).over(wfwd)
+            == 1
+        ).alias("rejected"),
+    )
+
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(datediff('day', DATE '1995-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS DOUBLE)
+               AS t,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+),
+slopes AS (
+    SELECT (b.y - a.y) / (b.t - a.t) AS s
+    FROM daily a JOIN daily b ON b.t > a.t
+),
+med AS (SELECT quantile_cont(s, 0.5) AS slope FROM slopes),
+resid AS (
+    SELECT d.y - m.slope * d.t AS r FROM daily d CROSS JOIN med m
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST((SELECT COUNT(*) FROM slopes) AS BIGINT) AS n_pairs,
+       (SELECT slope FROM med) AS sen_slope,
+       (SELECT quantile_cont(r, 0.5) FROM resid) AS intercept
+"""
+
+
+@query("agg_theil_sen_trend", oracle=_THEIL_SEN_ORACLE)
+def agg_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event-count series: the
+    median of all pairwise slopes (and the median-residual intercept) —
+    the outlier-immune alternative to OLS (`agg_linear_trend`) that one
+    logging outage or bot burst cannot bend. The fact stream collapses
+    to the bounded daily rollup FIRST (≤ calendar days regardless of
+    fact size), so the O(days²) pair fan-out is a few-million-row
+    self-join at worst — distributed, never driver-side; both medians
+    go through the exact running-count selector (`exact_percentiles`),
+    not a one-reducer percentile buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("double")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    a = daily.select(F.col("t").alias("ta"), F.col("y").alias("ya"))
+    b = daily.select(F.col("t").alias("tb"), F.col("y").alias("yb"))
+    # try_divide, not `/`: the planner may evaluate the projected slope
+    # while probing tb==ta pairs the join condition later rejects, and
+    # ANSI mode turns that speculative 0-divide into a job-killing
+    # error. Joined rows always have tb > ta, so no NULL ever survives.
+    slopes = a.join(b, F.col("tb") > F.col("ta")).select(
+        F.try_divide(
+            F.col("yb") - F.col("ya"), F.col("tb") - F.col("ta")
+        ).alias("s")
+    )
+    med = exact_percentiles(
+        slopes, [], "s", {"sen_slope": 0.5}, extras={"n_pairs": "n"}
+    )
+    resid = daily.crossJoin(F.broadcast(med)).select(
+        (F.col("y") - F.col("sen_slope") * F.col("t")).alias("r")
+    )
+    icept = exact_percentiles(resid, [], "r", {"intercept": 0.5})
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    return (
+        n_days.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(icept))
+        .select("n_days", "n_pairs", "sen_slope", "intercept")
+    )
+
+
+_QBANDS_ORACLE = """
+SELECT o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(o_totalprice, 0.10) AS p10,
+       quantile_cont(o_totalprice, 0.25) AS p25,
+       quantile_cont(o_totalprice, 0.50) AS p50,
+       quantile_cont(o_totalprice, 0.75) AS p75,
+       quantile_cont(o_totalprice, 0.90) AS p90
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
+@query("agg_quantile_bands_by_group", oracle=_QBANDS_ORACLE)
+def agg_quantile_bands_by_group(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Five-point quantile bands of order value per priority class —
+    the box-plot table behind pricing dashboards and SLA tiers. All
+    five exact interpolated quantiles come from ONE pass of the
+    distributed running-count selector (`exact_percentiles`): collapse
+    to distinct values map-side, one spillable per-group sort, five
+    conditional-MIN selections — never a per-group value buffer on a
+    single reducer."""
+    o = load_table(spark, sf_dir, "orders")
+    return exact_percentiles(
+        o,
+        ["o_orderpriority"],
+        "o_totalprice",
+        {"p10": 0.10, "p25": 0.25, "p50": 0.50, "p75": 0.75, "p90": 0.90},
+        extras={"n": "n"},
+    ).select(
+        "o_orderpriority", "n", "p10", "p25", "p50", "p75", "p90"
+    )
+
+
+# Kaplan-Meier with right-censoring. Duration = days between a
+# customer's first and last order; customers whose last order falls in
+# the final 60 days of the dataset are CENSORED (still active when
+# observation ended) — the estimator uncensored `agg_survival_curve`
+# cannot express. ln terms quantize to 6 decimals before the cumulative
+# sum (libm-vs-JVM 1-ulp discipline), so the product-limit survival is
+# bit-identical across engines.
+_KM_ORACLE = """
+WITH horizon AS (SELECT max(o_orderdate) AS dmax FROM orders),
+subj AS (
+    SELECT o_custkey,
+           CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                AS BIGINT) AS dur,
+           CASE WHEN datediff('day', max(o_orderdate),
+                              (SELECT dmax FROM horizon)) < 60
+                THEN 0 ELSE 1 END AS ev
+    FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+times AS (
+    SELECT dur AS t,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM subj GROUP BY dur
+),
+risk AS (
+    SELECT t, d,
+           (SELECT n FROM tot)
+             - COALESCE(SUM(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS n_risk
+    FROM times
+),
+ev_times AS (
+    SELECT t, d, n_risk,
+           CASE WHEN d < n_risk
+                THEN round(ln(1 - CAST(d AS DOUBLE) / n_risk), 6)
+           END AS lnterm
+    FROM risk WHERE d > 0
+)
+SELECT t AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       CASE WHEN d < n_risk
+            THEN round(exp(CAST(SUM(CAST(lnterm AS DECIMAL(38,6)))
+                     OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS DOUBLE)), 6)
+            ELSE CAST(0 AS DOUBLE) END AS survival
+FROM ev_times
+"""
+
+
+@query("agg_kaplan_meier_survival", oracle=_KM_ORACLE)
+def agg_kaplan_meier_survival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kaplan-Meier product-limit survival of customer activity spans
+    WITH right-censoring (last order inside the final 60 days = still
+    active, not churned) — the censoring-aware upgrade of
+    `agg_survival_curve` that retention analytics actually needs:
+    treating censored customers as churned biases every survival number
+    down. One per-customer aggregate, collapse to distinct durations,
+    at-risk counts from one running sum, and the product-limit as
+    exp(cumulative quantized-ln) — all exchanges on bounded frames."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("dmax"))
+    subj = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("dmin"),
+            F.max("o_orderdate").alias("dlast"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("dlast", "dmin").cast("long").alias("dur"),
+            F.when(
+                F.datediff("dmax", "dlast") < 60, 0
+            ).otherwise(1).alias("ev"),
+        )
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    times = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w_prev = (
+        Win.orderBy("t").rowsBetween(Win.unboundedPreceding, -1)
+    )
+    risk = times.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    evt = risk.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.when(
+            F.col("d") < F.col("n_risk"),
+            F.round(
+                F.log(1 - F.col("d").cast("double") / F.col("n_risk")), 6
+            ),
+        ).alias("lnterm"),
+    )
+    w_cum = Win.orderBy("t").rowsBetween(Win.unboundedPreceding, 0)
+    surv = F.when(
+        F.col("d") < F.col("n_risk"),
+        F.round(
+            F.exp(
+                F.sum(F.col("lnterm").cast("decimal(38,6)"))
+                .over(w_cum)
+                .cast("double")
+            ),
+            6,
+        ),
+    ).otherwise(F.lit(0.0))
+    return evt.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        surv.alias("survival"),
+    )

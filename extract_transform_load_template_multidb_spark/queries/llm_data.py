@@ -6216,3 +6216,124 @@ def text_good_turing_unseen(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (2 * F.col("f2")),
         ).alias("chao1_total_vocab"),
     )
+
+
+_FLESCH_ORACLE = """
+WITH per_doc AS (
+    SELECT source,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS BIGINT)
+               AS words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+               AS BIGINT) AS sentences,
+           CAST(len(regexp_extract_all(text, '[AEIOUYaeiouy]+'))
+               AS BIGINT) AS syllables
+    FROM documents
+),
+agg AS (
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(words) AS BIGINT) AS total_words,
+           CAST(SUM(sentences) AS BIGINT) AS total_sentences,
+           CAST(SUM(syllables) AS BIGINT) AS total_syllables
+    FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, total_words, total_sentences, total_syllables,
+       round(CAST(206.835 AS DOUBLE)
+             - CAST(1.015 AS DOUBLE)
+               * (CAST(total_words AS DOUBLE) / total_sentences)
+             - CAST(84.6 AS DOUBLE)
+               * (CAST(total_syllables AS DOUBLE) / total_words), 6)
+           AS flesch_reading_ease
+FROM agg
+WHERE total_words > 0
+"""
+
+
+@query("text_flesch_reading_ease", oracle=_FLESCH_ORACLE)
+def text_flesch_reading_ease(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per corpus source — the readability gate a
+    pretraining mixture applies alongside the quality classifier (a
+    source whose score collapses is boilerplate, OCR noise, or code
+    mislabeled as prose). Deterministic proxies keep it engine-portable:
+    words = letter runs, sentences = terminal-punctuation runs (min 1
+    per doc), syllables = vowel-group runs — three regexp_extract_all
+    counts in ONE exchange-free narrow map, aggregated to exact integer
+    totals per source; the Flesch formula is a fixed IEEE dag over the
+    totals, rounded to the hash grid."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z]+"), 0))
+        .cast("long")
+        .alias("words"),
+        F.greatest(
+            F.size(F.regexp_extract_all(t, F.lit(r"[.!?]+"), 0)), F.lit(1)
+        )
+        .cast("long")
+        .alias("sentences"),
+        F.size(F.regexp_extract_all(t, F.lit(r"[AEIOUYaeiouy]+"), 0))
+        .cast("long")
+        .alias("syllables"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("words").alias("total_words"),
+        F.sum("sentences").alias("total_sentences"),
+        F.sum("syllables").alias("total_syllables"),
+    )
+    w = F.col("total_words").cast("double")
+    fre = (
+        F.lit(206.835)
+        - F.lit(1.015) * (w / F.col("total_sentences"))
+        - F.lit(84.6) * (F.col("total_syllables").cast("double") / w)
+    )
+    return agg.where(F.col("total_words") > 0).select(
+        "source",
+        "n_docs",
+        "total_words",
+        "total_sentences",
+        "total_syllables",
+        F.round(fre, 6).alias("flesch_reading_ease"),
+    )
+
+
+_RANGE_SEARCH_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+dots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           SUM(a.v * b.v) AS dot
+    FROM elems a
+    JOIN elems b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id % 50 = 0
+    GROUP BY a.vec_id, b.vec_id
+)
+SELECT query_id, neighbor_id,
+       CAST(dot AS DOUBLE)
+         / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+           AS cosine
+FROM dots
+JOIN norms na ON na.vec_id = query_id
+JOIN norms nb ON nb.vec_id = neighbor_id
+WHERE CAST(dot AS DOUBLE)
+        / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+      >= 0.2
+"""
+)
+
+
+@query("sim_range_search_cosine", oracle=_RANGE_SEARCH_ORACLE)
+def sim_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cosine RANGE search: every neighbor above a similarity bar for
+    each probe vector (vec_id ≡ 0 mod 50) — the all-matches shape that
+    near-dup audits and recall measurements need where retrieval wants
+    top-k. Broadcast probes + one narrow corpus pass; the threshold is
+    row-local, so there is NO shuffle after the broadcast — the
+    cheapest possible similarity plan (`operators/similarity.py::
+    cosine_range_search`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_range_search(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), threshold=0.2
+    )

@@ -1073,3 +1073,53 @@ def scalar_ipv4_subnet_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_events").desc(), "subnet")
         .limit(20)
     )
+
+
+_SCALAR_DT_ORACLE = """
+SELECT o_orderkey,
+       o_orderdate,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+       CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS qtr,
+       CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+       CAST(EXTRACT(day FROM o_orderdate) AS INT) AS dom,
+       CAST(EXTRACT(dayofyear FROM o_orderdate) AS INT) AS doy,
+       CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow_sun1,
+       CAST(EXTRACT(week FROM o_orderdate) AS INT) AS iso_week,
+       CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+       last_day(o_orderdate) AS month_end,
+       CAST(o_orderdate + INTERVAL 3 MONTH AS DATE) AS plus_3m,
+       CAST(datediff('day', DATE '1995-01-01', o_orderdate)
+            AS BIGINT) AS days_since_95
+FROM orders
+"""
+
+
+@query("scalar_datetime_functions", oracle=_SCALAR_DT_ORACLE)
+def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime-function breadth: calendar field extraction (year/
+    quarter/month/day/day-of-year), day-of-week under the Sunday=1
+    convention (Spark's `dayofweek` natively; DuckDB's 0-based `dow`
+    shifted to match — the classic cross-engine off-by-one), ISO week,
+    month boundaries (`date_trunc`/`last_day`), month arithmetic with
+    end-of-month clamping (`add_months`), and an epoch-anchored day
+    difference. All codegen'd narrow maps on the date column — scalar
+    date work must never leave the JVM."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        "o_orderdate",
+        F.year(d).alias("yr"),
+        F.quarter(d).alias("qtr"),
+        F.month(d).alias("mth"),
+        F.dayofmonth(d).alias("dom"),
+        F.dayofyear(d).alias("doy"),
+        F.dayofweek(d).alias("dow_sun1"),
+        F.weekofyear(d).alias("iso_week"),
+        F.trunc(d, "month").alias("month_start"),
+        F.last_day(d).alias("month_end"),
+        F.add_months(d, 3).alias("plus_3m"),
+        F.datediff(d, F.lit("1995-01-01").cast("date"))
+        .cast("long")
+        .alias("days_since_95"),
+    )

@@ -2935,3 +2935,279 @@ def ts_weekday_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("ssw") / (F.col("nt") - F.col("k")))
         ).alias("f_stat"),
     )
+
+
+_ACF_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS DOUBLE) AS x
+    FROM events GROUP BY 1
+),
+lags AS (SELECT unnest(range(1, 8)) AS lag),
+pairs AS (
+    SELECT l.lag, a.x AS x, b.x AS y
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.day = a.day - CAST(l.lag AS INT)
+)
+SELECT CAST(lag AS INT) AS lag,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round((SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+             / (sqrt(SUM(x * x) - SUM(x) * SUM(x) / COUNT(*))
+                * sqrt(SUM(y * y) - SUM(y) * SUM(y) / COUNT(*))), 6)
+           AS acf
+FROM pairs
+GROUP BY lag
+"""
+
+
+@query("ts_acf_multi_lag", oracle=_ACF_ORACLE)
+def ts_acf_multi_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1–7 — the weekly-memory profile that picks a forecast model's
+    seasonal order (a lag-7 spike says weekly seasonality;
+    `ts_autocorr_lag1` only sees one step). The heavy stream collapses
+    to ONE bounded daily rollup (≤ calendar days regardless of fact
+    size); the 7-lag fan-out and shifted self-join run on that tiny
+    frame, so the whole ACF costs one fact shuffle plus joins over
+    O(days×lags) rows. Pearson per lag over integer counts — exact
+    sums, one rounded division per lag."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.crossJoin(F.broadcast(lags))
+    b = daily.select(
+        F.col("day").alias("b_day"), F.col("x").alias("y")
+    )
+    pairs = a.join(
+        b, F.date_sub(F.col("day"), F.col("lag")) == F.col("b_day")
+    )
+    x, y = F.col("x"), F.col("y")
+    n = F.count(F.lit(1))
+    s = pairs.groupBy("lag").agg(
+        n.cast("long").alias("n_pairs"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    np_ = F.col("n_pairs").cast("double")
+    corr = (F.col("sxy") - F.col("sx") * F.col("sy") / np_) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / np_)
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / np_)
+    )
+    return s.select("lag", "n_pairs", F.round(corr, 6).alias("acf"))
+
+
+_ISLANDS_ORACLE = """
+WITH d AS (
+    SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+    FROM events
+),
+grp AS (
+    SELECT user_id, day,
+           day - CAST(row_number() OVER (
+               PARTITION BY user_id ORDER BY day) AS INT) AS anchor
+    FROM d
+),
+runs AS (
+    SELECT user_id, min(day) AS streak_start, max(day) AS streak_end,
+           CAST(COUNT(*) AS BIGINT) AS streak_days
+    FROM grp GROUP BY user_id, anchor
+)
+SELECT user_id, streak_start, streak_end, streak_days
+FROM runs WHERE streak_days >= 3
+"""
+
+
+@query("window_gaps_islands", oracle=_ISLANDS_ORACLE)
+def window_gaps_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's runs of CONSECUTIVE active days
+    (streaks ≥ 3), via the classic date-minus-row_number anchor — every
+    day of one unbroken run lands on the same anchor date, so islands
+    fall out of a plain groupBy with no self-join or iteration. Distinct
+    (user, day) first (bounded by user×calendar, not events); one
+    user-partitioned window sort, one aggregation — both on the same
+    user_id exchange. The streak table feeds retention/habit metrics
+    that `window_longest_streak` summarizes and this query itemizes."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    d = ev.select(
+        "user_id",
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"),
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("day")
+    grp = d.select(
+        "user_id",
+        "day",
+        F.date_sub(
+            F.col("day"), F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    runs = grp.groupBy("user_id", "anchor").agg(
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+    )
+    return runs.where(F.col("streak_days") >= 3).select(
+        "user_id", "streak_start", "streak_end", "streak_days"
+    )
+
+
+_DECOMPOSE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+tw AS (
+    SELECT day, x,
+           CASE WHEN COUNT(*) OVER w = 7
+                THEN CAST(SUM(x) OVER w AS DOUBLE) / 7 END AS trend
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+det AS (
+    SELECT day, x, trend, round(x - trend, 6) AS d,
+           CAST(EXTRACT(dow FROM day) + 1 AS INT) AS wd
+    FROM tw WHERE trend IS NOT NULL
+),
+seas AS (
+    SELECT wd,
+           round(CAST(SUM(CAST(d AS DECIMAL(38,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS m
+    FROM det GROUP BY wd
+),
+ctr AS (
+    SELECT CAST(SUM(CAST(m AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS c
+    FROM seas
+)
+SELECT det.day, det.x AS n_events, det.trend,
+       round(seas.m - ctr.c, 6) AS seasonal,
+       round(det.d - round(seas.m - ctr.c, 6), 6) AS remainder
+FROM det JOIN seas USING (wd) CROSS JOIN ctr
+"""
+
+
+@query("ts_seasonal_decompose_additive", oracle=_DECOMPOSE_ORACLE)
+def ts_seasonal_decompose_additive(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Classical additive decomposition of the daily event-count series:
+    trend = centered 7-observation moving average (full windows only),
+    weekly seasonal = mean-centered weekday means of the detrended
+    series, remainder = what neither explains — the
+    anomaly-vs-seasonality separator behind `ts_anomalous_days` (an
+    alert on raw counts fires every weekend; on the remainder it fires
+    on real incidents). The fact stream collapses to the bounded daily
+    rollup first; one 7-row window, one 7-group aggregate, one
+    broadcast-back. Every mean is decimal-routed and 6-dp-rounded so
+    both engines agree bit-for-bit."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    w7 = W.orderBy("day").rowsBetween(-3, 3)
+    tw = daily.select(
+        "day",
+        "x",
+        F.when(
+            F.count(F.lit(1)).over(w7) == 7,
+            F.sum("x").over(w7).cast("double") / 7,
+        ).alias("trend"),
+    )
+    det = tw.where(F.col("trend").isNotNull()).select(
+        "day",
+        "x",
+        "trend",
+        F.round(F.col("x") - F.col("trend"), 6).alias("d"),
+        F.dayofweek("day").alias("wd"),
+    )
+    seas = det.groupBy("wd").agg(
+        F.round(
+            F.sum(F.col("d").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("m")
+    )
+    ctr = seas.agg(
+        (
+            F.sum(F.col("m").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("c")
+    )
+    seasonal = F.round(F.col("m") - F.col("c"), 6)
+    return (
+        det.join(F.broadcast(seas), "wd")
+        .crossJoin(F.broadcast(ctr))
+        .select(
+            "day",
+            F.col("x").alias("n_events"),
+            "trend",
+            seasonal.alias("seasonal"),
+            F.round(F.col("d") - seasonal, 6).alias("remainder"),
+        )
+    )
+
+
+_RANGE7D_ORACLE = """
+WITH daily AS (
+    SELECT CAST(datediff('day', DATE '1995-01-01', o_orderdate)
+                AS BIGINT) AS dayn,
+           min(o_orderdate) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue
+    FROM orders GROUP BY 1
+)
+SELECT day, revenue,
+       CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER (
+           ORDER BY dayn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS DOUBLE) AS trailing_7d_revenue,
+       CAST(COUNT(*) OVER (
+           ORDER BY dayn RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS days_in_window
+FROM daily
+"""
+
+
+@query("window_range_trailing_7d", oracle=_RANGE7D_ORACLE)
+def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-7-CALENDAR-day revenue via a value-based RANGE window
+    frame — the frame kind a ROWS window silently gets wrong whenever
+    days are missing (ROWS -6 spans 7 *observations*, RANGE 6 PRECEDING
+    spans 7 *days*; `days_in_window` exposes the difference). Daily
+    rollup first (bounded), then one RANGE window over the integer day
+    number; revenue sums are decimal-routed at both levels."""
+    from pyspark.sql import Window as W, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.datediff(
+            F.col("o_orderdate"), F.lit("1995-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("dayn")
+    ).agg(
+        F.min("o_orderdate").alias("day"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("revenue"),
+    )
+    w = W.orderBy("dayn").rangeBetween(-6, 0)
+    return daily.select(
+        "day",
+        "revenue",
+        F.sum(F.col("revenue").cast("decimal(38,6)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7d_revenue"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_in_window"),
+    )

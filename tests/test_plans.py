@@ -620,3 +620,73 @@ def test_attribution_single_user_exchange_chain(spark, sf_dir):
         for m in re.finditer(r"Exchange hashpartitioning\((\w+)#", plan)
     )
     assert keys <= {"user_id", "event_type"}, keys
+
+
+def test_bootstrap_se_single_pass_no_explode(spark, sf_dir):
+    """Bootstrap SE of the mean: all 20 replicate weighted sums must
+    come from ONE aggregation pass over the fact table — the only
+    explode allowed is the post-aggregation unpack of the 1-row
+    replicate array (a parent of the aggregate in the plan tree), never
+    an explode-by-replicate under the agg multiplying the stream 20×."""
+    plan = _plan(spark, sf_dir, "agg_bootstrap_se_mean")
+    assert plan.count("Scan parquet") == 1
+    gen = plan.find("Generate explode")
+    # Plan strings print parents above children: an aggregate must sit
+    # BELOW the explode (the explode consumes the 1-row replicate
+    # array, it does not feed rows into the fact aggregation).
+    assert gen == -1 or plan.find("HashAggregate", gen) != -1
+
+
+def test_mahalanobis_broadcast_and_topk(spark, sf_dir):
+    """Mahalanobis outliers: the 1-row moment table broadcasts back
+    onto the stream and the outlier cut is a TakeOrderedAndProject,
+    never a global sort of all scored rows."""
+    plan = _plan(spark, sf_dir, "agg_mahalanobis_outliers")
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_gini_split_no_single_reducer_percentile(spark, sf_dir):
+    """Gini split finder, post round-6 rewrite: the nine exact deciles
+    must use the distributed running-count selector — no `percentile(`
+    aggregate buffering o_totalprice on one reducer — and the candidate
+    cuts broadcast against one labeled pass ending in a 1-row limit."""
+    plan = _plan(spark, sf_dir, "agg_gini_split_finder")
+    assert "percentile(" not in plan
+    assert "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_percentile_sites_distributed(spark, sf_dir):
+    """Every converted exact-percentile site stays on the running-count
+    selector: a Spark upgrade or refactor reintroducing the in-memory
+    `percentile(` aggregate is the 100×-scale regression this guards."""
+    for name in (
+        "agg_percentiles",
+        "ts_inter_order_gaps",
+        "agg_priority_sla_compliance",
+        "agg_trimmed_winsorized_means",
+        "dq_outlier_iqr",
+        "dq_mad_robust_spread",
+        "curation_corpus_datacard",
+        "dq_join_fanout_profile",
+    ):
+        assert "percentile(" not in _plan(spark, sf_dir, name), name
+
+
+def test_fourier_bounded_frequency_fanout(spark, sf_dir):
+    """Fourier top periods: the DFT fan-out must be the bounded
+    frequency grid (posexplode of a fixed-length array), aggregated
+    partial-then-final, with the top-period cut a limited sort."""
+    plan = _plan(spark, sf_dir, "ts_fourier_top_periods")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_decode_jpeg_single_arrow_stage_no_shuffle(spark, sf_dir):
+    """JPEG decode: synthesize→decode must be a narrow Arrow map chain —
+    exactly the two intended Python stages, no exchange of payload
+    bytes beyond the deliberate media repartition."""
+    plan = _plan(spark, sf_dir, "mm_decode_jpeg")
+    assert plan.count("MapInPandas") == 2
+    assert "BatchEvalPython" not in plan
