@@ -225,6 +225,9 @@ HEADLINE = [
     "agg_quantile_bands_by_group",
     "agg_kaplan_meier_survival",
     "window_range_trailing_7d",
+    "agg_association_rules_lift",
+    "agg_mutual_information",
+    "text_bigram_pmi_topk",
 ]
 
 

@@ -90,6 +90,12 @@ _CHECK_FIRST = (
     "agg_theil_sen_trend",
     "sim_range_search_cosine",
     "ts_seasonal_decompose_additive",
+    "agg_quantile_bands_by_group",
+    "agg_kaplan_meier_survival",
+    "window_range_trailing_7d",
+    "agg_association_rules_lift",
+    "agg_mutual_information",
+    "text_bigram_pmi_topk",
     # (b) never driver-checked in any round (all green in the full
     # local run of the driver's own compare logic).
     "graph_degree_distribution",
@@ -117,8 +123,6 @@ _CHECK_FIRST = (
     "window_ntile_quartiles",
     "window_percent_rank_cume",
     "window_session_gap_ids",
-    "window_cusum_changepoint",
-    "window_cohort_retention",
     # Positions 51+: just outside the 50-slot window — the §2-mapped
     # reference surface (driver-green in r5, unchanged this round)
     # stays at the head of the remainder should the driver check more,
@@ -130,6 +134,8 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "window_cusum_changepoint",
+    "window_cohort_retention",
     "window_longest_streak",
     "join_null_safe_equal",
     "join_lateral_topn_orders",

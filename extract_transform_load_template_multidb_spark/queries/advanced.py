@@ -5531,3 +5531,161 @@ def agg_kaplan_meier_survival(
         F.col("d").cast("long").alias("n_events"),
         surv.alias("survival"),
     )
+
+
+_ASSOC_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+n_orders AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE) AS n
+             FROM op),
+item_supp AS (
+    SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_item FROM op
+    GROUP BY l_partkey
+),
+pair_supp AS (
+    SELECT a.l_partkey AS ant, b.l_partkey AS cons,
+           CAST(COUNT(*) AS BIGINT) AS n_pair
+    FROM op a JOIN op b
+      ON b.l_orderkey = a.l_orderkey AND b.l_partkey <> a.l_partkey
+    GROUP BY 1, 2
+)
+SELECT p.ant AS antecedent, p.cons AS consequent,
+       p.n_pair,
+       CAST(p.n_pair AS DOUBLE) / ia.n_item AS confidence,
+       round(CAST(p.n_pair AS DOUBLE) / ia.n_item
+             / (ic.n_item / t.n), 6) AS lift
+FROM pair_supp p
+JOIN item_supp ia ON ia.l_partkey = p.ant
+JOIN item_supp ic ON ic.l_partkey = p.cons
+CROSS JOIN n_orders t
+WHERE p.n_pair >= 3
+ORDER BY round(CAST(p.n_pair AS DOUBLE) / ia.n_item
+               / (ic.n_item / t.n), 6) DESC,
+         p.ant, p.cons
+LIMIT 20
+"""
+
+
+@query("agg_association_rules_lift", oracle=_ASSOC_ORACLE)
+def agg_association_rules_lift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Association rules over order baskets: confidence and lift for
+    part pairs with support ≥ 3, top-20 by lift — the step past
+    `join_copurchase_part_pairs`' raw counts that separates 'bought
+    together because both are popular' (lift ≈ 1) from real affinity
+    (lift ≫ 1). Pair generation keys on l_orderkey (fan-out bounded by
+    basket size squared, never corpus-quadratic); item supports and the
+    basket total are derived from the SAME distinct projection and
+    broadcast back; the min-support filter prunes before ranking, and
+    the top-20 plans as TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = op.agg(
+        F.count_distinct("l_orderkey").cast("double").alias("n")
+    )
+    item = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("n_item")
+    )
+    a = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("ant")
+    )
+    b = op.select(
+        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("cons")
+    )
+    pair = (
+        a.join(b, "k")
+        .where(F.col("ant") != F.col("cons"))
+        .groupBy("ant", "cons")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
+        .where(F.col("n_pair") >= 3)
+    )
+    ia = item.select(
+        F.col("l_partkey").alias("ant"), F.col("n_item").alias("ni_a")
+    )
+    ic = item.select(
+        F.col("l_partkey").alias("cons"), F.col("n_item").alias("ni_c")
+    )
+    conf = F.col("n_pair").cast("double") / F.col("ni_a")
+    lift = F.round(conf / (F.col("ni_c") / F.col("n")), 6)
+    return (
+        pair.join(ia, "ant")
+        .join(ic, "cons")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            F.col("ant").alias("antecedent"),
+            F.col("cons").alias("consequent"),
+            "n_pair",
+            conf.alias("confidence"),
+            lift.alias("lift"),
+        )
+        .orderBy(
+            F.col("lift").desc(),
+            F.col("antecedent"),
+            F.col("consequent"),
+        )
+        .limit(20)
+    )
+
+
+_MI_ORACLE = """
+WITH obs AS (
+    SELECT event_type AS a,
+           CAST(EXTRACT(dow FROM ts) + 1 AS INT) AS b,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY 1, 2
+),
+ra AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM obs GROUP BY a),
+rb AS (SELECT b, CAST(SUM(n) AS BIGINT) AS nb FROM obs GROUP BY b),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM obs)
+SELECT CAST(tot.t AS BIGINT) AS n_events,
+       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       round(CAST(SUM(CAST(round((obs.n / tot.t)
+                 * ln((obs.n / tot.t)
+                      / ((ra.na / tot.t) * (rb.nb / tot.t))), 9)
+             AS DECIMAL(38,9))) AS DOUBLE), 6) AS mutual_information
+FROM obs
+JOIN ra USING (a)
+JOIN rb USING (b)
+CROSS JOIN tot
+GROUP BY tot.t
+"""
+
+@query("agg_mutual_information", oracle=_MI_ORACLE)
+def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between event type and weekday — the
+    dependence measure that, unlike chi-square, reads directly in nats
+    and feeds feature selection (MI ≈ 0 ⇒ the weekday column buys a
+    model nothing about event mix). One fact pass to the R×C
+    contingency cells; marginals derive FROM the cells and broadcast
+    back; each cell's p·ln(p/(pa·pb)) term quantizes to 9 decimals
+    before the decimal sum (the libm-vs-JVM ln discipline), rounded to
+    the 6-dp hash grid."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        F.col("event_type").alias("a"),
+        F.dayofweek("ts").alias("b"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ra = obs.groupBy("a").agg(F.sum("n").cast("long").alias("na"))
+    rb = obs.groupBy("b").agg(F.sum("n").cast("long").alias("nb"))
+    tot = obs.agg(F.sum("n").cast("double").alias("t"))
+    j = (
+        obs.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .crossJoin(F.broadcast(tot))
+    )
+    t = F.col("t")
+    p_ab = F.col("n") / t
+    term = F.round(
+        p_ab
+        * F.log(p_ab / ((F.col("na") / t) * (F.col("nb") / t))),
+        9,
+    ).cast("decimal(38,9)")
+    return j.groupBy("t").agg(
+        F.col("t").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.round(F.sum(term).cast("double"), 6).alias(
+            "mutual_information"
+        ),
+    ).drop("t")

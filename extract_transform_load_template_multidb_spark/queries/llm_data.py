@@ -6337,3 +6337,101 @@ def sim_range_search_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.cosine_range_search(
         emb, emb.filter(F.col("vec_id") % 50 == 0), threshold=0.2
     )
+
+
+_PMI_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+bi AS (
+    SELECT t[k] AS w1, t[k + 1] AS w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks_list, unnest(range(1, len(t))) AS u(k)
+    GROUP BY 1, 2
+),
+uni AS (
+    SELECT w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks_list, unnest(t) AS u(w)
+    GROUP BY 1
+),
+tots AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS nb FROM bi
+),
+totu AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS nu FROM uni
+)
+SELECT b.w1, b.w2, b.n AS n_bigram,
+       round(ln((b.n / t.nb)
+                / ((ua.n / u.nu) * (ub.n / u.nu))), 6) AS pmi
+FROM bi b
+JOIN uni ua ON ua.w = b.w1
+JOIN uni ub ON ub.w = b.w2
+CROSS JOIN tots t CROSS JOIN totu u
+WHERE b.n >= 5
+ORDER BY round(ln((b.n / t.nb)
+               / ((ua.n / u.nu) * (ub.n / u.nu))), 6) DESC, b.w1, b.w2
+LIMIT 20
+"""
+)
+
+
+@query("text_bigram_pmi_topk", oracle=_PMI_ORACLE)
+def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent-bigram PMI (collocations): word pairs that
+    co-occur far beyond what their unigram frequencies predict — the
+    multiword-expression detector ('new york', 'machine learning')
+    behind tokenizer-merge candidates and phrase-aware dedup. Bigram
+    fan-out is ADJACENT-ONLY (n−1 pairs per doc, never tokens²); both
+    count tables are partial-aggregable; the ≥5 support filter prunes
+    the long tail before the broadcast-marginal join; top-20 plans as
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(dd.tokenize(F.col("text")).alias("t"))
+    bi = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, F.greatest(F.size("t") - 1, F.lit(0))),
+                    F.slice(F.col("t"), 2, F.greatest(F.size("t") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .where(F.col("n") >= 5)
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_w"))
+    )
+    nb = toks.select(
+        F.greatest(F.size("t") - 1, F.lit(0)).alias("c")
+    ).agg(F.sum("c").cast("double").alias("nb"))
+    nu = toks.select(F.size("t").alias("c")).agg(
+        F.sum("c").cast("double").alias("nu")
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("n_w").alias("na"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("n_w").alias("nc"))
+    pmi = F.round(
+        F.log(
+            (F.col("n") / F.col("nb"))
+            / ((F.col("na") / F.col("nu")) * (F.col("nc") / F.col("nu")))
+        ),
+        6,
+    )
+    return (
+        bi.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(nb))
+        .crossJoin(F.broadcast(nu))
+        .select(
+            "w1",
+            "w2",
+            F.col("n").alias("n_bigram"),
+            pmi.alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), "w1", "w2")
+        .limit(20)
+    )
