@@ -509,3 +509,52 @@ def test_mann_whitney_matches_bruteforce(spark, a, b):
         1.0 if x > y else (0.5 if x == y else 0.0) for x in a for y in b
     )
     assert u_spark == pytest.approx(u_brute, abs=1e-9)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    data=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-1000, max_value=1000),
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+    ps=st.lists(
+        st.floats(min_value=0.0, max_value=1.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+        max_size=4,
+        unique=True,
+    ),
+)
+def test_exact_percentiles_matches_spark_percentile(spark, data, ps):
+    """The distributed running-count selector (queries/_util.
+    exact_percentiles) must agree with Spark's own exact interpolated
+    percentile aggregate on arbitrary grouped integer data and
+    arbitrary fractions — the substitution contract behind the round-6
+    rewrite of every ungrouped/low-cardinality percentile site."""
+    from extract_transform_load_template_multidb_spark.queries._util import (
+        exact_percentiles,
+    )
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g, v in data], "g string, value double"
+    )
+    named = {f"p{i}": p for i, p in enumerate(ps)}
+    ref = {
+        r["g"]: r
+        for r in df.groupBy("g")
+        .agg(*[F.percentile("value", p).alias(a) for a, p in named.items()])
+        .collect()
+    }
+    got = {
+        r["g"]: r
+        for r in exact_percentiles(df, ["g"], "value", named).collect()
+    }
+    assert set(ref) == set(got)
+    for g in ref:
+        for a in named:
+            assert abs(ref[g][a] - got[g][a]) < 1e-9, (g, a)
