@@ -228,6 +228,9 @@ HEADLINE = [
     "agg_association_rules_lift",
     "agg_mutual_information",
     "text_bigram_pmi_topk",
+    "subquery_correlated_scalar",
+    "dq_key_sequence_gaps",
+    "mm_jpeg_resize_reencode",
 ]
 
 

@@ -5,11 +5,13 @@ Media is carried as an opaque ``binary`` column plus typed metadata —
 the lakehouse-standard layout (one row per asset, bytes inline for small
 assets, a URI for large ones). The Spark-side plumbing here is real and
 tested: schemas, Arrow-batched ``mapInPandas`` UDF signatures, batch
-shaping, and partition sizing. The codec step itself (JPEG decode, audio
-resample, video frame extraction) is stubbed — the decode libraries are
-not installed in this container — behind either a deterministic fake
-(so tests have stable expectations) or ``NotImplementedError`` for the
-real-codec path.
+shaping, and partition sizing. Several codecs are REAL pure-stdlib/numpy
+implementations that run in this container — PPM/BMP image decode, RIFF
+WAV read/write, and (since round 6) a full baseline JPEG encoder AND
+decoder (`operators/jpeg.py`). What remains stubbed behind a
+deterministic fake or ``NotImplementedError`` is only the tail that
+needs external libraries: PNG, progressive/arithmetic JPEG, audio
+resample beyond PCM, and container-format video frame extraction.
 
 Scale notes: media rows are wide (MBs); ``MEDIA_ROWS_PER_PARTITION``-sized
 repartitioning keeps Arrow batches and executor memory bounded —
@@ -971,3 +973,73 @@ def channel_histograms(df: DataFrame, n_bins: int = 4) -> DataFrame:
             )
 
     return repartition_for_media(df).mapInPandas(fn, schema)
+
+
+_RESIZE_JPEG_SCHEMA = (
+    "asset_id bigint, width int, height int, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def resize_reencode_jpegs(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → nearest-neighbor downsample by ``factor`` → RE-ENCODE as
+    baseline JPEG → decode again, emitting the final dims/means — the
+    full thumbnail pipeline (both codec directions run on executors,
+    Arrow-batched, no shuffle). Nearest-neighbor keeps solid-color
+    fixtures closed-form: the second pass re-derives YCbCr from the
+    first pass's decoded RGB, so the expected output is the codec's
+    per-pass algebra applied TWICE — still a fixed IEEE dag a SQL
+    oracle reproduces exactly (see queries/multimodal.py)."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        jpeg as J,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        qt = J.flat_tables(16)
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, _, px = J.parse_jpeg(raw)
+                    small = px[::factor, ::factor, :]
+                    if small.size == 0:
+                        raise ValueError("resize factor exceeds image")
+                    re_raw = J.encode_baseline_jpeg(small, qtables=qt)
+                    w2, h2, _, px2 = J.parse_jpeg(re_raw)
+                    n = w2 * h2
+                    sums = (
+                        px2.reshape(n, 3).astype("int64").sum(axis=0)
+                    )
+                    rows.append(
+                        (
+                            asset_id,
+                            w2,
+                            h2,
+                            float(sums[0]) / n,
+                            float(sums[1]) / n,
+                            float(sums[2]) / n,
+                            None,
+                        )
+                    )
+                except (ValueError, NotImplementedError) as ex:
+                    rows.append(
+                        (asset_id, None, None, None, None, None,
+                         str(ex)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "err",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        fn, _RESIZE_JPEG_SCHEMA
+    )

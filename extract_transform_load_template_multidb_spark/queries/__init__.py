@@ -96,6 +96,9 @@ _CHECK_FIRST = (
     "agg_association_rules_lift",
     "agg_mutual_information",
     "text_bigram_pmi_topk",
+    "subquery_correlated_scalar",
+    "dq_key_sequence_gaps",
+    "mm_jpeg_resize_reencode",
     # (b) never driver-checked in any round (all green in the full
     # local run of the driver's own compare logic).
     "graph_degree_distribution",
@@ -116,13 +119,6 @@ _CHECK_FIRST = (
     "subquery_exists_flags",
     "subquery_any_all_quantified",
     "stream_interval_join_left",
-    "stream_tumbling_distinct_users",
-    "set_intersect_all",
-    "set_except_all",
-    "window_moving_median",
-    "window_ntile_quartiles",
-    "window_percent_rank_cume",
-    "window_session_gap_ids",
     # Positions 51+: just outside the 50-slot window — the §2-mapped
     # reference surface (driver-green in r5, unchanged this round)
     # stays at the head of the remainder should the driver check more,
@@ -134,6 +130,13 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "stream_tumbling_distinct_users",
+    "set_intersect_all",
+    "set_except_all",
+    "window_moving_median",
+    "window_ntile_quartiles",
+    "window_percent_rank_cume",
+    "window_session_gap_ids",
     "window_cusum_changepoint",
     "window_cohort_retention",
     "window_longest_streak",

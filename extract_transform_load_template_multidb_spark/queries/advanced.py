@@ -5689,3 +5689,50 @@ def agg_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mutual_information"
         ),
     ).drop("t")
+
+
+_CORR_SCALAR_ORACLE = """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+       (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,6)))
+                    AS DOUBLE) / COUNT(*)
+        FROM orders i WHERE i.o_custkey = o.o_custkey) AS cust_avg,
+       o.o_totalprice > 2 * (
+           SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,6)))
+                       AS DOUBLE) / COUNT(*)
+           FROM orders i WHERE i.o_custkey = o.o_custkey)
+           AS is_outsized
+FROM orders o
+"""
+
+
+@query("subquery_correlated_scalar", oracle=_CORR_SCALAR_ORACLE)
+def subquery_correlated_scalar(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Correlated SCALAR subquery: every order annotated with its
+    customer's average order value and an is-outsized flag — the third
+    subquery kind after EXISTS (`subquery_exists_flags`) and ANY/ALL
+    (`subquery_any_all_quantified`). Written as literal correlated SQL
+    so Catalyst's decorrelation does the rewrite: the plan must become
+    ONE aggregate over orders joined back on o_custkey — not a
+    per-row re-execution (the O(n²) trap naive engines fall into).
+    Decimal-routed average for cross-engine hash equality."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_corr_orders"
+    )
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+               (SELECT CAST(SUM(CAST(i.o_totalprice AS DECIMAL(38,6)))
+                            AS DOUBLE) / COUNT(*)
+                FROM _corr_orders i
+                WHERE i.o_custkey = o.o_custkey) AS cust_avg,
+               o.o_totalprice > 2 * (
+                   SELECT CAST(SUM(CAST(i.o_totalprice
+                                        AS DECIMAL(38,6))) AS DOUBLE)
+                          / COUNT(*)
+                   FROM _corr_orders i
+                   WHERE i.o_custkey = o.o_custkey) AS is_outsized
+        FROM _corr_orders o
+        """
+    )

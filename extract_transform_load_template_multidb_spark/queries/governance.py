@@ -1787,3 +1787,42 @@ def dq_double_fire_detector(spark: SparkSession, sf_dir: str) -> DataFrame:
             "double_fire_rate"
         ),
     )
+
+
+_KEYGAP_ORACLE = """
+WITH k AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+bounds AS (SELECT max(k) AS kmax FROM k)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_gap_boundaries,
+       CAST(min(a.k) AS BIGINT) AS first_gap_after,
+       CAST(max(a.k) AS BIGINT) AS last_gap_after
+FROM k a
+CROSS JOIN bounds
+WHERE a.k < bounds.kmax
+  AND NOT EXISTS (SELECT 1 FROM k b WHERE b.k = a.k + 1)
+"""
+
+
+@query("dq_key_sequence_gaps", oracle=_KEYGAP_ORACLE)
+def dq_key_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-sequence gap audit: how many points in the order-key space
+    are followed by a hole (k present, k+1 absent) — the
+    dropped-records detector for ingest pipelines whose upstream
+    assigns dense sequence numbers. Deliberately NOT the lag-window
+    formulation: a global window over every key is one executor's sort
+    at 100 TB, while this anti-join on k+1 is two hash shuffles of the
+    distinct-key projection with full parallelism; the max-key guard
+    excludes the trivial end-of-range 'gap'."""
+    o = load_table(spark, sf_dir, "orders")
+    k = o.select(F.col("o_orderkey").alias("k")).distinct()
+    bounds = k.agg(F.max("k").alias("kmax"))
+    b = k.select(F.col("k").alias("kb"))
+    gap_starts = (
+        k.join(b, F.col("k") + 1 == F.col("kb"), "left_anti")
+        .crossJoin(F.broadcast(bounds))
+        .where(F.col("k") < F.col("kmax"))
+    )
+    return gap_starts.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gap_boundaries"),
+        F.min("k").cast("long").alias("first_gap_after"),
+        F.max("k").cast("long").alias("last_gap_after"),
+    )

@@ -185,8 +185,9 @@ def mm_decode_ppm(spark: SparkSession, sf_dir: str) -> DataFrame:
     decode_images` parses the netpbm header and raw RGB pixels with pure
     struct/numpy — no codec library, no fixture-specific shortcut — then
     emits exact per-channel means the SQL oracle rebuilds with ``ord()``
-    arithmetic. ``NotImplementedError`` stays reserved for genuinely
-    absent codecs (JPEG/PNG)."""
+    arithmetic. (JPEG is real too since round 6 — see `mm_decode_jpeg`;
+    ``NotImplementedError`` now covers only progressive/arithmetic JPEG
+    variants and PNG.)"""
     ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
     return mm.decode_images(ppm)
 
@@ -599,3 +600,88 @@ def mm_image_channel_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits"
         ),
     )
+
+
+def _jpeg_pass_cte(src: str, dst: str) -> str:
+    """One encode→decode round trip of a solid (r,g,b) as SQL CTEs:
+    JFIF YCbCr (half-up), flat-16 DC quantization (exact power-of-two
+    algebra), dequant+IDCT, YCbCr→RGB — the codec's per-pass closed
+    form, emitting columns (r,g,b) again so passes chain."""
+
+    def rt(c: str) -> str:
+        return _jfloor(
+            f"floor(({c} - CAST(128 AS DOUBLE)) / 2"
+            " + CAST(0.5 AS DOUBLE)) * 16 / 8 + CAST(128 AS DOUBLE)"
+        )
+
+    y0 = _jfloor(
+        "CAST(0.299 AS DOUBLE) * r + CAST(0.587 AS DOUBLE) * g"
+        " + CAST(0.114 AS DOUBLE) * b"
+    )
+    cb0 = _jfloor(
+        "CAST(-0.168736 AS DOUBLE) * r - CAST(0.331264 AS DOUBLE) * g"
+        " + CAST(0.5 AS DOUBLE) * b + CAST(128 AS DOUBLE)"
+    )
+    cr0 = _jfloor(
+        "CAST(0.5 AS DOUBLE) * r - CAST(0.418688 AS DOUBLE) * g"
+        " - CAST(0.081312 AS DOUBLE) * b + CAST(128 AS DOUBLE)"
+    )
+    return f""",
+{dst}_yc AS (
+    SELECT asset_id, width, height,
+           {y0} AS y0, {cb0} AS cb0, {cr0} AS cr0
+    FROM {src}
+),
+{dst}_rt AS (
+    SELECT asset_id, width, height,
+           {rt("y0")} AS y1, {rt("cb0")} AS cb1, {rt("cr0")} AS cr1
+    FROM {dst}_yc
+),
+{dst} AS (
+    SELECT asset_id, width, height,
+           {_jfloor("y1 + CAST(1.402 AS DOUBLE)"
+                    " * (cr1 - CAST(128 AS DOUBLE))")} AS r,
+           {_jfloor("y1 - CAST(0.344136 AS DOUBLE)"
+                    " * (cb1 - CAST(128 AS DOUBLE))"
+                    " - CAST(0.714136 AS DOUBLE)"
+                    " * (cr1 - CAST(128 AS DOUBLE))")} AS g,
+           {_jfloor("y1 + CAST(1.772 AS DOUBLE)"
+                    " * (cb1 - CAST(128 AS DOUBLE))")} AS b
+    FROM {dst}_rt
+)"""
+
+
+_RESIZE_JPEG_ORACLE = (
+    """
+WITH c AS (
+    SELECT doc_id AS asset_id,
+           CAST(doc_id * 7 % 256 AS DOUBLE) AS r,
+           CAST(doc_id * 13 % 256 AS DOUBLE) AS g,
+           CAST(doc_id * 31 % 256 AS DOUBLE) AS b,
+           CAST((8 + doc_id % 3 * 8) // 2 AS INT) AS width,
+           CAST((8 + doc_id % 2 * 8) // 2 AS INT) AS height
+    FROM documents
+)"""
+    + _jpeg_pass_cte("c", "p1")
+    + _jpeg_pass_cte("p1", "p2")
+    + """
+SELECT asset_id, width, height,
+       r AS mean_r, g AS mean_g, b AS mean_b,
+       CAST(NULL AS VARCHAR) AS err
+FROM p2
+"""
+)
+
+
+@query("mm_jpeg_resize_reencode", oracle=_RESIZE_JPEG_ORACLE)
+def mm_jpeg_resize_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail pipeline, both codec directions on executors: decode
+    each synthesized baseline JPEG, nearest-neighbor downsample 2×,
+    RE-ENCODE with the pure-numpy encoder, decode again, and emit the
+    final dims and channel means. The second pass re-derives YCbCr from
+    the first pass's decoded RGB, so the oracle applies the codec's
+    per-pass closed form TWICE (`_jpeg_pass_cte` chained) at the halved
+    dimensions — a lossy encode→decode→transform→encode→decode chain
+    verified by exact hash, not tolerance."""
+    jp = mm.synthesize_jpeg(load_table(spark, sf_dir, "documents"))
+    return mm.resize_reencode_jpegs(jp, factor=2)
