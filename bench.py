@@ -231,6 +231,7 @@ HEADLINE = [
     "subquery_correlated_scalar",
     "dq_key_sequence_gaps",
     "mm_jpeg_resize_reencode",
+    "ts_durbin_watson",
 ]
 
 

@@ -99,6 +99,7 @@ _CHECK_FIRST = (
     "subquery_correlated_scalar",
     "dq_key_sequence_gaps",
     "mm_jpeg_resize_reencode",
+    "ts_durbin_watson",
     # (b) never driver-checked in any round (all green in the full
     # local run of the driver's own compare logic).
     "graph_degree_distribution",

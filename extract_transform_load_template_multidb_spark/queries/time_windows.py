@@ -3211,3 +3211,96 @@ def window_range_trailing_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("trailing_7d_revenue"),
         F.count(F.lit(1)).over(w).cast("long").alias("days_in_window"),
     )
+
+
+_DW_ORACLE = """
+WITH daily AS (
+    SELECT CAST(datediff('day', DATE '1995-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS DOUBLE)
+               AS t,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+),
+fit AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           SUM(t) AS st, SUM(y) AS sy,
+           SUM(t * y) AS sty, SUM(t * t) AS stt
+    FROM daily
+),
+resid AS (
+    SELECT d.t,
+           d.y - ((f.sty - f.st * f.sy / f.n)
+                  / (f.stt - f.st * f.st / f.n)) * d.t
+               - (f.sy / f.n - ((f.sty - f.st * f.sy / f.n)
+                                / (f.stt - f.st * f.st / f.n))
+                  * (f.st / f.n)) AS e
+    FROM daily d CROSS JOIN fit f
+),
+lagged AS (
+    SELECT e, lag(e) OVER (ORDER BY t) AS pe FROM resid
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(SUM(CAST(round(CASE WHEN pe IS NOT NULL
+                      THEN (e - pe) * (e - pe) ELSE 0 END, 6)
+                      AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(SUM(CAST(round(e * e, 6) AS DECIMAL(38,6)))
+                    AS DOUBLE), 6) AS durbin_watson
+FROM lagged
+"""
+
+
+@query("ts_durbin_watson", oracle=_DW_ORACLE)
+def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson autocorrelation diagnostic on the residuals of the
+    daily-count OLS trend — the 'are my regression errors independent'
+    check (DW ≈ 2 independent, → 0 positively autocorrelated: the
+    standard errors of `agg_linear_trend`-style fits are lies and the
+    series needs `ts_acf_multi_lag` treatment). The fact stream
+    collapses to the bounded daily rollup; OLS comes from one moment
+    aggregate broadcast back; one bounded window for the lag. Integer
+    t/y keep every sum exact; the two quadratic-form sums divide once,
+    rounded to the hash grid."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("1995-01-01").cast("date"),
+        )
+        .cast("double")
+        .alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    fit = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").alias("st"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("y")).alias("sty"),
+        F.sum(F.col("t") * F.col("t")).alias("stt"),
+    )
+    n, st, sy = F.col("n"), F.col("st"), F.col("sy")
+    slope = (F.col("sty") - st * sy / n) / (F.col("stt") - st * st / n)
+    icept = sy / n - slope * (st / n)
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "t", (F.col("y") - slope * F.col("t") - icept).alias("e")
+    )
+    lagged = resid.select(
+        "e", F.lag("e").over(W.orderBy("t")).alias("pe")
+    )
+    e, pe = F.col("e"), F.col("pe")
+    # Quadratic-form terms quantize to 6 decimals then DECIMAL-sum
+    # (the repo's order-independent float discipline) — per-row values
+    # are identical IEEE dags in both engines, so the quantized sums
+    # match bit-for-bit under any partitioning.
+    num_term = F.round(
+        F.when(pe.isNotNull(), (e - pe) * (e - pe)).otherwise(0.0), 6
+    ).cast("decimal(38,6)")
+    den_term = F.round(e * e, 6).cast("decimal(38,6)")
+    return lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.sum(num_term).cast("double")
+            / F.sum(den_term).cast("double"),
+            6,
+        ).alias("durbin_watson"),
+    )

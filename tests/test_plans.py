@@ -690,3 +690,26 @@ def test_decode_jpeg_single_arrow_stage_no_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "mm_decode_jpeg")
     assert plan.count("MapInPandas") == 2
     assert "BatchEvalPython" not in plan
+
+
+def test_correlated_scalar_decorrelates(spark, sf_dir):
+    """The correlated scalar subquery must decorrelate to ONE aggregate
+    over orders joined back on o_custkey — never a per-outer-row
+    re-execution (no nested-loop join of the subquery side)."""
+    plan = _plan(spark, sf_dir, "subquery_correlated_scalar")
+    assert plan.count("HashAggregate") >= 2  # partial+final of ONE agg
+    assert "CartesianProduct" not in plan
+    # Exactly two scans of orders: the outer side and the decorrelated
+    # aggregate side (per-row re-execution would show neither — it
+    # would be a lateral loop — and a third scan means the rewrite
+    # duplicated the subquery).
+    assert plan.count("Scan parquet") <= 3
+
+
+def test_key_gap_audit_no_global_sort(spark, sf_dir):
+    """The key-gap audit must stay an anti-join (hash shuffles, full
+    parallelism) — a lag-window formulation would globally sort every
+    key on one executor at 100 TB."""
+    plan = _plan(spark, sf_dir, "dq_key_sequence_gaps")
+    assert "Window" not in plan
+    assert "Sort [k" not in plan
