@@ -232,6 +232,14 @@ HEADLINE = [
     "dq_key_sequence_gaps",
     "mm_jpeg_resize_reencode",
     "ts_durbin_watson",
+    "ts_mann_kendall_trend",
+    "ts_page_hinkley_drift",
+    "ts_pacf_durbin_levinson",
+    "ts_hurst_aggregated_variance",
+    "agg_cohens_d_effect_size",
+    "agg_kendall_tau_daily",
+    "agg_cramers_v",
+    "agg_levene_brown_forsythe",
 ]
 
 
@@ -268,10 +276,17 @@ def main() -> None:
         "curation_keep_longest": 2,
         "dedup_nearest_neighbor_doc": 2,
     }
+    # SPARK_GRAFT_ONLY="a,b,c" restricts the sweep to a comma-separated
+    # subset of HEADLINE — for targeted re-timing of individual queries
+    # (e.g. adjudicating a host-noise burst) without the full sweep.
+    only_env = os.environ.get("SPARK_GRAFT_ONLY", "").strip()
+    only = {n for n in only_env.split(",") if n} if only_env else None
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
     for name in HEADLINE:
         if name not in qs:
+            continue
+        if only is not None and name not in only:
             continue
         runs = []
         for _ in range(max(1, min(repeats, heavy.get(name, repeats)))):
@@ -296,8 +311,13 @@ def main() -> None:
     # null). Budget the line: per-query entries are added slowest-first
     # until ~1800 chars, the rest collapse into an "other" bucket whose
     # count and summed seconds keep the total reconcilable.
+    # Subset runs (SPARK_GRAFT_ONLY) go to a separate detail file so a
+    # targeted re-timing never overwrites the committed full-sweep record.
+    detail_name = (
+        "BENCH_DETAIL_SUBSET.json" if only is not None else "BENCH_DETAIL.json"
+    )
     detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
+        os.path.dirname(os.path.abspath(__file__)), detail_name
     )
     with open(detail_path, "w") as fh:
         json.dump(
@@ -320,7 +340,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "n_queries": len(timings),
-                "detail": "BENCH_DETAIL.json",
+                "detail": detail_name,
                 "queries": qmap,
                 "sf": sf_val,
             },

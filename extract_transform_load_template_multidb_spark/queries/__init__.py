@@ -164,7 +164,11 @@ _CHECK_LAST = (
 
 # ROUND-7 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r06
 # confirms the round-6 window, replace _CHECK_FIRST with the next ~50
-# still-never-driver-green names. Largest remaining never-checked
+# still-never-driver-green names. Lead with the late-round-6 additions
+# (ts_mann_kendall_trend, ts_page_hinkley_drift, ts_pacf_durbin_levinson,
+# ts_hurst_aggregated_variance, agg_cohens_d_effect_size,
+# agg_kendall_tau_daily, agg_cramers_v, agg_levene_brown_forsythe, and
+# any newer) — new code gets driver evidence first. Largest remaining never-checked
 # families after r6: ts_* (~35: rolling_zscore, ohlc_rollup,
 # hour_of_day_profile, time_weighted_avg, interpolate_linear,
 # autocorr_lag1, session/cohort/stickiness/churn analytics, EWMA/CUSUM/

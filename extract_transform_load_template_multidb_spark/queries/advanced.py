@@ -5736,3 +5736,419 @@ def subquery_correlated_scalar(
         FROM _corr_orders o
         """
     )
+
+
+_COHENS_D_ORACLE = """
+WITH g AS (
+    SELECT event_type,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+      AND event_type IN ('click', 'purchase')
+    GROUP BY event_type
+),
+st AS (
+    SELECT event_type, n, s1 / n AS mean,
+           (s2 - (s1 / n) * s1) / (n - 1) AS var
+    FROM g
+),
+ab AS (
+    SELECT a.n AS n1, a.mean AS m1, a.var AS v1,
+           b.n AS n2, b.mean AS m2, b.var AS v2
+    FROM st a, st b
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+       round((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                              / (n1 + n2 - 2)), 6) AS cohens_d,
+       round(((m1 - m2) / sqrt(((n1 - 1) * v1 + (n2 - 1) * v2)
+                               / (n1 + n2 - 2)))
+             * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6) AS hedges_g
+FROM ab
+"""
+
+
+@query("agg_cohens_d_effect_size", oracle=_COHENS_D_ORACLE)
+def agg_cohens_d_effect_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d / Hedges' g standardized effect size between the click
+    and purchase value populations — the 'is this difference big enough
+    to matter' companion to `agg_welch_t_test`'s 'is it real' (at 100 TB
+    every difference is significant; only the effect size is
+    decision-grade). Same one-pass sufficient-statistics shape as the
+    t-test: exact DECIMAL Σx/Σx² per group, a two-1-row broadcast
+    combine, then a fixed scalar dag for the pooled-SD standardization
+    and the small-sample Hedges correction 1-3/(4N-9)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    g = (
+        ev.where(
+            ~F.isnan(v)
+            & (F.abs(v) != float("inf"))
+            & F.col("event_type").isin("click", "purchase")
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("n"),
+            F.sum(v.cast("decimal(38,6)")).cast("double").alias("s1"),
+            F.sum((v * v).cast("decimal(38,6)")).cast("double").alias("s2"),
+        )
+    )
+    st = g.select(
+        "event_type",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - (F.col("s1") / F.col("n")) * F.col("s1"))
+            / (F.col("n") - 1)
+        ).alias("var"),
+    )
+    a = st.where(F.col("event_type") == "click").select(
+        F.col("n").alias("n1"),
+        F.col("mean").alias("m1"),
+        F.col("var").alias("v1"),
+    )
+    b = st.where(F.col("event_type") == "purchase").select(
+        F.col("n").alias("n2"),
+        F.col("mean").alias("m2"),
+        F.col("var").alias("v2"),
+    )
+    ab = a.crossJoin(F.broadcast(b))
+    n1, n2 = F.col("n1"), F.col("n2")
+    pooled_sd = F.sqrt(
+        ((n1 - 1) * F.col("v1") + (n2 - 1) * F.col("v2")) / (n1 + n2 - 2)
+    )
+    d = (F.col("m1") - F.col("m2")) / pooled_sd
+    return ab.select(
+        n1.cast("long").alias("n_click"),
+        n2.cast("long").alias("n_purchase"),
+        F.round(d, 6).alias("cohens_d"),
+        F.round(d * (1.0 - 3.0 / (4.0 * (n1 + n2) - 9.0)), 6).alias(
+            "hedges_g"
+        ),
+    )
+
+
+_KENDALL_ORACLE = """
+WITH daily AS (
+    SELECT o_orderdate AS day,
+           CAST(COUNT(*) AS BIGINT) AS x,
+           SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS y
+    FROM orders GROUP BY 1
+),
+pairs AS (
+    SELECT
+        CAST(SUM(CASE WHEN (b.x > a.x AND b.y > a.y)
+                        OR (b.x < a.x AND b.y < a.y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        CAST(SUM(CASE WHEN (b.x > a.x AND b.y < a.y)
+                        OR (b.x < a.x AND b.y > a.y)
+                 THEN 1 ELSE 0 END) AS BIGINT) AS d
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+tx AS (
+    SELECT CAST(COALESCE(SUM(g * (g - 1) / 2), 0) AS BIGINT) AS t
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS g FROM daily GROUP BY x)
+    WHERE g > 1
+),
+ty AS (
+    SELECT CAST(COALESCE(SUM(g * (g - 1) / 2), 0) AS BIGINT) AS t
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS g FROM daily GROUP BY y)
+    WHERE g > 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+SELECT n.n AS n_days, pairs.c AS concordant, pairs.d AS discordant,
+       round(CAST(pairs.c - pairs.d AS DOUBLE)
+             / sqrt(CAST(n.n * (n.n - 1) / 2 - tx.t AS DOUBLE)
+                    * CAST(n.n * (n.n - 1) / 2 - ty.t AS DOUBLE)), 6)
+           AS tau_b
+FROM n, pairs, tx, ty
+"""
+
+
+@query("agg_kendall_tau_daily", oracle=_KENDALL_ORACLE)
+def agg_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b rank correlation between daily order count and
+    daily revenue — the third rank-association measure alongside
+    Pearson (`agg_corr_per_group`) and Spearman
+    (`agg_spearman_rank_corr`); tau's pairwise-concordance form is the
+    one with a direct probabilistic reading (P(concordant) −
+    P(discordant)) and the tie-corrected tau-b denominator. The fact
+    table collapses to the bounded daily rollup, so the O(days²)
+    concordance join is a broadcast over a ≤calendar-days frame; counts
+    are integers and revenue sums exact DECIMAL, so every comparison —
+    and hence C, D, and both tie terms — is exact, with one rounded
+    division at the end."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).alias("y"),
+    )
+    a = daily.select(
+        F.col("day").alias("a_day"),
+        F.col("x").alias("a_x"),
+        F.col("y").alias("a_y"),
+    )
+    b = daily.select(
+        F.col("day").alias("b_day"),
+        F.col("x").alias("b_x"),
+        F.col("y").alias("b_y"),
+    )
+    conc = (F.col("b_x") > F.col("a_x")) & (F.col("b_y") > F.col("a_y")) | (
+        F.col("b_x") < F.col("a_x")
+    ) & (F.col("b_y") < F.col("a_y"))
+    disc = (F.col("b_x") > F.col("a_x")) & (F.col("b_y") < F.col("a_y")) | (
+        F.col("b_x") < F.col("a_x")
+    ) & (F.col("b_y") > F.col("a_y"))
+    pairs = a.join(F.broadcast(b), F.col("b_day") > F.col("a_day")).agg(
+        F.sum(F.when(conc, 1).otherwise(0)).cast("long").alias("c"),
+        F.sum(F.when(disc, 1).otherwise(0)).cast("long").alias("d"),
+    )
+
+    def tie_term(col: str):
+        return (
+            daily.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("g"))
+            .where(F.col("g") > 1)
+            .agg(
+                F.coalesce(
+                    F.sum(F.col("g") * (F.col("g") - 1) / 2), F.lit(0)
+                )
+                .cast("long")
+                .alias("t")
+            )
+        )
+
+    tx = tie_term("x").withColumnRenamed("t", "tx")
+    ty = tie_term("y").withColumnRenamed("t", "ty")
+    n = daily.agg(F.count(F.lit(1)).alias("n"))
+    combined = (
+        n.crossJoin(F.broadcast(pairs))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    nn = F.col("n")
+    n0 = nn * (nn - 1) / 2
+    tau = (F.col("c") - F.col("d")).cast("double") / F.sqrt(
+        (n0 - F.col("tx")).cast("double")
+        * (n0 - F.col("ty")).cast("double")
+    )
+    return combined.select(
+        nn.alias("n_days"),
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+_CRAMERS_V_ORACLE = """
+WITH cells AS (
+    SELECT o_orderpriority AS r, o_orderstatus AS c,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM orders GROUP BY 1, 2
+),
+tot AS (
+    SELECT CAST(SUM(obs) AS DOUBLE) AS n,
+           CAST(COUNT(DISTINCT r) AS BIGINT) AS nr,
+           CAST(COUNT(DISTINCT c) AS BIGINT) AS nc
+    FROM cells
+),
+margins AS (
+    SELECT cells.r, cells.c, cells.obs,
+           rt.row_tot, ct.col_tot
+    FROM cells
+    JOIN (SELECT r, CAST(SUM(obs) AS DOUBLE) AS row_tot
+          FROM cells GROUP BY r) rt USING (r)
+    JOIN (SELECT c, CAST(SUM(obs) AS DOUBLE) AS col_tot
+          FROM cells GROUP BY c) ct USING (c)
+),
+chi AS (
+    SELECT CAST(SUM(CAST(round(
+               (CAST(obs AS DOUBLE) - row_tot * col_tot / tot.n)
+               * (CAST(obs AS DOUBLE) - row_tot * col_tot / tot.n)
+               / (row_tot * col_tot / tot.n), 6) AS DECIMAL(38,6)))
+               AS DOUBLE) AS chi2
+    FROM margins, tot
+)
+SELECT CAST(tot.n AS BIGINT) AS n_orders,
+       tot.nr AS n_priorities, tot.nc AS n_statuses,
+       round(chi.chi2, 6) AS chi_square,
+       round(sqrt(chi.chi2 / (tot.n
+                  * CAST(least(tot.nr, tot.nc) - 1 AS DOUBLE))), 6)
+           AS cramers_v
+FROM tot, chi
+"""
+
+
+@query("agg_cramers_v", oracle=_CRAMERS_V_ORACLE)
+def agg_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between order priority and order
+    status — the 0-to-1 effect size that `agg_chi_square_independence`'s
+    raw χ² cannot provide (χ² grows with N; V is the scale-free measure
+    a profiler actually compares across column pairs, cf.
+    `dq_column_cardinality_profile`). One fact pass builds the bounded
+    contingency cells; margins and χ² live entirely on that ≤r×c frame
+    (two tiny self-joins), each cell's contribution quantized to the
+    6-dp grid and DECIMAL-summed so the statistic is order-invariant."""
+    o = load_table(spark, sf_dir, "orders")
+    cells = o.groupBy(
+        F.col("o_orderpriority").alias("r"),
+        F.col("o_orderstatus").alias("c"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    tot = cells.agg(
+        F.sum("obs").cast("double").alias("n"),
+        F.countDistinct("r").alias("nr"),
+        F.countDistinct("c").alias("nc"),
+    )
+    rt = cells.groupBy("r").agg(
+        F.sum("obs").cast("double").alias("row_tot")
+    )
+    ct = cells.groupBy("c").agg(
+        F.sum("obs").cast("double").alias("col_tot")
+    )
+    margins = (
+        cells.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(tot))
+    )
+    exp = F.col("row_tot") * F.col("col_tot") / F.col("n")
+    obs = F.col("obs").cast("double")
+    chi2 = F.sum(
+        F.round((obs - exp) * (obs - exp) / exp, 6).cast("decimal(38,6)")
+    ).cast("double")
+    agg = margins.agg(
+        F.any_value("n").alias("n"),
+        F.any_value("nr").alias("nr"),
+        F.any_value("nc").alias("nc"),
+        chi2.alias("chi2"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("nr").alias("n_priorities"),
+        F.col("nc").alias("n_statuses"),
+        F.round(F.col("chi2"), 6).alias("chi_square"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n")
+                    * (F.least("nr", "nc") - F.lit(1)).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+_BROWN_FORSYTHE_ORACLE = """
+WITH med AS (
+    SELECT o_orderpriority, quantile_cont(o_totalprice, 0.5) AS med
+    FROM orders GROUP BY 1
+),
+z AS (
+    SELECT o.o_orderpriority,
+           abs(CAST(o.o_totalprice AS DOUBLE) - m.med) AS z
+    FROM orders o JOIN med m USING (o_orderpriority)
+),
+g AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(z AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(z * z AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM z GROUP BY 1
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+           CAST(SUM(n) AS DOUBLE) AS nn,
+           CAST(SUM(CAST(s1 AS DECIMAL(38,6))) AS DOUBLE) AS ts1
+    FROM g
+),
+terms AS (
+    SELECT t.nn, t.k,
+           CAST(round(g.n * (g.s1 / g.n - t.ts1 / t.nn)
+                          * (g.s1 / g.n - t.ts1 / t.nn), -3)
+                AS DECIMAL(38,0)) AS ssb_term,
+           CAST(round(g.s2 - g.s1 * g.s1 / g.n, -3)
+                AS DECIMAL(38,0)) AS ssw_term
+    FROM g CROSS JOIN tot t
+)
+SELECT CAST(any_value(nn) AS BIGINT) AS n_orders,
+       CAST(any_value(k) AS BIGINT) AS n_groups,
+       CAST(SUM(ssb_term) AS DOUBLE) AS ss_between,
+       CAST(SUM(ssw_term) AS DOUBLE) AS ss_within,
+       (CAST(SUM(ssb_term) AS DOUBLE) / (any_value(k) - 1))
+           / (CAST(SUM(ssw_term) AS DOUBLE)
+              / (any_value(nn) - any_value(k))) AS f_stat
+FROM terms
+"""
+
+
+@query("agg_levene_brown_forsythe", oracle=_BROWN_FORSYTHE_ORACLE)
+def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test of o_totalprice across order priorities — the gatekeeper
+    diagnostic for `ts_weekday_anova`-style pooled-variance tests (ANOVA
+    assumes equal group variances; this is the robust way to check it).
+    Group medians come from the distributed running-count selector
+    (never the one-reducer percentile buffer), broadcast back for the
+    absolute-deviation pass; the one-way ANOVA F over those deviations
+    follows `ts_weekday_anova`'s cancellation-safe form — per-group
+    exact DECIMAL sufficient statistics (deviations land on the 3-dp
+    grid: 2-dp prices minus a ≤3-dp interpolated median), each SSB/SSW
+    term rounded onto the tie-safe 1000-unit grid before an exact
+    DECIMAL(38,0) cross-group sum (these terms sit at 1e9–1e13 where
+    double ulp approaches 1e-3 — a fine grid is NOT tie-safe there and
+    last-bit engine divergence leaks through; the strict driver-grade
+    compare catches exactly that)."""
+    o = load_table(spark, sf_dir, "orders")
+    med = exact_percentiles(
+        o, ["o_orderpriority"], "o_totalprice", {"med": 0.5}
+    )
+    z = o.join(F.broadcast(med), "o_orderpriority").select(
+        "o_orderpriority",
+        F.abs(
+            F.col("o_totalprice").cast("double") - F.col("med")
+        ).alias("z"),
+    )
+    zc = F.col("z")
+    g = z.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(zc.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((zc * zc).cast("decimal(38,6)")).cast("double").alias("s2"),
+    )
+    tot = g.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum("n").cast("double").alias("nn"),
+        F.sum(F.col("s1").cast("decimal(38,6)")).cast("double").alias("ts1"),
+    )
+    m = F.col("s1") / F.col("n")
+    grand = F.col("ts1") / F.col("nn")
+    terms = g.crossJoin(F.broadcast(tot)).select(
+        "nn",
+        "k",
+        F.round(F.col("n") * (m - grand) * (m - grand), -3)
+        .cast("decimal(38,0)")
+        .alias("ssb_term"),
+        F.round(
+            F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"), -3
+        )
+        .cast("decimal(38,0)")
+        .alias("ssw_term"),
+    )
+    out = terms.agg(
+        F.any_value("nn").alias("nn"),
+        F.any_value("k").alias("k"),
+        F.sum("ssb_term").cast("double").alias("ssb"),
+        F.sum("ssw_term").cast("double").alias("ssw"),
+    )
+    kk, nn = F.col("k"), F.col("nn")
+    return out.select(
+        nn.cast("long").alias("n_orders"),
+        kk.cast("long").alias("n_groups"),
+        F.col("ssb").alias("ss_between"),
+        F.col("ssw").alias("ss_within"),
+        ((F.col("ssb") / (kk - 1)) / (F.col("ssw") / (nn - kk))).alias(
+            "f_stat"
+        ),
+    )

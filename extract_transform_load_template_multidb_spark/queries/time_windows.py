@@ -3304,3 +3304,434 @@ def ts_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("durbin_watson"),
     )
+
+
+_MK_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+pairs AS (
+    SELECT CAST(SUM(CASE WHEN b.y > a.y THEN 1
+                         WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+    FROM daily a JOIN daily b ON b.day > a.day
+),
+ties AS (
+    SELECT CAST(COALESCE(SUM(g * (g - 1) * (2 * g + 5)), 0) AS BIGINT)
+               AS tie_term
+    FROM (SELECT CAST(COUNT(*) AS BIGINT) AS g FROM daily GROUP BY y)
+    WHERE g > 1
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily)
+SELECT n.n AS n_days,
+       pairs.s AS s_stat,
+       round((CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
+                   AS DOUBLE)) / 18.0, 6) AS var_s,
+       round(CASE
+           WHEN pairs.s > 0 THEN (CAST(pairs.s AS DOUBLE) - 1)
+               / sqrt((CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
+                            AS DOUBLE)) / 18.0)
+           WHEN pairs.s < 0 THEN (CAST(pairs.s AS DOUBLE) + 1)
+               / sqrt((CAST(n.n * (n.n - 1) * (2 * n.n + 5) - ties.tie_term
+                            AS DOUBLE)) / 18.0)
+           ELSE 0.0 END, 6) AS z_score
+FROM n, pairs, ties
+"""
+
+
+@query("ts_mann_kendall_trend", oracle=_MK_ORACLE)
+def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric monotonic-trend test on the daily
+    event-count series — the rank-based alternative to
+    `agg_linear_trend`'s OLS slope that survives outliers and any
+    monotone transform (the reference's window extracts feed dashboards
+    where 'is volume trending up' must not hinge on normality). The
+    fact stream collapses to the bounded daily rollup first, so the
+    O(days²) sign-pair join runs on a ≤calendar-days frame (broadcast,
+    never a fact-table cartesian); the tie-corrected variance
+    n(n-1)(2n+5)-Σg(g-1)(2g+5) over 18 and the continuity-corrected
+    z-score are pure integer arithmetic until the two final rounded
+    divisions, so the hash is partition-invariant by construction."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    a = daily.select(F.col("day").alias("a_day"), F.col("y").alias("a_y"))
+    b = daily.select(F.col("day").alias("b_day"), F.col("y").alias("b_y"))
+    s = (
+        a.join(F.broadcast(b), F.col("b_day") > F.col("a_day"))
+        .agg(
+            F.sum(
+                F.when(F.col("b_y") > F.col("a_y"), F.lit(1))
+                .when(F.col("b_y") < F.col("a_y"), F.lit(-1))
+                .otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("s")
+        )
+    )
+    ties = (
+        daily.groupBy("y")
+        .agg(F.count(F.lit(1)).alias("g"))
+        .where(F.col("g") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.col("g")
+                    * (F.col("g") - 1)
+                    * (2 * F.col("g") + 5)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    n = daily.agg(F.count(F.lit(1)).alias("n"))
+    combined = n.crossJoin(F.broadcast(s)).crossJoin(F.broadcast(ties))
+    nn = F.col("n")
+    var_s = (
+        (nn * (nn - 1) * (2 * nn + 5) - F.col("tie_term")).cast("double")
+        / 18.0
+    )
+    sd = F.col("s").cast("double")
+    z = (
+        F.when(F.col("s") > 0, (sd - 1) / F.sqrt(var_s))
+        .when(F.col("s") < 0, (sd + 1) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    return combined.select(
+        F.col("n").alias("n_days"),
+        F.col("s").alias("s_stat"),
+        F.round(var_s, 6).alias("var_s"),
+        F.round(z, 6).alias("z_score"),
+    )
+
+
+_PH_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+run AS (
+    SELECT day, y,
+           SUM(y) OVER w AS cum_y,
+           CAST(row_number() OVER w AS BIGINT) AS t
+    FROM daily
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+),
+dev AS (
+    SELECT day, t,
+           CAST(round(CAST(y AS DOUBLE)
+                      - CAST(cum_y AS DOUBLE) / CAST(t AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS d
+    FROM run
+),
+cum AS (
+    SELECT day, SUM(d) OVER w AS m_t
+    FROM dev
+    WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+),
+m AS (
+    SELECT day, m_t,
+           MIN(m_t) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS min_m
+    FROM cum
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+       round(CAST(max(m_t - min_m) AS DOUBLE), 6) AS ph_stat,
+       MIN(CASE WHEN m_t = (SELECT MIN(m_t) FROM m) THEN day END)
+           AS trough_day
+FROM m
+"""
+
+
+@query("ts_page_hinkley_drift", oracle=_PH_ORACLE)
+def ts_page_hinkley_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley mean-shift drift statistic on daily event counts —
+    the sequential change detector a streaming ingest monitor runs to
+    catch 'volume stepped up and never came back' (complements
+    `window_cusum_changepoint`, which tests a KNOWN split; PH scans all
+    of them online). Deviations from the RUNNING mean (exact integer
+    cumsum / t) are quantized to the 6-dp grid and cumulated as
+    DECIMAL — associative, so the running sums are identical across
+    engines and partitionings; the PH statistic max_t(m_t - min_{i<=t}
+    m_i) and the trough day (min_by) come from one ordered window pass
+    over the bounded daily frame."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    w = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    run = daily.select(
+        "day",
+        F.round(
+            F.col("y").cast("double")
+            - F.sum("y").over(w).cast("double")
+            / F.row_number().over(W.orderBy("day")).cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("d"),
+    )
+    m = run.select(
+        "day",
+        F.sum("d").over(w).alias("m_t"),
+    )
+    m = m.select(
+        "day",
+        "m_t",
+        F.min("m_t").over(w).alias("min_m"),
+    )
+    # Trough day ties deterministically to the EARLIEST day achieving
+    # the global minimum of m_t (day 1 always has deviation 0, so a
+    # 0-valued minimum genuinely ties) — min over the (m_t, day) struct
+    # orders lexicographically in both engines' scalar-CASE form.
+    gmin = m.agg(F.min("m_t").alias("gmin"))
+    return m.crossJoin(F.broadcast(gmin)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.round(
+            F.max(F.col("m_t") - F.col("min_m")).cast("double"), 6
+        ).alias("ph_stat"),
+        F.min(
+            F.when(F.col("m_t") == F.col("gmin"), F.col("day"))
+        ).alias("trough_day"),
+    )
+
+
+_PACF_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+stats AS (
+    SELECT CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS xbar
+    FROM daily
+),
+centered AS (
+    SELECT d.day, CAST(d.y AS DOUBLE) - s.xbar AS c
+    FROM daily d CROSS JOIN stats s
+),
+lagged AS (
+    SELECT c,
+           lag(c, 1) OVER (ORDER BY day) AS c1,
+           lag(c, 2) OVER (ORDER BY day) AS c2,
+           lag(c, 3) OVER (ORDER BY day) AS c3
+    FROM centered
+),
+sums AS (
+    SELECT
+        CAST(SUM(CAST(round(c * c, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s0,
+        CAST(SUM(CAST(round(c * c1, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+        CAST(SUM(CAST(round(c * c2, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s2,
+        CAST(SUM(CAST(round(c * c3, 6) AS DECIMAL(38,6))) AS DOUBLE) AS s3
+    FROM lagged
+),
+acf AS (
+    SELECT s1 / s0 AS r1, s2 / s0 AS r2, s3 / s0 AS r3 FROM sums
+)
+SELECT round(r1, 6) AS pacf_1,
+       round((r2 - r1 * r1) / (1 - r1 * r1), 6) AS pacf_2,
+       round((r3 - (r1 * (1 - r2) / (1 - r1 * r1)) * r2
+              - ((r2 - r1 * r1) / (1 - r1 * r1)) * r1)
+             / (1 - (r1 * (1 - r2) / (1 - r1 * r1)) * r1
+                - ((r2 - r1 * r1) / (1 - r1 * r1)) * r2), 6) AS pacf_3
+FROM acf
+"""
+
+
+@query("ts_pacf_durbin_levinson", oracle=_PACF_ORACLE)
+def ts_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1-3 via the closed-form Durbin-Levinson recursion — the AR-order
+    picker that `ts_acf_multi_lag` cannot provide (ACF of an AR(1)
+    decays forever; PACF cuts off at the true order). One bounded daily
+    rollup, one global-mean broadcast, three row-lag windows on the
+    same day-ordered sort; every cross-product term is quantized to the
+    6-dp grid and summed as DECIMAL so the autocovariances — and hence
+    the recursion's rational functions of r1..r3 — are bit-identical
+    across engines regardless of partitioning."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    stats = daily.agg(
+        (
+            F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("xbar")
+    )
+    centered = daily.crossJoin(F.broadcast(stats)).select(
+        "day", (F.col("y").cast("double") - F.col("xbar")).alias("c")
+    )
+    wo = W.orderBy("day")
+    lagged = centered.select(
+        "c",
+        F.lag("c", 1).over(wo).alias("c1"),
+        F.lag("c", 2).over(wo).alias("c2"),
+        F.lag("c", 3).over(wo).alias("c3"),
+    )
+
+    def dsum6(expr):
+        return F.sum(F.round(expr, 6).cast("decimal(38,6)")).cast("double")
+
+    c = F.col("c")
+    sums = lagged.agg(
+        dsum6(c * c).alias("s0"),
+        dsum6(c * F.col("c1")).alias("s1"),
+        dsum6(c * F.col("c2")).alias("s2"),
+        dsum6(c * F.col("c3")).alias("s3"),
+    )
+    r1 = F.col("s1") / F.col("s0")
+    r2 = F.col("s2") / F.col("s0")
+    r3 = F.col("s3") / F.col("s0")
+    phi22 = (r2 - r1 * r1) / (1 - r1 * r1)
+    phi21 = r1 * (1 - r2) / (1 - r1 * r1)
+    phi33 = (r3 - phi21 * r2 - phi22 * r1) / (
+        1 - phi21 * r1 - phi22 * r2
+    )
+    return sums.select(
+        F.round(r1, 6).alias("pacf_1"),
+        F.round(phi22, 6).alias("pacf_2"),
+        F.round(phi33, 6).alias("pacf_3"),
+    )
+
+
+_HURST_ORACLE = """
+WITH daily AS (
+    SELECT CAST(datediff('day', DATE '1995-01-01',
+                         CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS t,
+           CAST(COUNT(*) AS BIGINT) AS y
+    FROM events GROUP BY 1
+),
+sizes AS (SELECT unnest([1, 2, 4, 8, 16]) AS m),
+blocks AS (
+    SELECT s.m, d.t // s.m AS blk,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           CAST(SUM(d.y) AS BIGINT) AS sy
+    FROM daily d CROSS JOIN sizes s
+    GROUP BY s.m, d.t // s.m
+),
+vars AS (
+    SELECT m, CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(sy) AS BIGINT) AS ssy,
+           CAST(SUM(sy * sy) AS BIGINT) AS ssy2
+    FROM blocks WHERE cnt = m
+    GROUP BY m HAVING COUNT(*) >= 2
+),
+pts AS (
+    SELECT CAST(round(ln(CAST(m AS DOUBLE)), 6) AS DECIMAL(38,6)) AS lx,
+           CAST(round(ln(((CAST(ssy2 AS DOUBLE)
+                           - CAST(ssy AS DOUBLE) * CAST(ssy AS DOUBLE)
+                             / CAST(k AS DOUBLE)) / CAST(k AS DOUBLE))
+                         / (CAST(m AS DOUBLE) * CAST(m AS DOUBLE))), 6)
+                AS DECIMAL(38,6)) AS ly
+    FROM vars
+),
+fit AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS np,
+           CAST(SUM(lx) AS DOUBLE) AS sx,
+           CAST(SUM(ly) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(round(CAST(lx AS DOUBLE) * CAST(ly AS DOUBLE), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(round(CAST(lx AS DOUBLE) * CAST(lx AS DOUBLE), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS sxx
+    FROM pts
+)
+SELECT CAST(np AS BIGINT) AS n_sizes,
+       round((sxy - sx * sy / np) / (sxx - sx * sx / np), 6) AS slope,
+       round(1.0 + ((sxy - sx * sy / np) / (sxx - sx * sx / np)) / 2.0, 6)
+           AS hurst
+FROM fit
+"""
+
+
+@query("ts_hurst_aggregated_variance", oracle=_HURST_ORACLE)
+def ts_hurst_aggregated_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the daily event-count series by the
+    aggregated-variance method — long-range-dependence detector (H≈0.5
+    short memory, H→1 persistent) that tells a capacity planner whether
+    traffic bursts cluster across weeks (var of m-day block means decays
+    like m^(2H-2); slope of the log-log fit gives H). Per-m block
+    variances come from pure INTEGER sufficient statistics (Σsy, Σsy² —
+    exact under any combine order; var = (Σsy²-(Σsy)²/k)/k/m² is then
+    one fixed scalar dag), only complete blocks count, and the 5-point
+    log-log regression routes its quantized log terms through DECIMAL
+    sums — the whole statistic is partition-invariant on top of one
+    bounded daily rollup."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.datediff(
+            F.to_date(F.date_trunc("day", F.col("ts"))),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("t")
+    ).agg(F.count(F.lit(1)).alias("y"))
+    sizes = spark.createDataFrame([(1,), (2,), (4,), (8,), (16,)], "m int")
+    blocks = (
+        daily.crossJoin(F.broadcast(sizes))
+        .groupBy(
+            "m", F.floor(F.col("t") / F.col("m")).cast("long").alias("blk")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("y").alias("sy"),
+        )
+    )
+    vars_ = (
+        blocks.where(F.col("cnt") == F.col("m"))
+        .groupBy("m")
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.sum("sy").alias("ssy"),
+            F.sum(F.col("sy") * F.col("sy")).alias("ssy2"),
+        )
+        .where(F.col("k") >= 2)
+    )
+    kd = F.col("k").cast("double")
+    md = F.col("m").cast("double")
+    var_m = (
+        (
+            F.col("ssy2").cast("double")
+            - F.col("ssy").cast("double") * F.col("ssy").cast("double") / kd
+        )
+        / kd
+    ) / (md * md)
+    pts = vars_.select(
+        F.round(F.log(md), 6).cast("decimal(38,6)").alias("lx"),
+        F.round(F.log(var_m), 6).cast("decimal(38,6)").alias("ly"),
+    )
+    lxd = F.col("lx").cast("double")
+    lyd = F.col("ly").cast("double")
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("np"),
+        F.sum("lx").cast("double").alias("sx"),
+        F.sum("ly").cast("double").alias("sy"),
+        F.sum(F.round(lxd * lyd, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.round(lxd * lxd, 6).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    npc = F.col("np")
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / npc) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / npc
+    )
+    return fit.select(
+        npc.cast("long").alias("n_sizes"),
+        F.round(slope, 6).alias("slope"),
+        F.round(1.0 + slope / 2.0, 6).alias("hurst"),
+    )
