@@ -240,6 +240,11 @@ HEADLINE = [
     "agg_kendall_tau_daily",
     "agg_cramers_v",
     "agg_levene_brown_forsythe",
+    "text_skipgram_ppmi",
+    "ts_markov_entropy_rate",
+    "ts_gumbel_daily_max_fit",
+    "subquery_not_in_null_semantics",
+    "set_symmetric_difference",
 ]
 
 

@@ -6152,3 +6152,67 @@ def agg_levene_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "f_stat"
         ),
     )
+
+
+_NOT_IN_NULL_ORACLE = """
+WITH nullable_keys AS (
+    SELECT CASE WHEN o_orderstatus = 'O' THEN o_custkey END AS k
+    FROM orders
+)
+SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_customers,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+     WHERE c_custkey NOT IN (SELECT k FROM nullable_keys))
+        AS not_in_with_nulls,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer c
+     WHERE NOT EXISTS (SELECT 1 FROM nullable_keys n
+                       WHERE n.k = c.c_custkey))
+        AS not_exists_count,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM customer
+     WHERE c_custkey NOT IN (SELECT k FROM nullable_keys
+                             WHERE k IS NOT NULL))
+        AS not_in_filtered
+"""
+
+
+@query("subquery_not_in_null_semantics", oracle=_NOT_IN_NULL_ORACLE)
+def subquery_not_in_null_semantics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The NOT IN vs NOT EXISTS three-valued-logic trap, demonstrated
+    and oracle-pinned: against a subquery containing a NULL, `NOT IN`
+    is NEVER true (x <> NULL is UNKNOWN, so the conjunction can't reach
+    TRUE — 0 rows), while `NOT EXISTS` and the NULL-stripped `NOT IN`
+    agree on the real complement. Written as literal SQL so Catalyst
+    plans the genuine null-aware anti join (NAAJ — the broadcast plan
+    Spark reserves for exactly this) rather than a hand-rewritten
+    approximation; the one-row result pins all three counts so an
+    engine that 'optimizes' NOT IN into a plain anti join fails the
+    hash."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "_nin_orders"
+    )
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_nin_customer"
+    )
+    return spark.sql(
+        """
+        WITH nullable_keys AS (
+            SELECT CASE WHEN o_orderstatus = 'O' THEN o_custkey END AS k
+            FROM _nin_orders
+        )
+        SELECT
+            (SELECT COUNT(*) FROM _nin_customer) AS n_customers,
+            (SELECT COUNT(*) FROM _nin_customer
+             WHERE c_custkey NOT IN (SELECT k FROM nullable_keys))
+                AS not_in_with_nulls,
+            (SELECT COUNT(*) FROM _nin_customer c
+             WHERE NOT EXISTS (SELECT 1 FROM nullable_keys n
+                               WHERE n.k = c.c_custkey))
+                AS not_exists_count,
+            (SELECT COUNT(*) FROM _nin_customer
+             WHERE c_custkey NOT IN (SELECT k FROM nullable_keys
+                                     WHERE k IS NOT NULL))
+                AS not_in_filtered
+        """
+    )

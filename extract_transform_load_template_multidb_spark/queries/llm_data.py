@@ -6435,3 +6435,94 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+_SKIPGRAM_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+pairs AS (
+    SELECT t[k] AS w1, t[k + d] AS w2, CAST(COUNT(*) AS BIGINT) AS n
+    FROM toks_list,
+         unnest([1, 2]) AS ds(d),
+         unnest(range(1, len(t))) AS u(k)
+    WHERE k + d <= len(t)
+    GROUP BY 1, 2
+),
+rowm AS (SELECT w1, CAST(SUM(n) AS BIGINT) AS nr FROM pairs GROUP BY w1),
+colm AS (SELECT w2, CAST(SUM(n) AS BIGINT) AS nc FROM pairs GROUP BY w2),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nb FROM pairs)
+SELECT p.w1, p.w2, p.n AS n_cooc,
+       round(greatest(0.0, ln((p.n / t.nb)
+                / ((r.nr / t.nb) * (c.nc / t.nb)))), 6) AS ppmi
+FROM pairs p
+JOIN rowm r USING (w1)
+JOIN colm c USING (w2)
+CROSS JOIN tot t
+WHERE p.n >= 5
+ORDER BY round(greatest(0.0, ln((p.n / t.nb)
+               / ((r.nr / t.nb) * (c.nc / t.nb)))), 6) DESC, p.w1, p.w2
+LIMIT 20
+"""
+)
+
+
+@query("text_skipgram_ppmi", oracle=_SKIPGRAM_ORACLE)
+def text_skipgram_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 skip-gram PPMI associations over a ±2 forward window —
+    the word2vec-era co-occurrence statistic (positive pointwise mutual
+    information on the (center, context) matrix) that captures
+    NON-adjacent affinities `text_bigram_pmi_topk` cannot see ('data
+    ... pipeline' with a word between). Fan-out stays LINEAR: one
+    zip_with per distance d∈{1,2} (n−d pairs per doc, never tokens²);
+    marginals come from the pair table itself, broadcast back; the ≥5
+    support filter prunes before the join and top-20 plans as
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(dd.tokenize(F.col("text")).alias("t"))
+
+    def shifted(d: int):
+        ln = F.greatest(F.size("t") - d, F.lit(0))
+        return toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("t"), 1, ln),
+                    F.slice(F.col("t"), 1 + d, ln),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("p")
+        ).select("p.w1", "p.w2")
+
+    pairs = (
+        shifted(1)
+        .unionAll(shifted(2))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rowm = pairs.groupBy("w1").agg(F.sum("n").cast("long").alias("nr"))
+    colm = pairs.groupBy("w2").agg(F.sum("n").cast("long").alias("nc"))
+    tot = pairs.agg(F.sum("n").cast("double").alias("nb"))
+    ppmi = F.round(
+        F.greatest(
+            F.lit(0.0),
+            F.log(
+                (F.col("n") / F.col("nb"))
+                / (
+                    (F.col("nr") / F.col("nb"))
+                    * (F.col("nc") / F.col("nb"))
+                )
+            ),
+        ),
+        6,
+    )
+    return (
+        pairs.where(F.col("n") >= 5)
+        .join(rowm, "w1")
+        .join(colm, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "w1", "w2", F.col("n").alias("n_cooc"), ppmi.alias("ppmi")
+        )
+        .orderBy(F.col("ppmi").desc(), "w1", "w2")
+        .limit(20)
+    )

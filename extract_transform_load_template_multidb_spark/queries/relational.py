@@ -1123,3 +1123,54 @@ def scalar_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("days_since_95"),
     )
+
+
+_SYMDIFF_ORACLE = """
+WITH h1 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate BETWEEN DATE '1995-01-01' AND DATE '1995-06-30'
+),
+h2 AS (
+    SELECT DISTINCT o_custkey FROM orders
+    WHERE o_orderdate BETWEEN DATE '1995-07-01' AND DATE '1995-12-31'
+)
+SELECT o_custkey, 'h1_only' AS side FROM (
+    SELECT o_custkey FROM h1 EXCEPT SELECT o_custkey FROM h2)
+UNION ALL
+SELECT o_custkey, 'h2_only' AS side FROM (
+    SELECT o_custkey FROM h2 EXCEPT SELECT o_custkey FROM h1)
+"""
+
+
+@query("set_symmetric_difference", oracle=_SYMDIFF_ORACLE)
+def set_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference of the 1995-H1 vs 1995-H2 active-customer
+    sets, tagged by side — the churn/acquisition split in one set
+    expression ((A∖B) ∪ (B∖A); completes the set-op family:
+    union/intersect/except all have registry entries, symmetric
+    difference is the composition users actually reach for). Both
+    halves come from ONE orders scan predicate-split into two DISTINCT
+    aggregates; each EXCEPT plans as a left-anti hash join on the
+    already-deduped key sets."""
+    o = load_table(spark, sf_dir, "orders")
+    h1 = (
+        o.where(
+            F.col("o_orderdate").between("1995-01-01", "1995-06-30")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    h2 = (
+        o.where(
+            F.col("o_orderdate").between("1995-07-01", "1995-12-31")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return h1.exceptAll(h2).select(
+        "o_custkey", F.lit("h1_only").alias("side")
+    ).unionAll(
+        h2.exceptAll(h1).select(
+            "o_custkey", F.lit("h2_only").alias("side")
+        )
+    )

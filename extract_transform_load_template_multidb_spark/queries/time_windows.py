@@ -3735,3 +3735,150 @@ def ts_hurst_aggregated_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("slope"),
         F.round(1.0 + slope / 2.0, 6).alias("hurst"),
     )
+
+
+_MARKOV_ORACLE = """
+WITH ordered AS (
+    SELECT user_id, event_type,
+           lag(event_type) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS prev_type
+    FROM events
+),
+trans AS (
+    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM ordered WHERE prev_type IS NOT NULL
+    GROUP BY 1, 2
+),
+rowm AS (
+    SELECT prev_type, CAST(SUM(n) AS BIGINT) AS nr
+    FROM trans GROUP BY prev_type
+),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS nt FROM trans)
+SELECT CAST(any_value(t2.nt) AS BIGINT) AS n_transitions,
+       CAST(COUNT(DISTINCT tr.prev_type) AS BIGINT) AS n_states,
+       round(-CAST(SUM(CAST(round(
+                 (tr.n / t2.nt)
+                 * ln(CAST(tr.n AS DOUBLE) / CAST(r.nr AS DOUBLE)), 6)
+             AS DECIMAL(38,6))) AS DOUBLE), 6) AS entropy_rate_nats
+FROM trans tr
+JOIN rowm r USING (prev_type)
+CROSS JOIN tot t2
+"""
+
+
+@query("ts_markov_entropy_rate", oracle=_MARKOV_ORACLE)
+def ts_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical first-order Markov entropy rate of per-user event-type
+    sequences — how predictable the NEXT action is given the current
+    one (complements `ts_session_path_trigrams`' raw paths and
+    `agg_entropy_categorical`'s memoryless entropy: rate << marginal
+    entropy means strong sequential structure worth a sequence model).
+    One user-partitioned lag window (ties broken by event_id so the
+    transition table is engine-invariant), then everything runs on the
+    bounded states² transition matrix; each π_i·P_ij·ln P_ij term is
+    quantized to the 6-dp grid and DECIMAL-summed."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    trans = (
+        ordered.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    rowm = trans.groupBy("prev_type").agg(
+        F.sum("n").cast("long").alias("nr")
+    )
+    tot = trans.agg(F.sum("n").cast("double").alias("nt"))
+    term = F.round(
+        (F.col("n") / F.col("nt"))
+        * F.log(F.col("n").cast("double") / F.col("nr").cast("double")),
+        6,
+    ).cast("decimal(38,6)")
+    return (
+        trans.join(F.broadcast(rowm), "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.any_value("nt").cast("long").alias("n_transitions"),
+            F.countDistinct("prev_type").alias("n_states"),
+            F.round(-F.sum(term).cast("double"), 6).alias(
+                "entropy_rate_nats"
+            ),
+        )
+    )
+
+
+_GUMBEL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           max(value) AS mx
+    FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+    GROUP BY 1
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(mx AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(mx * mx AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM daily
+),
+fit AS (
+    SELECT n,
+           sqrt((s2 - (s1 / n) * s1) / (n - 1))
+               * CAST(0.7796968012336761 AS DOUBLE) AS beta,
+           s1 / n AS mean
+    FROM s
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       round(mean - CAST(0.5772156649015329 AS DOUBLE) * beta, 6) AS mu,
+       round(beta, 6) AS beta,
+       round((mean - CAST(0.5772156649015329 AS DOUBLE) * beta)
+             - beta * ln(-ln(CAST(0.99 AS DOUBLE))), 6)
+           AS return_level_q99
+FROM fit
+"""
+
+
+@query("ts_gumbel_daily_max_fit", oracle=_GUMBEL_ORACLE)
+def ts_gumbel_daily_max_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit to the daily maxima of event values by
+    the method of moments (β = s·√6/π, μ = mean − γβ) with the implied
+    99% return level μ − β·ln(−ln 0.99) — the block-maxima EVT answer
+    to 'how big a spike should we provision for' that
+    `ts_expected_shortfall`'s empirical tail cannot extrapolate beyond
+    observed data. Daily maxima are exact (max of on-grid values); the
+    moment sums are DECIMAL-routed; √6/π and Euler-Mascheroni enter as
+    shared double literals so the scalar dag is bit-identical."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    daily = (
+        ev.where(~F.isnan(v) & (F.abs(v) != float("inf")))
+        .groupBy(F.to_date(F.date_trunc("day", F.col("ts"))).alias("day"))
+        .agg(F.max(v).alias("mx"))
+    )
+    mx = F.col("mx")
+    s = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(mx.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((mx * mx).cast("decimal(38,6)")).cast("double").alias("s2"),
+    )
+    n = F.col("n")
+    mean = F.col("s1") / n
+    beta = (
+        F.sqrt((F.col("s2") - mean * F.col("s1")) / (n - 1))
+        * F.lit(0.7796968012336761)
+    )
+    mu = mean - F.lit(0.5772156649015329) * beta
+    return s.select(
+        n.cast("long").alias("n_days"),
+        F.round(mu, 6).alias("mu"),
+        F.round(beta, 6).alias("beta"),
+        F.round(
+            mu - beta * F.log(-F.log(F.lit(0.99))), 6
+        ).alias("return_level_q99"),
+    )
