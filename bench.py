@@ -245,6 +245,11 @@ HEADLINE = [
     "ts_gumbel_daily_max_fit",
     "subquery_not_in_null_semantics",
     "set_symmetric_difference",
+    "mm_audio_clipping_detect",
+    "graph_linkpred_adamic_adar",
+    "graph_local_clustering_histogram",
+    "agg_fisher_exact_2x2",
+    "text_token_simpson_diversity",
 ]
 
 

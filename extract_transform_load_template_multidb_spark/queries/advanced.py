@@ -6216,3 +6216,436 @@ def subquery_not_in_null_semantics(
                 AS not_in_filtered
         """
     )
+
+
+_ADAMIC_ADAR_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+),
+sym AS (
+    SELECT part_a AS a, part_b AS b FROM pairs
+    UNION ALL
+    SELECT part_b AS a, part_a AS b FROM pairs
+),
+deg AS (
+    SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a
+),
+wedges AS (
+    SELECT x.b AS a, y.b AS b,
+           CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+           CAST(SUM(CAST(round(1.0 / ln(CAST(dz.d AS DOUBLE)), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS aa_score
+    FROM sym x
+    JOIN sym y ON x.a = y.a AND x.b < y.b
+    JOIN deg dz ON dz.v = x.a
+    WHERE dz.d >= 2
+    GROUP BY x.b, y.b
+)
+SELECT w.a AS part_a, w.b AS part_b, w.common_neighbors,
+       round(w.aa_score, 6) AS adamic_adar
+FROM wedges w
+LEFT JOIN pairs p ON p.part_a = w.a AND p.part_b = w.b
+WHERE p.part_a IS NULL
+ORDER BY round(w.aa_score, 6) DESC, w.a, w.b
+LIMIT 30
+"""
+
+
+@query("graph_linkpred_adamic_adar", oracle=_ADAMIC_ADAR_ORACLE)
+def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction on the co-purchase graph: shared
+    neighbors weighted by 1/ln(degree), so a rare co-purchase partner
+    counts far more than a ubiquitous hub — the standard fix for
+    `graph_linkpred_common_neighbors`' popularity bias (a part
+    co-bought with EVERYTHING predicts nothing). Same wedge join keyed
+    on the middle vertex with the ≥2-support hub cap; the middle's
+    degree joins in from the broadcast-size degree table, each 1/ln(d)
+    contribution lands on the 6-dp grid before the DECIMAL sum, and
+    top-30 plans as TakeOrderedAndProject after the existing-edge
+    anti join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .drop("w")
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    ).unionAll(
+        pairs.select(F.col("part_b").alias("a"), F.col("part_a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    x, y = sym.alias("x"), sym.alias("y")
+    wedges = (
+        x.join(y, (F.col("x.a") == F.col("y.a")) & (F.col("x.b") < F.col("y.b")))
+        .join(
+            F.broadcast(deg.where(F.col("d") >= 2)),
+            F.col("v") == F.col("x.a"),
+        )
+        .groupBy(F.col("x.b").alias("wa"), F.col("y.b").alias("wb"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("common_neighbors"),
+            F.sum(
+                F.round(
+                    F.lit(1.0) / F.log(F.col("d").cast("double")), 6
+                ).cast("decimal(38,6)")
+            )
+            .cast("double")
+            .alias("aa_score"),
+        )
+    )
+    return (
+        wedges.join(
+            pairs,
+            (F.col("wa") == F.col("part_a"))
+            & (F.col("wb") == F.col("part_b")),
+            "left_anti",
+        )
+        .select(
+            F.col("wa").alias("part_a"),
+            F.col("wb").alias("part_b"),
+            "common_neighbors",
+            F.round(F.col("aa_score"), 6).alias("adamic_adar"),
+        )
+        .orderBy(F.col("adamic_adar").desc(), "part_a", "part_b")
+        .limit(30)
+    )
+
+
+_LOCAL_CC_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+),
+sym AS (
+    SELECT part_a AS a, part_b AS b FROM pairs
+    UNION ALL
+    SELECT part_b AS a, part_a AS b FROM pairs
+),
+deg AS (
+    SELECT a AS v, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY a
+),
+tri AS (
+    SELECT x.a AS v, CAST(COUNT(*) AS BIGINT) AS t
+    FROM sym x
+    JOIN sym y ON y.a = x.a AND x.b < y.b
+    JOIN pairs e ON e.part_a = x.b AND e.part_b = y.b
+    GROUP BY x.a
+),
+cc AS (
+    SELECT d.v,
+           least(CAST(9 AS BIGINT),
+                 (2 * COALESCE(t.t, 0) * 10) // (d.d * (d.d - 1))) AS bin
+    FROM deg d LEFT JOIN tri t ON t.v = d.v
+    WHERE d.d >= 2
+)
+SELECT CAST(bin AS INT) AS cc_bin,
+       CAST(COUNT(*) AS BIGINT) AS n_nodes
+FROM cc GROUP BY bin
+"""
+
+
+@query("graph_local_clustering_histogram", oracle=_LOCAL_CC_ORACLE)
+def graph_local_clustering_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Distribution of LOCAL clustering coefficients over the
+    co-purchase graph, as a 10-bin histogram — where
+    `graph_triangle_stats` reports the global average, this shows the
+    SHAPE (a bimodal histogram means a core of cliquish parts plus
+    tree-like periphery — different sampling strategies for graph
+    features). Per-node triangles count each neighbor PAIR of the apex
+    once (x.b < y.b) closed against the ordered edge list; the bin
+    index floor(10·2t/d(d-1)) divides exact int64 values whose
+    exact-integer quotients divide exactly in IEEE (clamped to bin 9
+    for perfect cliques), so the histogram is engine-exact with no
+    float boundary risk."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .drop("w")
+    )
+    sym = pairs.select(
+        F.col("part_a").alias("a"), F.col("part_b").alias("b")
+    ).unionAll(
+        pairs.select(F.col("part_b").alias("a"), F.col("part_a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("v")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    x, y = sym.alias("x"), sym.alias("y")
+    tri = (
+        x.join(y, (F.col("y.a") == F.col("x.a")) & (F.col("x.b") < F.col("y.b")))
+        .join(
+            pairs,
+            (F.col("part_a") == F.col("x.b"))
+            & (F.col("part_b") == F.col("y.b")),
+        )
+        .groupBy(F.col("x.a").alias("v"))
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+    )
+    cc = (
+        deg.where(F.col("d") >= 2)
+        .join(tri, "v", "left")
+        .select(
+            F.least(
+                F.lit(9).cast("long"),
+                # Integer floor division: both operands are exact int64
+                # doubles and an exact-integer quotient divides exactly
+                # in IEEE, so floor() cannot straddle a boundary; DuckDB
+                # computes the same bins with BIGINT `//`.
+                F.floor(
+                    (2 * F.coalesce(F.col("t"), F.lit(0)) * 10)
+                    / (F.col("d") * (F.col("d") - 1))
+                ).cast("long"),
+            ).alias("bin")
+        )
+    )
+    return cc.groupBy(F.col("bin").cast("int").alias("cc_bin")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+
+
+_FISHER_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ((datediff('day', DATE '1995-01-02',
+                       CAST(o_orderdate AS DATE)) % 7) + 7) % 7
+               IN (5, 6) AS is_weekend
+    FROM orders GROUP BY 1
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(cnt) AS BIGINT) AS s
+    FROM daily
+),
+cells AS (
+    SELECT
+        CAST(COUNT(*) FILTER (WHERE is_weekend
+                              AND cnt * t.n > t.s) AS BIGINT) AS a,
+        CAST(COUNT(*) FILTER (WHERE is_weekend) AS BIGINT) AS r1,
+        CAST(COUNT(*) FILTER (WHERE cnt * t.n > t.s) AS BIGINT) AS c1,
+        CAST(COUNT(*) AS BIGINT) AS n
+    FROM daily CROSS JOIN tot t
+    GROUP BY t.n, t.s
+),
+lf AS (
+    SELECT i,
+           SUM(CAST(round(ln(CAST(CASE WHEN i = 0 THEN 1 ELSE i END
+                                  AS DOUBLE)), 6) AS DECIMAL(38,6)))
+               OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW) AS lnf
+    FROM (SELECT unnest(range(0, (SELECT n FROM cells) + 1)) AS i)
+),
+terms AS (
+    SELECT c.a, c.r1, c.c1, c.n,
+           CAST(round(exp(CAST(fr1.lnf + fnr1.lnf + fc1.lnf + fnc1.lnf
+                   - fn.lnf - fk.lnf - frk.lnf - fck.lnf - fnk.lnf
+                   AS DOUBLE)), 12) AS DECIMAL(38,12)) AS p_k
+    FROM cells c
+    JOIN (SELECT unnest(range(0, (SELECT n FROM cells) + 1)) AS k) ks
+      ON ks.k >= c.a AND ks.k <= least(c.r1, c.c1)
+     AND ks.k >= greatest(0, c.r1 + c.c1 - c.n)
+    JOIN lf fr1 ON fr1.i = c.r1
+    JOIN lf fnr1 ON fnr1.i = c.n - c.r1
+    JOIN lf fc1 ON fc1.i = c.c1
+    JOIN lf fnc1 ON fnc1.i = c.n - c.c1
+    JOIN lf fn ON fn.i = c.n
+    JOIN lf fk ON fk.i = ks.k
+    JOIN lf frk ON frk.i = c.r1 - ks.k
+    JOIN lf fck ON fck.i = c.c1 - ks.k
+    JOIN lf fnk ON fnk.i = c.n - c.r1 - c.c1 + ks.k
+)
+SELECT any_value(a) AS weekend_high,
+       any_value(r1) AS n_weekend,
+       any_value(c1) AS n_high,
+       any_value(n) AS n_days,
+       round(CAST(SUM(p_k) AS DOUBLE), 6) AS p_upper_tail
+FROM terms
+"""
+
+
+@query("agg_fisher_exact_2x2", oracle=_FISHER_ORACLE)
+def agg_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fisher's EXACT one-sided test of weekend × high-volume-day
+    association — the small-sample member of the test family
+    (`agg_chi_square_independence` is asymptotic and lies when expected
+    cells are small; with ~2 years of days the exact hypergeometric
+    tail is the defensible answer). Weekend flags come from pure
+    epoch-day mod-7 arithmetic (no engine dayofweek convention),
+    'high' compares cnt·n > Σcnt in exact integers, and the
+    hypergeometric tail Σ_{k≥a} P(k) is computed fully IN-PLAN: a
+    log-factorial table built as a quantized-DECIMAL running sum over
+    range(0,n+1) (distributable prefix sum — no driver loop, no lgamma
+    builtin needed), five broadcast self-joins pick the nine log terms
+    per tail k, and the exp terms land on a 12-dp grid before the exact
+    sum. The ln-table quantization is engine-identical by construction,
+    so the p-value hashes bit-equal."""
+    from pyspark.sql import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    daily = daily.select(
+        "cnt",
+        (
+            (
+                (
+                    F.datediff(
+                        F.col("day"), F.lit("1995-01-02").cast("date")
+                    )
+                    % 7
+                )
+                + 7
+            )
+            % 7
+        ).isin(5, 6).alias("is_weekend"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cnt").alias("s")
+    )
+    cells = (
+        daily.crossJoin(F.broadcast(tot))
+        .groupBy("n", "s")
+        .agg(
+            F.count(
+                F.when(
+                    F.col("is_weekend")
+                    & (F.col("cnt") * F.col("n") > F.col("s")),
+                    1,
+                )
+            )
+            .cast("long")
+            .alias("a"),
+            F.count(F.when(F.col("is_weekend"), 1))
+            .cast("long")
+            .alias("r1"),
+            F.count(F.when(F.col("cnt") * F.col("n") > F.col("s"), 1))
+            .cast("long")
+            .alias("c1"),
+        )
+        .select("a", "r1", "c1", F.col("n").cast("long").alias("n"))
+    )
+    n_days = cells.select("n").first()[0]
+    lf = (
+        spark.range(0, n_days + 1)
+        .select(F.col("id").alias("i"))
+        .select(
+            "i",
+            F.sum(
+                F.round(
+                    F.log(
+                        F.when(F.col("i") == 0, F.lit(1))
+                        .otherwise(F.col("i"))
+                        .cast("double")
+                    ),
+                    6,
+                ).cast("decimal(38,6)")
+            )
+            .over(
+                W.orderBy("i").rowsBetween(
+                    W.unboundedPreceding, W.currentRow
+                )
+            )
+            .alias("lnf"),
+        )
+    )
+    ks = spark.range(0, n_days + 1).select(F.col("id").alias("k"))
+    c = F.col
+
+    def lfj(alias, expr):
+        return F.broadcast(
+            lf.select(
+                F.col("i").alias(f"i_{alias}"),
+                F.col("lnf").alias(f"lnf_{alias}"),
+            )
+        ), expr
+
+    base = (
+        cells.join(
+            F.broadcast(ks),
+            (c("k") >= c("a"))
+            & (c("k") <= F.least(c("r1"), c("c1")))
+            & (c("k") >= F.greatest(F.lit(0), c("r1") + c("c1") - c("n"))),
+        )
+    )
+    joins = {
+        "r1": c("r1"),
+        "nr1": c("n") - c("r1"),
+        "c1": c("c1"),
+        "nc1": c("n") - c("c1"),
+        "n": c("n"),
+        "k": c("k"),
+        "rk": c("r1") - c("k"),
+        "ck": c("c1") - c("k"),
+        "nk": c("n") - c("r1") - c("c1") + c("k"),
+    }
+    for alias, expr in joins.items():
+        tbl, e = lfj(alias, expr)
+        base = base.join(tbl, F.col(f"i_{alias}") == e)
+    logp = (
+        c("lnf_r1")
+        + c("lnf_nr1")
+        + c("lnf_c1")
+        + c("lnf_nc1")
+        - c("lnf_n")
+        - c("lnf_k")
+        - c("lnf_rk")
+        - c("lnf_ck")
+        - c("lnf_nk")
+    ).cast("double")
+    return base.select(
+        "a",
+        "r1",
+        "c1",
+        "n",
+        F.round(F.exp(logp), 12).cast("decimal(38,12)").alias("p_k"),
+    ).agg(
+        F.any_value("a").alias("weekend_high"),
+        F.any_value("r1").alias("n_weekend"),
+        F.any_value("c1").alias("n_high"),
+        F.any_value("n").alias("n_days"),
+        F.round(F.sum("p_k").cast("double"), 6).alias("p_upper_tail"),
+    )

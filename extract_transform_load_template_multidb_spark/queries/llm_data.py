@@ -6526,3 +6526,69 @@ def text_skipgram_ppmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("ppmi").desc(), "w1", "w2")
         .limit(20)
     )
+
+
+_SIMPSON_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+wc AS (
+    SELECT d.source, u.w, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents d
+    JOIN toks_list t ON t.doc_id = d.doc_id,
+    unnest(t.t) AS u(w)
+    GROUP BY d.source, u.w
+),
+per_source AS (
+    SELECT source,
+           CAST(SUM(n) AS BIGINT) AS total,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(n * (n - 1)) AS BIGINT) AS coincide
+    FROM wc GROUP BY source
+)
+SELECT source, total AS n_tokens, vocab AS n_types,
+       round(CAST(coincide AS DOUBLE)
+             / (CAST(total AS DOUBLE) * (total - 1)), 6) AS simpson_index,
+       round((CAST(total AS DOUBLE) * (total - 1))
+             / CAST(coincide AS DOUBLE), 6) AS inv_simpson
+FROM per_source
+"""
+)
+
+
+@query("text_token_simpson_diversity", oracle=_SIMPSON_ORACLE)
+def text_token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unbiased Simpson concentration λ = Σn_w(n_w−1)/(N(N−1)) of each
+    source's token distribution, with the inverse-Simpson 'effective
+    vocabulary size' — the collision-probability diversity measure that
+    complements entropy (`text_char_entropy` weighs rare types
+    logarithmically; Simpson is what repetition-heavy spam actually
+    moves, cf. `curation_repetition_ratio`). The estimator is PURE
+    INTEGER until the final division — one token explode, one
+    (source, word) count, one per-source rollup; partial aggregation
+    absorbs the fan-out map-side at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("source", F.explode(dd.tokenize(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    per_source = wc.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("n") * (F.col("n") - 1)).cast("long").alias("coincide"),
+    )
+    total = F.col("total").cast("double")
+    return per_source.select(
+        "source",
+        F.col("total").alias("n_tokens"),
+        F.col("vocab").alias("n_types"),
+        F.round(
+            F.col("coincide").cast("double") / (total * (F.col("total") - 1)),
+            6,
+        ).alias("simpson_index"),
+        F.round(
+            (total * (F.col("total") - 1)) / F.col("coincide").cast("double"),
+            6,
+        ).alias("inv_simpson"),
+    )

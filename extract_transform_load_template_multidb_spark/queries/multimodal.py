@@ -685,3 +685,50 @@ def mm_jpeg_resize_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified by exact hash, not tolerance."""
     jp = mm.synthesize_jpeg(load_table(spark, sf_dir, "documents"))
     return mm.resize_reencode_jpegs(jp, factor=2)
+
+
+_CLIPPING_ORACLE = """
+WITH s AS (
+    SELECT doc_id AS asset_id, CAST(i AS BIGINT) AS i,
+           abs((ord(substr(rpad(text, 16, 'x'), i, 1)) - 79) * 256)
+               >= 10240 AS clipped
+    FROM documents, LATERAL (SELECT unnest(range(1, 17)) AS i)
+),
+runs AS (
+    SELECT asset_id,
+           i - row_number() OVER (PARTITION BY asset_id, clipped
+                                  ORDER BY i) AS anchor,
+           clipped
+    FROM s
+),
+run_lens AS (
+    SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS run_len
+    FROM runs WHERE clipped
+    GROUP BY asset_id, anchor
+)
+SELECT s.asset_id,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(COUNT(*) FILTER (WHERE s.clipped) AS BIGINT) AS n_clipped,
+       CAST(COUNT(*) FILTER (WHERE s.clipped) AS DOUBLE) / COUNT(*)
+           AS clip_ratio,
+       COALESCE(any_value(r.max_run), 0) AS max_run,
+       CAST(NULL AS VARCHAR) AS err
+FROM s
+LEFT JOIN (SELECT asset_id, CAST(max(run_len) AS BIGINT) AS max_run
+           FROM run_lens GROUP BY asset_id) r USING (asset_id)
+GROUP BY s.asset_id
+"""
+
+
+@query("mm_audio_clipping_detect", oracle=_CLIPPING_ORACLE)
+def mm_audio_clipping_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clipping triage on REAL decoded WAVs: samples at ≥10240 absolute
+    amplitude count as clipped, and the LONGEST consecutive clipped run
+    separates one-sample transients from flattened waveforms (the
+    reject signal loudness normalization needs before
+    `mm_wav_silence_ratio`'s dead-air check). The decode pass computes
+    exact integer run lengths per asset; the oracle rebuilds every
+    sample via ``ord()`` arithmetic and recovers the same runs with the
+    gaps-and-islands anchor trick."""
+    wav = mm.synthesize_wav(load_table(spark, sf_dir, "documents"))
+    return mm.clipping_profile(wav)
