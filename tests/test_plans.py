@@ -713,3 +713,72 @@ def test_key_gap_audit_no_global_sort(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_key_sequence_gaps")
     assert "Window" not in plan
     assert "Sort [k" not in plan
+
+
+def test_mann_kendall_pairs_on_bounded_rollup(spark, sf_dir):
+    """Mann-Kendall: the O(days²) sign-pair join must run on the daily
+    rollup (one fact aggregate FIRST, then a broadcast inequality
+    join) — never a fact-table cartesian."""
+    plan = _plan(spark, sf_dir, "ts_mann_kendall_trend")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # inequality join, tiny side
+    # The events scan feeds an aggregate before any join.
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_kendall_tau_pairs_on_bounded_rollup(spark, sf_dir):
+    """Kendall tau-b: same posture — concordance pairs over the daily
+    rollup via broadcast, tie terms as partial-aggregable groupBys."""
+    plan = _plan(spark, sf_dir, "agg_kendall_tau_daily")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_fisher_exact_in_plan_no_python(spark, sf_dir):
+    """Fisher exact: the log-factorial table, tail fan-out, and nine
+    term joins are all JVM-side (broadcast hash joins over range()) —
+    no Python evaluation anywhere."""
+    plan = _plan(spark, sf_dir, "agg_fisher_exact_2x2")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("BroadcastHashJoin") >= 8  # nine lnf lookups
+
+
+def test_adamic_adar_degree_broadcast(spark, sf_dir):
+    """Adamic-Adar: the per-middle-vertex degree table joins in as a
+    broadcast (it is ≤ |V|, tiny next to the wedge fan-out), and the
+    final top-30 plans as TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "graph_linkpred_adamic_adar")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skipgram_linear_fanout_topk(spark, sf_dir):
+    """Skip-gram PPMI: pair generation is zip_with slices (narrow,
+    linear), marginals join back hash-side, and top-20 is a
+    TakeOrderedAndProject — no quadratic token self-join."""
+    plan = _plan(spark, sf_dir, "text_skipgram_ppmi")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_clipping_profile_single_arrow_stage(spark, sf_dir):
+    """Audio clipping: synthesize→profile is a narrow two-stage Arrow
+    map chain with no shuffle of payload bytes."""
+    plan = _plan(spark, sf_dir, "mm_audio_clipping_detect")
+    assert plan.count("MapInPandas") == 2
+    assert "Exchange" not in plan.split("MapInPandas")[0]
+
+
+def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
+    """NOT IN against a nullable subquery must plan Spark's null-aware
+    anti join (the NAAJ broadcast form) — the semantics-preserving
+    plan, not a plain anti join."""
+    plan = _plan(spark, sf_dir, "subquery_not_in_null_semantics")
+    # The null-aware form is the broadcast hash LeftAnti with the
+    # isNullAwareAntiJoin flag set (trailing `true`); the NULL-stripped
+    # variant in the same query plans the plain form (`false`).
+    assert "LeftAnti, BuildRight, true" in plan
+    assert "LeftAnti, BuildRight, false" in plan
