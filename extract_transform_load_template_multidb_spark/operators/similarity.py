@@ -754,3 +754,140 @@ def cosine_range_search(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def mmr_diversified_topk(
+    df: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    pool: int = 10,
+    lam: float = 0.7,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking: greedy λ·rel − (1−λ)·max
+    sim-to-selected over a brute-force candidate pool.
+
+    The retrieval-diversity operator (a top-k of near-duplicates is
+    useless context): candidates come from :func:`cosine_topk_bruteforce`
+    (broadcast queries, one corpus pass), after which EVERYTHING runs on
+    the bounded queries×pool frame — pairwise candidate similarities are
+    pool² per query, and each greedy step is a window argmax on that tiny
+    frame (k is a plan-depth constant, never a data-driven loop). All
+    similarities derive from exact integer dot products of the quantized
+    vectors, so the greedy trajectory is engine-deterministic with ties
+    broken on neighbor id.
+
+    Output: (query_id, mmr_rank, vec_id, relevance, mmr_score).
+    """
+    cands = cosine_topk_bruteforce(
+        df, queries, k=pool, vec_col=vec_col, id_col=id_col
+    ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+
+    corpus = _corpus_quantized(df, vec_col, id_col)
+    cvec = corpus.join(
+        cands.select(F.col("neighbor_id").alias(id_col)).distinct(),
+        id_col,
+    )
+    a = cands.select(
+        "query_id", F.col("neighbor_id").alias("x")
+    ).join(
+        F.broadcast(
+            cvec.select(
+                F.col(id_col).alias("x"),
+                F.col("qv").alias("xv"),
+                F.col("nsq").alias("xn"),
+            )
+        ),
+        "x",
+    )
+    b = cands.select(
+        "query_id", F.col("neighbor_id").alias("y")
+    ).join(
+        F.broadcast(
+            cvec.select(
+                F.col(id_col).alias("y"),
+                F.col("qv").alias("yv"),
+                F.col("nsq").alias("yn"),
+            )
+        ),
+        "y",
+    )
+    pair_sim = (
+        a.join(b, "query_id")
+        .where(F.col("x") != F.col("y"))
+        .select(
+            "query_id",
+            "x",
+            "y",
+            cosine(
+                dot_long(F.col("xv"), F.col("yv")),
+                F.col("xn"),
+                F.col("yn"),
+            ).alias("sim"),
+        )
+    )
+
+    def argmax(scored: DataFrame, score_col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(
+            F.col(score_col).desc(), F.col("neighbor_id")
+        )
+        return (
+            scored.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
+    first = argmax(cands, "rel").select(
+        "query_id",
+        F.lit(1).alias("mmr_rank"),
+        "neighbor_id",
+        "rel",
+        F.col("rel").alias("mmr_score"),
+    )
+    selected = first
+    remaining = cands.join(
+        first.select("query_id", "neighbor_id"),
+        ["query_id", "neighbor_id"],
+        "left_anti",
+    )
+    for step in range(2, k + 1):
+        ms = (
+            pair_sim.join(
+                selected.select(
+                    "query_id", F.col("neighbor_id").alias("y")
+                ),
+                ["query_id", "y"],
+            )
+            .groupBy("query_id", F.col("x").alias("neighbor_id"))
+            .agg(F.max("sim").alias("max_sim"))
+        )
+        scored = remaining.join(ms, ["query_id", "neighbor_id"]).select(
+            "query_id",
+            "neighbor_id",
+            "rel",
+            (
+                F.lit(lam) * F.col("rel")
+                - F.lit(1.0 - lam) * F.col("max_sim")
+            ).alias("mmr"),
+        )
+        pick = argmax(scored, "mmr").select(
+            "query_id",
+            F.lit(step).alias("mmr_rank"),
+            "neighbor_id",
+            "rel",
+            F.col("mmr").alias("mmr_score"),
+        )
+        selected = selected.unionAll(pick)
+        remaining = remaining.join(
+            pick.select("query_id", "neighbor_id"),
+            ["query_id", "neighbor_id"],
+            "left_anti",
+        )
+    return selected.select(
+        "query_id",
+        "mmr_rank",
+        F.col("neighbor_id").alias("vec_id"),
+        F.round("rel", 6).alias("relevance"),
+        F.round("mmr_score", 6).alias("mmr_score"),
+    )

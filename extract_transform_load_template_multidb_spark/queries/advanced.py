@@ -6649,3 +6649,153 @@ def agg_fisher_exact_2x2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.any_value("n").alias("n_days"),
         F.round(F.sum("p_k").cast("double"), 6).alias("p_upper_tail"),
     )
+
+
+_NEGBIN_ORACLE = """
+WITH per_user AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c) AS BIGINT) AS s1,
+           CAST(SUM(c * c) AS BIGINT) AS s2
+    FROM per_user
+)
+SELECT n AS n_users,
+       round(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS mean_events,
+       round((CAST(s2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+              * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) - 1), 6)
+           AS var_events,
+       round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / (((CAST(s2 AS DOUBLE)
+                  - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                    * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) - 1))
+                - CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS r_shape,
+       round((CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+             / ((CAST(s2 AS DOUBLE)
+                 - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+                   * CAST(s1 AS DOUBLE)) / (CAST(n AS DOUBLE) - 1)), 6)
+           AS p_success
+FROM s
+"""
+
+
+@query("agg_negative_binomial_fit", oracle=_NEGBIN_ORACLE)
+def agg_negative_binomial_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Negative-binomial method-of-moments fit to per-user event counts
+    (r = m²/(v−m), p = m/v) — the parametric model for the
+    overdispersed count data `ts_count_overdispersion` DETECTS; r is
+    the 'burstiness' a capacity simulation feeds (small r = heavy-tail
+    users). One fact-table groupBy to per-user counts, then pure
+    INTEGER sufficient statistics (n, Σc, Σc² — exact under any
+    combine) and a fixed scalar dag; every output rounds once to the
+    hash grid."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c"))
+    s = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    mean = s1d / nd
+    var = (s2d - mean * s1d) / (nd - 1)
+    return s.select(
+        F.col("n").alias("n_users"),
+        F.round(mean, 6).alias("mean_events"),
+        F.round(var, 6).alias("var_events"),
+        F.round(mean * mean / (var - mean), 6).alias("r_shape"),
+        F.round(mean / var, 6).alias("p_success"),
+    )
+
+
+_TUKEY_ORACLE = """
+WITH g AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS s2
+    FROM orders GROUP BY 1
+),
+msw AS (
+    SELECT CAST(SUM(n) AS DOUBLE) AS nt,
+           CAST(COUNT(*) AS DOUBLE) AS k,
+           CAST(SUM(CAST(round(s2 - s1 * s1 / n, -3) AS DECIMAL(38,0)))
+                AS DOUBLE) AS ssw
+    FROM g
+)
+SELECT a.o_orderpriority AS group_a, b.o_orderpriority AS group_b,
+       round(a.s1 / a.n, 6) AS mean_a,
+       round(b.s1 / b.n, 6) AS mean_b,
+       round(abs(a.s1 / a.n - b.s1 / b.n), 6) AS abs_diff,
+       round(abs(a.s1 / a.n - b.s1 / b.n)
+             / sqrt((m.ssw / (m.nt - m.k)) / 2
+                    * (1 / a.n + 1 / b.n)), 6) AS q_stat
+FROM g a
+JOIN g b ON a.o_orderpriority < b.o_orderpriority
+CROSS JOIN msw m
+"""
+
+
+@query("agg_tukey_hsd_qstats", oracle=_TUKEY_ORACLE)
+def agg_tukey_hsd_qstats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer studentized-range q statistics for every pair of
+    order priorities — the post-hoc step after an ANOVA rejects (the F
+    says SOMETHING differs; the 10 pairwise q's say WHICH, with the
+    family-wise-safe denominator √(MSW/2·(1/nᵢ+1/nⱼ))). Per-group
+    DECIMAL sufficient statistics in one fact pass; the within-group
+    mean square reuses `ts_weekday_anova`'s cancellation-safe coarse
+    grid; the 5-row group table self-joins broadcast for the 10
+    pairs."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(p.cast("decimal(38,6)")).cast("double").alias("s1"),
+        F.sum((p * p).cast("decimal(38,6)")).cast("double").alias("s2"),
+    )
+    msw = g.agg(
+        F.sum("n").cast("double").alias("nt"),
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(
+            F.round(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"), -3
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("ssw"),
+    )
+    a = g.select(
+        F.col("o_orderpriority").alias("group_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("sa"),
+    )
+    b = g.select(
+        F.col("o_orderpriority").alias("group_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("sb"),
+    )
+    ma = F.col("sa") / F.col("na")
+    mb = F.col("sb") / F.col("nb")
+    mswc = (F.col("ssw") / (F.col("nt") - F.col("k"))) / 2
+    return (
+        a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "group_a",
+            "group_b",
+            F.round(ma, 6).alias("mean_a"),
+            F.round(mb, 6).alias("mean_b"),
+            F.round(F.abs(ma - mb), 6).alias("abs_diff"),
+            F.round(
+                F.abs(ma - mb)
+                / F.sqrt(mswc * (1 / F.col("na") + 1 / F.col("nb"))),
+                6,
+            ).alias("q_stat"),
+        )
+    )

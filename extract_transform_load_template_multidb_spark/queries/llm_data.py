@@ -6592,3 +6592,666 @@ def text_token_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("inv_simpson"),
     )
+
+
+_MMR_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+dots AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot
+    FROM elems a
+    JOIN elems b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id % 100 = 0
+    GROUP BY 1, 2
+),
+rel AS (
+    SELECT qid, nid,
+           CAST(dot AS DOUBLE)
+               / (sqrt(CAST(na.nsq AS DOUBLE))
+                  * sqrt(CAST(nb.nsq AS DOUBLE))) AS rel
+    FROM dots
+    JOIN norms na ON na.vec_id = qid
+    JOIN norms nb ON nb.vec_id = nid
+),
+cands AS (
+    SELECT qid, nid, rel FROM (
+        SELECT qid, nid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, nid) AS rnk
+        FROM rel) WHERE rnk <= 10
+),
+pairdots AS (
+    SELECT ca.qid, ca.nid AS x, cb.nid AS y, SUM(ea.v * eb.v) AS dot
+    FROM cands ca
+    JOIN cands cb ON cb.qid = ca.qid AND cb.nid <> ca.nid
+    JOIN elems ea ON ea.vec_id = ca.nid
+    JOIN elems eb ON eb.vec_id = cb.nid AND eb.d = ea.d
+    GROUP BY 1, 2, 3
+),
+pairsim AS (
+    SELECT qid, x, y,
+           CAST(dot AS DOUBLE)
+               / (sqrt(CAST(nx.nsq AS DOUBLE))
+                  * sqrt(CAST(ny.nsq AS DOUBLE))) AS sim
+    FROM pairdots
+    JOIN norms nx ON nx.vec_id = x
+    JOIN norms ny ON ny.vec_id = y
+),
+s1 AS (
+    SELECT qid, nid, rel FROM (
+        SELECT qid, nid, rel,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY rel DESC, nid) AS rn
+        FROM cands) WHERE rn = 1
+),
+sc2 AS (
+    SELECT r.qid, r.nid, r.rel,
+           CAST(0.7 AS DOUBLE) * r.rel
+               - CAST(0.3 AS DOUBLE) * ps.sim AS mmr
+    FROM cands r
+    JOIN pairsim ps ON ps.qid = r.qid AND ps.x = r.nid
+    JOIN s1 ON s1.qid = ps.qid AND ps.y = s1.nid
+    WHERE r.nid NOT IN (SELECT nid FROM s1 WHERE s1.qid = r.qid)
+),
+s2 AS (
+    SELECT qid, nid, rel, mmr FROM (
+        SELECT qid, nid, rel, mmr,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY mmr DESC, nid) AS rn
+        FROM sc2) WHERE rn = 1
+),
+sel12 AS (
+    SELECT qid, nid FROM s1 UNION ALL SELECT qid, nid FROM s2
+),
+sc3 AS (
+    SELECT r.qid, r.nid, r.rel,
+           CAST(0.7 AS DOUBLE) * r.rel
+               - CAST(0.3 AS DOUBLE) * max(ps.sim) AS mmr
+    FROM cands r
+    JOIN pairsim ps ON ps.qid = r.qid AND ps.x = r.nid
+    JOIN sel12 s ON s.qid = ps.qid AND ps.y = s.nid
+    WHERE r.nid NOT IN (SELECT nid FROM sel12 WHERE sel12.qid = r.qid)
+    GROUP BY r.qid, r.nid, r.rel
+),
+s3 AS (
+    SELECT qid, nid, rel, mmr FROM (
+        SELECT qid, nid, rel, mmr,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY mmr DESC, nid) AS rn
+        FROM sc3) WHERE rn = 1
+)
+SELECT qid AS query_id, CAST(1 AS INT) AS mmr_rank, nid AS vec_id,
+       round(rel, 6) AS relevance, round(rel, 6) AS mmr_score
+FROM s1
+UNION ALL
+SELECT qid, CAST(2 AS INT), nid, round(rel, 6), round(mmr, 6) FROM s2
+UNION ALL
+SELECT qid, CAST(3 AS INT), nid, round(rel, 6), round(mmr, 6) FROM s3
+"""
+)
+
+
+@query("sim_mmr_diversified_topk", oracle=_MMR_ORACLE)
+def sim_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance top-3 (λ=0.7) over a brute-force
+    top-10 pool for every 100th vector as query — the diversity
+    re-ranker RAG retrieval runs so the context window isn't three
+    near-identical passages (`sim_cosine_topk_bruteforce` optimizes
+    pure relevance; MMR trades it against redundancy greedily). After
+    the one corpus pass, the greedy trajectory lives on the
+    queries×pool frame: pool² pairwise sims, one window argmax per
+    unrolled step — and every similarity is a fixed dag over exact
+    integer dot products, so both engines walk the SAME trajectory
+    (ties on neighbor id). Oracle unrolls the identical three steps in
+    SQL (`operators/similarity.py::mmr_diversified_topk`)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.mmr_diversified_topk(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=3, pool=10, lam=0.7
+    )
+
+
+_RAKE_STOPWORDS = (
+    "the a an and or of to in is on for with as by at it that this are "
+    "was be from we you i not but have has had they he she his her its "
+    "our your their what which who will can all if so do does did"
+).split()
+
+_RAKE_ORACLE = f"""
+WITH tl AS (
+    SELECT doc_id,
+           string_split_regex(lower(text), '[^a-z0-9]+') AS t
+    FROM documents
+),
+toks AS (
+    SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS i
+    FROM tl
+),
+marked AS (
+    SELECT doc_id, w, i,
+           (w = '' OR w IN ({", ".join("'" + s + "'" for s in _RAKE_STOPWORDS)}))
+               AS is_delim
+    FROM toks
+),
+phrased AS (
+    SELECT doc_id, w, i, is_delim,
+           SUM(CASE WHEN is_delim THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS pid
+    FROM marked
+),
+words AS (
+    SELECT doc_id, pid, w, i FROM phrased WHERE NOT is_delim
+),
+phrases AS (
+    SELECT doc_id, pid, CAST(COUNT(*) AS BIGINT) AS plen
+    FROM words GROUP BY 1, 2 HAVING COUNT(*) <= 4
+),
+member AS (
+    SELECT w.doc_id, w.pid, w.w, w.i, p.plen
+    FROM words w JOIN phrases p USING (doc_id, pid)
+),
+wstat AS (
+    SELECT w,
+           CAST(round(CAST(SUM(plen) AS DOUBLE) / COUNT(*), 6)
+                AS DECIMAL(38,6)) AS wscore
+    FROM member GROUP BY w
+),
+phrase_text AS (
+    SELECT m.doc_id, m.pid,
+           string_agg(m.w, ' ' ORDER BY m.i) AS phrase,
+           CAST(SUM(ws.wscore) AS DOUBLE) AS pscore
+    FROM member m JOIN wstat ws ON ws.w = m.w
+    GROUP BY 1, 2
+),
+agg AS (
+    SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           round(max(pscore), 6) AS rake_score
+    FROM phrase_text GROUP BY phrase
+)
+SELECT phrase, n_occurrences, rake_score
+FROM agg
+ORDER BY rake_score DESC, phrase
+LIMIT 20
+"""
+
+
+@query("text_rake_keywords", oracle=_RAKE_ORACLE)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyword extraction: stopword/punctuation-delimited candidate
+    phrases scored by Σ deg(w)/freq(w) over member words, top-20 — the
+    unsupervised keyphrase baseline (multiword domain terms pop out
+    because their member words co-occur in long phrases but rarely
+    elsewhere; complements `text_tfidf_topterms`' single-word view and
+    `text_bigram_pmi_topk`'s fixed-length collocations). Phrase
+    segmentation is one running delimiter-count window per doc (linear,
+    no joins); word degree/frequency and phrase scores are integer
+    ratios quantized to the 6-dp grid before DECIMAL sums; top-20 plans
+    as TakeOrderedAndProject."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.lower(F.col("text")), r"[^a-z0-9]+")
+        ).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).alias("i"), "w")
+    is_delim = (F.col("w") == "") | F.col("w").isin(*_RAKE_STOPWORDS)
+    marked = toks.select("doc_id", "w", "i", is_delim.alias("is_delim"))
+    wp = (
+        W.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    phrased = marked.select(
+        "doc_id",
+        "w",
+        "i",
+        "is_delim",
+        F.sum(F.col("is_delim").cast("int")).over(wp).alias("pid"),
+    )
+    words = phrased.where(~F.col("is_delim")).select(
+        "doc_id", "pid", "w", "i"
+    )
+    phrases = (
+        words.groupBy("doc_id", "pid")
+        .agg(F.count(F.lit(1)).cast("long").alias("plen"))
+        .where(F.col("plen") <= 4)
+    )
+    member = words.join(phrases, ["doc_id", "pid"])
+    wstat = member.groupBy("w").agg(
+        F.round(
+            F.sum("plen").cast("double") / F.count(F.lit(1)), 6
+        )
+        .cast("decimal(38,6)")
+        .alias("wscore")
+    )
+    phrase_text = (
+        member.join(wstat, "w")
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("i", "w"))),
+                    lambda x: x["w"],
+                ),
+                " ",
+            ).alias("phrase"),
+            F.sum("wscore").cast("double").alias("pscore"),
+        )
+    )
+    return (
+        phrase_text.groupBy("phrase")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.round(F.max("pscore"), 6).alias("rake_score"),
+        )
+        .orderBy(F.col("rake_score").desc(), "phrase")
+        .limit(20)
+    )
+
+
+_LSH_RECALL_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + ","
+    + _SQL_BUCKETS
+    + """,
+truth AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT a.query_id, a.neighbor_id,
+               row_number() OVER (PARTITION BY a.query_id
+                                  ORDER BY a.cosine DESC, a.neighbor_id)
+                   AS rnk
+        FROM (
+            SELECT d.query_id, d.neighbor_id,
+                   CAST(d.dot AS DOUBLE)
+                       / (sqrt(CAST(na.nsq AS DOUBLE))
+                          * sqrt(CAST(nb.nsq AS DOUBLE))) AS cosine
+            FROM (
+                SELECT ea.vec_id AS query_id, eb.vec_id AS neighbor_id,
+                       SUM(ea.v * eb.v) AS dot
+                FROM elems ea
+                JOIN elems eb ON eb.d = ea.d AND eb.vec_id <> ea.vec_id
+                WHERE ea.vec_id % 50 = 0
+                GROUP BY 1, 2
+            ) d
+            JOIN norms na ON na.vec_id = d.query_id
+            JOIN norms nb ON nb.vec_id = d.neighbor_id
+        ) a
+    ) WHERE rnk <= 5
+)
+SELECT t.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(SUM(CASE WHEN bn.bucket = bq.bucket THEN 1 ELSE 0 END)
+            AS BIGINT) AS hits,
+       round(CAST(SUM(CASE WHEN bn.bucket = bq.bucket THEN 1 ELSE 0 END)
+                  AS DOUBLE) / COUNT(*), 6) AS candidate_recall
+FROM truth t
+JOIN buckets bn ON bn.vec_id = t.neighbor_id
+JOIN buckets bq ON bq.vec_id = t.query_id
+GROUP BY t.query_id
+"""
+)
+
+
+@query("sim_lsh_candidate_recall", oracle=_LSH_RECALL_ORACLE)
+def sim_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate recall@5 of the 4-plane sign-LSH index on the EMBEDDING
+    corpus: for every 50th vector as query, the fraction of its exact
+    brute-force top-5 neighbors that share the query's LSH bucket — the
+    metric that tunes plane count before anyone trusts
+    `sim_cosine_topk_lsh` at scale (a bucket that loses the true
+    neighbors can't be fixed downstream; complements
+    `dedup_lsh_recall_audit`, which audits the DOCUMENT minhash index).
+    Ground truth is one broadcast-query corpus pass; bucket codes are
+    exact int multiply-adds against driver-literal sign planes; the
+    recall join touches only queries×5 rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    truth = sim.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
+    )
+    buckets = emb.select(
+        "vec_id",
+        sim.signlsh_bucket(
+            sim.quantize(F.col("embedding")), num_planes=4
+        ).alias("bucket"),
+    )
+    qb = F.broadcast(
+        buckets.where(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("bucket").alias("q_bucket"),
+        )
+    )
+    hit = F.sum(
+        F.when(F.col("bucket") == F.col("q_bucket"), 1).otherwise(0)
+    )
+    return (
+        truth.join(
+            buckets.withColumnRenamed("vec_id", "neighbor_id"),
+            "neighbor_id",
+        )
+        .join(qb, "query_id")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            hit.cast("long").alias("hits"),
+            F.round(
+                hit.cast("double") / F.count(F.lit(1)), 6
+            ).alias("candidate_recall"),
+        )
+    )
+
+
+_DBI_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+lbl AS (SELECT vec_id, label FROM embeddings),
+cent AS (
+    SELECT l.label, e.d,
+           CAST(SUM(e.v) AS DECIMAL(38,0)) AS s,
+           CAST(COUNT(DISTINCT e.vec_id) AS BIGINT) AS n
+    FROM elems e JOIN lbl l ON l.vec_id = e.vec_id
+    GROUP BY 1, 2
+),
+memdist AS (
+    SELECT e.vec_id, l.label,
+           sqrt(CAST(SUM((CAST(c.n AS DECIMAL(38,0)) * e.v - c.s)
+                         * (CAST(c.n AS DECIMAL(38,0)) * e.v - c.s))
+                     AS DOUBLE)) / any_value(CAST(c.n AS DOUBLE)) AS dist
+    FROM elems e
+    JOIN lbl l ON l.vec_id = e.vec_id
+    JOIN cent c ON c.label = l.label AND c.d = e.d
+    GROUP BY 1, 2
+),
+scatter AS (
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(CAST(round(dist, 6) AS DECIMAL(38,6))) AS DOUBLE)
+               / COUNT(*) AS s_i
+    FROM memdist GROUP BY label
+),
+cdist AS (
+    SELECT a.label AS la, b.label AS lb,
+           sqrt(CAST(SUM(CAST(round(
+               power(CAST(a.s AS DOUBLE) / a.n
+                     - CAST(b.s AS DOUBLE) / b.n, 2), 6)
+               AS DECIMAL(38,6))) AS DOUBLE)) AS d_ij
+    FROM cent a JOIN cent b ON b.d = a.d AND b.label <> a.label
+    GROUP BY 1, 2
+),
+terms AS (
+    SELECT c.la AS label, c.lb,
+           (sa.s_i + sb.s_i) / c.d_ij AS ratio
+    FROM cdist c
+    JOIN scatter sa ON sa.label = c.la
+    JOIN scatter sb ON sb.label = c.lb
+)
+SELECT label, n_members, scatter, worst_peer, db_term FROM (
+    SELECT t.label,
+           s.n_members,
+           round(s.s_i, 6) AS scatter,
+           CAST(t.lb AS INT) AS worst_peer,
+           round(t.ratio, 6) AS db_term,
+           row_number() OVER (PARTITION BY t.label
+                              ORDER BY t.ratio DESC, t.lb) AS rn
+    FROM terms t JOIN scatter s ON s.label = t.label
+) WHERE rn = 1
+"""
+)
+
+
+@query("sim_davies_bouldin_index", oracle=_DBI_ORACLE)
+def sim_davies_bouldin_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin cluster-quality terms per embedding label: intra-
+    cluster scatter s_i (mean member→centroid distance), the worst peer
+    cluster argmax_j (s_i+s_j)/d_ij, and its ratio — the internal
+    validity check run on labeled/clustered training embeddings before
+    the labels are trusted for stratified splits (`curation_cluster_split`)
+    or mixture weights (a label whose db_term ≫ others is bleeding into
+    a neighbor). All distances stay exact-integer as long as possible:
+    member→centroid uses Σ(n·v − S)² over DECIMAL(38,0) (no overflow at
+    any corpus size), centroid→centroid rounds each per-dim squared
+    difference to the 6-dp grid before the DECIMAL sum, and every sqrt
+    takes a deterministically rounded double — both engines walk
+    bit-identical dags. One elems shuffle for centroids (label×dim rows,
+    broadcast back), one for member distances; the L×L peer table is
+    driver-free and tiny."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(sim.quantize(F.col("embedding"))).alias("d", "v"),
+    )
+    cent = elems.groupBy("label", "d").agg(
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    nd = F.col("n").cast("decimal(38,0)")
+    memdist = (
+        elems.join(F.broadcast(cent), ["label", "d"])
+        .groupBy("vec_id", "label")
+        .agg(
+            (
+                F.sqrt(
+                    F.sum(
+                        (nd * F.col("v") - F.col("s"))
+                        * (nd * F.col("v") - F.col("s"))
+                    ).cast("double")
+                )
+                / F.any_value(F.col("n").cast("double"))
+            ).alias("dist")
+        )
+    )
+    scatter = memdist.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        (
+            F.sum(F.round(F.col("dist"), 6).cast("decimal(38,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("s_i"),
+    )
+    a = cent.select(
+        F.col("label").alias("la"),
+        "d",
+        (F.col("s").cast("double") / F.col("n")).alias("ca"),
+    )
+    b = cent.select(
+        F.col("label").alias("lb"),
+        "d",
+        (F.col("s").cast("double") / F.col("n")).alias("cb"),
+    )
+    cdist = (
+        a.join(F.broadcast(b), (F.col("la") != F.col("lb")) & (a["d"] == b["d"]))
+        .groupBy("la", "lb")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        F.pow(F.col("ca") - F.col("cb"), 2), 6
+                    ).cast("decimal(38,6)")
+                ).cast("double")
+            ).alias("d_ij")
+        )
+    )
+    sa = scatter.select(
+        F.col("label").alias("la"), F.col("s_i").alias("sa_i")
+    )
+    sb = scatter.select(
+        F.col("label").alias("lb"), F.col("s_i").alias("sb_i")
+    )
+    terms = (
+        cdist.join(F.broadcast(sa), "la")
+        .join(F.broadcast(sb), "lb")
+        .select(
+            F.col("la").alias("label"),
+            "lb",
+            ((F.col("sa_i") + F.col("sb_i")) / F.col("d_ij")).alias("ratio"),
+        )
+    )
+    return (
+        terms.join(
+            F.broadcast(
+                scatter.select("label", "n_members", "s_i")
+            ),
+            "label",
+        )
+        .groupBy("label")
+        .agg(
+            F.any_value("n_members").alias("n_members"),
+            F.round(F.any_value("s_i"), 6).alias("scatter"),
+            F.min_by(
+                F.col("lb"), F.struct(-F.col("ratio"), F.col("lb"))
+            )
+            .cast("int")
+            .alias("worst_peer"),
+            F.round(F.max("ratio"), 6).alias("db_term"),
+        )
+    )
+
+
+_DSIR_SRCS = "('src0', 'src1', 'src2', 'src3', 'src4')"
+
+_DSIR_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + f""",
+bucketed AS (
+    SELECT t.doc_id,
+           d.source IN {_DSIR_SRCS} AS is_tgt,
+           CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS b
+    FROM toks_list t
+    JOIN documents d ON d.doc_id = t.doc_id, unnest(t.t) AS u(w)
+),
+dc AS (
+    SELECT doc_id, any_value(is_tgt) AS is_tgt, b,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM bucketed GROUP BY doc_id, b
+),
+g AS (
+    SELECT b,
+           CAST(coalesce(SUM(c) FILTER (WHERE is_tgt), 0) AS BIGINT) AS tb,
+           CAST(coalesce(SUM(c) FILTER (WHERE NOT is_tgt), 0) AS BIGINT)
+               AS rb
+    FROM dc GROUP BY b
+),
+tot AS (
+    SELECT CAST(SUM(tb) AS BIGINT) AS nt, CAST(SUM(rb) AS BIGINT) AS nr
+    FROM g
+),
+lam AS (
+    SELECT g.b,
+           CAST(round(ln(
+               CAST(CAST((g.tb + 1) AS DECIMAL(38,0))
+                    * (t.nr + 64) AS DOUBLE)
+               / CAST(CAST((g.rb + 1) AS DECIMAL(38,0))
+                      * (t.nt + 64) AS DOUBLE)), 6)
+               AS DECIMAL(38,6)) AS lam
+    FROM g CROSS JOIN tot t
+),
+wts AS (
+    SELECT dc.doc_id,
+           CAST(SUM(dc.c) AS BIGINT) AS n_tokens,
+           CAST(SUM(dc.c * l.lam) AS DOUBLE) AS weight
+    FROM dc JOIN lam l ON l.b = dc.b
+    WHERE NOT dc.is_tgt
+    GROUP BY dc.doc_id
+)
+SELECT w.doc_id, d.source, w.n_tokens, round(w.weight, 6) AS dsir_weight
+FROM wts w JOIN documents d ON d.doc_id = w.doc_id
+ORDER BY w.weight DESC, w.doc_id
+LIMIT 50
+"""
+)
+
+
+@query("curation_dsir_importance", oracle=_DSIR_ORACLE)
+def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection with importance resampling weights
+    (hashed-unigram variant of Xie et al. 2023): treat sources src0-src4
+    as the target domain, score every OTHER document by
+    Σ_b c(b)·log(p̂_target(b)/p̂_raw(b)) over 64 hashed token buckets
+    (Laplace +1), and surface the top-50 raw-pool docs that look most
+    target-like — the standard way to upsample quality-domain-looking
+    web data without training a classifier. One token pass builds
+    per-doc bucket counts (the only full shuffle); the 64-row smoothed
+    log-ratio table derives from a second tiny agg and broadcasts back;
+    log-ratios quantize to the 6-dp DECIMAL grid so per-doc weights are
+    exact integer×decimal sums — engine-portable (md5 bucket hashing,
+    same PMI-style ln precedent as `text_bigram_pmi_topk`); top-50 is
+    TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_tgt = F.col("source").isin("src0", "src1", "src2", "src3", "src4")
+    bucketed = docs.select(
+        "doc_id",
+        is_tgt.alias("is_tgt"),
+        F.explode(dd.tokenize(F.col("text"))).alias("w"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            % 64
+        ).alias("b"),
+    )
+    dc = bucketed.groupBy("doc_id", "b").agg(
+        F.any_value("is_tgt").alias("is_tgt"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    g = dc.groupBy("b").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("is_tgt"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("tb"),
+        F.coalesce(
+            F.sum(F.when(~F.col("is_tgt"), F.col("c"))), F.lit(0)
+        )
+        .cast("long")
+        .alias("rb"),
+    )
+    tot = g.agg(
+        F.sum("tb").cast("long").alias("nt"),
+        F.sum("rb").cast("long").alias("nr"),
+    )
+    lam = g.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log(
+                (
+                    (F.col("tb") + 1).cast("decimal(38,0)")
+                    * (F.col("nr") + 64)
+                ).cast("double")
+                / (
+                    (F.col("rb") + 1).cast("decimal(38,0)")
+                    * (F.col("nt") + 64)
+                ).cast("double")
+            ),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("lam"),
+    )
+    wts = (
+        dc.where(~F.col("is_tgt"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("lam")).cast("double").alias("weight"),
+        )
+    )
+    return (
+        wts.join(docs.select("doc_id", "source"), "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("weight", 6).alias("dsir_weight"),
+        )
+        .orderBy(F.col("weight").desc(), "doc_id")
+        .limit(50)
+    )

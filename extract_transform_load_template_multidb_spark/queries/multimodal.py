@@ -732,3 +732,47 @@ def mm_audio_clipping_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     gaps-and-islands anchor trick."""
     wav = mm.synthesize_wav(load_table(spark, sf_dir, "documents"))
     return mm.clipping_profile(wav)
+
+
+_EDGE_ORACLE = """
+WITH px AS (
+    SELECT doc_id AS asset_id,
+           substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+),
+chan AS (
+    SELECT asset_id, c.cname AS channel, c.off AS off, p
+    FROM px, (VALUES ('r', 0), ('g', 1), ('b', 2)) AS c(cname, off)
+),
+grads AS (
+    SELECT asset_id, channel,
+           CAST(list_sum(flatten(list_transform(range(0, 4), r ->
+               list_transform(range(0, 3), cc ->
+                   abs(ord(substr(p, (r * 4 + cc + 1) * 3 + off + 1, 1))
+                       - ord(substr(p, (r * 4 + cc) * 3 + off + 1, 1)))))))
+               AS BIGINT) AS h_grad_sum,
+           CAST(list_sum(flatten(list_transform(range(0, 3), r ->
+               list_transform(range(0, 4), cc ->
+                   abs(ord(substr(p, ((r + 1) * 4 + cc) * 3 + off + 1, 1))
+                       - ord(substr(p, (r * 4 + cc) * 3 + off + 1, 1)))))))
+               AS BIGINT) AS v_grad_sum
+    FROM chan
+)
+SELECT asset_id, channel, h_grad_sum, v_grad_sum,
+       CAST(h_grad_sum + v_grad_sum AS DOUBLE) / 24 AS edge_mean,
+       CAST(NULL AS VARCHAR) AS err
+FROM grads
+"""
+
+
+@query("mm_image_edge_density", oracle=_EDGE_ORACLE)
+def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-channel edge-energy screen on REAL decoded PPM pixels: exact
+    int64 |horizontal|+|vertical| first-difference sums with the
+    per-pair mean — the blur / flat-fill detector an image curation
+    pipeline runs right after `mm_ppm_channel_histogram`'s exposure
+    check (a frame can be perfectly exposed and still contentless).
+    The oracle rebuilds all 24 gradient pairs per channel from ``ord()``
+    arithmetic, bit-identical to the decode pass."""
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    return mm.edge_density(ppm)

@@ -3882,3 +3882,91 @@ def ts_gumbel_daily_max_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             mu - beta * F.log(-F.log(F.lit(0.99))), 6
         ).alias("return_level_q99"),
     )
+
+
+_HOLT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev_usd
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day, rev_usd,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS rn
+    FROM daily
+),
+s1 AS (
+    SELECT day, rev_usd, rn,
+           POWER(0.9, rn)
+               * SUM(rev_usd * POWER(0.9, -rn))
+                     OVER (ORDER BY day ROWS BETWEEN 29 PRECEDING
+                           AND CURRENT ROW)
+               / ((1 - POWER(0.9, LEAST(rn, 30))) / 0.1) AS s1v
+    FROM seq
+),
+s2 AS (
+    SELECT day, rev_usd, s1v,
+           POWER(0.9, rn)
+               * SUM(s1v * POWER(0.9, -rn))
+                     OVER (ORDER BY day ROWS BETWEEN 29 PRECEDING
+                           AND CURRENT ROW)
+               / ((1 - POWER(0.9, LEAST(rn, 30))) / 0.1) AS s2v
+    FROM s1
+)
+SELECT day, rev_usd,
+       ROUND(2 * s1v - s2v, 2) + 0.0 AS level_usd,
+       ROUND((0.1 / 0.9) * (s1v - s2v), 4) + 0.0 AS trend_usd,
+       ROUND(2 * s1v - s2v + 7 * (0.1 / 0.9) * (s1v - s2v), 2) + 0.0
+           AS forecast_7d_usd
+FROM s2
+"""
+
+
+@query("ts_holt_linear_forecast", oracle=_HOLT_ORACLE)
+def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing on daily revenue (alpha=0.1):
+    level = 2·S′−S″, trend = α/(1−α)·(S′−S″), 7-day-ahead forecast —
+    the first trend-aware forecaster past `ts_ewma_revenue`'s flat
+    smoothing (an EWMA lags a trending series by design; Brown's second
+    smoothing estimates and corrects that lag). Both smoothing passes
+    reuse the closed-form bounded-window EWMA (`0.9^t · Σ x_i/0.9^i`
+    over 29 preceding rows, loss-free rescale), so the recursion Spark
+    windows can't express stays two ordinary window sums over ONE
+    ~2.4k-row daily series — at 100 TB the identical plan runs per
+    entity with partitionBy; forecasts quantize to cents above double
+    noise."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev_usd")
+    )
+    seq = daily.withColumn(
+        "rn", F.row_number().over(Win.orderBy("day")).cast("double")
+    )
+    frame = Win.orderBy("day").rowsBetween(-29, Win.currentRow)
+    den = (1 - F.pow(F.lit(0.9), F.least(F.col("rn"), F.lit(30.0)))) / 0.1
+
+    def smooth(col):
+        return (
+            F.pow(F.lit(0.9), F.col("rn"))
+            * F.sum(col * F.pow(F.lit(0.9), -F.col("rn"))).over(frame)
+            / den
+        )
+
+    s1 = seq.withColumn("s1v", smooth(F.col("rev_usd")))
+    s2 = s1.withColumn("s2v", smooth(F.col("s1v")))
+    level = 2 * F.col("s1v") - F.col("s2v")
+    trend = (F.lit(0.1) / 0.9) * (F.col("s1v") - F.col("s2v"))
+    return s2.select(
+        "day",
+        "rev_usd",
+        (F.round(level, 2) + 0.0).alias("level_usd"),
+        (F.round(trend, 4) + 0.0).alias("trend_usd"),
+        (F.round(level + 7 * trend, 2) + 0.0).alias("forecast_7d_usd"),
+    )
