@@ -1170,4 +1170,4 @@ def edge_density(df: DataFrame) -> DataFrame:
                 ],
             )
 
-    return df.mapInPandas(fn, schema)
+    return repartition_for_media(df).mapInPandas(fn, schema)

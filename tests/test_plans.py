@@ -782,3 +782,85 @@ def test_not_in_plans_null_aware_anti_join(spark, sf_dir):
     # variant in the same query plans the plain form (`false`).
     assert "LeftAnti, BuildRight, true" in plan
     assert "LeftAnti, BuildRight, false" in plan
+
+
+def test_dsir_broadcast_logratio_topk(spark, sf_dir):
+    """DSIR selection: the 64-row smoothed log-ratio table must broadcast
+    back onto per-doc bucket counts (never shuffle the counts by bucket
+    for the join) and top-50 must plan as TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "curation_dsir_importance")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_rake_linear_phrase_pipeline(spark, sf_dir):
+    """RAKE: phrase segmentation is a per-doc running window, scoring is
+    hash joins on word/phrase keys, top-20 is TakeOrderedAndProject —
+    no cross products, no Python in the plan."""
+    plan = _plan(spark, sf_dir, "text_rake_keywords")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_lsh_recall_audit_broadcast_no_cartesian(spark, sf_dir):
+    """Embedding LSH recall audit: ground truth joins bucket codes via
+    broadcast; nothing degenerates to an all-pairs product."""
+    plan = _plan(spark, sf_dir, "sim_lsh_candidate_recall")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_davies_bouldin_broadcast_centroids(spark, sf_dir):
+    """Davies-Bouldin: the label×dim centroid table broadcasts back to
+    member elements; the L×L peer stage never cross-products the
+    element table."""
+    plan = _plan(spark, sf_dir, "sim_davies_bouldin_index")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mmr_bounded_pool_no_cartesian(spark, sf_dir):
+    """MMR re-ranking: after the one corpus pass, every greedy step runs
+    on the queries×pool frame via equi/broadcast joins — the unrolled
+    plan must stay cartesian-free and Python-free."""
+    plan = _plan(spark, sf_dir, "sim_mmr_diversified_topk")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_holt_two_window_passes(spark, sf_dir):
+    """Brown/Holt double smoothing: two chained window passes over ONE
+    daily series — the plan carries Window nodes but no join and only
+    the aggregation + single-partition window exchanges."""
+    plan = _plan(spark, sf_dir, "ts_holt_linear_forecast")
+    assert "Window" in plan
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 3
+
+
+def test_tukey_hsd_broadcast_pairs(spark, sf_dir):
+    """Tukey HSD: the 5-row per-group stats table self-pairs via a
+    broadcast non-equi join plus a broadcast of the 1-row MSW scalar —
+    never a partitioned cross product."""
+    plan = _plan(spark, sf_dir, "agg_tukey_hsd_qstats")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_edge_density_single_arrow_chain(spark, sf_dir):
+    """Image edge energy: PPM synthesis is pure expression (no Python),
+    so the whole decode/gradient pass is ONE Arrow stage; at most the
+    media-balance round-robin repartition sits upstream."""
+    plan = _plan(spark, sf_dir, "mm_image_edge_density")
+    assert plan.count("MapInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_negbin_partial_aggregable(spark, sf_dir):
+    """Negative-binomial fit: integer sufficient statistics must plan as
+    partial+final hash aggregates (map-side combine), JVM-only."""
+    plan = _plan(spark, sf_dir, "agg_negative_binomial_fit")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
