@@ -16,6 +16,7 @@ from extract_transform_load_template_multidb_spark.operators import (
 )
 from extract_transform_load_template_multidb_spark.queries import query
 from extract_transform_load_template_multidb_spark.queries._util import (
+    DEC,
     dsum,
     exact_percentiles,
     exact_percentiles_from_counts,
@@ -6798,4 +6799,91 @@ def agg_tukey_hsd_qstats(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("q_stat"),
         )
+    )
+
+
+_CUPED_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END AS DECIMAL(38,6)))
+                AS DOUBLE) AS x,
+           CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END AS DECIMAL(38,6)))
+                AS DOUBLE) AS y
+    FROM events GROUP BY user_id
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM per_user
+)
+SELECT n AS n_users,
+       round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS theta,
+       round((syy - sy * sy / n) / (n - 1), 6) AS var_y,
+       round(((syy - sy * sy / n)
+              - (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                / (sxx - sx * sx / n)) / (n - 1), 6) AS var_y_cuped,
+       round((sxy - sx * sy / n) * (sxy - sx * sy / n)
+             / ((sxx - sx * sx / n) * (syy - sy * sy / n)), 6)
+           AS var_reduction
+FROM s
+"""
+
+
+@query("agg_cuped_variance_reduction", oracle=_CUPED_ORACLE)
+def agg_cuped_variance_reduction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CUPED (Controlled-experiment Using Pre-Experiment Data): per-user
+    pre-period spend (days 1-15) as the covariate for post-period spend
+    (days 16-30) — θ = cov(X,Y)/var(X), adjusted variance
+    var(Y)−cov²/var(X), and the achieved reduction corr²(X,Y). This is
+    the standard A/B-test sensitivity booster (same experiment detects
+    ~1/√(1−ρ²) smaller effects). One fact pass to per-user (X, Y) pairs
+    — both on the cents grid, so every second moment is an EXACT
+    DECIMAL(38,6) sum — then a fixed scalar dag; partial-aggregable
+    end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("ts") < cut, F.col("value"))
+            .otherwise(0)
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("x"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value"))
+            .otherwise(0)
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("y"),
+    )
+    s = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("x"), "sx"),
+        dsum(F.col("y"), "sy"),
+        dsum(F.col("x") * F.col("y"), "sxy"),
+        dsum(F.col("x") * F.col("x"), "sxx"),
+        dsum(F.col("y") * F.col("y"), "syy"),
+    )
+    n = F.col("n")
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    cyy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    return s.select(
+        n.alias("n_users"),
+        F.round(cxy / cxx, 6).alias("theta"),
+        F.round(cyy / (n - 1), 6).alias("var_y"),
+        F.round((cyy - cxy * cxy / cxx) / (n - 1), 6).alias(
+            "var_y_cuped"
+        ),
+        F.round(cxy * cxy / (cxx * cyy), 6).alias("var_reduction"),
     )

@@ -7255,3 +7255,96 @@ def curation_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("weight").desc(), "doc_id")
         .limit(50)
     )
+
+
+_MATTR_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+toks AS (
+    SELECT doc_id, unnest(t) AS w,
+           CAST(generate_subscripts(t, 1) AS BIGINT) AS i
+    FROM toks_list
+),
+prevs AS (
+    SELECT doc_id, w, i,
+           coalesce(lag(i) OVER (PARTITION BY doc_id, w ORDER BY i),
+                    CAST(0 AS BIGINT)) AS prev,
+           max(i) OVER (PARTITION BY doc_id) AS n
+    FROM toks
+),
+per_doc AS (
+    SELECT doc_id,
+           CAST(max(i) AS BIGINT) AS n_tokens,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_types,
+           CAST(SUM(greatest(CAST(0 AS BIGINT),
+                least(i, n - 24)
+                - greatest(i - 24, prev + 1, CAST(1 AS BIGINT)) + 1))
+               AS BIGINT) AS contrib
+    FROM prevs
+    GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_types,
+       round(CASE WHEN n_tokens >= 25
+                  THEN CAST(contrib AS DOUBLE) / (25.0 * (n_tokens - 24))
+                  ELSE CAST(n_types AS DOUBLE) / n_tokens END, 6) AS mattr
+FROM per_doc
+"""
+)
+
+
+@query("text_mattr_lexical_diversity", oracle=_MATTR_ORACLE)
+def text_mattr_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Moving-Average Type-Token Ratio (window 25): the length-robust
+    lexical-diversity score (plain TTR collapses as docs grow, so long
+    docs always look 'repetitive'; MATTR averages the TTR of every
+    25-token window). The naive form needs a distinct-count per sliding
+    window (a range join); this uses the exact last-occurrence identity
+    instead — token instance i is a new type in window s iff its
+    previous occurrence < s, so Σ_s types(s) = Σ_i |valid s range| — one
+    lag window + one per-doc agg, fully linear. Docs under 25 tokens
+    fall back to plain TTR. Complements `curation_repetition_ratio`
+    (which counts repeated n-grams, not vocabulary spread)."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(dd.tokenize(F.col("text"))).alias("i0", "w"),
+    ).select("doc_id", (F.col("i0") + 1).cast("long").alias("i"), "w")
+    prevs = toks.select(
+        "doc_id",
+        "w",
+        "i",
+        F.coalesce(
+            F.lag("i").over(W.partitionBy("doc_id", "w").orderBy("i")),
+            F.lit(0).cast("long"),
+        ).alias("prev"),
+        F.max("i").over(W.partitionBy("doc_id")).alias("n"),
+    )
+    contrib = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(F.col("i"), F.col("n") - 24)
+        - F.greatest(
+            F.col("i") - 24, F.col("prev") + 1, F.lit(1).cast("long")
+        )
+        + 1,
+    )
+    per_doc = prevs.groupBy("doc_id").agg(
+        F.max("i").cast("long").alias("n_tokens"),
+        F.count_distinct(F.col("w")).cast("long").alias("n_types"),
+        F.sum(contrib).cast("long").alias("contrib"),
+    )
+    mattr = F.when(
+        F.col("n_tokens") >= 25,
+        F.col("contrib").cast("double")
+        / (25.0 * (F.col("n_tokens") - 24)),
+    ).otherwise(F.col("n_types").cast("double") / F.col("n_tokens"))
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "n_types",
+        F.round(mattr, 6).alias("mattr"),
+    )

@@ -1174,3 +1174,136 @@ def set_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_custkey", F.lit("h2_only").alias("side")
         )
     )
+
+
+_RANGE_COUNT_ORACLE = """
+WITH bounds AS (
+    SELECT min(CAST(o_orderdate AS DATE)) AS lo,
+           max(CAST(o_orderdate AS DATE)) AS hi
+    FROM orders
+),
+cal AS (
+    SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY))::DATE AS day
+    FROM bounds
+),
+daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+),
+cum AS (
+    SELECT c.day,
+           CAST(SUM(coalesce(d.c, 0)) OVER (ORDER BY c.day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_orders
+    FROM cal c LEFT JOIN daily d ON d.day = c.day
+),
+sample AS (
+    SELECT l.l_orderkey, l.l_linenumber,
+           CAST(l.l_shipdate AS DATE) AS ship,
+           CAST(l.l_shipdate AS DATE)
+               + to_days(CAST(1 + l.l_linenumber % 14 AS INT)) AS receipt,
+           b.lo, b.hi
+    FROM lineitem l CROSS JOIN bounds b
+    WHERE l.l_orderkey % 997 = 0
+)
+SELECT s.l_orderkey, s.l_linenumber, s.ship,
+       CAST(s.receipt AS DATE) AS receipt,
+       CAST(chi.cum_orders
+            - coalesce(clo.cum_orders, 0) AS BIGINT) AS in_transit_orders
+FROM sample s
+JOIN cum chi ON chi.day = least(s.receipt, s.hi)
+LEFT JOIN cum clo
+    ON clo.day = least(s.ship - INTERVAL 1 DAY, CAST(s.hi AS TIMESTAMP))
+"""
+
+
+@query("join_range_count_prefix_sum", oracle=_RANGE_COUNT_ORACLE)
+def join_range_count_prefix_sum(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval range-COUNT without a range join: how many orders were
+    placed while each (sampled) lineitem was in transit
+    [l_shipdate, l_receiptdate]. The naive plan is a non-equi
+    point-in-interval join (quadratic at 100 TB); this densifies the
+    bounded calendar (sequence + explode), takes ONE running prefix sum
+    of daily order counts, and turns every interval count into TWO
+    broadcast equi-lookups: C(receipt) − C(ship−1). The calendar is
+    bounded by time, not data size, so the broadcast side stays ~2.4k
+    rows at any corpus scale — the textbook prefix-sum decomposition
+    for range aggregation (cf. `join_theta_price_band`, which keeps the
+    non-equi form for genuinely unbounded band predicates)."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    bounds = o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("lo"),
+        F.max(F.col("o_orderdate").cast("date")).alias("hi"),
+    )
+    cal = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("c"))
+    cum = (
+        cal.join(daily, "day", "left")
+        .select(
+            "day",
+            F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        )
+        .select(
+            "day",
+            F.sum("c")
+            .over(
+                Window.orderBy("day").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .cast("long")
+            .alias("cum_orders"),
+        )
+    )
+    sample = (
+        li.where(F.col("l_orderkey") % 997 == 0)
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("l_shipdate").cast("date").alias("ship"),
+            F.date_add(
+                F.col("l_shipdate").cast("date"),
+                (1 + F.col("l_linenumber") % 14).cast("int"),
+            ).alias("receipt"),
+            "lo",
+            "hi",
+        )
+    )
+    chi = cum.select(
+        F.col("day").alias("hi_day"),
+        F.col("cum_orders").alias("c_hi"),
+    )
+    clo = cum.select(
+        F.col("day").alias("lo_day"),
+        F.col("cum_orders").alias("c_lo"),
+    )
+    return (
+        sample.join(
+            F.broadcast(chi),
+            F.least(F.col("receipt"), F.col("hi")) == F.col("hi_day"),
+        )
+        .join(
+            F.broadcast(clo),
+            F.least(F.date_sub(F.col("ship"), 1), F.col("hi"))
+            == F.col("lo_day"),
+            "left",
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "ship",
+            "receipt",
+            (
+                F.col("c_hi") - F.coalesce(F.col("c_lo"), F.lit(0))
+            ).alias("in_transit_orders"),
+        )
+    )

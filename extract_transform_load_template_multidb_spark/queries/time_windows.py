@@ -3970,3 +3970,101 @@ def ts_holt_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(trend, 4) + 0.0).alias("trend_usd"),
         (F.round(level + 7 * trend, 2) + 0.0).alias("forecast_7d_usd"),
     )
+
+
+_SPRT_ORACLE = """
+WITH arm AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase')
+                AS BIGINT) AS k
+    FROM events
+    WHERE user_id % 2 = 1
+    GROUP BY 1
+),
+llr AS (
+    SELECT day, n, k,
+           CAST(round(k * ln(CAST(0.22 AS DOUBLE) / CAST(0.18 AS DOUBLE))
+                      + (n - k) * ln(CAST(0.78 AS DOUBLE)
+                                     / CAST(0.82 AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS d_llr
+    FROM arm
+)
+SELECT day, n, k,
+       CAST(d_llr AS DOUBLE) AS day_llr,
+       CAST(SUM(d_llr) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS DOUBLE) AS cum_llr,
+       CASE
+           WHEN CAST(SUM(d_llr) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) >= ln(CAST(0.95 AS DOUBLE)
+                                     / CAST(0.05 AS DOUBLE))
+               THEN 'accept_h1'
+           WHEN CAST(SUM(d_llr) OVER (ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) <= -ln(CAST(0.95 AS DOUBLE)
+                                      / CAST(0.05 AS DOUBLE))
+               THEN 'accept_h0'
+           ELSE 'continue'
+       END AS decision
+FROM llr
+"""
+
+
+@query("ts_sprt_ab_monitor", oracle=_SPRT_ORACLE)
+def ts_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's Sequential Probability Ratio Test on the treatment arm's
+    daily purchase rate (H0: p=0.18 vs H1: p=0.22, α=β=0.05): per-day
+    Bernoulli log-likelihood-ratio increments, the running sum, and the
+    continue / accept decision per day — the always-valid monitor that
+    lets an experiment stop EARLY without the peeking penalty a
+    fixed-horizon z-test pays (`agg_cuped_variance_reduction` shrinks
+    the variance; SPRT shrinks the calendar). Daily increments are a
+    fixed dag over integer (n, k) and literal-rate logs, quantized to
+    the 6-dp DECIMAL grid so the running sum is exact and
+    order-independent; one daily rollup, one bounded window."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    arm = (
+        ev.where(F.col("user_id") % 2 == 1)
+        .groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("k"),
+        )
+    )
+    ln_pos = F.log(F.lit(0.22) / F.lit(0.18))
+    ln_neg = F.log(F.lit(0.78) / F.lit(0.82))
+    llr = arm.withColumn(
+        "d_llr",
+        F.round(
+            F.col("k") * ln_pos + (F.col("n") - F.col("k")) * ln_neg, 6
+        ).cast("decimal(38,6)"),
+    )
+    cum = (
+        F.sum("d_llr")
+        .over(
+            Win.orderBy("day").rowsBetween(
+                Win.unboundedPreceding, Win.currentRow
+            )
+        )
+        .cast("double")
+    )
+    bound = F.log(F.lit(0.95) / F.lit(0.05))
+    return llr.select(
+        "day",
+        "n",
+        "k",
+        F.col("d_llr").cast("double").alias("day_llr"),
+        cum.alias("cum_llr"),
+        F.when(cum >= bound, "accept_h1")
+        .when(cum <= -bound, "accept_h0")
+        .otherwise("continue")
+        .alias("decision"),
+    )

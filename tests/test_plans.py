@@ -864,3 +864,38 @@ def test_negbin_partial_aggregable(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_negative_binomial_fit")
     assert "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_mattr_linear_no_range_join(spark, sf_dir):
+    """MATTR: the sliding-window distinct count must use the linear
+    last-occurrence identity (lag + agg), never a token×window range
+    join."""
+    plan = _plan(spark, sf_dir, "text_mattr_lexical_diversity")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_cuped_partial_aggregable(spark, sf_dir):
+    """CUPED: per-user pairs then one scalar moment pass — partial+final
+    hash aggregates, JVM-only."""
+    plan = _plan(spark, sf_dir, "agg_cuped_variance_reduction")
+    assert "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sprt_single_series_no_join(spark, sf_dir):
+    """SPRT monitor: one daily rollup + one running window; no joins
+    anywhere in the plan."""
+    plan = _plan(spark, sf_dir, "ts_sprt_ab_monitor")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_range_count_broadcast_lookups_no_range_join(spark, sf_dir):
+    """Prefix-sum range count: interval counts resolve via TWO broadcast
+    equi-lookups against the bounded calendar — the plan must carry
+    broadcast hash joins and no partitioned cross product."""
+    plan = _plan(spark, sf_dir, "join_range_count_prefix_sum")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
