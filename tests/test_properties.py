@@ -558,3 +558,135 @@ def test_exact_percentiles_matches_spark_percentile(spark, data, ps):
     for g in ref:
         for a in named:
             assert abs(ref[g][a] - got[g][a]) < 1e-9, (g, a)
+
+
+_mattr_texts = st.lists(
+    st.text(alphabet="ab cd", min_size=1, max_size=160),
+    min_size=1,
+    max_size=6,
+)
+
+
+@given(texts=_mattr_texts)
+@settings(**_SETTINGS)
+def test_mattr_identity_matches_bruteforce(
+    spark, tmp_path_factory, texts
+):
+    """The linear last-occurrence identity used by
+    text_mattr_lexical_diversity must equal the brute-force definition
+    (mean over every 25-token window of distinct/25; plain TTR under 25
+    tokens) on arbitrary token sequences."""
+    import re as _re
+
+    rows = [
+        (i, t, "en", f"src{i}", len(t)) for i, t in enumerate(texts)
+    ]
+    pdir = tmp_path_factory.mktemp("mattr")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(pdir / "documents.parquet"))
+
+    from extract_transform_load_template_multidb_spark.queries import (
+        all_queries,
+    )
+
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_types"], r["mattr"])
+        for r in all_queries()["text_mattr_lexical_diversity"](
+            spark, str(pdir)
+        ).collect()
+    }
+    W = 25
+    for i, t in enumerate(texts):
+        toks = [w for w in _re.split(r"[^a-z0-9]+", t.lower()) if w]
+        if not toks:
+            assert i not in got
+            continue
+        n = len(toks)
+        if n >= W:
+            vals = [
+                len(set(toks[s : s + W])) / W for s in range(n - W + 1)
+            ]
+            expect = sum(vals) / len(vals)
+        else:
+            expect = len(set(toks)) / n
+        nt, ty, mat = got[i]
+        assert nt == n and ty == len(set(toks))
+        assert abs(mat - expect) < 5e-7, (toks, mat, expect)
+
+
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(-1, 1, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=6,
+        max_size=12,
+        unique_by=lambda v: tuple(v),
+    )
+)
+@settings(**_SETTINGS)
+def test_mmr_greedy_matches_numpy_reference(spark, vecs):
+    """mmr_diversified_topk's unrolled window-argmax trajectory must equal
+    a straightforward numpy greedy MMR over the same quantized integer
+    dot products (λ·rel − (1−λ)·max-sim, ties on neighbor id)."""
+    import math
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        similarity as sim,
+    )
+
+    # Quantized reference mirroring operators/similarity.quantize.
+    q = [[math.floor(float(x) * 1000) for x in v] for v in vecs]
+    nsq = [sum(x * x for x in v) for v in q]
+    if any(s == 0 for s in nsq):
+        return  # zero vectors make cosine undefined; out of contract
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(q[a], q[b]))
+        return d / (math.sqrt(nsq[a]) * math.sqrt(nsq[b]))
+
+    n = len(vecs)
+    k, pool, lam = 3, 5, 0.7
+    expect = {}
+    for qid in (0, 1):
+        cands = sorted(
+            ((-cos(qid, j), j) for j in range(n) if j != qid)
+        )[:pool]
+        cands = [(j, -negc) for negc, j in cands]
+        rel = dict(cands)
+        sel = []
+        first = max(cands, key=lambda t: (t[1], -t[0]))
+        sel.append(first[0])
+        out = [(qid, 1, first[0])]
+        for step in range(2, k + 1):
+            best = None
+            for j, r in cands:
+                if j in sel:
+                    continue
+                score = lam * r - (1 - lam) * max(
+                    cos(j, s) for s in sel
+                )
+                cand = (score, -j)
+                if best is None or cand > best[0]:
+                    best = (cand, j)
+            sel.append(best[1])
+            out.append((qid, step, best[1]))
+        for qid_, rank, vid in out:
+            expect[(qid_, rank)] = vid
+
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    res = sim.mmr_diversified_topk(
+        df,
+        df.filter(F.col("vec_id") < 2),
+        k=k,
+        pool=pool,
+        lam=lam,
+    ).collect()
+    got = {(r["query_id"], r["mmr_rank"]): r["vec_id"] for r in res}
+    assert got == expect
