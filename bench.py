@@ -250,8 +250,26 @@ HEADLINE = [
     "graph_local_clustering_histogram",
     "agg_fisher_exact_2x2",
     "text_token_simpson_diversity",
+    "agg_negative_binomial_fit",
+    "agg_tukey_hsd_qstats",
+    "sim_mmr_diversified_topk",
+    "text_rake_keywords",
+    "mm_image_edge_density",
+    "sim_lsh_candidate_recall",
+    "sim_davies_bouldin_index",
+    "curation_dsir_importance",
+    "ts_holt_linear_forecast",
+    "text_mattr_lexical_diversity",
+    "agg_cuped_variance_reduction",
+    "ts_sprt_ab_monitor",
+    "join_range_count_prefix_sum",
+    "ts_croston_intermittent_demand",
+    "text_burrows_delta",
+    "join_bloom_prefilter",
+    "dq_shuffle_skew_planner",
+    "agg_diff_in_differences",
+    "window_attribution_linear",
 ]
-
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

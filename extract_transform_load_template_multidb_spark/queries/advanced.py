@@ -6887,3 +6887,82 @@ def agg_cuped_variance_reduction(
         ),
         F.round(cxy * cxy / (cxx * cyy), 6).alias("var_reduction"),
     )
+
+
+_DID_ORACLE = """
+WITH cell AS (
+    SELECT CAST(user_id % 2 AS INT) AS treated,
+           CAST(ts >= TIMESTAMP '2024-01-16' AS INT) AS post,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM events
+    GROUP BY 1, 2
+),
+m AS (
+    SELECT treated, post, n, s1 / n AS mean,
+           (s2 - s1 * s1 / n) / (n - 1) / n AS var_mean
+    FROM cell
+)
+SELECT
+    CAST(SUM(n) AS BIGINT) AS n_events,
+    round(SUM(CASE WHEN treated = 1 AND post = 1 THEN mean ELSE 0 END)
+          - SUM(CASE WHEN treated = 1 AND post = 0 THEN mean ELSE 0 END), 6)
+        AS treated_delta,
+    round(SUM(CASE WHEN treated = 0 AND post = 1 THEN mean ELSE 0 END)
+          - SUM(CASE WHEN treated = 0 AND post = 0 THEN mean ELSE 0 END), 6)
+        AS control_delta,
+    round(SUM(CASE WHEN treated = post THEN mean ELSE -mean END), 6)
+        AS did_estimate,
+    round(sqrt(SUM(var_mean)), 6) AS did_se
+FROM m
+"""
+
+
+@query("agg_diff_in_differences", oracle=_DID_ORACLE)
+def agg_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences on event values: (treated post − treated
+    pre) − (control post − control pre) with the four-cell pooled
+    standard error — the quasi-experimental estimator when
+    randomization is broken and a parallel-trends control exists
+    (CUPED assumes randomized arms; DiD does not). One fact pass to
+    2×2 cell moments (DECIMAL-exact on the cents grid), then a fixed
+    4-row dag; the sign trick SUM(treated=post ? mean : −mean) IS the
+    DiD contrast."""
+    ev = load_table(spark, sf_dir, "events")
+    cell = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        (F.col("ts") >= F.lit("2024-01-16").cast("timestamp"))
+        .cast("int")
+        .alias("post"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        dsum(F.col("value"), "s1"),
+        dsum(F.col("value") * F.col("value"), "s2"),
+    )
+    m = cell.select(
+        "treated",
+        "post",
+        "n",
+        (F.col("s1") / F.col("n")).alias("mean"),
+        (
+            (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+            / (F.col("n") - 1)
+            / F.col("n")
+        ).alias("var_mean"),
+    )
+    tp = F.col("treated") == F.col("post")
+    pick = lambda t, p: F.sum(  # noqa: E731
+        F.when(
+            (F.col("treated") == t) & (F.col("post") == p), F.col("mean")
+        ).otherwise(0.0)
+    )
+    return m.agg(
+        F.sum("n").cast("long").alias("n_events"),
+        F.round(pick(1, 1) - pick(1, 0), 6).alias("treated_delta"),
+        F.round(pick(0, 1) - pick(0, 0), 6).alias("control_delta"),
+        F.round(
+            F.sum(F.when(tp, F.col("mean")).otherwise(-F.col("mean"))), 6
+        ).alias("did_estimate"),
+        F.round(F.sqrt(F.sum("var_mean")), 6).alias("did_se"),
+    )

@@ -1826,3 +1826,69 @@ def dq_key_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("k").cast("long").alias("first_gap_after"),
         F.max("k").cast("long").alias("last_gap_after"),
     )
+
+
+_SKEW_ORACLE = """
+WITH kc AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY user_id
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           CAST(MAX(c) AS BIGINT) AS max_rows,
+           quantile_cont(CAST(c AS DOUBLE), 0.5) AS p50,
+           quantile_cont(CAST(c AS DOUBLE), 0.99) AS p99
+    FROM kc
+)
+SELECT n_keys, n_rows, max_rows,
+       round(p50, 6) AS p50_rows, round(p99, 6) AS p99_rows,
+       round(CAST(max_rows AS DOUBLE) * n_keys / n_rows, 6)
+           AS max_over_mean,
+       CAST(CASE WHEN CAST(max_rows AS DOUBLE) * n_keys / n_rows <= 4
+                 THEN 1
+                 ELSE CAST(ceil(CAST(max_rows AS DOUBLE) * n_keys
+                                / n_rows / 4) AS BIGINT) END
+            AS BIGINT) AS suggested_salt
+FROM s
+"""
+
+
+@query("dq_shuffle_skew_planner", oracle=_SKEW_ORACLE)
+def dq_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew audit for the events.user_id grouping key: key
+    count, row count, max/median/p99 per-key rows, the max-over-mean
+    skew ratio, and the salt factor that would bound any single
+    reducer's share to ~4× the mean — the measurement that decides
+    BETWEEN plain groupBy, `agg_salted_hot_keys`' two-level salting,
+    and AQE skew splits before a job ships. Per-key counts are one
+    partial-aggregable pass; percentiles use the distributed
+    running-count selector (`_util.exact_percentiles`), never the
+    single-reducer percentile buffer."""
+    ev = load_table(spark, sf_dir, "events")
+    kc = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    stats = exact_percentiles(
+        kc.select(F.col("c").cast("double").alias("cd")),
+        [],
+        "cd",
+        {"p50_rows": 0.5, "p99_rows": 0.99},
+        extras={"n_keys": "n", "max_rows": "max", "n_rows": "sum"},
+    )
+    ratio = (
+        F.col("max_rows").cast("double")
+        * F.col("n_keys")
+        / F.col("n_rows")
+    )
+    return stats.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("max_rows").cast("long").alias("max_rows"),
+        F.round("p50_rows", 6).alias("p50_rows"),
+        F.round("p99_rows", 6).alias("p99_rows"),
+        F.round(ratio, 6).alias("max_over_mean"),
+        F.when(ratio <= 4, F.lit(1).cast("long"))
+        .otherwise(F.ceil(ratio / 4).cast("long"))
+        .alias("suggested_salt"),
+    )

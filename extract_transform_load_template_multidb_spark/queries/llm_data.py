@@ -6598,14 +6598,14 @@ _MMR_ORACLE = (
     "WITH "
     + _SQL_ELEMS
     + """,
-dots AS (
+dots AS MATERIALIZED (
     SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot
     FROM elems a
     JOIN elems b ON a.d = b.d AND b.vec_id <> a.vec_id
     WHERE a.vec_id % 100 = 0
     GROUP BY 1, 2
 ),
-rel AS (
+rel AS MATERIALIZED (
     SELECT qid, nid,
            CAST(dot AS DOUBLE)
                / (sqrt(CAST(na.nsq AS DOUBLE))
@@ -6614,14 +6614,14 @@ rel AS (
     JOIN norms na ON na.vec_id = qid
     JOIN norms nb ON nb.vec_id = nid
 ),
-cands AS (
+cands AS MATERIALIZED (
     SELECT qid, nid, rel FROM (
         SELECT qid, nid, rel,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY rel DESC, nid) AS rnk
         FROM rel) WHERE rnk <= 10
 ),
-pairdots AS (
+pairdots AS MATERIALIZED (
     SELECT ca.qid, ca.nid AS x, cb.nid AS y, SUM(ea.v * eb.v) AS dot
     FROM cands ca
     JOIN cands cb ON cb.qid = ca.qid AND cb.nid <> ca.nid
@@ -6629,7 +6629,7 @@ pairdots AS (
     JOIN elems eb ON eb.vec_id = cb.nid AND eb.d = ea.d
     GROUP BY 1, 2, 3
 ),
-pairsim AS (
+pairsim AS MATERIALIZED (
     SELECT qid, x, y,
            CAST(dot AS DOUBLE)
                / (sqrt(CAST(nx.nsq AS DOUBLE))
@@ -6638,14 +6638,14 @@ pairsim AS (
     JOIN norms nx ON nx.vec_id = x
     JOIN norms ny ON ny.vec_id = y
 ),
-s1 AS (
+s1 AS MATERIALIZED (
     SELECT qid, nid, rel FROM (
         SELECT qid, nid, rel,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY rel DESC, nid) AS rn
         FROM cands) WHERE rn = 1
 ),
-sc2 AS (
+sc2 AS MATERIALIZED (
     SELECT r.qid, r.nid, r.rel,
            CAST(0.7 AS DOUBLE) * r.rel
                - CAST(0.3 AS DOUBLE) * ps.sim AS mmr
@@ -6654,17 +6654,17 @@ sc2 AS (
     JOIN s1 ON s1.qid = ps.qid AND ps.y = s1.nid
     WHERE r.nid NOT IN (SELECT nid FROM s1 WHERE s1.qid = r.qid)
 ),
-s2 AS (
+s2 AS MATERIALIZED (
     SELECT qid, nid, rel, mmr FROM (
         SELECT qid, nid, rel, mmr,
                row_number() OVER (PARTITION BY qid
                                   ORDER BY mmr DESC, nid) AS rn
         FROM sc2) WHERE rn = 1
 ),
-sel12 AS (
+sel12 AS MATERIALIZED (
     SELECT qid, nid FROM s1 UNION ALL SELECT qid, nid FROM s2
 ),
-sc3 AS (
+sc3 AS MATERIALIZED (
     SELECT r.qid, r.nid, r.rel,
            CAST(0.7 AS DOUBLE) * r.rel
                - CAST(0.3 AS DOUBLE) * max(ps.sim) AS mmr
@@ -6674,7 +6674,7 @@ sc3 AS (
     WHERE r.nid NOT IN (SELECT nid FROM sel12 WHERE sel12.qid = r.qid)
     GROUP BY r.qid, r.nid, r.rel
 ),
-s3 AS (
+s3 AS MATERIALIZED (
     SELECT qid, nid, rel, mmr FROM (
         SELECT qid, nid, rel, mmr,
                row_number() OVER (PARTITION BY qid
@@ -7347,4 +7347,171 @@ def text_mattr_lexical_diversity(
         "n_tokens",
         "n_types",
         F.round(mattr, 6).alias("mattr"),
+    )
+
+
+_BURROWS_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+toks AS (
+    SELECT t.doc_id, d.source, unnest(t.t) AS w
+    FROM toks_list t JOIN documents d ON d.doc_id = t.doc_id
+),
+topw AS (
+    SELECT w FROM (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c,
+               row_number() OVER (ORDER BY COUNT(*) DESC, w) AS rnk
+        FROM toks GROUP BY w
+    ) WHERE rnk <= 30
+),
+src_tot AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS tot
+    FROM toks GROUP BY source
+),
+freq AS (
+    SELECT st.source, tw.w,
+           CAST(coalesce(c.c, 0) * 1000000 // st.tot AS BIGINT) AS f
+    FROM src_tot st
+    CROSS JOIN topw tw
+    LEFT JOIN (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM toks JOIN topw USING (w) GROUP BY source, w
+    ) c ON c.source = st.source AND c.w = tw.w
+),
+wstat AS (
+    SELECT w,
+           CAST(COUNT(*) AS BIGINT) AS ns,
+           CAST(SUM(f) AS BIGINT) AS s1,
+           CAST(SUM(f * f) AS BIGINT) AS s2
+    FROM freq GROUP BY w
+),
+z AS (
+    SELECT f.source, f.w,
+           CAST(ws.ns * f.f - ws.s1 AS DOUBLE)
+               / sqrt(CAST(ws.ns * ws.s2 - ws.s1 * ws.s1 AS DOUBLE))
+               AS zv
+    FROM freq f JOIN wstat ws ON ws.w = f.w
+    WHERE ws.ns * ws.s2 - ws.s1 * ws.s1 > 0
+),
+delta AS (
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(SUM(CAST(round(abs(a.zv - b.zv), 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS delta
+    FROM z a JOIN z b ON b.w = a.w AND a.source < b.source
+    GROUP BY 1, 2
+)
+SELECT source_a, source_b, round(delta, 6) AS burrows_delta
+FROM delta
+ORDER BY delta, source_a, source_b
+LIMIT 10
+"""
+)
+
+
+@query("text_burrows_delta", oracle=_BURROWS_ORACLE)
+def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometric distance between sources: z-score each
+    source's relative frequency of the corpus's 30 most-common tokens
+    (the function-word profile), Delta = mean |z_a − z_b| per source
+    pair, 10 closest pairs — the classic authorship/provenance signal
+    (two 'different' sources with near-zero Delta are one crawler or one
+    template farm; feeds the same curation decisions as
+    `dedup_source_shingle_overlap`, but from STYLE not content overlap).
+    One token pass for the top-30 (TakeOrdered) + per-source totals;
+    everything after lives on the sources×30 frame — frequencies and
+    per-word moments quantize to the 6-dp DECIMAL grid so z-scores and
+    pair sums are engine-identical; pairs are a broadcast self-join."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(dd.tokenize(F.col("text"))).alias("w")
+    )
+    topw = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(30)
+        .select("w")
+    )
+    src_tot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("tot")
+    )
+    cnt = (
+        toks.join(F.broadcast(topw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    freq = (
+        src_tot.crossJoin(F.broadcast(topw))
+        .join(cnt, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            # Exact integer floor division: (a − a mod b) / b is a
+            # divisible quotient ≤ 1e6, so the double divide is exact.
+            (
+                (
+                    (F.coalesce(F.col("c"), F.lit(0)) * 1000000).cast(
+                        "long"
+                    )
+                    - (
+                        F.coalesce(F.col("c"), F.lit(0)) * 1000000
+                    ).cast("long")
+                    % F.col("tot")
+                )
+                / F.col("tot")
+            )
+            .cast("long")
+            .alias("f"),
+        )
+    )
+    wstat = freq.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("ns"),
+        F.sum("f").cast("long").alias("s1"),
+        F.sum(F.col("f") * F.col("f")).cast("long").alias("s2"),
+    )
+    var_num = F.col("ns") * F.col("s2") - F.col("s1") * F.col("s1")
+    z = (
+        freq.join(F.broadcast(wstat), "w")
+        .where(var_num > 0)
+        .select(
+            "source",
+            "w",
+            (
+                (F.col("ns") * F.col("f") - F.col("s1")).cast("double")
+                / F.sqrt(var_num.cast("double"))
+            ).alias("zv"),
+        )
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("zv").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"), "w", F.col("zv").alias("zb")
+    )
+    delta = (
+        a.join(
+            F.broadcast(b),
+            (a["w"] == b["w"]) & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.abs(F.col("za") - F.col("zb")), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("delta")
+        )
+    )
+    return (
+        delta.orderBy("delta", "source_a", "source_b")
+        .limit(10)
+        .select(
+            "source_a",
+            "source_b",
+            F.round("delta", 6).alias("burrows_delta"),
+        )
     )

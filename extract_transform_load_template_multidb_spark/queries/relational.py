@@ -1307,3 +1307,86 @@ def join_range_count_prefix_sum(
             ).alias("in_transit_orders"),
         )
     )
+
+
+_BLOOM_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+WHERE c.c_mktsegment = 'BUILDING' AND c.c_acctbal > 9000
+GROUP BY o.o_orderpriority
+"""
+
+
+@query("join_bloom_prefilter", oracle=_BLOOM_ORACLE)
+def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via an explicit Bloom filter: a 4096-bit
+    3-hash bloom of the selective customer keys is aggregated into 64
+    longs, broadcast as ONE row, and applied to orders BEFORE the join —
+    the manual form of the runtime row-group filter that cuts shuffle
+    and scan volume when the fact side dwarfs the dim side (at 100 TB
+    the bloom removes most fact rows before they ever reach the join
+    exchange; false positives are harmless because the exact broadcast
+    join still runs after). md5-derived positions keep the filter
+    engine-portable; the oracle is the PLAIN join — a bloom has no
+    false negatives, so results must be identical by construction."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    dim = c.where(
+        (F.col("c_mktsegment") == "BUILDING") & (F.col("c_acctbal") > 9000)
+    ).select("c_custkey")
+
+    def positions(key):
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(str(s) + ":"), key.cast("string"))),
+                        1,
+                        8,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 4096
+            )
+            for s in range(3)
+        ]
+
+    # Build: one 64-long bitmap row (positions OR-folded per word).
+    pos = dim.select(
+        F.explode(F.array(*positions(F.col("c_custkey")))).alias("p")
+    )
+    words = pos.groupBy((F.col("p") / 64).cast("int").alias("idx")).agg(
+        F.bit_or(
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(p % 64 AS INT))")
+        ).alias("word")
+    )
+    bitmap = words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("idx", "word")))
+        ).alias("bm")
+    )
+
+    probe = o.crossJoin(F.broadcast(bitmap))
+    cond = None
+    for pc in positions(F.col("o_custkey")):
+        idx = (pc / 64).cast("int")
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), (pc % 64).cast("int")
+        )
+        t = F.element_at(F.col("bm"), idx).bitwiseAND(bit) != 0
+        cond = t if cond is None else (cond & t)
+    pref = probe.where(cond).drop("bm")
+
+    return (
+        pref.join(F.broadcast(dim), pref["o_custkey"] == dim["c_custkey"])
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            dsum(F.col("o_totalprice"), "revenue"),
+        )
+    )

@@ -4068,3 +4068,212 @@ def ts_sprt_ab_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("continue")
         .alias("decision"),
     )
+
+
+_CROSTON_ORACLE = """
+WITH demand AS (
+    SELECT l.l_partkey AS part, CAST(o.o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS z
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_partkey % 200 = 0
+    GROUP BY 1, 2
+),
+seq AS (
+    SELECT part, day, z,
+           CAST(ROW_NUMBER() OVER (PARTITION BY part ORDER BY day)
+                AS DOUBLE) AS rn,
+           CAST(date_diff('day',
+                lag(day) OVER (PARTITION BY part ORDER BY day), day)
+                AS DOUBLE) AS gap
+    FROM demand
+),
+ev AS (SELECT part, day, z, rn - 1 AS rn, gap FROM seq WHERE gap IS NOT NULL),
+sm AS (
+    SELECT part, day, z, gap, rn,
+           POWER(0.8, rn)
+               * SUM(z * POWER(0.8, -rn))
+                     OVER (PARTITION BY part ORDER BY day
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               / ((1 - POWER(0.8, LEAST(rn, 10))) / 0.2) AS z_hat,
+           POWER(0.8, rn)
+               * SUM(gap * POWER(0.8, -rn))
+                     OVER (PARTITION BY part ORDER BY day
+                           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+               / ((1 - POWER(0.8, LEAST(rn, 10))) / 0.2) AS i_hat
+    FROM ev
+),
+last AS (
+    SELECT part, z_hat, i_hat,
+           CAST(COUNT(*) OVER (PARTITION BY part) + 1 AS BIGINT)
+               AS n_events,
+           row_number() OVER (PARTITION BY part ORDER BY day DESC) AS rr
+    FROM sm
+)
+SELECT part AS p_partkey, n_events,
+       ROUND(z_hat, 4) AS size_hat,
+       ROUND(i_hat, 4) AS interval_hat_days,
+       ROUND(z_hat / i_hat, 4) AS demand_rate_per_day
+FROM last WHERE rr = 1
+"""
+
+
+@query("ts_croston_intermittent_demand", oracle=_CROSTON_ORACLE)
+def ts_croston_intermittent_demand(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Croston's method for intermittent demand on sampled parts: EWMA
+    of non-zero demand SIZES and of inter-demand INTERVALS (α=0.2),
+    forecast = size/interval per day — the standard spare-parts
+    forecaster where `ts_holt_linear_forecast` fails (a daily series
+    that is mostly zeros drives any plain smoother to zero; Croston
+    smooths only over demand EVENTS). Both EWMAs reuse the bounded
+    closed-form window (0.8 decay, 9-preceding) PARTITIONED BY PART —
+    the exact shape that scales to every part at 100 TB, one window
+    exchange keyed by part. First event per part has no interval and
+    seeds neither smoother (reference Croston initialization)."""
+    from pyspark.sql import Window as Win, functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    demand = (
+        li.where(F.col("l_partkey") % 200 == 0)
+        .join(o.select("o_orderkey", "o_orderdate"), 
+              li["l_orderkey"] == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("z")
+        )
+    )
+    wp = Win.partitionBy("part").orderBy("day")
+    seq = demand.select(
+        "part",
+        "day",
+        "z",
+        (F.row_number().over(wp) - 1).cast("double").alias("rn"),
+        F.datediff(F.col("day"), F.lag("day").over(wp))
+        .cast("double")
+        .alias("gap"),
+    )
+    ev = seq.where(F.col("gap").isNotNull())
+    frame = Win.partitionBy("part").orderBy("day").rowsBetween(
+        -9, Win.currentRow
+    )
+    den = (1 - F.pow(F.lit(0.8), F.least(F.col("rn"), F.lit(10.0)))) / 0.2
+
+    def smooth(col):
+        return (
+            F.pow(F.lit(0.8), F.col("rn"))
+            * F.sum(col * F.pow(F.lit(0.8), -F.col("rn"))).over(frame)
+            / den
+        )
+
+    sm = ev.select(
+        "part",
+        "day",
+        smooth(F.col("z")).alias("z_hat"),
+        smooth(F.col("gap")).alias("i_hat"),
+        (F.count(F.lit(1)).over(Win.partitionBy("part")) + 1)
+        .cast("long")
+        .alias("n_events"),
+        F.row_number()
+        .over(Win.partitionBy("part").orderBy(F.col("day").desc()))
+        .alias("rr"),
+    )
+    return sm.where(F.col("rr") == 1).select(
+        F.col("part").alias("p_partkey"),
+        "n_events",
+        F.round("z_hat", 4).alias("size_hat"),
+        F.round("i_hat", 4).alias("interval_hat_days"),
+        F.round(F.col("z_hat") / F.col("i_hat"), 4).alias(
+            "demand_rate_per_day"
+        ),
+    )
+
+
+_ATTR_ORACLE = """
+WITH purchases AS (
+    SELECT user_id, ts AS pts, event_id AS pid
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT p.pid, e.event_type
+    FROM purchases p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts < p.pts
+     AND e.ts >= p.pts - INTERVAL 1 HOUR
+     AND e.event_type <> 'purchase'
+    GROUP BY p.pid, e.event_type
+),
+credit AS (
+    SELECT pid, event_type,
+           CAST(round(1.0 / (CAST(COUNT(*) OVER (PARTITION BY pid)
+                                  AS DOUBLE)), 6)
+                AS DECIMAL(38,6)) AS w
+    FROM touch
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(w) AS DOUBLE) AS attributed_purchases
+FROM credit
+GROUP BY event_type
+"""
+
+
+@query("window_attribution_linear", oracle=_ATTR_ORACLE)
+def window_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase splits one unit of
+    credit equally across the DISTINCT non-purchase event types the
+    user emitted in the preceding hour — the position-agnostic
+    attribution model between first-touch and last-touch (each
+    purchase's credit sums to exactly 1, so total attributed equals
+    attributable purchases). The lookback join stays keyed on user_id
+    (equi) with the hour bound as a residual range predicate — at
+    100 TB that is one shuffle by user, never a time-cross join; credit
+    weights are 1/k quantized to the 6-dp DECIMAL grid so per-type
+    attributions sum exactly."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    touch = (
+        purchases.join(
+            ev.where(F.col("event_type") != "purchase"),
+            (F.col("user_id") == F.col("pu"))
+            & (F.col("ts") < F.col("pts"))
+            & (
+                F.col("ts")
+                >= F.col("pts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .groupBy("pid", "event_type")
+        .agg(F.lit(1).alias("_one"))
+        .drop("_one")
+    )
+    credit = touch.select(
+        "pid",
+        "event_type",
+        F.round(
+            F.lit(1.0)
+            / F.count(F.lit(1))
+            .over(Win.partitionBy("pid"))
+            .cast("double"),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("w"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("w").cast("double").alias("attributed_purchases"),
+    )

@@ -899,3 +899,53 @@ def test_range_count_broadcast_lookups_no_range_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "join_range_count_prefix_sum")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_croston_windows_partitioned_by_part(spark, sf_dir):
+    """Croston: both EWMA window passes must partition by part (never a
+    single global sort of all demand events)."""
+    plan = _plan(spark, sf_dir, "ts_croston_intermittent_demand")
+    assert "Window" in plan
+    assert "Exchange SinglePartition" not in plan.split("Window")[0]
+    assert "CartesianProduct" not in plan
+
+
+def test_burrows_bounded_pair_stage(spark, sf_dir):
+    """Burrows' Delta: after the token pass everything lives on the
+    sources×30 frame via broadcast joins; top-10 is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "text_burrows_delta")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_prefilter_before_exact_join(spark, sf_dir):
+    """Bloom prefilter: the 1-row bitmap broadcast and the exact dim join
+    must both be broadcast-side; the fact table never cross-products."""
+    plan = _plan(spark, sf_dir, "join_bloom_prefilter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_skew_planner_distributed_percentiles(spark, sf_dir):
+    """Skew planner: per-key percentiles must use the running-count
+    selector, never the single-reducer percentile aggregate."""
+    plan = _plan(spark, sf_dir, "dq_shuffle_skew_planner")
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+
+
+def test_did_partial_aggregable(spark, sf_dir):
+    """DiD: one fact pass to 2×2 cells with map-side combine; JVM-only."""
+    plan = _plan(spark, sf_dir, "agg_diff_in_differences")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_attribution_equi_join_on_user(spark, sf_dir):
+    """Attribution lookback: the purchase×touch join must stay keyed on
+    user_id (hash/sort-merge with the hour bound residual), never a
+    time cross join."""
+    plan = _plan(spark, sf_dir, "window_attribution_linear")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
