@@ -269,6 +269,8 @@ HEADLINE = [
     "dq_shuffle_skew_planner",
     "agg_diff_in_differences",
     "window_attribution_linear",
+    "graph_katz_centrality",
+    "text_jsd_source_divergence",
 ]
 
 def main() -> None:

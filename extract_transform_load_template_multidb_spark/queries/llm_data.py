@@ -7515,3 +7515,210 @@ def text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("delta", 6).alias("burrows_delta"),
         )
     )
+
+
+_KATZ_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b, id_a FROM pairs
+),
+x0 AS (SELECT doc_id AS node, CAST(1.0 AS DOUBLE) AS x FROM documents),
+c1 AS (
+  SELECT e.dst AS node, CAST(x.x AS DECIMAL(38,12)) AS c
+  FROM edges e JOIN x0 x ON x.node = e.src
+),
+x1 AS (
+  SELECT n0.node,
+         CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+             * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0) AS x
+  FROM x0 n0 LEFT JOIN c1 ON c1.node = n0.node GROUP BY n0.node
+),
+c2 AS (
+  SELECT e.dst AS node, CAST(x.x AS DECIMAL(38,12)) AS c
+  FROM edges e JOIN x1 x ON x.node = e.src
+),
+x2 AS (
+  SELECT n0.node,
+         CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+             * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0) AS x
+  FROM x0 n0 LEFT JOIN c2 ON c2.node = n0.node GROUP BY n0.node
+),
+c3 AS (
+  SELECT e.dst AS node, CAST(x.x AS DECIMAL(38,12)) AS c
+  FROM edges e JOIN x2 x ON x.node = e.src
+),
+x3 AS (
+  SELECT n0.node,
+         CAST(1.0 AS DOUBLE) + CAST(0.1 AS DOUBLE)
+             * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0) AS x
+  FROM x0 n0 LEFT JOIN c3 ON c3.node = n0.node GROUP BY n0.node
+)
+SELECT node, round(x, 6) AS katz FROM x3
+"""
+)
+
+
+@query("graph_katz_centrality", oracle=_KATZ_ORACLE)
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration Katz centrality (α=0.1) over the n-gram near-dup
+    similarity graph — the walk-count complement to
+    `graph_pagerank_docs`: PageRank normalizes by out-degree (mass
+    splits), Katz does not, so the doc touching MANY duplicate families
+    outranks the doc deep inside one. Same edge base and unrolled
+    oracle shape as PageRank; per-iteration contributions are
+    DECIMAL-routed so both engines sum bit-identically; the edge list
+    is locally checkpointed once, not re-derived per iteration."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as gr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst"))
+    )
+    res = gr.katz(
+        edges,
+        docs.select(F.col("doc_id").alias("node")),
+        iterations=3,
+        alpha=0.1,
+    )
+    return res.select("node", F.round("katz", 6).alias("katz"))
+
+
+_JSD_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+bucketed AS (
+    SELECT t.doc_id, d.source,
+           CAST(('0x' || substr(md5(w), 1, 8)) AS BIGINT) % 64 AS b
+    FROM toks_list t
+    JOIN documents d ON d.doc_id = t.doc_id, unnest(t.t) AS u(w)
+),
+sb AS (
+    SELECT source, b, CAST(COUNT(*) AS BIGINT) AS c
+    FROM bucketed GROUP BY 1, 2
+),
+grid AS (
+    SELECT s.source, gb.b, coalesce(sb.c, 0) + 1 AS n,
+           s.tot + 64 AS d
+    FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS tot
+          FROM sb GROUP BY source) s
+    CROSS JOIN (SELECT unnest(range(0, 64)) AS b) gb
+    LEFT JOIN sb ON sb.source = s.source AND sb.b = gb.b
+),
+pairterms AS (
+    SELECT a.source AS source_a, bq.source AS source_b,
+           CAST(round(
+               (CAST(a.n AS DOUBLE) / a.d)
+               * ln(CAST(CAST(2 AS DECIMAL(38,0)) * a.n * bq.d AS DOUBLE)
+                    / CAST(CAST(a.n AS DECIMAL(38,0)) * bq.d
+                           + CAST(bq.n AS DECIMAL(38,0)) * a.d AS DOUBLE))
+               + (CAST(bq.n AS DOUBLE) / bq.d)
+               * ln(CAST(CAST(2 AS DECIMAL(38,0)) * bq.n * a.d AS DOUBLE)
+                    / CAST(CAST(a.n AS DECIMAL(38,0)) * bq.d
+                           + CAST(bq.n AS DECIMAL(38,0)) * a.d AS DOUBLE)),
+               6) AS DECIMAL(38,6)) AS term
+    FROM grid a
+    JOIN grid bq ON bq.b = a.b AND a.source < bq.source
+),
+jsd AS (
+    SELECT source_a, source_b,
+           CAST(SUM(term) AS DOUBLE) / 2 AS jsd_raw
+    FROM pairterms GROUP BY 1, 2
+)
+SELECT source_a, source_b, round(jsd_raw, 6) AS jsd
+FROM jsd
+ORDER BY jsd_raw, source_a, source_b
+LIMIT 10
+"""
+)
+
+
+@query("text_jsd_source_divergence", oracle=_JSD_ORACLE)
+def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between source unigram distributions
+    over 64 hashed buckets (Laplace +1), 10 closest pairs — the
+    information-theoretic counterpart to `text_burrows_delta`: Delta
+    compares STYLE via top-function-word z-scores, JSD compares the
+    WHOLE (hashed) vocabulary distribution, symmetric and bounded
+    [0, ln 2]. Every ln argument is a ratio of exact integer products
+    (2·n_a·D_b / (n_a·D_b + n_b·D_a), DECIMAL-widened against
+    overflow), per-bucket terms quantize to the 6-dp grid before the
+    pair sum — the same engine-portability discipline as
+    `curation_dsir_importance`'s log-ratios. One token pass; the
+    20-source × 64-bucket grid drives everything after."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucketed = docs.select(
+        "source", F.explode(dd.tokenize(F.col("text"))).alias("w")
+    ).select(
+        "source",
+        (
+            F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long")
+            % 64
+        ).alias("b"),
+    )
+    sb = bucketed.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = sb.groupBy("source").agg(F.sum("c").cast("long").alias("tot"))
+    gb = spark.range(64).select(F.col("id").cast("long").alias("b"))
+    grid = (
+        tot.crossJoin(F.broadcast(gb))
+        .join(sb, ["source", "b"], "left")
+        .select(
+            "source",
+            "b",
+            (F.coalesce(F.col("c"), F.lit(0)) + 1).alias("n"),
+            (F.col("tot") + 64).alias("d"),
+        )
+    )
+    a = grid.select(
+        F.col("source").alias("source_a"),
+        "b",
+        F.col("n").alias("na"),
+        F.col("d").alias("da"),
+    )
+    bq = grid.select(
+        F.col("source").alias("source_b"),
+        "b",
+        F.col("n").alias("nb"),
+        F.col("d").alias("db"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    denom = (dec(F.col("na")) * F.col("db") + dec(F.col("nb")) * F.col("da")).cast(
+        "double"
+    )
+    term = (
+        (F.col("na").cast("double") / F.col("da"))
+        * F.log((dec(F.lit(2)) * F.col("na") * F.col("db")).cast("double") / denom)
+        + (F.col("nb").cast("double") / F.col("db"))
+        * F.log((dec(F.lit(2)) * F.col("nb") * F.col("da")).cast("double") / denom)
+    )
+    pairterms = (
+        a.join(
+            F.broadcast(bq),
+            (a["b"] == bq["b"]) & (F.col("source_a") < F.col("source_b")),
+        )
+        .select(
+            "source_a",
+            "source_b",
+            F.round(term, 6).cast("decimal(38,6)").alias("term"),
+        )
+    )
+    jsd = pairterms.groupBy("source_a", "source_b").agg(
+        (F.sum("term").cast("double") / 2).alias("jsd_raw")
+    )
+    return (
+        jsd.orderBy("jsd_raw", "source_a", "source_b")
+        .limit(10)
+        .select(
+            "source_a", "source_b", F.round("jsd_raw", 6).alias("jsd")
+        )
+    )

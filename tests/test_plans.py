@@ -949,3 +949,20 @@ def test_attribution_equi_join_on_user(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_attribution_linear")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_katz_checkpointed_edges_decimal_contrib(spark, sf_dir):
+    """Katz: unrolled iterations over the checkpointed edge list — no
+    cartesian anywhere; contributions aggregate partial+final."""
+    plan = _plan(spark, sf_dir, "graph_katz_centrality")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_jsd_bounded_grid_stage(spark, sf_dir):
+    """JSD: after the one token pass everything runs on the source×64
+    grid via broadcast joins; top-10 is TakeOrdered; JVM-only."""
+    plan = _plan(spark, sf_dir, "text_jsd_source_divergence")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
