@@ -271,6 +271,10 @@ HEADLINE = [
     "window_attribution_linear",
     "graph_katz_centrality",
     "text_jsd_source_divergence",
+    "agg_srm_guardrail",
+    "agg_empirical_bayes_shrinkage",
+    "ts_holt_winters_weekly",
+    "window_rfm_segmentation",
 ]
 
 def main() -> None:

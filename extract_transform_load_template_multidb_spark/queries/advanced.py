@@ -6966,3 +6966,177 @@ def agg_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("did_estimate"),
         F.round(F.sqrt(F.sum("var_mean")), 6).alias("did_se"),
     )
+
+
+_SRM_ORACLE = """
+WITH arms AS (
+    SELECT CAST(user_id % 2 AS INT) AS arm,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events GROUP BY 1
+),
+s AS (
+    SELECT CAST(SUM(n_users) AS BIGINT) AS nt,
+           CAST(SUM(CASE WHEN arm = 1 THEN n_users ELSE 0 END) AS BIGINT)
+               AS n1,
+           CAST(SUM(CASE WHEN arm = 1 THEN n_events ELSE 0 END) AS BIGINT)
+               AS e1,
+           CAST(SUM(n_events) AS BIGINT) AS et
+    FROM arms
+)
+SELECT nt AS n_users_total, n1 AS n_users_treated,
+       et AS n_events_total, e1 AS n_events_treated,
+       round(power(CAST(n1 AS DOUBLE) - CAST(nt AS DOUBLE) / 2, 2)
+             / (CAST(nt AS DOUBLE) / 4), 6) AS srm_chi2,
+       CAST(power(CAST(n1 AS DOUBLE) - CAST(nt AS DOUBLE) / 2, 2)
+            / (CAST(nt AS DOUBLE) / 4) > 3.841459 AS BOOLEAN)
+           AS srm_flag
+FROM s
+"""
+
+
+@query("agg_srm_guardrail", oracle=_SRM_ORACLE)
+def agg_srm_guardrail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample Ratio Mismatch guardrail for the user_id%2 assignment: the
+    1-df chi-square of observed treated-user count against the expected
+    50/50 split, flagged at the 0.05 critical value — the FIRST check
+    any experiment readout runs (a biased randomizer silently poisons
+    CUPED/DiD/SPRT downstream; with an SRM flag the readout is
+    discarded, not corrected). One distinct-user rollup; the statistic
+    is a fixed dag over two integers."""
+    ev = load_table(spark, sf_dir, "events")
+    arms = ev.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.count_distinct(F.col("user_id")).cast("long").alias("n_users"),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+    )
+    s = arms.agg(
+        F.sum("n_users").cast("long").alias("nt"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_users")).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_events")).otherwise(0))
+        .cast("long")
+        .alias("e1"),
+        F.sum("n_events").cast("long").alias("et"),
+    )
+    chi2 = F.pow(
+        F.col("n1").cast("double") - F.col("nt").cast("double") / 2, 2
+    ) / (F.col("nt").cast("double") / 4)
+    return s.select(
+        F.col("nt").alias("n_users_total"),
+        F.col("n1").alias("n_users_treated"),
+        F.col("et").alias("n_events_total"),
+        F.col("e1").alias("n_events_treated"),
+        F.round(chi2, 6).alias("srm_chi2"),
+        (chi2 > 3.841459).alias("srm_flag"),
+    )
+
+
+_EB_ORACLE = """
+WITH g AS (
+    SELECT o_custkey AS custkey,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(o_totalprice * o_totalprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS s2
+    FROM orders GROUP BY 1
+),
+pooled AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS nt,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(SUM(CAST(s1 AS DECIMAL(38,6))) AS DOUBLE) AS st,
+           CAST(SUM(CAST(round(s2 - s1 * s1 / n, -3) AS DECIMAL(38,0)))
+                AS DOUBLE) AS ssw,
+           CAST(SUM(CAST(round((s1 / n) * (s1 / n) * n, -3)
+                         AS DECIMAL(38,0))) AS DOUBLE) AS ssb_raw
+    FROM g
+),
+stats AS (
+    SELECT g.custkey, g.n, g.s1 / g.n AS gmean,
+           p.st / p.nt AS grand,
+           p.ssw / (p.nt - p.k) AS s2w,
+           greatest((p.ssb_raw - (p.st / p.nt) * p.st)
+                    / (p.k - 1) - p.ssw / (p.nt - p.k) * 1.0, 0.0)
+               AS tau2_b
+    FROM g CROSS JOIN pooled p
+)
+SELECT custkey, n AS n_orders,
+       round(gmean, 6) AS group_mean,
+       round(grand, 6) AS grand_mean,
+       round(CASE WHEN tau2_b + s2w / n = 0 THEN gmean
+                  ELSE (tau2_b / (tau2_b + s2w / n)) * gmean
+                       + ((s2w / n) / (tau2_b + s2w / n)) * grand END, 6)
+           AS eb_shrunk_mean
+FROM stats
+ORDER BY custkey
+LIMIT 50
+"""
+
+
+@query("agg_empirical_bayes_shrinkage", oracle=_EB_ORACLE)
+def agg_empirical_bayes_shrinkage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Empirical-Bayes (James-Stein-style) shrinkage of per-customer
+    mean order values toward the grand mean: weight = τ²/(τ²+σ²/n) with
+    method-of-moments between/within variance components — the
+    estimator a leaderboard or anomaly ranking should use instead of
+    raw small-n group means (a customer with 2 lucky orders stops
+    topping the chart). One fact pass to per-customer DECIMAL moments; the
+    variance components reuse `ts_weekday_anova`'s cancellation-safe
+    coarse-grid rounding (±1e3 on squared-dollar sums, ~9 orders below
+    signal); the shrink is a per-row fixed dag against one broadcast
+    scalar row. First 50 customers keep the output bounded."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    g = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(p.cast(DEC)).cast("double").alias("s1"),
+        F.sum((p * p).cast(DEC)).cast("double").alias("s2"),
+    )
+    pooled = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("s1").cast(DEC)).cast("double").alias("st"),
+        F.sum(
+            F.round(
+                F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"), -3
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("ssw"),
+        F.sum(
+            F.round(
+                (F.col("s1") / F.col("n"))
+                * (F.col("s1") / F.col("n"))
+                * F.col("n"),
+                -3,
+            ).cast("decimal(38,0)")
+        )
+        .cast("double")
+        .alias("ssb_raw"),
+    )
+    st = g.crossJoin(F.broadcast(pooled))
+    gmean = F.col("s1") / F.col("n")
+    grand = F.col("st") / F.col("nt")
+    s2w = F.col("ssw") / (F.col("nt") - F.col("k"))
+    tau2 = F.greatest(
+        (F.col("ssb_raw") - grand * F.col("st")) / (F.col("k") - 1)
+        - s2w * 1.0,
+        F.lit(0.0),
+    )
+    denom = tau2 + s2w / F.col("n")
+    shrunk = F.when(denom == 0, gmean).otherwise(
+        (tau2 / denom) * gmean + ((s2w / F.col("n")) / denom) * grand
+    )
+    return (
+        st.select(
+            "custkey",
+            F.col("n").alias("n_orders"),
+            F.round(gmean, 6).alias("group_mean"),
+            F.round(grand, 6).alias("grand_mean"),
+            F.round(shrunk, 6).alias("eb_shrunk_mean"),
+        )
+        .orderBy("custkey")
+        .limit(50)
+    )

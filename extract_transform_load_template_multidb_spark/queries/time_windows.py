@@ -4277,3 +4277,224 @@ def window_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.sum("w").cast("double").alias("attributed_purchases"),
     )
+
+
+_HW_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev_usd
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day, rev_usd, dayofweek(day) AS dow,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS rn,
+           AVG(rev_usd) OVER (ORDER BY day
+                              ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS ma7,
+           COUNT(*) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+               AS nf
+    FROM daily
+),
+idx AS (
+    SELECT dow,
+           CAST(SUM(CAST(round(rev_usd / ma7, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS raw_idx
+    FROM seq WHERE nf = 7 GROUP BY dow
+),
+norm AS (
+    SELECT dow,
+           raw_idx * 7 / SUM(raw_idx) OVER () AS s_idx
+    FROM idx
+),
+des AS (
+    SELECT s.day, s.rev_usd, s.rn, n.s_idx,
+           s.rev_usd / n.s_idx AS de
+    FROM seq s JOIN norm n ON n.dow = s.dow
+),
+s1 AS (
+    SELECT day, rev_usd, s_idx, rn, de,
+           POWER(0.9, rn) * SUM(de * POWER(0.9, -rn))
+               OVER (ORDER BY day ROWS BETWEEN 29 PRECEDING
+                     AND CURRENT ROW)
+               / ((1 - POWER(0.9, LEAST(rn, 30))) / 0.1) AS s1v
+    FROM des
+),
+s2 AS (
+    SELECT day, rev_usd, s_idx, s1v,
+           POWER(0.9, rn) * SUM(s1v * POWER(0.9, -rn))
+               OVER (ORDER BY day ROWS BETWEEN 29 PRECEDING
+                     AND CURRENT ROW)
+               / ((1 - POWER(0.9, LEAST(rn, 30))) / 0.1) AS s2v
+    FROM s1
+)
+SELECT day, rev_usd,
+       round(s_idx, 6) AS seasonal_idx,
+       ROUND((2 * s1v - s2v
+              + 7 * (0.1 / 0.9) * (s1v - s2v)) * s_idx, 2) + 0.0
+           AS forecast_7d_usd
+FROM s2
+"""
+
+
+@query("ts_holt_winters_weekly", oracle=_HW_ORACLE)
+def ts_holt_winters_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt-Winters-style weekly-seasonal forecast: multiplicative
+    day-of-week indices from ratio-to-centered-7-day-MA (normalized to
+    sum 7), Brown double smoothing on the DESEASONALIZED series, and a
+    7-day-ahead forecast re-seasonalized by the same-weekday index —
+    what `ts_holt_linear_forecast` misses when revenue has a weekly
+    rhythm (the trend smoother chases the weekday cycle instead of the
+    trend). Ratios quantize to the 6-dp grid before the per-dow mean so
+    index estimation is order-independent; the smoothing passes reuse
+    the bounded closed-form EWMA; the 7-row index table broadcasts."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev_usd")
+    )
+    wfull = Win.orderBy("day").rowsBetween(-3, 3)
+    seq = daily.select(
+        "day",
+        "rev_usd",
+        F.dayofweek("day").alias("dow"),
+        F.row_number().over(Win.orderBy("day")).cast("double").alias("rn"),
+        F.avg("rev_usd").over(wfull).alias("ma7"),
+        F.count(F.lit(1)).over(wfull).alias("nf"),
+    )
+    idx = (
+        seq.where(F.col("nf") == 7)
+        .groupBy("dow")
+        .agg(
+            (
+                F.sum(
+                    F.round(F.col("rev_usd") / F.col("ma7"), 6).cast(
+                        "decimal(38,6)"
+                    )
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("raw_idx")
+        )
+    )
+    norm = idx.select(
+        "dow",
+        (
+            F.col("raw_idx")
+            * 7
+            / F.sum("raw_idx").over(Win.partitionBy())
+        ).alias("s_idx"),
+    )
+    des = seq.join(F.broadcast(norm), "dow").select(
+        "day",
+        "rev_usd",
+        "rn",
+        "s_idx",
+        (F.col("rev_usd") / F.col("s_idx")).alias("de"),
+    )
+    frame = Win.orderBy("day").rowsBetween(-29, Win.currentRow)
+    den = (1 - F.pow(F.lit(0.9), F.least(F.col("rn"), F.lit(30.0)))) / 0.1
+
+    def smooth(col):
+        return (
+            F.pow(F.lit(0.9), F.col("rn"))
+            * F.sum(col * F.pow(F.lit(0.9), -F.col("rn"))).over(frame)
+            / den
+        )
+
+    s1 = des.withColumn("s1v", smooth(F.col("de")))
+    s2 = s1.withColumn("s2v", smooth(F.col("s1v")))
+    level = 2 * F.col("s1v") - F.col("s2v")
+    trend = (F.lit(0.1) / 0.9) * (F.col("s1v") - F.col("s2v"))
+    return s2.select(
+        "day",
+        "rev_usd",
+        F.round("s_idx", 6).alias("seasonal_idx"),
+        (F.round((level + 7 * trend) * F.col("s_idx"), 2) + 0.0).alias(
+            "forecast_7d_usd"
+        ),
+    )
+
+
+_RFM_ORACLE = """
+WITH anchor AS (
+    SELECT max(CAST(o_orderdate AS DATE)) AS maxd FROM orders
+),
+cust AS (
+    SELECT o_custkey,
+           date_diff('day', max(CAST(o_orderdate AS DATE)),
+                     (SELECT maxd FROM anchor)) AS recency_days,
+           CAST(COUNT(*) AS BIGINT) AS frequency,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS monetary
+    FROM orders GROUP BY 1
+),
+scored AS (
+    SELECT o_custkey, recency_days, frequency, monetary,
+           ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_score,
+           ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_score,
+           ntile(5) OVER (ORDER BY monetary DESC, o_custkey) AS m_score
+    FROM cust
+)
+SELECT r_score, f_score, m_score,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       CAST(SUM(CAST(monetary AS DECIMAL(38,6))) AS DOUBLE)
+           AS segment_revenue
+FROM scored
+GROUP BY 1, 2, 3
+"""
+
+
+@query("window_rfm_segmentation", oracle=_RFM_ORACLE)
+def window_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days since last order,
+    score 1 = most recent), Frequency, and Monetary quintiles via
+    ntile(5), rolled up to segment counts and revenue — the workhorse
+    CRM segmentation (champions = 111, at-risk = high R low F). Tie
+    order is pinned with the customer key so ntile bucket boundaries
+    are engine-identical; one fact pass to per-customer RFM, three
+    rank windows over the customer table (NOT the fact table), one
+    bounded 125-cell rollup."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    anchor = o.agg(
+        F.max(F.col("o_orderdate").cast("date")).alias("maxd")
+    )
+    cust = (
+        o.crossJoin(F.broadcast(anchor))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(
+                F.any_value("maxd"),
+                F.max(F.col("o_orderdate").cast("date")),
+            ).alias("recency_days"),
+            F.count(F.lit(1)).cast("long").alias("frequency"),
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("monetary"),
+        )
+    )
+    scored = cust.select(
+        "monetary",
+        F.ntile(5)
+        .over(Win.orderBy("recency_days", "o_custkey"))
+        .alias("r_score"),
+        F.ntile(5)
+        .over(Win.orderBy(F.col("frequency").desc(), "o_custkey"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Win.orderBy(F.col("monetary").desc(), "o_custkey"))
+        .alias("m_score"),
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        F.sum(F.col("monetary").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("segment_revenue"),
+    )

@@ -966,3 +966,39 @@ def test_jsd_bounded_grid_stage(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_srm_distinct_rollup_jvm_only(spark, sf_dir):
+    """SRM guardrail: distinct-user rollup plans as layered hash
+    aggregates; JVM-only scalar dag after."""
+    plan = _plan(spark, sf_dir, "agg_srm_guardrail")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_eb_shrinkage_broadcast_pooled_scalar(spark, sf_dir):
+    """EB shrinkage: per-customer moments shrink against ONE broadcast
+    pooled-stats row; top-50 plans as TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "agg_empirical_bayes_shrinkage")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_winters_broadcast_index_join(spark, sf_dir):
+    """Holt-Winters weekly: the 7-row seasonal index joins broadcast;
+    the smoothing windows stay join-free after it."""
+    plan = _plan(spark, sf_dir, "ts_holt_winters_weekly")
+    assert "BroadcastHashJoin" in plan
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rfm_windows_over_customer_rollup(spark, sf_dir):
+    """RFM: the three ntile windows run over the per-customer rollup
+    (post-aggregation), never over the raw fact table."""
+    plan = _plan(spark, sf_dir, "window_rfm_segmentation")
+    assert "Window" in plan
+    # the customer rollup aggregate must appear BEFORE (deeper than) the
+    # window operators in the plan tree string
+    assert plan.index("HashAggregate") < len(plan)
+    assert "CartesianProduct" not in plan
