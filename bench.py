@@ -275,6 +275,8 @@ HEADLINE = [
     "agg_empirical_bayes_shrinkage",
     "ts_holt_winters_weekly",
     "window_rfm_segmentation",
+    "agg_conformal_interval",
+    "dedup_boilerplate_ngrams",
 ]
 
 def main() -> None:

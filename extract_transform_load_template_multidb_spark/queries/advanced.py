@@ -7140,3 +7140,101 @@ def agg_empirical_bayes_shrinkage(
         .orderBy("custkey")
         .limit(50)
     )
+
+
+_CONFORMAL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day, rev,
+           lag(rev) OVER (ORDER BY day) AS prev,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS rn,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM daily
+),
+resid AS (
+    SELECT day, rev, prev, rn, n,
+           abs(rev - prev) AS ar,
+           CAST(floor(n * 0.7) AS BIGINT) AS n_cal
+    FROM seq WHERE prev IS NOT NULL
+),
+cal AS (
+    SELECT quantile_cont(ar, 0.9) AS q90
+    FROM resid WHERE rn <= n_cal
+),
+test AS (
+    SELECT r.day, r.rev, r.prev, c.q90,
+           CAST(abs(r.rev - r.prev) <= c.q90 AS INT) AS covered
+    FROM resid r CROSS JOIN cal c
+    WHERE r.rn > r.n_cal
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+       round(any_value(q90), 6) AS interval_half_width,
+       CAST(SUM(covered) AS BIGINT) AS n_covered,
+       round(CAST(SUM(covered) AS DOUBLE) / COUNT(*), 6)
+           AS empirical_coverage
+FROM test
+"""
+
+
+@query("agg_conformal_interval", oracle=_CONFORMAL_ORACLE)
+def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval for next-day revenue under the
+    persistence forecast: the 0.9 quantile of |today − yesterday| on the
+    first 70% of days is the distribution-free interval half-width; the
+    held-out 30% reports empirical coverage — the finite-sample-valid
+    uncertainty wrapper every forecaster here (`ts_holt_linear_forecast`,
+    `ts_holt_winters_weekly`) should ship with (no normality assumption,
+    coverage guaranteed ≥ 0.9 − 1/(n+1) by exchangeability). The
+    calibration quantile uses the distributed running-count selector on
+    the bounded daily series; the test pass is one broadcast scalar
+    against the same series."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("rev")
+    )
+    w = Win.orderBy("day")
+    seq = daily.select(
+        "day",
+        "rev",
+        F.lag("rev").over(w).alias("prev"),
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(Win.partitionBy()).cast("long").alias("n"),
+    )
+    resid = seq.where(F.col("prev").isNotNull()).select(
+        "day",
+        "rev",
+        "prev",
+        "rn",
+        F.abs(F.col("rev") - F.col("prev")).alias("ar"),
+        F.floor(F.col("n") * 0.7).cast("long").alias("n_cal"),
+    )
+    cal = exact_percentiles(
+        resid.where(F.col("rn") <= F.col("n_cal")).select(
+            F.col("ar").cast("double").alias("arv")
+        ),
+        [],
+        "arv",
+        {"q90": 0.9},
+    )
+    test = resid.where(F.col("rn") > F.col("n_cal")).crossJoin(
+        F.broadcast(cal)
+    )
+    covered = (F.abs(F.col("rev") - F.col("prev")) <= F.col("q90")).cast(
+        "int"
+    )
+    return test.agg(
+        F.count(F.lit(1)).cast("long").alias("n_test"),
+        F.round(F.any_value("q90"), 6).alias("interval_half_width"),
+        F.sum(covered).cast("long").alias("n_covered"),
+        F.round(
+            F.sum(covered).cast("double") / F.count(F.lit(1)), 6
+        ).alias("empirical_coverage"),
+    )

@@ -7722,3 +7722,97 @@ def text_jsd_source_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a", "source_b", F.round("jsd_raw", 6).alias("jsd")
         )
     )
+
+
+_BOILER_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+grams AS (
+    SELECT doc_id,
+           array_to_string(list_slice(t, i, i + 7), ' ') AS g
+    FROM toks_list, unnest(range(1, len(t) - 6)) AS u(i)
+    WHERE len(t) >= 8
+),
+gh AS (
+    SELECT md5(g) AS ghash, any_value(g) AS gram,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM grams
+    GROUP BY md5(g)
+),
+tot AS (
+    SELECT CAST(SUM(n_occurrences) AS BIGINT) AS total_grams FROM gh
+)
+SELECT g.gram, g.doc_freq, g.n_occurrences,
+       round(CAST(g.n_occurrences AS DOUBLE) / t.total_grams, 6)
+           AS corpus_gram_share
+FROM gh g CROSS JOIN tot t
+WHERE g.doc_freq >= 3
+ORDER BY g.doc_freq DESC, g.n_occurrences DESC, g.gram
+LIMIT 25
+"""
+)
+
+
+@query("dedup_boilerplate_ngrams", oracle=_BOILER_ORACLE)
+def dedup_boilerplate_ngrams(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Boilerplate offender report: word 8-grams recurring in >= 3
+    DISTINCT documents, ranked by document frequency with each gram's
+    share of all corpus 8-grams -- the corpus-health metric that names
+    the template farms and injected headers BEFORE they poison near-dup
+    pipelines (shared boilerplate inflates shingle overlap between
+    otherwise-unrelated docs, polluting `dedup_minhash_lsh` buckets;
+    `dedup_duplicated_spans` marks the affected RANGES per doc, this
+    ranks the offending CONTENT corpus-wide). Positional shingling is
+    one pure array expression + explode; one hash-groupBy; the
+    corpus-size scalar broadcasts; top-25 is TakeOrderedAndProject."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokenize(F.col("text"))
+    grams = (
+        docs.select("doc_id", toks.alias("t"))
+        .where(F.size("t") >= 8)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.size("t") - 7
+                    ),
+                    lambda i: F.array_join(
+                        F.slice(F.col("t"), i, 8), " "
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    gh = grams.groupBy(F.md5("g").alias("ghash")).agg(
+        F.any_value("g").alias("gram"),
+        F.count_distinct(F.col("doc_id")).cast("long").alias("doc_freq"),
+        F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+    )
+    tot = gh.agg(
+        F.sum("n_occurrences").cast("long").alias("total_grams")
+    )
+    return (
+        gh.where(F.col("doc_freq") >= 3)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "gram",
+            "doc_freq",
+            "n_occurrences",
+            F.round(
+                F.col("n_occurrences").cast("double")
+                / F.col("total_grams"),
+                6,
+            ).alias("corpus_gram_share"),
+        )
+        .orderBy(
+            F.col("doc_freq").desc(),
+            F.col("n_occurrences").desc(),
+            "gram",
+        )
+        .limit(25)
+    )

@@ -1002,3 +1002,22 @@ def test_rfm_windows_over_customer_rollup(spark, sf_dir):
     # window operators in the plan tree string
     assert plan.index("HashAggregate") < len(plan)
     assert "CartesianProduct" not in plan
+
+
+def test_conformal_distributed_quantile_broadcast_scalar(spark, sf_dir):
+    """Conformal interval: calibration quantile via the running-count
+    selector (no single-reducer percentile aggregate); the test pass
+    joins ONE broadcast scalar row."""
+    plan = _plan(spark, sf_dir, "agg_conformal_interval")
+    assert "percentile" not in plan.lower()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_boilerplate_linear_shingle_rollup(spark, sf_dir):
+    """Boilerplate report: positional shingling is explode + hash-groupBy
+    (linear); top-25 is TakeOrdered; no Python, no cross product beyond
+    the 1-row scalar broadcast."""
+    plan = _plan(spark, sf_dir, "dedup_boilerplate_ngrams")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
