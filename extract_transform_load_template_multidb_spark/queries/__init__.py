@@ -164,7 +164,18 @@ _CHECK_LAST = (
 
 # ROUND-7 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r06
 # confirms the round-6 window, replace _CHECK_FIRST with the next ~50
-# still-never-driver-green names. Lead with the late-round-6 additions
+# still-never-driver-green names. Lead with the session-28 additions
+# (sim_mmr_diversified_topk, curation_dsir_importance, text_rake_keywords,
+# sim_davies_bouldin_index, sim_lsh_candidate_recall,
+# ts_holt_linear_forecast, ts_holt_winters_weekly, agg_negative_binomial_fit,
+# agg_tukey_hsd_qstats, mm_image_edge_density, text_mattr_lexical_diversity,
+# agg_cuped_variance_reduction, ts_sprt_ab_monitor, agg_srm_guardrail,
+# agg_diff_in_differences, join_range_count_prefix_sum, join_bloom_prefilter,
+# ts_croston_intermittent_demand, text_burrows_delta, dq_shuffle_skew_planner,
+# window_attribution_linear, graph_katz_centrality,
+# text_jsd_source_divergence, agg_empirical_bayes_shrinkage,
+# window_rfm_segmentation, agg_conformal_interval,
+# dedup_boilerplate_ngrams) plus the earlier late-round-6 additions
 # (ts_mann_kendall_trend, ts_page_hinkley_drift, ts_pacf_durbin_levinson,
 # ts_hurst_aggregated_variance, agg_cohens_d_effect_size,
 # agg_kendall_tau_daily, agg_cramers_v, agg_levene_brown_forsythe, and

@@ -690,3 +690,44 @@ def test_mmr_greedy_matches_numpy_reference(spark, vecs):
     ).collect()
     got = {(r["query_id"], r["mmr_rank"]): r["vec_id"] for r in res}
     assert got == expect
+
+
+@given(pairs=st.lists(
+    st.tuples(st.integers(0, 7), st.integers(0, 7)),
+    min_size=0, max_size=16,
+))
+@settings(**_SETTINGS)
+def test_katz_matches_dense_reference(spark, pairs):
+    """katz() must equal the dense x ← 1 + α·Aᵀx recurrence computed in
+    plain Python over the same directed multigraph (parallel edges count
+    once per occurrence, self-loops allowed — whatever the edge list
+    says is what the operator must sum)."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as gr,
+    )
+
+    n, iters, alpha = 8, 3, 0.1
+    x = [1.0] * n
+    for _ in range(iters):
+        # match the operator's decimal(38,12) contribution quantization
+        x2 = [1.0] * n
+        incoming = {}
+        for s, d in pairs:
+            incoming.setdefault(d, []).append(round(x[s], 12))
+        for d, vals in incoming.items():
+            x2[d] = 1.0 + alpha * sum(vals)
+        x = x2
+    edges = spark.createDataFrame(
+        pairs or [(0, 0)], "src long, dst long"
+    )
+    if not pairs:
+        edges = edges.filter("src < 0")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(n)], "node long"
+    )
+    got = {
+        r["node"]: r["katz"]
+        for r in gr.katz(edges, nodes, iterations=iters).collect()
+    }
+    for i in range(n):
+        assert abs(got[i] - x[i]) < 1e-9, (i, got[i], x[i])
