@@ -277,6 +277,8 @@ HEADLINE = [
     "window_rfm_segmentation",
     "agg_conformal_interval",
     "dedup_boilerplate_ngrams",
+    "agg_cramer_von_mises_2sample",
+    "ts_cohort_ltv_projection",
 ]
 
 def main() -> None:

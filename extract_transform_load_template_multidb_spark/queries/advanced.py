@@ -7238,3 +7238,98 @@ def agg_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(covered).cast("double") / F.count(F.lit(1)), 6
         ).alias("empirical_coverage"),
     )
+
+
+_CVM_ORACLE = """
+WITH s AS (
+    SELECT o_totalprice AS v,
+           CAST(o_orderpriority = '1-URGENT' AS INT) AS is_x
+    FROM orders
+    WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+),
+vc AS (
+    SELECT v,
+           CAST(SUM(is_x) AS BIGINT) AS cx,
+           CAST(COUNT(*) - SUM(is_x) AS BIGINT) AS cy,
+           CAST(COUNT(*) AS BIGINT) AS l
+    FROM s GROUP BY v
+),
+cum AS (
+    SELECT l,
+           CAST(SUM(cx) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cxc,
+           CAST(SUM(cy) OVER (ORDER BY v
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cyc,
+           CAST(SUM(cx) OVER () AS BIGINT) AS n,
+           CAST(SUM(cy) OVER () AS BIGINT) AS m
+    FROM vc
+)
+SELECT any_value(n) AS n_urgent, any_value(m) AS n_low,
+       round(CAST(SUM(CAST(l AS DECIMAL(38,0))
+                      * (m * cxc - n * cyc) * (m * cxc - n * cyc))
+                  AS DOUBLE)
+             / (CAST(any_value(n) AS DOUBLE) * any_value(m)
+                * power(CAST(any_value(n) + any_value(m) AS DOUBLE), 2)),
+             6) AS cvm_statistic
+FROM cum
+"""
+
+
+@query("agg_cramer_von_mises_2sample", oracle=_CVM_ORACLE)
+def agg_cramer_von_mises_2sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion between URGENT and LOW
+    order-price distributions: T = nm/N² Σ (F̂_x−F̂_y)² over every pooled
+    observation — the whole-distribution counterpart to the KS test's
+    max-gap (CvM integrates ALL ECDF discrepancy, so it catches spread/
+    tail differences a single crossing hides). Tie-safe by construction:
+    everything evaluates on distinct-value groups with exact integer
+    ECDF numerators (m·CX − n·CY), DECIMAL-widened squares, one double
+    division at the very end. One value-counts shuffle + one running
+    window — the same scale-safe shape as the exact-percentile
+    selector."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    s = o.where(
+        F.col("o_orderpriority").isin("1-URGENT", "5-LOW")
+    ).select(
+        F.col("o_totalprice").alias("v"),
+        (F.col("o_orderpriority") == "1-URGENT").cast("int").alias("is_x"),
+    )
+    vc = s.groupBy("v").agg(
+        F.sum("is_x").cast("long").alias("cx"),
+        (F.count(F.lit(1)) - F.sum("is_x")).cast("long").alias("cy"),
+        F.count(F.lit(1)).cast("long").alias("l"),
+    )
+    wrun = Win.orderBy("v").rowsBetween(Win.unboundedPreceding, Win.currentRow)
+    wall = Win.partitionBy()
+    cum = vc.select(
+        "l",
+        F.sum("cx").over(wrun).cast("long").alias("cxc"),
+        F.sum("cy").over(wrun).cast("long").alias("cyc"),
+        F.sum("cx").over(wall).cast("long").alias("n"),
+        F.sum("cy").over(wall).cast("long").alias("m"),
+    )
+    diff = F.col("m") * F.col("cxc") - F.col("n") * F.col("cyc")
+    return cum.agg(
+        F.any_value("n").alias("n_urgent"),
+        F.any_value("m").alias("n_low"),
+        F.round(
+            F.sum(F.col("l").cast("decimal(38,0)") * diff * diff).cast(
+                "double"
+            )
+            / (
+                F.any_value("n").cast("double")
+                * F.any_value("m")
+                * F.pow(
+                    (F.any_value("n") + F.any_value("m")).cast("double"),
+                    2,
+                )
+            ),
+            6,
+        ).alias("cvm_statistic"),
+    )

@@ -4498,3 +4498,143 @@ def window_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("segment_revenue"),
     )
+
+
+_LTV_ORACLE = """
+WITH fo AS (
+    SELECT o_custkey,
+           min(date_trunc('month', CAST(o_orderdate AS DATE)))
+               AS cohort_month
+    FROM orders GROUP BY 1
+),
+rev AS (
+    SELECT f.cohort_month,
+           date_diff('month', f.cohort_month,
+                     date_trunc('month', CAST(o.o_orderdate AS DATE)))
+               AS age_months,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev
+    FROM orders o JOIN fo f ON f.o_custkey = o.o_custkey
+    GROUP BY 1, 2
+),
+lagged AS (
+    SELECT cohort_month, age_months, rev,
+           lag(rev) OVER (PARTITION BY cohort_month
+                          ORDER BY age_months) AS prev,
+           max(age_months) OVER (PARTITION BY cohort_month) AS maxage
+    FROM rev WHERE age_months <= 11
+),
+fit AS (
+    SELECT cohort_month,
+           CAST(SUM(CAST(rev AS DECIMAL(38,6))) AS DOUBLE) AS observed,
+           CAST(max(age_months) AS BIGINT) AS max_age,
+           CAST(SUM(CASE WHEN age_months = maxage
+                    THEN rev ELSE 0 END) AS DOUBLE) AS last_rev,
+           least(CAST(SUM(CAST(round(
+                     CASE WHEN prev > 0 THEN rev / prev ELSE 0 END, 6)
+                 AS DECIMAL(38,6))) AS DOUBLE)
+                 / greatest(CAST(COUNT(prev) AS DOUBLE), 1.0),
+                 0.99) AS decay
+    FROM lagged
+    GROUP BY cohort_month
+)
+SELECT cohort_month, max_age, round(observed, 2) AS observed_revenue,
+       round(decay, 6) AS decay_ratio,
+       round(observed
+             + CASE WHEN max_age >= 11 THEN 0
+                    ELSE last_rev * decay * (1 - power(decay, 11 - max_age))
+                         / (1 - decay) END, 2) AS projected_12m
+FROM fit
+ORDER BY cohort_month
+LIMIT 40
+"""
+
+
+@query("ts_cohort_ltv_projection", oracle=_LTV_ORACLE)
+def ts_cohort_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """12-month LTV projection per acquisition cohort: observed cumulative
+    revenue by cohort age plus a geometric-decay extrapolation (mean
+    month-over-month revenue ratio, capped at 0.99, last observed month
+    decayed over the remaining horizon via the closed-form geometric
+    sum) — the finance-facing number `window_cohort_retention` and
+    `agg_cohort_revenue_matrix` stop short of. Decay ratios quantize to
+    the 6-dp grid before averaging; projection is a fixed scalar dag
+    per cohort; two shuffles total (first-order month, cohort-age
+    rollup)."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    fo = o.groupBy("o_custkey").agg(
+        F.min(
+            F.trunc(F.col("o_orderdate").cast("date"), "month")
+        ).alias("cohort_month")
+    )
+    rev = (
+        o.join(fo, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                F.months_between(
+                    F.trunc(F.col("o_orderdate").cast("date"), "month"),
+                    F.col("cohort_month"),
+                )
+            )
+            .cast("long")
+            .alias("age_months"),
+        )
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("rev")
+        )
+    )
+    lagged = rev.where(F.col("age_months") <= 11).select(
+        "cohort_month",
+        "age_months",
+        "rev",
+        F.lag("rev")
+        .over(Win.partitionBy("cohort_month").orderBy("age_months"))
+        .alias("prev"),
+        F.max("age_months")
+        .over(Win.partitionBy("cohort_month"))
+        .alias("_maxage"),
+    )
+    ratio = F.when(
+        F.col("prev") > 0, F.col("rev") / F.col("prev")
+    ).otherwise(0.0)
+    fit = lagged.groupBy("cohort_month").agg(
+        F.sum(F.col("rev").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("observed"),
+        F.max("age_months").cast("long").alias("max_age"),
+        F.sum(
+            F.when(
+                F.col("age_months") == F.col("_maxage"), F.col("rev")
+            ).otherwise(0.0)
+        ).alias("last_rev"),
+        F.least(
+            F.sum(F.round(ratio, 6).cast("decimal(38,6)"))
+            .cast("double")
+            / F.greatest(
+                F.count("prev").cast("double"), F.lit(1.0)
+            ),
+            F.lit(0.99),
+        ).alias("decay"),
+    )
+    proj = F.when(F.col("max_age") >= 11, F.lit(0.0)).otherwise(
+        F.col("last_rev")
+        * F.col("decay")
+        * (1 - F.pow(F.col("decay"), 11 - F.col("max_age")))
+        / (1 - F.col("decay"))
+    )
+    return (
+        fit.select(
+            "cohort_month",
+            "max_age",
+            F.round("observed", 2).alias("observed_revenue"),
+            F.round("decay", 6).alias("decay_ratio"),
+            F.round(F.col("observed") + proj, 2).alias("projected_12m"),
+        )
+        .orderBy("cohort_month")
+        .limit(40)
+    )

@@ -1021,3 +1021,20 @@ def test_boilerplate_linear_shingle_rollup(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_cvm_value_counts_running_window(spark, sf_dir):
+    """CvM: evaluates on distinct-value groups with one running window —
+    never the single-reducer percentile buffer, never Python."""
+    plan = _plan(spark, sf_dir, "agg_cramer_von_mises_2sample")
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ltv_two_shuffles_bounded_output(spark, sf_dir):
+    """Cohort LTV: cohort assignment + age rollup, per-cohort windows,
+    TakeOrdered top-40 — no cross product."""
+    plan = _plan(spark, sf_dir, "ts_cohort_ltv_projection")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
