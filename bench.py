@@ -279,6 +279,8 @@ HEADLINE = [
     "dedup_boilerplate_ngrams",
     "agg_cramer_von_mises_2sample",
     "ts_cohort_ltv_projection",
+    "agg_mcnemar_paired_test",
+    "text_textrank_keywords",
 ]
 
 def main() -> None:

@@ -7333,3 +7333,83 @@ def agg_cramer_von_mises_2sample(
             6,
         ).alias("cvm_statistic"),
     )
+
+
+_MCNEMAR_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(max(CASE WHEN event_type = 'purchase'
+                         AND ts < TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END) AS INT) AS pre,
+           CAST(max(CASE WHEN event_type = 'purchase'
+                         AND ts >= TIMESTAMP '2024-01-16'
+                    THEN 1 ELSE 0 END) AS INT) AS post
+    FROM events GROUP BY user_id
+),
+cells AS (
+    SELECT CAST(SUM(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS a,
+           CAST(SUM(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS b,
+           CAST(SUM(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS c,
+           CAST(SUM(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS d
+    FROM per_user
+)
+SELECT a AS both_periods, b AS pre_only, c AS post_only, d AS neither,
+       round(CASE WHEN b + c = 0 THEN 0.0
+                  ELSE power(CAST(b AS DOUBLE) - c, 2)
+                       / (CAST(b AS DOUBLE) + c) END, 6)
+           AS mcnemar_chi2,
+       CAST(CASE WHEN b + c = 0 THEN FALSE
+                 ELSE power(CAST(b AS DOUBLE) - c, 2)
+                      / (CAST(b AS DOUBLE) + c) > 3.841459 END
+            AS BOOLEAN) AS significant_05
+FROM cells
+"""
+
+
+@query("agg_mcnemar_paired_test", oracle=_MCNEMAR_ORACLE)
+def agg_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's test on paired per-user purchase behavior (bought in
+    days 1-15 vs days 16-30): χ² = (b−c)²/(b+c) over the discordant
+    cells — the PAIRED counterpart the experiment family was missing
+    (two-proportion tests on the same users overstate evidence because
+    within-user outcomes correlate; McNemar conditions on the
+    concordant pairs away). One fact pass to per-user pre/post flags,
+    one 4-cell rollup, fixed scalar dag over two integers."""
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    is_p = F.col("event_type") == "purchase"
+    per_user = ev.groupBy("user_id").agg(
+        F.max(
+            F.when(is_p & (F.col("ts") < cut), 1).otherwise(0)
+        ).alias("pre"),
+        F.max(
+            F.when(is_p & (F.col("ts") >= cut), 1).otherwise(0)
+        ).alias("post"),
+    )
+    cell = lambda p, q: F.sum(  # noqa: E731
+        F.when((F.col("pre") == p) & (F.col("post") == q), 1).otherwise(0)
+    ).cast("long")
+    cells = per_user.agg(
+        cell(1, 1).alias("a"),
+        cell(1, 0).alias("b"),
+        cell(0, 1).alias("c"),
+        cell(0, 0).alias("d"),
+    )
+    bc = F.col("b").cast("double") + F.col("c")
+    chi2 = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+        F.pow(F.col("b").cast("double") - F.col("c"), 2) / bc
+    )
+    return cells.select(
+        F.col("a").alias("both_periods"),
+        F.col("b").alias("pre_only"),
+        F.col("c").alias("post_only"),
+        F.col("d").alias("neither"),
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+        F.when(F.col("b") + F.col("c") == 0, F.lit(False))
+        .otherwise(chi2 > 3.841459)
+        .alias("significant_05"),
+    )

@@ -7816,3 +7816,147 @@ def dedup_boilerplate_ngrams(
         )
         .limit(25)
     )
+
+
+_TEXTRANK_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+toks AS MATERIALIZED (
+    SELECT doc_id, unnest(t) AS w,
+           CAST(generate_subscripts(t, 1) AS BIGINT) AS i
+    FROM toks_list
+),
+vocab AS MATERIALIZED (
+    SELECT w FROM toks GROUP BY w HAVING COUNT(*) >= 5
+),
+co AS MATERIALIZED (
+    SELECT DISTINCT a.w AS wa, b.w AS wb
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id
+              AND b.i - a.i BETWEEN 1 AND 2
+              AND b.w <> a.w
+    JOIN vocab va ON va.w = a.w
+    JOIN vocab vb ON vb.w = b.w
+),
+edges AS MATERIALIZED (
+    SELECT wa AS src, wb AS dst FROM co
+    UNION
+    SELECT wb, wa FROM co
+),
+nodes AS MATERIALIZED (SELECT w AS node FROM vocab),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+r0 AS MATERIALIZED (
+    SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS rank
+    FROM nodes
+),
+c1 AS MATERIALIZED (
+    SELECT e.dst AS node, CAST(r.rank / d.deg AS DECIMAL(38,12)) AS c
+    FROM edges e JOIN r0 r ON r.node = e.src JOIN deg d ON d.src = e.src
+),
+r1 AS MATERIALIZED (
+    SELECT n0.node,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0)
+               AS rank
+    FROM r0 n0 LEFT JOIN c1 ON c1.node = n0.node GROUP BY n0.node
+),
+c2 AS MATERIALIZED (
+    SELECT e.dst AS node, CAST(r.rank / d.deg AS DECIMAL(38,12)) AS c
+    FROM edges e JOIN r1 r ON r.node = e.src JOIN deg d ON d.src = e.src
+),
+r2 AS MATERIALIZED (
+    SELECT n0.node,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0)
+               AS rank
+    FROM r0 n0 LEFT JOIN c2 ON c2.node = n0.node GROUP BY n0.node
+),
+c3 AS MATERIALIZED (
+    SELECT e.dst AS node, CAST(r.rank / d.deg AS DECIMAL(38,12)) AS c
+    FROM edges e JOIN r2 r ON r.node = e.src JOIN deg d ON d.src = e.src
+),
+r3 AS MATERIALIZED (
+    SELECT n0.node,
+           (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * COALESCE(CAST(SUM(c) AS DOUBLE), 0.0)
+               AS rank
+    FROM r0 n0 LEFT JOIN c3 ON c3.node = n0.node GROUP BY n0.node
+)
+SELECT node AS keyword, round(rank, 9) AS textrank
+FROM r3
+ORDER BY rank DESC, node
+LIMIT 20
+"""
+)
+
+
+@query("text_textrank_keywords", oracle=_TEXTRANK_ORACLE)
+def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph (window ≤ 2 positions, corpus-frequency
+    ≥ 5 vocabulary, symmetrized distinct edges), top-20 — the
+    graph-centrality keyword model next to `text_rake_keywords`' phrase
+    statistics and `text_tfidf_topterms`' frequency weighting (TextRank
+    rewards words that BRIDGE contexts, not just frequent ones).
+    Co-occurrence pairs come from a positional self-join bounded to
+    offsets 1-2 on the doc key; the rank loop reuses the checkpointed
+    `operators/graph.pagerank` with DECIMAL-routed contributions; top-20
+    is TakeOrdered with ties on the word."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        graph as gr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tl = docs.select(dd.tokenize(F.col("text")).alias("t"))
+    toks = tl.select(F.explode("t").alias("w"))
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= 5)
+        .select("w")
+    )
+
+    # Offset-k co-occurrence pairs as a LINEAR zip of shifted slices
+    # (the skip-gram trick) — never a positional self-join of the
+    # token table.
+    def shifted(k):
+        n = F.size("t")
+        return F.zip_with(
+            F.slice(F.col("t"), 1, F.greatest(n - k, F.lit(0))),
+            F.slice(
+                F.col("t"),
+                k + 1,
+                F.greatest(n - k, F.lit(0)),
+            ),
+            lambda x, y: F.struct(x.alias("wa"), y.alias("wb")),
+        )
+
+    co = (
+        tl.select(
+            F.explode(F.concat(shifted(1), shifted(2))).alias("p")
+        )
+        .select(F.col("p.wa").alias("wa"), F.col("p.wb").alias("wb"))
+        .where(F.col("wa") != F.col("wb"))
+        .join(F.broadcast(vocab.withColumnRenamed("w", "wa")), "wa")
+        .join(F.broadcast(vocab.withColumnRenamed("w", "wb")), "wb")
+        .select("wa", "wb")
+        .distinct()
+    )
+    edges = co.select(
+        F.col("wa").alias("src"), F.col("wb").alias("dst")
+    ).union(
+        co.select(F.col("wb").alias("src"), F.col("wa").alias("dst"))
+    ).distinct()
+    ranks = gr.pagerank(
+        edges, vocab.select(F.col("w").alias("node")), iterations=3
+    )
+    return (
+        ranks.orderBy(F.col("rank").desc(), "node")
+        .limit(20)
+        .select(
+            F.col("node").alias("keyword"),
+            F.round("rank", 9).alias("textrank"),
+        )
+    )

