@@ -281,6 +281,9 @@ HEADLINE = [
     "ts_cohort_ltv_projection",
     "agg_mcnemar_paired_test",
     "text_textrank_keywords",
+    "ts_interrupted_time_series",
+    "ts_seasonal_naive_skill",
+    "agg_gamma_mom_fit",
 ]
 
 def main() -> None:

@@ -7413,3 +7413,54 @@ def agg_mcnemar_paired_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(chi2 > 3.841459)
         .alias("significant_05"),
     )
+
+
+_GAMMA_ORACLE = """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS DECIMAL(38,0))
+                    * CAST(round(o_totalprice * 100) AS DECIMAL(38,0)))
+                AS DOUBLE) / 10000 AS s2
+    FROM orders
+)
+SELECT n AS n_orders,
+       round(s1 / n, 6) AS mean_price,
+       round((s2 - (s1 / n) * s1) / (n - 1), 6) AS var_price,
+       round((s1 / n) * (s1 / n)
+             / ((s2 - (s1 / n) * s1) / (n - 1)), 6) AS gamma_shape_k,
+       round(((s2 - (s1 / n) * s1) / (n - 1)) / (s1 / n), 6)
+           AS gamma_scale_theta
+FROM s
+"""
+
+
+@query("agg_gamma_mom_fit", oracle=_GAMMA_ORACLE)
+def agg_gamma_mom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gamma method-of-moments fit to order values (k = m²/v, θ = v/m) —
+    the continuous severity model next to `agg_negative_binomial_fit`'s
+    discrete frequency model: together they are the classic
+    frequency-severity decomposition for revenue simulation (draw
+    counts from NB, sizes from Gamma). One DECIMAL-exact moment pass,
+    fixed scalar dag."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    # Exact second moment: prices are exactly cents, so Σp² computes as
+    # integer cents² summed in DECIMAL(38,0) / 1e4 — at this magnitude
+    # (p² ≈ 6e10) the double ULP EXCEEDS the 6-dp grid, so the usual
+    # double-product → DECIMAL(38,6) route rounds differently per engine.
+    pc = F.round(p * 100).cast("decimal(38,0)")
+    s = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(p.cast(DEC)).cast("double").alias("s1"),
+        (F.sum(pc * pc).cast("double") / 10000).alias("s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    var = (F.col("s2") - mean * F.col("s1")) / (F.col("n") - 1)
+    return s.select(
+        F.col("n").alias("n_orders"),
+        F.round(mean, 6).alias("mean_price"),
+        F.round(var, 6).alias("var_price"),
+        F.round(mean * mean / var, 6).alias("gamma_shape_k"),
+        F.round(var / mean, 6).alias("gamma_scale_theta"),
+    )

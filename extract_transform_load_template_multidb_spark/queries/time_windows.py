@@ -4638,3 +4638,214 @@ def ts_cohort_ltv_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("cohort_month")
         .limit(40)
     )
+
+
+_ITS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT y,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+           CAST(day >= DATE '1995-06-30' AS INT) AS post
+    FROM daily
+),
+m AS (
+    SELECT post,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(t) AS BIGINT) AS st,
+           CAST(SUM(t * t) AS BIGINT) AS stt,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(t * y AS DECIMAL(38,6))) AS DOUBLE) AS sty
+    FROM seq GROUP BY post
+),
+fit AS (
+    SELECT post, n,
+           (n * sty - st * sy) / (CAST(n AS DOUBLE) * stt - st * st)
+               AS slope,
+           (sy - (n * sty - st * sy)
+                 / (CAST(n AS DOUBLE) * stt - st * st) * st) / n
+               AS intercept
+    FROM m
+),
+bp AS (
+    SELECT CAST(min(t) AS DOUBLE) AS t_break
+    FROM seq WHERE post = 1
+)
+SELECT round(pre.slope, 6) AS pre_slope,
+       round(post.slope, 6) AS post_slope,
+       round(post.slope - pre.slope, 6) AS slope_change,
+       round((post.intercept + post.slope * b.t_break)
+             - (pre.intercept + pre.slope * b.t_break), 2)
+           AS level_change_at_break,
+       pre.n AS n_pre, post.n AS n_post
+FROM fit pre, fit post, bp b
+WHERE pre.post = 0 AND post.post = 1
+"""
+
+
+@query("ts_interrupted_time_series", oracle=_ITS_ORACLE)
+def ts_interrupted_time_series(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interrupted time-series analysis at a known intervention date
+    (1995-06-30): separate OLS trend fits before and after, reporting
+    the slope change and the level discontinuity AT the breakpoint —
+    the quasi-experimental design for launches with no control group
+    at all (`agg_diff_in_differences` needs a parallel-trends control;
+    ITS substitutes the pre-period extrapolation). One daily rollup,
+    integer day indices, DECIMAL-exact cross moments per segment, and a
+    3-row broadcast combine — the closed-form segmented regression, no
+    iteration."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    seq = daily.select(
+        "y",
+        F.row_number().over(Win.orderBy("day")).cast("long").alias("t"),
+        (F.col("day") >= F.lit("1995-06-30").cast("date"))
+        .cast("int")
+        .alias("post"),
+    )
+    m = seq.groupBy("post").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("t").cast("long").alias("st"),
+        F.sum(F.col("t") * F.col("t")).cast("long").alias("stt"),
+        F.sum(F.col("y").cast("decimal(38,6)")).cast("double").alias("sy"),
+        F.sum((F.col("t") * F.col("y")).cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sty"),
+    )
+    slope = (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")) / (
+        F.col("n").cast("double") * F.col("stt")
+        - F.col("st") * F.col("st")
+    )
+    fit = m.select(
+        "post",
+        "n",
+        slope.alias("slope"),
+        ((F.col("sy") - slope * F.col("st")) / F.col("n")).alias(
+            "intercept"
+        ),
+    )
+    bp = seq.where(F.col("post") == 1).agg(
+        F.min("t").cast("double").alias("t_break")
+    )
+    pre = fit.where(F.col("post") == 0).select(
+        F.col("slope").alias("pre_slope"),
+        F.col("intercept").alias("pre_int"),
+        F.col("n").alias("n_pre"),
+    )
+    post = fit.where(F.col("post") == 1).select(
+        F.col("slope").alias("post_slope"),
+        F.col("intercept").alias("post_int"),
+        F.col("n").alias("n_post"),
+    )
+    return (
+        pre.crossJoin(F.broadcast(post))
+        .crossJoin(F.broadcast(bp))
+        .select(
+            F.round("pre_slope", 6).alias("pre_slope"),
+            F.round("post_slope", 6).alias("post_slope"),
+            F.round(
+                F.col("post_slope") - F.col("pre_slope"), 6
+            ).alias("slope_change"),
+            F.round(
+                (F.col("post_int") + F.col("post_slope") * F.col("t_break"))
+                - (F.col("pre_int") + F.col("pre_slope") * F.col("t_break")),
+                2,
+            ).alias("level_change_at_break"),
+            "n_pre",
+            "n_post",
+        )
+    )
+
+
+_NAIVE_SKILL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT y,
+           lag(y, 1) OVER (ORDER BY day) AS y1,
+           lag(y, 7) OVER (ORDER BY day) AS y7
+    FROM daily
+),
+e AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST((y - y1) * (y - y1) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sse1,
+           CAST(SUM(CAST((y - y7) * (y - y7) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sse7
+    FROM seq WHERE y1 IS NOT NULL AND y7 IS NOT NULL
+)
+SELECT n AS n_days,
+       round(sqrt(sse1 / n), 2) AS rmse_naive_1d,
+       round(sqrt(sse7 / n), 2) AS rmse_naive_7d,
+       round(sqrt(sse1 / n) / sqrt(sse7 / n), 6) AS theil_u_vs_weekly
+FROM e
+"""
+
+
+@query("ts_seasonal_naive_skill", oracle=_NAIVE_SKILL_ORACLE)
+def ts_seasonal_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-U-style skill ratio between the 1-day and 7-day (seasonal)
+    naive forecasts of daily revenue: RMSE(persistence)/RMSE(weekly
+    naive) — the one-number test for whether weekly seasonality is
+    worth modeling at all (ratio > 1 says last-week's-same-day beats
+    yesterday, so `ts_holt_winters_weekly` earns its seasonal indices;
+    ratio ≈ 1 says plain `ts_holt_linear_forecast` suffices). Squared
+    errors of decimal-grid revenues are DECIMAL-exact; two lags, one
+    aggregate."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    w = Win.orderBy("day")
+    seq = daily.select(
+        "y",
+        F.lag("y", 1).over(w).alias("y1"),
+        F.lag("y", 7).over(w).alias("y7"),
+    ).where(F.col("y1").isNotNull() & F.col("y7").isNotNull())
+    e = seq.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            ((F.col("y") - F.col("y1")) * (F.col("y") - F.col("y1"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("sse1"),
+        F.sum(
+            ((F.col("y") - F.col("y7")) * (F.col("y") - F.col("y7"))).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("sse7"),
+    )
+    r1 = F.sqrt(F.col("sse1") / F.col("n"))
+    r7 = F.sqrt(F.col("sse7") / F.col("n"))
+    return e.select(
+        F.col("n").alias("n_days"),
+        F.round(r1, 2).alias("rmse_naive_1d"),
+        F.round(r7, 2).alias("rmse_naive_7d"),
+        F.round(r1 / r7, 6).alias("theil_u_vs_weekly"),
+    )

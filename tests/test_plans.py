@@ -1082,3 +1082,27 @@ def test_textrank_linear_pair_generation(spark, sf_dir):
     pplan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "zip_with" in pplan
     assert "Exchange" not in pplan
+
+
+def test_its_segment_moments_broadcast_combine(spark, sf_dir):
+    """ITS: per-segment OLS moments in one pass; the pre/post/breakpoint
+    combine is broadcast 1-row joins, JVM-only."""
+    plan = _plan(spark, sf_dir, "ts_interrupted_time_series")
+    assert "HashAggregate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_naive_skill_two_lags_one_agg(spark, sf_dir):
+    """Seasonal-naive skill: two lags over one ordered pass + one
+    aggregate; no joins."""
+    plan = _plan(spark, sf_dir, "ts_seasonal_naive_skill")
+    assert "Window" in plan
+    assert "Join" not in plan
+
+
+def test_gamma_mom_partial_aggregable(spark, sf_dir):
+    """Gamma MoM: one DECIMAL moment pass with map-side combine."""
+    plan = _plan(spark, sf_dir, "agg_gamma_mom_fit")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
