@@ -284,6 +284,8 @@ HEADLINE = [
     "ts_interrupted_time_series",
     "ts_seasonal_naive_skill",
     "agg_gamma_mom_fit",
+    "agg_hill_tail_index",
+    "ts_seasonal_residual_anomalies",
 ]
 
 def main() -> None:

@@ -7464,3 +7464,77 @@ def agg_gamma_mom_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean * mean / var, 6).alias("gamma_shape_k"),
         F.round(var / mean, 6).alias("gamma_scale_theta"),
     )
+
+
+_HILL_ORACLE = """
+WITH topk AS (
+    SELECT CAST(o_totalprice AS DOUBLE) AS v,
+           row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS rnk
+    FROM orders
+    QUALIFY rnk <= 101
+),
+anchor AS (
+    SELECT v AS x_k1 FROM topk WHERE rnk = 101
+)
+SELECT CAST(100 AS BIGINT) AS k,
+       round(any_value(a.x_k1), 2) AS threshold_price,
+       round(CAST(SUM(CAST(round(ln(t.v / a.x_k1), 6) AS DECIMAL(38,6)))
+                  AS DOUBLE) / 100, 6) AS hill_gamma,
+       round(100 / CAST(SUM(CAST(round(ln(t.v / a.x_k1), 6)
+                                 AS DECIMAL(38,6))) AS DOUBLE), 6)
+           AS tail_index_alpha
+FROM topk t CROSS JOIN anchor a
+WHERE t.rnk <= 100
+"""
+
+
+@query("agg_hill_tail_index", oracle=_HILL_ORACLE)
+def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the right-tail index on order values (k=100):
+    γ̂ = mean ln(x₍ᵢ₎/x₍ₖ₊₁₎) over the top-k order statistics, α = 1/γ̂ —
+    the standard heavy-tail diagnostic that says whether extreme orders
+    follow a power law (α ≤ 2 means infinite variance: expect the
+    revenue concentration `agg_lorenz_curve` shows, and size capacity by
+    quantiles, not means; complements `agg_gumbel_evt_fit`'s block-maxima
+    view with the peaks-over-threshold view). Top-101 is
+    TakeOrderedAndProject (never a global sort); log ratios of
+    engine-identical doubles quantize to the 6-dp grid before the
+    DECIMAL sum."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    topk = (
+        o.select(
+            F.col("o_totalprice").cast("double").alias("v"),
+            "o_orderkey",
+        )
+        .orderBy(F.col("o_totalprice").desc(), "o_orderkey")
+        .limit(101)
+        .select(
+            "v",
+            F.row_number()
+            .over(Win.orderBy(F.col("v").desc(), "o_orderkey"))
+            .alias("rnk"),
+        )
+    )
+    anchor = topk.where(F.col("rnk") == 101).select(
+        F.col("v").alias("x_k1")
+    )
+    lnterm = F.round(F.log(F.col("v") / F.col("x_k1")), 6).cast(
+        "decimal(38,6)"
+    )
+    return (
+        topk.where(F.col("rnk") <= 100)
+        .crossJoin(F.broadcast(anchor))
+        .agg(
+            F.lit(100).cast("long").alias("k"),
+            F.round(F.any_value("x_k1"), 2).alias("threshold_price"),
+            F.round(
+                F.sum(lnterm).cast("double") / 100, 6
+            ).alias("hill_gamma"),
+            F.round(
+                100 / F.sum(lnterm).cast("double"), 6
+            ).alias("tail_index_alpha"),
+        )
+    )

@@ -14,6 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 from extract_transform_load_template_multidb_spark.catalog import load_table
 from extract_transform_load_template_multidb_spark.queries import query
+from extract_transform_load_template_multidb_spark.queries._util import (
+    exact_percentiles,
+)
 from extract_transform_load_template_multidb_spark.streaming import windows as W
 
 _HOUR_US = 3_600_000_000
@@ -4848,4 +4851,122 @@ def ts_seasonal_naive_skill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(r1, 2).alias("rmse_naive_1d"),
         F.round(r7, 2).alias("rmse_naive_7d"),
         F.round(r1 / r7, 6).alias("theil_u_vs_weekly"),
+    )
+
+
+_STL_ANOM_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day, y, dayofweek(day) AS dow,
+           AVG(y) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+           COUNT(*) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nf
+    FROM daily
+),
+det AS (
+    SELECT day, y, dow, trend, y - trend AS detrended
+    FROM seq WHERE nf = 7
+),
+seas AS (
+    SELECT dow,
+           CAST(SUM(CAST(round(detrended, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS s
+    FROM det GROUP BY dow
+),
+resid AS (
+    SELECT d.day, d.y, d.trend, se.s,
+           d.y - d.trend - se.s AS r
+    FROM det d JOIN seas se ON se.dow = d.dow
+),
+mad AS (
+    SELECT quantile_cont(abs(r - (SELECT quantile_cont(r, 0.5)
+                                  FROM resid)), 0.5) AS mad_r,
+           (SELECT quantile_cont(r, 0.5) FROM resid) AS med_r
+    FROM resid
+)
+SELECT r.day, round(r.y, 2) AS revenue, round(r.r, 2) AS residual,
+       round((r.r - m.med_r) / (1.4826 * m.mad_r), 4) AS robust_z
+FROM resid r CROSS JOIN mad m
+WHERE abs((r.r - m.med_r) / (1.4826 * m.mad_r)) > 3
+ORDER BY r.day
+"""
+
+
+@query("ts_seasonal_residual_anomalies", oracle=_STL_ANOM_ORACLE)
+def ts_seasonal_residual_anomalies(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Decompose-then-detect anomaly days: centered-7-day trend, mean
+    day-of-week seasonal component, and a robust z-score (median/MAD,
+    1.4826 consistency factor) on the remainder — flags days > 3 robust
+    sigmas AFTER removing trend and weekly rhythm, so a strong Friday
+    no longer masks a genuinely anomalous Friday (plain
+    `dq_outlier_iqr` on raw revenue flags every weekend instead). The
+    median and MAD use the distributed running-count selector
+    (`_util.exact_percentiles`), residual quantization keeps the
+    per-dow means order-independent, and the anomaly scan is one
+    broadcast of the 1-row scale against the bounded daily series."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    wfull = Win.orderBy("day").rowsBetween(-3, 3)
+    seq = daily.select(
+        "day",
+        "y",
+        F.dayofweek("day").alias("dow"),
+        F.avg("y").over(wfull).alias("trend"),
+        F.count(F.lit(1)).over(wfull).alias("nf"),
+    )
+    det = seq.where(F.col("nf") == 7).select(
+        "day", "y", "dow", "trend", (F.col("y") - F.col("trend")).alias("detrended")
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.round("detrended", 6).cast("decimal(38,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    resid = det.join(F.broadcast(seas), "dow").select(
+        "day",
+        "y",
+        (F.col("y") - F.col("trend") - F.col("s")).alias("r"),
+    )
+    med = exact_percentiles(
+        resid.select(F.col("r").alias("rv")), [], "rv", {"med_r": 0.5}
+    )
+    absdev = resid.crossJoin(F.broadcast(med)).select(
+        "day",
+        "y",
+        "r",
+        "med_r",
+        F.abs(F.col("r") - F.col("med_r")).alias("ad"),
+    )
+    mad = exact_percentiles(
+        absdev.select(F.col("ad").alias("adv")), [], "adv", {"mad_r": 0.5}
+    )
+    z = F.col("r") - F.col("med_r")
+    scale = 1.4826 * F.col("mad_r")
+    return (
+        absdev.crossJoin(F.broadcast(mad))
+        .where(F.abs(z / scale) > 3)
+        .select(
+            "day",
+            F.round("y", 2).alias("revenue"),
+            F.round("r", 2).alias("residual"),
+            F.round(z / scale, 4).alias("robust_z"),
+        )
+        .orderBy("day")
     )

@@ -1106,3 +1106,21 @@ def test_gamma_mom_partial_aggregable(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_gamma_mom_fit")
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_hill_topk_no_global_sort(spark, sf_dir):
+    """Hill estimator: the top-101 order statistics must plan as
+    TakeOrderedAndProject, never a full sort of the fact table."""
+    plan = _plan(spark, sf_dir, "agg_hill_tail_index")
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_stl_anomalies_distributed_mad(spark, sf_dir):
+    """Seasonal residual anomalies: median and MAD via the running-count
+    selector (no single-reducer percentile); the seasonal table and the
+    two scale scalars broadcast."""
+    plan = _plan(spark, sf_dir, "ts_seasonal_residual_anomalies")
+    assert "percentile" not in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
