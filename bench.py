@@ -286,6 +286,8 @@ HEADLINE = [
     "agg_gamma_mom_fit",
     "agg_hill_tail_index",
     "ts_seasonal_residual_anomalies",
+    "window_signup_to_purchase_latency",
+    "agg_stratified_ate",
 ]
 
 def main() -> None:

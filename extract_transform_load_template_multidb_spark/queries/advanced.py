@@ -7538,3 +7538,100 @@ def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tail_index_alpha"),
         )
     )
+
+
+_STRAT_ATE_ORACLE = """
+WITH pre AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 END) AS BIGINT) AS pre_n,
+           CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END AS DECIMAL(38,6)))
+                AS DOUBLE) AS y,
+           CAST(user_id % 2 AS INT) AS treated
+    FROM events GROUP BY user_id
+),
+strat AS (
+    SELECT treated, y,
+           ntile(4) OVER (ORDER BY pre_n, user_id) AS stratum
+    FROM pre
+),
+cell AS (
+    SELECT stratum, treated,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy
+    FROM strat GROUP BY 1, 2
+)
+SELECT t.stratum,
+       t.n AS n_treated, c.n AS n_control,
+       round(t.sy / t.n, 6) AS mean_treated,
+       round(c.sy / c.n, 6) AS mean_control,
+       round(t.sy / t.n - c.sy / c.n, 6) AS stratum_effect
+FROM cell t JOIN cell c ON c.stratum = t.stratum
+WHERE t.treated = 1 AND c.treated = 0
+ORDER BY t.stratum
+"""
+
+
+@query("agg_stratified_ate", oracle=_STRAT_ATE_ORACLE)
+def agg_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified treatment-effect readout: users bucketed into
+    pre-period activity quartiles (the propensity proxy), post-period
+    spend compared treated-vs-control WITHIN each stratum — the
+    confounding check the raw CUPED/DiD aggregates skip (a flat effect
+    across strata supports the causal read; an effect living only in
+    the heaviest-user quartile says selection, not treatment). Tie
+    order pins ntile boundaries with the user key; one fact pass, one
+    user-table window, one 8-cell rollup self-joined broadcast."""
+    from pyspark.sql import Window as Win
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    pre = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1)).cast("long").alias("pre_n"),
+        F.sum(
+            F.when(F.col("ts") >= cut, F.col("value"))
+            .otherwise(0)
+            .cast(DEC)
+        )
+        .cast("double")
+        .alias("y"),
+    ).select(
+        "user_id",
+        "pre_n",
+        "y",
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+    )
+    strat = pre.select(
+        "treated",
+        "y",
+        F.ntile(4).over(Win.orderBy("pre_n", "user_id")).alias("stratum"),
+    )
+    cell = strat.groupBy("stratum", "treated").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("y").cast(DEC)).cast("double").alias("sy"),
+    )
+    t = cell.where(F.col("treated") == 1).select(
+        "stratum",
+        F.col("n").alias("n_treated"),
+        F.col("sy").alias("sy_t"),
+    )
+    c = cell.where(F.col("treated") == 0).select(
+        "stratum",
+        F.col("n").alias("n_control"),
+        F.col("sy").alias("sy_c"),
+    )
+    mt = F.col("sy_t") / F.col("n_treated")
+    mc = F.col("sy_c") / F.col("n_control")
+    return (
+        t.join(F.broadcast(c), "stratum")
+        .select(
+            "stratum",
+            "n_treated",
+            "n_control",
+            F.round(mt, 6).alias("mean_treated"),
+            F.round(mc, 6).alias("mean_control"),
+            F.round(mt - mc, 6).alias("stratum_effect"),
+        )
+        .orderBy("stratum")
+    )

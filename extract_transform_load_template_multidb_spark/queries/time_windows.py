@@ -4970,3 +4970,75 @@ def ts_seasonal_residual_anomalies(
         )
         .orderBy("day")
     )
+
+
+_S2P_ORACLE = """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS s_ts,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+    FROM events GROUP BY user_id
+),
+lat AS (
+    SELECT CAST(date_diff('second', s_ts, p_ts) AS DOUBLE) AS lat_s
+    FROM firsts
+    WHERE s_ts IS NOT NULL AND p_ts IS NOT NULL AND p_ts >= s_ts
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_converting_users,
+       round(quantile_cont(lat_s, 0.5), 6) AS median_latency_s,
+       round(quantile_cont(lat_s, 0.9), 6) AS p90_latency_s,
+       round(CAST(SUM(CAST(lat_s AS DECIMAL(38,6))) AS DOUBLE)
+             / COUNT(*), 6) AS mean_latency_s
+FROM lat
+"""
+
+
+@query("window_signup_to_purchase_latency", oracle=_S2P_ORACLE)
+def window_signup_to_purchase_latency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Activation latency distribution: per user, seconds from FIRST
+    signup to FIRST subsequent purchase; median / p90 / mean over
+    converting users — the onboarding health number behind
+    `window_funnel_steps`' conversion COUNT (two products can convert
+    the same fraction of users while one takes 10× longer to do it).
+    One conditional-min rollup per user (no self-join), percentiles via
+    the distributed running-count selector, DECIMAL-exact mean."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "signup", F.col("ts"))
+        ).alias("s_ts"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        ).alias("p_ts"),
+    )
+    lat = firsts.where(
+        F.col("s_ts").isNotNull()
+        & F.col("p_ts").isNotNull()
+        & (F.col("p_ts") >= F.col("s_ts"))
+    ).select(
+        (
+            F.unix_timestamp("p_ts") - F.unix_timestamp("s_ts")
+        )
+        .cast("double")
+        .alias("lat_s")
+    )
+    return exact_percentiles(
+        lat,
+        [],
+        "lat_s",
+        {"median_latency_s": 0.5, "p90_latency_s": 0.9},
+        extras={"n_converting_users": "n", "_sum": "sum"},
+    ).select(
+        F.col("n_converting_users").cast("long").alias(
+            "n_converting_users"
+        ),
+        F.round("median_latency_s", 6).alias("median_latency_s"),
+        F.round("p90_latency_s", 6).alias("p90_latency_s"),
+        F.round(
+            F.col("_sum") / F.col("n_converting_users"), 6
+        ).alias("mean_latency_s"),
+    )

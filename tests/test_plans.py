@@ -1124,3 +1124,20 @@ def test_stl_anomalies_distributed_mad(spark, sf_dir):
     assert "percentile" not in plan.lower()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_latency_no_self_join(spark, sf_dir):
+    """Signup→purchase latency: conditional mins per user — no join of
+    events to events, percentiles via the running selector."""
+    plan = _plan(spark, sf_dir, "window_signup_to_purchase_latency")
+    assert "percentile" not in plan.lower()
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_ate_window_on_user_rollup(spark, sf_dir):
+    """Stratified ATE: the ntile stratifier runs over the per-user rollup
+    (not the fact table); the cell combine is a broadcast join."""
+    plan = _plan(spark, sf_dir, "agg_stratified_ate")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
