@@ -288,6 +288,7 @@ HEADLINE = [
     "ts_seasonal_residual_anomalies",
     "window_signup_to_purchase_latency",
     "agg_stratified_ate",
+    "ts_seasonal_strength",
 ]
 
 def main() -> None:

@@ -5042,3 +5042,117 @@ def window_signup_to_purchase_latency(
             F.col("_sum") / F.col("n_converting_users"), 6
         ).alias("mean_latency_s"),
     )
+
+
+_SEAS_STRENGTH_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT day, y, dayofweek(day) AS dow,
+           AVG(y) OVER (ORDER BY day
+                        ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+           COUNT(*) OVER (ORDER BY day
+                          ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS nf
+    FROM daily
+),
+det AS (
+    SELECT day, dow, y - trend AS detrended
+    FROM seq WHERE nf = 7
+),
+seas AS (
+    SELECT dow,
+           CAST(SUM(CAST(round(detrended, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) / COUNT(*) AS s
+    FROM det GROUP BY dow
+),
+comp AS (
+    SELECT d.detrended, d.detrended - se.s AS resid
+    FROM det d JOIN seas se ON se.dow = d.dow
+),
+v AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(resid * resid, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS ss_r,
+           CAST(SUM(CAST(round(detrended * detrended, 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS ss_d
+    FROM comp
+)
+SELECT n AS n_days,
+       round(greatest(CAST(0 AS DOUBLE), 1 - ss_r / ss_d), 6)
+           AS seasonal_strength
+FROM v
+"""
+
+
+@query("ts_seasonal_strength", oracle=_SEAS_STRENGTH_ORACLE)
+def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyndman's seasonal-strength statistic F_s = max(0, 1 −
+    Var(remainder)/Var(detrended)) on the weekly decomposition of daily
+    revenue — the [0,1] score that turns `ts_seasonal_decompose_additive`
+    into a decision (F_s near 0: skip seasonal modeling, near 1: the
+    dow component explains most post-trend variance; the continuous
+    counterpart to `ts_seasonal_naive_skill`'s forecast-error ratio).
+    Same centered-MA decomposition; squared components quantize to the
+    6-dp grid before the DECIMAL sums so the variance ratio is
+    engine-identical."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    wfull = Win.orderBy("day").rowsBetween(-3, 3)
+    seq = daily.select(
+        "day",
+        "y",
+        F.dayofweek("day").alias("dow"),
+        F.avg("y").over(wfull).alias("trend"),
+        F.count(F.lit(1)).over(wfull).alias("nf"),
+    )
+    det = seq.where(F.col("nf") == 7).select(
+        "dow", (F.col("y") - F.col("trend")).alias("detrended")
+    )
+    seas = det.groupBy("dow").agg(
+        (
+            F.sum(F.round("detrended", 6).cast("decimal(38,6)"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    comp = det.join(F.broadcast(seas), "dow").select(
+        "detrended",
+        (F.col("detrended") - F.col("s")).alias("resid"),
+    )
+    v = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.round(F.col("resid") * F.col("resid"), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("ss_r"),
+        F.sum(
+            F.round(F.col("detrended") * F.col("detrended"), 6).cast(
+                "decimal(38,6)"
+            )
+        )
+        .cast("double")
+        .alias("ss_d"),
+    )
+    return v.select(
+        F.col("n").alias("n_days"),
+        F.round(
+            F.greatest(
+                F.lit(0.0), 1 - F.col("ss_r") / F.col("ss_d")
+            ),
+            6,
+        ).alias("seasonal_strength"),
+    )

@@ -1141,3 +1141,12 @@ def test_stratified_ate_window_on_user_rollup(spark, sf_dir):
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_seasonal_strength_broadcast_components(spark, sf_dir):
+    """Seasonal strength: decomposition windows + one broadcast of the
+    7-row seasonal table; single final scalar aggregate."""
+    plan = _plan(spark, sf_dir, "ts_seasonal_strength")
+    assert "Window" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
