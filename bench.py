@@ -289,6 +289,7 @@ HEADLINE = [
     "window_signup_to_purchase_latency",
     "agg_stratified_ate",
     "ts_seasonal_strength",
+    "window_markov_removal_attribution",
 ]
 
 def main() -> None:

@@ -5156,3 +5156,265 @@ def ts_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_strength"),
     )
+
+
+def _markov_oracle() -> str:
+    """Generate the unrolled 12-step absorption oracle (see the query
+    docstring for the model). Python builds the CTE chain so Spark and
+    SQL share the exact per-step quantization dag."""
+    steps = []
+    prev = "m0"
+    for i in range(1, 13):
+        steps.append(f"""m{i} AS MATERIALIZED (
+    SELECT t.scenario, t.dst AS state,
+           CAST(SUM(CAST(round(m.mass * t.p, 9) AS DECIMAL(38,9)))
+                AS DOUBLE) AS mass
+    FROM {prev} m JOIN trans t
+      ON t.scenario = m.scenario AND t.src = m.state
+    GROUP BY 1, 2
+)""")
+        prev = f"m{i}"
+    chain = ",\n".join(steps)
+    return f"""
+WITH fp AS MATERIALIZED (
+    SELECT user_id, min(ts) AS fp_ts
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+path_ev AS MATERIALIZED (
+    SELECT e.user_id, e.event_type, e.ts, e.event_id
+    FROM events e LEFT JOIN fp ON fp.user_id = e.user_id
+    WHERE e.event_type <> 'purchase'
+      AND (fp.fp_ts IS NULL OR e.ts < fp.fp_ts)
+),
+seq AS MATERIALIZED (
+    SELECT p.user_id, p.event_type AS src,
+           coalesce(lead(p.event_type)
+                    OVER (PARTITION BY p.user_id
+                          ORDER BY p.ts, p.event_id),
+                    CASE WHEN fp.user_id IS NOT NULL
+                         THEN 'conv' ELSE 'drop' END) AS dst,
+           row_number() OVER (PARTITION BY p.user_id
+                              ORDER BY p.ts, p.event_id) AS rn
+    FROM path_ev p LEFT JOIN fp ON fp.user_id = p.user_id
+),
+starts AS MATERIALIZED (
+    SELECT 'start' AS src, src AS dst FROM seq WHERE rn = 1
+    UNION ALL
+    SELECT 'start', 'conv'
+    FROM fp LEFT JOIN (SELECT DISTINCT user_id FROM path_ev) pe
+         ON pe.user_id = fp.user_id
+    WHERE pe.user_id IS NULL
+),
+raw AS MATERIALIZED (
+    SELECT src, dst FROM seq UNION ALL SELECT src, dst FROM starts
+),
+cnt AS MATERIALIZED (
+    SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS c FROM raw GROUP BY 1, 2
+),
+tot AS (SELECT src, CAST(SUM(c) AS BIGINT) AS n FROM cnt GROUP BY src),
+base_t AS MATERIALIZED (
+    SELECT c.src, c.dst,
+           round(CAST(c.c AS DOUBLE) / t.n, 6) AS p
+    FROM cnt c JOIN tot t ON t.src = c.src
+),
+channels AS MATERIALIZED (
+    SELECT DISTINCT src AS ch FROM base_t WHERE src <> 'start'
+),
+scen AS MATERIALIZED (
+    SELECT 'base' AS scenario, NULL AS removed
+    UNION ALL SELECT ch, ch FROM channels
+),
+trans AS MATERIALIZED (
+    SELECT s.scenario,
+           b.src,
+           CASE WHEN s.removed IS NOT NULL AND b.dst = s.removed
+                THEN 'drop' ELSE b.dst END AS dst,
+           CAST(SUM(b.p) AS DOUBLE) AS p
+    FROM base_t b CROSS JOIN scen s
+    WHERE s.removed IS NULL OR b.src <> s.removed
+    GROUP BY 1, 2, 3
+    UNION ALL
+    SELECT scenario, st, st, CAST(1.0 AS DOUBLE)
+    FROM scen, (VALUES ('conv'), ('drop')) AS a(st)
+),
+m0 AS MATERIALIZED (
+    SELECT scenario, 'start' AS state, CAST(1.0 AS DOUBLE) AS mass
+    FROM scen
+),
+{chain},
+pconv AS MATERIALIZED (
+    SELECT scenario, mass AS p_conv FROM m12 WHERE state = 'conv'
+)
+SELECT c.scenario AS channel,
+       round(b.p_conv, 6) AS base_conv_prob,
+       round(c.p_conv, 6) AS removal_conv_prob,
+       round((b.p_conv - c.p_conv) / b.p_conv, 6) AS removal_effect
+FROM pconv c CROSS JOIN (SELECT p_conv FROM pconv
+                         WHERE scenario = 'base') b
+WHERE c.scenario <> 'base'
+ORDER BY channel
+"""
+
+
+@query("window_markov_removal_attribution", oracle=_markov_oracle())
+def window_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Markov-chain attribution with removal effects (Anderl et al.
+    2014): user journeys up to first purchase become a first-order
+    transition matrix over {start, channel states, conv, drop}; each
+    channel's credit is how much the 12-step absorption probability into
+    'conv' falls when that channel's node is removed (transitions into
+    it redirect to 'drop') — the data-driven alternative to
+    `window_attribution_linear`'s positional heuristic (a channel that
+    only ever echoes other channels gets ~0 removal effect even with
+    many touches). The ONLY data-scale work is the per-user journey
+    rollup (one window by user); everything after runs on the
+    ≤7-state × 6-scenario transition table, with per-step mass products
+    quantized to the 9-dp DECIMAL grid so the truncated power iteration
+    is engine-identical. The 12-step horizon is part of the operator's
+    definition (bounded-walk absorption), unrolled in both engines from
+    the same generator."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    fp = ev.where(F.col("event_type") == "purchase").groupBy(
+        "user_id"
+    ).agg(F.min("ts").alias("fp_ts"))
+    path_ev = (
+        ev.where(F.col("event_type") != "purchase")
+        .join(fp, "user_id", "left")
+        .where(F.col("fp_ts").isNull() | (F.col("ts") < F.col("fp_ts")))
+        .select("user_id", "event_type", "ts", "event_id", "fp_ts")
+    )
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = path_ev.select(
+        F.col("event_type").alias("src"),
+        F.coalesce(
+            F.lead("event_type").over(w),
+            F.when(F.col("fp_ts").isNotNull(), F.lit("conv")).otherwise(
+                F.lit("drop")
+            ),
+        ).alias("dst"),
+        F.row_number().over(w).alias("rn"),
+    )
+    starts = seq.where(F.col("rn") == 1).select(
+        F.lit("start").alias("src"), F.col("src").alias("dst")
+    )
+    only_purchase = fp.join(
+        path_ev.select("user_id").distinct(), "user_id", "left_anti"
+    ).select(
+        F.lit("start").alias("src"), F.lit("conv").alias("dst")
+    )
+    raw = seq.select("src", "dst").unionAll(starts).unionAll(only_purchase)
+    cnt = raw.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = cnt.groupBy("src").agg(F.sum("c").cast("long").alias("n"))
+    base_t = cnt.join(tot, "src").select(
+        "src",
+        "dst",
+        F.round(F.col("c").cast("double") / F.col("n"), 6).alias("p"),
+    )
+    channels = base_t.where(F.col("src") != "start").select(
+        F.col("src").alias("ch")
+    ).distinct()
+    scen = channels.select(
+        F.col("ch").alias("scenario"), F.col("ch").alias("removed")
+    ).unionAll(
+        channels.limit(1).select(
+            F.lit("base").alias("scenario"),
+            F.lit(None).cast("string").alias("removed"),
+        )
+    )
+    trans = (
+        base_t.crossJoin(F.broadcast(scen))
+        .where(
+            F.col("removed").isNull() | (F.col("src") != F.col("removed"))
+        )
+        .select(
+            "scenario",
+            "src",
+            F.when(
+                F.col("removed").isNotNull()
+                & (F.col("dst") == F.col("removed")),
+                F.lit("drop"),
+            )
+            .otherwise(F.col("dst"))
+            .alias("dst"),
+            "p",
+        )
+        .groupBy("scenario", "src", "dst")
+        .agg(F.sum("p").cast("double").alias("p"))
+        .unionAll(
+            scen.crossJoin(
+                F.broadcast(
+                    spark.createDataFrame(
+                        [("conv",), ("drop",)], "st string"
+                    )
+                )
+            ).select(
+                "scenario",
+                F.col("st").alias("src"),
+                F.col("st").alias("dst"),
+                F.lit(1.0).alias("p"),
+            )
+        )
+    ).localCheckpoint(eager=False)
+    # Disambiguate once: the iteration joins mass (which derives from
+    # trans after step 1) back to trans, so trans carries its own names.
+    transr = trans.select(
+        F.col("scenario").alias("t_scenario"),
+        F.col("src").alias("t_src"),
+        "dst",
+        "p",
+    )
+    mass = scen.select(
+        "scenario",
+        F.lit("start").alias("state"),
+        F.lit(1.0).alias("mass"),
+    )
+    for it in range(12):
+        # The mass frame is ≤ scenarios×states rows: broadcast the
+        # transition table and collapse to one partition so each of the
+        # 12 unrolled steps is a single-task stage, not 32 empty tasks;
+        # cut the lineage every 4 steps so Catalyst never re-analyzes a
+        # 24-operator-deep tree.
+        if it and it % 4 == 0:
+            mass = mass.localCheckpoint(eager=False)
+        mass = (
+            mass.join(
+                F.broadcast(transr),
+                (F.col("scenario") == F.col("t_scenario"))
+                & (F.col("state") == F.col("t_src")),
+            )
+            .select(
+                "scenario",
+                F.col("dst").alias("state"),
+                F.round(F.col("mass") * F.col("p"), 9)
+                .cast("decimal(38,9)")
+                .alias("m9"),
+            )
+            .coalesce(1)
+            .groupBy("scenario", "state")
+            .agg(F.sum("m9").cast("double").alias("mass"))
+        )
+    pconv = mass.where(F.col("state") == "conv").select(
+        "scenario", F.col("mass").alias("p_conv")
+    )
+    base = pconv.where(F.col("scenario") == "base").select(
+        F.col("p_conv").alias("base_p")
+    )
+    return (
+        pconv.where(F.col("scenario") != "base")
+        .crossJoin(F.broadcast(base))
+        .select(
+            F.col("scenario").alias("channel"),
+            F.round("base_p", 6).alias("base_conv_prob"),
+            F.round("p_conv", 6).alias("removal_conv_prob"),
+            F.round(
+                (F.col("base_p") - F.col("p_conv")) / F.col("base_p"), 6
+            ).alias("removal_effect"),
+        )
+        .orderBy("channel")
+    )

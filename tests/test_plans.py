@@ -1150,3 +1150,13 @@ def test_seasonal_strength_broadcast_components(spark, sf_dir):
     assert "Window" in plan
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_markov_attribution_tiny_iteration_frames(spark, sf_dir):
+    """Markov removal attribution: after the one journey rollup, the
+    12-step absorption runs on broadcast-joined ≤7-state frames — no
+    cartesian, no Python, and the transition table broadcasts."""
+    plan = _plan(spark, sf_dir, "window_markov_removal_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastHashJoin" in plan
