@@ -290,6 +290,7 @@ HEADLINE = [
     "agg_stratified_ate",
     "ts_seasonal_strength",
     "window_markov_removal_attribution",
+    "sim_lsh_mrr",
 ]
 
 def main() -> None:

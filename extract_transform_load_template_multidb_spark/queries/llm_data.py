@@ -7960,3 +7960,121 @@ def text_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rank", 9).alias("textrank"),
         )
     )
+
+
+_LSH_MRR_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + ","
+    + _SQL_BUCKETS
+    + """,
+qs AS (
+    SELECT vec_id AS query_id, bucket FROM buckets
+    WHERE vec_id % 50 = 0
+),
+truth1 AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT d.query_id, d.neighbor_id,
+               row_number() OVER (PARTITION BY d.query_id
+                                  ORDER BY
+                   CAST(d.dot AS DOUBLE)
+                       / (sqrt(CAST(na.nsq AS DOUBLE))
+                          * sqrt(CAST(nb.nsq AS DOUBLE))) DESC,
+                   d.neighbor_id) AS rnk
+        FROM (
+            SELECT ea.vec_id AS query_id, eb.vec_id AS neighbor_id,
+                   SUM(ea.v * eb.v) AS dot
+            FROM elems ea
+            JOIN elems eb ON eb.d = ea.d AND eb.vec_id <> ea.vec_id
+            WHERE ea.vec_id % 50 = 0
+            GROUP BY 1, 2
+        ) d
+        JOIN norms na ON na.vec_id = d.query_id
+        JOIN norms nb ON nb.vec_id = d.neighbor_id
+    ) WHERE rnk = 1
+),
+lshrank AS (
+    SELECT q.query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY
+               CAST(d.dot AS DOUBLE)
+                   / (sqrt(CAST(na.nsq AS DOUBLE))
+                      * sqrt(CAST(nb.nsq AS DOUBLE))) DESC,
+               c.vec_id) AS lrank
+    FROM qs q
+    JOIN buckets c ON c.bucket = q.bucket AND c.vec_id <> q.query_id
+    JOIN (
+        SELECT ea.vec_id AS qid, eb.vec_id AS nid, SUM(ea.v * eb.v) AS dot
+        FROM elems ea
+        JOIN elems eb ON eb.d = ea.d
+        WHERE ea.vec_id % 50 = 0
+        GROUP BY 1, 2
+    ) d ON d.qid = q.query_id AND d.nid = c.vec_id
+    JOIN norms na ON na.vec_id = q.query_id
+    JOIN norms nb ON nb.vec_id = c.vec_id
+),
+rr AS (
+    SELECT t.query_id,
+           coalesce(CAST(max(CASE WHEN l.neighbor_id = t.neighbor_id
+                                  THEN round(1.0 / l.lrank, 6)
+                             END) AS DECIMAL(38,6)),
+                    CAST(0 AS DECIMAL(38,6))) AS rrv
+    FROM truth1 t
+    LEFT JOIN lshrank l ON l.query_id = t.query_id
+    GROUP BY t.query_id
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+       CAST(SUM(CASE WHEN rrv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_found,
+       round(CAST(SUM(rrv) AS DOUBLE) / COUNT(*), 6)
+           AS mean_reciprocal_rank
+FROM rr
+"""
+)
+
+
+@query("sim_lsh_mrr", oracle=_LSH_MRR_ORACLE)
+def sim_lsh_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Reciprocal Rank of the 4-plane sign-LSH index: where does the
+    TRUE nearest neighbor (exact brute-force rank 1) land in each
+    query's LSH bucket-mate ranking? — the ORDER-aware ANN quality
+    metric next to `sim_lsh_candidate_recall`'s set-membership view
+    (an index can retain all true neighbors yet rank them last; MRR
+    catches that, and a query whose bucket misses the true neighbor
+    scores 0). Ground truth is the broadcast brute-force pass; the LSH
+    side ranks bucket-mates by the same exact quantized cosine;
+    reciprocal ranks quantize to the 6-dp grid before averaging."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 50 == 0)
+    truth1 = sim.cosine_topk_bruteforce(emb, q, k=1).select(
+        "query_id", F.col("neighbor_id").alias("true_nn")
+    )
+    lshr = sim.signlsh_topk(emb, q, k=1_000_000, num_planes=4).select(
+        "query_id",
+        "neighbor_id",
+        F.col("rnk").alias("lrank"),
+    )
+    rr = (
+        truth1.join(
+            lshr,
+            (truth1["query_id"] == lshr["query_id"])
+            & (F.col("true_nn") == F.col("neighbor_id")),
+            "left",
+        )
+        .select(
+            truth1["query_id"].alias("qid"),
+            F.coalesce(
+                F.round(1.0 / F.col("lrank"), 6).cast("decimal(38,6)"),
+                F.lit(0).cast("decimal(38,6)"),
+            ).alias("rrv"),
+        )
+    )
+    return rr.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.sum(F.when(F.col("rrv") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_found"),
+        F.round(
+            F.sum("rrv").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_reciprocal_rank"),
+    )

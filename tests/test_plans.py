@@ -1160,3 +1160,11 @@ def test_markov_attribution_tiny_iteration_frames(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_lsh_mrr_no_cartesian_broadcast_truth(spark, sf_dir):
+    """LSH MRR: truth and bucket rankings join on equi keys with the
+    query set broadcast — never an all-pairs product."""
+    plan = _plan(spark, sf_dir, "sim_lsh_mrr")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
