@@ -291,6 +291,8 @@ HEADLINE = [
     "ts_seasonal_strength",
     "window_markov_removal_attribution",
     "sim_lsh_mrr",
+    "agg_wilcoxon_signed_rank",
+    "agg_friedman_weekday_test",
 ]
 
 def main() -> None:

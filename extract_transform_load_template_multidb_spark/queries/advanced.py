@@ -7635,3 +7635,232 @@ def agg_stratified_ate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+_WILCOXON_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END AS DECIMAL(38,6)))
+                - SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN value ELSE 0 END AS DECIMAL(38,6)))
+               AS DECIMAL(38,6)) AS d
+    FROM events GROUP BY user_id
+),
+nz AS (
+    SELECT abs(d) AS ad, CAST(d > 0 AS INT) AS pos
+    FROM per_user WHERE d <> 0
+),
+vc AS (
+    SELECT ad,
+           CAST(COUNT(*) AS BIGINT) AS l,
+           CAST(SUM(pos) AS BIGINT) AS npos
+    FROM nz GROUP BY ad
+),
+rk AS (
+    SELECT ad, l, npos,
+           CAST(SUM(l) OVER (ORDER BY ad
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - l
+               AS BIGINT) AS cum_before,
+           CAST(SUM(l) OVER () AS BIGINT) AS n
+    FROM vc
+),
+w AS (
+    SELECT any_value(n) AS n,
+           CAST(SUM(CAST(npos AS DECIMAL(38,6))
+                    * (cum_before + (l + 1) / CAST(2 AS DOUBLE)))
+                AS DOUBLE) AS w_plus,
+           CAST(SUM(CAST(l AS DECIMAL(38,0)) * l * l - l) AS DOUBLE)
+               AS tie_cubes
+    FROM rk
+)
+SELECT n AS n_pairs,
+       round(w_plus, 6) AS w_plus,
+       round((w_plus - CAST(n AS DOUBLE) * (n + 1) / 4)
+             / sqrt(CAST(n AS DOUBLE) * (n + 1) * (2 * n + 1) / 24
+                    - tie_cubes / 48), 6) AS z_statistic
+FROM w
+"""
+
+
+@query("agg_wilcoxon_signed_rank", oracle=_WILCOXON_ORACLE)
+def agg_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on paired per-user spend (post − pre
+    period): midranks of |differences| with the tie-corrected normal
+    approximation — the nonparametric paired counterpart to a paired
+    t-test (no normality assumption on spend diffs; complements
+    `agg_mcnemar_paired_test`, which pairs BINARY outcomes). Differences
+    live on the exact cents DECIMAL grid so zero-exclusion and tie
+    groups are engine-identical; midranks come from the distinct-value
+    running count (cum_before + (l+1)/2 — the same value-counts shape
+    as the exact-percentile selector); W⁺ and the tie cube sum are
+    exact before the one final sqrt."""
+    from pyspark.sql import Window as Win
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        (
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value"))
+                .otherwise(0)
+                .cast(DEC)
+            )
+            - F.sum(
+                F.when(F.col("ts") < cut, F.col("value"))
+                .otherwise(0)
+                .cast(DEC)
+            )
+        )
+        .cast(DEC)
+        .alias("d")
+    )
+    nz = per_user.where(F.col("d") != 0).select(
+        F.abs(F.col("d")).alias("ad"),
+        (F.col("d") > 0).cast("int").alias("pos"),
+    )
+    vc = nz.groupBy("ad").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum("pos").cast("long").alias("npos"),
+    )
+    rk = vc.select(
+        "ad",
+        "l",
+        "npos",
+        (
+            F.sum("l").over(
+                Win.orderBy("ad").rowsBetween(
+                    Win.unboundedPreceding, Win.currentRow
+                )
+            )
+            - F.col("l")
+        )
+        .cast("long")
+        .alias("cum_before"),
+        F.sum("l").over(Win.partitionBy()).cast("long").alias("n"),
+    )
+    w = rk.agg(
+        F.any_value("n").alias("n"),
+        F.sum(
+            F.col("npos").cast(DEC)
+            * (F.col("cum_before") + (F.col("l") + 1) / F.lit(2.0))
+        )
+        .cast("double")
+        .alias("w_plus"),
+        F.sum(
+            F.col("l").cast("decimal(38,0)") * F.col("l") * F.col("l")
+            - F.col("l")
+        )
+        .cast("double")
+        .alias("tie_cubes"),
+    )
+    nd = F.col("n").cast("double")
+    return w.select(
+        F.col("n").alias("n_pairs"),
+        F.round("w_plus", 6).alias("w_plus"),
+        F.round(
+            (F.col("w_plus") - nd * (F.col("n") + 1) / 4)
+            / F.sqrt(
+                nd * (F.col("n") + 1) * (2 * F.col("n") + 1) / 24
+                - F.col("tie_cubes") / 48
+            ),
+            6,
+        ).alias("z_statistic"),
+    )
+
+
+_FRIEDMAN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+wk AS (
+    SELECT day, y,
+           CAST(date_trunc('week', day) AS DATE) AS week,
+           dayofweek(day) AS dow
+    FROM daily
+),
+full_weeks AS (
+    SELECT week FROM wk GROUP BY week HAVING COUNT(*) = 7
+),
+ranked AS (
+    SELECT w.week, w.dow,
+           row_number() OVER (PARTITION BY w.week
+                              ORDER BY w.y, w.day) AS r
+    FROM wk w JOIN full_weeks f ON f.week = w.week
+),
+rj AS (
+    SELECT dow, CAST(SUM(r) AS BIGINT) AS r_sum,
+           CAST(COUNT(*) AS BIGINT) AS n_weeks
+    FROM ranked GROUP BY dow
+),
+s AS (
+    SELECT any_value(n_weeks) AS n,
+           CAST(SUM(CAST(r_sum AS DECIMAL(38,0)) * r_sum) AS DOUBLE)
+               AS sum_rj2
+    FROM rj
+)
+SELECT n AS n_weeks,
+       round(12.0 / (CAST(n AS DOUBLE) * 7 * 8) * sum_rj2
+             - 3.0 * n * 8, 6) AS friedman_chi2,
+       CAST(12.0 / (CAST(n AS DOUBLE) * 7 * 8) * sum_rj2
+            - 3.0 * n * 8 > 12.591587 AS BOOLEAN) AS significant_05
+FROM s
+"""
+
+
+@query("agg_friedman_weekday_test", oracle=_FRIEDMAN_ORACLE)
+def agg_friedman_weekday_test(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Friedman test for weekday effects: within every COMPLETE week,
+    rank the 7 daily revenues,
+    (ties pinned on the DATE, identical in both engines), then
+    χ²_F = 12/(n·k(k+1))·ΣR_j² − 3n(k+1) with k=7 — the
+    nonparametric repeated-measures ANOVA (each week is its own block,
+    so a long-run trend can't fake a weekday effect the way it can in
+    `ts_weekday_anova`'s pooled variance). Blocks are bounded (weeks of
+    a calendar), ranks are integers, and the rank-sum squares are exact
+    before one final double dag; 6-df critical value flags at 0.05."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("y")
+    )
+    wk = daily.select(
+        "day",
+        "y",
+        F.trunc("day", "week").alias("week"),
+        F.dayofweek("day").alias("dow"),
+    )
+    full_weeks = wk.groupBy("week").agg(
+        F.count(F.lit(1)).alias("c")
+    ).where(F.col("c") == 7).select("week")
+    ranked = wk.join(full_weeks, "week").select(
+        "week",
+        "dow",
+        F.row_number()
+        .over(Win.partitionBy("week").orderBy("y", "day"))
+        .alias("r"),
+    )
+    rj = ranked.groupBy("dow").agg(
+        F.sum("r").cast("long").alias("r_sum"),
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+    )
+    s = rj.agg(
+        F.any_value("n_weeks").alias("n"),
+        F.sum(F.col("r_sum").cast("decimal(38,0)") * F.col("r_sum"))
+        .cast("double")
+        .alias("sum_rj2"),
+    )
+    nd = F.col("n").cast("double")
+    chi2 = 12.0 / (nd * 7 * 8) * F.col("sum_rj2") - 3.0 * F.col("n") * 8
+    return s.select(
+        F.col("n").alias("n_weeks"),
+        F.round(chi2, 6).alias("friedman_chi2"),
+        (chi2 > 12.591587).alias("significant_05"),
+    )

@@ -1168,3 +1168,21 @@ def test_lsh_mrr_no_cartesian_broadcast_truth(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_lsh_mrr")
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_wilcoxon_value_counts_running_rank(spark, sf_dir):
+    """Wilcoxon: midranks come from the distinct-value running count —
+    never a single-reducer percentile/rank buffer, JVM-only."""
+    plan = _plan(spark, sf_dir, "agg_wilcoxon_signed_rank")
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_friedman_ranks_within_week_blocks(spark, sf_dir):
+    """Friedman: ranks partition by week (bounded blocks), never a global
+    sort of the daily table in one partition... the week-partitioned
+    window is the only sort."""
+    plan = _plan(spark, sf_dir, "agg_friedman_weekday_test")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
