@@ -293,6 +293,7 @@ HEADLINE = [
     "sim_lsh_mrr",
     "agg_wilcoxon_signed_rank",
     "agg_friedman_weekday_test",
+    "feature_target_encoding",
 ]
 
 def main() -> None:

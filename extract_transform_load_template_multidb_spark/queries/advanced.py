@@ -7864,3 +7864,73 @@ def agg_friedman_weekday_test(
         F.round(chi2, 6).alias("friedman_chi2"),
         (chi2 > 12.591587).alias("significant_05"),
     )
+
+
+_TARGET_ENC_ORACLE = """
+WITH g AS (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_g,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS s_g
+    FROM orders GROUP BY 1
+),
+overall AS (
+    SELECT CAST(SUM(CAST(s_g AS DECIMAL(38,6))) AS DOUBLE) AS s_t,
+           CAST(SUM(n_g) AS BIGINT) AS n_t
+    FROM g
+),
+enc AS (
+    SELECT o.o_orderkey, o.o_orderpriority,
+           (g.s_g - o.o_totalprice) / (g.n_g - 1) AS loo_enc,
+           (g.s_g + 20 * (gl.s_t / gl.n_t)) / (g.n_g + 20) AS smooth_enc
+    FROM orders o
+    JOIN g ON g.o_orderpriority = o.o_orderpriority
+    CROSS JOIN overall gl
+    WHERE o.o_orderkey % 997 = 0
+)
+SELECT o_orderkey, o_orderpriority,
+       round(loo_enc, 6) AS loo_target_enc,
+       round(smooth_enc, 6) AS smoothed_target_enc
+FROM enc
+"""
+
+
+@query("feature_target_encoding", oracle=_TARGET_ENC_ORACLE)
+def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target encoding of order priority against order value, two
+    leakage-disciplined variants per row: leave-one-out
+    ((ΣY_g − y_i)/(n_g − 1) — the row's own label never leaks into its
+    feature) and additive smoothing toward the global mean (prior
+    weight m=20 — rare categories shrink to the prior instead of
+    memorizing noise) — the standard high-cardinality categorical
+    encoder for gradient-boosted models, next to
+    `feature_normalize_per_group`'s scaling. One group rollup broadcast
+    back onto a keyed row sample; DECIMAL-exact sums, one double dag
+    per row."""
+    o = load_table(spark, sf_dir, "orders")
+    g = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("s_g"),
+    )
+    glob = g.agg(
+        F.sum(F.col("s_g").cast(DEC)).cast("double").alias("s_t"),
+        F.sum("n_g").cast("long").alias("n_t"),
+    )
+    return (
+        o.where(F.col("o_orderkey") % 997 == 0)
+        .join(F.broadcast(g), "o_orderpriority")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round(
+                (F.col("s_g") - F.col("o_totalprice"))
+                / (F.col("n_g") - 1),
+                6,
+            ).alias("loo_target_enc"),
+            F.round(
+                (F.col("s_g") + 20 * (F.col("s_t") / F.col("n_t")))
+                / (F.col("n_g") + 20),
+                6,
+            ).alias("smoothed_target_enc"),
+        )
+    )

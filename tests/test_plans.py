@@ -1186,3 +1186,12 @@ def test_friedman_ranks_within_week_blocks(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_friedman_weekday_test")
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_target_encoding_broadcast_group_stats(spark, sf_dir):
+    """Target encoding: group stats and the 1-row global prior broadcast
+    back onto the keyed row scan — one group rollup, no re-shuffle of
+    the fact rows."""
+    plan = _plan(spark, sf_dir, "feature_target_encoding")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
