@@ -294,6 +294,8 @@ HEADLINE = [
     "agg_wilcoxon_signed_rank",
     "agg_friedman_weekday_test",
     "feature_target_encoding",
+    "agg_auc_rank_sum",
+    "agg_expected_calibration_error",
 ]
 
 def main() -> None:

@@ -7934,3 +7934,241 @@ def feature_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("smoothed_target_enc"),
         )
     )
+
+
+_AUC_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 END) AS BIGINT) AS score,
+           CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END AS DECIMAL(38,6)))
+                > SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN value ELSE 0 END AS DECIMAL(38,6)))
+               AS INT) AS y
+    FROM events GROUP BY user_id
+),
+vc AS (
+    SELECT score,
+           CAST(COUNT(*) AS BIGINT) AS l,
+           CAST(SUM(y) AS BIGINT) AS npos
+    FROM per_user GROUP BY score
+),
+rk AS (
+    SELECT score, l, npos,
+           CAST(SUM(l) OVER (ORDER BY score
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - l
+               AS BIGINT) AS cum_before
+    FROM vc
+),
+s AS (
+    SELECT CAST(SUM(npos) AS BIGINT) AS n1,
+           CAST(SUM(l - npos) AS BIGINT) AS n0,
+           CAST(SUM(CAST(npos AS DECIMAL(38,1))
+                    * (cum_before + (l + 1) / CAST(2 AS DOUBLE)))
+                AS DOUBLE) AS rank_sum_pos
+    FROM rk
+)
+SELECT n1 AS n_positive, n0 AS n_negative,
+       round((rank_sum_pos - CAST(n1 AS DOUBLE) * (n1 + 1) / 2)
+             / (CAST(n1 AS DOUBLE) * n0), 6) AS auc
+FROM s
+"""
+
+
+@query("agg_auc_rank_sum", oracle=_AUC_ORACLE)
+def agg_auc_rank_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact ROC-AUC via the rank-sum identity
+    AUC = (ΣR⁺ − n₁(n₁+1)/2)/(n₁n₀): pre-period activity count scoring
+    whether post-period spend exceeds pre-period spend (an exact
+    cents-grid label) — the standard way to compute AUC on data that
+    doesn't fit one machine (sort-free per-threshold confusion matrices
+    aren't needed; the Mann-Whitney identity gives the whole curve's
+    area from ONE value-counts pass with midranks for tied scores,
+    ties-in-halves exact in DECIMAL(38,1)). The evaluation metric for
+    any churn/propensity score the feature queries
+    (`feature_target_encoding`) produce."""
+    from pyspark.sql import Window as Win
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1))
+        .cast("long")
+        .alias("score"),
+        (
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value"))
+                .otherwise(0)
+                .cast(DEC)
+            )
+            > F.sum(
+                F.when(F.col("ts") < cut, F.col("value"))
+                .otherwise(0)
+                .cast(DEC)
+            )
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    vc = per_user.groupBy("score").agg(
+        F.count(F.lit(1)).cast("long").alias("l"),
+        F.sum("y").cast("long").alias("npos"),
+    )
+    rk = vc.select(
+        "score",
+        "l",
+        "npos",
+        (
+            F.sum("l").over(
+                Win.orderBy("score").rowsBetween(
+                    Win.unboundedPreceding, Win.currentRow
+                )
+            )
+            - F.col("l")
+        )
+        .cast("long")
+        .alias("cum_before"),
+    )
+    s = rk.agg(
+        F.sum("npos").cast("long").alias("n1"),
+        F.sum(F.col("l") - F.col("npos")).cast("long").alias("n0"),
+        F.sum(
+            F.col("npos").cast("decimal(38,1)")
+            * (F.col("cum_before") + (F.col("l") + 1) / F.lit(2.0))
+        )
+        .cast("double")
+        .alias("rank_sum_pos"),
+    )
+    n1d = F.col("n1").cast("double")
+    return s.select(
+        F.col("n1").alias("n_positive"),
+        F.col("n0").alias("n_negative"),
+        F.round(
+            (F.col("rank_sum_pos") - n1d * (F.col("n1") + 1) / 2)
+            / (n1d * F.col("n0")),
+            6,
+        ).alias("auc"),
+    )
+
+
+_ECE_ORACLE = """
+WITH med AS (
+    SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS m
+    FROM orders
+),
+lab AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS mth,
+           CAST(o_totalprice > (SELECT m FROM med) AS INT) AS y
+    FROM orders
+),
+cell AS (
+    SELECT o_orderpriority, mth,
+           CAST(COUNT(*) AS BIGINT) AS n_c,
+           CAST(SUM(y) AS BIGINT) AS k_c
+    FROM lab GROUP BY 1, 2
+),
+scored AS (
+    SELECT l.o_orderkey, l.y,
+           round((c.k_c + 10 * 0.5) / (c.n_c + 10), 6) AS conf
+    FROM lab l
+    JOIN cell c ON c.o_orderpriority = l.o_orderpriority
+               AND c.mth = l.mth
+),
+binned AS (
+    SELECT y, conf,
+           ntile(10) OVER (ORDER BY conf, o_orderkey) AS bin
+    FROM scored
+),
+per_bin AS (
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n_b,
+           CAST(SUM(y) AS BIGINT) AS k_b,
+           CAST(SUM(CAST(conf AS DECIMAL(38,6))) AS DOUBLE) AS conf_sum
+    FROM binned GROUP BY bin
+),
+tot AS (SELECT CAST(SUM(n_b) AS BIGINT) AS n FROM per_bin)
+SELECT CAST(10 AS INT) AS n_bins,
+       t.n AS n_rows,
+       round(CAST(SUM(CAST(round(
+           abs(CAST(p.k_b AS DOUBLE) / p.n_b - p.conf_sum / p.n_b)
+           * p.n_b / t.n, 9) AS DECIMAL(38,9))) AS DOUBLE), 6) AS ece
+FROM per_bin p CROSS JOIN tot t
+GROUP BY t.n
+"""
+
+
+@query("agg_expected_calibration_error", oracle=_ECE_ORACLE)
+def agg_expected_calibration_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Expected Calibration Error of a priority×month smoothed-rate
+    predictor of above-median order value: decile-bin the confidences
+    (ties pinned on the order key), ECE = Σ n_b/N·|accuracy_b −
+    confidence_b| — the standard probability-calibration audit
+    (`agg_auc_rank_sum` measures DISCRIMINATION; a score can rank
+    perfectly and still be badly calibrated, and calibration is what
+    downstream thresholds consume). The median label cut uses the
+    distributed exact selector; confidences quantize to the 6-dp grid,
+    per-bin terms to the 9-dp grid before the final sum."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    med = exact_percentiles(
+        o.select(F.col("o_totalprice").cast("double").alias("v")),
+        [],
+        "v",
+        {"m": 0.5},
+    )
+    lab = o.crossJoin(F.broadcast(med)).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("mth"),
+        (F.col("o_totalprice") > F.col("m")).cast("int").alias("y"),
+    )
+    cell = lab.groupBy("o_orderpriority", "mth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("y").cast("long").alias("k_c"),
+    )
+    scored = lab.join(cell, ["o_orderpriority", "mth"]).select(
+        "o_orderkey",
+        "y",
+        F.round(
+            (F.col("k_c") + 10 * 0.5) / (F.col("n_c") + 10), 6
+        ).alias("conf"),
+    )
+    binned = scored.select(
+        "y",
+        "conf",
+        F.ntile(10).over(Win.orderBy("conf", "o_orderkey")).alias("bin"),
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.sum("y").cast("long").alias("k_b"),
+        F.sum(F.col("conf").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("conf_sum"),
+    )
+    tot = per_bin.agg(F.sum("n_b").cast("long").alias("n"))
+    term = F.round(
+        F.abs(
+            F.col("k_b").cast("double") / F.col("n_b")
+            - F.col("conf_sum") / F.col("n_b")
+        )
+        * F.col("n_b")
+        / F.col("n"),
+        9,
+    ).cast("decimal(38,9)")
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.lit(10).cast("int").alias("n_bins"),
+            F.round(F.sum(term).cast("double"), 6).alias("ece"),
+        )
+        .select(
+            "n_bins", F.col("n").alias("n_rows"), "ece"
+        )
+    )

@@ -1195,3 +1195,20 @@ def test_target_encoding_broadcast_group_stats(spark, sf_dir):
     plan = _plan(spark, sf_dir, "feature_target_encoding")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_auc_value_counts_rank_identity(spark, sf_dir):
+    """AUC: one value-counts pass + running rank window — never a global
+    per-row sort or a percentile buffer."""
+    plan = _plan(spark, sf_dir, "agg_auc_rank_sum")
+    assert "percentile" not in plan.lower()
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ece_broadcast_cells_and_median(spark, sf_dir):
+    """ECE: the median cut and cell rates broadcast back; bins come from
+    one ntile window over the scored rows."""
+    plan = _plan(spark, sf_dir, "agg_expected_calibration_error")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
