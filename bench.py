@@ -296,6 +296,8 @@ HEADLINE = [
     "feature_target_encoding",
     "agg_auc_rank_sum",
     "agg_expected_calibration_error",
+    "agg_probabilistic_scores",
+    "ts_kpss_stationarity",
 ]
 
 def main() -> None:

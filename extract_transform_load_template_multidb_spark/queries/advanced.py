@@ -8172,3 +8172,93 @@ def agg_expected_calibration_error(
             "n_bins", F.col("n").alias("n_rows"), "ece"
         )
     )
+
+
+_PROBSCORE_ORACLE = """
+WITH med AS (
+    SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), 0.5) AS m
+    FROM orders
+),
+lab AS (
+    SELECT o_orderkey, o_orderpriority,
+           CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+               AS mth,
+           CAST(o_totalprice > (SELECT m FROM med) AS INT) AS y
+    FROM orders
+),
+cell AS (
+    SELECT o_orderpriority, mth,
+           CAST(COUNT(*) AS BIGINT) AS n_c,
+           CAST(SUM(y) AS BIGINT) AS k_c
+    FROM lab GROUP BY 1, 2
+),
+scored AS (
+    SELECT l.y,
+           round((c.k_c + 10 * 0.5) / (c.n_c + 10), 6) AS p
+    FROM lab l
+    JOIN cell c ON c.o_orderpriority = l.o_orderpriority
+               AND c.mth = l.mth
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       round(CAST(SUM(CAST(round((p - y) * (p - y), 9)
+                          AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+           AS brier_score,
+       round(CAST(SUM(CAST(round(
+                 -(y * ln(p) + (1 - y) * ln(1 - p)), 9)
+                 AS DECIMAL(38,9))) AS DOUBLE) / COUNT(*), 6)
+           AS log_loss
+FROM scored
+"""
+
+
+@query("agg_probabilistic_scores", oracle=_PROBSCORE_ORACLE)
+def agg_probabilistic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score and log loss of the priority×month smoothed-rate
+    predictor — the proper scoring rules that complete the evaluation
+    trio: `agg_auc_rank_sum` measures ranking, 
+    `agg_expected_calibration_error` measures calibration in bins, and
+    proper scores measure BOTH at once (you cannot game them by
+    reporting miscalibrated confidences). Confidences quantize to the
+    6-dp grid (smoothing keeps p strictly inside (0,1), so ln is
+    total); per-row terms to the 9-dp grid before DECIMAL sums."""
+    o = load_table(spark, sf_dir, "orders")
+    med = exact_percentiles(
+        o.select(F.col("o_totalprice").cast("double").alias("v")),
+        [],
+        "v",
+        {"m": 0.5},
+    )
+    lab = o.crossJoin(F.broadcast(med)).select(
+        "o_orderpriority",
+        F.trunc(F.col("o_orderdate").cast("date"), "month").alias("mth"),
+        (F.col("o_totalprice") > F.col("m")).cast("int").alias("y"),
+    )
+    cell = lab.groupBy("o_orderpriority", "mth").agg(
+        F.count(F.lit(1)).cast("long").alias("n_c"),
+        F.sum("y").cast("long").alias("k_c"),
+    )
+    scored = lab.join(cell, ["o_orderpriority", "mth"]).select(
+        "y",
+        F.round(
+            (F.col("k_c") + 10 * 0.5) / (F.col("n_c") + 10), 6
+        ).alias("p"),
+    )
+    brier_t = F.round(
+        (F.col("p") - F.col("y")) * (F.col("p") - F.col("y")), 9
+    ).cast("decimal(38,9)")
+    ll_t = F.round(
+        -(
+            F.col("y") * F.log(F.col("p"))
+            + (1 - F.col("y")) * F.log(1 - F.col("p"))
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    return scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.round(
+            F.sum(brier_t).cast("double") / F.count(F.lit(1)), 6
+        ).alias("brier_score"),
+        F.round(
+            F.sum(ll_t).cast("double") / F.count(F.lit(1)), 6
+        ).alias("log_loss"),
+    )

@@ -5418,3 +5418,119 @@ def window_markov_removal_attribution(
         )
         .orderBy("channel")
     )
+
+
+_KPSS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS yc
+    FROM orders GROUP BY 1
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(yc) AS BIGINT) AS s
+    FROM daily
+),
+e AS (
+    SELECT d.day,
+           CAST(d.yc * t.n - t.s AS BIGINT) AS es,
+           t.n
+    FROM daily d CROSS JOIN tot t
+),
+parts AS (
+    SELECT day, es, n,
+           CAST(SUM(es) OVER (ORDER BY day
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DECIMAL(38,0)) AS st,
+           lag(es, 1) OVER (ORDER BY day) AS e1,
+           lag(es, 2) OVER (ORDER BY day) AS e2,
+           lag(es, 3) OVER (ORDER BY day) AS e3,
+           lag(es, 4) OVER (ORDER BY day) AS e4,
+           lag(es, 5) OVER (ORDER BY day) AS e5,
+           lag(es, 6) OVER (ORDER BY day) AS e6,
+           lag(es, 7) OVER (ORDER BY day) AS e7
+    FROM e
+),
+s AS (
+    SELECT any_value(n) AS n,
+           CAST(SUM(st * st) AS DOUBLE) AS sum_s2,
+           CAST(8 * SUM(CAST(es AS DECIMAL(38,0)) * es)
+                + 14 * SUM(CAST(es AS DECIMAL(38,0)) * coalesce(e1, 0))
+                + 12 * SUM(CAST(es AS DECIMAL(38,0)) * coalesce(e2, 0))
+                + 10 * SUM(CAST(es AS DECIMAL(38,0)) * coalesce(e3, 0))
+                + 8 * SUM(CAST(es AS DECIMAL(38,0)) * coalesce(e4, 0))
+                + 6 * SUM(CAST(es AS DECIMAL(38,0)) * coalesce(e5, 0))
+                + 4 * SUM(CAST(es AS DECIMAL(38,0)) * coalesce(e6, 0))
+                + 2 * SUM(CAST(es AS DECIMAL(38,0)) * coalesce(e7, 0))
+               AS DOUBLE) AS lrv8n
+    FROM parts
+)
+SELECT n AS n_days,
+       round(8 * sum_s2 / (CAST(n AS DOUBLE) * lrv8n), 6)
+           AS kpss_statistic,
+       CAST(8 * sum_s2 / (CAST(n AS DOUBLE) * lrv8n) > 0.463
+            AS BOOLEAN) AS reject_level_stationarity_05
+FROM s
+"""
+
+
+@query("ts_kpss_stationarity", oracle=_KPSS_ORACLE)
+def ts_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KPSS level-stationarity test on daily revenue (Bartlett kernel,
+    7 lags): η = N⁻²ΣS_t²/λ̂² where S_t are partial sums of the demeaned
+    series and λ̂² the Newey-West long-run variance — the stationarity
+    gate every forecaster here should pass through (`ts_mann_kendall`
+    detects trend; KPSS's null is stationarity, so REJECTING says
+    difference the series before `ts_holt_linear_forecast` trusts its
+    level). EVERYTHING is integer-exact until one final division: cents
+    revenues scale to ẽ = 100N·e (exact BIGINT demeaning — no rational
+    mean ever materializes), partial sums and lag products accumulate
+    in DECIMAL(38,0), and the Bartlett weights (1−j/8) clear
+    denominators via the ×8 trick, so both engines compute the
+    IDENTICAL integer before the double divide. 0.463 is the 5%
+    critical value."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("yc")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("yc").cast("long").alias("s"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        (F.col("yc") * F.col("n") - F.col("s")).cast("long").alias("es"),
+        "n",
+    )
+    w = Win.orderBy("day")
+    run = w.rowsBetween(Win.unboundedPreceding, Win.currentRow)
+    parts = e.select(
+        "es",
+        "n",
+        F.sum("es").over(run).cast("decimal(38,0)").alias("st"),
+        *[F.lag("es", j).over(w).alias(f"e{j}") for j in range(1, 8)],
+    )
+    esd = F.col("es").cast("decimal(38,0)")
+    weights = [8, 14, 12, 10, 8, 6, 4, 2]
+    lrv = weights[0] * F.sum(esd * F.col("es"))
+    for j in range(1, 8):
+        lrv = lrv + weights[j] * F.sum(
+            esd * F.coalesce(F.col(f"e{j}"), F.lit(0))
+        )
+    s = parts.agg(
+        F.any_value("n").alias("n"),
+        F.sum(F.col("st") * F.col("st")).cast("double").alias("sum_s2"),
+        lrv.cast("double").alias("lrv8n"),
+    )
+    stat = 8 * F.col("sum_s2") / (F.col("n").cast("double") * F.col("lrv8n"))
+    return s.select(
+        F.col("n").alias("n_days"),
+        F.round(stat, 6).alias("kpss_statistic"),
+        (stat > 0.463).alias("reject_level_stationarity_05"),
+    )

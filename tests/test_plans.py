@@ -1212,3 +1212,21 @@ def test_ece_broadcast_cells_and_median(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_expected_calibration_error")
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_probscores_single_scored_pass(spark, sf_dir):
+    """Proper scores: one scored pass with broadcast cell rates; no
+    Python, no cross product beyond the 1-row median broadcast."""
+    plan = _plan(spark, sf_dir, "agg_probabilistic_scores")
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_kpss_integer_exact_windows(spark, sf_dir):
+    """KPSS: partial sums and lag products run in one ordered window pass
+    over the bounded daily series; integer-exact until the final
+    division (no percentile, no Python)."""
+    plan = _plan(spark, sf_dir, "ts_kpss_stationarity")
+    assert "Window" in plan
+    assert "percentile" not in plan.lower()
+    assert "BatchEvalPython" not in plan
