@@ -298,6 +298,8 @@ HEADLINE = [
     "agg_expected_calibration_error",
     "agg_probabilistic_scores",
     "ts_kpss_stationarity",
+    "agg_qini_uplift_deciles",
+    "ts_adf_unit_root",
 ]
 
 def main() -> None:

@@ -8262,3 +8262,128 @@ def agg_probabilistic_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(ll_t).cast("double") / F.count(F.lit(1)), 6
         ).alias("log_loss"),
     )
+
+
+_QINI_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 END) AS BIGINT) AS score,
+           CAST(user_id % 2 AS INT) AS treated,
+           CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END AS DECIMAL(38,6)))
+                > SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN value ELSE 0 END AS DECIMAL(38,6)))
+               AS INT) AS y
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT treated, y,
+           ntile(10) OVER (ORDER BY score DESC, user_id) AS decile
+    FROM per_user
+),
+per_dec AS (
+    SELECT decile,
+           CAST(SUM(treated) AS BIGINT) AS nt,
+           CAST(COUNT(*) - SUM(treated) AS BIGINT) AS nc,
+           CAST(SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS BIGINT)
+               AS yt,
+           CAST(SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS BIGINT)
+               AS yc
+    FROM ranked GROUP BY decile
+),
+cum AS (
+    SELECT decile,
+           CAST(SUM(nt) OVER w AS BIGINT) AS cnt,
+           CAST(SUM(nc) OVER w AS BIGINT) AS cnc,
+           CAST(SUM(yt) OVER w AS BIGINT) AS cyt,
+           CAST(SUM(yc) OVER w AS BIGINT) AS cyc
+    FROM per_dec
+    WINDOW w AS (ORDER BY decile
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT decile, cnt AS cum_treated, cnc AS cum_control,
+       cyt AS cum_conv_treated, cyc AS cum_conv_control,
+       round(cyt - CAST(cyc AS DOUBLE) * cnt / cnc, 6) AS qini
+FROM cum
+"""
+
+
+@query("agg_qini_uplift_deciles", oracle=_QINI_ORACLE)
+def agg_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qini curve points by score decile: rank users by the pre-period
+    activity score (ties pinned on user_id), then per cumulative decile
+    Qini(k) = Y_t(k) − Y_c(k)·N_t(k)/N_c(k) — the uplift-model
+    evaluation that asks WHO to treat, not who converts
+    (`agg_auc_rank_sum` scores outcome prediction; Qini scores
+    INCREMENTAL conversions over the control baseline at each targeting
+    depth). One user rollup, one ntile window, one cumulative window
+    over ten rows; everything integer-exact until the single baseline
+    scaling division."""
+    from pyspark.sql import Window as Win
+
+    ev = load_table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1))
+        .cast("long")
+        .alias("score"),
+        (
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value"))
+                .otherwise(0)
+                .cast(DEC)
+            )
+            > F.sum(
+                F.when(F.col("ts") < cut, F.col("value"))
+                .otherwise(0)
+                .cast(DEC)
+            )
+        )
+        .cast("int")
+        .alias("y"),
+    ).select(
+        "score",
+        "y",
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        "user_id",
+    )
+    ranked = per_user.select(
+        "treated",
+        "y",
+        F.ntile(10)
+        .over(Win.orderBy(F.col("score").desc(), "user_id"))
+        .alias("decile"),
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.sum("treated").cast("long").alias("nt"),
+        (F.count(F.lit(1)) - F.sum("treated")).cast("long").alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yt"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0))
+        .cast("long")
+        .alias("yc"),
+    )
+    w = Win.orderBy("decile").rowsBetween(
+        Win.unboundedPreceding, Win.currentRow
+    )
+    cum = per_dec.select(
+        "decile",
+        F.sum("nt").over(w).cast("long").alias("cnt"),
+        F.sum("nc").over(w).cast("long").alias("cnc"),
+        F.sum("yt").over(w).cast("long").alias("cyt"),
+        F.sum("yc").over(w).cast("long").alias("cyc"),
+    )
+    return cum.select(
+        "decile",
+        F.col("cnt").alias("cum_treated"),
+        F.col("cnc").alias("cum_control"),
+        F.col("cyt").alias("cum_conv_treated"),
+        F.col("cyc").alias("cum_conv_control"),
+        F.round(
+            F.col("cyt")
+            - F.col("cyc").cast("double") * F.col("cnt") / F.col("cnc"),
+            6,
+        ).alias("qini"),
+    )

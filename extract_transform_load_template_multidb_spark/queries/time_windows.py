@@ -5534,3 +5534,155 @@ def ts_kpss_stationarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(stat, 6).alias("kpss_statistic"),
         (stat > 0.463).alias("reject_level_stationarity_05"),
     )
+
+
+_ADF_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+                AS BIGINT) AS yc
+    FROM orders GROUP BY 1
+),
+lagged AS (
+    SELECT yc - lag(yc, 1) OVER (ORDER BY day) AS dy,
+           lag(yc, 1) OVER (ORDER BY day) AS x1,
+           lag(yc, 1) OVER (ORDER BY day)
+               - lag(yc, 2) OVER (ORDER BY day) AS x2
+    FROM daily
+),
+u AS (
+    SELECT CAST(dy AS BIGINT) AS dy, CAST(x1 AS BIGINT) AS x1,
+           CAST(x2 AS BIGINT) AS x2
+    FROM lagged WHERE x2 IS NOT NULL
+),
+m AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x1) AS DECIMAL(38,0)) AS sx1,
+           CAST(SUM(x2) AS DECIMAL(38,0)) AS sx2,
+           CAST(SUM(dy) AS DECIMAL(38,0)) AS sy,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x1) AS DECIMAL(38,0))
+               AS sx1x1,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0))
+               AS sx1x2,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * x2) AS DECIMAL(38,0))
+               AS sx2x2,
+           CAST(SUM(CAST(x1 AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0))
+               AS sx1y,
+           CAST(SUM(CAST(x2 AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0))
+               AS sx2y,
+           CAST(SUM(CAST(dy AS DECIMAL(38,0)) * dy) AS DECIMAL(38,0))
+               AS syy
+    FROM u
+),
+c AS (
+    SELECT n,
+           CAST(n * sx1x1 - sx1 * sx1 AS DOUBLE) AS c11,
+           CAST(n * sx1x2 - sx1 * sx2 AS DOUBLE) AS c12,
+           CAST(n * sx2x2 - sx2 * sx2 AS DOUBLE) AS c22,
+           CAST(n * sx1y - sx1 * sy AS DOUBLE) AS c1y,
+           CAST(n * sx2y - sx2 * sy AS DOUBLE) AS c2y,
+           CAST(n * syy - sy * sy AS DOUBLE) AS cyy
+    FROM m
+)
+SELECT n AS n_obs,
+       round((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12), 9)
+           AS adf_beta,
+       round(((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12))
+             / sqrt(((cyy
+                      - (c1y * c22 - c2y * c12)
+                        / (c11 * c22 - c12 * c12) * c1y
+                      - (c2y * c11 - c1y * c12)
+                        / (c11 * c22 - c12 * c12) * c2y)
+                     / (CAST(n AS DOUBLE) * (n - 3)))
+                    * (CAST(n AS DOUBLE) * c22
+                       / (c11 * c22 - c12 * c12))), 6) AS adf_t,
+       CAST(((c1y * c22 - c2y * c12) / (c11 * c22 - c12 * c12))
+            / sqrt(((cyy
+                     - (c1y * c22 - c2y * c12)
+                       / (c11 * c22 - c12 * c12) * c1y
+                     - (c2y * c11 - c1y * c12)
+                       / (c11 * c22 - c12 * c12) * c2y)
+                    / (CAST(n AS DOUBLE) * (n - 3)))
+                   * (CAST(n AS DOUBLE) * c22
+                      / (c11 * c22 - c12 * c12))) < -2.86
+            AS BOOLEAN) AS reject_unit_root_05
+FROM c
+"""
+
+
+@query("ts_adf_unit_root", oracle=_ADF_ORACLE)
+def ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Augmented Dickey-Fuller test (one augmentation lag, constant):
+    regress Δy_t on (y_{t−1}, Δy_{t−1}) by closed-form two-regressor
+    OLS and report the t-statistic on the y_{t−1} coefficient against
+    the −2.86 5% critical value — the unit-root NULL that pairs with
+    `ts_kpss_stationarity`'s stationarity null (agreeing tests settle
+    the difference-or-not question; disagreeing ones flag
+    near-integration). Identical integer discipline to KPSS: cents
+    revenues keep every raw moment exact in DECIMAL(38,0), the centered
+    normal equations (nΣab − ΣaΣb) stay integer, and only the final β/t
+    dag runs in doubles — both engines bit-identical."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("yc")
+    )
+    w = Win.orderBy("day")
+    lagged = daily.select(
+        (F.col("yc") - F.lag("yc", 1).over(w)).alias("dy"),
+        F.lag("yc", 1).over(w).alias("x1"),
+        (F.lag("yc", 1).over(w) - F.lag("yc", 2).over(w)).alias("x2"),
+    ).where(F.col("x2").isNotNull())
+    d0 = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x1").cast("decimal(38,0)").alias("sx1"),
+        F.sum("x2").cast("decimal(38,0)").alias("sx2"),
+        F.sum("dy").cast("decimal(38,0)").alias("sy"),
+        F.sum(d0("x1") * F.col("x1")).cast("decimal(38,0)").alias("sx1x1"),
+        F.sum(d0("x1") * F.col("x2")).cast("decimal(38,0)").alias("sx1x2"),
+        F.sum(d0("x2") * F.col("x2")).cast("decimal(38,0)").alias("sx2x2"),
+        F.sum(d0("x1") * F.col("dy")).cast("decimal(38,0)").alias("sx1y"),
+        F.sum(d0("x2") * F.col("dy")).cast("decimal(38,0)").alias("sx2y"),
+        F.sum(d0("dy") * F.col("dy")).cast("decimal(38,0)").alias("syy"),
+    )
+    c = m.select(
+        "n",
+        (F.col("n") * F.col("sx1x1") - F.col("sx1") * F.col("sx1"))
+        .cast("double")
+        .alias("c11"),
+        (F.col("n") * F.col("sx1x2") - F.col("sx1") * F.col("sx2"))
+        .cast("double")
+        .alias("c12"),
+        (F.col("n") * F.col("sx2x2") - F.col("sx2") * F.col("sx2"))
+        .cast("double")
+        .alias("c22"),
+        (F.col("n") * F.col("sx1y") - F.col("sx1") * F.col("sy"))
+        .cast("double")
+        .alias("c1y"),
+        (F.col("n") * F.col("sx2y") - F.col("sx2") * F.col("sy"))
+        .cast("double")
+        .alias("c2y"),
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+        .cast("double")
+        .alias("cyy"),
+    )
+    det = F.col("c11") * F.col("c22") - F.col("c12") * F.col("c12")
+    b1 = (F.col("c1y") * F.col("c22") - F.col("c2y") * F.col("c12")) / det
+    b2 = (F.col("c2y") * F.col("c11") - F.col("c1y") * F.col("c12")) / det
+    nd = F.col("n").cast("double")
+    sigma2 = (
+        F.col("cyy") - b1 * F.col("c1y") - b2 * F.col("c2y")
+    ) / (nd * (F.col("n") - 3))
+    t = b1 / F.sqrt(sigma2 * (nd * F.col("c22") / det))
+    return c.select(
+        F.col("n").alias("n_obs"),
+        F.round(b1, 9).alias("adf_beta"),
+        F.round(t, 6).alias("adf_t"),
+        (t < -2.86).alias("reject_unit_root_05"),
+    )

@@ -1230,3 +1230,20 @@ def test_kpss_integer_exact_windows(spark, sf_dir):
     assert "Window" in plan
     assert "percentile" not in plan.lower()
     assert "BatchEvalPython" not in plan
+
+
+def test_qini_windows_over_user_rollup(spark, sf_dir):
+    """Qini: ntile + cumulative windows run over the per-user rollup and
+    the 10-row decile table, never the fact table."""
+    plan = _plan(spark, sf_dir, "agg_qini_uplift_deciles")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_adf_integer_moments_one_pass(spark, sf_dir):
+    """ADF: lag construction in one ordered window pass; all normal-
+    equation moments partial-aggregable DECIMAL integers."""
+    plan = _plan(spark, sf_dir, "ts_adf_unit_root")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
