@@ -300,6 +300,8 @@ HEADLINE = [
     "ts_kpss_stationarity",
     "agg_qini_uplift_deciles",
     "ts_adf_unit_root",
+    "ts_pettitt_changepoint",
+    "sim_simplified_silhouette",
 ]
 
 def main() -> None:

@@ -8078,3 +8078,116 @@ def sim_lsh_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rrv").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_reciprocal_rank"),
     )
+
+
+_SIL_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+lbl AS (SELECT vec_id, label FROM embeddings),
+cent AS (
+    SELECT l.label, e.d,
+           CAST(SUM(e.v) AS DECIMAL(38,0)) AS s,
+           CAST(COUNT(DISTINCT e.vec_id) AS BIGINT) AS n
+    FROM elems e JOIN lbl l ON l.vec_id = e.vec_id
+    GROUP BY 1, 2
+),
+dists AS (
+    SELECT e.vec_id, l.label AS own, c.label AS to_label,
+           sqrt(CAST(SUM(CAST(round(
+               power(CAST(e.v AS DOUBLE) - CAST(c.s AS DOUBLE) / c.n, 2),
+               6) AS DECIMAL(38,6))) AS DOUBLE)) AS dist
+    FROM elems e
+    JOIN lbl l ON l.vec_id = e.vec_id
+    JOIN cent c ON c.d = e.d
+    GROUP BY 1, 2, 3
+),
+ab AS (
+    SELECT vec_id, own,
+           CAST(max(CASE WHEN to_label = own THEN round(dist, 6) END)
+               AS DOUBLE) AS a,
+           CAST(min(CASE WHEN to_label <> own THEN round(dist, 6) END)
+               AS DOUBLE) AS b
+    FROM dists GROUP BY 1, 2
+),
+s AS (
+    SELECT own AS label,
+           CAST(round((b - a) / greatest(a, b), 6) AS DECIMAL(38,6))
+               AS sil
+    FROM ab
+)
+SELECT label,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       round(CAST(SUM(sil) AS DOUBLE) / COUNT(*), 6) AS mean_silhouette
+FROM s GROUP BY label
+"""
+)
+
+
+@query("sim_simplified_silhouette", oracle=_SIL_ORACLE)
+def sim_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified silhouette per embedding label: a(i) = distance to own
+    centroid, b(i) = distance to the nearest OTHER centroid,
+    s = (b−a)/max(a,b), averaged per label — the O(n·k) member-level
+    validity score next to `sim_davies_bouldin_index`'s cluster-level
+    ratios (silhouette localizes WHICH points sit in the wrong cluster;
+    the full silhouette's O(n²) pairwise form is replaced by the
+    standard centroid approximation that actually runs at corpus
+    scale). Per-dim squared differences and member scores quantize to
+    the 6-dp grid; centroids broadcast; one member-distance exchange."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    elems = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(sim.quantize(F.col("embedding"))).alias("d", "v"),
+    )
+    cent = elems.groupBy(F.col("label").alias("to_label"), "d").agg(
+        F.sum("v").cast("decimal(38,0)").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    dists = (
+        elems.join(F.broadcast(cent), "d")
+        .groupBy("vec_id", F.col("label").alias("own"), "to_label")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.round(
+                        F.pow(
+                            F.col("v").cast("double")
+                            - F.col("s").cast("double") / F.col("n"),
+                            2,
+                        ),
+                        6,
+                    ).cast("decimal(38,6)")
+                ).cast("double")
+            ).alias("dist")
+        )
+    )
+    ab = dists.groupBy("vec_id", "own").agg(
+        F.max(
+            F.when(F.col("to_label") == F.col("own"), F.round("dist", 6))
+        )
+        .cast("double")
+        .alias("a"),
+        F.min(
+            F.when(F.col("to_label") != F.col("own"), F.round("dist", 6))
+        )
+        .cast("double")
+        .alias("b"),
+    )
+    s = ab.select(
+        F.col("own").alias("label"),
+        F.round(
+            (F.col("b") - F.col("a"))
+            / F.greatest(F.col("a"), F.col("b")),
+            6,
+        )
+        .cast("decimal(38,6)")
+        .alias("sil"),
+    )
+    return s.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.round(
+            F.sum("sil").cast("double") / F.count(F.lit(1)), 6
+        ).alias("mean_silhouette"),
+    )

@@ -5686,3 +5686,139 @@ def ts_adf_unit_root(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t, 6).alias("adf_t"),
         (t < -2.86).alias("reject_unit_root_05"),
     )
+
+
+_PETTITT_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM daily_src GROUP BY 1
+),
+vc AS (
+    SELECT y, CAST(COUNT(*) AS BIGINT) AS l FROM daily GROUP BY y
+),
+rk AS (
+    SELECT y,
+           CAST(SUM(l) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - l
+               AS BIGINT) AS cum_before,
+           l
+    FROM vc
+),
+ranked AS (
+    SELECT d.day,
+           r.cum_before + (r.l + 1) / CAST(2 AS DOUBLE) AS midrank
+    FROM daily d JOIN rk r ON r.y = d.y
+),
+run AS (
+    SELECT day,
+           CAST(SUM(CAST(round(midrank, 1) AS DECIMAL(38,1)))
+                OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS r_cum,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM ranked
+),
+u AS (
+    SELECT day, t, n,
+           2 * r_cum - CAST(t AS DOUBLE) * (n + 1) AS u_t
+    FROM run WHERE t < n
+)
+SELECT day AS changepoint_day,
+       t AS day_index,
+       n AS n_days,
+       round(abs(u_t), 1) AS pettitt_k,
+       round(2 * exp(-6 * u_t * u_t
+                     / (CAST(n AS DOUBLE) * n * n + CAST(n AS DOUBLE) * n)),
+             6) AS approx_p_value
+FROM u
+ORDER BY abs(u_t) DESC, day
+LIMIT 1
+"""
+
+
+@query(
+    "ts_pettitt_changepoint",
+    oracle=_PETTITT_ORACLE.replace("daily_src", "orders"),
+)
+def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pettitt's nonparametric changepoint test on daily revenue:
+    U_t = 2Σ_{i≤t}rank(y_i) − t(N+1) via midranks, K = max|U_t|, with
+    the standard p ≈ 2exp(−6K²/(N³+N²)) — the rank-based counterpart to
+    `window_cusum_changepoint` (CUSUM hunts mean shifts in the VALUES
+    and a single heavy-tailed day can drag it; Pettitt works on ranks,
+    immune to outlier magnitude). Midranks come from the distinct-value
+    running count (halves exact in DECIMAL(38,1)); the day-ordered rank
+    cumsum is one window; argmax is TakeOrdered."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    vc = daily.groupBy("y").agg(F.count(F.lit(1)).cast("long").alias("l"))
+    rk = vc.select(
+        "y",
+        (
+            F.sum("l").over(
+                Win.orderBy("y").rowsBetween(
+                    Win.unboundedPreceding, Win.currentRow
+                )
+            )
+            - F.col("l")
+        )
+        .cast("long")
+        .alias("cum_before"),
+        "l",
+    )
+    ranked = daily.join(rk, "y").select(
+        "day",
+        (F.col("cum_before") + (F.col("l") + 1) / F.lit(2.0)).alias(
+            "midrank"
+        ),
+    )
+    wd = Win.orderBy("day")
+    run = ranked.select(
+        "day",
+        F.sum(F.round("midrank", 1).cast("decimal(38,1)"))
+        .over(wd.rowsBetween(Win.unboundedPreceding, Win.currentRow))
+        .cast("double")
+        .alias("r_cum"),
+        F.row_number().over(wd).cast("long").alias("t"),
+        F.count(F.lit(1)).over(Win.partitionBy()).cast("long").alias("n"),
+    )
+    u = run.where(F.col("t") < F.col("n")).select(
+        "day",
+        "t",
+        "n",
+        (
+            2 * F.col("r_cum")
+            - F.col("t").cast("double") * (F.col("n") + 1)
+        ).alias("u_t"),
+    )
+    nd = F.col("n").cast("double")
+    return (
+        u.orderBy(F.abs(F.col("u_t")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("changepoint_day"),
+            F.col("t").alias("day_index"),
+            F.col("n").alias("n_days"),
+            F.round(F.abs(F.col("u_t")), 1).alias("pettitt_k"),
+            F.round(
+                2
+                * F.exp(
+                    -6
+                    * F.col("u_t")
+                    * F.col("u_t")
+                    / (nd * nd * nd + nd * nd)
+                ),
+                6,
+            ).alias("approx_p_value"),
+        )
+    )

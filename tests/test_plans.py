@@ -1247,3 +1247,19 @@ def test_adf_integer_moments_one_pass(spark, sf_dir):
     assert "Window" in plan
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
+
+
+def test_pettitt_rank_cumsum_takeordered(spark, sf_dir):
+    """Pettitt: midranks via the value-counts running window, argmax via
+    TakeOrdered — no per-split self-join of the series."""
+    plan = _plan(spark, sf_dir, "ts_pettitt_changepoint")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_silhouette_broadcast_centroids_linear(spark, sf_dir):
+    """Simplified silhouette: O(n·k) member×centroid distances with the
+    centroid table broadcast — never pairwise members."""
+    plan = _plan(spark, sf_dir, "sim_simplified_silhouette")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
