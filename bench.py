@@ -302,6 +302,7 @@ HEADLINE = [
     "ts_adf_unit_root",
     "ts_pettitt_changepoint",
     "sim_simplified_silhouette",
+    "graph_ktruss_edges",
 ]
 
 def main() -> None:

@@ -8191,3 +8191,116 @@ def sim_simplified_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sil").cast("double") / F.count(F.lit(1)), 6
         ).alias("mean_silhouette"),
     )
+
+
+def _ktruss_oracle() -> str:
+    """Unrolled 6-round 3-truss peel over the n-gram near-dup graph:
+    each round keeps edges participating in >= 1 triangle among the
+    surviving edges. Generated so Spark and SQL share the identical
+    round count."""
+    rounds = []
+    prev = "t0"
+    for i in range(1, 7):
+        rounds.append(f"""sup{i} AS MATERIALIZED (
+    SELECT e.a, e.b, COUNT(*) AS s
+    FROM {prev} e
+    JOIN (SELECT a AS u, b AS w FROM {prev}
+          UNION ALL SELECT b, a FROM {prev}) n1
+      ON n1.u = e.a
+    JOIN (SELECT a AS u, b AS w FROM {prev}
+          UNION ALL SELECT b, a FROM {prev}) n2
+      ON n2.u = e.b AND n2.w = n1.w
+    GROUP BY e.a, e.b
+),
+t{i} AS MATERIALIZED (
+    SELECT e.a, e.b FROM {prev} e
+    JOIN sup{i} s ON s.a = e.a AND s.b = e.b
+    WHERE s.s >= 1
+)""")
+        prev = f"t{i}"
+    chain = ",\n".join(rounds)
+    return f"""
+WITH
+toks_list AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS t
+    FROM documents
+),
+sh AS (
+    SELECT doc_id,
+           unnest(list_distinct(
+               list_transform(range(1, len(t) - 1),
+                              i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])
+           )) AS s
+    FROM toks_list
+    WHERE len(t) >= 3
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM sh a
+    JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+    SELECT i.id_a, i.id_b
+    FROM inter i
+    JOIN sizes sa ON sa.doc_id = i.id_a
+    JOIN sizes sb ON sb.doc_id = i.id_b
+    WHERE i.n_inter / (sa.n_sh + sb.n_sh - i.n_inter) >= 0.2
+),
+t0 AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pairs),
+{chain}
+SELECT a AS id_a, b AS id_b FROM t6
+"""
+
+
+@query("graph_ktruss_edges", oracle=_ktruss_oracle())
+def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the n-gram near-dup graph (6 peel rounds, a fixed
+    contract shared with the oracle generator): iteratively keep only
+    edges lying in ≥ 1 triangle among SURVIVING edges — stricter than
+    `graph_kcore`'s degree peel (a long chain survives a 2-core wish
+    but no truss), so surviving edges mark documents whose similarity
+    is CORROBORATED by a third document, the highest-precision dedup
+    signal in the graph family. Per round: one oriented-adjacency
+    equi-join pair for edge support (never node-pair enumeration), and
+    the edge list localCheckpoints so rounds don't recompute the pair
+    pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    edges = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).localCheckpoint(eager=False)
+    for _ in range(6):
+        adj = edges.select(
+            F.col("a").alias("u"), F.col("b").alias("w")
+        ).unionAll(
+            edges.select(F.col("b").alias("u"), F.col("a").alias("w"))
+        )
+        n1 = adj.select(
+            F.col("u").alias("u1"), F.col("w").alias("w1")
+        )
+        n2 = adj.select(
+            F.col("u").alias("u2"), F.col("w").alias("w2")
+        )
+        sup = (
+            edges.join(n1, F.col("a") == F.col("u1"))
+            .join(
+                n2,
+                (F.col("b") == F.col("u2"))
+                & (F.col("w1") == F.col("w2")),
+            )
+            .groupBy("a", "b")
+            .agg(F.count(F.lit(1)).alias("s"))
+        )
+        edges = (
+            edges.join(sup, ["a", "b"])
+            .where(F.col("s") >= 1)
+            .select("a", "b")
+            .localCheckpoint(eager=False)
+        )
+    return edges.select(
+        F.col("a").alias("id_a"), F.col("b").alias("id_b")
+    )

@@ -1263,3 +1263,11 @@ def test_silhouette_broadcast_centroids_linear(spark, sf_dir):
     plan = _plan(spark, sf_dir, "sim_simplified_silhouette")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ktruss_equi_join_support_no_cartesian(spark, sf_dir):
+    """k-truss: per-round edge support via oriented-adjacency equi-joins,
+    checkpointed edge list, no cross product anywhere."""
+    plan = _plan(spark, sf_dir, "graph_ktruss_edges")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
