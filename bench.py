@@ -303,6 +303,15 @@ HEADLINE = [
     "ts_pettitt_changepoint",
     "sim_simplified_silhouette",
     "graph_ktruss_edges",
+    "dq_population_stability",
+    "agg_grubbs_outlier",
+    "agg_isotonic_calibration",
+    "feature_woe_iv",
+    "sim_rrf_fusion",
+    "text_ndcg_at_10",
+    "agg_nelson_aalen_hazard",
+    "ts_spectral_entropy",
+    "graph_hits_bipartite",
 ]
 
 def main() -> None:

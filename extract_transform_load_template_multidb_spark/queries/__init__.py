@@ -164,7 +164,10 @@ _CHECK_LAST = (
 
 # ROUND-7 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r06
 # confirms the round-6 window, replace _CHECK_FIRST with the next ~50
-# still-never-driver-green names. Lead with the session-28 additions
+# still-never-driver-green names. Lead with the session-29 additions
+# (dq_population_stability, agg_grubbs_outlier, agg_isotonic_calibration,
+# feature_woe_iv, sim_rrf_fusion, text_ndcg_at_10, agg_nelson_aalen_hazard,
+# ts_spectral_entropy, graph_hits_bipartite) and the session-28 additions
 # (sim_mmr_diversified_topk, curation_dsir_importance, text_rake_keywords,
 # sim_davies_bouldin_index, sim_lsh_candidate_recall,
 # ts_holt_linear_forecast, ts_holt_winters_weekly, agg_negative_binomial_fit,

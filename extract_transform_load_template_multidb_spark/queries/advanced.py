@@ -8387,3 +8387,383 @@ def agg_qini_uplift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("qini"),
     )
+
+
+_GRUBBS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM daily
+)
+SELECT d.day AS outlier_day,
+       round(d.y, 2) AS revenue,
+       CAST(s.n AS BIGINT) AS n_days,
+       round(abs(d.y - s.s1 / s.n)
+             / sqrt((s.s2 - (s.s1 / s.n) * s.s1) / (s.n - 1)), 6)
+           AS grubbs_g
+FROM daily d CROSS JOIN s
+ORDER BY abs(d.y - s.s1 / s.n) DESC, d.day
+LIMIT 1
+"""
+
+
+@query("agg_grubbs_outlier", oracle=_GRUBBS_ORACLE)
+def agg_grubbs_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' maximum-studentized-deviation test on daily revenue:
+    G = max|y − ȳ|/s, the classic single-outlier screen (compare
+    against the t-based critical value offline). Complements
+    `dq_outlier_iqr` (quartile fences flag MANY points; Grubbs names
+    the single worst with a test statistic). One day-grouped aggregate,
+    a 1-row moments pass (Σy, Σy² decimal-routed — daily sums sit on
+    the 2-dp grid so squares are exact at 4 dp) broadcast back, and a
+    TakeOrdered(1) argmax: three tiny exchanges at any scale."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum(F.col("o_totalprice"), "y"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("y"), "s1"),
+        dsum(F.col("y") * F.col("y"), "s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt(
+        (F.col("s2") - mean * F.col("s1")) / (F.col("n") - 1)
+    )
+    dev = F.abs(F.col("y") - mean)
+    return (
+        daily.crossJoin(F.broadcast(s))
+        .orderBy(dev.desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("outlier_day"),
+            F.round("y", 2).alias("revenue"),
+            F.col("n").cast("long").alias("n_days"),
+            F.round(dev / sd, 6).alias("grubbs_g"),
+        )
+    )
+
+
+_ISOTONIC_ORACLE = """
+WITH cuts AS (
+    SELECT {cut_list}
+    FROM orders
+),
+binned AS (
+    SELECT ({bin_expr}) AS bin,
+           CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS f
+    FROM orders o CROSS JOIN cuts c
+),
+bins AS (
+    SELECT bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(f) AS BIGINT) AS nf
+    FROM binned GROUP BY bin
+),
+cum AS (
+    SELECT bin, n, nf,
+           SUM(n) OVER (ORDER BY bin) AS cn,
+           SUM(nf) OVER (ORDER BY bin) AS cf
+    FROM bins
+),
+spans AS (
+    SELECT j.bin AS j, k.bin AS k,
+           (k.cf - (j.cf - j.nf)) / CAST(k.cn - (j.cn - j.n) AS DOUBLE)
+               AS avg_rate
+    FROM cum j JOIN cum k ON j.bin <= k.bin
+),
+inner_min AS (
+    SELECT i.bin AS bin, s.j AS j, MIN(s.avg_rate) AS m
+    FROM cum i JOIN spans s ON s.j <= i.bin AND s.k >= i.bin
+    GROUP BY i.bin, s.j
+)
+SELECT c.bin,
+       c.n AS n_orders,
+       round(c.nf / CAST(c.n AS DOUBLE), 6) AS raw_rate,
+       round(MAX(im.m), 6) AS iso_rate
+FROM cum c JOIN inner_min im ON im.bin = c.bin
+GROUP BY c.bin, c.n, c.nf
+"""
+
+_ISO_PS = {f"c{j:02d}": j / 20.0 for j in range(1, 20)}
+
+
+def _iso_oracle() -> str:
+    cut_list = ",\n           ".join(
+        f"quantile_cont(CAST(o_totalprice AS DOUBLE), {j}/20.0)"
+        f" AS c{j:02d}"
+        for j in range(1, 20)
+    )
+    bin_expr = " + ".join(
+        f"(CASE WHEN o.o_totalprice > c.c{j:02d} THEN 1 ELSE 0 END)"
+        for j in range(1, 20)
+    )
+    return _ISOTONIC_ORACLE.format(cut_list=cut_list, bin_expr=bin_expr)
+
+
+@query("agg_isotonic_calibration", oracle=_iso_oracle())
+def agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone non-decreasing) fit of the order-status-'F'
+    rate over 20 price-ventile bins — PAVA's output via its exact
+    minimax characterization iso_i = max_{j≤i} min_{k≥i} wmean(y_j..y_k)
+    (Robertson–Wright–Dykstra), the calibration-curve primitive under
+    reliability diagrams and monotone probability calibrators. The fit
+    runs on the 20-ROW bin summary, never the fact table: ventile cuts
+    come from the distributed running-sum exact-percentile helper (one
+    fact pass, broadcast back), bin rates are one 20-group aggregate,
+    and the O(bins³) minimax is two grouped mins/maxes over a ≤20×20
+    self-join of a broadcast-sized frame — constant work at any fact
+    scale. Rates are integer-count ratios, so both engines divide the
+    same integers; no float accumulation anywhere."""
+    o = load_table(spark, sf_dir, "orders")
+    cuts = exact_percentiles(o, [], "o_totalprice", _ISO_PS)
+    v = F.col("o_totalprice")
+    bin_col = None
+    for name in _ISO_PS:
+        term = F.when(v > F.col(name), 1).otherwise(0)
+        bin_col = term if bin_col is None else bin_col + term
+    bins = (
+        o.crossJoin(F.broadcast(cuts))
+        .select(
+            bin_col.cast("long").alias("bin"),
+            F.when(F.col("o_orderstatus") == "F", 1)
+            .otherwise(0)
+            .alias("f"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("f").cast("long").alias("nf"),
+        )
+    )
+    wb = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bins.select(
+        "bin",
+        "n",
+        "nf",
+        F.sum("n").over(wb).alias("cn"),
+        F.sum("nf").over(wb).alias("cf"),
+    )
+    j = cum.select(
+        F.col("bin").alias("j"),
+        (F.col("cf") - F.col("nf")).alias("cf_prev"),
+        (F.col("cn") - F.col("n")).alias("cn_prev"),
+    )
+    k = cum.select(
+        F.col("bin").alias("k"),
+        F.col("cf").alias("cf_k"),
+        F.col("cn").alias("cn_k"),
+    )
+    spans = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("cf_k") - F.col("cf_prev"))
+            / (F.col("cn_k") - F.col("cn_prev")).cast("double")
+        ).alias("avg_rate"),
+    )
+    i = cum.select(F.col("bin"), "n", "nf")
+    inner_min = (
+        i.join(
+            spans,
+            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
+        )
+        .groupBy("bin", "j")
+        .agg(F.min("avg_rate").alias("m"))
+    )
+    return (
+        i.join(inner_min, "bin")
+        .groupBy("bin", "n", "nf")
+        .agg(F.max("m").alias("iso"))
+        .select(
+            "bin",
+            F.col("n").alias("n_orders"),
+            F.round(
+                F.col("nf") / F.col("n").cast("double"), 6
+            ).alias("raw_rate"),
+            F.round("iso", 6).alias("iso_rate"),
+        )
+    )
+
+
+_WOE_ORACLE = """
+WITH counts AS (
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_bad,
+           CAST(SUM(CASE WHEN o_orderstatus <> 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_good
+    FROM orders GROUP BY o_orderpriority
+),
+tot AS (SELECT SUM(n_bad) AS tb, SUM(n_good) AS tg FROM counts)
+SELECT c.o_orderpriority AS priority,
+       c.n_good, c.n_bad,
+       round(ln((c.n_good / CAST(t.tg AS DOUBLE))
+                / (c.n_bad / CAST(t.tb AS DOUBLE))), 6) AS woe,
+       round((c.n_good / CAST(t.tg AS DOUBLE)
+              - c.n_bad / CAST(t.tb AS DOUBLE))
+             * round(ln((c.n_good / CAST(t.tg AS DOUBLE))
+                        / (c.n_bad / CAST(t.tb AS DOUBLE))), 6), 6)
+           AS iv_contrib
+FROM counts c CROSS JOIN tot t
+"""
+
+
+@query("feature_woe_iv", oracle=_WOE_ORACLE)
+def feature_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of Evidence + Information Value of order priority against
+    the 'F'-status target — the credit-scoring feature screen (IV < .02
+    useless, .02–.1 weak, .1–.3 medium, > .3 strong) and the log-odds
+    encoding scorecards bin by. Unlike `feature_target_encoding` (a
+    smoothed MEAN substitution) WOE is the log-ratio of class shares,
+    additive in a logistic model. One 5-group conditional-count
+    aggregate + a 1-row total broadcast; all ratios are integer/integer
+    so both engines divide identical numbers, with ln quantized at 6 dp
+    (the cross-engine discipline)."""
+    o = load_table(spark, sf_dir, "orders")
+    counts = o.groupBy(
+        F.col("o_orderpriority").alias("priority")
+    ).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_bad"),
+        F.sum(F.when(F.col("o_orderstatus") != "F", 1).otherwise(0))
+        .cast("long")
+        .alias("n_good"),
+    )
+    tot = counts.agg(
+        F.sum("n_bad").alias("tb"), F.sum("n_good").alias("tg")
+    )
+    pg = F.col("n_good") / F.col("tg").cast("double")
+    pb = F.col("n_bad") / F.col("tb").cast("double")
+    woe = F.round(F.log(pg / pb), 6)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "priority",
+        "n_good",
+        "n_bad",
+        woe.alias("woe"),
+        F.round((pg - pb) * woe, 6).alias("iv_contrib"),
+    )
+
+
+_NELSON_AALEN_ORACLE = """
+WITH horizon AS (SELECT max(o_orderdate) AS dmax FROM orders),
+subj AS (
+    SELECT o_custkey,
+           CAST(datediff('day', min(o_orderdate), max(o_orderdate))
+                AS BIGINT) AS dur,
+           CASE WHEN datediff('day', max(o_orderdate),
+                              (SELECT dmax FROM horizon)) < 60
+                THEN 0 ELSE 1 END AS ev
+    FROM orders GROUP BY o_custkey
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM subj),
+times AS (
+    SELECT dur AS t,
+           CAST(SUM(ev) AS BIGINT) AS d,
+           CAST(COUNT(*) AS BIGINT) AS c
+    FROM subj GROUP BY dur
+),
+risk AS (
+    SELECT t, d,
+           (SELECT n FROM tot)
+             - COALESCE(SUM(c) OVER (ORDER BY t
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS n_risk
+    FROM times
+),
+haz AS (
+    SELECT t, d, n_risk,
+           round(CAST(d AS DOUBLE) / n_risk, 6) AS h_inc
+    FROM risk WHERE d > 0
+)
+SELECT t AS duration_days,
+       CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS n_events,
+       round(CAST(SUM(CAST(h_inc AS DECIMAL(38,6)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE), 6)
+           AS cumulative_hazard,
+       round(exp(-CAST(SUM(CAST(h_inc AS DECIMAL(38,6)))
+                  OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS DOUBLE)), 6)
+           AS fh_survival
+FROM haz
+"""
+
+
+@query("agg_nelson_aalen_hazard", oracle=_NELSON_AALEN_ORACLE)
+def agg_nelson_aalen_hazard(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator H(t) = Σ_{tᵢ≤t} dᵢ/nᵢ on
+    the same right-censored customer-activity spans as
+    `agg_kaplan_meier_survival`, plus the Fleming-Harrington survival
+    exp(−H) — the estimator of choice when event counts per time are
+    small (KM's product-limit degenerates to 0 at any d=n time; N-A
+    never does) and the quantity hazard-RATE models regress on. Same
+    bounded shape as KM: per-customer aggregate, distinct-duration
+    collapse, one running sum over the ≤duration-count frame; hazard
+    increments are quantized at 6 dp so the cumulative decimal sum is
+    order-independent and cross-engine exact."""
+    from pyspark.sql import Window as Win
+
+    o = load_table(spark, sf_dir, "orders")
+    horizon = o.agg(F.max("o_orderdate").alias("dmax"))
+    subj = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderdate").alias("dmin"),
+            F.max("o_orderdate").alias("dlast"),
+        )
+        .crossJoin(F.broadcast(horizon))
+        .select(
+            F.datediff("dlast", "dmin").cast("long").alias("dur"),
+            F.when(
+                F.datediff("dmax", "dlast") < 60, 0
+            ).otherwise(1).alias("ev"),
+        )
+    )
+    tot = subj.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    times = subj.groupBy(F.col("dur").alias("t")).agg(
+        F.sum("ev").cast("long").alias("d"),
+        F.count(F.lit(1)).cast("long").alias("c"),
+    )
+    w_prev = Win.orderBy("t").rowsBetween(Win.unboundedPreceding, -1)
+    risk = times.crossJoin(F.broadcast(tot)).select(
+        "t",
+        "d",
+        (
+            F.col("n")
+            - F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+        ).alias("n_risk"),
+    )
+    haz = risk.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_risk",
+        F.round(
+            F.col("d").cast("double") / F.col("n_risk"), 6
+        ).alias("h_inc"),
+    )
+    w_cum = Win.orderBy("t").rowsBetween(Win.unboundedPreceding, 0)
+    cum_h = (
+        F.sum(F.col("h_inc").cast("decimal(38,6)"))
+        .over(w_cum)
+        .cast("double")
+    )
+    return haz.select(
+        F.col("t").alias("duration_days"),
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.round(cum_h, 6).alias("cumulative_hazard"),
+        F.round(F.exp(-cum_h), 6).alias("fh_survival"),
+    )

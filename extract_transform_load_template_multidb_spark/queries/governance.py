@@ -1892,3 +1892,131 @@ def dq_shuffle_skew_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.ceil(ratio / 4).cast("long"))
         .alias("suggested_salt"),
     )
+
+
+_PSI_ORACLE = """
+WITH clean AS (
+    SELECT epoch_us(ts) AS us, value AS v
+    FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+),
+bounds AS (
+    SELECT MIN(v) AS lo, MAX(v) AS hi, MIN(us) AS t0, MAX(us) AS t1
+    FROM clean
+),
+binned AS (
+    SELECT CAST(CASE WHEN b.hi = b.lo THEN 0
+                     ELSE least(CAST(floor((c.v - b.lo)
+                                           / ((b.hi - b.lo) / 10)) AS BIGINT),
+                                9) END AS BIGINT) AS bin,
+           CASE WHEN c.us < b.t0 + (b.t1 - b.t0) / 2 THEN 1 ELSE 0 END
+               AS is_ref
+    FROM clean c CROSS JOIN bounds b
+),
+counts AS (
+    SELECT s.bin,
+           CAST(COALESCE(SUM(CASE WHEN b.is_ref = 1 THEN 1 END), 0)
+                AS BIGINT) AS n_expected,
+           CAST(COALESCE(SUM(CASE WHEN b.is_ref = 0 THEN 1 END), 0)
+                AS BIGINT) AS n_actual
+    FROM (SELECT unnest(range(0, 10)) AS bin) s
+    LEFT JOIN binned b ON b.bin = s.bin
+    GROUP BY s.bin
+),
+tot AS (
+    SELECT SUM(n_expected) AS te, SUM(n_actual) AS ta FROM counts
+),
+contrib AS (
+    SELECT c.bin, c.n_expected, c.n_actual,
+           (c.n_expected + 1) / CAST(t.te + 10 AS DOUBLE) AS p_expected,
+           (c.n_actual + 1) / CAST(t.ta + 10 AS DOUBLE) AS p_actual
+    FROM counts c CROSS JOIN tot t
+)
+SELECT bin, n_expected, n_actual,
+       round(p_expected, 6) AS p_expected,
+       round(p_actual, 6) AS p_actual,
+       round((p_actual - p_expected)
+             * round(ln(p_actual / p_expected), 6), 6) AS psi_contrib
+FROM contrib
+"""
+
+
+@query("dq_population_stability", oracle=_PSI_ORACLE)
+def dq_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of ``events.value`` between the early
+    and late half of the stream's time range — the standard production
+    drift monitor for a feature feeding a model (PSI < 0.1 stable,
+    0.1–0.25 shifting, > 0.25 drifted). 10 equal-width bins over the
+    finite-value range, Laplace-(+1)-smoothed so empty bins never
+    divide by zero; the time split is integer epoch-micros arithmetic
+    (exact in both engines). Two passes over ``events``: a 4-way
+    min/max bounds pass (1-row broadcast back) and one 20-group
+    bin×side count — both fully partial-aggregable, so the plan is two
+    scans + two tiny exchanges at any scale. The 10-bin spine is a
+    broadcast ``range``; ln is quantized at 6 dp before the product
+    (the cross-engine float discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = ev.where(
+        ~F.isnan(v) & ~v.isin(float("inf"), float("-inf"))
+    ).select(F.unix_micros("ts").alias("us"), v.alias("v"))
+    bounds = clean.agg(
+        F.min("v").alias("lo"),
+        F.max("v").alias("hi"),
+        F.min("us").alias("t0"),
+        F.max("us").alias("t1"),
+    )
+    width = (F.col("hi") - F.col("lo")) / F.lit(10.0)
+    binned = clean.crossJoin(F.broadcast(bounds)).select(
+        F.when(F.col("hi") == F.col("lo"), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.floor((F.col("v") - F.col("lo")) / width).cast("long"),
+                F.lit(9).cast("long"),
+            )
+        )
+        .alias("bin"),
+        F.when(
+            F.col("us")
+            < F.col("t0") + (F.col("t1") - F.col("t0")) / F.lit(2),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("is_ref"),
+    )
+    counts = (
+        spark.range(0, 10)
+        .select(F.col("id").alias("bin"))
+        .join(
+            binned.groupBy("bin").agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("is_ref") == 1, 1)), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_expected"),
+                F.coalesce(
+                    F.sum(F.when(F.col("is_ref") == 0, 1)), F.lit(0)
+                )
+                .cast("long")
+                .alias("n_actual"),
+            ),
+            "bin",
+            "left",
+        )
+        .na.fill({"n_expected": 0, "n_actual": 0})
+    )
+    tot = counts.agg(
+        F.sum("n_expected").alias("te"), F.sum("n_actual").alias("ta")
+    )
+    p_e = (F.col("n_expected") + 1) / (F.col("te") + 10).cast("double")
+    p_a = (F.col("n_actual") + 1) / (F.col("ta") + 10).cast("double")
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n_expected",
+        "n_actual",
+        F.round(p_e, 6).alias("p_expected"),
+        F.round(p_a, 6).alias("p_actual"),
+        F.round(
+            (p_a - p_e) * F.round(F.log(p_a / p_e), 6), 6
+        ).alias("psi_contrib"),
+    )

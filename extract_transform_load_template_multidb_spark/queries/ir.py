@@ -241,3 +241,255 @@ def text_prf_query_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rocchio_score").desc(), "term")
         .limit(8)
     )
+
+
+# Shared BM25 contribution pipeline (same constants as _BM25_ORACLE) —
+# re-used by the fusion / ranking-quality oracles below.
+_SQL_BM25_SCORES = f"""
+{_SQL_TOKS},
+hits AS (SELECT * FROM tok WHERE w IN ('table', 'join', 'query')),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM hits GROUP BY doc_id, w),
+dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+dl AS (SELECT doc_id, CAST(len(t) AS INT) AS dl FROM toks_list),
+n AS (SELECT count(*) AS n FROM documents),
+ad AS (SELECT CAST(SUM(CAST(dl AS DECIMAL(38,6))) AS DOUBLE) / COUNT(dl)
+         AS avgdl FROM dl),
+contrib AS (
+  SELECT doc_id, dl,
+         round(ln(1.0 + (n - df + 0.5) / (df + 0.5)), 6)
+           * (tf * 2.2)
+           / (tf + 1.2 * (0.25 + (0.75 * dl) / avgdl)) AS c
+  FROM tf JOIN dfreq USING (w) JOIN dl USING (doc_id)
+  CROSS JOIN n CROSS JOIN ad
+),
+bm25 AS (
+  SELECT doc_id, CAST(SUM(CAST(c AS DECIMAL(38,6))) AS DOUBLE) AS score
+  FROM contrib GROUP BY doc_id
+)
+"""
+
+_RRF_ORACLE = f"""
+WITH {_SQL_BM25_SCORES},
+lex AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS r_lex
+  FROM bm25
+  ORDER BY score DESC, doc_id LIMIT 50
+),
+top1 AS (SELECT doc_id FROM lex WHERE r_lex = 1),
+elems AS (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+               AS v,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+),
+norms AS (SELECT vec_id, SUM(v * v) AS nsq FROM elems GROUP BY vec_id),
+dots AS (
+    SELECT b.vec_id AS neighbor_id, SUM(a.v * b.v) AS dot
+    FROM elems a
+    JOIN top1 q ON a.vec_id = q.doc_id
+    JOIN elems b ON b.d = a.d AND b.vec_id <> a.vec_id
+    GROUP BY b.vec_id
+),
+sem AS (
+    SELECT neighbor_id AS doc_id,
+           CAST(row_number() OVER (
+               ORDER BY CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na.nsq AS DOUBLE))
+                    * sqrt(CAST(nb.nsq AS DOUBLE))) DESC,
+               neighbor_id) AS BIGINT) AS r_cos
+    FROM dots
+    JOIN norms na ON na.vec_id = (SELECT doc_id FROM top1)
+    JOIN norms nb ON nb.vec_id = neighbor_id
+    ORDER BY r_cos LIMIT 50
+),
+fused AS (
+  SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+         l.r_lex, s.r_cos,
+         COALESCE(1.0 / (60 + l.r_lex), CAST(0 AS DOUBLE))
+           + COALESCE(1.0 / (60 + s.r_cos), CAST(0 AS DOUBLE)) AS rrf
+  FROM lex l FULL OUTER JOIN sem s ON s.doc_id = l.doc_id
+)
+SELECT doc_id, r_lex, r_cos, round(rrf, 6) AS rrf_score
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+"""
+
+
+@query("sim_rrf_fusion", oracle=_RRF_ORACLE)
+def sim_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion (k=60) of a lexical and a semantic
+    ranking — the standard hybrid-retrieval combiner (Cormack et al.):
+    BM25 top-50 for the fixed term query on one side, exact-cosine
+    top-50 against the BM25 top-1 document's embedding (pseudo-
+    relevance semantic query; doc_id == vec_id in the fixture) on the
+    other, fused by Σ 1/(60+rank) over a full outer join. Every stage
+    is a bounded 50-row frame after the two scoring passes: BM25 is the
+    shared posting-list aggregate, the cosine side broadcasts ONE query
+    vector through the corpus (integer quantized dots, no float
+    accumulation), and fusion is a 50×50 outer join — driver never
+    materializes anything."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import Window
+    from extract_transform_load_template_multidb_spark.operators import (
+        similarity as sim,
+    )
+
+    # The 50-row lexical ranking feeds BOTH the semantic query seed and
+    # the fusion join — cache it so the posting-list aggregate underneath
+    # runs once (50 rows pinned, unpersisted by executor GC at job end).
+    lex = (
+        ir.bm25_scores(docs, _BM25_TERMS, limit=50)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("long")
+            .alias("r_lex"),
+        )
+        .cache()
+    )
+    top1 = lex.where(F.col("r_lex") == 1).select("doc_id")
+    qvec = emb.join(
+        F.broadcast(top1), emb["vec_id"] == top1["doc_id"]
+    ).select("vec_id", "embedding")
+    sem = sim.cosine_topk_bruteforce(emb, qvec, k=50).select(
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rnk").cast("long").alias("r_cos"),
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "r_lex",
+        "r_cos",
+        (
+            F.coalesce(
+                1.0 / (60 + F.col("r_lex")), F.lit(0.0)
+            )
+            + F.coalesce(1.0 / (60 + F.col("r_cos")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+        .select(
+            "doc_id",
+            "r_lex",
+            "r_cos",
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )
+
+
+_NDCG_ORACLE = f"""
+WITH {_SQL_BM25_SCORES},
+rel AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS rel
+  FROM hits GROUP BY doc_id
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+             AS i
+  FROM bm25 ORDER BY score DESC, doc_id LIMIT 10
+),
+dcg AS (
+  SELECT CAST(SUM(CAST(r.rel * round(1.0 / log2(rk.i + 1), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS dcg
+  FROM ranked rk JOIN rel r USING (doc_id)
+),
+ideal AS (
+  SELECT rel,
+         CAST(row_number() OVER (ORDER BY rel DESC, doc_id) AS BIGINT)
+             AS i
+  FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+),
+idcg AS (
+  SELECT CAST(SUM(CAST(rel * round(1.0 / log2(i + 1), 6)
+                       AS DECIMAL(38,6))) AS DOUBLE) AS idcg
+  FROM ideal
+)
+SELECT round(dcg.dcg, 6) AS dcg_at_10,
+       round(idcg.idcg, 6) AS idcg_at_10,
+       round(dcg.dcg / idcg.idcg, 6) AS ndcg_at_10
+FROM dcg CROSS JOIN idcg
+"""
+
+
+@query("text_ndcg_at_10", oracle=_NDCG_ORACLE)
+def text_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the BM25 ranking against graded relevance = query-term
+    hit count per document (linear-gain variant — exponential 2^rel
+    gains overflow on count-valued grades). The ranking-quality metric
+    every retrieval stack reports; complements `sim_lsh_mrr` (MRR
+    grades ONE known answer, NDCG grades the whole graded list).
+    Discounts 1/log2(i+1) are quantized at 6 dp so the rel×discount
+    products land exactly on the decimal grid; DCG/IDCG are 10-term
+    decimal sums (order-independent); everything past the shared
+    posting-list pass is ≤10 rows."""
+    docs = load_table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    rel = (
+        tok.where(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("rel"))
+    )
+    ranked = (
+        ir.bm25_scores(docs, _BM25_TERMS, limit=10)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.col("score").desc(), "doc_id"))
+            .cast("long")
+            .alias("i"),
+        )
+    )
+    disc = lambda i: F.round(1.0 / F.log2(i + 1), 6)  # noqa: E731
+    dcg = (
+        ranked.join(rel, "doc_id")
+        .agg(
+            F.sum(
+                (F.col("rel") * disc(F.col("i"))).cast(
+                    "decimal(38,6)"
+                )
+            )
+            .cast("double")
+            .alias("dcg")
+        )
+    )
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(10)
+        .select(
+            "rel",
+            F.row_number()
+            .over(Window.orderBy(F.col("rel").desc(), "doc_id"))
+            .cast("long")
+            .alias("i"),
+        )
+    )
+    idcg = ideal.agg(
+        F.sum(
+            (F.col("rel") * disc(F.col("i"))).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("idcg")
+    )
+    return dcg.crossJoin(idcg).select(
+        F.round("dcg", 6).alias("dcg_at_10"),
+        F.round("idcg", 6).alias("idcg_at_10"),
+        F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
+    )

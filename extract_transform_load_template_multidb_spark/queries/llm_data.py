@@ -8304,3 +8304,184 @@ def graph_ktruss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select(
         F.col("a").alias("id_a"), F.col("b").alias("id_b")
     )
+
+
+def _hits_oracle(n_iter: int = 4) -> str:
+    """Unrolled HITS oracle mirroring the Spark plan: un-normalized
+    power half-steps (HITS is scale-invariant, so L1 normalization
+    happens ONCE at the end — per-step normalizing doubles the
+    dependency tree per half-iteration and multiplies tiny jobs), with
+    the 9-dp quantize/decimal-sum discipline at every weighted sum.
+    CTEs are MATERIALIZED: DuckDB inlines by default and the final
+    normalize references its side twice."""
+    parts = [
+        """
+WITH edges AS MATERIALIZED (
+    SELECT o.o_custkey AS c, l.l_suppkey AS s,
+           CAST(COUNT(*) AS BIGINT) AS w
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1, 2
+),
+nc AS (SELECT CAST(COUNT(DISTINCT c) AS DOUBLE) AS nc FROM edges),
+h0 AS MATERIALIZED (
+    SELECT DISTINCT c, round(1.0 / (SELECT nc FROM nc), 9) AS h
+    FROM edges
+)"""
+    ]
+    for i in range(1, n_iter + 1):
+        parts.append(
+            f""",
+a{i} AS MATERIALIZED (
+    SELECT e.s,
+           CAST(SUM(CAST(round(e.w * h.h, 9) AS DECIMAL(38,9)))
+                AS DOUBLE) AS a
+    FROM edges e JOIN h{i - 1} h USING (c) GROUP BY e.s
+),
+h{i} AS MATERIALIZED (
+    SELECT e.c,
+           CAST(SUM(CAST(round(e.w * a.a, 9) AS DECIMAL(38,9)))
+                AS DOUBLE) AS h
+    FROM edges e JOIN a{i} a USING (s) GROUP BY e.c
+)"""
+        )
+    parts.append(
+        f""",
+a_tot AS (
+    SELECT CAST(SUM(CAST(a AS DECIMAL(38,9))) AS DOUBLE) AS t
+    FROM a{n_iter}
+),
+h_tot AS (
+    SELECT CAST(SUM(CAST(h AS DECIMAL(38,9))) AS DOUBLE) AS t
+    FROM h{n_iter}
+)
+SELECT * FROM (
+    SELECT 'authority' AS role, CAST(s AS BIGINT) AS node_id,
+           round(a / (SELECT t FROM a_tot), 6) AS score,
+           CAST(row_number() OVER (ORDER BY a DESC, s) AS BIGINT) AS rnk
+    FROM a{n_iter} ORDER BY a DESC, s LIMIT 10
+)
+UNION ALL
+SELECT * FROM (
+    SELECT 'hub' AS role, CAST(c AS BIGINT) AS node_id,
+           round(h / (SELECT t FROM h_tot), 6) AS score,
+           CAST(row_number() OVER (ORDER BY h DESC, c) AS BIGINT) AS rnk
+    FROM h{n_iter} ORDER BY h DESC, c LIMIT 10
+)"""
+    )
+    return "".join(parts)
+
+
+@query("graph_hits_bipartite", oracle=_hits_oracle())
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg) on the customer→supplier purchase graph, 4
+    power iterations: hub customers buy heavily from authoritative
+    suppliers and vice versa — mutual reinforcement that plain degree
+    (`graph_degree_distribution`) and PageRank (`graph_pagerank_docs`)
+    don't capture on a BIPARTITE graph. Edge weights are lineitem
+    counts per (cust, supp).
+
+    Scale/plan shape: HITS is scale-invariant, so the iteration runs
+    UN-normalized and L1-normalizes once at the end — per-step
+    normalization would reference each half-step twice (sum + divide),
+    doubling the logical tree per half-iteration (measured: Catalyst
+    alone >60 s by iteration 3) and issuing ~3 tiny jobs per step on a
+    host where every extra job is another exposure to the documented
+    wall-clock burst noise. The un-normalized chain is LINEAR — each
+    half-step is one broadcast-score join against the cached edge list
+    + a partial-aggregable weighted sum — so the whole 8-half-step
+    recursion compiles into ONE job, with eager localCheckpoints only
+    at the two terminal score frames (each feeds both its L1 total and
+    the final select). Weighted sums stay exact/order-independent via
+    the 9-dp quantize → DECIMAL(38,9) route; un-normalized magnitudes
+    grow ~|E|/|S|·w̄ per half-step and DECIMAL(38,9) carries 29 integer
+    digits, so headroom holds through ~1e29 — re-enable per-iteration
+    L1 (divide by the running total CTE) for graphs beyond that.
+    Broadcasting the score frame assumes node-count ≪ fact-count (here
+    ≤ |C|+|S| rows); swap to a shuffle join for billion-node graphs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as Win
+
+    edges = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy(
+            F.col("o_custkey").alias("c"),
+            F.col("l_suppkey").alias("s"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+        # 8 half-steps re-scan this cached frame; coalesce so each tiny
+        # broadcast-join job schedules 8 tasks, not shuffle_partitions —
+        # per-task overhead dominates node-count-sized iterative work.
+        .coalesce(8)
+        .cache()
+    )
+    nc = edges.select("c").distinct().agg(
+        F.count(F.lit(1)).cast("double").alias("nc")
+    )
+    h = (
+        edges.select("c")
+        .distinct()
+        .crossJoin(F.broadcast(nc))
+        .select("c", F.round(1.0 / F.col("nc"), 9).alias("h"))
+    )
+
+    def _half_step(frame, key_in, key_out, score_in, score_out):
+        return (
+            edges.join(F.broadcast(frame), key_in)
+            .groupBy(key_out)
+            .agg(
+                F.sum(
+                    F.round(F.col("w") * F.col(score_in), 9).cast(
+                        "decimal(38,9)"
+                    )
+                )
+                .cast("double")
+                .alias(score_out)
+            )
+        )
+
+    for it in range(4):
+        a = _half_step(h, "c", "s", "h", "a")
+        if it == 3:
+            # Terminal frames feed both their L1 total and the output
+            # select — checkpoint once each so that single double-
+            # reference doesn't recompute the whole chain.
+            a = a.localCheckpoint(eager=True)
+        h = _half_step(a, "s", "c", "a", "h")
+    h = h.localCheckpoint(eager=True)
+
+    a_tot = a.agg(
+        F.sum(F.col("a").cast("decimal(38,9)")).cast("double").alias("t")
+    )
+    h_tot = h.agg(
+        F.sum(F.col("h").cast("decimal(38,9)")).cast("double").alias("t")
+    )
+    auth = (
+        a.crossJoin(F.broadcast(a_tot))
+        .orderBy(F.col("a").desc(), "s")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("s").cast("long").alias("node_id"),
+            F.round(F.col("a") / F.col("t"), 6).alias("score"),
+            F.row_number()
+            .over(Win.orderBy(F.col("a").desc(), "s"))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )
+    hub = (
+        h.crossJoin(F.broadcast(h_tot))
+        .orderBy(F.col("h").desc(), "c")
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("c").cast("long").alias("node_id"),
+            F.round(F.col("h") / F.col("t"), 6).alias("score"),
+            F.row_number()
+            .over(Win.orderBy(F.col("h").desc(), "c"))
+            .cast("long")
+            .alias("rnk"),
+        )
+    )
+    return auth.unionAll(hub)

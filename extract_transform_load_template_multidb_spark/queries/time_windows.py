@@ -5822,3 +5822,128 @@ def ts_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_p_value"),
         )
     )
+
+
+_SPECTRAL_ENTROPY_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT rev,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS DOUBLE) AS t,
+           CAST(COUNT(*) OVER () AS DOUBLE) AS n
+    FROM daily
+),
+freqs AS (SELECT CAST(unnest(range(1, 21)) AS DOUBLE) AS k),
+terms AS (
+    SELECT f.k,
+           CAST(round(s.rev * round(cos(2 * pi() * f.k * s.t / s.n), 9),
+                      2) AS DECIMAL(38,2)) AS c_term,
+           CAST(round(s.rev * round(sin(2 * pi() * f.k * s.t / s.n), 9),
+                      2) AS DECIMAL(38,2)) AS s_term
+    FROM seq s CROSS JOIN freqs f
+),
+power AS (
+    SELECT k,
+           CAST(CAST(SUM(c_term) AS DOUBLE) * CAST(SUM(c_term) AS DOUBLE)
+                + CAST(SUM(s_term) AS DOUBLE) * CAST(SUM(s_term) AS DOUBLE)
+                AS DECIMAL(38,4)) AS p
+    FROM terms GROUP BY k
+),
+tot AS (SELECT SUM(p) AS tp FROM power),
+probs AS (
+    SELECT k, CAST(p AS DOUBLE) / CAST(t.tp AS DOUBLE) AS pk
+    FROM power CROSS JOIN tot t
+    WHERE p > 0
+)
+SELECT CAST(20 AS BIGINT) AS n_harmonics,
+       round(-CAST(SUM(CAST(round(pk * round(ln(pk), 6), 6)
+                            AS DECIMAL(38,6))) AS DOUBLE), 6)
+           AS spectral_entropy,
+       round(-CAST(SUM(CAST(round(pk * round(ln(pk), 6), 6)
+                            AS DECIMAL(38,6))) AS DOUBLE)
+             / ln(CAST(20 AS DOUBLE)), 6) AS normalized_entropy
+FROM probs
+"""
+
+
+@query("ts_spectral_entropy", oracle=_SPECTRAL_ENTROPY_ORACLE)
+def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spectral entropy of daily revenue: Shannon entropy of the
+    normalized periodogram over the first 20 harmonics (same DFT terms
+    as `ts_fourier_top_periods`), normalized by ln(20) to [0,1] — the
+    standard forecastability score (≈0: one dominant cycle, trivially
+    forecastable; ≈1: white-noise-flat spectrum) used to triage which
+    of thousands of series deserve a seasonal model. Powers are exact
+    on the 4-dp decimal grid (squares of 2-dp decimal-summed DFT
+    coefficients), the probability ratio is a decimal/decimal double,
+    and each p·ln p summand is quantized at 6 dp before the 20-term
+    decimal sum — bit-identical across engines, one day-grouped pass
+    over the fact table then constant-size frames."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev")
+    )
+    seq = daily.select(
+        "rev",
+        (F.row_number().over(Win.orderBy("day")) - 1)
+        .cast("double")
+        .alias("t"),
+        F.count(F.lit(1))
+        .over(Win.partitionBy())
+        .cast("double")
+        .alias("n"),
+    )
+    freqs = spark.range(1, 21).select(
+        F.col("id").cast("double").alias("k")
+    )
+    ang = 2 * F.lit(3.141592653589793) * F.col("k") * F.col("t") / F.col(
+        "n"
+    )
+    terms = seq.crossJoin(F.broadcast(freqs)).select(
+        "k",
+        F.round(F.col("rev") * F.round(F.cos(ang), 9), 2)
+        .cast("decimal(38,2)")
+        .alias("c_term"),
+        F.round(F.col("rev") * F.round(F.sin(ang), 9), 2)
+        .cast("decimal(38,2)")
+        .alias("s_term"),
+    )
+    cs = F.sum("c_term").cast("double")
+    ss = F.sum("s_term").cast("double")
+    power = terms.groupBy("k").agg(
+        (cs * cs + ss * ss).cast("decimal(38,4)").alias("p")
+    )
+    tot = power.agg(F.sum("p").alias("tp"))
+    probs = (
+        power.crossJoin(F.broadcast(tot))
+        .where(F.col("p") > 0)
+        .select(
+            (
+                F.col("p").cast("double") / F.col("tp").cast("double")
+            ).alias("pk")
+        )
+    )
+    ent = -(
+        F.sum(
+            F.round(
+                F.col("pk") * F.round(F.log("pk"), 6), 6
+            ).cast("decimal(38,6)")
+        ).cast("double")
+    )
+    return probs.agg(
+        F.lit(20).cast("long").alias("n_harmonics"),
+        F.round(ent, 6).alias("spectral_entropy"),
+        F.round(
+            ent / F.log(F.lit(20.0)), 6
+        ).alias("normalized_entropy"),
+    )
