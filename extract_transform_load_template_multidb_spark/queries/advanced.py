@@ -8541,6 +8541,10 @@ def agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("f").cast("long").alias("nf"),
         )
+        # The 20-row summary feeds cum → (i, j, k): without lineage
+        # truncation each of those references re-expands the whole
+        # binning pass and the plan scans orders 8× instead of 2×.
+        .localCheckpoint(eager=True)
     )
     wb = Window.orderBy("bin").rowsBetween(
         Window.unboundedPreceding, Window.currentRow

@@ -5922,7 +5922,9 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     ss = F.sum("s_term").cast("double")
     power = terms.groupBy("k").agg(
         (cs * cs + ss * ss).cast("decimal(38,4)").alias("p")
-    )
+    # 20 rows, referenced by both the total and the probability select —
+    # truncate lineage so the daily fact pass runs once, not twice.
+    ).localCheckpoint(eager=True)
     tot = power.agg(F.sum("p").alias("tp"))
     probs = (
         power.crossJoin(F.broadcast(tot))

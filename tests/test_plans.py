@@ -1271,3 +1271,88 @@ def test_ktruss_equi_join_support_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_ktruss_edges")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_psi_two_fact_passes_broadcast_bounds(spark, sf_dir):
+    """PSI: bounds/time-split is a 1-row broadcast back onto the stream;
+    bin×side counting is partial-aggregable — no sort, no cartesian, and
+    the 10-bin spine joins broadcast."""
+    plan = _plan(spark, sf_dir, "dq_population_stability")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_grubbs_moments_broadcast_takeordered(spark, sf_dir):
+    """Grubbs: one day-grouped agg, a 1-row moments broadcast, and the
+    argmax day via TakeOrdered — never a global sort of the dailies."""
+    plan = _plan(spark, sf_dir, "agg_grubbs_outlier")
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_isotonic_minimax_on_bin_summary_only(spark, sf_dir):
+    """Isotonic fit: ventile cuts broadcast back for binning (one fact
+    pass), and the O(bins³) minimax join runs on the 20-row summary —
+    the fact table must appear in exactly one scan."""
+    plan = _plan(spark, sf_dir, "agg_isotonic_calibration")
+    assert plan.count("orders.parquet") <= 2  # cuts pass + binning pass
+    assert "CartesianProduct" not in plan
+
+
+def test_woe_single_conditional_count_pass(spark, sf_dir):
+    """WOE/IV: one 5-group conditional-count aggregate + a broadcast
+    total — no second scan of orders, no join by priority."""
+    plan = _plan(spark, sf_dir, "feature_woe_iv")
+    assert plan.count("HashAggregate") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_rrf_bounded_frames_after_scoring(spark, sf_dir):
+    """RRF fusion: the cosine side broadcasts ONE query vector through
+    the corpus and fusion joins two ≤50-row frames — no cartesian, no
+    shuffle join of rankings."""
+    plan = _plan(spark, sf_dir, "sim_rrf_fusion")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_ndcg_posting_list_single_tokenize(spark, sf_dir):
+    """NDCG@10: relevance counts and BM25 share the posting-list shape;
+    DCG/IDCG are ≤10-row aggregates (SortAggregate/HashAggregate over
+    decimal sums), never a global sort of documents."""
+    plan = _plan(spark, sf_dir, "text_ndcg_at_10")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nelson_aalen_running_sum_bounded(spark, sf_dir):
+    """Nelson-Aalen: per-customer aggregate → distinct-duration collapse
+    → ONE running-sum window over the duration frame; the window must
+    partition nothing bigger than the duration summary."""
+    plan = _plan(spark, sf_dir, "agg_nelson_aalen_hazard")
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert plan.count("orders.parquet") == 1 or (
+        plan.count("FileScan") == plan.count("orders.parquet")
+    )
+
+
+def test_spectral_entropy_constant_size_after_daily(spark, sf_dir):
+    """Spectral entropy: one day-grouped pass; the 20-harmonic cross
+    join multiplies the DAILY summary (broadcast range), not the fact
+    table. The 20-row power summary is checkpointed (it feeds both the
+    total and the probabilities), so the single daily pass sits behind
+    the checkpoint — the visible plan must not re-scan orders."""
+    plan = _plan(spark, sf_dir, "ts_spectral_entropy")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("orders.parquet") <= 1
+
+
+def test_hits_linear_chain_broadcast_scores(spark, sf_dir):
+    """HITS: every half-step joins the cached edge list against a
+    BROADCAST score frame (8 BroadcastHashJoins), and the un-normalized
+    chain never multiplies plans — no cartesian, no Python, and the
+    edge list is built from exactly one lineitem scan."""
+    plan = _plan(spark, sf_dir, "graph_hits_bipartite")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
