@@ -312,6 +312,10 @@ HEADLINE = [
     "agg_nelson_aalen_hazard",
     "ts_spectral_entropy",
     "graph_hits_bipartite",
+    "window_user_lifecycle_states",
+    "agg_vif_multicollinearity",
+    "join_allen_interval_relations",
+    "graph_bipartite_projection",
 ]
 
 def main() -> None:

@@ -8771,3 +8771,225 @@ def agg_nelson_aalen_hazard(
         F.round(cum_h, 6).alias("cumulative_hazard"),
         F.round(F.exp(-cum_h), 6).alias("fh_survival"),
     )
+
+
+_VIF_ORACLE = """
+WITH s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sq,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS sp,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sd,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqq,
+           CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqp,
+           CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sqd,
+           CAST(SUM(CAST(l_extendedprice * l_extendedprice
+                         AS DECIMAL(38,6))) AS DOUBLE) AS spp,
+           CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS spd,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sdd
+    FROM lineitem
+),
+r AS (
+    SELECT (sqp - sq * sp / n)
+             / (sqrt(sqq - sq * sq / n) * sqrt(spp - sp * sp / n)) AS rqp,
+           (sqd - sq * sd / n)
+             / (sqrt(sqq - sq * sq / n) * sqrt(sdd - sd * sd / n)) AS rqd,
+           (spd - sp * sd / n)
+             / (sqrt(spp - sp * sp / n) * sqrt(sdd - sd * sd / n)) AS rpd
+    FROM s
+),
+v AS (
+    SELECT t.var_name,
+           (t.r1 * t.r1 + t.r2 * t.r2 - 2 * t.r1 * t.r2 * t.r3)
+             / (1 - t.r3 * t.r3) AS r2
+    FROM r, LATERAL (
+        SELECT * FROM (VALUES
+            ('quantity', r.rqp, r.rqd, r.rpd),
+            ('extendedprice', r.rqp, r.rpd, r.rqd),
+            ('discount', r.rqd, r.rpd, r.rqp)
+        ) AS t(var_name, r1, r2, r3)
+    ) t
+)
+SELECT var_name,
+       round(r2, 6) AS r_squared,
+       round(1.0 / (1 - r2), 6) AS vif
+FROM v
+"""
+
+
+@query("agg_vif_multicollinearity", oracle=_VIF_ORACLE)
+def agg_vif_multicollinearity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Variance Inflation Factor for (quantity, extendedprice, discount)
+    — the multicollinearity screen run before any regression (VIF > 5
+    means the feature is mostly explained by the others and its
+    coefficient is unstable). For 3 features each R²ᵢ has the closed
+    form (r₁²+r₂²−2r₁r₂r₃)/(1−r₃²) over the pairwise correlations, so
+    the whole diagnostic is ONE decimal-routed moments pass (the same
+    10 sums as `agg_covariance_matrix`) plus constant scalar algebra —
+    no per-feature regression passes, nothing driver-side."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q, p, d = (
+        F.col("l_quantity"),
+        F.col("l_extendedprice"),
+        F.col("l_discount"),
+    )
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(q, "sq"),
+        dsum(p, "sp"),
+        dsum(d, "sd"),
+        dsum(q * q, "sqq"),
+        dsum(q * p, "sqp"),
+        dsum(q * d, "sqd"),
+        dsum(p * p, "spp"),
+        dsum(p * d, "spd"),
+        dsum(d * d, "sdd"),
+    )
+
+    def corr(sab, sa, sb, saa, sbb):
+        n = F.col("n")
+        return (F.col(sab) - F.col(sa) * F.col(sb) / n) / (
+            F.sqrt(F.col(saa) - F.col(sa) * F.col(sa) / n)
+            * F.sqrt(F.col(sbb) - F.col(sb) * F.col(sb) / n)
+        )
+
+    r = s.select(
+        corr("sqp", "sq", "sp", "sqq", "spp").alias("rqp"),
+        corr("sqd", "sq", "sd", "sqq", "sdd").alias("rqd"),
+        corr("spd", "sp", "sd", "spp", "sdd").alias("rpd"),
+    )
+    rows = spark.createDataFrame(
+        [
+            ("quantity", "rqp", "rqd", "rpd"),
+            ("extendedprice", "rqp", "rpd", "rqd"),
+            ("discount", "rqd", "rpd", "rqp"),
+        ],
+        "var_name string, c1 string, c2 string, c3 string",
+    )
+    joined = rows.crossJoin(F.broadcast(r))
+    pick = lambda tag: (  # noqa: E731
+        F.when(F.col(tag) == "rqp", F.col("rqp"))
+        .when(F.col(tag) == "rqd", F.col("rqd"))
+        .otherwise(F.col("rpd"))
+    )
+    r1, r2_, r3 = pick("c1"), pick("c2"), pick("c3")
+    r2 = (r1 * r1 + r2_ * r2_ - 2 * r1 * r2_ * r3) / (1 - r3 * r3)
+    return joined.select(
+        "var_name",
+        F.round(r2, 6).alias("r_squared"),
+        F.round(1.0 / (1 - r2), 6).alias("vif"),
+    )
+
+
+_ALLEN_ORACLE = """
+WITH iv AS (
+    SELECT l_orderkey AS ok, l_linenumber AS ln,
+           CAST(l_shipdate AS DATE) AS s,
+           CAST(l_shipdate AS DATE)
+             + to_days(CAST(l_quantity AS INT)) AS e
+    FROM lineitem
+),
+pairs AS (
+    SELECT a.s AS s1, a.e AS e1, b.s AS s2, b.e AS e2
+    FROM iv a JOIN iv b
+      ON a.ok = b.ok
+     AND (a.s < b.s OR (a.s = b.s AND a.e < b.e)
+          OR (a.s = b.s AND a.e = b.e AND a.ln < b.ln))
+),
+rel AS (
+    SELECT CASE
+        WHEN s1 = s2 AND e1 = e2 THEN 'equals'
+        WHEN s1 = s2 THEN 'starts'
+        WHEN e1 < s2 THEN 'before'
+        WHEN e1 = s2 THEN 'meets'
+        WHEN e1 < e2 THEN 'overlaps'
+        WHEN e1 = e2 THEN 'finishes'
+        ELSE 'during' END AS relation
+    FROM pairs
+),
+tot AS (SELECT COUNT(*) AS t FROM rel)
+SELECT relation,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       round(COUNT(*) / CAST((SELECT t FROM tot) AS DOUBLE), 6) AS share
+FROM rel GROUP BY relation
+"""
+
+
+@query("join_allen_interval_relations", oracle=_ALLEN_ORACLE)
+def join_allen_interval_relations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Allen's interval-algebra census over same-order shipment windows:
+    every within-order pair of [shipdate, receiptdate] intervals is
+    classified into the 7 canonical relations (before / meets /
+    overlaps / starts / during / finishes / equals — inverses collapsed
+    by ordering each pair canonically on (start, end, linenumber)), the
+    temporal-reasoning primitive under overlap joins, conflict
+    detection and timeline validation. The fixture carries no receipt
+    date, so the interval end is the deterministic handling window
+    shipdate + quantity days (integer day arithmetic, identical in
+    both engines). The self-join is keyed on
+    l_orderkey — per-key fanout is the order's line count (≤ 7 in
+    TPC-H), so pair volume is O(|lineitem|·lines), never quadratic in
+    the table; classification is a fixed CASE chain on date compares
+    and the census is one 7-group aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.select(
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            F.col("l_quantity").cast("int"),
+        ).alias("e"),
+    )
+    a = iv.alias("a")
+    b = iv.alias("b")
+    canon = (
+        (F.col("a.s") < F.col("b.s"))
+        | ((F.col("a.s") == F.col("b.s")) & (F.col("a.e") < F.col("b.e")))
+        | (
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.e") == F.col("b.e"))
+            & (F.col("a.ln") < F.col("b.ln"))
+        )
+    )
+    pairs = a.join(
+        b, (F.col("a.ok") == F.col("b.ok")) & canon
+    ).select(
+        F.col("a.s").alias("s1"),
+        F.col("a.e").alias("e1"),
+        F.col("b.s").alias("s2"),
+        F.col("b.e").alias("e2"),
+    )
+    rel = pairs.select(
+        F.when(
+            (F.col("s1") == F.col("s2")) & (F.col("e1") == F.col("e2")),
+            "equals",
+        )
+        .when(F.col("s1") == F.col("s2"), "starts")
+        .when(F.col("e1") < F.col("s2"), "before")
+        .when(F.col("e1") == F.col("s2"), "meets")
+        .when(F.col("e1") < F.col("e2"), "overlaps")
+        .when(F.col("e1") == F.col("e2"), "finishes")
+        .otherwise("during")
+        .alias("relation")
+    )
+    counts = rel.groupBy("relation").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    tot = counts.agg(F.sum("n_pairs").alias("t"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "relation",
+        "n_pairs",
+        F.round(
+            F.col("n_pairs") / F.col("t").cast("double"), 6
+        ).alias("share"),
+    )

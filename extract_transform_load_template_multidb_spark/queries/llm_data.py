@@ -8485,3 +8485,87 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return auth.unionAll(hub)
+
+
+_BIPROJ_ORACLE = """
+WITH el AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+pairs AS (
+    SELECT a.s AS s1, b.s AS s2, CAST(COUNT(*) AS BIGINT) AS shared
+    FROM el a JOIN el b ON a.c = b.c AND a.s < b.s
+    GROUP BY a.s, b.s
+),
+deg AS (
+    SELECT s, CAST(COUNT(*) AS BIGINT) AS d FROM el GROUP BY s
+)
+SELECT p.s1, p.s2, p.shared,
+       round(p.shared
+             / CAST(d1.d + d2.d - p.shared AS DOUBLE), 6) AS jaccard
+FROM pairs p
+JOIN deg d1 ON d1.s = p.s1
+JOIN deg d2 ON d2.s = p.s2
+ORDER BY p.shared DESC, p.s1, p.s2
+LIMIT 25
+"""
+
+
+@query("graph_bipartite_projection", oracle=_BIPROJ_ORACLE)
+def graph_bipartite_projection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted one-mode projection of the customer–supplier bipartite
+    graph onto suppliers: edge (s1, s2) with weight = shared customers
+    and the Jaccard-normalized co-purchase affinity shared/(d1+d2−s) —
+    the construction under co-occurrence recommenders ('suppliers also
+    bought from') and the input graph for the clustering/community ops.
+    Pair generation is the per-customer self-join of the DISTINCT edge
+    list — fanout is each customer's supplier-degree (≈ order count),
+    so pair volume is Σ deg(c)² over customers, NOT |S|²; at skewed
+    scale, cap per-customer degree (drop-and-log whales) exactly as the
+    LSH bucket caps do. Degrees broadcast back onto the pair aggregate;
+    top-25 is a TakeOrdered, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    el = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a, b = el.alias("a"), el.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(
+            F.col("a.s").alias("s1"), F.col("b.s").alias("s2")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+    )
+    deg = el.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("d"))
+    d1 = deg.select(F.col("s").alias("s1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("s").alias("s2"), F.col("d").alias("d2"))
+    return (
+        pairs.join(F.broadcast(d1), "s1")
+        .join(F.broadcast(d2), "s2")
+        .select(
+            "s1",
+            "s2",
+            "shared",
+            F.round(
+                F.col("shared")
+                / (F.col("d1") + F.col("d2") - F.col("shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.col("shared").desc(), "s1", "s2")
+        .limit(25)
+    )

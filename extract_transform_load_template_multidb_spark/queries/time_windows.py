@@ -5949,3 +5949,98 @@ def ts_spectral_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ent / F.log(F.lit(20.0)), 6
         ).alias("normalized_entropy"),
     )
+
+
+_WEEK_US = 604_800_000_000
+
+_LIFECYCLE_ORACLE = f"""
+WITH weeks AS (
+    SELECT DISTINCT user_id,
+           CAST(epoch_us(ts) // {_WEEK_US} AS BIGINT) AS wk
+    FROM events
+),
+lagged AS (
+    SELECT user_id, wk,
+           lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk,
+           lead(wk) OVER (PARTITION BY user_id ORDER BY wk) AS next_wk
+    FROM weeks
+),
+states AS (
+    SELECT wk,
+           CASE WHEN prev_wk IS NULL THEN 'new'
+                WHEN prev_wk = wk - 1 THEN 'retained'
+                ELSE 'resurrected' END AS state,
+           CASE WHEN next_wk IS NULL OR next_wk > wk + 1
+                THEN 1 ELSE 0 END AS churns_after
+    FROM lagged
+)
+SELECT wk AS week_bucket,
+       CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new,
+       CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_retained,
+       CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_resurrected,
+       CAST(SUM(churns_after) AS BIGINT) AS n_churning_after
+FROM states GROUP BY wk
+"""
+
+
+@query("window_user_lifecycle_states", oracle=_LIFECYCLE_ORACLE)
+def window_user_lifecycle_states(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Growth-accounting lifecycle states per 7-day bucket: each active
+    (user, week) is NEW (first activity ever), RETAINED (active the
+    previous week) or RESURRECTED (returning after a gap), plus the
+    count that churn after the bucket (next activity missing or > 1
+    week away) — the decomposition behind every DAU/MAU growth report,
+    where net growth = new + resurrected − churned. Buckets are integer
+    epoch-micros // week (exact in both engines, no calendar-week
+    anchoring ambiguity). One distinct-collapse of events, one
+    user-partitioned lag/lead window (shuffles the DISTINCT user-week
+    frame, not the event stream), one bucket-grouped count; the final
+    bucket's churn count is right-censored by construction —
+    interpret with the same caveat as any growth ledger's last row."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    weeks = ev.select(
+        "user_id",
+        (F.unix_micros("ts") / F.lit(_WEEK_US))
+        .cast("long")
+        .alias("wk"),
+    ).distinct()
+    w = Win.partitionBy("user_id").orderBy("wk")
+    lagged = weeks.select(
+        "wk",
+        F.lag("wk").over(w).alias("prev_wk"),
+        F.lead("wk").over(w).alias("next_wk"),
+    )
+    state = (
+        F.when(F.col("prev_wk").isNull(), F.lit("new"))
+        .when(F.col("prev_wk") == F.col("wk") - 1, F.lit("retained"))
+        .otherwise(F.lit("resurrected"))
+    )
+    churns = F.when(
+        F.col("next_wk").isNull() | (F.col("next_wk") > F.col("wk") + 1),
+        1,
+    ).otherwise(0)
+    return (
+        lagged.select("wk", state.alias("state"), churns.alias("ca"))
+        .groupBy(F.col("wk").alias("week_bucket"))
+        .agg(
+            F.sum(F.when(F.col("state") == "new", 1).otherwise(0))
+            .cast("long")
+            .alias("n_new"),
+            F.sum(F.when(F.col("state") == "retained", 1).otherwise(0))
+            .cast("long")
+            .alias("n_retained"),
+            F.sum(
+                F.when(F.col("state") == "resurrected", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_resurrected"),
+            F.sum("ca").cast("long").alias("n_churning_after"),
+        )
+    )

@@ -1356,3 +1356,39 @@ def test_hits_linear_chain_broadcast_scores(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_hits_bipartite")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_lifecycle_window_on_distinct_userweeks(spark, sf_dir):
+    """Lifecycle states: the lag/lead window shuffles the DISTINCT
+    (user, week) frame, never the raw event stream, and the census is
+    partial-aggregable."""
+    plan = _plan(spark, sf_dir, "window_user_lifecycle_states")
+    assert "Window" in plan
+    assert plan.count("HashAggregate") >= 4  # distinct pair + census
+    assert "CartesianProduct" not in plan
+
+
+def test_vif_single_moments_pass(spark, sf_dir):
+    """VIF: all three R² come from ONE 10-sum moments pass over
+    lineitem — exactly one fact scan, correlations broadcast."""
+    plan = _plan(spark, sf_dir, "agg_vif_multicollinearity")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_allen_pairs_equi_join_on_orderkey(spark, sf_dir):
+    """Allen census: the interval self-join must stay keyed on
+    l_orderkey (bounded per-key fanout) — no cartesian; the only
+    nested-loop join allowed is the 1-row share-total broadcast."""
+    plan = _plan(spark, sf_dir, "join_allen_interval_relations")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+def test_biprojection_pairgen_keyed_by_customer(spark, sf_dir):
+    """Bipartite projection: pair generation is the per-customer
+    equi-self-join of the checkpointed distinct edge list; degree
+    tables broadcast; top-25 is TakeOrdered."""
+    plan = _plan(spark, sf_dir, "graph_bipartite_projection")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
