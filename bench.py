@@ -316,6 +316,9 @@ HEADLINE = [
     "agg_vif_multicollinearity",
     "join_allen_interval_relations",
     "graph_bipartite_projection",
+    "agg_cms_heavy_hitters",
+    "agg_simpson_paradox_detector",
+    "ts_peak_prominence",
 ]
 
 def main() -> None:

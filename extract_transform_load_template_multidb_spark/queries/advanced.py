@@ -8993,3 +8993,200 @@ def join_allen_interval_relations(
             F.col("n_pairs") / F.col("t").cast("double"), 6
         ).alias("share"),
     )
+
+
+_CMS_ORACLE = """
+WITH hashed AS (
+    SELECT e.user_id, r.j,
+           CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':'
+                                 || CAST(e.user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 256 AS col
+    FROM events e CROSS JOIN (SELECT unnest(range(0, 4)) AS j) r
+),
+sketch AS (
+    SELECT j, col, CAST(COUNT(*) AS BIGINT) AS cell
+    FROM hashed GROUP BY j, col
+),
+exact AS (
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+    FROM events GROUP BY user_id
+    ORDER BY exact_n DESC, user_id LIMIT 10
+),
+keyhash AS (
+    SELECT x.user_id, x.exact_n, r.j,
+           CAST(('0x' || substr(md5(CAST(r.j AS VARCHAR) || ':'
+                                 || CAST(x.user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) % 256 AS col
+    FROM exact x CROSS JOIN (SELECT unnest(range(0, 4)) AS j) r
+)
+SELECT k.user_id, k.exact_n,
+       CAST(MIN(s.cell) AS BIGINT) AS cms_estimate,
+       CAST(MIN(s.cell) - k.exact_n AS BIGINT) AS overcount
+FROM keyhash k JOIN sketch s ON s.j = k.j AND s.col = k.col
+GROUP BY k.user_id, k.exact_n
+"""
+
+
+@query("agg_cms_heavy_hitters", oracle=_CMS_ORACLE)
+def agg_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (d=4 rows × w=256 counters, md5-derived row
+    hashes) queried for the stream's true top-10 users: estimate =
+    min over rows of the hashed cell, always ≥ the exact count — the
+    mergeable fixed-memory frequency sketch behind heavy-hitter
+    detection when exact per-key counting can't fit (the 1024-cell
+    sketch is THE state, regardless of key cardinality, and cells sum
+    under union/partition merge exactly like any partial aggregate).
+    The fixture makes the exact counts visible, so the query reports
+    estimate AND overcount — the CMS error bound (≤ e·N/w with prob
+    1−e^−d) made checkable. One ×4 hash explode + 1024-group count
+    builds the sketch; the 40-row key×row probe broadcasts onto it."""
+    ev = load_table(spark, sf_dir, "events")
+    js = spark.range(0, 4).select(F.col("id").cast("int").alias("j"))
+
+    def cms_col(uid):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("j").cast("string"),
+                            F.lit(":"),
+                            uid.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 256
+        ).alias("col")
+
+    sketch = (
+        ev.select("user_id")
+        .crossJoin(F.broadcast(js))
+        .select("j", cms_col(F.col("user_id")))
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cell"))
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("exact_n"))
+        .orderBy(F.col("exact_n").desc(), "user_id")
+        .limit(10)
+    )
+    keyhash = exact.crossJoin(F.broadcast(js)).select(
+        "user_id", "exact_n", "j", cms_col(F.col("user_id"))
+    )
+    return (
+        sketch.join(F.broadcast(keyhash), ["j", "col"])
+        .groupBy("user_id", "exact_n")
+        .agg(F.min("cell").cast("long").alias("cms_estimate"))
+        .select(
+            "user_id",
+            "exact_n",
+            "cms_estimate",
+            (F.col("cms_estimate") - F.col("exact_n"))
+            .cast("long")
+            .alias("overcount"),
+        )
+    )
+
+
+_SIMPSON_ORACLE = """
+WITH m AS (
+    SELECT l_returnflag AS stratum,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,6)))
+                AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(l_quantity * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(l_discount * l_discount AS DECIMAL(38,6)))
+                AS DOUBLE) AS syy
+    FROM lineitem GROUP BY l_returnflag
+),
+rows_all AS (
+    SELECT stratum, n, sx, sy, sxx, sxy, syy FROM m
+    UNION ALL
+    SELECT 'POOLED', SUM(n), SUM(sx), SUM(sy), SUM(sxx), SUM(sxy),
+           SUM(syy)
+    FROM m
+),
+corr AS (
+    SELECT stratum, CAST(n AS BIGINT) AS n_rows,
+           (sxy - sx * sy / n)
+             / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)) AS r
+    FROM rows_all
+)
+SELECT c.stratum, c.n_rows, round(c.r, 6) AS pearson_r,
+       CAST(sign(c.r) AS BIGINT) AS r_sign,
+       (SELECT bool_and(sign(r) <> (SELECT sign(r) FROM corr
+                                    WHERE stratum = 'POOLED'))
+        FROM corr WHERE stratum <> 'POOLED') AS simpson_reversal
+FROM corr c
+"""
+
+
+@query("agg_simpson_paradox_detector", oracle=_SIMPSON_ORACLE)
+def agg_simpson_paradox_detector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson's-paradox screen for the quantity↔discount association:
+    Pearson r within each returnflag stratum AND pooled over all rows,
+    with a reversal flag set when EVERY stratum's sign opposes the
+    pooled sign — the aggregation-bias check any segmented metric
+    report should run before trusting a topline correlation. The
+    stratum moments are ONE decimal-routed grouped pass; the pooled row
+    is their exact sum (decimal sums are associative, so pooling the
+    per-stratum sums IS the full-table pass — no second scan); the flag
+    is a 4-row broadcast comparison."""
+    li = load_table(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_discount")
+    m = li.groupBy(F.col("l_returnflag").alias("stratum")).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * x, "sxx"),
+        dsum(x * y, "sxy"),
+        dsum(y * y, "syy"),
+    ).localCheckpoint(eager=True)
+    pooled = m.agg(
+        F.lit("POOLED").alias("stratum"),
+        F.sum("n").alias("n"),
+        F.sum("sx").alias("sx"),
+        F.sum("sy").alias("sy"),
+        F.sum("sxx").alias("sxx"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("syy").alias("syy"),
+    )
+    rows_all = m.unionByName(pooled)
+    n = F.col("n")
+    r = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (
+        F.sqrt(F.col("sxx") - F.col("sx") * F.col("sx") / n)
+        * F.sqrt(F.col("syy") - F.col("sy") * F.col("sy") / n)
+    )
+    corr = rows_all.select(
+        "stratum",
+        n.cast("long").alias("n_rows"),
+        r.alias("r"),
+    ).localCheckpoint(eager=True)
+    pooled_sign = corr.where(F.col("stratum") == "POOLED").select(
+        F.signum("r").alias("ps")
+    )
+    reversal = (
+        corr.where(F.col("stratum") != "POOLED")
+        .crossJoin(F.broadcast(pooled_sign))
+        .agg(
+            F.min(F.signum("r") != F.col("ps")).alias("simpson_reversal")
+        )
+    )
+    return corr.crossJoin(F.broadcast(reversal)).select(
+        "stratum",
+        "n_rows",
+        F.round("r", 6).alias("pearson_r"),
+        F.signum("r").cast("long").alias("r_sign"),
+        "simpson_reversal",
+    )

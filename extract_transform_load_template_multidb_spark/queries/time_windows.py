@@ -6044,3 +6044,93 @@ def window_user_lifecycle_states(
             F.sum("ca").cast("long").alias("n_churning_after"),
         )
     )
+
+
+_PEAK_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+w AS (
+    SELECT day, y,
+           MAX(y) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS max_l3,
+           MAX(y) OVER (ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS max_r3,
+           MIN(y) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS min_l7,
+           MIN(y) OVER (ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND 7 FOLLOWING) AS min_r7,
+           COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS nl,
+           COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING) AS nr
+    FROM daily
+),
+peaks AS (
+    SELECT day, y,
+           round(y - greatest(min_l7, min_r7), 2) AS prominence
+    FROM w
+    WHERE nl = 3 AND nr = 3 AND y > max_l3 AND y > max_r3
+)
+SELECT day AS peak_day, round(y, 2) AS revenue, prominence
+FROM peaks
+ORDER BY prominence DESC, day
+LIMIT 5
+"""
+
+
+@query("ts_peak_prominence", oracle=_PEAK_ORACLE)
+def ts_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed peak detection with prominence on daily revenue: a peak
+    strictly dominates every value within ±3 days (interior days only —
+    edges can't certify dominance), and its prominence is the drop to
+    the HIGHER of the two 7-day-flank minima — the scipy
+    find_peaks(prominence=…) shape re-expressed as pure frame windows,
+    which is what makes it distributed: every MAX/MIN is a bounded
+    ROWS frame over the day-ordered aggregate, no per-peak search. All
+    comparisons happen on the exact 2-dp decimal grid of the daily
+    sums; top-5 is a TakeOrdered."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    wd = Win.orderBy("day")
+    w = daily.select(
+        "day",
+        "y",
+        F.max("y").over(wd.rowsBetween(-3, -1)).alias("max_l3"),
+        F.max("y").over(wd.rowsBetween(1, 3)).alias("max_r3"),
+        F.min("y").over(wd.rowsBetween(-7, -1)).alias("min_l7"),
+        F.min("y").over(wd.rowsBetween(1, 7)).alias("min_r7"),
+        F.count("y").over(wd.rowsBetween(-3, -1)).alias("nl"),
+        F.count("y").over(wd.rowsBetween(1, 3)).alias("nr"),
+    )
+    peaks = w.where(
+        (F.col("nl") == 3)
+        & (F.col("nr") == 3)
+        & (F.col("y") > F.col("max_l3"))
+        & (F.col("y") > F.col("max_r3"))
+    ).select(
+        "day",
+        "y",
+        F.round(
+            F.col("y") - F.greatest("min_l7", "min_r7"), 2
+        ).alias("prominence"),
+    )
+    return (
+        peaks.orderBy(F.col("prominence").desc(), "day")
+        .limit(5)
+        .select(
+            F.col("day").alias("peak_day"),
+            F.round("y", 2).alias("revenue"),
+            "prominence",
+        )
+    )

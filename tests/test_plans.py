@@ -1392,3 +1392,31 @@ def test_biprojection_pairgen_keyed_by_customer(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_cms_sketch_fixed_state_broadcast_probe(spark, sf_dir):
+    """CMS: the sketch is a 1024-cell aggregate (partial-aggregable ×4
+    hash explode), and the top-10 probe broadcasts onto it — never a
+    shuffle join keyed by user."""
+    plan = _plan(spark, sf_dir, "agg_cms_heavy_hitters")
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_simpson_pooled_from_stratum_sums(spark, sf_dir):
+    """Simpson screen: the pooled row must be the SUM of the stratum
+    moments (decimal sums are associative), not a second fact scan —
+    the checkpointed moments hide the single lineitem pass."""
+    plan = _plan(spark, sf_dir, "agg_simpson_paradox_detector")
+    assert plan.count("lineitem.parquet") == 0  # behind the checkpoint
+    assert "CartesianProduct" not in plan
+
+
+def test_peak_prominence_bounded_frames(spark, sf_dir):
+    """Peak detection: every MAX/MIN is a bounded ROWS frame over the
+    day-ordered aggregate; top-5 is TakeOrdered, no self-join of the
+    series."""
+    plan = _plan(spark, sf_dir, "ts_peak_prominence")
+    assert "TakeOrderedAndProject" in plan
+    assert "Join" not in plan or "BroadcastHashJoin" not in plan
