@@ -319,6 +319,9 @@ HEADLINE = [
     "agg_cms_heavy_hitters",
     "agg_simpson_paradox_detector",
     "ts_peak_prominence",
+    "window_concurrency_sweep",
+    "agg_contingency_residuals",
+    "agg_average_precision",
 ]
 
 def main() -> None:

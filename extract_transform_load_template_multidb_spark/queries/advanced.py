@@ -9190,3 +9190,171 @@ def agg_simpson_paradox_detector(
         F.signum("r").cast("long").alias("r_sign"),
         "simpson_reversal",
     )
+
+
+_RESIDUALS_ORACLE = """
+WITH cells AS (
+    SELECT l_returnflag AS rf, l_linestatus AS ls,
+           CAST(COUNT(*) AS BIGINT) AS obs
+    FROM lineitem GROUP BY 1, 2
+),
+margins AS (
+    SELECT c.rf, c.ls, c.obs,
+           SUM(c.obs) OVER (PARTITION BY c.rf) AS row_tot,
+           SUM(c.obs) OVER (PARTITION BY c.ls) AS col_tot,
+           SUM(c.obs) OVER () AS n
+    FROM cells c
+)
+SELECT rf AS returnflag, ls AS linestatus, obs,
+       round(row_tot * col_tot / CAST(n AS DOUBLE), 6) AS expected,
+       round((obs - row_tot * col_tot / CAST(n AS DOUBLE))
+             / sqrt(row_tot * col_tot / CAST(n AS DOUBLE)
+                    * (1 - row_tot / CAST(n AS DOUBLE))
+                    * (1 - col_tot / CAST(n AS DOUBLE))), 6)
+           AS adj_residual
+FROM margins
+"""
+
+
+@query("agg_contingency_residuals", oracle=_RESIDUALS_ORACLE)
+def agg_contingency_residuals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Adjusted standardized residuals of the returnflag × linestatus
+    contingency table — the post-hoc that tells you WHICH cells drive a
+    significant chi-square (|residual| > 2 ≈ cell-level significance),
+    where `agg_chi_square_independence` only says THAT the table
+    deviates. One grouped count over the fact table; margins are
+    windows over the CELL table (≤ |rf|×|ls| rows), so everything past
+    the first aggregate is constant-size. All ratios divide exact
+    integers — cross-engine bit-equal."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cells = li.groupBy(
+        F.col("l_returnflag").alias("returnflag"),
+        F.col("l_linestatus").alias("linestatus"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("obs"))
+    wr = Window.partitionBy("returnflag")
+    wc = Window.partitionBy("linestatus")
+    wall = Window.partitionBy()
+    m = cells.select(
+        "returnflag",
+        "linestatus",
+        "obs",
+        F.sum("obs").over(wr).alias("row_tot"),
+        F.sum("obs").over(wc).alias("col_tot"),
+        F.sum("obs").over(wall).alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    exp = F.col("row_tot") * F.col("col_tot") / nd
+    adj = (F.col("obs") - exp) / F.sqrt(
+        exp
+        * (1 - F.col("row_tot") / nd)
+        * (1 - F.col("col_tot") / nd)
+    )
+    return m.select(
+        "returnflag",
+        "linestatus",
+        "obs",
+        F.round(exp, 6).alias("expected"),
+        F.round(adj, 6).alias("adj_residual"),
+    )
+
+
+_AP_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 END) AS BIGINT) AS score,
+           CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END AS DECIMAL(38,6)))
+                > SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN value ELSE 0 END AS DECIMAL(38,6)))
+               AS INT) AS y
+    FROM events GROUP BY user_id
+),
+ranked AS (
+    SELECT y,
+           CAST(row_number() OVER (ORDER BY score DESC, user_id)
+                AS BIGINT) AS k,
+           CAST(SUM(y) OVER (ORDER BY score DESC, user_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS cum_pos
+    FROM per_user
+),
+s AS (
+    SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+           CAST(SUM(CAST(CASE WHEN y = 1
+                              THEN round(cum_pos / CAST(k AS DOUBLE), 9)
+                              ELSE 0 END AS DECIMAL(38,9)))
+                AS DOUBLE) AS ap_sum
+    FROM ranked
+)
+SELECT n_pos,
+       round(ap_sum / n_pos, 6) AS average_precision
+FROM s
+"""
+
+
+@query("agg_average_precision", oracle=_AP_ORACLE)
+def agg_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (area under the precision-recall curve) of the
+    same early-activity score / later-spend label as
+    `agg_auc_rank_sum` — the metric that matters when positives are
+    rare and ROC-AUC flatters (PR-AUC weights by precision at each hit,
+    not by true-negative volume). AP = (1/P) Σ_{hits} precision@k with
+    a total (score desc, user_id) order so tie handling is identical in
+    both engines; each precision@k is an exact integer ratio quantized
+    at 9 dp before the decimal sum. The ranking window runs over the
+    per-USER aggregate (user-dimension-sized, not the event stream) —
+    same posture as the AUC and lifecycle queries."""
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1))
+        .cast("long")
+        .alias("score"),
+        (
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value"))
+                .otherwise(0)
+                .cast("decimal(38,6)")
+            )
+            > F.sum(
+                F.when(F.col("ts") < cut, F.col("value"))
+                .otherwise(0)
+                .cast("decimal(38,6)")
+            )
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    w = Window.orderBy(F.col("score").desc(), "user_id")
+    ranked = per_user.select(
+        "y",
+        F.row_number().over(w).cast("long").alias("k"),
+        F.sum("y")
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long")
+        .alias("cum_pos"),
+    )
+    s = ranked.agg(
+        F.sum("y").cast("long").alias("n_pos"),
+        F.sum(
+            F.when(
+                F.col("y") == 1,
+                F.round(
+                    F.col("cum_pos") / F.col("k").cast("double"), 9
+                ),
+            )
+            .otherwise(0)
+            .cast("decimal(38,9)")
+        )
+        .cast("double")
+        .alias("ap_sum"),
+    )
+    return s.select(
+        "n_pos",
+        F.round(F.col("ap_sum") / F.col("n_pos"), 6).alias(
+            "average_precision"
+        ),
+    )

@@ -6134,3 +6134,156 @@ def ts_peak_prominence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prominence",
         )
     )
+
+
+_GAP_US = 1_800_000_000  # 30-min session gap
+_DAY_US = 86_400_000_000
+
+_CONCURRENCY_ORACLE = f"""
+WITH ev AS (
+    SELECT user_id, epoch_us(ts) AS us FROM events
+),
+marked AS (
+    SELECT user_id, us,
+           CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                     > {_GAP_US}
+                  OR lag(us) OVER (PARTITION BY user_id ORDER BY us)
+                     IS NULL
+                THEN 1 ELSE 0 END AS new_sess
+    FROM ev
+),
+sess_id AS (
+    SELECT user_id, us,
+           SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+    FROM marked
+),
+sessions AS (
+    SELECT user_id, sid, MIN(us) AS s, MAX(us) + {_GAP_US} AS e
+    FROM sess_id GROUP BY user_id, sid
+),
+bounds AS (
+    SELECT s AS us, 1 AS delta FROM sessions
+    UNION ALL
+    SELECT e AS us, -1 AS delta FROM sessions
+),
+with_day AS (
+    SELECT us, delta, CAST(us // {_DAY_US} AS BIGINT) AS day_bucket
+    FROM bounds
+),
+day_net AS (
+    SELECT day_bucket, CAST(SUM(delta) AS BIGINT) AS net,
+           CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_started
+    FROM with_day GROUP BY day_bucket
+),
+day_offset AS (
+    SELECT day_bucket, n_started,
+           CAST(COALESCE(SUM(net) OVER (ORDER BY day_bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) AS carry_in
+    FROM day_net
+),
+curve AS (
+    SELECT w.day_bucket,
+           o.carry_in
+             + SUM(w.delta) OVER (PARTITION BY w.day_bucket
+                   ORDER BY w.us, w.delta
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS depth
+    FROM with_day w JOIN day_offset o USING (day_bucket)
+)
+SELECT c.day_bucket,
+       CAST(MAX(c.depth) AS BIGINT) AS max_concurrent,
+       CAST(ANY_VALUE(o.n_started) AS BIGINT) AS n_sessions_started
+FROM curve c JOIN day_offset o USING (day_bucket)
+GROUP BY c.day_bucket
+"""
+
+
+@query("window_concurrency_sweep", oracle=_CONCURRENCY_ORACLE)
+def window_concurrency_sweep(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Peak concurrent sessions per day via a DISTRIBUTED sweep line:
+    sessionize per user (30-min inactivity gap, session extends to
+    last-event + gap), emit +1/−1 boundary events, and integrate. The
+    classic sweep needs one global prefix sum — a single-partition
+    window at 100 TB — so this runs the two-level form instead: the
+    running sum is partitioned BY DAY, and each day's opening depth is
+    the carry-in prefix of per-day net deltas (a day-count-sized
+    cumulative, computed once) — identical results, and the only
+    global window runs over ~365 rows. Boundary ties order ends before
+    starts (ORDER BY us, delta), so back-to-back sessions never
+    double-count. This is the capacity-planning primitive (Little's-law
+    L) behind concurrency dashboards and connection-pool sizing."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("us")
+    )
+    wu = Win.partitionBy("user_id").orderBy("us")
+    marked = ev.select(
+        "user_id",
+        "us",
+        F.when(
+            F.lag("us").over(wu).isNull()
+            | ((F.col("us") - F.lag("us").over(wu)) > _GAP_US),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_sess"),
+    )
+    sess = marked.select(
+        "user_id",
+        "us",
+        F.sum("new_sess")
+        .over(wu.rowsBetween(Win.unboundedPreceding, 0))
+        .alias("sid"),
+    )
+    sessions = sess.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s"),
+        (F.max("us") + F.lit(_GAP_US)).alias("e"),
+    )
+    bounds = sessions.select(
+        F.col("s").alias("us"), F.lit(1).alias("delta")
+    ).unionByName(
+        sessions.select(
+            F.col("e").alias("us"), F.lit(-1).alias("delta")
+        )
+    )
+    with_day = bounds.select(
+        "us",
+        "delta",
+        (F.col("us") / F.lit(_DAY_US)).cast("long").alias("day_bucket"),
+    )
+    day_net = with_day.groupBy("day_bucket").agg(
+        F.sum("delta").cast("long").alias("net"),
+        F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_started"),
+    )
+    w_days = Win.orderBy("day_bucket").rowsBetween(
+        Win.unboundedPreceding, -1
+    )
+    day_offset = day_net.select(
+        "day_bucket",
+        "n_started",
+        F.coalesce(F.sum("net").over(w_days), F.lit(0))
+        .cast("long")
+        .alias("carry_in"),
+    )
+    w_in_day = Win.partitionBy("day_bucket").orderBy(
+        "us", "delta"
+    ).rowsBetween(Win.unboundedPreceding, 0)
+    curve = with_day.join(F.broadcast(day_offset), "day_bucket").select(
+        "day_bucket",
+        (F.col("carry_in") + F.sum("delta").over(w_in_day)).alias(
+            "depth"
+        ),
+        "n_started",
+    )
+    return curve.groupBy("day_bucket").agg(
+        F.max("depth").cast("long").alias("max_concurrent"),
+        F.any_value("n_started").cast("long").alias("n_sessions_started"),
+    )

@@ -1420,3 +1420,29 @@ def test_peak_prominence_bounded_frames(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_peak_prominence")
     assert "TakeOrderedAndProject" in plan
     assert "Join" not in plan or "BroadcastHashJoin" not in plan
+
+
+def test_concurrency_sweep_day_partitioned_window(spark, sf_dir):
+    """Sweep line: the boundary running sum must be PARTITIONED by day
+    (two-level prefix sum) — a global-order window over all boundaries
+    is the single-partition hazard this query exists to avoid. The only
+    unpartitioned window runs over the day-count frame."""
+    plan = _plan(spark, sf_dir, "window_concurrency_sweep")
+    assert "Window" in plan
+    assert "hashpartitioning(day_bucket" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_contingency_margins_on_cell_table(spark, sf_dir):
+    """Residuals: margins are windows over the ≤|rf|×|ls| cell table;
+    exactly one lineitem scan."""
+    plan = _plan(spark, sf_dir, "agg_contingency_residuals")
+    assert plan.count("lineitem.parquet") == 1
+
+
+def test_average_precision_user_dim_window(spark, sf_dir):
+    """AP: the ranking window runs over the per-user aggregate; the
+    event stream is scanned once and reduced before any sort."""
+    plan = _plan(spark, sf_dir, "agg_average_precision")
+    assert plan.count("events.parquet") == 1
+    assert "CartesianProduct" not in plan
