@@ -322,6 +322,9 @@ HEADLINE = [
     "window_concurrency_sweep",
     "agg_contingency_residuals",
     "agg_average_precision",
+    "ts_ljung_box_q",
+    "ts_kruskal_wallis_weekday",
+    "ts_haar_wavelet_energy",
 ]
 
 def main() -> None:

@@ -6287,3 +6287,388 @@ def window_concurrency_sweep(
         F.max("depth").cast("long").alias("max_concurrent"),
         F.any_value("n_started").cast("long").alias("n_sessions_started"),
     )
+
+
+_LJUNG_BOX_ORACLE = """
+WITH daily AS (
+    SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS x
+    FROM events GROUP BY 1
+),
+idx AS (
+    SELECT x, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS i
+    FROM daily
+),
+m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx
+    FROM idx
+),
+lags AS (SELECT CAST(unnest(range(1, 11)) AS BIGINT) AS k),
+pairs AS (
+    SELECT l.k,
+           CAST(COUNT(*) AS DOUBLE) AS c,
+           CAST(SUM(a.x * b.x) AS DOUBLE) AS sab,
+           CAST(SUM(a.x) AS DOUBLE) AS sa,
+           CAST(SUM(b.x) AS DOUBLE) AS sb
+    FROM lags l
+    JOIN idx a ON TRUE
+    JOIN idx b ON b.i = a.i - l.k
+    GROUP BY l.k
+),
+r AS (
+    SELECT p.k,
+           (p.sab - (m.sx / m.n) * (p.sa + p.sb)
+              + p.c * (m.sx / m.n) * (m.sx / m.n))
+             / (m.sxx - m.n * (m.sx / m.n) * (m.sx / m.n)) AS rk,
+           m.n AS n
+    FROM pairs p CROSS JOIN m
+),
+q AS (
+    SELECT ANY_VALUE(n) AS n,
+           CAST(SUM(CAST(round(n * (n + 2) * rk * rk / (n - k), 6)
+                         AS DECIMAL(38,6))) AS DOUBLE) AS q_stat
+    FROM r
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(10 AS BIGINT) AS df,
+       round(q_stat, 6) AS ljung_box_q,
+       q_stat > 18.307 AS reject_white_noise_05
+FROM q
+"""
+
+
+@query("ts_ljung_box_q", oracle=_LJUNG_BOX_ORACLE)
+def ts_ljung_box_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count series:
+    Q = n(n+2) Σ_{k≤10} r²ₖ/(n−k) vs the χ²₁₀ 5% critical value — the
+    ONE-number white-noise test a forecaster runs on residuals, where
+    `ts_acf_multi_lag` eyeballs lags individually. Every autocovariance
+    expands to pure INTEGER sums (Σxₜxₜ₋ₖ, Σxₜ, counts — the
+    (x−x̄)(y−x̄) cross terms algebraically extracted), so no float
+    accumulates anywhere until constant scalar algebra; the shifted
+    self-join runs on the day-index frame (≤ calendar days), and the
+    10 per-lag Q terms are quantized at 6 dp into one decimal sum."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date(F.date_trunc("day", F.col("ts"))).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("x"))
+    idx = daily.select(
+        "x",
+        F.row_number().over(Win.orderBy("day")).cast("long").alias("i"),
+    ).localCheckpoint(eager=True)
+    m = idx.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    lags = spark.range(1, 11).select(F.col("id").alias("k"))
+    a = idx.crossJoin(F.broadcast(lags))
+    b = idx.select(F.col("i").alias("bi"), F.col("x").alias("bx"))
+    pairs = a.join(
+        b, F.col("bi") == F.col("i") - F.col("k")
+    ).groupBy("k").agg(
+        F.count(F.lit(1)).cast("double").alias("c"),
+        F.sum(F.col("x") * F.col("bx")).cast("double").alias("sab"),
+        F.sum("x").cast("double").alias("sa"),
+        F.sum("bx").cast("double").alias("sb"),
+    )
+    mean = F.col("sx") / F.col("n")
+    rk = (
+        F.col("sab")
+        - mean * (F.col("sa") + F.col("sb"))
+        + F.col("c") * mean * mean
+    ) / (F.col("sxx") - F.col("n") * mean * mean)
+    r = pairs.crossJoin(F.broadcast(m)).select(
+        "k", rk.alias("rk"), "n"
+    )
+    nd = F.col("n")
+    q = r.agg(
+        F.any_value("n").alias("n"),
+        F.sum(
+            F.round(
+                nd * (nd + 2) * F.col("rk") * F.col("rk")
+                / (nd - F.col("k")),
+                6,
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("q_stat"),
+    )
+    return q.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.lit(10).cast("long").alias("df"),
+        F.round("q_stat", 6).alias("ljung_box_q"),
+        (F.col("q_stat") > 18.307).alias("reject_white_noise_05"),
+    )
+
+
+_KRUSKAL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           dayofweek(CAST(o_orderdate AS DATE)) AS wd,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1, 2
+),
+vc AS (SELECT y, CAST(COUNT(*) AS BIGINT) AS l FROM daily GROUP BY y),
+rk AS (
+    SELECT y, l,
+           CAST(SUM(l) OVER (ORDER BY y
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - l
+               AS BIGINT) AS cum_before
+    FROM vc
+),
+ranked AS (
+    SELECT d.wd,
+           r.cum_before + (r.l + 1) / CAST(2 AS DOUBLE) AS midrank
+    FROM daily d JOIN rk r ON r.y = d.y
+),
+g AS (
+    SELECT wd, CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(CAST(round(midrank, 1) AS DECIMAL(38,1)))
+                AS DOUBLE) AS rsum
+    FROM ranked GROUP BY wd
+),
+tot AS (
+    SELECT CAST(SUM(ng) AS DOUBLE) AS n,
+           CAST(SUM(CAST(round(rsum * rsum / ng, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS s
+    FROM g
+),
+ties AS (
+    SELECT CAST(SUM(l * l * l - l) AS DOUBLE) AS tsum FROM vc
+)
+SELECT CAST(t.n AS BIGINT) AS n_days,
+       CAST(6 AS BIGINT) AS df,
+       round((12 / (t.n * (t.n + 1)) * t.s - 3 * (t.n + 1))
+             / (1 - ties.tsum / (t.n * t.n * t.n - t.n)), 6)
+           AS kruskal_h,
+       (12 / (t.n * (t.n + 1)) * t.s - 3 * (t.n + 1))
+         / (1 - ties.tsum / (t.n * t.n * t.n - t.n)) > 12.592
+           AS reject_same_distribution_05
+FROM tot t CROSS JOIN ties
+"""
+
+
+@query("ts_kruskal_wallis_weekday", oracle=_KRUSKAL_ORACLE)
+def ts_kruskal_wallis_weekday(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kruskal-Wallis rank test of daily revenue across the 7 weekdays:
+    H = 12/(N(N+1)) Σ R²_g/n_g − 3(N+1) with the standard tie
+    correction, vs the χ²₆ 5% critical value — the distribution-free
+    counterpart to `ts_weekday_anova` (rank-based, so one heavy-tailed
+    day can't fake or mask a weekday effect) and the k-group extension
+    of `agg_mann_whitney_u`. Midranks come from the same value-counts
+    running window as Pettitt/Wilcoxon (halves exact in
+    DECIMAL(38,1)); per-group rank sums and the tie term are one
+    7-group aggregate over the day frame."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day"),
+        F.dayofweek(F.col("o_orderdate").cast("date")).alias("wd"),
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    vc = daily.groupBy("y").agg(
+        F.count(F.lit(1)).cast("long").alias("l")
+    ).localCheckpoint(eager=True)
+    rk = vc.select(
+        "y",
+        "l",
+        (
+            F.sum("l").over(
+                Win.orderBy("y").rowsBetween(
+                    Win.unboundedPreceding, Win.currentRow
+                )
+            )
+            - F.col("l")
+        )
+        .cast("long")
+        .alias("cum_before"),
+    )
+    ranked = daily.join(rk, "y").select(
+        "wd",
+        (F.col("cum_before") + (F.col("l") + 1) / F.lit(2.0)).alias(
+            "midrank"
+        ),
+    )
+    g = ranked.groupBy("wd").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        F.sum(F.round("midrank", 1).cast("decimal(38,1)"))
+        .cast("double")
+        .alias("rsum"),
+    )
+    tot = g.agg(
+        F.sum("ng").cast("double").alias("n"),
+        F.sum(
+            F.round(
+                F.col("rsum") * F.col("rsum") / F.col("ng"), 6
+            ).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("s"),
+    )
+    ties = vc.agg(
+        F.sum(
+            F.col("l") * F.col("l") * F.col("l") - F.col("l")
+        )
+        .cast("double")
+        .alias("tsum")
+    )
+    n, s = F.col("n"), F.col("s")
+    h_raw = 12 / (n * (n + 1)) * s - 3 * (n + 1)
+    h = h_raw / (
+        1 - F.col("tsum") / (n * n * n - n)
+    )
+    return tot.crossJoin(F.broadcast(ties)).select(
+        n.cast("long").alias("n_days"),
+        F.lit(6).cast("long").alias("df"),
+        F.round(h, 6).alias("kruskal_h"),
+        (h > 12.592).alias("reject_same_distribution_05"),
+    )
+
+
+_HAAR_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT y, CAST(row_number() OVER (ORDER BY day) - 1 AS BIGINT) AS i
+    FROM daily
+),
+l1 AS (
+    SELECT i // 2 AS i,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN CAST(round(y, 2)
+                         AS DECIMAL(38,2))
+                    ELSE -CAST(round(y, 2) AS DECIMAL(38,2)) END)
+                AS DOUBLE) AS d,
+           CAST(SUM(CAST(round(y, 2) AS DECIMAL(38,2))) AS DOUBLE) AS a
+    FROM idx GROUP BY i // 2 HAVING COUNT(*) = 2
+),
+l2 AS (
+    SELECT i // 2 AS i,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN CAST(a AS DECIMAL(38,2))
+                    ELSE -CAST(a AS DECIMAL(38,2)) END) AS DOUBLE) AS d,
+           CAST(SUM(CAST(a AS DECIMAL(38,2))) AS DOUBLE) AS a
+    FROM l1 GROUP BY i // 2 HAVING COUNT(*) = 2
+),
+l3 AS (
+    SELECT i // 2 AS i,
+           CAST(SUM(CASE WHEN i % 2 = 0 THEN CAST(a AS DECIMAL(38,2))
+                    ELSE -CAST(a AS DECIMAL(38,2)) END) AS DOUBLE) AS d,
+           CAST(SUM(CAST(a AS DECIMAL(38,2))) AS DOUBLE) AS a
+    FROM l2 GROUP BY i // 2 HAVING COUNT(*) = 2
+),
+energies AS (
+    SELECT 1 AS level, CAST(COUNT(*) AS BIGINT) AS n_coeffs,
+           CAST(SUM(CAST(round(d * d, 2) AS DECIMAL(38,2))) AS DOUBLE)
+               AS energy
+    FROM l1
+    UNION ALL
+    SELECT 2, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(round(d * d, 2) AS DECIMAL(38,2))) AS DOUBLE)
+    FROM l2
+    UNION ALL
+    SELECT 3, CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CAST(round(d * d, 2) AS DECIMAL(38,2))) AS DOUBLE)
+    FROM l3
+),
+tot AS (SELECT SUM(CAST(energy AS DECIMAL(38,2))) AS t FROM energies)
+SELECT CAST(level AS BIGINT) AS level, n_coeffs,
+       round(energy, 2) AS energy,
+       round(energy / CAST(t.t AS DOUBLE), 6) AS energy_share
+FROM energies CROSS JOIN tot t
+"""
+
+
+@query("ts_haar_wavelet_energy", oracle=_HAAR_ORACLE)
+def ts_haar_wavelet_energy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Unnormalized Haar wavelet energy decomposition of daily revenue,
+    3 dyadic levels: level-1 details capture day-to-day flicker,
+    level-3 the ~week-scale swings — the time-LOCALIZED complement to
+    `ts_fourier_top_periods` (a transient spike spreads across every
+    Fourier bin but lands in ONE wavelet coefficient). Unnormalized
+    lifting (d = a−b, a' = a+b, the 1/2 factors folded into the
+    documented 2^level scaling) keeps every coefficient on the exact
+    2-dp decimal grid at every level, so energies are plain decimal
+    sums — no float accumulation, no quantization drift. Each level is
+    one pair-index groupBy of a frame that HALVES per level (odd tails
+    dropped by the pair-completeness filter); the fact table is
+    touched once."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    idx = daily.select(
+        F.round("y", 2).cast("decimal(38,2)").alias("a"),
+        (F.row_number().over(Win.orderBy("day")) - 1)
+        .cast("long")
+        .alias("i"),
+    ).localCheckpoint(eager=True)
+
+    def lift(frame):
+        signed = F.when(
+            F.col("i") % 2 == 0, F.col("a").cast("decimal(38,2)")
+        ).otherwise(-F.col("a").cast("decimal(38,2)"))
+        return (
+            frame.groupBy((F.col("i") / 2).cast("long").alias("i"))
+            .agg(
+                F.sum(signed).cast("double").alias("d"),
+                F.sum(F.col("a").cast("decimal(38,2)"))
+                .cast("double")
+                .alias("a"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .where(F.col("_n") == 2)
+            .drop("_n")
+            .localCheckpoint(eager=True)
+        )
+
+    levels = []
+    cur = idx
+    for lv in (1, 2, 3):
+        cur = lift(cur)
+        levels.append(
+            cur.agg(
+                F.lit(lv).cast("long").alias("level"),
+                F.count(F.lit(1)).cast("long").alias("n_coeffs"),
+                F.sum(
+                    F.round(F.col("d") * F.col("d"), 2).cast(
+                        "decimal(38,2)"
+                    )
+                )
+                .cast("double")
+                .alias("energy"),
+            )
+        )
+    energies = levels[0].unionByName(levels[1]).unionByName(levels[2])
+    energies = energies.localCheckpoint(eager=True)
+    tot = energies.agg(
+        F.sum(F.col("energy").cast("decimal(38,2)")).alias("t")
+    )
+    return energies.crossJoin(F.broadcast(tot)).select(
+        "level",
+        "n_coeffs",
+        F.round("energy", 2).alias("energy"),
+        F.round(
+            F.col("energy") / F.col("t").cast("double"), 6
+        ).alias("energy_share"),
+    )

@@ -1446,3 +1446,30 @@ def test_average_precision_user_dim_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_average_precision")
     assert plan.count("events.parquet") == 1
     assert "CartesianProduct" not in plan
+
+
+def test_ljung_box_integer_sums_day_frame(spark, sf_dir):
+    """Ljung-Box: autocovariances from integer sums over the
+    checkpointed day-index frame — the single events pass sits behind
+    the checkpoint, so the visible plan re-scans nothing."""
+    plan = _plan(spark, sf_dir, "ts_ljung_box_q")
+    assert plan.count("events.parquet") == 0
+    assert "CartesianProduct" not in plan
+
+
+def test_kruskal_midranks_value_counts(spark, sf_dir):
+    """Kruskal-Wallis: midranks via the value-counts running window
+    (checkpointed), group sums one 7-group aggregate — one orders
+    scan feeding both the dailies and the rank join."""
+    plan = _plan(spark, sf_dir, "ts_kruskal_wallis_weekday")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_haar_levels_halve_behind_checkpoints(spark, sf_dir):
+    """Haar: each lifting level is one pair-index groupBy of a frame
+    that halves; the fact pass sits behind the first checkpoint, so
+    the visible plan re-scans nothing."""
+    plan = _plan(spark, sf_dir, "ts_haar_wavelet_energy")
+    assert plan.count("orders.parquet") == 0
+    assert "CartesianProduct" not in plan
