@@ -325,6 +325,9 @@ HEADLINE = [
     "ts_ljung_box_q",
     "ts_kruskal_wallis_weekday",
     "ts_haar_wavelet_energy",
+    "mm_image_tile_stats",
+    "pyfunc_mapinpandas_minmax",
+    "stream_hist_quantile_sketch",
 ]
 
 def main() -> None:

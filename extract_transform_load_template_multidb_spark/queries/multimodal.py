@@ -776,3 +776,43 @@ def mm_image_edge_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, bit-identical to the decode pass."""
     ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
     return mm.edge_density(ppm)
+
+
+_TILE_ORACLE = """
+WITH px AS (
+    SELECT doc_id AS asset_id,
+           substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+),
+tiles AS (
+    SELECT asset_id, t.tr, t.tc, p
+    FROM px, (VALUES (0, 0), (0, 1), (1, 0), (1, 1)) AS t(tr, tc)
+),
+sums AS (
+    SELECT asset_id, tr, tc,
+           CAST(list_sum(list_transform(range(0, 12), j ->
+               ord(substr(p,
+                   ((tr * 2 + (j // 6)) * 4 + tc * 2 + ((j // 3) % 2))
+                     * 3 + (j % 3) + 1, 1)))) AS BIGINT) AS s
+    FROM tiles
+)
+SELECT asset_id, CAST(tr AS INT) AS tile_row, CAST(tc AS INT) AS tile_col,
+       CAST(4 AS BIGINT) AS n_pixels,
+       s / CAST(12 AS DOUBLE) AS mean_luminance,
+       CAST(NULL AS VARCHAR) AS err
+FROM sums
+"""
+
+
+@query("mm_image_tile_stats", oracle=_TILE_ORACLE)
+def mm_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2×2 tile-grid mean luminance from REAL decoded PPM pixels — the
+    patch-statistics screen that catches vignetting/banding a global
+    histogram (`mm_ppm_channel_histogram`) averages away. Each 4×4
+    fixture image yields four 2×2 tiles; the tile sum is exact integer
+    arithmetic inside the Arrow decode pass, so the ``ord()`` oracle
+    rebuilds every mean bit-identically (tile (tr,tc) pixel j maps to
+    image pixel (2tr + j//6·…) — the flattened RGB index algebra in the
+    SQL mirrors numpy's slicing exactly)."""
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    return mm.tile_stats(ppm, grid=2)

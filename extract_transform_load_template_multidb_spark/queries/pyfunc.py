@@ -225,3 +225,58 @@ def pyfunc_cogrouped_user_profile(
             "event_after_order_days int",
         )
     )
+
+
+_MINMAX_ORACLE = """
+WITH clean AS (
+    SELECT event_id, value AS v FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+),
+b AS (SELECT MIN(v) AS lo, MAX(v) AS hi FROM clean)
+SELECT c.event_id,
+       round((c.v - b.lo) / (b.hi - b.lo), 6) AS scaled
+FROM clean c CROSS JOIN b
+"""
+
+
+@query("pyfunc_mapinpandas_minmax", oracle=_MINMAX_ORACLE)
+def pyfunc_mapinpandas_minmax(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Min-max scaling of ``events.value`` through ``mapInPandas`` — the
+    remaining Arrow escape-hatch API this family pins (scalar
+    pandas_udf, applyInPandas, UDTF and cogroup are covered by the
+    other four). The global bounds come from a 1-row JVM aggregate
+    broadcast onto the stream BEFORE the Python hop, so the map stays
+    narrow (no state in Python, batches independent) and the arithmetic
+    — one subtract, one divide per value — is the same IEEE double op
+    in numpy, Spark SQL and DuckDB: bit-identical without quantization.
+    At scale this is the canonical feature-scaling pass: one bounds
+    aggregate + one Arrow-batched narrow map."""
+    from collections.abc import Iterator
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = ev.where(
+        ~F.isnan(v) & ~v.isin(float("inf"), float("-inf"))
+    ).select("event_id", v.alias("v"))
+    bounds = clean.agg(F.min("v").alias("lo"), F.max("v").alias("hi"))
+    withb = clean.crossJoin(F.broadcast(bounds))
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "scaled": (pdf["v"] - pdf["lo"])
+                    / (pdf["hi"] - pdf["lo"]),
+                }
+            )
+            yield out
+
+    # Quantize JVM-side, not in pandas: numpy's round is half-to-even
+    # while Spark/DuckDB round half-away — same raw IEEE value in, same
+    # rounding rule out.
+    return withb.mapInPandas(
+        fn, "event_id bigint, scaled double"
+    ).select("event_id", F.round("scaled", 6).alias("scaled"))

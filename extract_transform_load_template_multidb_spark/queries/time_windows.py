@@ -6672,3 +6672,118 @@ def ts_haar_wavelet_energy(
             F.col("energy") / F.col("t").cast("double"), 6
         ).alias("energy_share"),
     )
+
+
+_HIST_LO, _HIST_HI, _HIST_BINS = 0.0, 500.0, 100
+
+_HIST_QUANTILE_ORACLE = f"""
+WITH clean AS (
+    SELECT make_timestamp((epoch_us(ts) // {_HOUR_US}) * {_HOUR_US})
+               AS window_start,
+           value AS v
+    FROM events
+    WHERE NOT isnan(value) AND isfinite(value)
+),
+binned AS (
+    SELECT window_start,
+           least(greatest(CAST(floor((v - {_HIST_LO})
+               / (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS}))
+               AS BIGINT), 0), {_HIST_BINS} - 1) AS bin
+    FROM clean
+),
+cells AS (
+    SELECT window_start, bin, CAST(COUNT(*) AS BIGINT) AS c
+    FROM binned GROUP BY window_start, bin
+),
+cum AS (
+    SELECT window_start, bin, c,
+           SUM(c) OVER (PARTITION BY window_start ORDER BY bin
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc,
+           SUM(c) OVER (PARTITION BY window_start) AS n
+    FROM cells
+),
+pick AS (
+    SELECT window_start, n,
+           MIN(CASE WHEN cc * 20 >= n * 19 THEN bin END) AS p95_bin
+    FROM cum GROUP BY window_start, n
+)
+SELECT window_start,
+       CAST(n AS BIGINT) AS n_values,
+       CAST(p95_bin AS BIGINT) AS p95_bin,
+       round({_HIST_LO} + p95_bin
+             * (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS}), 6)
+           AS p95_bin_lo,
+       round({_HIST_LO} + (p95_bin + 1)
+             * (({_HIST_HI} - {_HIST_LO}) / {_HIST_BINS}), 6)
+           AS p95_bin_hi
+FROM pick
+"""
+
+
+@query("stream_hist_quantile_sketch", oracle=_HIST_QUANTILE_ORACLE)
+def stream_hist_quantile_sketch(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hourly p95 of ``events.value`` from a FIXED-bin histogram sketch
+    (100 equal bins over the a-priori [0, 500] domain, out-of-range
+    clamped to the edge bins): the quantile is bracketed by the first
+    bin whose cumulative count reaches 95% — exact integer arithmetic
+    (cc·20 ≥ n·19, no float quantile position). Unlike exact
+    percentiles, the histogram is a PLAIN windowed count aggregate —
+    mergeable, fixed 100-counter state per window — so the identical
+    builder is streaming-legal under a watermark (state size never
+    depends on value cardinality) and partition-merge-safe at any
+    scale; the bin→quantile extraction runs on the ≤100-row-per-window
+    cell table. Reports the bracketing bin edges, making the sketch's
+    resolution (bin width 5.0) explicit rather than implying a point
+    estimate."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    width = (_HIST_HI - _HIST_LO) / _HIST_BINS
+    clean = ev.where(
+        ~F.isnan(v) & ~v.isin(float("inf"), float("-inf"))
+    ).select(
+        F.timestamp_micros(
+            (F.unix_micros("ts") / F.lit(_HOUR_US)).cast("long")
+            * F.lit(_HOUR_US)
+        ).alias("window_start"),
+        F.least(
+            F.greatest(
+                F.floor((v - F.lit(_HIST_LO)) / F.lit(width)).cast(
+                    "long"
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(_HIST_BINS - 1).cast("long"),
+        ).alias("bin"),
+    )
+    cells = clean.groupBy("window_start", "bin").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    ww = Win.partitionBy("window_start")
+    cum = cells.select(
+        "window_start",
+        "bin",
+        F.sum("c")
+        .over(ww.orderBy("bin").rowsBetween(Win.unboundedPreceding, 0))
+        .alias("cc"),
+        F.sum("c").over(ww).alias("n"),
+    )
+    pick = cum.groupBy("window_start", "n").agg(
+        F.min(
+            F.when(F.col("cc") * 20 >= F.col("n") * 19, F.col("bin"))
+        ).alias("p95_bin")
+    )
+    return pick.select(
+        "window_start",
+        F.col("n").cast("long").alias("n_values"),
+        F.col("p95_bin").cast("long").alias("p95_bin"),
+        F.round(
+            F.lit(_HIST_LO) + F.col("p95_bin") * F.lit(width), 6
+        ).alias("p95_bin_lo"),
+        F.round(
+            F.lit(_HIST_LO) + (F.col("p95_bin") + 1) * F.lit(width), 6
+        ).alias("p95_bin_hi"),
+    )

@@ -1473,3 +1473,31 @@ def test_haar_levels_halve_behind_checkpoints(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_haar_wavelet_energy")
     assert plan.count("orders.parquet") == 0
     assert "CartesianProduct" not in plan
+
+
+def test_tile_stats_arrow_only_python(spark, sf_dir):
+    """Tile stats: the decode pass must be Arrow-batched mapInPandas
+    (ArrowEvalPython/MapInPandas), never row-at-a-time BatchEvalPython,
+    and a narrow map — no shuffle before the Python hop."""
+    plan = _plan(spark, sf_dir, "mm_image_tile_stats")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan or "ArrowEvalPython" in plan
+
+
+def test_minmax_bounds_before_python_hop(spark, sf_dir):
+    """mapInPandas minmax: the bounds aggregate broadcasts onto the
+    stream BEFORE the Python hop; the map is narrow and Arrow-batched."""
+    plan = _plan(spark, sf_dir, "pyfunc_mapinpandas_minmax")
+    assert "BatchEvalPython" not in plan
+    assert "MapInPandas" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_hist_sketch_fixed_state_aggregate(spark, sf_dir):
+    """Histogram sketch: the per-window state is a plain (window, bin)
+    count aggregate — partial+final around one exchange, quantile
+    extraction windowed over the ≤100-bin cell table."""
+    plan = _plan(spark, sf_dir, "stream_hist_quantile_sketch")
+    assert plan.count("HashAggregate") >= 2
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
