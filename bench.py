@@ -328,6 +328,9 @@ HEADLINE = [
     "mm_image_tile_stats",
     "pyfunc_mapinpandas_minmax",
     "stream_hist_quantile_sketch",
+    "window_alert_debounce",
+    "join_disjunctive_union_rewrite",
+    "agg_confusion_threshold_metrics",
 ]
 
 def main() -> None:

@@ -9358,3 +9358,184 @@ def agg_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             "average_precision"
         ),
     )
+
+
+_DISJUNCTIVE_ORACLE = """
+WITH a AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+b AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN orders o
+      ON CAST(l.l_shipdate AS DATE) = CAST(o.o_orderdate AS DATE)
+),
+ab AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem l JOIN orders o
+      ON l.l_orderkey = o.o_orderkey
+     AND CAST(l.l_shipdate AS DATE) = CAST(o.o_orderdate AS DATE)
+)
+SELECT a.n AS n_key_match,
+       b.n AS n_date_match,
+       ab.n AS n_both,
+       a.n + b.n - ab.n AS n_disjunctive_union
+FROM a CROSS JOIN b CROSS JOIN ab
+"""
+
+
+@query("join_disjunctive_union_rewrite", oracle=_DISJUNCTIVE_ORACLE)
+def join_disjunctive_union_rewrite(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """OR-predicate join cardinality via the union rewrite: the naive
+    ``ON a=x OR b=y`` join cannot hash on either key, so Spark (and
+    every hash engine) falls back to a nested-loop/cartesian — the
+    single worst plan shape at 100 TB. The rewrite runs each disjunct
+    as its own EQUI-join and combines by inclusion-exclusion
+    |A∪B| = |A|+|B|−|A∩B| — three hash joins, zero nested loops, no
+    union materialization at all for a count. Here: lineitem×orders
+    matched by key OR by ship-date=order-date; the A∩B leg hashes on
+    the composite key. The pattern generalizes to materializing rows
+    (union + dropDuplicates on the pair key) when the payload is
+    needed."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
+    )
+    a = li.join(
+        o, li["l_orderkey"] == o["o_orderkey"]
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_key_match"))
+    b = li.join(o, li["sd"] == o["od"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_date_match")
+    )
+    ab = li.join(
+        o,
+        (li["l_orderkey"] == o["o_orderkey"]) & (li["sd"] == o["od"]),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_both"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(ab))
+        .select(
+            "n_key_match",
+            "n_date_match",
+            "n_both",
+            (
+                F.col("n_key_match")
+                + F.col("n_date_match")
+                - F.col("n_both")
+            ).alias("n_disjunctive_union"),
+        )
+    )
+
+
+_CONFUSION_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(COUNT(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                      THEN 1 END) AS BIGINT) AS score,
+           CAST(SUM(CAST(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                              THEN value ELSE 0 END AS DECIMAL(38,6)))
+                > SUM(CAST(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                                THEN value ELSE 0 END AS DECIMAL(38,6)))
+               AS INT) AS y
+    FROM events GROUP BY user_id
+),
+c AS (
+    SELECT CAST(SUM(CASE WHEN score >= 34 AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tp,
+           CAST(SUM(CASE WHEN score >= 34 AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fp,
+           CAST(SUM(CASE WHEN score < 34 AND y = 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS fn,
+           CAST(SUM(CASE WHEN score < 34 AND y = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS tn
+    FROM per_user
+)
+SELECT tp, fp, fn, tn,
+       round(tp / CAST(tp + fp AS DOUBLE), 6) AS precision_,
+       round(tp / CAST(tp + fn AS DOUBLE), 6) AS recall_,
+       round(2.0 * tp / CAST(2 * tp + fp + fn AS DOUBLE), 6) AS f1,
+       round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+             / sqrt(CAST(tp + fp AS DOUBLE) * (tp + fn)
+                    * (tn + fp) * (tn + fn)), 6) AS mcc
+FROM c
+"""
+
+
+@query("agg_confusion_threshold_metrics", oracle=_CONFUSION_ORACLE)
+def agg_confusion_threshold_metrics(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Thresholded confusion matrix + precision/recall/F1/MCC at the
+    fixed operating point score ≥ 34 (the score median, so every margin is populated at all fixture scales), over the same early-activity
+    score / later-spend label as `agg_auc_rank_sum` — the DEPLOYED
+    metric set (AUC/AP grade the ranking; a shipped model runs at one
+    threshold, and MCC is the single number robust to class
+    imbalance). Four conditional counts in one per-user pass; every
+    derived metric is exact-integer algebra with one final sqrt."""
+    cut = F.lit("2024-01-16").cast("timestamp")
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("ts") < cut, 1))
+        .cast("long")
+        .alias("score"),
+        (
+            F.sum(
+                F.when(F.col("ts") >= cut, F.col("value"))
+                .otherwise(0)
+                .cast("decimal(38,6)")
+            )
+            > F.sum(
+                F.when(F.col("ts") < cut, F.col("value"))
+                .otherwise(0)
+                .cast("decimal(38,6)")
+            )
+        )
+        .cast("int")
+        .alias("y"),
+    )
+    pred = F.col("score") >= 34
+    c = per_user.agg(
+        F.sum(F.when(pred & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("tp"),
+        F.sum(F.when(pred & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("fp"),
+        F.sum(F.when(~pred & (F.col("y") == 1), 1).otherwise(0))
+        .cast("long")
+        .alias("fn"),
+        F.sum(F.when(~pred & (F.col("y") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("tn"),
+    )
+    tp, fp, fn, tn = (
+        F.col("tp"),
+        F.col("fp"),
+        F.col("fn"),
+        F.col("tn"),
+    )
+    return c.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(tp / (tp + fp).cast("double"), 6).alias("precision_"),
+        F.round(tp / (tp + fn).cast("double"), 6).alias("recall_"),
+        F.round(
+            2.0 * tp / (2 * tp + fp + fn).cast("double"), 6
+        ).alias("f1"),
+        F.round(
+            (tp.cast("double") * tn - fp.cast("double") * fn)
+            / F.sqrt(
+                (tp + fp).cast("double")
+                * (tp + fn)
+                * (tn + fp)
+                * (tn + fn)
+            ),
+            6,
+        ).alias("mcc"),
+    )

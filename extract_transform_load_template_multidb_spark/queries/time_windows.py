@@ -6787,3 +6787,82 @@ def stream_hist_quantile_sketch(
             F.lit(_HIST_LO) + (F.col("p95_bin") + 1) * F.lit(width), 6
         ).alias("p95_bin_hi"),
     )
+
+
+_DEBOUNCE_ORACLE = f"""
+WITH hourly AS (
+    SELECT (epoch_us(ts) // {_HOUR_US}) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                AS BIGINT) AS n_err
+    FROM events GROUP BY 1
+),
+state AS (
+    SELECT hr, n, n_err,
+           CASE WHEN n_err * 5 > n THEN 1 ELSE 0 END AS s
+    FROM hourly
+),
+lagged AS (
+    SELECT hr, n_err, n, s,
+           lag(s, 1) OVER (ORDER BY hr) AS s1,
+           lag(s, 2) OVER (ORDER BY hr) AS s2
+    FROM state
+)
+SELECT make_timestamp(hr * {_HOUR_US}) AS alert_hour,
+       n_err, n,
+       round(n_err / CAST(n AS DOUBLE), 6) AS error_rate
+FROM lagged
+WHERE s = 1 AND s1 = 1 AND COALESCE(s2, 0) = 0
+"""
+
+
+@query("window_alert_debounce", oracle=_DEBOUNCE_ORACLE)
+def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounced alerting on the hourly error rate: the raw condition
+    (errors > 20% of events) flaps, so an alert FIRES only on the
+    second consecutive breaching hour after a clear hour (s=1, s₋₁=1,
+    s₋₂=0) — the hysteresis every paging pipeline applies so one noisy
+    hour can't page. The condition is exact integer arithmetic
+    (n_err·5 > n, no float threshold), evaluated over the hourly
+    rollup: one fact aggregate, one ordered lag window over the
+    ≤hours-count frame. Emits the firing hours with their rates."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        (F.unix_micros("ts") / F.lit(_HOUR_US)).cast("long").alias("hr")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("n_err"),
+    )
+    s = F.when(F.col("n_err") * 5 > F.col("n"), 1).otherwise(0)
+    w = Win.orderBy("hr")
+    lagged = hourly.select(
+        "hr",
+        "n_err",
+        "n",
+        s.alias("s"),
+    ).select(
+        "hr",
+        "n_err",
+        "n",
+        "s",
+        F.lag("s", 1).over(w).alias("s1"),
+        F.lag("s", 2).over(w).alias("s2"),
+    )
+    return lagged.where(
+        (F.col("s") == 1)
+        & (F.col("s1") == 1)
+        & (F.coalesce(F.col("s2"), F.lit(0)) == 0)
+    ).select(
+        F.timestamp_micros(F.col("hr") * F.lit(_HOUR_US)).alias(
+            "alert_hour"
+        ),
+        "n_err",
+        "n",
+        F.round(
+            F.col("n_err") / F.col("n").cast("double"), 6
+        ).alias("error_rate"),
+    )

@@ -1501,3 +1501,32 @@ def test_hist_sketch_fixed_state_aggregate(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_debounce_hourly_rollup_window(spark, sf_dir):
+    """Debounce: one fact aggregate to the hourly frame, lags over the
+    ≤hours frame — exact integer condition, no float threshold."""
+    plan = _plan(spark, sf_dir, "window_alert_debounce")
+    assert plan.count("events.parquet") == 1
+    assert "Window" in plan
+
+
+def test_disjunctive_rewrite_all_hash_joins(spark, sf_dir):
+    """Disjunctive rewrite: every disjunct leg is a HASH join (the
+    whole point — the naive OR join would be a nested loop); the only
+    nested loops are the two 1-row count combines."""
+    plan = _plan(spark, sf_dir, "join_disjunctive_union_rewrite")
+    assert "CartesianProduct" not in plan
+    assert (
+        plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin") >= 3
+    )
+    assert plan.count("BroadcastNestedLoopJoin") <= 2
+
+
+def test_confusion_one_pass_conditional_counts(spark, sf_dir):
+    """Confusion metrics: one per-user pass, one 4-cell conditional
+    aggregate — exactly one events scan, no join."""
+    plan = _plan(spark, sf_dir, "agg_confusion_threshold_metrics")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
