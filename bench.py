@@ -331,6 +331,9 @@ HEADLINE = [
     "window_alert_debounce",
     "join_disjunctive_union_rewrite",
     "agg_confusion_threshold_metrics",
+    "text_phrase_search_positional",
+    "window_clamped_running_balance",
+    "dq_duplicate_payment_detector",
 ]
 
 def main() -> None:

@@ -2020,3 +2020,74 @@ def dq_population_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
             (p_a - p_e) * F.round(F.log(p_a / p_e), 6), 6
         ).alias("psi_contrib"),
     )
+
+
+_DUP_PAYMENT_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey AS ok, o_custkey AS ck, o_totalprice AS price,
+           CAST(o_orderdate AS DATE) AS day
+    FROM orders
+)
+SELECT a.ck AS custkey,
+       CAST(floor(a.price / 5000) AS BIGINT) AS amount_bucket,
+       a.ok AS first_orderkey,
+       b.ok AS second_orderkey,
+       CAST(datediff('day', a.day, b.day) AS BIGINT) AS days_apart
+FROM o a JOIN o b
+  ON a.ck = b.ck
+ AND CAST(floor(a.price / 5000) AS BIGINT)
+       = CAST(floor(b.price / 5000) AS BIGINT)
+ AND a.ok < b.ok
+WHERE datediff('day', a.day, b.day) BETWEEN -90 AND 90
+"""
+
+
+@query("dq_duplicate_payment_detector", oracle=_DUP_PAYMENT_ORACLE)
+def dq_duplicate_payment_detector(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Duplicate-transaction audit: pairs of orders by the SAME customer
+    in the same $5000 amount bucket within ±90 days — the
+    accounts-payable double-payment screen (near-amount repeats in a
+    window are resubmission candidates for manual review). The
+    self-join is an EQUI-join on the (custkey, amount-bucket) blocking
+    key — the date window is a residual filter, never a join condition
+    — so pair volume is Σ block_size², bounded by how often one
+    customer repeats one price band, not |orders|²; the orderkey
+    ordering canonicalizes each pair once. At skewed scale, cap or
+    salt oversized blocks exactly as the dedup pair-generators do;
+    boundary-straddling near-amounts need the two-bucket probe the
+    LSH band joins use."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_custkey").alias("ck"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    )
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.ck") == F.col("b.ck"))
+            & (
+                F.floor(F.col("a.price") / 5000).cast("long")
+                == F.floor(F.col("b.price") / 5000).cast("long")
+            )
+            & (F.col("a.ok") < F.col("b.ok")),
+        )
+        .where(
+            F.datediff(F.col("b.day"), F.col("a.day")).between(-90, 90)
+        )
+        .select(
+            F.col("a.ck").alias("custkey"),
+            F.floor(F.col("a.price") / 5000)
+            .cast("long")
+            .alias("amount_bucket"),
+            F.col("a.ok").alias("first_orderkey"),
+            F.col("b.ok").alias("second_orderkey"),
+            F.datediff(F.col("b.day"), F.col("a.day"))
+            .cast("long")
+            .alias("days_apart"),
+        )
+    )

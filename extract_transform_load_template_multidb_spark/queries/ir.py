@@ -493,3 +493,70 @@ def text_ndcg_at_10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("idcg", 6).alias("idcg_at_10"),
         F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg_at_10"),
     )
+
+
+_PHRASE_ORACLE = f"""
+WITH {_SQL_TOKS},
+pos AS (
+    SELECT doc_id, t[i] AS w, i
+    FROM toks_list, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i)
+),
+first AS (SELECT doc_id, i FROM pos WHERE w = 'hash'),
+second AS (SELECT doc_id, i FROM pos WHERE w = 'join'),
+hits AS (
+    SELECT f.doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(f.i) AS BIGINT) AS first_pos
+    FROM first f JOIN second s
+      ON s.doc_id = f.doc_id AND s.i = f.i + 1
+    GROUP BY f.doc_id
+)
+SELECT doc_id, n_occurrences, first_pos
+FROM hits
+ORDER BY n_occurrences DESC, doc_id
+LIMIT 25
+"""
+
+
+@query("text_phrase_search_positional", oracle=_PHRASE_ORACLE)
+def text_phrase_search_positional(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact phrase search ('hash join') via a positional inverted
+    index: tokenize with positions, restrict the posting list to the
+    two query terms, and match adjacency with an equi-join on
+    (doc, pos+1) — the operator BM25 bag-of-words retrieval
+    (`text_bm25_search`) cannot express, and the backbone of every
+    phrase/proximity query engine. The position join touches ONLY the
+    two terms' postings (selectivity = term frequency, not corpus
+    size), joins on composite integer keys, and never materializes
+    full positional lists for non-query terms past the filter."""
+    from pyspark.sql import Window
+    docs = load_table(spark, sf_dir, "documents")
+    pos = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("i0", "w"),
+    ).select("doc_id", "w", (F.col("i0") + 1).alias("i"))
+    first = pos.where(F.col("w") == "hash").select("doc_id", "i")
+    second = pos.where(F.col("w") == "join").select(
+        F.col("doc_id").alias("d2"), F.col("i").alias("i2")
+    )
+    hits = (
+        first.join(
+            second,
+            (F.col("d2") == F.col("doc_id"))
+            & (F.col("i2") == F.col("i") + 1),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("i").cast("long").alias("first_pos"),
+        )
+    )
+    return hits.orderBy(
+        F.col("n_occurrences").desc(), "doc_id"
+    ).limit(25)

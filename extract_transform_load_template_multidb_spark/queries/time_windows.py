@@ -6866,3 +6866,99 @@ def window_alert_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_err") / F.col("n").cast("double"), 6
         ).alias("error_rate"),
     )
+
+
+_CLAMPED_BALANCE_ORACLE = """
+WITH flows AS (
+    SELECT l_partkey AS part, CAST(l_shipdate AS DATE) AS day,
+           CAST(SUM(CASE WHEN l_returnflag = 'R'
+                         THEN CAST(l_quantity AS BIGINT)
+                         ELSE -CAST(l_quantity AS BIGINT) END)
+                AS BIGINT) AS net
+    FROM lineitem
+    WHERE l_partkey % 100 = 0
+    GROUP BY 1, 2
+),
+prefix AS (
+    SELECT part, day, net,
+           SUM(net) OVER (PARTITION BY part ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+    FROM flows
+),
+run AS (
+    SELECT part, day, net, s,
+           MIN(s) OVER (PARTITION BY part ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS min_prefix
+    FROM prefix
+)
+SELECT part, day, net,
+       CAST(s - least(min_prefix, 0) AS BIGINT) AS clamped_balance
+FROM run
+"""
+
+
+@query("window_clamped_running_balance", oracle=_CLAMPED_BALANCE_ORACLE)
+def window_clamped_running_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Running inventory balance clamped at zero — the sequential
+    recurrence B_t = max(B_{t−1} + d_t, 0) looks un-distributable, but
+    for a single floor it has the closed form
+    B_t = S_t − min(0, min_{j≤t} S_j) (the clamp can only ever absorb
+    the deepest prefix deficit so far; induction on t), so it computes
+    as a plain prefix sum plus a running MIN over that sum — two
+    stacked windows on the same (part, day) ordering, one exchange,
+    fully distributed. This is the warehouse stock / account-balance /
+    rate-limiter-token primitive that naive implementations serialize.
+    Returns-in vs shipments-out per part (part % 100 = 0 sample keeps
+    the result reviewable); all arithmetic integer-exact."""
+    from pyspark.sql import Window as Win, functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    flows = (
+        li.where(F.col("l_partkey") % 100 == 0)
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.col("l_shipdate").cast("date").alias("day"),
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("l_returnflag") == "R",
+                    F.col("l_quantity").cast("long"),
+                ).otherwise(-F.col("l_quantity").cast("long"))
+            )
+            .cast("long")
+            .alias("net")
+        )
+    )
+    w = Win.partitionBy("part").orderBy("day").rowsBetween(
+        Win.unboundedPreceding, 0
+    )
+    run = flows.select(
+        "part",
+        "day",
+        "net",
+        F.sum("net").over(w).alias("s"),
+    ).select(
+        "part",
+        "day",
+        "net",
+        "s",
+        F.min("s")
+        .over(
+            Win.partitionBy("part")
+            .orderBy("day")
+            .rowsBetween(Win.unboundedPreceding, 0)
+        )
+        .alias("min_prefix"),
+    )
+    return run.select(
+        "part",
+        "day",
+        "net",
+        (F.col("s") - F.least(F.col("min_prefix"), F.lit(0)))
+        .cast("long")
+        .alias("clamped_balance"),
+    )

@@ -1530,3 +1530,30 @@ def test_confusion_one_pass_conditional_counts(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_confusion_threshold_metrics")
     assert plan.count("events.parquet") == 1
     assert "Join" not in plan
+
+
+def test_phrase_search_postings_filtered_before_join(spark, sf_dir):
+    """Phrase search: the adjacency join touches only the two query
+    terms' postings — the word filter must sit below the join, and the
+    join is an equi-join on (doc, position)."""
+    plan = _plan(spark, sf_dir, "text_phrase_search_positional")
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_clamped_balance_two_stacked_windows(spark, sf_dir):
+    """Clamped balance: prefix sum + running min on ONE (part, day)
+    exchange — no recursive/self-join fallback for the sequential
+    recurrence."""
+    plan = _plan(spark, sf_dir, "window_clamped_running_balance")
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning(part") >= 1
+
+
+def test_dup_payment_equi_blocked_self_join(spark, sf_dir):
+    """Duplicate-payment audit: the self-join must hash on the
+    (custkey, bucket) blocking key; the date window is a residual
+    filter, never a nested-loop condition."""
+    plan = _plan(spark, sf_dir, "dq_duplicate_payment_detector")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
