@@ -334,6 +334,8 @@ HEADLINE = [
     "text_phrase_search_positional",
     "window_clamped_running_balance",
     "dq_duplicate_payment_detector",
+    "scd2_as_was_vs_as_is",
+    "join_nearest_price_neighbor",
 ]
 
 def main() -> None:

@@ -9539,3 +9539,131 @@ def agg_confusion_threshold_metrics(
             6,
         ).alias("mcc"),
     )
+
+
+_NN1D_ORACLE = """
+WITH o AS (
+    SELECT o_orderkey AS ok, o_totalprice AS p FROM orders
+),
+seq AS (
+    SELECT ok, p,
+           lag(p) OVER w AS prev_p, lag(ok) OVER w AS prev_k,
+           lead(p) OVER w AS next_p, lead(ok) OVER w AS next_k
+    FROM o WINDOW w AS (ORDER BY p, ok)
+)
+SELECT ok AS orderkey, p AS price,
+       CASE WHEN prev_p IS NULL THEN next_k
+            WHEN next_p IS NULL THEN prev_k
+            WHEN p - prev_p <= next_p - p THEN prev_k
+            ELSE next_k END AS neighbor_key,
+       round(CASE WHEN prev_p IS NULL THEN next_p - p
+                  WHEN next_p IS NULL THEN p - prev_p
+                  WHEN p - prev_p <= next_p - p THEN p - prev_p
+                  ELSE next_p - p END, 2) AS price_gap
+FROM seq
+"""
+
+
+@query("join_nearest_price_neighbor", oracle=_NN1D_ORACLE)
+def join_nearest_price_neighbor(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """All-nearest-neighbors in 1-D (each order's closest other order
+    by totalprice, predecessor preferred on equal gaps) WITHOUT a
+    global sort: the nearest value is always adjacent in (price, key)
+    order, so the kernel is bucket-local adjacency (windows partitioned
+    by a price bucket) plus a BOUNDARY STREAM — each bucket's first and
+    last row, ≤2 per non-empty bucket — whose tiny global window
+    supplies the cross-bucket predecessor/successor for bucket-edge
+    rows. Handles empty buckets for free (the boundary stream's
+    adjacency skips them), which naive bucket+1 joins get wrong. The
+    only unpartitioned window runs over the boundary frame (~2×
+    buckets); everything fact-sized is hash-partitioned. The oracle is
+    the single-node global-window form — matching it exactly validates
+    the distributed decomposition."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("ok"),
+        F.col("o_totalprice").alias("p"),
+        F.floor(F.col("o_totalprice") / 1000)
+        .cast("long")
+        .alias("bkt"),
+    )
+    wb = Window.partitionBy("bkt").orderBy("p", "ok")
+    local = o.select(
+        "ok",
+        "p",
+        "bkt",
+        F.lag("p").over(wb).alias("prev_p"),
+        F.lag("ok").over(wb).alias("prev_k"),
+        F.lead("p").over(wb).alias("next_p"),
+        F.lead("ok").over(wb).alias("next_k"),
+    ).localCheckpoint(eager=True)
+    # Boundary stream: each bucket's extreme rows (first lacks an
+    # in-bucket predecessor, last lacks a successor).
+    firsts = local.where(F.col("prev_p").isNull()).select(
+        "bkt", "p", "ok"
+    )
+    lasts = local.where(F.col("next_p").isNull()).select(
+        "bkt", "p", "ok"
+    )
+    boundary = firsts.unionByName(lasts).distinct()
+    wg = Window.orderBy("p", "ok")
+    bseq = boundary.select(
+        "bkt",
+        "p",
+        "ok",
+        F.lag("p").over(wg).alias("g_prev_p"),
+        F.lag("ok").over(wg).alias("g_prev_k"),
+        F.lag("bkt").over(wg).alias("g_prev_b"),
+        F.lead("p").over(wg).alias("g_next_p"),
+        F.lead("ok").over(wg).alias("g_next_k"),
+        F.lead("bkt").over(wg).alias("g_next_b"),
+    )
+    # Cross-bucket predecessor for each bucket's FIRST row: the global
+    # predecessor in the boundary stream, provided it comes from an
+    # earlier bucket (a same-bucket hit means first==last handled rows).
+    bprev = bseq.where(
+        F.col("g_prev_p").isNotNull() & (F.col("g_prev_b") < F.col("bkt"))
+    ).select(
+        F.col("ok").alias("f_ok"),
+        F.col("g_prev_p").alias("xprev_p"),
+        F.col("g_prev_k").alias("xprev_k"),
+    )
+    bnext = bseq.where(
+        F.col("g_next_p").isNotNull() & (F.col("g_next_b") > F.col("bkt"))
+    ).select(
+        F.col("ok").alias("l_ok"),
+        F.col("g_next_p").alias("xnext_p"),
+        F.col("g_next_k").alias("xnext_k"),
+    )
+    full = (
+        local.join(
+            F.broadcast(bprev), local["ok"] == bprev["f_ok"], "left"
+        )
+        .join(F.broadcast(bnext), local["ok"] == bnext["l_ok"], "left")
+        .select(
+            "ok",
+            "p",
+            F.coalesce("prev_p", "xprev_p").alias("pp"),
+            F.coalesce("prev_k", "xprev_k").alias("pk"),
+            F.coalesce("next_p", "xnext_p").alias("np"),
+            F.coalesce("next_k", "xnext_k").alias("nk"),
+        )
+    )
+    pick_prev = (F.col("p") - F.col("pp")) <= (F.col("np") - F.col("p"))
+    return full.select(
+        F.col("ok").alias("orderkey"),
+        F.col("p").alias("price"),
+        F.when(F.col("pp").isNull(), F.col("nk"))
+        .when(F.col("np").isNull(), F.col("pk"))
+        .when(pick_prev, F.col("pk"))
+        .otherwise(F.col("nk"))
+        .alias("neighbor_key"),
+        F.round(
+            F.when(F.col("pp").isNull(), F.col("np") - F.col("p"))
+            .when(F.col("np").isNull(), F.col("p") - F.col("pp"))
+            .when(pick_prev, F.col("p") - F.col("pp"))
+            .otherwise(F.col("np") - F.col("p")),
+            2,
+        ).alias("price_gap"),
+    )

@@ -2091,3 +2091,111 @@ def dq_duplicate_payment_detector(
             .alias("days_apart"),
         )
     )
+
+
+_AS_WAS_AS_IS_ORACLE = (
+    "WITH hist AS ("
+    + _SCD2_ORACLE
+    + """),
+as_was AS (
+    SELECT h.o_orderpriority AS priority,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue_as_was
+    FROM orders o
+    JOIN hist h
+      ON h.o_custkey = o.o_custkey
+     AND h.valid_from <= o.o_orderdate
+     AND (h.valid_to IS NULL OR o.o_orderdate < h.valid_to)
+    GROUP BY 1
+),
+cur AS (
+    SELECT o_custkey, o_orderpriority AS priority
+    FROM hist WHERE valid_to IS NULL
+),
+as_is AS (
+    SELECT c.priority,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS revenue_as_is
+    FROM orders o JOIN cur c ON c.o_custkey = o.o_custkey
+    GROUP BY 1
+)
+SELECT COALESCE(w.priority, i.priority) AS priority,
+       round(COALESCE(w.revenue_as_was, 0), 2) AS revenue_as_was,
+       round(COALESCE(i.revenue_as_is, 0), 2) AS revenue_as_is,
+       round(COALESCE(i.revenue_as_is, 0)
+             - COALESCE(w.revenue_as_was, 0), 2) AS restatement_delta
+FROM as_was w FULL OUTER JOIN as_is i ON i.priority = w.priority
+"""
+)
+
+
+@query("scd2_as_was_vs_as_is", oracle=_AS_WAS_AS_IS_ORACLE)
+def scd2_as_was_vs_as_is(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-was vs as-is reporting over the SCD2 priority dimension:
+    revenue by priority attributed (a) to the run VALID AT each order's
+    date (as-was — the audited historical truth) and (b) to the
+    customer's CURRENT run (as-is — the restated view after dimension
+    changes), plus the restatement delta — the warehouse-semantics
+    report that makes dimension drift VISIBLE instead of silently
+    rewriting history (the classic Kimball type-2 question: 'did the
+    Q3 numbers change because business changed, or because the
+    hierarchy moved?'). One history build, one point-in-time equi-join
+    with residual validity predicate, one current-rows join (the
+    valid_to IS NULL slice), both decimal-summed; the full-outer
+    combine runs on the ≤|priority| frame."""
+    orders = load_table(spark, sf_dir, "orders")
+    hist = scd.scd2_from_history(
+        orders,
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+    ).select(
+        F.col("o_custkey").alias("h_custkey"),
+        F.col("o_orderpriority").alias("priority"),
+        "valid_from",
+        "valid_to",
+    ).localCheckpoint(eager=True)
+    as_was = (
+        orders.join(
+            hist,
+            (F.col("h_custkey") == F.col("o_custkey"))
+            & (F.col("valid_from") <= F.col("o_orderdate"))
+            & (
+                F.col("valid_to").isNull()
+                | (F.col("o_orderdate") < F.col("valid_to"))
+            ),
+        )
+        .groupBy("priority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue_as_was")
+        )
+    )
+    cur = hist.where(F.col("valid_to").isNull()).select(
+        "h_custkey", F.col("priority").alias("cur_priority")
+    )
+    as_is = (
+        orders.join(cur, F.col("h_custkey") == F.col("o_custkey"))
+        .groupBy(F.col("cur_priority").alias("priority"))
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue_as_is")
+        )
+    )
+    joined = as_was.join(as_is, "priority", "full_outer")
+    return joined.select(
+        "priority",
+        F.round(F.coalesce("revenue_as_was", F.lit(0.0)), 2).alias(
+            "revenue_as_was"
+        ),
+        F.round(F.coalesce("revenue_as_is", F.lit(0.0)), 2).alias(
+            "revenue_as_is"
+        ),
+        F.round(
+            F.coalesce("revenue_as_is", F.lit(0.0))
+            - F.coalesce("revenue_as_was", F.lit(0.0)),
+            2,
+        ).alias("restatement_delta"),
+    )

@@ -1557,3 +1557,24 @@ def test_dup_payment_equi_blocked_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_duplicate_payment_detector")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_as_was_as_is_residual_validity_join(spark, sf_dir):
+    """As-was/as-is: both attributions are equi-joins on the customer
+    key (validity is residual); the combine is a tiny full-outer — no
+    cartesian, no range-join explosion."""
+    plan = _plan(spark, sf_dir, "scd2_as_was_vs_as_is")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_nn1d_no_global_sort_of_fact(spark, sf_dir):
+    """1-D all-NN: the fact-sized windows are partitioned by the price
+    bucket; the only unpartitioned window runs over the checkpointed
+    boundary stream. No global Sort of the orders frame outside the
+    bucket exchange."""
+    plan = _plan(spark, sf_dir, "join_nearest_price_neighbor")
+    assert "Exchange hashpartitioning(bkt" in plan or (
+        "hashpartitioning(bkt" in plan
+    )
+    assert "CartesianProduct" not in plan
