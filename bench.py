@@ -336,6 +336,9 @@ HEADLINE = [
     "dq_duplicate_payment_detector",
     "scd2_as_was_vs_as_is",
     "join_nearest_price_neighbor",
+    "window_interval_coalesce",
+    "ts_western_electric_rules",
+    "curation_weighted_sample_es",
 ]
 
 def main() -> None:

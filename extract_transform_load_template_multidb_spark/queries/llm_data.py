@@ -8569,3 +8569,72 @@ def graph_bipartite_projection(
         .orderBy(F.col("shared").desc(), "s1", "s2")
         .limit(25)
     )
+
+
+_WEIGHTED_SAMPLE_ORACLE = """
+WITH w AS (
+    SELECT doc_id, n_chars,
+           CAST(n_chars AS DOUBLE) AS wt,
+           ((CAST(('0x' || substr(md5('es:' || CAST(doc_id AS VARCHAR)),
+                   1, 8)) AS BIGINT) % 1000000) + 0.5) / 1000000.0 AS u
+    FROM documents
+),
+keyed AS (
+    SELECT doc_id, n_chars, wt,
+           round(ln(u), 9) / wt AS es_key
+    FROM w
+)
+SELECT doc_id, n_chars, round(es_key, 9) AS es_key
+FROM keyed
+ORDER BY es_key DESC, doc_id
+LIMIT 50
+"""
+
+
+@query("curation_weighted_sample_es", oracle=_WEIGHTED_SAMPLE_ORACLE)
+def curation_weighted_sample_es(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis):
+    each doc draws a deterministic md5 uniform u and competes with key
+    u^(1/w) — taken in log space, ln(u)/w, which is order-equivalent
+    and avoids a cross-engine pow() — and the top-k by key IS an exact
+    weighted sample without replacement, here length-weighted so long
+    documents are proportionally favored (the mixture-sampling
+    primitive when weights are per-ITEM rather than per-source, which
+    `curation_mixture_sample`'s bucket approach can't express). One
+    narrow map + TakeOrdered(k): no shuffle beyond top-k merge, fully
+    deterministic (hash-derived u, quantized ln), reproducible across
+    runs and engines — the property a training-data sampler needs for
+    lineage."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("es:"),
+                            F.col("doc_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000000
+        )
+        + 0.5
+    ) / 1000000.0
+    es_key = F.round(F.log(u), 9) / F.col("n_chars").cast("double")
+    return (
+        docs.select(
+            "doc_id",
+            "n_chars",
+            F.round(es_key, 9).alias("es_key"),
+        )
+        .orderBy(F.col("es_key").desc(), "doc_id")
+        .limit(50)
+    )

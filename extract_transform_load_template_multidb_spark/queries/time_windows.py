@@ -6962,3 +6962,212 @@ def window_clamped_running_balance(
         .cast("long")
         .alias("clamped_balance"),
     )
+
+
+_INTERVAL_COALESCE_ORACLE = """
+WITH iv AS (
+    SELECT l_partkey AS part,
+           CAST(l_shipdate AS DATE) AS s,
+           CAST(CAST(l_shipdate AS DATE)
+                + to_days(CAST(l_quantity AS INT)) AS DATE) AS e
+    FROM lineitem
+    WHERE l_partkey % 200 = 0
+),
+marked AS (
+    SELECT part, s, e,
+           CASE WHEN s > MAX(e) OVER (PARTITION BY part ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  OR MAX(e) OVER (PARTITION BY part ORDER BY s, e
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                THEN 1 ELSE 0 END AS new_island
+    FROM iv
+),
+islands AS (
+    SELECT part, s, e,
+           SUM(new_island) OVER (PARTITION BY part ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+    FROM marked
+)
+SELECT part, CAST(island AS BIGINT) AS island,
+       MIN(s) AS coalesced_start,
+       MAX(e) AS coalesced_end,
+       CAST(COUNT(*) AS BIGINT) AS n_merged
+FROM islands GROUP BY part, island
+"""
+
+
+@query("window_interval_coalesce", oracle=_INTERVAL_COALESCE_ORACLE)
+def window_interval_coalesce(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Interval coalescing (union of overlapping intervals) per part:
+    each lineitem's handling window [shipdate, shipdate+qty] merges
+    with any window it overlaps, yielding the part's busy periods —
+    the interval-union primitive under availability/SLA gap analysis
+    and contiguous-coverage checks, and the OVERLAP generalization of
+    gap-based sessionization (sessions chain on the previous EVENT;
+    intervals must chain on the running MAX of all prior ends, or a
+    long interval that swallows later ones splits wrongly). One
+    key-partitioned sort: new island when start exceeds the running
+    max-of-ends over all PRIOR rows; island ids are a running sum of
+    those flags; the merge is a plain groupBy. Integer date
+    arithmetic throughout (part % 200 sample keeps output
+    reviewable)."""
+    from pyspark.sql import Window as Win, functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    iv = li.where(F.col("l_partkey") % 200 == 0).select(
+        F.col("l_partkey").alias("part"),
+        F.col("l_shipdate").cast("date").alias("s"),
+        F.date_add(
+            F.col("l_shipdate").cast("date"),
+            F.col("l_quantity").cast("int"),
+        ).alias("e"),
+    )
+    w_prev = Win.partitionBy("part").orderBy("s", "e").rowsBetween(
+        Win.unboundedPreceding, -1
+    )
+    run_max = F.max("e").over(w_prev)
+    marked = iv.select(
+        "part",
+        "s",
+        "e",
+        F.when(
+            run_max.isNull() | (F.col("s") > run_max), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_cum = Win.partitionBy("part").orderBy("s", "e").rowsBetween(
+        Win.unboundedPreceding, 0
+    )
+    islands = marked.select(
+        "part",
+        "s",
+        "e",
+        F.sum("new_island").over(w_cum).cast("long").alias("island"),
+    )
+    return islands.groupBy("part", "island").agg(
+        F.min("s").alias("coalesced_start"),
+        F.max("e").alias("coalesced_end"),
+        F.count(F.lit(1)).cast("long").alias("n_merged"),
+    )
+
+
+_WESTERN_ELECTRIC_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+s AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS s2
+    FROM daily
+),
+z AS (
+    SELECT d.day,
+           (d.y - s.s1 / s.n)
+             / sqrt((s.s2 - (s.s1 / s.n) * s.s1) / (s.n - 1)) AS z
+    FROM daily d CROSS JOIN s
+),
+flags AS (
+    SELECT day, z,
+           CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END AS beyond3,
+           CASE WHEN z > 2 THEN 1 ELSE 0 END AS hi2,
+           CASE WHEN z < -2 THEN 1 ELSE 0 END AS lo2,
+           CASE WHEN z > 0 THEN 1 ELSE 0 END AS pos
+    FROM z
+),
+w AS (
+    SELECT day, z, beyond3,
+           SUM(hi2) OVER (ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS hi2_3,
+           SUM(lo2) OVER (ORDER BY day
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS lo2_3,
+           SUM(pos) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS pos_8,
+           COUNT(*) OVER (ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS n_8
+    FROM flags
+)
+SELECT day, round(z, 6) AS z_score,
+       beyond3 = 1 AS rule1_beyond_3sigma,
+       (hi2_3 >= 2 OR lo2_3 >= 2) AS rule2_two_of_three_beyond_2sigma,
+       (n_8 = 8 AND (pos_8 = 8 OR pos_8 = 0)) AS rule4_eight_same_side
+FROM w
+WHERE beyond3 = 1 OR hi2_3 >= 2 OR lo2_3 >= 2
+   OR (n_8 = 8 AND (pos_8 = 8 OR pos_8 = 0))
+"""
+
+
+@query("ts_western_electric_rules", oracle=_WESTERN_ELECTRIC_ORACLE)
+def ts_western_electric_rules(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Western Electric control-chart rules on daily revenue z-scores:
+    rule 1 (one point beyond 3σ), rule 2 (two of three consecutive
+    beyond 2σ on the same side), rule 4 (eight consecutive on one side
+    of center) — the SPC rule set that catches shifts and drifts a
+    single-threshold alert misses, complementing
+    `window_cusum_changepoint` (retrospective) with the ONLINE
+    rule-based monitor form. One day-grouped pass + a 1-row moments
+    broadcast for z; every rule is a bounded ROWS frame over the day
+    series (counts of exact integer flags) — no self-joins, no state
+    beyond the window frames."""
+    from pyspark.sql import Window as Win, functions as F
+
+    from extract_transform_load_template_multidb_spark.queries._util import (
+        dsum,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(dsum(F.col("o_totalprice"), "y"))
+    s = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(F.col("y"), "s1"),
+        dsum(F.col("y") * F.col("y"), "s2"),
+    )
+    mean = F.col("s1") / F.col("n")
+    sd = F.sqrt((F.col("s2") - mean * F.col("s1")) / (F.col("n") - 1))
+    z = daily.crossJoin(F.broadcast(s)).select(
+        "day", ((F.col("y") - mean) / sd).alias("z")
+    )
+    flags = z.select(
+        "day",
+        "z",
+        F.when(F.abs("z") > 3, 1).otherwise(0).alias("beyond3"),
+        F.when(F.col("z") > 2, 1).otherwise(0).alias("hi2"),
+        F.when(F.col("z") < -2, 1).otherwise(0).alias("lo2"),
+        F.when(F.col("z") > 0, 1).otherwise(0).alias("pos"),
+    )
+    wd = Win.orderBy("day")
+    w3 = wd.rowsBetween(-2, 0)
+    w8 = wd.rowsBetween(-7, 0)
+    w = flags.select(
+        "day",
+        "z",
+        "beyond3",
+        F.sum("hi2").over(w3).alias("hi2_3"),
+        F.sum("lo2").over(w3).alias("lo2_3"),
+        F.sum("pos").over(w8).alias("pos_8"),
+        F.count(F.lit(1)).over(w8).alias("n_8"),
+    )
+    rule2 = (F.col("hi2_3") >= 2) | (F.col("lo2_3") >= 2)
+    rule4 = (F.col("n_8") == 8) & (
+        (F.col("pos_8") == 8) | (F.col("pos_8") == 0)
+    )
+    return w.where(
+        (F.col("beyond3") == 1) | rule2 | rule4
+    ).select(
+        "day",
+        F.round("z", 6).alias("z_score"),
+        (F.col("beyond3") == 1).alias("rule1_beyond_3sigma"),
+        rule2.alias("rule2_two_of_three_beyond_2sigma"),
+        rule4.alias("rule4_eight_same_side"),
+    )

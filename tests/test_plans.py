@@ -1578,3 +1578,29 @@ def test_nn1d_no_global_sort_of_fact(spark, sf_dir):
         "hashpartitioning(bkt" in plan
     )
     assert "CartesianProduct" not in plan
+
+
+def test_interval_coalesce_one_key_exchange(spark, sf_dir):
+    """Interval coalesce: running max-of-ends, island cumsum and the
+    merge all ride ONE (part) hash exchange — no self-join of
+    intervals."""
+    plan = _plan(spark, sf_dir, "window_interval_coalesce")
+    assert "Join" not in plan
+    assert "hashpartitioning(part" in plan
+
+
+def test_western_electric_bounded_frames(spark, sf_dir):
+    """WE rules: z from a 1-row moments broadcast; every rule is a
+    bounded ROWS frame over the day series — no self-joins."""
+    plan = _plan(spark, sf_dir, "ts_western_electric_rules")
+    assert "CartesianProduct" not in plan
+    assert plan.count("orders.parquet") <= 2  # daily + moments branch
+
+
+def test_weighted_sample_narrow_map_topk(spark, sf_dir):
+    """ES weighted sample: one narrow map over documents, TakeOrdered
+    top-k — no shuffle beyond the top-k merge, no Python."""
+    plan = _plan(spark, sf_dir, "curation_weighted_sample_es")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
