@@ -339,6 +339,8 @@ HEADLINE = [
     "window_interval_coalesce",
     "ts_western_electric_rules",
     "curation_weighted_sample_es",
+    "mm_wav_zero_crossing_rate",
+    "dq_interval_integrity_audit",
 ]
 
 def main() -> None:

@@ -1241,3 +1241,52 @@ def tile_stats(df: DataFrame, grid: int = 2) -> DataFrame:
             )
 
     return repartition_for_media(df).mapInPandas(fn, schema)
+
+
+def zero_crossing_rate(df: DataFrame) -> DataFrame:
+    """Zero-crossing rate per WAV asset: the fraction of adjacent sample
+    pairs with a strict sign change (sᵢ·sᵢ₊₁ < 0) — the cheapest
+    voiced/unvoiced / noisiness feature in audio curation (white noise
+    crosses constantly, tones rarely), complementing
+    :func:`silence_windows` (energy) and the dominant-frequency DFT
+    (pitch). Exact integer products inside the Arrow decode pass; one
+    row per asset, narrow map, no shuffle."""
+    import numpy as np
+
+    schema = (
+        "asset_id bigint, n_samples bigint, n_crossings bigint, "
+        "zcr double, err string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _, _, _, samples = parse_wav(bytes(payload))
+                    s = np.asarray(samples, dtype=np.int64)
+                    cross = int(((s[:-1] * s[1:]) < 0).sum())
+                    n = int(s.size)
+                    rows.append(
+                        (
+                            int(aid),
+                            n,
+                            cross,
+                            cross / float(n - 1),
+                            None,
+                        )
+                    )
+                except Exception as exc:
+                    rows.append((int(aid), 0, 0, None, str(exc)[:80]))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_samples",
+                    "n_crossings",
+                    "zcr",
+                    "err",
+                ],
+            )
+
+    return repartition_for_media(df).mapInPandas(fn, schema)

@@ -2199,3 +2199,100 @@ def scd2_as_was_vs_as_is(spark: SparkSession, sf_dir: str) -> DataFrame:
             2,
         ).alias("restatement_delta"),
     )
+
+
+_INTERVAL_INTEGRITY_ORACLE = """
+WITH iv AS (
+    SELECT o_custkey AS ck,
+           CAST(o_orderdate AS DATE) AS s,
+           CAST(CAST(o_orderdate AS DATE) + to_days(30) AS DATE) AS e
+    FROM orders
+),
+seq AS (
+    SELECT ck, s, e,
+           lead(s) OVER (PARTITION BY ck ORDER BY s, e) AS next_s
+    FROM iv
+),
+per_key AS (
+    SELECT ck,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(CASE WHEN next_s IS NOT NULL AND next_s < e
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_overlaps,
+           CAST(SUM(CASE WHEN next_s IS NOT NULL AND next_s > e
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+           CAST(SUM(CASE WHEN next_s IS NOT NULL AND next_s = e
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_seamless
+    FROM seq GROUP BY ck
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(n_intervals) AS BIGINT) AS n_intervals,
+       CAST(SUM(n_overlaps) AS BIGINT) AS n_overlaps,
+       CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
+       CAST(SUM(n_seamless) AS BIGINT) AS n_seamless,
+       CAST(SUM(CASE WHEN n_overlaps = 0 AND n_gaps = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_keys
+FROM per_key
+"""
+
+
+@query("dq_interval_integrity_audit", oracle=_INTERVAL_INTEGRITY_ORACLE)
+def dq_interval_integrity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temporal-integrity audit of per-key validity intervals: for each
+    customer's 30-day order-coverage windows, count OVERLAPS (next
+    start before current end — double-counted history), GAPS (next
+    start after current end — unexplained holes) and seamless
+    transitions — the invariant check every SCD2/bitemporal table needs
+    before point-in-time joins can be trusted (`join_scd2_point_in_
+    time` silently double-matches on overlapping runs). One
+    key-partitioned lead window over the interval frame + two
+    aggregates; integer date arithmetic throughout."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = o.select(
+        F.col("o_custkey").alias("ck"),
+        F.col("o_orderdate").cast("date").alias("s"),
+        F.date_add(F.col("o_orderdate").cast("date"), 30).alias("e"),
+    )
+    from pyspark.sql import Window as Win
+
+    w = Win.partitionBy("ck").orderBy("s", "e")
+    seq = iv.select(
+        "ck", "s", "e", F.lead("s").over(w).alias("next_s")
+    )
+    has_next = F.col("next_s").isNotNull()
+    per_key = seq.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        F.sum(
+            F.when(has_next & (F.col("next_s") < F.col("e")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_overlaps"),
+        F.sum(
+            F.when(has_next & (F.col("next_s") > F.col("e")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_gaps"),
+        F.sum(
+            F.when(has_next & (F.col("next_s") == F.col("e")), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_seamless"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum("n_intervals").cast("long").alias("n_intervals"),
+        F.sum("n_overlaps").cast("long").alias("n_overlaps"),
+        F.sum("n_gaps").cast("long").alias("n_gaps"),
+        F.sum("n_seamless").cast("long").alias("n_seamless"),
+        F.sum(
+            F.when(
+                (F.col("n_overlaps") == 0) & (F.col("n_gaps") == 0), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_clean_keys"),
+    )

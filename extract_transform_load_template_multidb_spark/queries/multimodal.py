@@ -816,3 +816,41 @@ def mm_image_tile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL mirrors numpy's slicing exactly)."""
     ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
     return mm.tile_stats(ppm, grid=2)
+
+
+_ZCR_ORACLE = """
+WITH s AS (
+    SELECT doc_id AS asset_id,
+           list_transform(range(1, 17), i ->
+               (ord(substr(rpad(text, 16, 'x'), i, 1)) - 79) * 256) AS v
+    FROM documents
+),
+c AS (
+    SELECT asset_id,
+           CAST(list_sum(list_transform(range(1, 16), i ->
+               CASE WHEN v[i] * v[i + 1] < 0 THEN 1 ELSE 0 END))
+               AS BIGINT) AS n_crossings
+    FROM s
+)
+SELECT asset_id,
+       CAST(16 AS BIGINT) AS n_samples,
+       n_crossings,
+       n_crossings / CAST(15 AS DOUBLE) AS zcr,
+       CAST(NULL AS VARCHAR) AS err
+FROM c
+"""
+
+
+@query("mm_wav_zero_crossing_rate", oracle=_ZCR_ORACLE)
+def mm_wav_zero_crossing_rate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Zero-crossing rate from REAL decoded WAVs — the cheapest
+    noisiness/voicing audio feature (white noise crosses zero
+    constantly, tones rarely); with `mm_wav_silence_ratio` (energy) and
+    `mm_audio_dominant_freq` (pitch) it completes the classic
+    three-feature audio triage. Strict sign-change counting on exact int16
+    samples inside the Arrow decode pass; the ``ord()`` oracle rebuilds
+    every product bit-identically."""
+    wav = mm.synthesize_wav(load_table(spark, sf_dir, "documents"))
+    return mm.zero_crossing_rate(wav)

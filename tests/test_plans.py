@@ -1604,3 +1604,20 @@ def test_weighted_sample_narrow_map_topk(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_zcr_arrow_narrow_map(spark, sf_dir):
+    """ZCR: Arrow-batched decode, narrow map, no shuffle, no
+    row-at-a-time Python."""
+    plan = _plan(spark, sf_dir, "mm_wav_zero_crossing_rate")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_interval_integrity_one_key_window(spark, sf_dir):
+    """Interval audit: one key-partitioned lead window, two stacked
+    aggregates — one orders scan, no join."""
+    plan = _plan(spark, sf_dir, "dq_interval_integrity_audit")
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
