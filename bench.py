@@ -341,6 +341,8 @@ HEADLINE = [
     "curation_weighted_sample_es",
     "mm_wav_zero_crossing_rate",
     "dq_interval_integrity_audit",
+    "window_rolling_ols_slope",
+    "agg_ratio_metric_delta_ci",
 ]
 
 def main() -> None:

@@ -9667,3 +9667,100 @@ def join_nearest_price_neighbor(
             2,
         ).alias("price_gap"),
     )
+
+
+_RATIO_DELTA_ORACLE = """
+WITH per_user AS (
+    SELECT user_id,
+           CAST(SUM(CAST(CASE WHEN isnan(value) OR NOT isfinite(value)
+                              THEN 0 ELSE value END AS DECIMAL(38,6)))
+                AS DOUBLE) AS x,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events GROUP BY user_id
+),
+m AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(x AS DECIMAL(38,6))) AS DOUBLE) AS sx,
+           CAST(SUM(CAST(y AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(CAST(x * x AS DECIMAL(38,6))) AS DOUBLE) AS sxx,
+           CAST(SUM(CAST(x * y AS DECIMAL(38,6))) AS DOUBLE) AS sxy,
+           CAST(SUM(CAST(y * y AS DECIMAL(38,6))) AS DOUBLE) AS syy
+    FROM per_user
+),
+d AS (
+    SELECT n, sx / n AS mx, sy / n AS my,
+           (sxx - sx * sx / n) / (n - 1) AS vx,
+           (syy - sy * sy / n) / (n - 1) AS vy,
+           (sxy - sx * sy / n) / (n - 1) AS cxy
+    FROM m
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       round(mx / my, 6) AS ratio,
+       round(sqrt((vx / (my * my)
+                   - 2 * (mx / (my * my * my)) * cxy
+                   + (mx * mx / (my * my * my * my)) * vy) / n), 6)
+           AS delta_se,
+       round(mx / my - 1.959964 * sqrt((vx / (my * my)
+                   - 2 * (mx / (my * my * my)) * cxy
+                   + (mx * mx / (my * my * my * my)) * vy) / n), 6)
+           AS ci_lo,
+       round(mx / my + 1.959964 * sqrt((vx / (my * my)
+                   - 2 * (mx / (my * my * my)) * cxy
+                   + (mx * mx / (my * my * my * my)) * vy) / n), 6)
+           AS ci_hi
+FROM d
+"""
+
+
+@query("agg_ratio_metric_delta_ci", oracle=_RATIO_DELTA_ORACLE)
+def agg_ratio_metric_delta_ci(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Delta-method 95% CI for a RATIO metric (value per event, both
+    summed per user): Var(X̄/Ȳ) ≈ (Vx/μy² − 2μxCxy/μy³ + μx²Vy/μy⁴)/n —
+    the correct uncertainty for per-user ratio metrics, where the naive
+    row-level SE is wrong because numerator and denominator are
+    correlated WITHIN user (the unit of randomization). This is the
+    experimentation-platform staple behind every revenue-per-session
+    readout. One per-user aggregate + one 5-sum moments pass (decimal-
+    routed), then constant scalar algebra; z=1.959964 appears as the
+    same double literal in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    clean = F.when(
+        F.isnan(v) | v.isin(float("inf"), float("-inf")), 0.0
+    ).otherwise(v)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(clean.cast("decimal(38,6)"))
+        .cast("double")
+        .alias("x"),
+        F.count(F.lit(1)).cast("double").alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dsum(x, "sx"),
+        dsum(y, "sy"),
+        dsum(x * x, "sxx"),
+        dsum(x * y, "sxy"),
+        dsum(y * y, "syy"),
+    )
+    n = F.col("n")
+    mx, my = F.col("sx") / n, F.col("sy") / n
+    vx = (F.col("sxx") - F.col("sx") * F.col("sx") / n) / (n - 1)
+    vy = (F.col("syy") - F.col("sy") * F.col("sy") / n) / (n - 1)
+    cxy = (F.col("sxy") - F.col("sx") * F.col("sy") / n) / (n - 1)
+    var_ratio = (
+        vx / (my * my)
+        - 2 * (mx / (my * my * my)) * cxy
+        + (mx * mx / (my * my * my * my)) * vy
+    ) / n
+    se = F.sqrt(var_ratio)
+    z = F.lit(1.959964)
+    return m.select(
+        n.cast("long").alias("n_users"),
+        F.round(mx / my, 6).alias("ratio"),
+        F.round(se, 6).alias("delta_se"),
+        F.round(mx / my - z * se, 6).alias("ci_lo"),
+        F.round(mx / my + z * se, 6).alias("ci_hi"),
+    )

@@ -7171,3 +7171,101 @@ def ts_western_electric_rules(
         rule2.alias("rule2_two_of_three_beyond_2sigma"),
         rule4.alias("rule4_eight_same_side"),
     )
+
+
+_ROLLING_SLOPE_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+idx AS (
+    SELECT day, y,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+roll AS (
+    SELECT day, t, y,
+           CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+           CAST(SUM(t) OVER w AS DOUBLE) AS st,
+           CAST(SUM(CAST(round(y, 2) AS DECIMAL(38,2))) OVER w
+                AS DOUBLE) AS sy,
+           CAST(SUM(t * t) OVER w AS DOUBLE) AS stt,
+           CAST(SUM(CAST(round(t * y, 2) AS DECIMAL(38,2))) OVER w
+                AS DOUBLE) AS sty
+    FROM idx
+    WINDOW w AS (ORDER BY day ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+)
+SELECT day,
+       CAST(n AS BIGINT) AS n_days,
+       round((n * sty - st * sy) / (n * stt - st * st), 6)
+           AS slope_per_day
+FROM roll
+WHERE n = 30
+"""
+
+
+@query("window_rolling_ols_slope", oracle=_ROLLING_SLOPE_ORACLE)
+def window_rolling_ols_slope(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """30-day rolling OLS trend slope of daily revenue — the momentum
+    signal quant/ops dashboards track, as ONE pass of frame windows:
+    the regression needs only (n, Σt, Σy, Σt², Σty) over the trailing
+    frame, all of which are windowed sums (t is the integer day index,
+    so Σt/Σt² are exact; Σy and Σty ride the 2-dp decimal grid), and
+    the slope is constant scalar algebra per row — no per-window
+    refit, no self-join, fully distributed by the same day-ordered
+    frame the moving median uses. Warm-up rows (n < 30) are dropped
+    so every slope is a full-window estimate."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    idx = daily.select(
+        "day",
+        "y",
+        F.row_number()
+        .over(Win.orderBy("day"))
+        .cast("long")
+        .alias("t"),
+    )
+    w = Win.orderBy("day").rowsBetween(-29, 0)
+    roll = idx.select(
+        "day",
+        F.count(F.lit(1)).over(w).cast("double").alias("n"),
+        F.sum("t").over(w).cast("double").alias("st"),
+        F.sum(F.round("y", 2).cast("decimal(38,2)"))
+        .over(w)
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.col("t") * F.col("t")).over(w).cast("double").alias(
+            "stt"
+        ),
+        F.sum(
+            F.round(F.col("t") * F.col("y"), 2).cast("decimal(38,2)")
+        )
+        .over(w)
+        .cast("double")
+        .alias("sty"),
+    )
+    n, st, sy, stt, sty = (
+        F.col("n"),
+        F.col("st"),
+        F.col("sy"),
+        F.col("stt"),
+        F.col("sty"),
+    )
+    return roll.where(n == 30).select(
+        "day",
+        n.cast("long").alias("n_days"),
+        F.round(
+            (n * sty - st * sy) / (n * stt - st * st), 6
+        ).alias("slope_per_day"),
+    )

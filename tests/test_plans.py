@@ -1621,3 +1621,19 @@ def test_interval_integrity_one_key_window(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_interval_integrity_audit")
     assert plan.count("orders.parquet") == 1
     assert "Join" not in plan
+
+
+def test_rolling_slope_frame_sums_no_refit(spark, sf_dir):
+    """Rolling OLS: the five regression sums are frame windows over the
+    daily series — one orders scan, no per-window self-join."""
+    plan = _plan(spark, sf_dir, "window_rolling_ols_slope")
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_ratio_delta_two_stacked_aggregates(spark, sf_dir):
+    """Delta CI: per-user aggregate then a 1-row moments pass — one
+    events scan, no join, everything else scalar algebra."""
+    plan = _plan(spark, sf_dir, "agg_ratio_metric_delta_ci")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
