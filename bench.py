@@ -343,6 +343,9 @@ HEADLINE = [
     "dq_interval_integrity_audit",
     "window_rolling_ols_slope",
     "agg_ratio_metric_delta_ci",
+    "join_asof_forward_next_order",
+    "scalar_mod97_checksum",
+    "ts_record_breaking_days",
 ]
 
 def main() -> None:

@@ -119,3 +119,59 @@ def range_join_count(
         .groupBy(*[left[c] for c in group_cols])
         .agg(F.count(right[right_ts]).alias("n_in_range"))
     )
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: tuple[str, ...],
+    how: str = "left",
+) -> DataFrame:
+    """Forward as-of: for each left row, attach the payload of the
+    EARLIEST right row with ``right_ts >= left_ts`` on the same key
+    (ties at the exact instant match) — the scheduling-direction
+    counterpart of :func:`asof_join` ('what is the NEXT maintenance
+    window / shipment / renewal after this event'). Same single-shuffle
+    union+carry construction, with the scan order reversed: the window
+    runs down descending timestamps, so ``last(ignorenulls)`` carries
+    each right payload BACKWARD onto the left rows that precede it.
+    ``right`` must be unique per (key, ts)."""
+    l_tag = left.select(
+        F.col(left_key).alias("__k"),
+        F.col(left_ts).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        "*",
+        *[F.lit(None).alias(f"__r_{c}") for c in payload_cols],
+    )
+    r_tag = right.select(
+        F.col(right_key).alias("__k"),
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
+        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+    )
+    # Descending time; at an equal instant the right row (0) sorts first
+    # so it is already visible to the left row via the running frame.
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__t").desc(), "__is_left")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        *[F.col(c) for c in left.columns],
+        *[F.col(f"__m_{c}").alias(c) for c in payload_cols],
+    )
+    if how == "inner":
+        out = out.na.drop(subset=[payload_cols[0]])
+    return out

@@ -9764,3 +9764,84 @@ def agg_ratio_metric_delta_ci(
         F.round(mx / my - z * se, 6).alias("ci_lo"),
         F.round(mx / my + z * se, 6).alias("ci_hi"),
     )
+
+
+_ASOF_FWD_ORACLE = """
+WITH r AS (
+    SELECT o_custkey, CAST(o_orderdate AS DATE) AS od,
+           count(*) AS n_orders_day,
+           max(o_orderkey) AS next_orderkey
+    FROM orders GROUP BY o_custkey, o_orderdate
+),
+j AS (
+    SELECT e.event_id, e.user_id, e.ts, r.od, r.next_orderkey,
+           r.n_orders_day
+    FROM events e JOIN r
+      ON r.o_custkey = e.user_id AND CAST(r.od AS TIMESTAMP) >= e.ts
+),
+pick AS (
+    SELECT event_id, user_id, ts,
+           min_by(next_orderkey, od) AS next_orderkey,
+           min_by(n_orders_day, od) AS n_orders_day,
+           min(od) AS next_order_date
+    FROM j GROUP BY event_id, user_id, ts
+)
+SELECT e.event_id, e.user_id, e.ts,
+       p.next_orderkey, p.n_orders_day,
+       COALESCE(p.next_order_date, DATE '9999-12-31')
+           AS next_order_date
+FROM events e LEFT JOIN pick p ON p.event_id = e.event_id
+"""
+
+
+@query("join_asof_forward_next_order", oracle=_ASOF_FWD_ORACLE)
+def join_asof_forward_next_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """FORWARD as-of join: each event picks up the customer's NEXT
+    order-day at-or-after the event — the scheduling direction
+    (`join_asof_latest_order` answers 'what already happened'; this
+    answers 'what happens next': next shipment, renewal, maintenance
+    window). Spark side is the reversed union+carry construction — one
+    shuffle on (key), a descending-time running window carrying each
+    right payload backward — never a per-row subquery; the oracle picks
+    the same row with a grouped min_by over the exploded join, which
+    at warehouse scale would be the wrong plan (fanout × regroup) but
+    is the clearest single-node specification of the semantics."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts"
+    )
+    o = load_table(spark, sf_dir, "orders")
+    r = o.groupBy(
+        F.col("o_custkey"),
+        F.col("o_orderdate").cast("date").alias("next_order_date"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders_day"),
+        F.max("o_orderkey").alias("next_orderkey"),
+    ).select(
+        "o_custkey",
+        F.col("next_order_date").cast("timestamp").alias("od_ts"),
+        "next_order_date",
+        "next_orderkey",
+        "n_orders_day",
+    )
+    out = tp.asof_join_forward(
+        ev,
+        r,
+        left_key="user_id",
+        right_key="o_custkey",
+        left_ts="ts",
+        right_ts="od_ts",
+        payload_cols=("next_orderkey", "n_orders_day", "next_order_date"),
+    )
+    # No-match sentinel: a NULL DATE round-trips as NaT/None asymmetry
+    # across Arrow/pandas, so 'no next order' is the explicit far-future
+    # date (the same convention open-ended SCD2 intervals avoid by NULL
+    # because they are never hashed).
+    return out.withColumn(
+        "next_order_date",
+        F.coalesce(
+            F.col("next_order_date"),
+            F.lit("9999-12-31").cast("date"),
+        ),
+    )

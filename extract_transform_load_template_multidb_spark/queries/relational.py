@@ -1390,3 +1390,70 @@ def join_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum(F.col("o_totalprice"), "revenue"),
         )
     )
+
+
+_MOD97_ORACLE = """
+WITH acct AS (
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0')
+             || lpad(CAST(o_custkey AS VARCHAR), 8, '0') AS acct_num
+    FROM orders
+    WHERE o_orderkey % 50 = 0
+),
+folded AS (
+    SELECT o_orderkey, acct_num,
+           CAST(list_reduce(
+               list_transform(range(1, 21), i ->
+                   CAST(substr(acct_num, i, 1) AS BIGINT)),
+               (r, d) -> (r * 10 + d) % 97
+           ) AS BIGINT) AS mod97
+    FROM acct
+)
+SELECT o_orderkey, acct_num, mod97,
+       mod97 = 1 AS iban_style_valid
+FROM folded
+"""
+
+
+@query("scalar_mod97_checksum", oracle=_MOD97_ORACLE)
+def scalar_mod97_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mod-97 checksum validation (the IBAN / ISO 7064 family) of
+    20-digit synthetic account numbers: the number is far beyond int64,
+    so the residue folds digit-by-digit with Horner's rule
+    r ← (10r + d) mod 97 — a pure higher-order-function expression
+    (`F.aggregate` over the digit array) that stays in whole-stage
+    codegen, the pattern for ANY big-number checksum (mod-11, Luhn,
+    ISBN) without strings-to-bigint overflow or Python. One narrow
+    map; the oracle's ``list_reduce`` folds identically."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 50 == 0
+    )
+    acct = F.concat(
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 8, "0"),
+    )
+    digits = F.transform(
+        F.sequence(F.lit(1), F.lit(20)),
+        lambda i: F.substring(F.col("acct_num"), 1, 20)
+        .substr(i, F.lit(1))
+        .cast("long"),
+    )
+    mod97 = F.aggregate(
+        digits,
+        F.lit(0).cast("long"),
+        lambda r, d: (r * 10 + d) % 97,
+    )
+    return (
+        o.select("o_orderkey", acct.alias("acct_num"))
+        .select(
+            "o_orderkey",
+            "acct_num",
+            mod97.cast("long").alias("mod97"),
+        )
+        .select(
+            "o_orderkey",
+            "acct_num",
+            "mod97",
+            (F.col("mod97") == 1).alias("iban_style_valid"),
+        )
+    )

@@ -7269,3 +7269,73 @@ def window_rolling_ols_slope(
             (n * sty - st * sy) / (n * stt - st * st), 6
         ).alias("slope_per_day"),
     )
+
+
+_RECORD_DAYS_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),
+run AS (
+    SELECT day, y,
+           MAX(y) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max,
+           CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS t
+    FROM daily
+),
+recs AS (
+    SELECT day, y, t FROM run
+    WHERE prev_max IS NULL OR y > prev_max
+)
+SELECT day AS record_day,
+       round(y, 2) AS revenue,
+       t AS day_index,
+       CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS record_number
+FROM recs
+ORDER BY day
+"""
+
+
+@query("ts_record_breaking_days", oracle=_RECORD_DAYS_ORACLE)
+def ts_record_breaking_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Record-breaking days: every day whose revenue strictly exceeds
+    ALL prior days, with its record sequence number — the extreme-value
+    counting statistic (for an i.i.d. series the expected record count
+    is the harmonic number H_n ≈ ln n, so a record RATE above that is
+    itself trend evidence, the logic behind record-based trend tests).
+    One running-max window over the daily frame plus a row_number over
+    the record subset (records are O(log n) of days, so the second
+    window is near-empty). All comparisons on the exact 2-dp grid."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    )
+    wd = Win.orderBy("day")
+    run = daily.select(
+        "day",
+        "y",
+        F.max("y").over(wd.rowsBetween(Win.unboundedPreceding, -1))
+        .alias("prev_max"),
+        F.row_number().over(wd).cast("long").alias("t"),
+    )
+    recs = run.where(
+        F.col("prev_max").isNull() | (F.col("y") > F.col("prev_max"))
+    )
+    return recs.select(
+        F.col("day").alias("record_day"),
+        F.round("y", 2).alias("revenue"),
+        F.col("t").alias("day_index"),
+        F.row_number().over(Win.orderBy("day")).cast("long").alias(
+            "record_number"
+        ),
+    ).orderBy("record_day")

@@ -1637,3 +1637,30 @@ def test_ratio_delta_two_stacked_aggregates(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_ratio_metric_delta_ci")
     assert plan.count("events.parquet") == 1
     assert "Join" not in plan
+
+
+def test_asof_forward_single_shuffle_carry(spark, sf_dir):
+    """Forward as-of: the reversed union+carry — ONE key exchange, a
+    descending-time running window, no per-row subquery and no fanout
+    join+regroup."""
+    plan = _plan(spark, sf_dir, "join_asof_forward_next_order")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Window") >= 1
+    assert "SortMergeJoin" not in plan
+
+
+def test_mod97_codegen_no_python(spark, sf_dir):
+    """Mod-97: the Horner fold is a higher-order expression — stays in
+    codegen, no Python, one narrow scan."""
+    plan = _plan(spark, sf_dir, "scalar_mod97_checksum")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_record_days_running_max(spark, sf_dir):
+    """Record days: one running-max window over the daily frame; the
+    record-number window runs over the near-empty record subset."""
+    plan = _plan(spark, sf_dir, "ts_record_breaking_days")
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
