@@ -346,6 +346,8 @@ HEADLINE = [
     "join_asof_forward_next_order",
     "scalar_mod97_checksum",
     "ts_record_breaking_days",
+    "agg_price_volume_mix",
+    "agg_abc_xyz_classification",
 ]
 
 def main() -> None:

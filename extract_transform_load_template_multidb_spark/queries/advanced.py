@@ -9845,3 +9845,231 @@ def join_asof_forward_next_order(
             F.lit("9999-12-31").cast("date"),
         ),
     )
+
+
+_PVM_ORACLE = """
+WITH yr AS (
+    SELECT l_partkey AS part,
+           CAST(year(CAST(l_shipdate AS DATE)) AS INT) AS y,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem
+    WHERE year(CAST(l_shipdate AS DATE)) IN (1996, 1997)
+    GROUP BY 1, 2
+),
+base AS (SELECT part, rev AS rev0, qty AS qty0 FROM yr WHERE y = 1996),
+curr AS (SELECT part, rev AS rev1, qty AS qty1 FROM yr WHERE y = 1997),
+both_y AS (
+    SELECT b.part, b.rev0, b.qty0, c.rev1, c.qty1,
+           round(b.rev0 / b.qty0, 6) AS p0,
+           round(c.rev1 / c.qty1, 6) AS p1
+    FROM base b JOIN curr c ON c.part = b.part
+    WHERE b.qty0 > 0 AND c.qty1 > 0
+)
+SELECT part,
+       round(rev1 - rev0, 2) AS delta_revenue,
+       round((p1 - p0) * qty1, 2) AS price_effect,
+       round((qty1 - qty0) * p0, 2) AS volume_effect
+FROM both_y
+ORDER BY abs(rev1 - rev0) DESC, part
+LIMIT 20
+"""
+
+
+@query("agg_price_volume_mix", oracle=_PVM_ORACLE)
+def agg_price_volume_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume decomposition of year-over-year revenue change per
+    part: ΔR = (p₁−p₀)·q₁ + (q₁−q₀)·p₀ EXACTLY (the two-factor
+    Laspeyres/Paasche split — price effect at current volume, volume
+    effect at base price; the identity has no residual), the FP&A
+    bridge behind every 'why did revenue move' waterfall. One
+    year-grouped decimal pass per part, a part-keyed self-join of the
+    two year slices, scalar algebra; top-20 movers by |ΔR| via
+    TakeOrdered. Unit prices are ratios of exact decimal sums, so both
+    engines divide identical numbers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    yr = (
+        li.where(
+            F.year(F.col("l_shipdate").cast("date")).isin(1996, 1997)
+        )
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.year(F.col("l_shipdate").cast("date")).alias("y"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("rev"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("qty"),
+        )
+    )
+    base = yr.where(F.col("y") == 1996).select(
+        "part",
+        F.col("rev").alias("rev0"),
+        F.col("qty").alias("qty0"),
+    )
+    curr = yr.where(F.col("y") == 1997).select(
+        "part",
+        F.col("rev").alias("rev1"),
+        F.col("qty").alias("qty1"),
+    )
+    both_y = base.join(curr, "part").where(
+        (F.col("qty0") > 0) & (F.col("qty1") > 0)
+    )
+    # Unit prices quantized at 6 dp before the effect products — the
+    # raw double quotient can land an ulp either side of a 2-dp
+    # rounding boundary across engines.
+    p0 = F.round(F.col("rev0") / F.col("qty0"), 6)
+    p1 = F.round(F.col("rev1") / F.col("qty1"), 6)
+    return (
+        both_y.select(
+            "part",
+            F.round(F.col("rev1") - F.col("rev0"), 2).alias(
+                "delta_revenue"
+            ),
+            F.round((p1 - p0) * F.col("qty1"), 2).alias("price_effect"),
+            F.round(
+                (F.col("qty1") - F.col("qty0")) * p0, 2
+            ).alias("volume_effect"),
+        )
+        .orderBy(F.abs(F.col("delta_revenue")).desc(), "part")
+        .limit(20)
+    )
+
+
+_ABC_XYZ_ORACLE = """
+WITH per_part AS (
+    SELECT l_partkey AS part,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+               AS rev,
+           CAST(COUNT(*) AS DOUBLE) AS n,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq,
+           CAST(SUM(CAST(l_quantity * l_quantity AS BIGINT)) AS BIGINT)
+               AS sqq
+    FROM lineitem GROUP BY 1
+),
+ranked AS (
+    SELECT part, rev, n, sq, sqq,
+           SUM(CAST(round(rev, 2) AS DECIMAL(38,2)))
+             OVER (ORDER BY rev DESC, part
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_rev,
+           SUM(CAST(round(rev, 2) AS DECIMAL(38,2))) OVER () AS tot_rev
+    FROM per_part
+),
+classed AS (
+    SELECT part, rev, n,
+           CASE WHEN CAST(cum_rev AS DOUBLE)
+                     <= CAST(tot_rev AS DOUBLE) * 0.8 THEN 'A'
+                WHEN CAST(cum_rev AS DOUBLE)
+                     <= CAST(tot_rev AS DOUBLE) * 0.95 THEN 'B'
+                ELSE 'C' END AS abc,
+           CASE WHEN n < 2 THEN 'Z'
+                WHEN sqrt(greatest((sqq - CAST(sq AS DOUBLE) * sq / n)
+                                   / (n - 1), 0))
+                       / (CAST(sq AS DOUBLE) / n) < 0.3 THEN 'X'
+                WHEN sqrt(greatest((sqq - CAST(sq AS DOUBLE) * sq / n)
+                                   / (n - 1), 0))
+                       / (CAST(sq AS DOUBLE) / n) < 0.6 THEN 'Y'
+                ELSE 'Z' END AS xyz
+    FROM ranked
+)
+SELECT abc, xyz,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       round(CAST(SUM(CAST(round(rev, 2) AS DECIMAL(38,2))) AS DOUBLE),
+             2) AS class_revenue
+FROM classed GROUP BY abc, xyz
+"""
+
+
+@query("agg_abc_xyz_classification", oracle=_ABC_XYZ_ORACLE)
+def agg_abc_xyz_classification(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ABC/XYZ inventory segmentation: ABC from the cumulative-revenue
+    Pareto (A = first 80% of revenue, B = next 15%, C = tail) and XYZ
+    from demand variability (quantity coefficient of variation < 0.3 /
+    < 0.6 / else) — the 9-cell matrix supply-chain planners use to pick
+    forecasting and stocking policy per item. One part-grouped decimal
+    pass carries revenue AND the quantity moments; the Pareto cumsum is
+    a window over the PART summary (2-dp grid, order (rev desc, part)
+    total), CV is scalar algebra on integer moments; the output is the
+    9-cell rollup. At billions of parts the ranking window partitions
+    by a revenue band first — same two-level trick as the concurrency
+    sweep."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy(F.col("l_partkey").alias("part")).agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("rev"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("l_quantity").cast("long"))
+        .cast("long")
+        .alias("sq"),
+        F.sum(
+            (
+                F.col("l_quantity").cast("long")
+                * F.col("l_quantity").cast("long")
+            )
+        )
+        .cast("long")
+        .alias("sqq"),
+    )
+    from pyspark.sql import Window as Win
+
+    wr = Win.orderBy(F.col("rev").desc(), "part").rowsBetween(
+        Win.unboundedPreceding, 0
+    )
+    ranked = per_part.select(
+        "part",
+        "rev",
+        "n",
+        "sq",
+        "sqq",
+        F.sum(F.round("rev", 2).cast("decimal(38,2)"))
+        .over(wr)
+        .alias("cum_rev"),
+        F.sum(F.round("rev", 2).cast("decimal(38,2)"))
+        .over(Win.partitionBy())
+        .alias("tot_rev"),
+    )
+    n, sq, sqq = F.col("n"), F.col("sq"), F.col("sqq")
+    cv = F.sqrt(
+        F.greatest(
+            (sqq - sq.cast("double") * sq / n) / (n - 1), F.lit(0.0)
+        )
+    ) / (sq.cast("double") / n)
+    abc = (
+        F.when(
+            F.col("cum_rev").cast("double")
+            <= F.col("tot_rev").cast("double") * 0.8,
+            "A",
+        )
+        .when(
+            F.col("cum_rev").cast("double")
+            <= F.col("tot_rev").cast("double") * 0.95,
+            "B",
+        )
+        .otherwise("C")
+    )
+    xyz = (
+        F.when(n < 2, "Z")
+        .when(cv < 0.3, "X")
+        .when(cv < 0.6, "Y")
+        .otherwise("Z")
+    )
+    classed = ranked.select(
+        "rev", abc.alias("abc"), xyz.alias("xyz")
+    )
+    return classed.groupBy("abc", "xyz").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.round(
+            F.sum(F.round("rev", 2).cast("decimal(38,2)")).cast(
+                "double"
+            ),
+            2,
+        ).alias("class_revenue"),
+    )

@@ -1664,3 +1664,20 @@ def test_record_days_running_max(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_record_breaking_days")
     assert plan.count("orders.parquet") == 1
     assert "Join" not in plan
+
+
+def test_pvm_year_slices_one_pass(spark, sf_dir):
+    """PVM: one year-grouped pass feeds both year slices (part-keyed
+    join of two filters over the SAME aggregate); top-20 movers via
+    TakeOrdered."""
+    plan = _plan(spark, sf_dir, "agg_price_volume_mix")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_abc_xyz_windows_over_part_summary(spark, sf_dir):
+    """ABC/XYZ: the Pareto cumsum and totals are windows over the PART
+    summary, never the fact table — one lineitem scan."""
+    plan = _plan(spark, sf_dir, "agg_abc_xyz_classification")
+    assert plan.count("lineitem.parquet") == 1
+    assert "Join" not in plan
