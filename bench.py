@@ -348,6 +348,8 @@ HEADLINE = [
     "ts_record_breaking_days",
     "agg_price_volume_mix",
     "agg_abc_xyz_classification",
+    "text_query_likelihood_dirichlet",
+    "curation_span_corruption_stats",
 ]
 
 def main() -> None:

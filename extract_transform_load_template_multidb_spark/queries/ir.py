@@ -560,3 +560,107 @@ def text_phrase_search_positional(
     return hits.orderBy(
         F.col("n_occurrences").desc(), "doc_id"
     ).limit(25)
+
+
+_QL_ORACLE = f"""
+WITH {_SQL_TOKS},
+ctf AS (
+    SELECT w, CAST(count(*) AS BIGINT) AS cf FROM tok
+    WHERE w IN ('table', 'join', 'query') GROUP BY w
+),
+ctot AS (SELECT CAST(count(*) AS BIGINT) AS ct FROM tok),
+dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM toks_list),
+tf AS (
+    SELECT doc_id, w, CAST(count(*) AS BIGINT) AS tf FROM tok
+    WHERE w IN ('table', 'join', 'query') GROUP BY doc_id, w
+),
+terms AS (
+    SELECT d.doc_id, d.dl, c.w, c.cf, COALESCE(t.tf, 0) AS tf
+    FROM dl d
+    CROSS JOIN ctf c
+    LEFT JOIN tf t ON t.doc_id = d.doc_id AND t.w = c.w
+),
+scored AS (
+    SELECT doc_id, dl,
+           round(ln((tf + 2000.0 * (cf / CAST((SELECT ct FROM ctot)
+                                              AS DOUBLE)))
+                    / (dl + 2000.0)), 6) AS lp
+    FROM terms
+)
+SELECT doc_id, CAST(dl AS BIGINT) AS dl,
+       CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) AS ql_score
+FROM scored GROUP BY doc_id, dl
+ORDER BY ql_score DESC, doc_id
+LIMIT 50
+"""
+
+
+@query("text_query_likelihood_dirichlet", oracle=_QL_ORACLE)
+def text_query_likelihood_dirichlet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (μ=2000) for the
+    fixed term query: score = Σ_q ln((tf + μ·P_c(w)) / (dl + μ)) — the
+    language-modeling retrieval family (Zhai-Lafferty) beside BM25
+    (`text_bm25_search`, TF-saturation family): smoothing comes from
+    the corpus model, so documents are penalized for MISSING query
+    terms rather than just rewarded for containing them (zero-tf terms
+    still contribute, which BM25's per-hit sum cannot express). The
+    corpus term stats broadcast (3 rows); every doc scores all three
+    terms via a left join of the tf postings onto the doc-length
+    frame; ln quantized at 6 dp, 3-term decimal sum."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        ).alias("w"),
+    )
+    hits = tok.where(F.col("w").isin(*_BM25_TERMS))
+    ctf = hits.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("cf")
+    )
+    ctot = tok.agg(F.count(F.lit(1)).cast("long").alias("ct"))
+    dl = docs.select(
+        "doc_id",
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda w: w != "",
+            )
+        )
+        .cast("long")
+        .alias("dl"),
+    )
+    tf = hits.groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    terms = (
+        dl.crossJoin(F.broadcast(ctf.crossJoin(ctot)))
+        .join(tf, ["doc_id", "w"], "left")
+        .na.fill({"tf": 0})
+    )
+    lp = F.round(
+        F.log(
+            (
+                F.col("tf")
+                + 2000.0 * (F.col("cf") / F.col("ct").cast("double"))
+            )
+            / (F.col("dl") + 2000.0)
+        ),
+        6,
+    )
+    return (
+        terms.select("doc_id", "dl", lp.alias("lp"))
+        .groupBy("doc_id", "dl")
+        .agg(
+            F.sum(F.col("lp").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("ql_score")
+        )
+        .orderBy(F.col("ql_score").desc(), "doc_id")
+        .limit(50)
+    )

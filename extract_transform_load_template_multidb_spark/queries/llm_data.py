@@ -8638,3 +8638,129 @@ def curation_weighted_sample_es(
         .orderBy(F.col("es_key").desc(), "doc_id")
         .limit(50)
     )
+
+
+_SPAN_CORRUPTION_ORACLE = """
+WITH toks AS (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                       w -> w <> '') AS t
+    FROM documents
+),
+blocks AS (
+    SELECT doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           list_transform(range(0, CAST(ceil(len(t) / 3.0) AS BIGINT)),
+               b -> CASE WHEN (CAST(('0x' || substr(md5(
+                        CAST(doc_id AS VARCHAR) || ':' ||
+                        CAST(b AS VARCHAR)), 1, 8)) AS BIGINT) % 7) = 0
+                    THEN 1 ELSE 0 END) AS sel
+    FROM toks
+),
+stats AS (
+    SELECT doc_id, n_tokens,
+           CAST(len(sel) AS BIGINT) AS n_blocks,
+           CAST(list_sum(sel) AS BIGINT) AS n_sel_blocks,
+           CAST(list_sum(list_transform(range(1, len(sel) + 1), i ->
+               CASE WHEN sel[i] = 1
+                     AND (i = 1 OR sel[i - 1] = 0)
+                    THEN 1 ELSE 0 END)) AS BIGINT) AS n_spans
+    FROM blocks
+)
+SELECT doc_id, n_tokens, n_sel_blocks,
+       CAST(least(n_sel_blocks * 3, n_tokens) AS BIGINT)
+           AS n_masked_upper,
+       n_spans,
+       round(CASE WHEN n_blocks = 0 THEN 0.0
+                  ELSE n_sel_blocks / CAST(n_blocks AS DOUBLE) END, 6)
+           AS block_mask_ratio
+FROM stats
+"""
+
+
+@query("curation_span_corruption_stats", oracle=_SPAN_CORRUPTION_ORACLE)
+def curation_span_corruption_stats(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """T5-style span-corruption mask plan per document: tokens group
+    into 3-token blocks, each block masks iff its md5(doc, block)
+    selector fires (≈1/7 ≈ the 15% corruption rate), and ADJACENT
+    selected blocks merge into one sentinel span (counted via the
+    block-array lag inside a transform — no sequential scan, the
+    whole mask plan is a per-doc array expression in codegen). This
+    is the deterministic, re-runnable form of the seq2seq denoising
+    objective's data prep: block-hash selection parallelizes where
+    the textbook 'sample span starts until 15% covered' loop cannot,
+    and the same hash reproduces the identical mask on any engine or
+    re-run — the lineage property a training pipeline needs. One
+    narrow map over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda w: w != "",
+    )
+    n_tokens = F.size(toks).cast("long")
+    n_blocks = F.ceil(F.size(toks) / F.lit(3.0)).cast("long")
+    sel = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda b: F.when(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":"),
+                            b.cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 7
+            == 0,
+            1,
+        ).otherwise(0),
+    )
+    base = docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_blocks.alias("n_blocks"),
+        sel.alias("sel"),
+    ).where(F.col("n_blocks") > 0)
+    n_sel = F.aggregate(
+        F.col("sel"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    # A span starts at a selected block whose predecessor is unselected.
+    n_spans = F.aggregate(
+        F.transform(
+            F.sequence(F.lit(0), F.size("sel") - 1),
+            lambda i: F.when(
+                (F.element_at(F.col("sel"), i + 1) == 1)
+                & (
+                    (i == 0)
+                    | (F.element_at(F.col("sel"), i) == 0)
+                ),
+                F.lit(1).cast("long"),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    return base.select(
+        "doc_id",
+        "n_tokens",
+        n_sel.cast("long").alias("n_sel_blocks"),
+        F.least(n_sel * 3, F.col("n_tokens"))
+        .cast("long")
+        .alias("n_masked_upper"),
+        n_spans.cast("long").alias("n_spans"),
+        F.round(
+            F.when(F.col("n_blocks") == 0, 0.0).otherwise(
+                n_sel / F.col("n_blocks").cast("double")
+            ),
+            6,
+        ).alias("block_mask_ratio"),
+    )

@@ -1681,3 +1681,21 @@ def test_abc_xyz_windows_over_part_summary(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_abc_xyz_classification")
     assert plan.count("lineitem.parquet") == 1
     assert "Join" not in plan
+
+
+def test_ql_dirichlet_broadcast_corpus_stats(spark, sf_dir):
+    """Dirichlet QL: the 3-row corpus term stats broadcast onto the
+    doc-length frame; top-50 via TakeOrdered."""
+    plan = _plan(spark, sf_dir, "text_query_likelihood_dirichlet")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_span_corruption_pure_expression(spark, sf_dir):
+    """Span corruption: the whole mask plan is a per-doc array
+    expression — one narrow documents scan, no shuffle, no Python."""
+    plan = _plan(spark, sf_dir, "curation_span_corruption_stats")
+    assert "Exchange hashpartitioning" not in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
