@@ -350,6 +350,7 @@ HEADLINE = [
     "agg_abc_xyz_classification",
     "text_query_likelihood_dirichlet",
     "curation_span_corruption_stats",
+    "window_attribution_time_decay",
 ]
 
 def main() -> None:

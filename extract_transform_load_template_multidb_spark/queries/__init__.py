@@ -164,10 +164,29 @@ _CHECK_LAST = (
 
 # ROUND-7 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r06
 # confirms the round-6 window, replace _CHECK_FIRST with the next ~50
-# still-never-driver-green names. Lead with the session-29 additions
-# (dq_population_stability, agg_grubbs_outlier, agg_isotonic_calibration,
-# feature_woe_iv, sim_rrf_fusion, text_ndcg_at_10, agg_nelson_aalen_hazard,
-# ts_spectral_entropy, graph_hits_bipartite) and the session-28 additions
+# still-never-driver-green names. Lead with the 48 session-29 additions
+# (newest code first: dq_population_stability, agg_grubbs_outlier,
+# agg_isotonic_calibration, feature_woe_iv, sim_rrf_fusion, text_ndcg_at_10,
+# agg_nelson_aalen_hazard, ts_spectral_entropy, graph_hits_bipartite,
+# window_user_lifecycle_states, agg_vif_multicollinearity,
+# join_allen_interval_relations, graph_bipartite_projection,
+# agg_cms_heavy_hitters, agg_simpson_paradox_detector, ts_peak_prominence,
+# window_concurrency_sweep, agg_contingency_residuals,
+# agg_average_precision, ts_ljung_box_q, ts_kruskal_wallis_weekday,
+# ts_haar_wavelet_energy, mm_image_tile_stats, pyfunc_mapinpandas_minmax,
+# stream_hist_quantile_sketch, window_alert_debounce,
+# join_disjunctive_union_rewrite, agg_confusion_threshold_metrics,
+# text_phrase_search_positional, window_clamped_running_balance,
+# dq_duplicate_payment_detector, scd2_as_was_vs_as_is,
+# join_nearest_price_neighbor, window_interval_coalesce,
+# ts_western_electric_rules, curation_weighted_sample_es,
+# mm_wav_zero_crossing_rate, dq_interval_integrity_audit,
+# window_rolling_ols_slope, agg_ratio_metric_delta_ci,
+# join_asof_forward_next_order, scalar_mod97_checksum,
+# ts_record_breaking_days, agg_price_volume_mix,
+# agg_abc_xyz_classification, text_query_likelihood_dirichlet,
+# curation_span_corruption_stats, window_attribution_time_decay)
+# and the session-28 additions
 # (sim_mmr_diversified_topk, curation_dsir_importance, text_rake_keywords,
 # sim_davies_bouldin_index, sim_lsh_candidate_recall,
 # ts_holt_linear_forecast, ts_holt_winters_weekly, agg_negative_binomial_fit,

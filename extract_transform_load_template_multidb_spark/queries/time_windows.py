@@ -7339,3 +7339,118 @@ def ts_record_breaking_days(
             "record_number"
         ),
     ).orderBy("record_day")
+
+
+_TIME_DECAY_ATTR_ORACLE = """
+WITH purchases AS (
+    SELECT user_id, ts AS pts, event_id AS pid
+    FROM events WHERE event_type = 'purchase'
+),
+touch AS (
+    SELECT p.pid, e.event_type,
+           CAST(epoch_us(p.pts) - epoch_us(e.ts) AS BIGINT) AS age_us
+    FROM purchases p
+    JOIN events e
+      ON e.user_id = p.user_id
+     AND e.ts < p.pts
+     AND e.ts >= p.pts - INTERVAL 1 HOUR
+     AND e.event_type <> 'purchase'
+),
+raw AS (
+    SELECT pid, event_type,
+           CAST(round(exp(round(-0.693147 * age_us
+                                / 1800000000.0, 6)), 9)
+                AS DECIMAL(38,9)) AS w
+    FROM touch
+),
+norm AS (
+    SELECT pid, event_type, w,
+           SUM(w) OVER (PARTITION BY pid) AS tot
+    FROM raw
+),
+credit AS (
+    SELECT pid, event_type,
+           CAST(round(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6)
+                AS DECIMAL(38,6)) AS c
+    FROM norm
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(c) AS DOUBLE) AS attributed_purchases
+FROM credit GROUP BY event_type
+"""
+
+
+@query("window_attribution_time_decay", oracle=_TIME_DECAY_ATTR_ORACLE)
+def window_attribution_time_decay(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Time-decay multi-touch attribution (30-min half-life): each
+    touch in the hour before a purchase earns weight 2^(−age/τ),
+    normalized per purchase — the recency-weighted model between
+    last-touch (all credit to the final click) and linear (flat), the
+    one marketers default to for short conversion cycles. Same bounded
+    touch join as the linear model (user-keyed equi-join, hour window
+    residual); decay is exp of a 6-dp-quantized exponent (the KM/
+    Pettitt cross-engine discipline — raw pow() can differ an ulp
+    across libms), weights re-quantized at 9 dp before the per-purchase
+    normalization window and at 6 dp before the final decimal sum."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("pts"),
+        F.col("event_id").alias("pid"),
+    )
+    touches = (
+        ev.where(F.col("event_type") != "purchase")
+        .select(
+            F.col("user_id").alias("t_user"),
+            "event_type",
+            F.col("ts").alias("ets"),
+        )
+        .join(
+            purchases,
+            (F.col("t_user") == F.col("user_id"))
+            & (F.col("ets") < F.col("pts"))
+            & (
+                F.col("ets")
+                >= F.col("pts") - F.expr("INTERVAL 1 HOUR")
+            ),
+        )
+        .select(
+            "pid",
+            "event_type",
+            (
+                F.unix_micros("pts") - F.unix_micros("ets")
+            ).alias("age_us"),
+        )
+    )
+    w = F.round(
+        F.exp(
+            F.round(
+                -0.693147 * F.col("age_us") / F.lit(1800000000.0), 6
+            )
+        ),
+        9,
+    ).cast("decimal(38,9)")
+    raw = touches.select("pid", "event_type", w.alias("w"))
+    norm = raw.select(
+        "pid",
+        "event_type",
+        "w",
+        F.sum("w").over(Win.partitionBy("pid")).alias("tot"),
+    )
+    credit = norm.select(
+        "event_type",
+        F.round(
+            F.col("w").cast("double") / F.col("tot").cast("double"), 6
+        )
+        .cast("decimal(38,6)")
+        .alias("c"),
+    )
+    return credit.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        F.sum("c").cast("double").alias("attributed_purchases"),
+    )

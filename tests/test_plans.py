@@ -1699,3 +1699,12 @@ def test_span_corruption_pure_expression(spark, sf_dir):
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_time_decay_attr_bounded_touch_join(spark, sf_dir):
+    """Time-decay attribution: user-keyed equi-join with the hour
+    window residual (same shape as the linear model); normalization is
+    one purchase-partitioned window — no cartesian, no Python."""
+    plan = _plan(spark, sf_dir, "window_attribution_time_decay")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
