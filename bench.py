@@ -351,6 +351,8 @@ HEADLINE = [
     "text_query_likelihood_dirichlet",
     "curation_span_corruption_stats",
     "window_attribution_time_decay",
+    "dq_slo_burn_rate_alerts",
+    "dq_join_cardinality_forecast",
 ]
 
 def main() -> None:

@@ -2296,3 +2296,181 @@ def dq_interval_integrity_audit(
         .cast("long")
         .alias("n_clean_keys"),
     )
+
+
+_BURN_RATE_ORACLE = """
+WITH hourly AS (
+    SELECT (epoch_us(ts) // 3600000000) AS hr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(CASE WHEN event_type = 'error' THEN 1 END)
+                AS BIGINT) AS n_err
+    FROM events GROUP BY 1
+),
+win AS (
+    SELECT hr, n, n_err,
+           CAST(SUM(n) OVER w1 AS BIGINT) AS n_1h,
+           CAST(SUM(n_err) OVER w1 AS BIGINT) AS err_1h,
+           CAST(SUM(n) OVER w6 AS BIGINT) AS n_6h,
+           CAST(SUM(n_err) OVER w6 AS BIGINT) AS err_6h,
+           CAST(COUNT(*) OVER w6 AS BIGINT) AS hrs_6h
+    FROM hourly
+    WINDOW w1 AS (ORDER BY hr ROWS BETWEEN 0 PRECEDING AND CURRENT ROW),
+           w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+rates AS (
+    SELECT hr, n_1h, err_1h, n_6h, err_6h,
+           round(err_1h / CAST(n_1h AS DOUBLE) / 0.2, 6) AS burn_1h,
+           round(err_6h / CAST(n_6h AS DOUBLE) / 0.2, 6) AS burn_6h
+    FROM win WHERE hrs_6h = 6
+)
+SELECT hr AS hour_bucket, err_1h, n_1h,
+       burn_1h, burn_6h,
+       (burn_1h > 1.2 AND burn_6h > 1.2) AS page_alert
+FROM rates
+WHERE burn_1h > 1.2 AND burn_6h > 1.2
+"""
+
+
+@query("dq_slo_burn_rate_alerts", oracle=_BURN_RATE_ORACLE)
+def dq_slo_burn_rate_alerts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    with an 80% success SLO (20% error budget), burn rate = observed
+    error fraction / budget, and a page fires only when BOTH the fast
+    1-hour window and the slow 6-hour window burn above 1.2× — fast
+    window for responsiveness, slow window so a single spiky hour
+    cannot page (the same flap-resistance goal as
+    `window_alert_debounce`, expressed in error-budget units so the
+    threshold is SLO-portable). Hourly conditional counts (one fact
+    pass), two bounded ROWS frames over the hour series, exact integer
+    ratios; warm-up hours without a full 6-hour window are excluded."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window as Win
+
+    hourly = ev.groupBy(
+        (F.unix_micros("ts") / F.lit(3_600_000_000)).cast("long").alias(
+            "hr"
+        )
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.count(F.when(F.col("event_type") == "error", 1))
+        .cast("long")
+        .alias("n_err"),
+    )
+    w1 = Win.orderBy("hr").rowsBetween(0, 0)
+    w6 = Win.orderBy("hr").rowsBetween(-5, 0)
+    win = hourly.select(
+        "hr",
+        F.sum("n").over(w1).cast("long").alias("n_1h"),
+        F.sum("n_err").over(w1).cast("long").alias("err_1h"),
+        F.sum("n").over(w6).cast("long").alias("n_6h"),
+        F.sum("n_err").over(w6).cast("long").alias("err_6h"),
+        F.count(F.lit(1)).over(w6).cast("long").alias("hrs_6h"),
+    )
+    burn_1h = F.round(
+        F.col("err_1h") / F.col("n_1h").cast("double") / 0.2, 6
+    )
+    burn_6h = F.round(
+        F.col("err_6h") / F.col("n_6h").cast("double") / 0.2, 6
+    )
+    rates = win.where(F.col("hrs_6h") == 6).select(
+        F.col("hr").alias("hour_bucket"),
+        "err_1h",
+        "n_1h",
+        burn_1h.alias("burn_1h"),
+        burn_6h.alias("burn_6h"),
+    )
+    return rates.where(
+        (F.col("burn_1h") > 1.2) & (F.col("burn_6h") > 1.2)
+    ).select(
+        "hour_bucket",
+        "err_1h",
+        "n_1h",
+        "burn_1h",
+        "burn_6h",
+        (
+            (F.col("burn_1h") > 1.2) & (F.col("burn_6h") > 1.2)
+        ).alias("page_alert"),
+    )
+
+
+_JOIN_FORECAST_ORACLE = """
+WITH ca AS (
+    SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+    FROM orders GROUP BY 1
+),
+cb AS (
+    SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+    FROM events GROUP BY 1
+),
+est AS (
+    SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS predicted_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_keys,
+           CAST(MAX(ca.c * cb.c) AS BIGINT) AS max_key_rows
+    FROM ca JOIN cb ON cb.k = ca.k
+),
+actual AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+    FROM orders o JOIN events e ON e.user_id = o.o_custkey
+)
+SELECT e.predicted_rows, a.actual_rows,
+       e.predicted_rows = a.actual_rows AS forecast_exact,
+       e.n_shared_keys, e.max_key_rows,
+       round(e.max_key_rows * e.n_shared_keys
+             / CAST(e.predicted_rows AS DOUBLE), 6) AS skew_factor
+FROM est e CROSS JOIN actual a
+"""
+
+
+@query("dq_join_cardinality_forecast", oracle=_JOIN_FORECAST_ORACLE)
+def dq_join_cardinality_forecast(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-cardinality forecast from per-key histograms: for an
+    equi-join, |A⋈B| = Σ_k c_A(k)·c_B(k) EXACTLY, so the two key-count
+    profiles (each a fraction of the join's cost) predict the output
+    size and the worst single key's share BEFORE the join runs — the
+    pre-flight check that catches fanout explosions and skew
+    (skew_factor = max-key rows × keys / total ≫ 1 means one key
+    dominates and wants salting) while the optimizer's own estimate is
+    hidden. The query runs BOTH the forecast and the actual join and
+    asserts they agree — at production scale you run only the cheap
+    profile side. Two grouped counts + a key join of the profiles; the
+    verification join is the thing being predicted."""
+    o = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    ca = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("ca")
+    )
+    cb = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).cast("long").alias("cb")
+    )
+    est = ca.join(cb, "k").agg(
+        F.sum(F.col("ca") * F.col("cb"))
+        .cast("long")
+        .alias("predicted_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_shared_keys"),
+        F.max(F.col("ca") * F.col("cb"))
+        .cast("long")
+        .alias("max_key_rows"),
+    )
+    actual = (
+        o.join(ev, ev["user_id"] == o["o_custkey"])
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return est.crossJoin(F.broadcast(actual)).select(
+        "predicted_rows",
+        "actual_rows",
+        (F.col("predicted_rows") == F.col("actual_rows")).alias(
+            "forecast_exact"
+        ),
+        "n_shared_keys",
+        "max_key_rows",
+        F.round(
+            F.col("max_key_rows")
+            * F.col("n_shared_keys")
+            / F.col("predicted_rows").cast("double"),
+            6,
+        ).alias("skew_factor"),
+    )

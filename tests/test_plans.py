@@ -1708,3 +1708,20 @@ def test_time_decay_attr_bounded_touch_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "window_attribution_time_decay")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_burn_rate_two_frames_one_pass(spark, sf_dir):
+    """Burn rate: hourly conditional counts in one fact pass, the two
+    alert windows are bounded ROWS frames — no self-joins."""
+    plan = _plan(spark, sf_dir, "dq_slo_burn_rate_alerts")
+    assert plan.count("events.parquet") == 1
+    assert "Join" not in plan
+
+
+def test_join_forecast_profiles_before_join(spark, sf_dir):
+    """Join forecast: the prediction side joins two key PROFILES
+    (grouped counts), not the fact tables; only the verification leg
+    runs the real join."""
+    plan = _plan(spark, sf_dir, "dq_join_cardinality_forecast")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
