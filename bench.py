@@ -353,6 +353,8 @@ HEADLINE = [
     "window_attribution_time_decay",
     "dq_slo_burn_rate_alerts",
     "dq_join_cardinality_forecast",
+    "ts_binary_segmentation_pettitt",
+    "graph_deterministic_walks",
 ]
 
 def main() -> None:

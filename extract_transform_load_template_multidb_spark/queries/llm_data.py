@@ -8764,3 +8764,148 @@ def curation_span_corruption_stats(
             6,
         ).alias("block_mask_ratio"),
     )
+
+
+_WALKS_ORACLE = """
+WITH el AS MATERIALIZED (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+adj_c AS MATERIALIZED (
+    SELECT c, list(s ORDER BY s) AS nb, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM el GROUP BY c
+),
+adj_s AS MATERIALIZED (
+    SELECT s, list(c ORDER BY c) AS nb, CAST(COUNT(*) AS BIGINT) AS deg
+    FROM el GROUP BY s
+),
+seeds AS (SELECT c AS seed FROM adj_c WHERE c % 100 = 0),
+w1 AS MATERIALIZED (
+    SELECT t.seed,
+           a.nb[CAST((CAST(('0x' || substr(md5(CAST(t.seed AS VARCHAR)
+                || ':1'), 1, 8)) AS BIGINT) % a.deg) + 1 AS BIGINT)]
+               AS n1
+    FROM seeds t JOIN adj_c a ON a.c = t.seed
+),
+w2 AS MATERIALIZED (
+    SELECT w.seed, w.n1,
+           a.nb[CAST((CAST(('0x' || substr(md5(CAST(w.seed AS VARCHAR)
+                || ':2'), 1, 8)) AS BIGINT) % a.deg) + 1 AS BIGINT)]
+               AS n2
+    FROM w1 w JOIN adj_s a ON a.s = w.n1
+),
+w3 AS MATERIALIZED (
+    SELECT w.seed, w.n1, w.n2,
+           a.nb[CAST((CAST(('0x' || substr(md5(CAST(w.seed AS VARCHAR)
+                || ':3'), 1, 8)) AS BIGINT) % a.deg) + 1 AS BIGINT)]
+               AS n3
+    FROM w2 w JOIN adj_c a ON a.c = w.n2
+),
+w4 AS MATERIALIZED (
+    SELECT w.seed, w.n1, w.n2, w.n3,
+           a.nb[CAST((CAST(('0x' || substr(md5(CAST(w.seed AS VARCHAR)
+                || ':4'), 1, 8)) AS BIGINT) % a.deg) + 1 AS BIGINT)]
+               AS n4
+    FROM w3 w JOIN adj_s a ON a.s = w.n3
+)
+SELECT seed,
+       CAST(n1 AS BIGINT) AS supplier_1,
+       CAST(n2 AS BIGINT) AS customer_2,
+       CAST(n3 AS BIGINT) AS supplier_3,
+       CAST(n4 AS BIGINT) AS customer_4
+FROM w4
+"""
+
+
+@query("graph_deterministic_walks", oracle=_WALKS_ORACLE)
+def graph_deterministic_walks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hash-seeded random walks on the customer↔supplier bipartite
+    graph — the node2vec/DeepWalk DATA-PREP stage (walk corpora feed a
+    skip-gram embedder, cf. `text_skipgram_ppmi`) made deterministic:
+    step k from node v moves to sorted-neighbor index
+    md5(seed:k) mod degree, so the walk corpus is bit-reproducible
+    across engines and re-runs (the lineage property a training
+    pipeline needs; swap the hash for a salted one to draw more
+    walks per seed). Each step is ONE equi-join of the walk frontier
+    against the adjacency-list table (neighbor arrays built once,
+    sorted for index determinism) — walks advance in lockstep, never
+    one-at-a-time; 4 unrolled steps alternate the bipartite sides."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    el = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(
+            F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    adj_c = el.groupBy("c").agg(
+        F.array_sort(F.collect_list("s")).alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("deg"),
+    )
+    adj_s = el.groupBy("s").agg(
+        F.array_sort(F.collect_list("c")).alias("nb"),
+        F.count(F.lit(1)).cast("long").alias("deg"),
+    )
+
+    def hstep(seed_col, k):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            seed_col.cast("string"), F.lit(f":{k}")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("deg")
+        )
+
+    seeds = adj_c.where(F.col("c") % 100 == 0).select(
+        F.col("c").alias("seed")
+    )
+    w = seeds.join(adj_c, F.col("c") == F.col("seed")).select(
+        "seed",
+        F.element_at(
+            "nb", (hstep(F.col("seed"), 1) + 1).cast("int")
+        ).alias("n1"),
+    )
+    w = w.join(adj_s, F.col("s") == F.col("n1")).select(
+        "seed",
+        "n1",
+        F.element_at(
+            "nb", (hstep(F.col("seed"), 2) + 1).cast("int")
+        ).alias("n2"),
+    )
+    w = w.join(adj_c, F.col("c") == F.col("n2")).select(
+        "seed",
+        "n1",
+        "n2",
+        F.element_at(
+            "nb", (hstep(F.col("seed"), 3) + 1).cast("int")
+        ).alias("n3"),
+    )
+    w = w.join(adj_s, F.col("s") == F.col("n3")).select(
+        "seed",
+        "n1",
+        "n2",
+        "n3",
+        F.element_at(
+            "nb", (hstep(F.col("seed"), 4) + 1).cast("int")
+        ).alias("n4"),
+    )
+    return w.select(
+        "seed",
+        F.col("n1").cast("long").alias("supplier_1"),
+        F.col("n2").cast("long").alias("customer_2"),
+        F.col("n3").cast("long").alias("supplier_3"),
+        F.col("n4").cast("long").alias("customer_4"),
+    )

@@ -7454,3 +7454,154 @@ def window_attribution_time_decay(
         F.count(F.lit(1)).cast("long").alias("n_touches"),
         F.sum("c").cast("double").alias("attributed_purchases"),
     )
+
+
+def _binseg_oracle() -> str:
+    """Two-level Pettitt binary segmentation: the rank U-statistic CTE
+    template is instantiated for the full series, then for each half
+    split at the stage-1 argmax. MATERIALIZED throughout — each stage's
+    frame is referenced more than once."""
+    stage = """
+{name}_rk AS MATERIALIZED (
+    SELECT d.day, d.y,
+           (SELECT COUNT(*) FROM {src} b WHERE b.y < d.y)
+             + ((SELECT COUNT(*) FROM {src} c WHERE c.y = d.y) + 1)
+               / CAST(2 AS DOUBLE) AS midrank
+    FROM {src} d
+),
+{name}_run AS MATERIALIZED (
+    SELECT day,
+           CAST(SUM(CAST(round(midrank, 1) AS DECIMAL(38,1)))
+                OVER (ORDER BY day
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS r_cum,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS t,
+           CAST(COUNT(*) OVER () AS BIGINT) AS n
+    FROM {name}_rk
+),
+{name}_pick AS MATERIALIZED (
+    SELECT day, abs(2 * r_cum - CAST(t AS DOUBLE) * (n + 1)) AS k
+    FROM {name}_run WHERE t < n
+    ORDER BY abs(2 * r_cum - CAST(t AS DOUBLE) * (n + 1)) DESC, day
+    LIMIT 1
+)"""
+    return (
+        """
+WITH daily AS MATERIALIZED (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM orders GROUP BY 1
+),"""
+        + stage.format(name="s1", src="daily")
+        + ","
+        + """
+left_h AS MATERIALIZED (
+    SELECT * FROM daily WHERE day <= (SELECT day FROM s1_pick)
+),
+right_h AS MATERIALIZED (
+    SELECT * FROM daily WHERE day > (SELECT day FROM s1_pick)
+),"""
+        + stage.format(name="s2", src="left_h")
+        + ","
+        + stage.format(name="s3", src="right_h")
+        + """
+SELECT 'primary' AS stage, day AS changepoint_day, round(k, 1) AS k_stat
+FROM s1_pick
+UNION ALL
+SELECT 'left', day, round(k, 1) FROM s2_pick
+UNION ALL
+SELECT 'right', day, round(k, 1) FROM s3_pick
+"""
+    )
+
+
+@query("ts_binary_segmentation_pettitt", oracle=_binseg_oracle())
+def ts_binary_segmentation_pettitt(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary segmentation for MULTIPLE changepoints: run Pettitt's
+    rank test on the full daily-revenue series, split at its argmax,
+    and re-run on each half — the standard recursion that turns any
+    single-changepoint test into a multi-changepoint detector (here
+    one level = up to 3 changepoints; production recurses until the
+    statistic drops below significance). Each stage is the same
+    bounded shape: midranks from a value-counts pass, one day-ordered
+    rank cumsum, argmax via TakeOrdered — on frames that HALVE per
+    level; the daily series is checkpointed once and each half filters
+    against the broadcast 1-row split day. Segment data stay
+    distributed throughout."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    ).localCheckpoint(eager=True)
+
+    def pettitt_pick(seg, tag):
+        vc = seg.groupBy("y").agg(
+            F.count(F.lit(1)).cast("long").alias("l")
+        )
+        rk = vc.select(
+            "y",
+            "l",
+            (
+                F.sum("l").over(
+                    Win.orderBy("y").rowsBetween(
+                        Win.unboundedPreceding, Win.currentRow
+                    )
+                )
+                - F.col("l")
+            )
+            .cast("long")
+            .alias("cum_before"),
+        )
+        ranked = seg.join(rk, "y").select(
+            "day",
+            (
+                F.col("cum_before") + (F.col("l") + 1) / F.lit(2.0)
+            ).alias("midrank"),
+        )
+        wd = Win.orderBy("day")
+        run = ranked.select(
+            "day",
+            F.sum(F.round("midrank", 1).cast("decimal(38,1)"))
+            .over(wd.rowsBetween(Win.unboundedPreceding, Win.currentRow))
+            .cast("double")
+            .alias("r_cum"),
+            F.row_number().over(wd).cast("long").alias("t"),
+            F.count(F.lit(1))
+            .over(Win.partitionBy())
+            .cast("long")
+            .alias("n"),
+        )
+        k = F.abs(
+            2 * F.col("r_cum")
+            - F.col("t").cast("double") * (F.col("n") + 1)
+        )
+        return (
+            run.where(F.col("t") < F.col("n"))
+            .orderBy(k.desc(), "day")
+            .limit(1)
+            .select(
+                F.lit(tag).alias("stage"),
+                F.col("day").alias("changepoint_day"),
+                F.round(k, 1).alias("k_stat"),
+            )
+            .localCheckpoint(eager=True)
+        )
+
+    s1 = pettitt_pick(daily, "primary")
+    split = s1.select(F.col("changepoint_day").alias("split_day"))
+    left = daily.crossJoin(F.broadcast(split)).where(
+        F.col("day") <= F.col("split_day")
+    ).select("day", "y")
+    right = daily.crossJoin(F.broadcast(split)).where(
+        F.col("day") > F.col("split_day")
+    ).select("day", "y")
+    s2 = pettitt_pick(left, "left")
+    s3 = pettitt_pick(right, "right")
+    return s1.unionByName(s2).unionByName(s3)

@@ -1725,3 +1725,21 @@ def test_join_forecast_profiles_before_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_join_cardinality_forecast")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4
+
+
+def test_binseg_halving_segments_checkpointed(spark, sf_dir):
+    """Binary segmentation: the daily series is checkpointed once and
+    each stage's argmax is TakeOrdered — halves filter against the
+    broadcast 1-row split, no cartesian."""
+    plan = _plan(spark, sf_dir, "ts_binary_segmentation_pettitt")
+    assert "CartesianProduct" not in plan
+    assert plan.count("orders.parquet") == 0  # behind the checkpoint
+
+
+def test_walks_lockstep_frontier_joins(spark, sf_dir):
+    """Deterministic walks: each step is one equi-join of the walk
+    frontier against the adjacency table — 4 joins total, no cartesian,
+    no Python, no per-walk iteration."""
+    plan = _plan(spark, sf_dir, "graph_deterministic_walks")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
