@@ -355,6 +355,7 @@ HEADLINE = [
     "dq_join_cardinality_forecast",
     "ts_binary_segmentation_pettitt",
     "graph_deterministic_walks",
+    "mm_image_gradient_orientation",
 ]
 
 def main() -> None:

@@ -1290,3 +1290,60 @@ def zero_crossing_rate(df: DataFrame) -> DataFrame:
             )
 
     return repartition_for_media(df).mapInPandas(fn, schema)
+
+
+def gradient_orientation_histogram(df: DataFrame) -> DataFrame:
+    """Gradient-orientation histogram (HOG primitive) for decoded
+    PPM/BMP assets: at each interior pixel the luminance gradient
+    (dx, dy) bins into the dominant compass direction (E/W when
+    |dx| ≥ |dy| by dx sign, else S/N by dy sign — exact integer
+    comparisons, no atan), plus the total L1 gradient magnitude — the
+    texture/edge-direction signature under HOG descriptors and
+    blur/flat-image screens (a near-zero magnitude or single-direction
+    histogram flags synthetic or degenerate images). Integer-exact
+    inside the Arrow decode pass; one row per asset, narrow map."""
+    import numpy as np
+
+    schema = (
+        "asset_id bigint, n_gradients bigint, n_east bigint, "
+        "n_west bigint, n_south bigint, n_north bigint, "
+        "l1_magnitude bigint, err string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    w, h, _, px = parse_ppm(bytes(payload))
+                    lum = np.asarray(px, dtype=np.int64).sum(axis=2)
+                    dx = lum[: h - 1, 1:] - lum[: h - 1, : w - 1]
+                    dy = lum[1:, : w - 1] - lum[: h - 1, : w - 1]
+                    horiz = np.abs(dx) >= np.abs(dy)
+                    e = int((horiz & (dx >= 0)).sum())
+                    wst = int((horiz & (dx < 0)).sum())
+                    s = int((~horiz & (dy >= 0)).sum())
+                    n = int((~horiz & (dy < 0)).sum())
+                    mag = int(np.abs(dx).sum() + np.abs(dy).sum())
+                    rows.append(
+                        (int(aid), int(dx.size), e, wst, s, n, mag, None)
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (int(aid), 0, 0, 0, 0, 0, 0, str(exc)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_gradients",
+                    "n_east",
+                    "n_west",
+                    "n_south",
+                    "n_north",
+                    "l1_magnitude",
+                    "err",
+                ],
+            )
+
+    return repartition_for_media(df).mapInPandas(fn, schema)

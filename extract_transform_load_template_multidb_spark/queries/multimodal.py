@@ -854,3 +854,64 @@ def mm_wav_zero_crossing_rate(
     every product bit-identically."""
     wav = mm.synthesize_wav(load_table(spark, sf_dir, "documents"))
     return mm.zero_crossing_rate(wav)
+
+
+_GRAD_ORACLE = """
+WITH px AS (
+    SELECT doc_id AS asset_id,
+           substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+),
+lum AS (
+    SELECT asset_id,
+           list_transform(range(0, 16), i ->
+               ord(substr(p, i * 3 + 1, 1))
+               + ord(substr(p, i * 3 + 2, 1))
+               + ord(substr(p, i * 3 + 3, 1))) AS l
+    FROM px
+),
+grads AS (
+    SELECT asset_id,
+           list_transform(range(0, 9), g ->
+               l[(g // 3) * 4 + (g % 3) + 2]
+               - l[(g // 3) * 4 + (g % 3) + 1]) AS dx,
+           list_transform(range(0, 9), g ->
+               l[((g // 3) + 1) * 4 + (g % 3) + 1]
+               - l[(g // 3) * 4 + (g % 3) + 1]) AS dy
+    FROM lum
+)
+SELECT asset_id,
+       CAST(9 AS BIGINT) AS n_gradients,
+       CAST(list_sum(list_transform(range(1, 10), i ->
+           CASE WHEN abs(dx[i]) >= abs(dy[i]) AND dx[i] >= 0
+                THEN 1 ELSE 0 END)) AS BIGINT) AS n_east,
+       CAST(list_sum(list_transform(range(1, 10), i ->
+           CASE WHEN abs(dx[i]) >= abs(dy[i]) AND dx[i] < 0
+                THEN 1 ELSE 0 END)) AS BIGINT) AS n_west,
+       CAST(list_sum(list_transform(range(1, 10), i ->
+           CASE WHEN abs(dx[i]) < abs(dy[i]) AND dy[i] >= 0
+                THEN 1 ELSE 0 END)) AS BIGINT) AS n_south,
+       CAST(list_sum(list_transform(range(1, 10), i ->
+           CASE WHEN abs(dx[i]) < abs(dy[i]) AND dy[i] < 0
+                THEN 1 ELSE 0 END)) AS BIGINT) AS n_north,
+       CAST(list_sum(list_transform(range(1, 10), i ->
+           abs(dx[i]) + abs(dy[i]))) AS BIGINT) AS l1_magnitude,
+       CAST(NULL AS VARCHAR) AS err
+FROM grads
+"""
+
+
+@query("mm_image_gradient_orientation", oracle=_GRAD_ORACLE)
+def mm_image_gradient_orientation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Gradient-orientation histogram from REAL decoded PPM pixels —
+    the HOG primitive: each interior pixel's luminance gradient bins
+    into its dominant compass direction by exact integer comparisons
+    (no atan, no floats anywhere), with the L1 magnitude as the
+    blur/flatness screen. The 3×3 interior of the 4×4 fixture yields 9
+    gradients whose dx/dy the ``ord()`` oracle re-derives pixel by
+    pixel — numpy slicing and the SQL index algebra must agree exactly
+    or the histogram shifts."""
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    return mm.gradient_orientation_histogram(ppm)

@@ -1743,3 +1743,12 @@ def test_walks_lockstep_frontier_joins(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_deterministic_walks")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_gradient_orientation_arrow_narrow(spark, sf_dir):
+    """Gradient histogram: Arrow-batched decode, narrow map, no
+    shuffle, no row-at-a-time Python."""
+    plan = _plan(spark, sf_dir, "mm_image_gradient_orientation")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
