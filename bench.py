@@ -356,6 +356,8 @@ HEADLINE = [
     "ts_binary_segmentation_pettitt",
     "graph_deterministic_walks",
     "mm_image_gradient_orientation",
+    "set_relational_division",
+    "ts_markov_next_event_accuracy",
 ]
 
 def main() -> None:

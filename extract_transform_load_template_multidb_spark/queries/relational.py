@@ -1457,3 +1457,59 @@ def scalar_mod97_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("mod97") == 1).alias("iban_style_valid"),
         )
     )
+
+
+_DIVISION_ORACLE = """
+WITH divisor AS (
+    SELECT s_suppkey AS s FROM supplier WHERE s_suppkey < 3
+),
+bought AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_suppkey IN (SELECT s FROM divisor)
+),
+k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM divisor)
+SELECT b.c AS custkey,
+       CAST(COUNT(*) AS BIGINT) AS n_suppliers_covered
+FROM bought b
+GROUP BY b.c
+HAVING COUNT(*) = (SELECT k FROM k)
+"""
+
+
+@query("set_relational_division", oracle=_DIVISION_ORACLE)
+def set_relational_division(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Relational DIVISION (the ÷ of relational algebra, the operator
+    SQL never got a keyword for): customers who have bought from EVERY
+    supplier in the divisor set (suppliers 0-2) — 'for all' turned into counting, the only
+    scale-safe form: restrict the purchase facts to the divisor set
+    (broadcast semi-join), collapse to distinct (customer, supplier),
+    and keep customers whose distinct coverage equals |divisor| (a
+    1-row broadcast). The textbook double-NOT-EXISTS formulation is a
+    correlated anti-join per row; this is two hash stages. Completes
+    the set-operator family beside INTERSECT/EXCEPT ALL and the
+    quantified-comparison subqueries."""
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    divisor = sup.where(F.col("s_suppkey") < 3).select(
+        F.col("s_suppkey").alias("s")
+    )
+    bought = (
+        li.join(F.broadcast(divisor), li["l_suppkey"] == F.col("s"))
+        .join(o, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("c"), "s")
+        .distinct()
+    )
+    k = divisor.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    return (
+        bought.groupBy("c")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_suppliers_covered"))
+        .crossJoin(F.broadcast(k))
+        .where(F.col("n_suppliers_covered") == F.col("k"))
+        .select(
+            F.col("c").alias("custkey"), "n_suppliers_covered"
+        )
+    )

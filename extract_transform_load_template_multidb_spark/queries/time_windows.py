@@ -7605,3 +7605,97 @@ def ts_binary_segmentation_pettitt(
     s2 = pettitt_pick(left, "left")
     s3 = pettitt_pick(right, "right")
     return s1.unionByName(s2).unionByName(s3)
+
+
+_MARKOV_NEXT_ORACLE = """
+WITH seq AS (
+    SELECT user_id, event_type,
+           lead(event_type) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id) AS next_type
+    FROM events
+),
+trans AS (
+    SELECT event_type, next_type, CAST(COUNT(*) AS BIGINT) AS c
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+),
+pred AS (
+    SELECT event_type,
+           CAST(row_number() OVER (PARTITION BY event_type
+               ORDER BY c DESC, next_type) AS BIGINT) AS rnk,
+           next_type AS predicted
+    FROM trans
+),
+top1 AS (SELECT event_type, predicted FROM pred WHERE rnk = 1),
+scored AS (
+    SELECT s.event_type, s.next_type, t.predicted
+    FROM seq s JOIN top1 t ON t.event_type = s.event_type
+    WHERE s.next_type IS NOT NULL
+)
+SELECT event_type,
+       ANY_VALUE(predicted) AS predicted_next,
+       CAST(COUNT(*) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_correct,
+       round(SUM(CASE WHEN next_type = predicted THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS top1_accuracy
+FROM scored GROUP BY event_type
+"""
+
+
+@query("ts_markov_next_event_accuracy", oracle=_MARKOV_NEXT_ORACLE)
+def ts_markov_next_event_accuracy(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov next-event baseline: predict each user's next
+    event type as the globally most common successor of the current
+    type, and score top-1 accuracy per current type — the sanity
+    baseline every sequence model (session transformers, next-action
+    recommenders) must beat before its lift means anything, and the
+    argmax readout of the transition matrix `ts_markov_entropy_rate`
+    measures in bits. One user-ordered lead window (same exchange as
+    sessionization), a 25-cell transition count, a broadcast of the
+    per-type argmax back onto the transitions; ties in the argmax
+    break lexicographically so the predictor is deterministic."""
+    from pyspark.sql import Window as Win, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Win.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type").over(w).alias("next_type"),
+    ).where(F.col("next_type").isNotNull()).localCheckpoint(eager=True)
+    trans = seq.groupBy("event_type", "next_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wp = Win.partitionBy("event_type").orderBy(
+        F.col("c").desc(), "next_type"
+    )
+    top1 = (
+        trans.select(
+            "event_type",
+            F.col("next_type").alias("predicted"),
+            F.row_number().over(wp).alias("rnk"),
+        )
+        .where(F.col("rnk") == 1)
+        .drop("rnk")
+    )
+    scored = seq.join(F.broadcast(top1), "event_type")
+    return scored.groupBy("event_type").agg(
+        F.any_value("predicted").alias("predicted_next"),
+        F.count(F.lit(1)).cast("long").alias("n_transitions"),
+        F.sum(
+            F.when(F.col("next_type") == F.col("predicted"), 1)
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("next_type") == F.col("predicted"), 1)
+                .otherwise(0)
+            )
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("top1_accuracy"),
+    )

@@ -1752,3 +1752,21 @@ def test_gradient_orientation_arrow_narrow(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_division_counting_not_double_not_exists(spark, sf_dir):
+    """Relational division: the 'for all' is counting — divisor
+    broadcast semi-restricts the facts, coverage compares to a 1-row
+    broadcast |divisor|; no correlated anti-joins."""
+    plan = _plan(spark, sf_dir, "set_relational_division")
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 1
+
+
+def test_markov_next_broadcast_argmax(spark, sf_dir):
+    """Markov baseline: the 25-cell transition argmax broadcasts back
+    onto the checkpointed transition stream — one events scan behind
+    the checkpoint, no fact-sized second window."""
+    plan = _plan(spark, sf_dir, "ts_markov_next_event_accuracy")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
