@@ -164,7 +164,7 @@ _CHECK_LAST = (
 
 # ROUND-7 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r06
 # confirms the round-6 window, replace _CHECK_FIRST with the next ~50
-# still-never-driver-green names. Lead with the 48 session-29 additions
+# still-never-driver-green names. Lead with the 55 session-29 additions
 # (newest code first: dq_population_stability, agg_grubbs_outlier,
 # agg_isotonic_calibration, feature_woe_iv, sim_rrf_fusion, text_ndcg_at_10,
 # agg_nelson_aalen_hazard, ts_spectral_entropy, graph_hits_bipartite,
@@ -185,7 +185,11 @@ _CHECK_LAST = (
 # join_asof_forward_next_order, scalar_mod97_checksum,
 # ts_record_breaking_days, agg_price_volume_mix,
 # agg_abc_xyz_classification, text_query_likelihood_dirichlet,
-# curation_span_corruption_stats, window_attribution_time_decay)
+# curation_span_corruption_stats, window_attribution_time_decay,
+# dq_slo_burn_rate_alerts, dq_join_cardinality_forecast,
+# ts_binary_segmentation_pettitt, graph_deterministic_walks,
+# mm_image_gradient_orientation, set_relational_division,
+# ts_markov_next_event_accuracy — 55 in all)
 # and the session-28 additions
 # (sim_mmr_diversified_topk, curation_dsir_importance, text_rake_keywords,
 # sim_davies_bouldin_index, sim_lsh_candidate_recall,
