@@ -358,6 +358,8 @@ HEADLINE = [
     "mm_image_gradient_orientation",
     "set_relational_division",
     "ts_markov_next_event_accuracy",
+    "ts_max_drawdown",
+    "text_kwic_concordance",
 ]
 
 def main() -> None:

@@ -664,3 +664,71 @@ def text_query_likelihood_dirichlet(
         .orderBy(F.col("ql_score").desc(), "doc_id")
         .limit(50)
     )
+
+
+_KWIC_ORACLE = f"""
+WITH {_SQL_TOKS},
+pos AS (
+    SELECT doc_id, t,
+           unnest(range(1, len(t) + 1)) AS i
+    FROM toks_list
+),
+hits AS (
+    SELECT doc_id, i, t FROM pos WHERE t[i] = 'column'
+)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS position,
+       COALESCE(array_to_string(t[greatest(i - 3, 1) : i - 1], ' '),
+                '') AS left_context,
+       COALESCE(array_to_string(t[i + 1 : least(i + 3, len(t))], ' '),
+                '') AS right_context
+FROM hits
+ORDER BY doc_id, position
+LIMIT 100
+"""
+
+
+@query("text_kwic_concordance", oracle=_KWIC_ORACLE)
+def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KWIC (keyword-in-context) concordance for the term 'column':
+    every occurrence with its ±3-token windows — the corpus-linguistics
+    primitive under collocation review, sense disambiguation and
+    prompt-context mining (and the human-readable audit view for any
+    term the quality filters flag). The token arrays slice locally
+    (F.slice), so context extraction is a narrow map over the posting
+    hits — no join back to the corpus, no position explosion beyond
+    the query term's own occurrences; first 100 lines in (doc,
+    position) order."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+        lambda w: w != "",
+    )
+    pos = docs.select(
+        "doc_id", F.posexplode(toks).alias("i0", "w"), toks.alias("t")
+    ).select(
+        "doc_id", (F.col("i0") + 1).alias("i"), "w", "t"
+    )
+    hits = pos.where(F.col("w") == "column")
+    # Slice starts/lengths computed to match the oracle's 1-based
+    # inclusive array slicing exactly.
+    start_l = F.greatest(F.col("i") - 3, F.lit(1))
+    len_l = F.col("i") - start_l
+    start_r = F.col("i") + 1
+    len_r = F.greatest(
+        F.least(F.col("i") + 3, F.size("t")) - F.col("i"), F.lit(0)
+    )
+    return (
+        hits.select(
+            "doc_id",
+            F.col("i").cast("long").alias("position"),
+            F.array_join(
+                F.slice(F.col("t"), start_l, len_l), " "
+            ).alias("left_context"),
+            F.array_join(
+                F.slice(F.col("t"), start_r, len_r), " "
+            ).alias("right_context"),
+        )
+        .orderBy("doc_id", "position")
+        .limit(100)
+    )

@@ -7699,3 +7699,99 @@ def ts_markov_next_event_accuracy(
             6,
         ).alias("top1_accuracy"),
     )
+
+
+_DRAWDOWN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
+    FROM daily_src GROUP BY 1
+),
+dev AS (
+    SELECT day,
+           CAST(round(y - (SELECT CAST(SUM(CAST(round(y2.y, 2)
+                AS DECIMAL(38,2))) AS DOUBLE) / COUNT(*) FROM daily y2),
+                2) AS DECIMAL(38,2)) AS d
+    FROM daily
+),
+cum AS (
+    SELECT day,
+           CAST(SUM(d) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS DOUBLE) AS equity
+    FROM dev
+),
+dd AS (
+    SELECT day, equity,
+           MAX(equity) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS peak
+    FROM cum
+)
+SELECT day AS trough_day,
+       round(equity, 2) AS equity,
+       round(peak, 2) AS peak,
+       round(peak - equity, 2) AS drawdown
+FROM dd
+ORDER BY peak - equity DESC, day
+LIMIT 1
+"""
+
+
+@query(
+    "ts_max_drawdown",
+    oracle=_DRAWDOWN_ORACLE.replace("daily_src", "orders"),
+)
+def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of the demeaned cumulative-revenue curve: the
+    deepest peak-to-trough drop of the equity line (daily revenue minus
+    its mean, cumulated — demeaning makes the curve mean-reverting so
+    drawdown measures SLUMPS rather than the trivial end-of-series
+    drift), the quant risk metric and the business-view of 'worst
+    sustained shortfall vs run-rate'. Same two-stacked-window kernel
+    as the clamped balance — prefix sum, then running max, then
+    TakeOrdered(1) argmax of the gap — one day exchange; deviations
+    quantized at 2 dp so the cumulative decimal sums are exact."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("y")
+    ).localCheckpoint(eager=True)
+    mean = daily.agg(
+        (
+            F.sum(F.round("y", 2).cast("decimal(38,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mu")
+    )
+    dev = daily.crossJoin(F.broadcast(mean)).select(
+        "day",
+        F.round(F.col("y") - F.col("mu"), 2)
+        .cast("decimal(38,2)")
+        .alias("d"),
+    )
+    wd = Win.orderBy("day").rowsBetween(Win.unboundedPreceding, 0)
+    cum = dev.select(
+        "day", F.sum("d").over(wd).cast("double").alias("equity")
+    )
+    dd = cum.select(
+        "day",
+        "equity",
+        F.max("equity").over(wd).alias("peak"),
+    )
+    return (
+        dd.orderBy((F.col("peak") - F.col("equity")).desc(), "day")
+        .limit(1)
+        .select(
+            F.col("day").alias("trough_day"),
+            F.round("equity", 2).alias("equity"),
+            F.round("peak", 2).alias("peak"),
+            F.round(F.col("peak") - F.col("equity"), 2).alias(
+                "drawdown"
+            ),
+        )
+    )

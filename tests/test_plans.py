@@ -1770,3 +1770,19 @@ def test_markov_next_broadcast_argmax(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ts_markov_next_event_accuracy")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_drawdown_two_stacked_windows_takeordered(spark, sf_dir):
+    """Max drawdown: prefix sum + running max on one day ordering,
+    argmax via TakeOrdered — no self-join, series checkpointed once."""
+    plan = _plan(spark, sf_dir, "ts_max_drawdown")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kwic_slices_local_no_corpus_rejoin(spark, sf_dir):
+    """KWIC: context windows slice the hit's own token array — no join
+    back to the corpus, no position explosion beyond the query term."""
+    plan = _plan(spark, sf_dir, "text_kwic_concordance")
+    assert "Join" not in plan
+    assert "TakeOrderedAndProject" in plan
