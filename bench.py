@@ -267,7 +267,6 @@ HEADLINE = [
     "text_burrows_delta",
     "join_bloom_prefilter",
     "dq_shuffle_skew_planner",
-    "agg_diff_in_differences",
     "window_attribution_linear",
     "graph_katz_centrality",
     "text_jsd_source_divergence",
@@ -284,7 +283,6 @@ HEADLINE = [
     "ts_interrupted_time_series",
     "ts_seasonal_naive_skill",
     "agg_gamma_mom_fit",
-    "agg_hill_tail_index",
     "ts_seasonal_residual_anomalies",
     "window_signup_to_purchase_latency",
     "agg_stratified_ate",
