@@ -356,8 +356,11 @@ HEADLINE = [
     "mm_image_gradient_orientation",
     "set_relational_division",
     "ts_markov_next_event_accuracy",
-    "ts_max_drawdown",
+    "ts_max_drawdown_demeaned",
     "text_kwic_concordance",
+    "agg_hill_tail_index_top200",
+    "agg_diff_in_differences_orders",
+    "ts_max_drawdown",
 ]
 
 def main() -> None:

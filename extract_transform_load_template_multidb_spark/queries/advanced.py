@@ -3514,7 +3514,7 @@ FROM contrib
 """
 
 
-@query("agg_hill_tail_index", oracle=_HILL_ORACLE)
+@query("agg_hill_tail_index_top200", oracle=_HILL_ORACLE)
 def agg_hill_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hill estimator of the order-value tail index: mean log-excess of
     the top-200 order totals over the 201st — α below ~2 means the
@@ -4031,7 +4031,7 @@ FROM w
 """
 
 
-@query("agg_diff_in_differences", oracle=_DID_ORACLE)
+@query("agg_diff_in_differences_orders", oracle=_DID_ORACLE)
 def agg_diff_in_differences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Difference-in-differences: BUILDING (treated) vs MACHINERY
     (control) mean order value before/after a 1996 cutoff — the causal

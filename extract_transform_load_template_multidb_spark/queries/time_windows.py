@@ -7701,7 +7701,7 @@ def ts_markov_next_event_accuracy(
     )
 
 
-_DRAWDOWN_ORACLE = """
+_DRAWDOWN_DEMEANED_ORACLE = """
 WITH daily AS (
     SELECT CAST(o_orderdate AS DATE) AS day,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS y
@@ -7739,10 +7739,10 @@ LIMIT 1
 
 
 @query(
-    "ts_max_drawdown",
-    oracle=_DRAWDOWN_ORACLE.replace("daily_src", "orders"),
+    "ts_max_drawdown_demeaned",
+    oracle=_DRAWDOWN_DEMEANED_ORACLE.replace("daily_src", "orders"),
 )
-def ts_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+def ts_max_drawdown_demeaned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximum drawdown of the demeaned cumulative-revenue curve: the
     deepest peak-to-trough drop of the equity line (daily revenue minus
     its mean, cumulated — demeaning makes the curve mean-reverting so

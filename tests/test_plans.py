@@ -1775,7 +1775,7 @@ def test_markov_next_broadcast_argmax(spark, sf_dir):
 def test_drawdown_two_stacked_windows_takeordered(spark, sf_dir):
     """Max drawdown: prefix sum + running max on one day ordering,
     argmax via TakeOrdered — no self-join, series checkpointed once."""
-    plan = _plan(spark, sf_dir, "ts_max_drawdown")
+    plan = _plan(spark, sf_dir, "ts_max_drawdown_demeaned")
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
 
