@@ -24,9 +24,20 @@ ORACLES: dict[str, str] = {}
 
 
 def query(name: str, oracle: str | None = None):
-    """Decorator: register a named query and (optionally) its DuckDB oracle."""
+    """Decorator: register a named query and (optionally) its DuckDB oracle.
+
+    Raises on duplicate names: a second registration under an existing
+    name would silently WIN the dict slot and shadow the first
+    implementation out of every correctness gate (this happened to
+    three queries across sessions before this guard existed)."""
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} "
+                f"(existing: {QUERIES[name].__module__}, "
+                f"new: {fn.__module__})"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

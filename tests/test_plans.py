@@ -1786,3 +1786,19 @@ def test_kwic_slices_local_no_corpus_rejoin(spark, sf_dir):
     plan = _plan(spark, sf_dir, "text_kwic_concordance")
     assert "Join" not in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_registry_rejects_duplicate_names():
+    """The registry must raise on duplicate query names — a silent
+    dict-wins overwrite shadows the earlier implementation out of every
+    correctness gate (found live: three collisions across sessions)."""
+    import pytest as _pytest
+
+    from extract_transform_load_template_multidb_spark.queries import (
+        QUERIES,
+        query,
+    )
+
+    existing = next(iter(QUERIES))
+    with _pytest.raises(ValueError, match="duplicate query registration"):
+        query(existing)(lambda spark, sf: None)
