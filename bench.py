@@ -361,6 +361,8 @@ HEADLINE = [
     "agg_hill_tail_index_top200",
     "agg_diff_in_differences_orders",
     "ts_max_drawdown",
+    "ts_retention_decay_fit",
+    "dq_categorical_drift_chi2",
 ]
 
 def main() -> None:

@@ -2474,3 +2474,106 @@ def dq_join_cardinality_forecast(
             6,
         ).alias("skew_factor"),
     )
+
+
+_CAT_DRIFT_ORACLE = """
+WITH marked AS (
+    SELECT event_type,
+           CASE WHEN epoch_us(ts) <
+                (SELECT MIN(epoch_us(ts))
+                       + (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) / 2
+                 FROM events)
+                THEN 1 ELSE 0 END AS is_ref
+    FROM events
+),
+cells AS (
+    SELECT event_type,
+           CAST(SUM(is_ref) AS BIGINT) AS n_ref,
+           CAST(SUM(1 - is_ref) AS BIGINT) AS n_cur
+    FROM marked GROUP BY event_type
+),
+tot AS (
+    SELECT CAST(SUM(n_ref) AS BIGINT) AS tr,
+           CAST(SUM(n_cur) AS BIGINT) AS tc,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM cells
+),
+chi AS (
+    SELECT c.event_type, c.n_ref, c.n_cur, t.k,
+           (c.n_ref + c.n_cur) * CAST(t.tr AS DOUBLE)
+               / (t.tr + t.tc) AS e_ref,
+           (c.n_ref + c.n_cur) * CAST(t.tc AS DOUBLE)
+               / (t.tr + t.tc) AS e_cur
+    FROM cells c CROSS JOIN tot t
+)
+SELECT CAST(ANY_VALUE(k) AS BIGINT) AS n_categories,
+       CAST(ANY_VALUE(k) - 1 AS BIGINT) AS df,
+       round(CAST(SUM(CAST(round(
+               (n_ref - e_ref) * (n_ref - e_ref) / e_ref
+               + (n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6)
+             AS DECIMAL(38,6))) AS DOUBLE), 6) AS chi_square,
+       CAST(SUM(CAST(round(
+               (n_ref - e_ref) * (n_ref - e_ref) / e_ref
+               + (n_cur - e_cur) * (n_cur - e_cur) / e_cur, 6)
+             AS DECIMAL(38,6))) AS DOUBLE) > 9.488
+           AS drifted_05
+FROM chi
+"""
+
+
+@query("dq_categorical_drift_chi2", oracle=_CAT_DRIFT_ORACLE)
+def dq_categorical_drift_chi2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Categorical drift test: chi-square homogeneity of the event-type
+    mix between the stream's early and late half (vs the χ²₄ 5%
+    critical value) — the categorical companion to
+    `dq_population_stability` (PSI bins a NUMERIC feature; label/
+    category mixes need the homogeneity test, and a significant shift
+    here is the classic upstream-schema-or-logging-change symptom).
+    The time split is the same exact integer epoch arithmetic as PSI;
+    one 5×2 conditional-count pass, expected cells from the margins,
+    per-cell terms quantized at 6 dp into a decimal sum."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.min(F.unix_micros("ts")).alias("t0"),
+        F.max(F.unix_micros("ts")).alias("t1"),
+    )
+    marked = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.when(
+            F.unix_micros("ts")
+            < F.col("t0") + (F.col("t1") - F.col("t0")) / F.lit(2),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    # 5-row cell table feeds both the margins and the chi terms —
+    # truncate lineage so the fact pass runs once, not per reference.
+    cells = marked.groupBy("event_type").agg(
+        F.sum("is_ref").cast("long").alias("n_ref"),
+        F.sum(1 - F.col("is_ref")).cast("long").alias("n_cur"),
+    ).localCheckpoint(eager=True)
+    tot = cells.agg(
+        F.sum("n_ref").cast("long").alias("tr"),
+        F.sum("n_cur").cast("long").alias("tc"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    chi = cells.crossJoin(F.broadcast(tot))
+    row_tot = F.col("n_ref") + F.col("n_cur")
+    grand = (F.col("tr") + F.col("tc")).cast("double")
+    e_ref = row_tot * F.col("tr").cast("double") / grand
+    e_cur = row_tot * F.col("tc").cast("double") / grand
+    term = F.round(
+        (F.col("n_ref") - e_ref) * (F.col("n_ref") - e_ref) / e_ref
+        + (F.col("n_cur") - e_cur) * (F.col("n_cur") - e_cur) / e_cur,
+        6,
+    ).cast("decimal(38,6)")
+    stat = F.sum(term).cast("double")
+    return chi.agg(
+        F.any_value("k").cast("long").alias("n_categories"),
+        (F.any_value("k") - 1).cast("long").alias("df"),
+        F.round(stat, 6).alias("chi_square"),
+        (stat > 9.488).alias("drifted_05"),
+    )

@@ -7795,3 +7795,110 @@ def ts_max_drawdown_demeaned(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_RETENTION_DECAY_ORACLE = f"""
+WITH firsts AS (
+    SELECT user_id,
+           MIN(CAST(epoch_us(ts) // {_WEEK_US} AS BIGINT)) AS w0
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT e.user_id,
+           CAST(epoch_us(e.ts) // {_WEEK_US} AS BIGINT) - f.w0 AS k
+    FROM events e JOIN firsts f ON f.user_id = e.user_id
+),
+base AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n0 FROM firsts),
+ret AS (
+    SELECT k,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           round(ln(COUNT(*) / (SELECT n0 FROM base)), 6) AS ln_r
+    FROM activity WHERE k >= 1 GROUP BY k
+),
+fit AS (
+    SELECT CAST(COUNT(*) AS DOUBLE) AS m,
+           CAST(SUM(k) AS DOUBLE) AS sk,
+           CAST(SUM(CAST(ln_r AS DECIMAL(38,6))) AS DOUBLE) AS sy,
+           CAST(SUM(k * k) AS DOUBLE) AS skk,
+           CAST(SUM(CAST(round(k * ln_r, 6) AS DECIMAL(38,6)))
+                AS DOUBLE) AS sky
+    FROM ret
+)
+SELECT CAST(m AS BIGINT) AS n_weeks,
+       round((m * sky - sk * sy) / (m * skk - sk * sk), 6)
+           AS decay_rate_per_week,
+       CASE WHEN (m * sky - sk * sy) / (m * skk - sk * sk) < 0
+            THEN round(-0.693147
+                 / ((m * sky - sk * sy) / (m * skk - sk * sk)), 6)
+            ELSE CAST(-1.0 AS DOUBLE) END AS half_life_weeks
+FROM fit
+"""
+
+
+@query("ts_retention_decay_fit", oracle=_RETENTION_DECAY_ORACLE)
+def ts_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential retention-decay fit: weekly cohort-free retention
+    r_k = active(week k since first activity)/all users, log-linear
+    OLS ln r_k ~ k → the decay rate and half-life — the ONE-number
+    retention summary that turns the curve `window_cohort_retention`
+    tabulates into a forecastable constant (LTV projections and
+    payback models consume the half-life directly). Distinct
+    (user, week-offset) collapse, a ≤weeks-count retention frame,
+    closed-form OLS on quantized ln ratios — integer sums everywhere
+    else."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    wk = (F.unix_micros("ts") / F.lit(_WEEK_US)).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(wk).alias("w0"))
+    activity = (
+        ev.select("user_id", wk.alias("w"))
+        .join(firsts, "user_id")
+        .select("user_id", (F.col("w") - F.col("w0")).alias("k"))
+        .distinct()
+    )
+    base = firsts.agg(F.count(F.lit(1)).cast("double").alias("n0"))
+    ret = (
+        activity.where(F.col("k") >= 1)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_active"))
+        .crossJoin(F.broadcast(base))
+        .select(
+            "k",
+            F.round(
+                F.log(F.col("n_active") / F.col("n0")), 6
+            ).alias("ln_r"),
+        )
+    )
+    fit = ret.agg(
+        F.count(F.lit(1)).cast("double").alias("m"),
+        F.sum("k").cast("double").alias("sk"),
+        F.sum(F.col("ln_r").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sy"),
+        F.sum(F.col("k") * F.col("k")).cast("double").alias("skk"),
+        F.sum(
+            F.round(F.col("k") * F.col("ln_r"), 6).cast("decimal(38,6)")
+        )
+        .cast("double")
+        .alias("sky"),
+    )
+    m, sk, sy, skk, sky = (
+        F.col("m"),
+        F.col("sk"),
+        F.col("sy"),
+        F.col("skk"),
+        F.col("sky"),
+    )
+    slope = (m * sky - sk * sy) / (m * skk - sk * sk)
+    # Non-negative slope = no measurable decay (the synthetic fixture's
+    # users are active every week) — the half-life is undefined, so a
+    # -1.0 sentinel replaces the division both here and in the oracle.
+    half_life = F.when(
+        slope < 0, F.round(-0.693147 / slope, 6)
+    ).otherwise(F.lit(-1.0))
+    return fit.select(
+        m.cast("long").alias("n_weeks"),
+        F.round(slope, 6).alias("decay_rate_per_week"),
+        half_life.alias("half_life_weeks"),
+    )

@@ -1802,3 +1802,21 @@ def test_registry_rejects_duplicate_names():
     existing = next(iter(QUERIES))
     with _pytest.raises(ValueError, match="duplicate query registration"):
         query(existing)(lambda spark, sf: None)
+
+
+def test_retention_decay_collapsed_frames(spark, sf_dir):
+    """Retention decay: OLS runs on the ≤weeks-count retention frame
+    after the distinct (user, offset) collapse — no fact-sized window,
+    no cartesian."""
+    plan = _plan(spark, sf_dir, "ts_retention_decay_fit")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4
+
+
+def test_cat_drift_single_conditional_pass(spark, sf_dir):
+    """Categorical drift: time bounds broadcast back, one 5x2
+    conditional-count pass, margins over the cell table — two events
+    scans at most (bounds + counting)."""
+    plan = _plan(spark, sf_dir, "dq_categorical_drift_chi2")
+    assert plan.count("events.parquet") <= 2
+    assert "CartesianProduct" not in plan
