@@ -363,6 +363,7 @@ HEADLINE = [
     "ts_max_drawdown",
     "ts_retention_decay_fit",
     "dq_categorical_drift_chi2",
+    "agg_beta_binomial_posterior",
 ]
 
 def main() -> None:

@@ -10073,3 +10073,83 @@ def agg_abc_xyz_classification(
             2,
         ).alias("class_revenue"),
     )
+
+
+_BETA_BINOMIAL_ORACLE = """
+WITH arms AS (
+    SELECT o_orderpriority AS arm,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS successes,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority
+),
+post AS (
+    SELECT arm, successes, n,
+           CAST(successes + 1 AS BIGINT) AS alpha,
+           CAST(n - successes + 1 AS BIGINT) AS beta
+    FROM arms
+)
+SELECT arm, successes, n, alpha, beta,
+       round(alpha / CAST(alpha + beta AS DOUBLE), 6) AS posterior_mean,
+       round(sqrt(alpha * CAST(beta AS DOUBLE)
+                  / ((alpha + beta) * CAST(alpha + beta AS DOUBLE)
+                     * (alpha + beta + 1))), 6) AS posterior_sd,
+       round(alpha / CAST(alpha + beta AS DOUBLE)
+             - 1.959964 * sqrt(alpha * CAST(beta AS DOUBLE)
+                  / ((alpha + beta) * CAST(alpha + beta AS DOUBLE)
+                     * (alpha + beta + 1))), 6) AS cred_lo,
+       round(alpha / CAST(alpha + beta AS DOUBLE)
+             + 1.959964 * sqrt(alpha * CAST(beta AS DOUBLE)
+                  / ((alpha + beta) * CAST(alpha + beta AS DOUBLE)
+                     * (alpha + beta + 1))), 6) AS cred_hi
+FROM post
+"""
+
+
+@query("agg_beta_binomial_posterior", oracle=_BETA_BINOMIAL_ORACLE)
+def agg_beta_binomial_posterior(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Beta-binomial posterior per arm (uniform Beta(1,1) prior): the
+    exact conjugate update α = s+1, β = n−s+1 with the closed-form
+    posterior mean, sd and a normal-approx 95% credible band — the
+    bookkeeping a Thompson-sampling bandit keeps per variant, and the
+    Bayesian counterpart to the frequentist rate CIs elsewhere in this
+    package (`agg_empirical_bayes_shrinkage` pools arms toward the
+    grand mean; this reports each arm's own posterior). One 5-group
+    conditional-count pass; every quantity is integer algebra plus one
+    sqrt, bit-identical across engines."""
+    o = load_table(spark, sf_dir, "orders")
+    arms = o.groupBy(F.col("o_orderpriority").alias("arm")).agg(
+        F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+        .cast("long")
+        .alias("successes"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    alpha = (F.col("successes") + 1).cast("long")
+    beta = (F.col("n") - F.col("successes") + 1).cast("long")
+    post = arms.select(
+        "arm",
+        "successes",
+        "n",
+        alpha.alias("alpha"),
+        beta.alias("beta"),
+    )
+    a, b = F.col("alpha"), F.col("beta")
+    mean = a / (a + b).cast("double")
+    sd = F.sqrt(
+        a * b.cast("double")
+        / ((a + b) * (a + b).cast("double") * (a + b + 1))
+    )
+    z = F.lit(1.959964)
+    return post.select(
+        "arm",
+        "successes",
+        "n",
+        "alpha",
+        "beta",
+        F.round(mean, 6).alias("posterior_mean"),
+        F.round(sd, 6).alias("posterior_sd"),
+        F.round(mean - z * sd, 6).alias("cred_lo"),
+        F.round(mean + z * sd, 6).alias("cred_hi"),
+    )

@@ -1820,3 +1820,11 @@ def test_cat_drift_single_conditional_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dq_categorical_drift_chi2")
     assert plan.count("events.parquet") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_beta_binomial_single_pass_no_join(spark, sf_dir):
+    """Beta-binomial posterior: one conditional-count pass over orders;
+    everything downstream is scalar algebra — no join, one scan."""
+    plan = _plan(spark, sf_dir, "agg_beta_binomial_posterior")
+    assert plan.count("orders.parquet") == 1
+    assert "Join" not in plan
