@@ -364,6 +364,7 @@ HEADLINE = [
     "ts_retention_decay_fit",
     "dq_categorical_drift_chi2",
     "agg_beta_binomial_posterior",
+    "scalar_base62_encode",
 ]
 
 def main() -> None:

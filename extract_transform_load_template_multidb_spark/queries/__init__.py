@@ -175,7 +175,7 @@ _CHECK_LAST = (
 
 # ROUND-7 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r06
 # confirms the round-6 window, replace _CHECK_FIRST with the next ~50
-# still-never-driver-green names. Lead with the 60 session-29 additions
+# still-never-driver-green names. Lead with the 61 session-29 additions
 # (newest code first: dq_population_stability, agg_grubbs_outlier,
 # agg_isotonic_calibration, feature_woe_iv, sim_rrf_fusion, text_ndcg_at_10,
 # agg_nelson_aalen_hazard, ts_spectral_entropy, graph_hits_bipartite,
@@ -202,7 +202,8 @@ _CHECK_LAST = (
 # mm_image_gradient_orientation, set_relational_division,
 # ts_markov_next_event_accuracy, ts_max_drawdown_demeaned,
 # text_kwic_concordance, ts_retention_decay_fit,
-# dq_categorical_drift_chi2, agg_beta_binomial_posterior — 60 in all, plus the three de-shadowed
+# dq_categorical_drift_chi2, agg_beta_binomial_posterior,
+# scalar_base62_encode — 61 in all, plus the three de-shadowed
 # revivals agg_hill_tail_index_top200, agg_diff_in_differences_orders
 # and the per-user ts_max_drawdown, which were silently overwritten by
 # same-name registrations in earlier sessions and have now been

@@ -1513,3 +1513,70 @@ def set_relational_division(
             F.col("c").alias("custkey"), "n_suppliers_covered"
         )
     )
+
+
+_B62 = "0123456789ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
+_BASE62_ORACLE = f"""
+WITH src AS (
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 0
+),
+enc AS (
+    SELECT o_orderkey,
+           list_reduce(
+               list_transform(range(0, 7), i ->
+                   substr('{_B62}',
+                          CAST((o_orderkey // CAST(62 ** (6 - i)
+                                                  AS BIGINT)) % 62
+                               AS INT) + 1, 1)),
+               (a, b) -> a || b) AS short_id
+    FROM src
+)
+SELECT o_orderkey, short_id,
+       CAST(length(short_id) AS BIGINT) AS id_len
+FROM enc
+"""
+
+
+@query("scalar_base62_encode", oracle=_BASE62_ORACLE)
+def scalar_base62_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width base-62 short-ID encoding of order keys (7 symbols
+    cover up to 62⁷ ≈ 3.5e12) — the URL-shortener / share-link /
+    surrogate-key encoding, as a PURE codegen expression: digit i is an
+    alphabet lookup at (key / 62^(6−i)) mod 62, assembled with
+    transform + aggregate — no Python, no string building in the
+    driver, exact integer division at every position so both engines
+    index the identical alphabet slots. One narrow map over the
+    filtered scan."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 97 == 0
+    )
+    digits = F.transform(
+        F.sequence(F.lit(0), F.lit(6)),
+        lambda i: F.substring(
+            F.lit(_B62), F.lit(1), F.lit(62)
+        ).substr(
+            (
+                (
+                    F.col("o_orderkey")
+                    / F.pow(F.lit(62.0), (6 - i).cast("double")).cast(
+                        "long"
+                    )
+                ).cast("long")
+                % 62
+            ).cast("int")
+            + 1,
+            F.lit(1),
+        ),
+    )
+    short_id = F.aggregate(
+        digits, F.lit(""), lambda a, b: F.concat(a, b)
+    )
+    return o.select(
+        "o_orderkey",
+        short_id.alias("short_id"),
+    ).select(
+        "o_orderkey",
+        "short_id",
+        F.length("short_id").cast("long").alias("id_len"),
+    )

@@ -1828,3 +1828,12 @@ def test_beta_binomial_single_pass_no_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_beta_binomial_posterior")
     assert plan.count("orders.parquet") == 1
     assert "Join" not in plan
+
+
+def test_base62_codegen_narrow(spark, sf_dir):
+    """Base62 encode: pure higher-order expression — no Python, no
+    shuffle, one narrow filtered scan."""
+    plan = _plan(spark, sf_dir, "scalar_base62_encode")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
