@@ -7,11 +7,13 @@ assets, a URI for large ones). The Spark-side plumbing here is real and
 tested: schemas, Arrow-batched ``mapInPandas`` UDF signatures, batch
 shaping, and partition sizing. Several codecs are REAL pure-stdlib/numpy
 implementations that run in this container — PPM/BMP image decode, RIFF
-WAV read/write, and (since round 6) a full baseline JPEG encoder AND
-decoder (`operators/jpeg.py`). What remains stubbed behind a
-deterministic fake or ``NotImplementedError`` is only the tail that
-needs external libraries: PNG, progressive/arithmetic JPEG, audio
-resample beyond PCM, and container-format video frame extraction.
+WAV read/write, a full baseline JPEG encoder AND decoder
+(`operators/jpeg.py`, round 6), and a PNG encoder AND decoder with all
+five row filters (`operators/png.py`, round 7). What remains stubbed
+behind a deterministic fake or ``NotImplementedError`` is only the tail
+that needs external libraries: palette/interlaced PNG,
+progressive/arithmetic JPEG, audio resample beyond PCM, and
+container-format video frame extraction.
 
 Scale notes: media rows are wide (MBs); ``MEDIA_ROWS_PER_PARTITION``-sized
 repartitioning keeps Arrow batches and executor memory bounded —
@@ -442,6 +444,117 @@ def decode_jpegs(df: DataFrame) -> DataFrame:
 
     return df.select("asset_id", "payload").mapInPandas(
         fn, _DECODE_JPEG_SCHEMA
+    )
+
+
+def synthesize_png(df: DataFrame) -> DataFrame:
+    """Deterministic PNG payload per document, built by the REAL
+    pure-stdlib encoder (`operators/png.py`): a 4×8 image whose pixel
+    at (y, x, c) is ``(doc_id·7 + y·16 + x·5 + c·11) mod 256`` — a
+    closed-form integer function a SQL oracle can rebuild exactly —
+    with every 4th document RGBA and the rest RGB, and the row filter
+    cycling through all five spec filter types (0..4) so decode
+    exercises None/Sub/Up/Average/Paeth on every asset. PNG is
+    lossless, so the decoded pixels equal the formula bit-for-bit."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    schema = "asset_id bigint, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        y, x = np.mgrid[0:8, 0:4]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                ch = 4 if did % 4 == 0 else 3
+                c = np.arange(ch).reshape(1, 1, ch)
+                img = (
+                    (
+                        did * 7
+                        + y[:, :, None] * 16
+                        + x[:, :, None] * 5
+                        + c * 11
+                    )
+                    % 256
+                ).astype(np.uint8)
+                rows.append(
+                    (did, P.encode_png(img, filters=(0, 1, 2, 3, 4)))
+                )
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return repartition_for_media(df.select("doc_id")).mapInPandas(
+        fn, schema
+    )
+
+
+_DECODE_PNG_SCHEMA = (
+    "asset_id bigint, width int, height int, n_channels int, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def decode_pngs(df: DataFrame) -> DataFrame:
+    """Decode PNG payloads with the REAL pure-stdlib decoder (chunk
+    CRC verification, zlib inflate, all five row filters; see
+    `operators/png.py`) and emit per-image stats. Malformed payloads
+    surface in ``err``; palette/gray/16-bit/interlaced variants surface
+    their ``NotImplementedError`` message the same way — one exotic
+    file must not kill a 100 TB stage. Channel means are exact integer
+    sums over the pixel count, so an engine-portable oracle reproduces
+    them bit-for-bit. Arrow-batched ``mapInPandas``, narrow map, no
+    shuffle."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, ch, px = P.parse_png(raw)
+                    n = w * h
+                    sums = (
+                        px[:, :, :3].reshape(n, 3).astype("int64").sum(axis=0)
+                    )
+                    rows.append(
+                        (
+                            asset_id,
+                            w,
+                            h,
+                            ch,
+                            float(sums[0]) / n,
+                            float(sums[1]) / n,
+                            float(sums[2]) / n,
+                            None,
+                        )
+                    )
+                except (ValueError, NotImplementedError) as ex:
+                    rows.append(
+                        (asset_id, None, None, None, None, None, None,
+                         str(ex)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "err",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        fn, _DECODE_PNG_SCHEMA
     )
 
 
@@ -1045,6 +1158,136 @@ def resize_reencode_jpegs(df: DataFrame, factor: int = 2) -> DataFrame:
     )
 
 
+_RESIZE_PNG_SCHEMA = (
+    "asset_id bigint, width int, height int, n_channels int, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def resize_reencode_pngs(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Decode → stride-``factor`` downsample → PNG re-encode → decode
+    again, emitting the stats of the re-decoded thumbnail — the
+    thumbnail-pipeline smoke for the lossless codec (unlike the JPEG
+    variant, the round trip must be bit-exact: any drift is a codec
+    bug, which is why the oracle can hash the output). Arrow-batched
+    ``mapInPandas``, narrow map, no shuffle; per-asset failures surface
+    in ``err``."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, ch, px = P.parse_png(raw)
+                    small = px[::factor, ::factor, :]
+                    if small.size == 0:
+                        raise ValueError("resize factor exceeds image")
+                    re_raw = P.encode_png(small, filters=(2, 4))
+                    w2, h2, ch2, px2 = P.parse_png(re_raw)
+                    n = w2 * h2
+                    sums = (
+                        px2[:, :, :3]
+                        .reshape(n, 3)
+                        .astype("int64")
+                        .sum(axis=0)
+                    )
+                    rows.append(
+                        (
+                            asset_id,
+                            w2,
+                            h2,
+                            ch2,
+                            float(sums[0]) / n,
+                            float(sums[1]) / n,
+                            float(sums[2]) / n,
+                            None,
+                        )
+                    )
+                except (ValueError, NotImplementedError) as ex:
+                    rows.append(
+                        (asset_id, None, None, None, None, None, None,
+                         str(ex)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "n_channels",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "err",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        fn, _RESIZE_PNG_SCHEMA
+    )
+
+
+def alpha_profile(df: DataFrame) -> DataFrame:
+    """Alpha-channel profile of decoded RGBA PNGs: mean alpha plus the
+    fully-opaque / fully-transparent pixel counts — the compositing
+    screen an image-curation pipeline runs before training (an
+    all-transparent asset is a decode/crop failure; a binary alpha mask
+    signals sticker/clip-art content). RGB assets (no alpha) surface a
+    typed ``err`` rather than fake opacity. Exact integer sums inside
+    the Arrow decode pass; one row per asset, narrow map, no shuffle."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    schema = (
+        "asset_id bigint, n_pixels bigint, alpha_mean double, "
+        "n_opaque bigint, n_transparent bigint, err string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, ch, px = P.parse_png(raw)
+                    if ch != 4:
+                        raise ValueError("no alpha channel")
+                    a = px[:, :, 3].astype("int64")
+                    n = w * h
+                    rows.append(
+                        (
+                            asset_id,
+                            n,
+                            float(a.sum()) / n,
+                            int((a == 255).sum()),
+                            int((a == 0).sum()),
+                            None,
+                        )
+                    )
+                except (ValueError, NotImplementedError) as ex:
+                    rows.append(
+                        (asset_id, 0, None, None, None, str(ex)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "n_pixels",
+                    "alpha_mean",
+                    "n_opaque",
+                    "n_transparent",
+                    "err",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(fn, schema)
+
+
 def clipping_profile(
     df: DataFrame, threshold: int = 10240
 ) -> DataFrame:
@@ -1265,8 +1508,23 @@ def zero_crossing_rate(df: DataFrame) -> DataFrame:
                 try:
                     _, _, _, samples = parse_wav(bytes(payload))
                     s = np.asarray(samples, dtype=np.int64)
-                    cross = int(((s[:-1] * s[1:]) < 0).sum())
                     n = int(s.size)
+                    if n < 2:
+                        # A rate needs ≥2 samples: 0 samples would give
+                        # 0/-1 = -0.0 and 1 sample a ZeroDivisionError
+                        # swallowed into a cryptic err — report the
+                        # degenerate clip deliberately instead.
+                        rows.append(
+                            (
+                                int(aid),
+                                n,
+                                0,
+                                None,
+                                f"too few samples for zcr: {n}",
+                            )
+                        )
+                        continue
+                    cross = int(((s[:-1] * s[1:]) < 0).sum())
                     rows.append(
                         (
                             int(aid),

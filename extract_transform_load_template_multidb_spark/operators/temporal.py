@@ -46,20 +46,32 @@ def asof_join(
     match): payloads whose matched right row is more than that many days
     before the left timestamp are nulled — same single shuffle, the bound
     is a post-carry row-local predicate.
+
+    All payload columns travel as ONE struct carried by a single
+    ``last(ignorenulls)``: per-column carries would backfill a NULL in
+    one payload column from a DIFFERENT (older) right row, producing a
+    mixed-row match. The struct also carries the matched right
+    timestamp, so the tolerance check and ``how='inner'`` key off the
+    match itself rather than off any payload column's nullability.
     """
+    r_struct = F.struct(
+        *[F.col(c).alias(c) for c in payload_cols],
+        F.col(right_ts).alias("__mt"),
+    )
+    struct_t = right.select(r_struct.alias("__r")).schema["__r"].dataType
     l_tag = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         "*",
-        *[F.lit(None).alias(f"__r_{c}") for c in payload_cols],
+        F.lit(None).cast(struct_t).alias("__r"),
     )
     r_tag = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        r_struct.alias("__r"),
     )
     w = (
         Window.partitionBy("__k")
@@ -68,29 +80,23 @@ def asof_join(
     )
     carried = l_tag.unionByName(r_tag).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload_cols
-        ],
-        F.last(
-            F.when(F.col("__is_left") == 0, F.col("__t")), ignorenulls=True
-        ).over(w).alias("__m_ts"),
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     )
     fresh = (
         F.lit(True)
         if tolerance_days is None
-        else F.datediff(F.col("__t"), F.col("__m_ts")) <= tolerance_days
+        else F.datediff(F.col("__t"), F.col("__m.__mt")) <= tolerance_days
     )
-    out = carried.filter(F.col("__is_left") == 1).select(
+    kept = carried.filter(F.col("__is_left") == 1)
+    if how == "inner":
+        kept = kept.filter(F.col("__m").isNotNull() & fresh)
+    return kept.select(
         *[F.col(c) for c in left.columns],
         *[
-            F.when(fresh, F.col(f"__m_{c}")).alias(c)
+            F.when(fresh, F.col("__m")[c]).alias(c)
             for c in payload_cols
         ],
     )
-    if how == "inner":
-        out = out.na.drop(subset=[payload_cols[0]])
-    return out
 
 
 def range_join_count(
@@ -139,20 +145,27 @@ def asof_join_forward(
     union+carry construction, with the scan order reversed: the window
     runs down descending timestamps, so ``last(ignorenulls)`` carries
     each right payload BACKWARD onto the left rows that precede it.
-    ``right`` must be unique per (key, ts)."""
+    ``right`` must be unique per (key, ts).
+
+    As in :func:`asof_join`, the payload travels as ONE struct under a
+    single ``last(ignorenulls)`` so a NULL in one payload column can
+    never be backfilled from a different right row, and ``how='inner'``
+    keys off the match struct itself."""
+    r_struct = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    struct_t = right.select(r_struct.alias("__r")).schema["__r"].dataType
     l_tag = left.select(
         F.col(left_key).alias("__k"),
         F.col(left_ts).alias("__t"),
         F.lit(1).alias("__is_left"),
         "*",
-        *[F.lit(None).alias(f"__r_{c}") for c in payload_cols],
+        F.lit(None).cast(struct_t).alias("__r"),
     )
     r_tag = right.select(
         F.col(right_key).alias("__k"),
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__is_left"),
         *[F.lit(None).cast(t).alias(c) for c, t in left.dtypes],
-        *[F.col(c).alias(f"__r_{c}") for c in payload_cols],
+        r_struct.alias("__r"),
     )
     # Descending time; at an equal instant the right row (0) sorts first
     # so it is already visible to the left row via the running frame.
@@ -163,15 +176,12 @@ def asof_join_forward(
     )
     carried = l_tag.unionByName(r_tag).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}")
-            for c in payload_cols
-        ],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     )
-    out = carried.filter(F.col("__is_left") == 1).select(
-        *[F.col(c) for c in left.columns],
-        *[F.col(f"__m_{c}").alias(c) for c in payload_cols],
-    )
+    kept = carried.filter(F.col("__is_left") == 1)
     if how == "inner":
-        out = out.na.drop(subset=[payload_cols[0]])
-    return out
+        kept = kept.filter(F.col("__m").isNotNull())
+    return kept.select(
+        *[F.col(c) for c in left.columns],
+        *[F.col("__m")[c].alias(c) for c in payload_cols],
+    )

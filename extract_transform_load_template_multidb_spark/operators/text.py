@@ -394,46 +394,81 @@ def char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
     (natural text sits ~4–4.5 bits; base64/hex/random bytes run higher,
     repeated-char spam far lower).
 
-    Shape: the char explode partial-aggregates per (doc, char) map-side —
-    the one shuffle carries ≤ |docs| × |alphabet| rows, never |corpus|
-    characters — and the per-doc total rides the same partitioning (the
-    window and final aggregate reuse the exchange). Per-char
-    contributions are ``c · round(ln(c/n), 6)`` summed through
-    DECIMAL(38,6) — the engine's float discipline — so the entropy is
-    bit-reproducible under any partitioning and an oracle can rebuild it.
+    Shape: ZERO exchanges — the whole computation is one narrow
+    projection. The per-doc character counts come from a sorted-array
+    run-length scan (sort the char array, mark run-end positions,
+    difference adjacent end positions), all higher-order array
+    functions in codegen: O(len·log len) per document with no explode,
+    so the plan never materializes |corpus| character rows (the
+    previous explode → groupBy → window shape cost 6.95 s at sf0.1 for
+    what is a per-row expression). Per-char contributions are
+    ``c · round(ln(c/n), 6)`` summed through DECIMAL(38,6) — the
+    engine's float discipline — so the entropy is bit-reproducible
+    under any partitioning and an oracle can rebuild it.
 
     Output: (doc_id, n_chars, n_distinct, entropy_bits).
     """
-    chars = df.filter(F.length(F.col(text_col)) > 0).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                f"transform(sequence(1, length({text_col})), "
-                f"i -> substring({text_col}, i, 1))"
-            )
-        ).alias("ch"),
-    )
-    per = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
-    w = Window.partitionBy("doc_id")
-    per = per.withColumn("n", F.sum("c").over(w))
-    contrib = (
-        F.col("c")
-        * F.round(F.log(F.col("c").cast("double") / F.col("n")), 6)
-    ).cast("decimal(38,6)")
-    return (
-        per.groupBy("doc_id", "n")
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct"),
-            F.sum(contrib).cast("double").alias("s"),
-        )
+    n_int = F.length(F.col(text_col))
+    base = (
+        df.filter(n_int > 0)
         .select(
             "doc_id",
-            F.col("n").alias("n_chars"),
-            "n_distinct",
-            (
-                -((F.col("s") / F.col("n")) / F.lit(0.6931471805599453))
-            ).alias("entropy_bits"),
+            n_int.cast("long").alias("n_chars"),
+            F.array_sort(
+                F.expr(
+                    f"transform(sequence(1, length({text_col})), "
+                    f"i -> substring({text_col}, i, 1))"
+                )
+            ).alias("__sorted"),
         )
+        # 1-based positions where a character run ends (last position,
+        # or the next char differs). F.get is 0-based and null-safe
+        # out of bounds (no ANSI error at i = n).
+        .select(
+            "doc_id",
+            "n_chars",
+            F.filter(
+                F.sequence(F.lit(1), F.col("n_chars").cast("int")),
+                lambda i: (i == F.col("n_chars").cast("int"))
+                | (
+                    F.get(F.col("__sorted"), i - 1)
+                    != F.get(F.col("__sorted"), i)
+                ),
+            ).alias("__ends"),
+        )
+        # Run lengths = end position minus the previous run's end.
+        .select(
+            "doc_id",
+            "n_chars",
+            F.zip_with(
+                F.col("__ends"),
+                F.concat(
+                    F.array(F.lit(0)),
+                    F.expr("slice(__ends, 1, size(__ends) - 1)"),
+                ),
+                lambda e, p: (e - p).cast("long"),
+            ).alias("__counts"),
+        )
+    )
+    s = F.aggregate(
+        F.col("__counts"),
+        F.lit(0).cast("decimal(38,6)"),
+        lambda a, c: (
+            a
+            + (
+                c
+                * F.round(F.log(c.cast("double") / F.col("n_chars")), 6)
+            ).cast("decimal(38,6)")
+        ).cast("decimal(38,6)"),
+    )
+    return base.select(
+        "doc_id",
+        "n_chars",
+        F.size("__counts").cast("long").alias("n_distinct"),
+        (
+            -(s.cast("double") / F.col("n_chars"))
+            / F.lit(0.6931471805599453)
+        ).alias("entropy_bits"),
     )
 
 

@@ -2911,9 +2911,7 @@ counts AS (
     SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c
     FROM bucketed GROUP BY doc_id, b
 )
-SELECT doc_id, [v0, v1, v2, v3, v4, v5, v6, v7, v8, v9, v10, v11, v12, v13, v14, v15] AS vec, norm_sq
-FROM (
-    SELECT doc_id,
+SELECT doc_id,
            CAST(coalesce(SUM(c) FILTER (WHERE b = 0), 0) AS BIGINT) AS v0,
            CAST(coalesce(SUM(c) FILTER (WHERE b = 1), 0) AS BIGINT) AS v1,
            CAST(coalesce(SUM(c) FILTER (WHERE b = 2), 0) AS BIGINT) AS v2,
@@ -2932,7 +2930,6 @@ FROM (
            CAST(coalesce(SUM(c) FILTER (WHERE b = 15), 0) AS BIGINT) AS v15,
            CAST(SUM(c * c) AS BIGINT) AS norm_sq
     FROM counts GROUP BY doc_id
-)
 """
 )
 
@@ -2944,8 +2941,11 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary-free featurization (no dictionary build, no OOV) that
     feeds the engine's quantized cosine machinery when no learned
     embeddings exist. Pure integer math end to end (engine-portable),
-    one doc_id exchange for the bucket counts, and the dense vector is a
-    pivot-free array aggregate."""
+    one doc_id exchange for the bucket counts. The 16 bucket counts are
+    emitted as flat ``v0..v15`` columns rather than an array — the
+    correctness harness canonicalizes by sorting raw column values, and
+    list cells are unsortable (the round-6 driver crash on
+    mm_ppm_channel_histogram's array output)."""
     docs = load_table(spark, sf_dir, "documents")
     toks = dd.tokenize(F.col("text"))
     bucketed = docs.select(
@@ -2960,7 +2960,7 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = bucketed.groupBy("doc_id", "b").agg(
         F.count(F.lit(1)).cast("long").alias("c")
     )
-    agged = counts.groupBy("doc_id").agg(
+    return counts.groupBy("doc_id").agg(
         *[
             F.coalesce(
                 F.sum(F.when(F.col("b") == i, F.col("c"))), F.lit(0)
@@ -2970,11 +2970,6 @@ def text_hashing_vectorizer(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(16)
         ],
         F.sum(F.col("c") * F.col("c")).cast("long").alias("norm_sq"),
-    )
-    return agged.select(
-        "doc_id",
-        F.array(*[F.col(f"v{i}") for i in range(16)]).alias("vec"),
-        "norm_sq",
     )
 
 
@@ -8671,10 +8666,10 @@ SELECT doc_id, n_tokens, n_sel_blocks,
        CAST(least(n_sel_blocks * 3, n_tokens) AS BIGINT)
            AS n_masked_upper,
        n_spans,
-       round(CASE WHEN n_blocks = 0 THEN 0.0
-                  ELSE n_sel_blocks / CAST(n_blocks AS DOUBLE) END, 6)
+       round(n_sel_blocks / CAST(n_blocks AS DOUBLE), 6)
            AS block_mask_ratio
 FROM stats
+WHERE n_blocks > 0
 """
 
 
@@ -8693,7 +8688,11 @@ def curation_span_corruption_stats(
     the textbook 'sample span starts until 15% covered' loop cannot,
     and the same hash reproduces the identical mask on any engine or
     re-run — the lineage property a training pipeline needs. One
-    narrow map over documents."""
+    narrow map over documents. Zero-token documents are excluded on
+    BOTH sides (Spark's n_blocks>0 guard matches the oracle's WHERE):
+    an empty doc has no mask plan, and guarding here also keeps
+    F.sequence(0, n_blocks-1) from producing a descending [0,-1]
+    range."""
     docs = load_table(spark, sf_dir, "documents")
     toks = F.filter(
         F.split(F.lower(F.col("text")), "[^a-z0-9]+"),

@@ -1543,38 +1543,28 @@ def scalar_base62_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width base-62 short-ID encoding of order keys (7 symbols
     cover up to 62⁷ ≈ 3.5e12) — the URL-shortener / share-link /
     surrogate-key encoding, as a PURE codegen expression: digit i is an
-    alphabet lookup at (key / 62^(6−i)) mod 62, assembled with
-    transform + aggregate — no Python, no string building in the
-    driver, exact integer division at every position so both engines
-    index the identical alphabet slots. One narrow map over the
-    filtered scan."""
+    alphabet lookup at (key div 62^(6−i)) mod 62, the 7 positions
+    unrolled at plan time into one concat — no Python, no string
+    building in the driver. TRUE long integer division (`div`) at
+    every position, matching DuckDB's `//` bit-for-bit at ANY key
+    width (double division + cast would silently diverge once
+    quotients exceed 2^53). One narrow map over the filtered scan."""
     o = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderkey") % 97 == 0
     )
-    digits = F.transform(
-        F.sequence(F.lit(0), F.lit(6)),
-        lambda i: F.substring(
-            F.lit(_B62), F.lit(1), F.lit(62)
-        ).substr(
+    chars = [
+        F.substring(F.lit(_B62), F.lit(1), F.lit(62)).substr(
             (
-                (
-                    F.col("o_orderkey")
-                    / F.pow(F.lit(62.0), (6 - i).cast("double")).cast(
-                        "long"
-                    )
-                ).cast("long")
-                % 62
+                F.expr(f"o_orderkey div {62 ** (6 - i)}L") % 62
             ).cast("int")
             + 1,
             F.lit(1),
-        ),
-    )
-    short_id = F.aggregate(
-        digits, F.lit(""), lambda a, b: F.concat(a, b)
-    )
+        )
+        for i in range(7)
+    ]
     return o.select(
         "o_orderkey",
-        short_id.alias("short_id"),
+        F.concat(*chars).alias("short_id"),
     ).select(
         "o_orderkey",
         "short_id",

@@ -462,3 +462,103 @@ def test_channel_histograms_clamps_top_bin(spark):
         mm.channel_histograms(df, n_bins=0)
     with pytest.raises(ValueError):
         mm.channel_histograms(df, n_bins=257)
+
+
+def test_png_roundtrip_all_filters_rgb_rgba():
+    """encode→decode is bit-exact for every filter type, both color
+    types, and awkward shapes (1×1, 1-row, 1-col) — PNG is lossless, the
+    property the mm_decode_png oracle hashes."""
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    rng = np.random.default_rng(7)
+    shapes = [(8, 4), (1, 1), (1, 9), (9, 1), (5, 7)]
+    for ch in (3, 4):
+        for h, w in shapes:
+            img = rng.integers(0, 256, (h, w, ch), dtype=np.uint8)
+            for filters in [(0,), (1,), (2,), (3,), (4,), (0, 1, 2, 3, 4)]:
+                W, H, C, out = P.parse_png(
+                    P.encode_png(img, filters=filters)
+                )
+                assert (W, H, C) == (w, h, ch), (filters, ch, h, w)
+                assert out.tolist() == img.tolist(), (filters, ch, h, w)
+
+
+def test_png_rejects_malformed_and_exotic():
+    """ValueError for junk/CRC damage/truncation; NotImplementedError
+    reserved for valid-but-unsupported variants (16-bit, palette,
+    interlaced)."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    good = P.encode_png(img)
+
+    with pytest.raises(ValueError):
+        P.parse_png(b"not a png")
+    with pytest.raises(ValueError):
+        P.parse_png(good[:20])  # truncated mid-chunk
+    corrupt = bytearray(good)
+    corrupt[-5] ^= 0xFF  # flip a byte inside IEND's CRC
+    with pytest.raises(ValueError):
+        P.parse_png(bytes(corrupt))
+
+    def variant(depth=8, color_type=2, interlace=0):
+        ihdr = struct.pack(">IIBBBBB", 2, 2, depth, color_type, 0, 0,
+                           interlace)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + P._chunk(b"IHDR", ihdr)
+            + P._chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+            + P._chunk(b"IEND", b"")
+        )
+
+    with pytest.raises(NotImplementedError):
+        P.parse_png(variant(depth=16))
+    with pytest.raises(NotImplementedError):
+        P.parse_png(variant(color_type=3))
+    with pytest.raises(NotImplementedError):
+        P.parse_png(variant(interlace=1))
+
+
+def test_decode_pngs_mixed_and_malformed(spark):
+    """The Spark decode stage: valid RGB + RGBA rows decode with exact
+    channel means; junk and unsupported variants land in err without
+    failing the stage."""
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    rgb = np.arange(2 * 3 * 3, dtype=np.uint8).reshape(2, 3, 3)
+    rgba = np.arange(2 * 2 * 4, dtype=np.uint8).reshape(2, 2, 4)
+    df = spark.createDataFrame(
+        [
+            (1, P.encode_png(rgb, filters=(0, 1, 2, 3, 4))),
+            (2, P.encode_png(rgba, filters=(4,))),
+            (3, b"\x89PNGgarbage"),
+            (4, None),
+        ],
+        "asset_id long, payload binary",
+    )
+    got = {r["asset_id"]: r for r in mm.decode_pngs(df).collect()}
+    assert (got[1]["width"], got[1]["height"], got[1]["n_channels"]) == (
+        3, 2, 3,
+    )
+    assert got[1]["err"] is None
+    assert got[1]["mean_r"] == rgb[:, :, 0].mean()
+    assert got[2]["n_channels"] == 4
+    assert got[2]["mean_b"] == rgba[:, :, 2].mean()
+    assert got[3]["err"] is not None and got[3]["width"] is None
+    assert got[4]["err"] is not None

@@ -1837,3 +1837,13 @@ def test_base62_codegen_narrow(spark, sf_dir):
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
     assert "Exchange hashpartitioning" not in plan
+
+
+def test_png_decode_is_arrow_only_narrow_map(spark, sf_dir):
+    """mm_decode_png must plan as Arrow-batched MapInPandas (synthesize +
+    decode), never BatchEvalPython, and with no exchange beyond the
+    bounded media repartition — decode is a narrow map at 100 TB."""
+    plan = _plan(spark, sf_dir, "mm_decode_png")
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan

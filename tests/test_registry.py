@@ -3,12 +3,45 @@ queries each round, so ordering bugs silently cost driver evidence."""
 
 from __future__ import annotations
 
+import re
+
 from extract_transform_load_template_multidb_spark.queries import (
     _CHECK_FIRST,
     _CHECK_LAST,
     all_oracles,
     all_queries,
 )
+
+
+def test_no_oracle_emits_nested_output_columns():
+    """No registered oracle may produce a LIST/STRUCT/MAP output column:
+    the driver's canonicalizer sorts raw column values before hashing
+    and pandas cannot sort list cells — mm_ppm_channel_histogram's
+    array<bigint> column was round 6's only red driver row
+    (``TypeError: unhashable type: 'list'``). Checked via DuckDB
+    DESCRIBE over empty views so every oracle's output schema is
+    examined without running it."""
+    import duckdb
+
+    con = duckdb.connect()
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+    sf = "/root/testdata/sf0.001"
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    bad: dict[str, list[str]] = {}
+    for name, sql in all_oracles().items():
+        desc = con.execute(f"DESCRIBE {sql}").df()
+        nested = [
+            f"{c}: {ty}"
+            for c, ty in zip(desc["column_name"], desc["column_type"])
+            if re.search(r"\[\]|STRUCT|MAP", str(ty))
+        ]
+        if nested:
+            bad[name] = nested
+    assert bad == {}, bad
 
 
 def test_check_first_names_exist():

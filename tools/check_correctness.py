@@ -8,6 +8,14 @@ JSON line per query with timings so slow spots are visible, and a final
 summary line.
 
 Usage: python tools/check_correctness.py [name ...]
+       python tools/check_correctness.py --emit CORRECTNESS_LOCAL_r07.json \
+           --round 7        # full run + committed audit artifact
+
+With --emit, the per-query records are also written as one JSON file in
+the CORRECTNESS_LOCAL_r{N}.json format, including the cumulative
+``driver_green_ever`` map (query name → rounds in which the DRIVER's own
+CORRECTNESS_r{N}.json recorded it green) so union driver coverage is
+auditable from one place without reading every round file.
 """
 
 from __future__ import annotations
@@ -38,24 +46,62 @@ TABLES = (
 def _canon(df: pd.DataFrame) -> str:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
-        if df[c].dtype == object or df[c].dtype.kind in "mM":
+        if df[c].dtype.kind in "mM":
             # Stringify datetimes: Spark/DuckDB frames disagree on the
             # storage unit (us vs ns), which the driver's canonicalizer
             # tolerates but a raw byte-hash would not. Keep numeric dtypes
             # raw — int64-vs-float64 drift (the DuckDB HUGEINT artifact)
-            # must FAIL here exactly as it does in the driver.
+            # must FAIL here exactly as it does in the driver. Object
+            # columns stay RAW too: the driver sorts raw values, so a
+            # list/struct cell must crash here exactly as it crashed the
+            # round-6 driver (stringifying first masked that defect).
             df[c] = df[c].astype(str)
         elif df[c].dtype.kind == "f":
             df[c] = df[c].round(6)
     df = df.sort_values(list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
+    for c in df.columns:
+        if df[c].dtype == object:
+            # Post-sort stringify for hash stability (None vs NaN,
+            # Decimal vs float artifacts) — mirrors driver behavior of
+            # sorting raw then hashing a canonical text form.
+            df[c] = df[c].astype(str)
     return str(pd.util.hash_pandas_object(df, index=False).sum())
+
+
+def _driver_green_ever() -> dict[str, list[int]]:
+    """Union of driver-green names across every committed
+    CORRECTNESS_r{N}.json (name → list of rounds with a green row)."""
+    green: dict[str, list[int]] = {}
+    for rnd in range(1, 100):
+        path = os.path.join(REPO, f"CORRECTNESS_r{rnd:02d}.json")
+        if not os.path.exists(path):
+            continue
+        with open(path) as fh:
+            data = json.load(fh)
+        for name, rec in data.items():
+            if rec.get("hash_match") or (
+                rec.get("rows_match") and rec.get("err") is None
+            ):
+                green.setdefault(name, []).append(rnd)
+    return dict(sorted(green.items()))
 
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    only = set(sys.argv[1:])
+    args = sys.argv[1:]
+    emit_path = None
+    round_no = None
+    if "--emit" in args:
+        i = args.index("--emit")
+        emit_path = args[i + 1]
+        del args[i : i + 2]
+    if "--round" in args:
+        i = args.index("--round")
+        round_no = int(args[i + 1])
+        del args[i : i + 2]
+    only = set(args)
     spark = get_spark(app_name="correctness-check")
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -65,6 +111,7 @@ def main() -> None:
         )
     qs, oracles = all_queries(), all_oracles()
     n_pass = n_fail = 0
+    records: dict[str, dict] = {}
     t_start = time.perf_counter()
     for name, fn in qs.items():
         if only and name not in only:
@@ -95,6 +142,7 @@ def main() -> None:
             rec["err"] = f"{type(e).__name__}: {e}"[:400]
         n_pass += rec["status"] == "pass"
         n_fail += rec["status"] in ("FAIL", "ERROR")
+        records[name] = {k: v for k, v in rec.items() if k != "q"}
         print(json.dumps(rec), flush=True)
     print(
         json.dumps(
@@ -106,6 +154,20 @@ def main() -> None:
             }
         )
     )
+    if emit_path:
+        out = {
+            "round": round_no,
+            "sf": sf_dir.rsplit("sf", 1)[-1],
+            "tool": "tools/check_correctness.py",
+            "pass": n_pass,
+            "fail": n_fail,
+            "total": len(records),
+            "driver_green_ever": _driver_green_ever(),
+            "queries": records,
+        }
+        with open(emit_path, "w") as fh:
+            json.dump(out, fh, indent=1)
+        print(f"wrote {emit_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":
