@@ -83,6 +83,15 @@ _CHECK_FIRST = (
     "mm_png_resize_reencode",
     "mm_png_alpha_profile",
     "graph_linkpred_jaccard",
+    "window_bollinger_bands",
+    "ts_sax_symbolic",
+    "scalar_luhn_checksum",
+    "scalar_haversine_pairs",
+    "join_fuzzy_levenshtein",
+    "feature_robust_scaler",
+    "feature_hashed_cross",
+    "agg_poisson_rate_ratio",
+    "dedup_url_canonical_groups",
     "text_char_entropy",
     "graph_linkpred_adamic_adar",
     "join_asof_latest_order",
@@ -126,15 +135,6 @@ _CHECK_FIRST = (
     "agg_confusion_threshold_metrics",
     "join_disjunctive_union_rewrite",
     "window_alert_debounce",
-    "stream_hist_quantile_sketch",
-    "pyfunc_mapinpandas_minmax",
-    "mm_image_tile_stats",
-    "ts_haar_wavelet_energy",
-    "ts_kruskal_wallis_weekday",
-    "ts_ljung_box_q",
-    "agg_average_precision",
-    "agg_contingency_residuals",
-    "window_concurrency_sweep",
     # Positions 51+: just outside the 50-slot window — the §2-mapped
     # reference surface (driver-green in r5, unchanged since) stays at
     # the head of the remainder should the driver check more, followed
@@ -146,6 +146,15 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "stream_hist_quantile_sketch",
+    "pyfunc_mapinpandas_minmax",
+    "mm_image_tile_stats",
+    "ts_haar_wavelet_energy",
+    "ts_kruskal_wallis_weekday",
+    "ts_ljung_box_q",
+    "agg_average_precision",
+    "agg_contingency_residuals",
+    "window_concurrency_sweep",
     "ts_peak_prominence",
     "agg_simpson_paradox_detector",
     "agg_cms_heavy_hitters",

@@ -10295,3 +10295,168 @@ def graph_linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard").desc(), "part_a", "part_b")
         .limit(30)
     )
+
+
+_ROBUST_SCALER_ORACLE = """
+WITH f AS (
+    SELECT event_id, event_type, value
+    FROM events
+    WHERE NOT isnan(value) AND NOT isinf(value)
+),
+q AS (
+    SELECT event_type,
+           quantile_cont(value, 0.25) AS p25,
+           quantile_cont(value, 0.5) AS p50,
+           quantile_cont(value, 0.75) AS p75
+    FROM f GROUP BY event_type
+)
+SELECT f.event_id, f.event_type, f.value,
+       round((f.value - q.p50) / (q.p75 - q.p25), 6) AS scaled
+FROM f JOIN q ON q.event_type = f.event_type
+"""
+
+
+@query("feature_robust_scaler", oracle=_ROBUST_SCALER_ORACLE)
+def feature_robust_scaler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/IQR) feature scaling per group — the
+    outlier-immune alternative to z-scoring (`feature_normalize_per_group`):
+    heavy-tailed metric columns make mean/std useless, while median and
+    IQR are 25%-breakdown statistics. Group quantiles come from the
+    distributed exact-percentile selector (one fact pass, external
+    sort, no one-reducer buffering) and broadcast back onto the rows —
+    the join side is |groups| rows, so the scale cost is the same one
+    shuffle the percentile already paid."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    q = exact_percentiles(
+        ev,
+        ["event_type"],
+        "value",
+        {"p25": 0.25, "p50": 0.5, "p75": 0.75},
+    ).withColumnRenamed("event_type", "q_type")
+    return ev.join(
+        F.broadcast(q), F.col("event_type") == F.col("q_type")
+    ).select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(
+            (F.col("value") - F.col("p50"))
+            / (F.col("p75") - F.col("p25")),
+            6,
+        ).alias("scaled"),
+    )
+
+
+_HASHED_CROSS_ORACLE = """
+WITH f AS (
+    SELECT event_type || ':' || CAST(user_id % 10 AS VARCHAR) AS cross_key,
+           value
+    FROM events
+    WHERE user_id IS NOT NULL
+      AND NOT isnan(value) AND NOT isinf(value)
+),
+b AS (
+    SELECT CAST(('0x' || substr(md5(cross_key), 1, 8)) AS BIGINT) % 64
+               AS bucket,
+           cross_key, value
+    FROM f
+)
+SELECT bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(COUNT(DISTINCT cross_key) AS BIGINT) AS n_crosses,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mean_value
+FROM b GROUP BY bucket
+"""
+
+
+@query("feature_hashed_cross", oracle=_HASHED_CROSS_ORACLE)
+def feature_hashed_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed feature crosses (the hashing trick applied to feature
+    INTERACTIONS): event_type × user-cohort crosses hash (md5 → 32-bit
+    → mod 64) into a fixed bucket space, with per-bucket support, the
+    number of distinct raw crosses sharing the bucket (collision
+    accounting — the quantity a feature-quality audit monitors), and
+    the DECIMAL-exact mean target value. No vocabulary build, no OOV,
+    bounded feature dimensionality at any cardinality — the property
+    that makes crosses usable at 100 TB. One partial-aggregable
+    shuffle on the bucket id."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    cross_key = F.concat_ws(
+        ":", F.col("event_type"), (F.col("user_id") % 10).cast("string")
+    )
+    b = ev.select(
+        (
+            F.conv(F.substring(F.md5(cross_key), 1, 8), 16, 10).cast(
+                "long"
+            )
+            % 64
+        ).alias("bucket"),
+        cross_key.alias("cross_key"),
+        "value",
+    )
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.countDistinct("cross_key").cast("long").alias("n_crosses"),
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mean_value"),
+    )
+
+
+_POISSON_RR_ORACLE = """
+WITH c AS (
+    SELECT CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+               AS c1,
+           CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+               AS c2
+    FROM events
+)
+SELECT c1, c2,
+       round(CAST(c1 AS DOUBLE) / c2, 6) AS rate_ratio,
+       round(ln(CAST(c1 AS DOUBLE) / c2)
+             / sqrt(CAST(1 AS DOUBLE) / c1 + CAST(1 AS DOUBLE) / c2), 6)
+           AS wald_z
+FROM c
+"""
+
+
+@query("agg_poisson_rate_ratio", oracle=_POISSON_RR_ORACLE)
+def agg_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson rate-ratio test (Wald on the log scale) between two event
+    streams over a common exposure window: z = ln(c1/c2)/√(1/c1+1/c2).
+    The incidence-rate comparison for COUNT metrics — where the
+    two-proportion z-test (`agg_two_proportion_z_test`) needs per-unit
+    denominators, event rates per time window are Poisson and the
+    exposure cancels when both streams share it. One map-side-combined
+    count pass; a single-row result."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.agg(
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("long")
+        .alias("c1"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("long")
+        .alias("c2"),
+    )
+    r = F.col("c1").cast("double") / F.col("c2")
+    return c.select(
+        "c1",
+        "c2",
+        F.round(r, 6).alias("rate_ratio"),
+        F.round(
+            F.log(r)
+            / F.sqrt(
+                F.lit(1.0) / F.col("c1") + F.lit(1.0) / F.col("c2")
+            ),
+            6,
+        ).alias("wald_z"),
+    )

@@ -8908,3 +8908,99 @@ def graph_deterministic_walks(
         F.col("n3").cast("long").alias("supplier_3"),
         F.col("n4").cast("long").alias("customer_4"),
     )
+
+
+_URL_CANON_ORACLE = """
+WITH u AS (
+    SELECT doc_id,
+           'https://' || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+               || 'cdn.example.com/docs/' || CAST(doc_id // 4 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0
+                       THEN '?utm_source=feed&v=' || CAST(doc_id % 2
+                                                          AS VARCHAR)
+                       ELSE '?v=' || CAST(doc_id % 2 AS VARCHAR)
+                            || '&utm_campaign=x' END AS url
+    FROM documents
+),
+canon AS (
+    SELECT doc_id,
+           regexp_replace(regexp_extract(url, '^https://([^/]+)/', 1),
+                          '^www\\.', '')
+           || regexp_extract(url, '^https://[^/]+(/[^?]*)', 1)
+           || '?'
+           || array_to_string(list_sort(list_filter(
+                  string_split(regexp_extract(url, '\\?(.*)$', 1), '&'),
+                  p -> NOT starts_with(p, 'utm_'))), '&') AS canonical_url
+    FROM u
+)
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_doc,
+       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+FROM canon
+GROUP BY canonical_url
+HAVING COUNT(*) >= 2
+"""
+
+
+@query("dedup_url_canonical_groups", oracle=_URL_CANON_ORACLE)
+def dedup_url_canonical_groups(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """URL-canonicalization dedup — the FIRST dedup stage of every web
+    scrape, before any content hashing: strip the ``www.`` host alias,
+    drop tracking parameters (``utm_*``), and SORT the surviving query
+    parameters, so the same resource fetched via different link
+    decorations collapses to one canonical key. The synthetic URLs vary
+    all three axes (www/apex host, utm noise, parameter order) and
+    collapse 2:1 under canonicalization. Group-by on the canonical
+    string is one partial-aggregable shuffle; min(doc_id) is the keeper
+    policy, matching `dedup_exact_keep`. All string surgery is codegen
+    (parse_url + higher-order array filter/sort) — no Python, no
+    explode."""
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 2 == 0, "www.").otherwise(""),
+        F.lit("cdn.example.com/docs/"),
+        F.expr("doc_id div 4").cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit("?utm_source=feed&v="),
+                (F.col("doc_id") % 2).cast("string"),
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit("?v="),
+                (F.col("doc_id") % 2).cast("string"),
+                F.lit("&utm_campaign=x"),
+            )
+        ),
+    )
+    host = F.regexp_replace(
+        F.parse_url(url, F.lit("HOST")), r"^www\.", ""
+    )
+    path = F.parse_url(url, F.lit("PATH"))
+    params = F.array_join(
+        F.array_sort(
+            F.filter(
+                F.split(F.parse_url(url, F.lit("QUERY")), "&"),
+                lambda p: ~p.startswith("utm_"),
+            )
+        ),
+        "&",
+    )
+    canon = docs.select(
+        "doc_id",
+        F.concat(host, path, F.lit("?"), params).alias("canonical_url"),
+    )
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("keeper_doc"),
+            F.max("doc_id").cast("long").alias("max_doc"),
+        )
+        .where(F.col("n_docs") >= 2)
+    )

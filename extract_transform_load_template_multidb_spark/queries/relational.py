@@ -1570,3 +1570,187 @@ def scalar_base62_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         "short_id",
         F.length("short_id").cast("long").alias("id_len"),
     )
+
+
+_LUHN_ORACLE = """
+WITH src AS (
+    SELECT o_orderkey FROM orders WHERE o_orderkey % 37 = 0
+),
+d AS (
+    SELECT o_orderkey,
+           lpad(CAST(o_orderkey AS VARCHAR), 12, '0') AS card_no,
+           list_sum(list_transform(range(1, 13), i ->
+               CASE WHEN i % 2 = 1
+                    THEN CASE WHEN 2 * ((o_orderkey // CAST(10 ** (12 - i)
+                                         AS BIGINT)) % 10) > 9
+                              THEN 2 * ((o_orderkey // CAST(10 ** (12 - i)
+                                         AS BIGINT)) % 10) - 9
+                              ELSE 2 * ((o_orderkey // CAST(10 ** (12 - i)
+                                         AS BIGINT)) % 10) END
+                    ELSE (o_orderkey // CAST(10 ** (12 - i)
+                                             AS BIGINT)) % 10
+               END)) AS luhn_sum
+    FROM src
+)
+SELECT o_orderkey, card_no, CAST(luhn_sum AS BIGINT) AS luhn_sum,
+       CAST(CASE WHEN luhn_sum % 10 = 0 THEN 1 ELSE 0 END AS INT)
+           AS is_valid
+FROM d
+"""
+
+
+@query("scalar_luhn_checksum", oracle=_LUHN_ORACLE)
+def scalar_luhn_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn (mod-10) checksum over 12-digit identifiers derived from
+    order keys — the card/IMEI/member-ID validity screen a DQ pipeline
+    runs on ingested identifiers (complementing `scalar_mod97_checksum`'s
+    IBAN scheme). Digit i (from the left of the zero-padded number) is
+    pure long arithmetic (key div 10^(12-i)) mod 10; odd positions from
+    the left of an even-length number are the ones Luhn doubles, with
+    the >9 fold expressed as 2d-9. All 12 positions unroll at plan time
+    into one codegen expression — no strings except the display column,
+    no Python, exact at any key width."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 37 == 0
+    )
+    terms = []
+    for i in range(1, 13):
+        d = F.expr(f"o_orderkey div {10 ** (12 - i)}L") % 10
+        if i % 2 == 1:
+            terms.append(F.when(2 * d > 9, 2 * d - 9).otherwise(2 * d))
+        else:
+            terms.append(d)
+    luhn = terms[0]
+    for t in terms[1:]:
+        luhn = luhn + t
+    return o.select(
+        "o_orderkey",
+        F.lpad(F.col("o_orderkey").cast("string"), 12, "0").alias(
+            "card_no"
+        ),
+        luhn.cast("long").alias("luhn_sum"),
+        F.when(luhn % 10 == 0, 1).otherwise(0).cast("int").alias(
+            "is_valid"
+        ),
+    )
+
+
+_HAVERSINE_ORACLE = """
+WITH c AS (
+    SELECT n_nationkey,
+           n_name,
+           CAST((n_nationkey * 7) % 140 - 70 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) AS lat,
+           CAST((n_nationkey * 13) % 360 - 180 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) AS lon
+    FROM nation
+),
+p AS (
+    SELECT a.n_name AS nation_a, b.n_name AS nation_b,
+           radians(a.lat) AS la, radians(b.lat) AS lb,
+           radians(b.lat - a.lat) AS dlat,
+           radians(b.lon - a.lon) AS dlon
+    FROM c a JOIN c b ON a.n_nationkey < b.n_nationkey
+),
+h AS (
+    SELECT nation_a, nation_b,
+           sin(dlat / 2) * sin(dlat / 2)
+               + cos(la) * cos(lb) * sin(dlon / 2) * sin(dlon / 2) AS a
+    FROM p
+)
+SELECT nation_a, nation_b,
+       round(CAST(2 * 6371 AS DOUBLE)
+             * atan2(sqrt(a), sqrt(1 - a)), 3) AS dist_km
+FROM h
+"""
+
+
+@query("scalar_haversine_pairs", oracle=_HAVERSINE_ORACLE)
+def scalar_haversine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distances between all nation pairs on
+    synthetic deterministic coordinates — the geo-distance scalar every
+    logistics/geo-dedup pipeline needs, in the numerically stable atan2
+    form (the naive asin formulation loses precision near antipodes,
+    where sqrt(a)→1). Trig runs in IEEE doubles on both engines;
+    rounding to 3 decimals (meter precision) leaves ~8 orders of
+    magnitude of margin over cross-libm ulp drift. The pair join is a
+    tiny dimension self-join (broadcast); at scale the same expression
+    applies per-row to point pairs."""
+    n = load_table(spark, sf_dir, "nation")
+    c = n.select(
+        "n_nationkey",
+        "n_name",
+        ((F.col("n_nationkey") * 7) % 140 - 70 + 0.5)
+        .cast("double")
+        .alias("lat"),
+        ((F.col("n_nationkey") * 13) % 360 - 180 + 0.5)
+        .cast("double")
+        .alias("lon"),
+    )
+    a, b = c.alias("a"), c.alias("b")
+    p = a.join(
+        F.broadcast(b),
+        F.col("a.n_nationkey") < F.col("b.n_nationkey"),
+    ).select(
+        F.col("a.n_name").alias("nation_a"),
+        F.col("b.n_name").alias("nation_b"),
+        F.radians(F.col("a.lat")).alias("la"),
+        F.radians(F.col("b.lat")).alias("lb"),
+        F.radians(F.col("b.lat") - F.col("a.lat")).alias("dlat"),
+        F.radians(F.col("b.lon") - F.col("a.lon")).alias("dlon"),
+    )
+    hav = (
+        F.sin(F.col("dlat") / 2) * F.sin(F.col("dlat") / 2)
+        + F.cos(F.col("la"))
+        * F.cos(F.col("lb"))
+        * F.sin(F.col("dlon") / 2)
+        * F.sin(F.col("dlon") / 2)
+    )
+    return p.select(
+        "nation_a",
+        "nation_b",
+        F.round(
+            2 * 6371.0 * F.atan2(F.sqrt(hav), F.sqrt(1 - hav)), 3
+        ).alias("dist_km"),
+    )
+
+
+_FUZZY_LEV_ORACLE = """
+SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev_dist
+FROM part a
+JOIN part b ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+           AND a.p_partkey < b.p_partkey
+WHERE levenshtein(a.p_name, b.p_name) <= 10
+"""
+
+
+@query("join_fuzzy_levenshtein", oracle=_FUZZY_LEV_ORACLE)
+def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching: candidate part pairs share a
+    (brand, size) blocking key — an equi-join, NOT a cartesian — and
+    survive on Levenshtein edit distance ≤ 10 over the name. This is
+    the classic record-linkage shape: blocking bounds the quadratic
+    stage to within-block pairs (≈ n/|blocks| each), exactly how it
+    must run at 100 TB, and the edit distance is the engines' native
+    DP implementation on both sides (unit costs — identical results).
+    Complements the token-set dedup family (`dedup_ngram_jaccard`)
+    with the character-level similarity a product-catalog pipeline
+    uses for typo-grade duplicates."""
+    pt = load_table(spark, sf_dir, "part")
+    a, b = pt.alias("a"), pt.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_size") == F.col("b.p_size"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        .where(lev <= 10)
+        .select(
+            F.col("a.p_partkey").alias("part_a"),
+            F.col("b.p_partkey").alias("part_b"),
+            lev.cast("long").alias("lev_dist"),
+        )
+    )

@@ -7902,3 +7902,230 @@ def ts_retention_decay_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 6).alias("decay_rate_per_week"),
         half_life.alias("half_life_weeks"),
     )
+
+
+_BOLLINGER_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS rev,
+           (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 100 AS BIGINT)
+            // 100) AS rev_d
+    FROM orders GROUP BY 1
+),
+w AS (
+    SELECT day, rev,
+           CAST(SUM(rev_d) OVER win AS BIGINT) AS s1,
+           CAST(SUM(rev_d * rev_d) OVER win AS BIGINT) AS s2,
+           CAST(COUNT(*) OVER win AS BIGINT) AS n
+    FROM daily
+    WINDOW win AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+),
+b AS (
+    SELECT day, rev, n,
+           CAST(s1 AS DOUBLE) / n AS mid,
+           sqrt(greatest((CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+                         / n, 0)) AS sd
+    FROM w
+)
+SELECT day, rev, n,
+       mid,
+       mid + 2 * sd AS upper_band,
+       mid - 2 * sd AS lower_band,
+       CAST(CASE WHEN n = 7 AND (rev > mid + 2 * sd OR rev < mid - 2 * sd)
+            THEN 1 ELSE 0 END AS INT) AS is_breakout
+FROM b
+"""
+
+
+@query("window_bollinger_bands", oracle=_BOLLINGER_ORACLE)
+def window_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on daily revenue: 7-day rolling mean ± 2 rolling
+    population std-devs, with a breakout flag once the window is full —
+    the band-based anomaly monitor (complementing `ts_rolling_zscore`,
+    which scores points; bands expose the envelope itself for charting
+    and flag only full-window excursions). Numeric discipline, learned
+    the hard way in this query: the band math runs on WHOLE-DOLLAR
+    (floor-of-cents) daily revenue, an explicit part of the operator
+    contract, because that is the exactly-representable domain — rev²
+    sums in cents exceed both int64 (overflow at sf0.1) and 2^53 (the
+    threshold past which int/decimal→double casts stop being
+    deterministic cross-engine: the JVM rounds once via BigDecimal
+    while DuckDB's int128→double path double-rounds, observed as ~1e-8
+    band drift). Dollar-quantized squares stay under 2^53 through
+    sf≈0.5, every conversion is exact, and every downstream op is IEEE
+    double arithmetic on identical inputs — bit-identical with NO
+    in-query rounding (round(x, 6) itself splits on 7th-digit-5 ties,
+    also observed here). One window sort over one series of daily
+    rows; at 100 TB the identical plan runs per entity with
+    partitionBy."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    rev_dec = F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            rev_dec.cast("double").alias("rev"),
+            (rev_dec * 100).cast("long").alias("rev_c"),
+        )
+        .select(
+            "day", "rev", F.expr("rev_c div 100").alias("rev_d")
+        )
+    )
+    win = Win.orderBy("day").rowsBetween(-6, Win.currentRow)
+    w = daily.select(
+        "day",
+        "rev",
+        F.sum("rev_d").over(win).cast("long").alias("s1"),
+        F.sum(F.col("rev_d") * F.col("rev_d"))
+        .over(win)
+        .cast("long")
+        .alias("s2"),
+        F.count(F.lit(1)).over(win).cast("long").alias("n"),
+    )
+    mid = F.col("s1").cast("double") / F.col("n")
+    sd = F.sqrt(
+        F.greatest(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double")
+                * F.col("s1").cast("double")
+                / F.col("n")
+            )
+            / F.col("n"),
+            F.lit(0.0),
+        )
+    )
+    b = w.select("day", "rev", "n", mid.alias("mid"), sd.alias("sd"))
+    return b.select(
+        "day",
+        "rev",
+        "n",
+        F.col("mid"),
+        (F.col("mid") + 2 * F.col("sd")).alias("upper_band"),
+        (F.col("mid") - 2 * F.col("sd")).alias("lower_band"),
+        F.when(
+            (F.col("n") == 7)
+            & (
+                (F.col("rev") > F.col("mid") + 2 * F.col("sd"))
+                | (F.col("rev") < F.col("mid") - 2 * F.col("sd"))
+            ),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("is_breakout"),
+    )
+
+
+_SAX_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           (CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 100 AS BIGINT)
+            // 100000) AS rev_k
+    FROM orders GROUP BY 1
+),
+seq AS (
+    SELECT rev_k,
+           CAST(ROW_NUMBER() OVER (ORDER BY day) - 1 AS BIGINT) AS t
+    FROM daily
+),
+stats AS (
+    SELECT CAST(SUM(rev_k) AS BIGINT) AS s1,
+           CAST(SUM(rev_k * rev_k) AS BIGINT) AS s2,
+           CAST(COUNT(*) AS DOUBLE) AS n
+    FROM seq
+),
+paa AS (
+    SELECT t // 7 AS seg,
+           CAST(SUM(rev_k) AS BIGINT) AS seg_s,
+           CAST(COUNT(*) AS BIGINT) AS seg_n
+    FROM seq GROUP BY 1
+),
+z AS (
+    SELECT seg, seg_n,
+           ((CAST(seg_s AS DOUBLE) / seg_n) - (CAST(s1 AS DOUBLE) / n))
+               / sqrt(greatest((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE)
+                                     * CAST(s1 AS DOUBLE) / n) / n, 0))
+               AS zval
+    FROM paa, stats
+)
+SELECT CAST(seg AS BIGINT) AS seg, seg_n,
+       zval AS paa_z,
+       CASE WHEN zval < CAST(-0.6745 AS DOUBLE) THEN 'a'
+            WHEN zval < CAST(0 AS DOUBLE) THEN 'b'
+            WHEN zval < CAST(0.6745 AS DOUBLE) THEN 'c'
+            ELSE 'd' END AS symbol
+FROM z
+"""
+
+
+@query("ts_sax_symbolic", oracle=_SAX_ORACLE)
+def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SAX (Symbolic Aggregate approXimation, Lin et al. DMKD'07) of the
+    daily-revenue series: z-normalize against the global mean/std, PAA
+    into weekly segments (mean of 7 days), then map each segment to a
+    4-symbol alphabet at the standard-normal quartile breakpoints
+    (±0.6745, 0) — the discretization that turns a numeric series into a
+    string for motif discovery, hashing, and suffix-based similarity.
+    Global stats come from one DECIMAL-exact pass and broadcast to the
+    segment aggregation; both engines derive identical doubles so the
+    breakpoint comparisons agree bitwise. The series is quantized to
+    whole-k$ daily revenue as part of the operator contract — the SAX
+    symbols are a coarse shape code, so kilo-dollar granularity loses
+    nothing, and it keeps every sum and square exactly representable
+    (≤2^53) at any realistic scale; see window_bollinger_bands for why
+    wider integers/decimals are NOT cross-engine deterministic through
+    a double cast. Two partial-aggregable shuffles (daily rollup,
+    segment rollup) — scale-safe."""
+    from pyspark.sql import Window as Win, functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("day"))
+        .agg(
+            (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * 100)
+            .cast("long")
+            .alias("rev_c")
+        )
+        .select("day", F.expr("rev_c div 100000").alias("rev_k"))
+    )
+    seq = daily.select(
+        "rev_k",
+        (F.row_number().over(Win.orderBy("day")) - 1)
+        .cast("long")
+        .alias("t"),
+    )
+    stats = seq.agg(
+        F.sum("rev_k").cast("long").alias("s1"),
+        F.sum(F.col("rev_k") * F.col("rev_k")).cast("long").alias("s2"),
+        F.count(F.lit(1)).cast("double").alias("n"),
+    )
+    paa = seq.groupBy(
+        (F.col("t") / 7).cast("long").alias("seg")
+    ).agg(
+        F.sum("rev_k").cast("long").alias("seg_s"),
+        F.count(F.lit(1)).cast("long").alias("seg_n"),
+    )
+    s1d = F.col("s1").cast("double")
+    zval = (
+        (F.col("seg_s").cast("double") / F.col("seg_n"))
+        - (s1d / F.col("n"))
+    ) / F.sqrt(
+        F.greatest(
+            (F.col("s2").cast("double") - s1d * s1d / F.col("n"))
+            / F.col("n"),
+            F.lit(0.0),
+        )
+    )
+    return paa.crossJoin(F.broadcast(stats)).select(
+        "seg",
+        "seg_n",
+        zval.alias("paa_z"),
+        F.when(zval < -0.6745, "a")
+        .when(zval < 0.0, "b")
+        .when(zval < 0.6745, "c")
+        .otherwise("d")
+        .alias("symbol"),
+    )
