@@ -365,6 +365,27 @@ HEADLINE = [
     "dq_categorical_drift_chi2",
     "agg_beta_binomial_posterior",
     "scalar_base62_encode",
+    # round 7 additions
+    "mm_decode_png",
+    "mm_png_resize_reencode",
+    "mm_png_alpha_profile",
+    "graph_linkpred_jaccard",
+    "window_bollinger_bands",
+    "ts_sax_symbolic",
+    "scalar_luhn_checksum",
+    "scalar_haversine_pairs",
+    "join_fuzzy_levenshtein",
+    "feature_robust_scaler",
+    "feature_hashed_cross",
+    "agg_poisson_rate_ratio",
+    "dedup_url_canonical_groups",
+    "dq_benford_first_two_digits",
+    "agg_hodges_lehmann",
+    "agg_kmv_distinct_sketch",
+    "scalar_uuid3_surrogate_keys",
+    "scalar_geohash_encode",
+    "window_anchored_vwap",
+    "sim_ivf_nprobe_recall",
 ]
 
 def main() -> None:

@@ -92,6 +92,13 @@ _CHECK_FIRST = (
     "feature_hashed_cross",
     "agg_poisson_rate_ratio",
     "dedup_url_canonical_groups",
+    "dq_benford_first_two_digits",
+    "agg_hodges_lehmann",
+    "agg_kmv_distinct_sketch",
+    "scalar_uuid3_surrogate_keys",
+    "scalar_geohash_encode",
+    "window_anchored_vwap",
+    "sim_ivf_nprobe_recall",
     "text_char_entropy",
     "graph_linkpred_adamic_adar",
     "join_asof_latest_order",
@@ -128,13 +135,6 @@ _CHECK_FIRST = (
     "ts_western_electric_rules",
     "window_interval_coalesce",
     "join_nearest_price_neighbor",
-    "scd2_as_was_vs_as_is",
-    "dq_duplicate_payment_detector",
-    "window_clamped_running_balance",
-    "text_phrase_search_positional",
-    "agg_confusion_threshold_metrics",
-    "join_disjunctive_union_rewrite",
-    "window_alert_debounce",
     # Positions 51+: just outside the 50-slot window — the §2-mapped
     # reference surface (driver-green in r5, unchanged since) stays at
     # the head of the remainder should the driver check more, followed
@@ -146,6 +146,13 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "scd2_as_was_vs_as_is",
+    "dq_duplicate_payment_detector",
+    "window_clamped_running_balance",
+    "text_phrase_search_positional",
+    "agg_confusion_threshold_metrics",
+    "join_disjunctive_union_rewrite",
+    "window_alert_debounce",
     "stream_hist_quantile_sketch",
     "pyfunc_mapinpandas_minmax",
     "mm_image_tile_stats",

@@ -10460,3 +10460,133 @@ def agg_poisson_rate_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("wald_z"),
     )
+
+
+_HODGES_LEHMANN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) * 100 AS BIGINT)
+               AS rev_c
+    FROM orders GROUP BY 1
+),
+walsh AS (
+    SELECT CAST(a.rev_c + b.rev_c AS BIGINT) AS pair_sum
+    FROM daily a JOIN daily b ON a.day <= b.day
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       quantile_cont(CAST(pair_sum AS DOUBLE), 0.5) / 2 / 100
+           AS hl_estimate
+FROM walsh
+"""
+
+
+@query("agg_hodges_lehmann", oracle=_HODGES_LEHMANN_ORACLE)
+def agg_hodges_lehmann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hodges-Lehmann pseudo-median of daily revenue — the median of all
+    Walsh averages (pairwise means incl. self-pairs), the location
+    estimator behind the Wilcoxon signed-rank interval: ~96% efficient
+    under normality yet 29%-breakdown robust, where the plain median
+    throws away efficiency and the mean throws away robustness. The
+    O(n²) pair set materializes DISTRIBUTED (self-join on the daily
+    rollup — n days, not n rows, so ~n²/2 pairs stay modest even at
+    100 TB of facts), and the exact median runs through the
+    running-count percentile selector, never one reducer's memory.
+    Pair sums stay in exact integer cents (≤2^53), interpolation
+    matches quantile_cont bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        (F.sum(F.col("o_totalprice").cast("decimal(38,6)")) * 100)
+        .cast("long")
+        .alias("rev_c")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    walsh = a.join(b, F.col("a.day") <= F.col("b.day")).select(
+        (F.col("a.rev_c") + F.col("b.rev_c")).alias("pair_sum")
+    )
+    med = exact_percentiles(
+        walsh, [], "pair_sum", {"med_sum": 0.5}, extras={"n_pairs": "n"}
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        med.crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            "n_pairs",
+            (F.col("med_sum") / 2 / 100).alias("hl_estimate"),
+        )
+    )
+
+
+_KMV_ORACLE = """
+WITH h AS (
+    SELECT DISTINCT
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS h32
+    FROM events WHERE user_id IS NOT NULL
+),
+ranked AS (
+    SELECT h32 FROM h ORDER BY h32 LIMIT 256
+),
+kth AS (
+    SELECT CAST(MAX(h32) AS BIGINT) AS h_k,
+           CAST(COUNT(*) AS BIGINT) AS k
+    FROM ranked
+),
+truth AS (
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS true_distinct
+    FROM events WHERE user_id IS NOT NULL
+)
+SELECT k.k, k.h_k,
+       (CAST(k.k AS DOUBLE) - 1)
+           / ((k.h_k + CAST(0.5 AS DOUBLE)) / 4294967296) AS kmv_estimate,
+       t.true_distinct
+FROM kth k CROSS JOIN truth t
+"""
+
+
+@query("agg_kmv_distinct_sketch", oracle=_KMV_ORACLE)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch, k=256: hash every
+    key to a 32-bit uniform, keep the k smallest DISTINCT hashes, and
+    estimate |D| ≈ (k−1)/u_k from the k-th value's normalized position —
+    the order-statistics alternative to HLL (`agg_approx_sketches`)
+    with the property HLL lacks: KMV sketches support set
+    INTERSECTION estimates, which data-overlap audits need. The
+    k-smallest selection plans as TakeOrderedAndProject (no global
+    sort materializes), the hash is md5-derived so both engines agree
+    exactly, and the true count rides along for the error check."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    h = ev.select(
+        F.conv(
+            F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h32")
+    ).distinct()
+    kth = (
+        h.orderBy("h32")
+        .limit(256)
+        .agg(
+            F.max("h32").cast("long").alias("h_k"),
+            F.count(F.lit(1)).cast("long").alias("k"),
+        )
+    )
+    truth = ev.agg(
+        F.countDistinct("user_id").cast("long").alias("true_distinct")
+    )
+    return kth.crossJoin(F.broadcast(truth)).select(
+        "k",
+        "h_k",
+        (
+            (F.col("k").cast("double") - 1)
+            / ((F.col("h_k") + F.lit(0.5)) / F.lit(4294967296.0))
+        ).alias("kmv_estimate"),
+        "true_distinct",
+    )

@@ -2577,3 +2577,86 @@ def dq_categorical_drift_chi2(
         F.round(stat, 6).alias("chi_square"),
         (stat > 9.488).alias("drifted_05"),
     )
+
+
+# Leading digit PAIR from exact integer cents (float formatting differs
+# across engines; integer formatting does not). Amounts below $10 have
+# no second significant digit and are excluded by contract.
+_BENFORD2_ORACLE = """
+WITH digits AS (
+    SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                            AS VARCHAR), 1, 2) AS BIGINT) AS d2
+    FROM orders WHERE o_totalprice >= 10
+),
+counts AS (SELECT d2, CAST(COUNT(*) AS BIGINT) AS n FROM digits GROUP BY d2),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM digits),
+scored AS (
+    SELECT c.d2, c.n, t.t,
+           CAST(c.n AS DOUBLE) / t.t AS observed_p,
+           round(ln(1 + CAST(1 AS DOUBLE) / c.d2)
+                 / ln(CAST(10 AS DOUBLE)), 6) AS benford_p
+    FROM counts c CROSS JOIN total t
+),
+chi AS (
+    SELECT CAST(SUM(CAST(round(
+               (n - t * benford_p) * (n - t * benford_p) / (t * benford_p),
+               6) AS DECIMAL(38,6))) AS DOUBLE) AS chi2_total
+    FROM scored
+)
+SELECT s.d2, s.n, s.observed_p, s.benford_p, c.chi2_total
+FROM scored s CROSS JOIN chi c
+"""
+
+
+@query("dq_benford_first_two_digits", oracle=_BENFORD2_ORACLE)
+def dq_benford_first_two_digits(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Benford FIRST-TWO-digit profile (d ∈ 10..99) with the aggregate
+    chi-square statistic — the stronger fabricated-numbers test: the
+    two-digit law has 90 cells, so rounding/threshold manipulation that
+    survives the single-digit screen (`dq_benford_first_digit`) shows
+    up here. Expected proportions are round(ln,6)-quantized, per-cell
+    chi-square terms round(·,6) before the DECIMAL sum, so both
+    engines emit identical doubles. One map-side-combinable digit
+    count; the chi2 total is a broadcast scalar joined back onto the
+    90 cells."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 10).select(
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"),
+            1,
+            2,
+        )
+        .cast("long")
+        .alias("d2")
+    )
+    counts = digits.groupBy("d2").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    total = digits.agg(F.count(F.lit(1)).cast("long").alias("t"))
+    scored = counts.join(F.broadcast(total)).select(
+        "d2",
+        "n",
+        "t",
+        (F.col("n").cast("double") / F.col("t")).alias("observed_p"),
+        F.round(
+            F.log(1 + F.lit(1.0) / F.col("d2"))
+            / F.log(F.lit(10.0)),
+            6,
+        ).alias("benford_p"),
+    )
+    term = F.round(
+        (F.col("n") - F.col("t") * F.col("benford_p"))
+        * (F.col("n") - F.col("t") * F.col("benford_p"))
+        / (F.col("t") * F.col("benford_p")),
+        6,
+    )
+    chi = scored.agg(
+        F.sum(term.cast("decimal(38,6)"))
+        .cast("double")
+        .alias("chi2_total")
+    )
+    return scored.crossJoin(F.broadcast(chi)).select(
+        "d2", "n", "observed_p", "benford_p", "chi2_total"
+    )

@@ -9004,3 +9004,146 @@ def dedup_url_canonical_groups(
         )
         .where(F.col("n_docs") >= 2)
     )
+
+
+_IVF_RECALL_ORACLE = (
+    "WITH "
+    + _SQL_ELEMS
+    + """,
+bdots AS (
+    SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+           SUM(a.v * b.v) AS dot
+    FROM elems a
+    JOIN elems b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id >= 8 AND a.vec_id < 16
+    GROUP BY a.vec_id, b.vec_id
+),
+bcos AS (
+    SELECT query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS c
+    FROM bdots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+),
+brute AS (
+    SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c DESC, neighbor_id) AS rn
+        FROM bcos
+    ) WHERE rn <= 3
+),
+adots AS (
+    SELECT e.vec_id, ec.vec_id AS cid, SUM(e.v * ec.v) AS dot
+    FROM elems e JOIN elems ec ON ec.d = e.d AND ec.vec_id < 8
+    GROUP BY e.vec_id, ec.vec_id
+),
+acos AS (
+    SELECT a.vec_id, a.cid,
+           CAST(a.dot AS DOUBLE)
+             / (sqrt(CAST(nv.nsq AS DOUBLE)) * sqrt(CAST(nc.nsq AS DOUBLE)))
+               AS c
+    FROM adots a
+    JOIN norms nv ON nv.vec_id = a.vec_id
+    JOIN norms nc ON nc.vec_id = a.cid
+),
+assign AS (
+    SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid)
+                   AS rn
+        FROM acos
+    ) WHERE rn = 1
+),
+probed AS (
+    SELECT np.np AS nprobe, r.vec_id AS query_id, r.cid AS cell FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY c DESC, cid)
+                   AS rn
+        FROM acos WHERE vec_id >= 8 AND vec_id < 16
+    ) r, (VALUES (1), (2)) AS np(np)
+    WHERE r.rn <= np.np
+),
+cands AS (
+    SELECT p.nprobe, p.query_id, a.vec_id AS neighbor_id
+    FROM probed p JOIN assign a ON a.cell = p.cell
+    WHERE a.vec_id <> p.query_id
+),
+idots AS (
+    SELECT cd.nprobe, cd.query_id, cd.neighbor_id, SUM(ea.v * eb.v) AS dot
+    FROM cands cd
+    JOIN elems ea ON ea.vec_id = cd.query_id
+    JOIN elems eb ON eb.vec_id = cd.neighbor_id AND eb.d = ea.d
+    GROUP BY cd.nprobe, cd.query_id, cd.neighbor_id
+),
+icos AS (
+    SELECT nprobe, query_id, neighbor_id,
+           CAST(dot AS DOUBLE)
+             / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE)))
+               AS c
+    FROM idots
+    JOIN norms na ON na.vec_id = query_id
+    JOIN norms nb ON nb.vec_id = neighbor_id
+),
+iranked AS (
+    SELECT nprobe, query_id, neighbor_id FROM (
+        SELECT nprobe, query_id, neighbor_id,
+               row_number() OVER (PARTITION BY nprobe, query_id
+                                  ORDER BY c DESC, neighbor_id) AS rn
+        FROM icos
+    ) WHERE rn <= 3
+),
+hits AS (
+    SELECT i.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM iranked i
+    JOIN brute b ON b.query_id = i.query_id
+                AND b.neighbor_id = i.neighbor_id
+    GROUP BY i.nprobe
+)
+SELECT CAST(np.np AS INT) AS nprobe,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 24 AS mean_recall
+FROM (VALUES (1), (2)) AS np(np)
+LEFT JOIN hits h ON h.nprobe = np.np
+"""
+)
+
+
+@query("sim_ivf_nprobe_recall", oracle=_IVF_RECALL_ORACLE)
+def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall-vs-nprobe tuning curve: run the SAME 8 queries through
+    the inverted-file index at nprobe=1 and nprobe=2 and measure
+    recall@3 against the exact brute-force ranking — the measurement a
+    production ANN deployment makes before choosing its speed/recall
+    operating point (complementing `sim_lsh_candidate_recall`, which
+    audits the LSH family's candidate stage). The brute-force truth
+    set computes once and is lineage-truncated so the two IVF arms
+    reuse it instead of re-scanning the corpus; each arm is the
+    bucketed ivf_topk plan (posting-list equi-join, never all-pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    brute = (
+        sim.cosine_topk_bruteforce(emb, queries, k=3)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=True)
+    )
+    arms = []
+    for nprobe in (1, 2):
+        ivf = sim.ivf_topk(
+            emb, queries, k=3, n_centroids=8, nprobe=nprobe
+        ).select("query_id", "neighbor_id")
+        hits = ivf.join(brute, ["query_id", "neighbor_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits")
+        )
+        arms.append(
+            hits.select(
+                F.lit(nprobe).cast("int").alias("nprobe"),
+                "n_hits",
+                (F.col("n_hits").cast("double") / 24).alias(
+                    "mean_recall"
+                ),
+            )
+        )
+    return arms[0].unionByName(arms[1])

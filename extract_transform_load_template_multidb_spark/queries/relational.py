@@ -1754,3 +1754,162 @@ def join_fuzzy_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
             lev.cast("long").alias("lev_dist"),
         )
     )
+
+
+_UUID3_ORACLE = """
+WITH h AS (
+    SELECT o_orderkey,
+           md5('orders:' || CAST(o_orderkey AS VARCHAR)) AS hx
+    FROM orders WHERE o_orderkey % 53 = 0
+)
+SELECT o_orderkey,
+       substr(hx, 1, 8) || '-' || substr(hx, 9, 4)
+           || '-3' || substr(hx, 14, 3) || '-'
+           || substr('89ab',
+                     CAST((CAST(('0x' || substr(hx, 17, 1)) AS BIGINT) % 4)
+                          AS INT) + 1, 1)
+           || substr(hx, 18, 3) || '-' || substr(hx, 21, 12) AS uuid3
+FROM h
+"""
+
+
+@query("scalar_uuid3_surrogate_keys", oracle=_UUID3_ORACLE)
+def scalar_uuid3_surrogate_keys(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Deterministic name-based UUIDs (RFC 4122 version 3, md5): hash a
+    namespaced business key and format the digest as
+    8-4-4-4-12 with the version nibble forced to 3 and the variant
+    nibble to 10xx — the surrogate-key scheme that lets independent
+    pipelines mint IDENTICAL ids for the same entity with no
+    coordination service (the property a distributed dimension build
+    needs; sequence generators don't parallelize, random UUIDs don't
+    reconcile). The variant nibble maps h&3 into '89ab' by substring
+    lookup — pure codegen string surgery, identical on both engines."""
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderkey") % 53 == 0
+    )
+    hx = F.md5(
+        F.concat(F.lit("orders:"), F.col("o_orderkey").cast("string"))
+    )
+    variant = F.substring(F.lit("89ab"), F.lit(1), F.lit(4)).substr(
+        (
+            F.conv(F.substring(hx, 17, 1), 16, 10).cast("int") % 4
+        )
+        + 1,
+        F.lit(1),
+    )
+    return o.select(
+        "o_orderkey",
+        F.concat(
+            F.substring(hx, 1, 8),
+            F.lit("-"),
+            F.substring(hx, 9, 4),
+            F.lit("-3"),
+            F.substring(hx, 14, 3),
+            F.lit("-"),
+            variant,
+            F.substring(hx, 18, 3),
+            F.lit("-"),
+            F.substring(hx, 21, 12),
+        ).alias("uuid3"),
+    )
+
+
+# Geohash: 20 quantized bits per axis, lon on even interleave positions
+# (bit 39 = lon MSB), 8 base-32 symbols of 5 bits. The standard geohash
+# alphabet drops a/i/l/o.
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+_GEOHASH_ORACLE = f"""
+WITH c AS (
+    SELECT n_nationkey,
+           CAST((n_nationkey * 7) % 140 - 70 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) AS lat,
+           CAST((n_nationkey * 13) % 360 - 180 AS DOUBLE)
+               + CAST(0.5 AS DOUBLE) AS lon
+    FROM nation
+),
+q AS (
+    SELECT n_nationkey, lat, lon,
+           CAST(floor((lat + 90) / 180 * 1048576) AS BIGINT) AS latq,
+           CAST(floor((lon + 180) / 360 * 1048576) AS BIGINT) AS lonq
+    FROM c
+),
+iv AS (
+    SELECT n_nationkey, lat, lon,
+           {" + ".join(
+               f"(((lonq >> {i}) & 1) << {2 * i + 1})"
+               f" + (((latq >> {i}) & 1) << {2 * i})"
+               for i in range(20)
+           )} AS bits
+    FROM q
+)
+SELECT n_nationkey, lat, lon,
+       {" || ".join(
+           f"substr('{_GEOHASH_ALPHABET}', "
+           f"CAST(((bits >> {35 - 5 * j}) & 31) AS INT) + 1, 1)"
+           for j in range(8)
+       )} AS geohash8
+FROM iv
+"""
+
+
+@query("scalar_geohash_encode", oracle=_GEOHASH_ORACLE)
+def scalar_geohash_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard 8-character geohash encoding (40 bits: lat/lon each
+    quantized to 20 bits, bit-interleaved lon-first, base-32 with the
+    a/i/l/o-free alphabet) — the geo-bucketing key for proximity
+    joins, cell aggregation, and prefix-based radius search
+    (complementing `scalar_haversine_pairs`' exact distances: geohash
+    prefixes are the BLOCKING stage, haversine the verify stage, the
+    same two-phase shape the dedup family uses). The quantization
+    multiply is one exactly-representable double op; everything after
+    is pure integer shift/mask unrolled at plan time into codegen —
+    identical on both engines at any coordinate."""
+    n = load_table(spark, sf_dir, "nation")
+    c = n.select(
+        "n_nationkey",
+        ((F.col("n_nationkey") * 7) % 140 - 70 + 0.5)
+        .cast("double")
+        .alias("lat"),
+        ((F.col("n_nationkey") * 13) % 360 - 180 + 0.5)
+        .cast("double")
+        .alias("lon"),
+    )
+    q = c.select(
+        "n_nationkey",
+        "lat",
+        "lon",
+        F.floor((F.col("lat") + 90) / 180 * 1048576)
+        .cast("long")
+        .alias("latq"),
+        F.floor((F.col("lon") + 180) / 360 * 1048576)
+        .cast("long")
+        .alias("lonq"),
+    )
+    bits = None
+    for i in range(20):
+        term = F.shiftleft(
+            F.shiftright(F.col("lonq"), i).bitwiseAND(F.lit(1)),
+            2 * i + 1,
+        ) + F.shiftleft(
+            F.shiftright(F.col("latq"), i).bitwiseAND(F.lit(1)), 2 * i
+        )
+        bits = term if bits is None else bits + term
+    iv = q.select("n_nationkey", "lat", "lon", bits.alias("bits"))
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH_ALPHABET), F.lit(1), F.lit(32)
+        ).substr(
+            F.shiftright(F.col("bits"), 35 - 5 * j)
+            .bitwiseAND(F.lit(31))
+            .cast("int")
+            + 1,
+            F.lit(1),
+        )
+        for j in range(8)
+    ]
+    return iv.select(
+        "n_nationkey", "lat", "lon", F.concat(*chars).alias("geohash8")
+    )

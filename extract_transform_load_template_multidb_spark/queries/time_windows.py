@@ -8129,3 +8129,73 @@ def ts_sax_symbolic(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("symbol"),
     )
+
+
+_VWAP_ORACLE = """
+WITH d AS (
+    SELECT CAST(l_shipdate AS DATE) AS day,
+           date_trunc('month', CAST(l_shipdate AS DATE)) AS month,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) * 100
+                AS BIGINT) AS px_c,
+           CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+    FROM lineitem GROUP BY 1, 2
+),
+r AS (
+    SELECT day, month, qty,
+           CAST(SUM(px_c) OVER w AS BIGINT) AS run_px_c,
+           CAST(SUM(qty) OVER w AS BIGINT) AS run_qty
+    FROM d
+    WINDOW w AS (PARTITION BY month ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT day, qty, run_qty,
+       CAST(run_px_c AS DOUBLE) / run_qty / 100 AS anchored_vwap
+FROM r
+"""
+
+
+@query("window_anchored_vwap", oracle=_VWAP_ORACLE)
+def window_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchored VWAP (volume-weighted average price), re-anchored each
+    month: running Σ(extended price)/Σ(quantity) within the month
+    partition — the execution-quality benchmark from trading applied to
+    the retail fact table (is today's average selling price above or
+    below the month-to-date volume-weighted mean?). The fact table
+    collapses to a per-day rollup FIRST (partial-aggregable shuffle),
+    so the window sorts days, not line items; price sums run in exact
+    integer cents and quantities in int64, so the running ratio is
+    identical IEEE arithmetic on both engines. At 100 TB the same plan
+    partitions by (symbol, month)."""
+    from pyspark.sql import Window as Win, functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.groupBy(
+        F.col("l_shipdate").cast("date").alias("day"),
+        F.date_trunc("month", F.col("l_shipdate").cast("date")).alias(
+            "month"
+        ),
+    ).agg(
+        (F.sum(F.col("l_extendedprice").cast("decimal(38,6)")) * 100)
+        .cast("long")
+        .alias("px_c"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("qty"),
+    )
+    w = (
+        Win.partitionBy("month")
+        .orderBy("day")
+        .rowsBetween(Win.unboundedPreceding, Win.currentRow)
+    )
+    r = d.select(
+        "day",
+        "qty",
+        F.sum("px_c").over(w).cast("long").alias("run_px_c"),
+        F.sum("qty").over(w).cast("long").alias("run_qty"),
+    )
+    return r.select(
+        "day",
+        "qty",
+        "run_qty",
+        (F.col("run_px_c").cast("double") / F.col("run_qty") / 100).alias(
+            "anchored_vwap"
+        ),
+    )
