@@ -386,6 +386,12 @@ HEADLINE = [
     "scalar_geohash_encode",
     "window_anchored_vwap",
     "sim_ivf_nprobe_recall",
+    "text_contrastive_source_keywords",
+    "curation_perplexity_filter",
+    "etl_compaction_bin_packing",
+    "layout_hilbert_order",
+    "feature_target_encoding_loo",
+    "mm_image_histogram_equalization",
 ]
 
 def main() -> None:

@@ -1550,6 +1550,77 @@ def zero_crossing_rate(df: DataFrame) -> DataFrame:
     return repartition_for_media(df).mapInPandas(fn, schema)
 
 
+def equalize_histogram(df: DataFrame) -> DataFrame:
+    """Per-channel histogram equalization of decoded PPM/BMP assets —
+    the classic contrast-normalization preprocessing step — reported as
+    before/after range stats. Equalized value uses the standard CDF
+    remap ``h(v) = round((cdf(v) − cdf_min)/(N − cdf_min)·255)`` with
+    EXACT rational half-up rounding (``(2p+q)//(2q)``), so an integer
+    SQL oracle reproduces every remapped level; a flat channel
+    (all pixels equal, N = cdf_min) maps to 0 by contract. Arrow
+    ``mapInPandas``, one row per (asset, channel), narrow map."""
+    import numpy as np
+
+    schema = (
+        "asset_id bigint, channel string, min_before bigint, "
+        "max_before bigint, min_after bigint, max_after bigint, "
+        "n_distinct_after bigint, err string"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                try:
+                    _, _, _, px = parse_ppm(bytes(payload))
+                    arr = np.asarray(px, dtype=np.int64)
+                    for ci, cname in enumerate(("r", "g", "b")):
+                        v = arr[:, :, ci].ravel()
+                        n = v.size
+                        sv = np.sort(v)
+                        c = np.searchsorted(sv, v, side="right")
+                        cmin = int(c.min())
+                        denom = n - cmin
+                        if denom == 0:
+                            h = np.zeros_like(v)
+                        else:
+                            h = (
+                                2 * (c - cmin) * 255 + denom
+                            ) // (2 * denom)
+                        rows.append(
+                            (
+                                int(aid),
+                                cname,
+                                int(v.min()),
+                                int(v.max()),
+                                int(h.min()),
+                                int(h.max()),
+                                int(np.unique(h).size),
+                                None,
+                            )
+                        )
+                except Exception as exc:
+                    rows.append(
+                        (int(aid), None, None, None, None, None, None,
+                         str(exc)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "channel",
+                    "min_before",
+                    "max_before",
+                    "min_after",
+                    "max_after",
+                    "n_distinct_after",
+                    "err",
+                ],
+            )
+
+    return repartition_for_media(df).mapInPandas(fn, schema)
+
+
 def gradient_orientation_histogram(df: DataFrame) -> DataFrame:
     """Gradient-orientation histogram (HOG primitive) for decoded
     PPM/BMP assets: at each interior pixel the luminance gradient

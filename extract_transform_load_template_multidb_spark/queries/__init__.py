@@ -99,6 +99,12 @@ _CHECK_FIRST = (
     "scalar_geohash_encode",
     "window_anchored_vwap",
     "sim_ivf_nprobe_recall",
+    "text_contrastive_source_keywords",
+    "curation_perplexity_filter",
+    "etl_compaction_bin_packing",
+    "layout_hilbert_order",
+    "feature_target_encoding_loo",
+    "mm_image_histogram_equalization",
     "text_char_entropy",
     "graph_linkpred_adamic_adar",
     "join_asof_latest_order",
@@ -129,12 +135,6 @@ _CHECK_FIRST = (
     "join_asof_forward_next_order",
     "agg_ratio_metric_delta_ci",
     "window_rolling_ols_slope",
-    "dq_interval_integrity_audit",
-    "mm_wav_zero_crossing_rate",
-    "curation_weighted_sample_es",
-    "ts_western_electric_rules",
-    "window_interval_coalesce",
-    "join_nearest_price_neighbor",
     # Positions 51+: just outside the 50-slot window — the §2-mapped
     # reference surface (driver-green in r5, unchanged since) stays at
     # the head of the remainder should the driver check more, followed
@@ -146,6 +146,12 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "dq_interval_integrity_audit",
+    "mm_wav_zero_crossing_rate",
+    "curation_weighted_sample_es",
+    "ts_western_electric_rules",
+    "window_interval_coalesce",
+    "join_nearest_price_neighbor",
     "scd2_as_was_vs_as_is",
     "dq_duplicate_payment_detector",
     "window_clamped_running_balance",

@@ -10590,3 +10590,178 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kmv_estimate"),
         "true_distinct",
     )
+
+
+def _hilbert_oracle() -> str:
+    """Generate the 10-step unrolled Hilbert xy→d oracle (1024×1024
+    grid): each step is one CTE computing the quadrant contribution and
+    the rotate/flip state threading, exactly the classic iterative
+    xy2d loop with the loop unrolled at plan-build time."""
+    steps = []
+    prev = "h0"
+    for i, s in enumerate([512, 256, 128, 64, 32, 16, 8, 4, 2, 1]):
+        cur = f"h{i + 1}"
+        rx = f"(CASE WHEN (hx & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (hy & {s}) > 0 THEN 1 ELSE 0 END)"
+        steps.append(
+            f"""{cur} AS (
+    SELECT c_custkey, x, y,
+           CASE WHEN {ry} = 0
+                THEN CASE WHEN {rx} = 1 THEN {s} - 1 - hy ELSE hy END
+                ELSE hx END AS hx,
+           CASE WHEN {ry} = 0
+                THEN CASE WHEN {rx} = 1 THEN {s} - 1 - hx ELSE hx END
+                ELSE hy END AS hy,
+           hd + CAST({s} AS BIGINT) * {s} * xor(3 * {rx}, {ry}) AS hd
+    FROM {prev}
+)"""
+        )
+        prev = cur
+    return (
+        """
+WITH coords AS (
+    SELECT c_custkey,
+           CAST((c_custkey * 7) % 1024 AS BIGINT) AS x,
+           CAST((c_custkey * 13) % 1024 AS BIGINT) AS y
+    FROM customer
+),
+h0 AS (
+    SELECT c_custkey, x, y, x AS hx, y AS hy, CAST(0 AS BIGINT) AS hd
+    FROM coords
+),
+"""
+        + ",\n".join(steps)
+        + f"""
+SELECT c_custkey, x, y, hd AS hilbert_d FROM {prev}
+"""
+    )
+
+
+_HILBERT_ORACLE = _hilbert_oracle()
+
+
+@query("layout_hilbert_order", oracle=_HILBERT_ORACLE)
+def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve ordering key for multi-dimensional data layout —
+    the strictly-better space-filling curve next to Morton
+    (`layout_zvalue_events`): Hilbert never makes the long diagonal
+    jumps Z-order makes, so range queries on EITHER dimension touch
+    ~25-50% fewer files at the same file size (the reason Delta/Iceberg
+    ship it for clustered writes). The classic iterative xy→d transform
+    (10 quadrant steps for a 1024² grid, each a flip/rotate + quadrant
+    offset) unrolls at plan-build time into pure integer CASE/XOR
+    codegen — no UDF, no loop at run time, identical on both engines.
+    Writing `df.repartitionByRange(F.col('hilbert_d'))` then sorting
+    within partitions gives the clustered layout; this query emits the
+    key itself for verification."""
+    cu = load_table(spark, sf_dir, "customer")
+    df = cu.select(
+        "c_custkey",
+        ((F.col("c_custkey") * 7) % 1024).cast("long").alias("x"),
+        ((F.col("c_custkey") * 13) % 1024).cast("long").alias("y"),
+    ).select(
+        "c_custkey",
+        "x",
+        "y",
+        F.col("x").alias("hx"),
+        F.col("y").alias("hy"),
+        F.lit(0).cast("long").alias("hd"),
+    )
+    for s in [512, 256, 128, 64, 32, 16, 8, 4, 2, 1]:
+        rx = F.when(
+            F.col("hx").bitwiseAND(F.lit(s)) > 0, 1
+        ).otherwise(0)
+        ry = F.when(
+            F.col("hy").bitwiseAND(F.lit(s)) > 0, 1
+        ).otherwise(0)
+        flip_x = F.when(rx == 1, F.lit(s - 1) - F.col("hy")).otherwise(
+            F.col("hy")
+        )
+        flip_y = F.when(rx == 1, F.lit(s - 1) - F.col("hx")).otherwise(
+            F.col("hx")
+        )
+        df = df.select(
+            "c_custkey",
+            "x",
+            "y",
+            F.when(ry == 0, flip_x).otherwise(F.col("hx")).alias("hx"),
+            F.when(ry == 0, flip_y).otherwise(F.col("hy")).alias("hy"),
+            (
+                F.col("hd")
+                + F.lit(s).cast("long")
+                * F.lit(s)
+                * (rx * 3).bitwiseXOR(ry)
+            ).alias("hd"),
+        )
+    return df.select("c_custkey", "x", "y", F.col("hd").alias("hilbert_d"))
+
+
+_TE_LOO_ORACLE = """
+WITH f AS (
+    SELECT event_id, event_type, value FROM events
+    WHERE NOT isnan(value) AND NOT isinf(value)
+),
+g AS (
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_g,
+           CAST(COUNT(*) AS BIGINT) AS n_g
+    FROM f GROUP BY event_type
+),
+p AS (
+    SELECT CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+        AS prior
+    FROM f
+)
+SELECT f.event_id, f.event_type, f.value,
+       (g.sum_g - f.value + 10 * p.prior) / (g.n_g - 1 + 10) AS te_loo
+FROM f
+JOIN g USING (event_type)
+CROSS JOIN p
+WHERE g.n_g >= 2
+"""
+
+
+@query("feature_target_encoding_loo", oracle=_TE_LOO_ORACLE)
+def feature_target_encoding_loo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding with additive smoothing toward the
+    global mean (m=10) — the leakage-safe form of
+    `feature_target_encoding`: plain group-mean encoding lets each row
+    see its own target (training-serving skew that inflates offline
+    metrics), while LOO subtracts the row's own contribution before
+    averaging. The group sums are one DECIMAL-exact pass broadcast back
+    onto the rows (each row's encode is then row-local arithmetic), so
+    the 'per-row different aggregate' costs no more than the plain
+    version — the trick that makes LOO feasible at 100 TB where
+    naive per-row re-aggregation would be quadratic."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    g = ev.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.sum(F.col("value").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("sum_g"),
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+    )
+    p = ev.agg(
+        (
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("prior")
+    )
+    return (
+        ev.join(F.broadcast(g), F.col("event_type") == F.col("g_type"))
+        .crossJoin(F.broadcast(p))
+        .where(F.col("n_g") >= 2)
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            (
+                (F.col("sum_g") - F.col("value") + 10 * F.col("prior"))
+                / (F.col("n_g") - 1 + 10)
+            ).alias("te_loo"),
+        )
+    )

@@ -724,3 +724,67 @@ def etl_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros(F.max("h") * hour_us).alias("gap_end"),
         F.count(F.lit(1)).alias("gap_hours"),
     ).drop("grp")
+
+
+_COMPACTION_ORACLE = """
+WITH files AS (
+    SELECT CAST(o_orderdate AS DATE) AS day,
+           CAST(COUNT(*) * 120 AS BIGINT) AS bytes
+    FROM orders GROUP BY 1
+),
+planned AS (
+    SELECT day, bytes,
+           CAST(SUM(bytes) OVER (ORDER BY day
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND 1 PRECEDING) AS BIGINT) AS before_c
+    FROM files
+)
+SELECT CAST(coalesce(before_c, 0) // 4194304 AS BIGINT) AS group_id,
+       CAST(COUNT(*) AS BIGINT) AS n_files,
+       CAST(SUM(bytes) AS BIGINT) AS total_bytes,
+       CAST(MIN(day) AS DATE) AS first_day,
+       CAST(MAX(day) AS DATE) AS last_day
+FROM planned
+GROUP BY 1
+"""
+
+
+@query("etl_compaction_bin_packing", oracle=_COMPACTION_ORACLE)
+def etl_compaction_bin_packing(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance job that
+    keeps a 100 TB table scannable: per-partition file sizes (here the
+    daily row counts × an average row width) pack into ~4 MiB target
+    groups by cumulative-sum assignment (group = floor(running bytes
+    BEFORE this file / target)), the deterministic next-fit policy that
+    parallelizes where true first-fit's sequential free-list cannot.
+    Output is the compaction manifest: per group, the file count, total
+    bytes, and day range — exactly what a rewrite job consumes. One
+    partial-aggregable rollup + one window running sum over the file
+    list (file COUNTS, never file contents)."""
+    o = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as Win
+
+    files = o.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg((F.count(F.lit(1)) * 120).cast("long").alias("bytes"))
+    w = Win.orderBy("day").rowsBetween(Win.unboundedPreceding, -1)
+    planned = files.select(
+        "day",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0))
+        .cast("long")
+        .alias("before_c"),
+    )
+    return (
+        planned.groupBy(
+            F.expr("before_c div 4194304").alias("group_id")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("total_bytes"),
+            F.min("day").alias("first_day"),
+            F.max("day").alias("last_day"),
+        )
+    )

@@ -732,3 +732,181 @@ def text_kwic_concordance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id", "position")
         .limit(100)
     )
+
+
+# Monroe et al. 2008 ("Fightin' Words") log-odds-ratio with informative
+# Dirichlet prior: the contrastive-keyword statistic. Each ln is
+# round(·,6)-quantized before the subtraction so both engines emit
+# identical deltas; the variance and z are exact IEEE arithmetic on
+# identical doubles.
+_FIGHTIN_ORACLE = f"""
+WITH {_SQL_TOKS},
+src AS (SELECT doc_id, source FROM documents),
+stok AS (SELECT s.source, t.w FROM tok t JOIN src s USING (doc_id)),
+ysw AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS y
+        FROM stok GROUP BY source, w),
+ns AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s
+       FROM stok GROUP BY source),
+yw AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS y_all FROM stok GROUP BY w),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM stok),
+scored AS (
+    SELECT c.source, c.w, c.y,
+           round(ln((c.y + 100.0 * t.y_all / o.n)
+                    / (s.n_s + 100.0 - c.y - 100.0 * t.y_all / o.n)), 6)
+           - round(ln((t.y_all - c.y + 100.0 * t.y_all / o.n)
+                      / (o.n - s.n_s + 100.0 - (t.y_all - c.y)
+                         - 100.0 * t.y_all / o.n)), 6) AS delta,
+           1.0 / (c.y + 100.0 * t.y_all / o.n)
+           + 1.0 / (t.y_all - c.y + 100.0 * t.y_all / o.n) AS var
+    FROM ysw c
+    JOIN ns s USING (source)
+    JOIN yw t USING (w)
+    CROSS JOIN tot o
+    WHERE c.y >= 5
+)
+SELECT source, w, y, z FROM (
+    SELECT source, w, y, delta / sqrt(var) AS z,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY delta / sqrt(var) DESC, w) AS rn
+    FROM scored
+) WHERE rn <= 5
+"""
+
+
+@query("text_contrastive_source_keywords", oracle=_FIGHTIN_ORACLE)
+def text_contrastive_source_keywords(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Contrastive keywords per source via the log-odds-ratio with an
+    informative Dirichlet prior (Monroe, Colaresi & Quinn 2008,
+    'Fightin' Words') — the statistic that fixes what TF-IDF and raw
+    PMI get wrong about corpus comparison: the prior (a0=100, scaled by
+    corpus frequency) shrinks rare-word noise, and the z-score
+    normalizes by the sampling variance, so surfaced terms are ones a
+    source genuinely OVERUSES relative to the rest of the corpus.
+    Top-5 terms per source, ≥5 occurrences. Two partial-aggregable
+    token shuffles plus broadcast totals; at 100 TB the token→term
+    join is the only wide stage and AQE sizes it."""
+    docs = load_table(spark, sf_dir, "documents")
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        tokenize,
+    )
+
+    stok = docs.select(
+        "source", F.explode(tokenize(F.col("text"))).alias("w")
+    )
+    ysw = stok.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    ns = stok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_s")
+    )
+    yw = stok.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("y_all")
+    )
+    tot = stok.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = (
+        ysw.join(F.broadcast(ns), "source")
+        .join(yw, "w")
+        .crossJoin(F.broadcast(tot))
+        .where(F.col("y") >= 5)
+    )
+    aw = F.lit(100.0) * F.col("y_all") / F.col("n")
+    delta = F.round(
+        F.log(
+            (F.col("y") + aw)
+            / (F.col("n_s") + 100.0 - F.col("y") - aw)
+        ),
+        6,
+    ) - F.round(
+        F.log(
+            (F.col("y_all") - F.col("y") + aw)
+            / (
+                F.col("n") - F.col("n_s") + 100.0
+                - (F.col("y_all") - F.col("y"))
+                - aw
+            )
+        ),
+        6,
+    )
+    var = F.lit(1.0) / (F.col("y") + aw) + F.lit(1.0) / (
+        F.col("y_all") - F.col("y") + aw
+    )
+    z = delta / F.sqrt(var)
+    from pyspark.sql import Window as Win
+
+    ranked = j.select("source", "w", "y", z.alias("z")).withColumn(
+        "rn",
+        F.row_number().over(
+            Win.partitionBy("source").orderBy(F.col("z").desc(), "w")
+        ),
+    )
+    return ranked.where(F.col("rn") <= 5).select("source", "w", "y", "z")
+
+
+_PPL_FILTER_ORACLE = f"""
+WITH {_SQL_TOKS},
+counts AS (SELECT w, count(*) AS ct FROM tok GROUP BY w),
+total AS (SELECT count(*) AS total FROM tok),
+lp AS (
+  SELECT doc_id, round(ln(ct / total), 6) AS lp
+  FROM tok JOIN counts USING (w) CROSS JOIN total
+),
+scored AS (
+  SELECT doc_id,
+         CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+           AS avg_logprob
+  FROM lp GROUP BY doc_id
+),
+thr AS (SELECT quantile_cont(avg_logprob, 0.1) AS p10 FROM scored)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(*) FILTER (WHERE s.avg_logprob >= t.p10) AS BIGINT)
+           AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE s.avg_logprob < t.p10) AS BIGINT)
+           AS n_dropped,
+       MIN(s.avg_logprob) FILTER (WHERE s.avg_logprob >= t.p10)
+           AS kept_min_lp,
+       MAX(s.avg_logprob) AS max_lp,
+       ANY_VALUE(t.p10) AS threshold_p10
+FROM scored s
+JOIN documents d USING (doc_id)
+CROSS JOIN thr t
+GROUP BY d.source
+"""
+
+
+@query("curation_perplexity_filter", oracle=_PPL_FILTER_ORACLE)
+def curation_perplexity_filter(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CCNet-style perplexity filtering, audited per source: score every
+    document under the corpus unigram LM (`text_unigram_logprob`'s
+    quantized-ln mean), set the cut at the exact 10th percentile, and
+    report each source's keep/drop split with the threshold and the
+    kept-range extremes — the report a data-mixture owner reads before
+    committing a quality cut (a source losing most of its mass to the
+    filter is a sourcing bug, not a quality win). The percentile runs
+    through the distributed running-count selector and broadcasts back;
+    kept-range stats are MIN/MAX selections (exact doubles), never
+    order-dependent float sums."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = ir.unigram_logprob(docs).select("doc_id", "avg_logprob")
+    from extract_transform_load_template_multidb_spark.queries._util import (
+        exact_percentiles,
+    )
+
+    thr = exact_percentiles(scored, [], "avg_logprob", {"p10": 0.1})
+    joined = (
+        scored.join(docs.select("doc_id", "source"), "doc_id")
+        .crossJoin(F.broadcast(thr))
+    )
+    kept = F.col("avg_logprob") >= F.col("p10")
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count(F.when(kept, 1)).cast("long").alias("n_kept"),
+        F.count(F.when(~kept, 1)).cast("long").alias("n_dropped"),
+        F.min(F.when(kept, F.col("avg_logprob"))).alias("kept_min_lp"),
+        F.max("avg_logprob").alias("max_lp"),
+        F.any_value("p10").alias("threshold_p10"),
+    )

@@ -1057,3 +1057,69 @@ def mm_image_gradient_orientation(
     or the histogram shifts."""
     ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
     return mm.gradient_orientation_histogram(ppm)
+
+
+_EQUALIZE_ORACLE = """
+WITH px AS (
+    SELECT doc_id AS asset_id,
+           substr(rpad(text, 48, 'x'), 1, 48) AS p
+    FROM documents
+),
+chan AS (
+    SELECT asset_id, c.cname AS channel, c.off AS off, p
+    FROM px, (VALUES ('r', 0), ('g', 1), ('b', 2)) AS c(cname, off)
+),
+vals AS (
+    SELECT asset_id, channel, i.i AS i,
+           ord(substr(p, off + 1 + i.i * 3, 1)) AS v
+    FROM chan, (SELECT unnest(range(0, 16)) AS i) i
+),
+cdf AS (
+    SELECT a.asset_id, a.channel, a.i, a.v,
+           CAST(SUM(CASE WHEN b.v <= a.v THEN 1 ELSE 0 END) AS BIGINT)
+               AS c
+    FROM vals a
+    JOIN vals b ON b.asset_id = a.asset_id AND b.channel = a.channel
+    GROUP BY a.asset_id, a.channel, a.i, a.v
+),
+m AS (
+    SELECT asset_id, channel,
+           CAST(MIN(c) AS BIGINT) AS cmin,
+           CAST(MIN(v) AS BIGINT) AS vmin,
+           CAST(MAX(v) AS BIGINT) AS vmax
+    FROM cdf GROUP BY asset_id, channel
+),
+eq AS (
+    SELECT d.asset_id, d.channel, m.vmin, m.vmax,
+           CASE WHEN 16 - m.cmin = 0 THEN CAST(0 AS BIGINT)
+                ELSE CAST((2 * (d.c - m.cmin) * 255 + (16 - m.cmin))
+                          // (2 * (16 - m.cmin)) AS BIGINT) END AS h
+    FROM cdf d
+    JOIN m ON m.asset_id = d.asset_id AND m.channel = d.channel
+)
+SELECT asset_id, channel,
+       ANY_VALUE(vmin) AS min_before,
+       ANY_VALUE(vmax) AS max_before,
+       CAST(MIN(h) AS BIGINT) AS min_after,
+       CAST(MAX(h) AS BIGINT) AS max_after,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_distinct_after,
+       CAST(NULL AS VARCHAR) AS err
+FROM eq GROUP BY asset_id, channel
+"""
+
+
+@query("mm_image_histogram_equalization", oracle=_EQUALIZE_ORACLE)
+def mm_image_histogram_equalization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Histogram equalization over REAL decoded PPM pixels — the
+    contrast-normalization preprocessing every vision pipeline applies
+    before augmentation — reported as per-channel before/after range
+    stats (a min_after of 0 and max_after of 255 with more distinct
+    levels = successful contrast stretch; unchanged range = flat or
+    already-saturated channel). The CDF remap uses exact rational
+    half-up rounding inside the Arrow decode pass, so the integer
+    oracle rebuilds every remapped level bit-for-bit from the ord()
+    pixel formula."""
+    ppm = mm.synthesize_ppm(load_table(spark, sf_dir, "documents"))
+    return mm.equalize_histogram(ppm)

@@ -146,3 +146,41 @@ def test_dedup_exact_normalized_catches_reencodes(spark, tmp_path):
     ).collect()
     got = {(r.doc_id, r.keeper_doc_id, r.n_docs) for r in out}
     assert got == {(1, 1, 3), (2, 1, 3), (4, 1, 3)}
+
+
+def test_hilbert_order_matches_reference_xy2d(spark, sf_dir):
+    """layout_hilbert_order's unrolled plan must reproduce the classic
+    iterative xy2d transform exactly (checked against a direct Python
+    reference on the real fixture keys) and be a bijection on the grid
+    sample (distinct keys -> distinct d when (x, y) distinct)."""
+    from extract_transform_load_template_multidb_spark.queries import (
+        all_queries,
+    )
+
+    def xy2d(n, x, y):
+        d = 0
+        s = n // 2
+        while s > 0:
+            rx = 1 if (x & s) > 0 else 0
+            ry = 1 if (y & s) > 0 else 0
+            d += s * s * ((3 * rx) ^ ry)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            s //= 2
+        return d
+
+    rows = all_queries()["layout_hilbert_order"](spark, sf_dir).collect()
+    assert rows, "no customers in fixture"
+    seen = {}
+    for r in rows:
+        expect = xy2d(1024, r["x"], r["y"])
+        assert r["hilbert_d"] == expect, (r["c_custkey"], r["x"], r["y"])
+        key = (r["x"], r["y"])
+        if key in seen:
+            assert seen[key] == r["hilbert_d"]
+        else:
+            seen[key] = r["hilbert_d"]
+    assert len(set(seen.values())) == len(seen)  # injective on the grid
