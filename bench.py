@@ -392,6 +392,13 @@ HEADLINE = [
     "layout_hilbert_order",
     "feature_target_encoding_loo",
     "mm_image_histogram_equalization",
+    "dedup_bbit_minhash_estimate",
+    "dq_partition_merkle_checksums",
+    "etl_unpivot_metrics",
+    "agg_histogram_fd_bins",
+    "stream_sliding_topk_types",
+    "agg_permutation_test_mean_diff",
+    "curation_tokenizer_fertility",
 ]
 
 def main() -> None:

@@ -105,9 +105,17 @@ _CHECK_FIRST = (
     "layout_hilbert_order",
     "feature_target_encoding_loo",
     "mm_image_histogram_equalization",
+    "dedup_bbit_minhash_estimate",
+    "dq_partition_merkle_checksums",
+    "etl_unpivot_metrics",
+    "agg_histogram_fd_bins",
+    "stream_sliding_topk_types",
+    "agg_permutation_test_mean_diff",
+    "curation_tokenizer_fertility",
     "text_char_entropy",
     "graph_linkpred_adamic_adar",
     "join_asof_latest_order",
+    "join_asof_forward_next_order",
     # (b) session-29 additions, newest first (scalar_base62_encode,
     # curation_span_corruption_stats, mm_wav_zero_crossing_rate and
     # join_asof_forward_next_order also carry round-7 code/oracle
@@ -123,18 +131,10 @@ _CHECK_FIRST = (
     "mm_image_gradient_orientation",
     "graph_deterministic_walks",
     "ts_binary_segmentation_pettitt",
-    "dq_join_cardinality_forecast",
     "dq_slo_burn_rate_alerts",
     "window_attribution_time_decay",
     "curation_span_corruption_stats",
     "text_query_likelihood_dirichlet",
-    "agg_abc_xyz_classification",
-    "agg_price_volume_mix",
-    "ts_record_breaking_days",
-    "scalar_mod97_checksum",
-    "join_asof_forward_next_order",
-    "agg_ratio_metric_delta_ci",
-    "window_rolling_ols_slope",
     # Positions 51+: just outside the 50-slot window — the §2-mapped
     # reference surface (driver-green in r5, unchanged since) stays at
     # the head of the remainder should the driver check more, followed
@@ -146,6 +146,13 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "dq_join_cardinality_forecast",
+    "scalar_mod97_checksum",
+    "window_rolling_ols_slope",
+    "agg_ratio_metric_delta_ci",
+    "ts_record_breaking_days",
+    "agg_price_volume_mix",
+    "agg_abc_xyz_classification",
     "dq_interval_integrity_audit",
     "mm_wav_zero_crossing_rate",
     "curation_weighted_sample_es",

@@ -10765,3 +10765,216 @@ def feature_target_encoding_loo(
             ).alias("te_loo"),
         )
     )
+
+
+_FD_HIST_ORACLE = """
+WITH f AS (
+    SELECT value FROM events
+    WHERE NOT isnan(value) AND NOT isinf(value)
+),
+s AS (
+    SELECT quantile_cont(value, 0.25) AS q1,
+           quantile_cont(value, 0.75) AS q3,
+           MIN(value) AS vmin,
+           MAX(value) AS vmax,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM f
+),
+w AS (
+    SELECT q1, q3, vmin, vmax, n,
+           round(2 * (q3 - q1) / pow(CAST(n AS DOUBLE),
+                                     CAST(1 AS DOUBLE) / 3), 6) AS bw
+    FROM s
+)
+SELECT CAST(floor((f.value - w.vmin) / w.bw) AS BIGINT) AS bin_idx,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       MIN(f.value) AS lo_seen,
+       MAX(f.value) AS hi_seen,
+       ANY_VALUE(w.bw) AS bin_width
+FROM f CROSS JOIN w
+GROUP BY 1
+"""
+
+
+@query("agg_histogram_fd_bins", oracle=_FD_HIST_ORACLE)
+def agg_histogram_fd_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram with the Freedman–Diaconis bin width
+    (2·IQR·n^(−1/3)) — the data-driven binning rule that a profiling
+    UI should use instead of a fixed bin count (`dq_value_histogram`):
+    FD is robust to outliers (IQR, not range) and scales the width
+    with sample size. IQR comes from the distributed exact-percentile
+    selector in one pass with min/max/count; the width quantizes to 6
+    decimals so the floor-binning expression is identical IEEE
+    arithmetic on both engines; then one partial-aggregable groupBy on
+    the bin index."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    s = exact_percentiles(
+        ev,
+        [],
+        "value",
+        {"q1": 0.25, "q3": 0.75},
+        extras={"vmin": "min", "vmax": "max", "n": "n"},
+    )
+    w = s.select(
+        "vmin",
+        F.round(
+            2
+            * (F.col("q3") - F.col("q1"))
+            / F.pow(F.col("n").cast("double"), F.lit(1.0) / 3),
+            6,
+        ).alias("bw"),
+    )
+    return (
+        ev.crossJoin(F.broadcast(w))
+        .groupBy(
+            F.floor((F.col("value") - F.col("vmin")) / F.col("bw"))
+            .cast("long")
+            .alias("bin_idx")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.min("value").alias("lo_seen"),
+            F.max("value").alias("hi_seen"),
+            F.any_value("bw").alias("bin_width"),
+        )
+    )
+
+
+_PERM_TEST_ORACLE = """
+WITH f AS (
+    SELECT event_id, event_type, value FROM events
+    WHERE event_type IN ('click', 'purchase')
+      AND NOT isnan(value) AND NOT isinf(value)
+),
+obs AS (
+    SELECT CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                FILTER (WHERE event_type = 'click') AS DOUBLE)
+               / COUNT(*) FILTER (WHERE event_type = 'click')
+         - CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+               / COUNT(*) FILTER (WHERE event_type = 'purchase')
+           AS d_obs
+    FROM f
+),
+perms AS (
+    SELECT p.p AS perm,
+           f.value,
+           CAST(('0x' || substr(md5(CAST(p.p AS VARCHAR) || ':'
+                || CAST(f.event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+               AS side
+    FROM f, (SELECT unnest(range(0, 200)) AS p) p
+),
+pdiff AS (
+    SELECT perm,
+           CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                FILTER (WHERE side = 0) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE side = 0)
+         - CAST(SUM(CAST(value AS DECIMAL(38,6)))
+                FILTER (WHERE side = 1) AS DOUBLE)
+               / COUNT(*) FILTER (WHERE side = 1)
+           AS d
+    FROM perms GROUP BY perm
+)
+SELECT CAST(200 AS BIGINT) AS n_perms,
+       o.d_obs AS observed_diff,
+       CAST(COUNT(*) FILTER (WHERE abs(p.d) >= abs(o.d_obs)) AS BIGINT)
+           AS n_extreme,
+       CAST(COUNT(*) FILTER (WHERE abs(p.d) >= abs(o.d_obs)) AS DOUBLE)
+           / 200 AS p_value
+FROM pdiff p CROSS JOIN obs o
+GROUP BY o.d_obs
+"""
+
+
+@query("agg_permutation_test_mean_diff", oracle=_PERM_TEST_ORACLE)
+def agg_permutation_test_mean_diff(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Permutation test of the click-vs-purchase mean difference, 200
+    md5-seeded label reshuffles — the assumption-free significance test
+    that Welch's t (`agg_welch_t_test`) approximates: no normality, no
+    variance model, just the exchangeability null executed literally.
+    Each permutation reassigns rows by a hash of (perm, event_id) — a
+    deterministic coin both engines flip identically — so the whole
+    resampling distribution is reproducible. The 200× row expansion is
+    one narrow generator feeding a partial-aggregable (perm)-keyed
+    rollup: resampling parallelizes BY REPLICATE at 100 TB, the same
+    shape as `agg_bootstrap_se_mean`."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+        & ~F.isnan("value")
+        & ~F.col("value").isin(float("inf"), float("-inf"))
+    )
+    dsum_click = F.sum(
+        F.when(
+            F.col("event_type") == "click",
+            F.col("value").cast("decimal(38,6)"),
+        )
+    ).cast("double")
+    dsum_pur = F.sum(
+        F.when(
+            F.col("event_type") == "purchase",
+            F.col("value").cast("decimal(38,6)"),
+        )
+    ).cast("double")
+    n_click = F.count(F.when(F.col("event_type") == "click", 1))
+    n_pur = F.count(F.when(F.col("event_type") == "purchase", 1))
+    obs = ev.agg(
+        (dsum_click / n_click - dsum_pur / n_pur).alias("d_obs")
+    )
+    perms = ev.select(
+        "event_id",
+        "value",
+        F.explode(F.sequence(F.lit(0), F.lit(199))).alias("perm"),
+    ).select(
+        "perm",
+        "value",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("perm").cast("string"),
+                            F.lit(":"),
+                            F.col("event_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 2
+        ).alias("side"),
+    )
+    d0 = F.sum(
+        F.when(F.col("side") == 0, F.col("value").cast("decimal(38,6)"))
+    ).cast("double")
+    d1 = F.sum(
+        F.when(F.col("side") == 1, F.col("value").cast("decimal(38,6)"))
+    ).cast("double")
+    n0 = F.count(F.when(F.col("side") == 0, 1))
+    n1 = F.count(F.when(F.col("side") == 1, 1))
+    pdiff = perms.groupBy("perm").agg((d0 / n0 - d1 / n1).alias("d"))
+    extreme = F.count(
+        F.when(F.abs(F.col("d")) >= F.abs(F.col("d_obs")), 1)
+    )
+    return (
+        pdiff.crossJoin(F.broadcast(obs))
+        .groupBy("d_obs")
+        .agg(
+            F.lit(200).cast("long").alias("n_perms"),
+            extreme.cast("long").alias("n_extreme"),
+            (extreme.cast("double") / 200).alias("p_value"),
+        )
+        .select(
+            "n_perms",
+            F.col("d_obs").alias("observed_diff"),
+            "n_extreme",
+            "p_value",
+        )
+    )

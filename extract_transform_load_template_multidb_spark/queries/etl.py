@@ -788,3 +788,48 @@ def etl_compaction_bin_packing(
             F.max("day").alias("last_day"),
         )
     )
+
+
+_UNPIVOT_ORACLE = """
+WITH long AS (
+    SELECT 'quantity' AS metric, l_quantity AS val FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT 'discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT 'tax', l_tax FROM lineitem
+)
+SELECT metric,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(val AS DECIMAL(38,6))) AS DOUBLE) AS total,
+       MIN(val) AS vmin,
+       MAX(val) AS vmax
+FROM long GROUP BY metric
+"""
+
+
+@query("etl_unpivot_metrics", oracle=_UNPIVOT_ORACLE)
+def etl_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (wide→long melt) of the lineitem measure columns via
+    ``stack`` — the reshape every metrics warehouse needs going INTO a
+    long-format store (the inverse of `agg_pivot_event_types`), then a
+    per-metric profile over the melted rows. ``stack`` is a Catalyst
+    generator (one pass, no self-union of the fact table — the naive
+    UNION ALL form scans 4×, which the oracle does because SQL has no
+    portable unpivot, but the ENGINE must not), and the profile
+    aggregates are DECIMAL-routed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    long_df = li.selectExpr(
+        "stack(4, 'quantity', l_quantity, 'extendedprice',"
+        " l_extendedprice, 'discount', l_discount, 'tax', l_tax)"
+        " AS (metric, val)"
+    )
+    return long_df.groupBy("metric").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("val").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total"),
+        F.min("val").alias("vmin"),
+        F.max("val").alias("vmax"),
+    )

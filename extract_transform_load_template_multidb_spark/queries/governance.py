@@ -2660,3 +2660,91 @@ def dq_benford_first_two_digits(
     return scored.crossJoin(F.broadcast(chi)).select(
         "d2", "n", "observed_p", "benford_p", "chi2_total"
     )
+
+
+_MERKLE_ORACLE = """
+WITH h AS (
+    SELECT date_trunc('month', CAST(o_orderdate AS DATE)) AS month,
+           CAST(o_orderdate AS DATE) AS day,
+           CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(o_custkey AS VARCHAR) || '|' ||
+               o_orderstatus || '|' ||
+               CAST(CAST(CAST(o_totalprice AS DECIMAL(38,6)) * 100 AS BIGINT) AS VARCHAR)
+           ), 1, 8)) AS BIGINT) AS rh
+    FROM orders
+),
+daily AS (
+    SELECT month, day,
+           CAST(SUM(CAST(rh AS DECIMAL(38,0))) % 1000000007 AS BIGINT)
+               AS day_checksum,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM h GROUP BY month, day
+)
+SELECT CAST(month AS DATE) AS month,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(day_checksum AS DECIMAL(38,0))) % 1000000007
+            AS BIGINT) AS month_checksum
+FROM daily GROUP BY month
+"""
+
+
+@query("dq_partition_merkle_checksums", oracle=_MERKLE_ORACLE)
+def dq_partition_merkle_checksums(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hierarchical (Merkle-style) partition checksums: per-row md5
+    content hashes combine into day checksums, days combine into month
+    checksums — the table-diff primitive that LOCALIZES a divergence
+    (`dq_table_checksum` says 'something differs'; this says 'that
+    month, then that day'), the same drill-down a cross-region
+    replication audit runs. The combiner is an order-independent
+    modular sum (exact DECIMAL accumulate, mod a prime), so checksums
+    are partitioning-invariant and re-computable level by level.
+    Monetary content hashes go through integer cents (float→string
+    formatting differs across engines; integers do not). Two
+    partial-aggregable rollups, no shuffle wider than (month, day)."""
+    o = load_table(spark, sf_dir, "orders")
+    rh = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    F.col("o_orderkey").cast("string"),
+                    F.col("o_custkey").cast("string"),
+                    F.col("o_orderstatus"),
+                    (F.col("o_totalprice").cast("decimal(38,6)") * 100)
+                    .cast("long")
+                    .cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    h = o.select(
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("month"),
+        F.col("o_orderdate").cast("date").alias("day"),
+        rh.alias("rh"),
+    )
+    daily = h.groupBy("month", "day").agg(
+        (F.sum(F.col("rh").cast("decimal(38,0)")) % 1000000007)
+        .cast("long")
+        .alias("day_checksum"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )
+    return daily.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("n_rows").cast("long").alias("n_rows"),
+        (
+            F.sum(F.col("day_checksum").cast("decimal(38,0)"))
+            % 1000000007
+        )
+        .cast("long")
+        .alias("month_checksum"),
+    )

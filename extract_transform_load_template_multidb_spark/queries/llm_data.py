@@ -9147,3 +9147,171 @@ def sim_ivf_nprobe_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return arms[0].unionByName(arms[1])
+
+
+_BBIT_ORACLE = (
+    "WITH "
+    + _MINHASH_CHAIN
+    + """,
+bit_agree AS (
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ("""
+    + "\n          + ".join(
+        f"CASE WHEN CAST(('0x' || substr(sa.s{i}, 32, 1)) AS BIGINT) % 2"
+        f" = CAST(('0x' || substr(sb.s{i}, 32, 1)) AS BIGINT) % 2"
+        f" THEN 1 ELSE 0 END"
+        for i in range(8)
+    )
+    + """) AS a_bits,
+           ("""
+    + "\n          + ".join(
+        f"CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END"
+        for i in range(8)
+    )
+    + """) AS a_full
+    FROM mh_pairs p
+    JOIN sigs sa ON sa.doc_id = p.id_a
+    JOIN sigs sb ON sb.doc_id = p.id_b
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CAST(round(abs(
+               greatest(2 * a_bits / 8.0 - 1, 0) - jaccard), 6)
+            AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mean_abs_err_bbit,
+       CAST(SUM(CAST(round(abs(a_full / 8.0 - jaccard), 6)
+            AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mean_abs_err_full,
+       CAST(SUM(CAST(round(greatest(2 * a_bits / 8.0 - 1, 0), 6)
+            AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*)
+           AS mean_est_bbit
+FROM bit_agree
+"""
+)
+
+
+@query("dedup_bbit_minhash_estimate", oracle=_BBIT_ORACLE)
+def dedup_bbit_minhash_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b-bit MinHash (Li & König, WWW'10, b=1): store only the LOWEST
+    BIT of each MinHash value — 64× smaller signatures — and recover
+    Jaccard through the collision correction Ĵ = 2·A − 1 (a
+    non-matching permutation still agrees with probability ½). This
+    query measures what the compression costs: mean |error| of the
+    1-bit estimator vs the full-signature estimator vs exact Jaccard,
+    on the same verified near-dup pairs — the sizing datum for a
+    signature store at 100 TB (8 bits/doc vs 64 hex chars/doc). Bits
+    derive from the md5 signatures both engines already agree on;
+    error terms quantize to 6 then decimal-average."""
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dd.near_dup_pairs(
+        docs, num_perm=8, rows_per_band=2, threshold=0.5
+    )
+    sigs = minhash_signatures(docs, num_perm=8)
+    sa = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig_{i}").alias(f"a{i}") for i in range(8)],
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig_{i}").alias(f"b{i}") for i in range(8)],
+    )
+    joined = pairs.join(sa, "id_a").join(sb, "id_b")
+
+    def low_bit(c):
+        return F.conv(F.substring(c, 32, 1), 16, 10).cast("long") % 2
+
+    a_bits = sum(
+        F.when(low_bit(F.col(f"a{i}")) == low_bit(F.col(f"b{i}")), 1)
+        .otherwise(0)
+        for i in range(8)
+    )
+    a_full = sum(
+        F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        for i in range(8)
+    )
+    est_bbit = F.greatest(
+        2 * a_bits.cast("double") / 8.0 - 1, F.lit(0.0)
+    )
+    terms = joined.select(
+        F.round(F.abs(est_bbit - F.col("jaccard")), 6).alias("e_b"),
+        F.round(
+            F.abs(a_full.cast("double") / 8.0 - F.col("jaccard")), 6
+        ).alias("e_f"),
+        F.round(est_bbit, 6).alias("est_b"),
+    )
+    n = F.count(F.lit(1))
+    return terms.agg(
+        n.cast("long").alias("n_pairs"),
+        (
+            F.sum(F.col("e_b").cast("decimal(38,6)")).cast("double") / n
+        ).alias("mean_abs_err_bbit"),
+        (
+            F.sum(F.col("e_f").cast("decimal(38,6)")).cast("double") / n
+        ).alias("mean_abs_err_full"),
+        (
+            F.sum(F.col("est_b").cast("decimal(38,6)")).cast("double")
+            / n
+        ).alias("mean_est_bbit"),
+    )
+
+
+_FERTILITY_ORACLE = (
+    "WITH "
+    + _SQL_TOKS_LIST
+    + """,
+perdoc AS (
+    SELECT d.source,
+           CAST(len(t.t) AS BIGINT) AS n_tokens,
+           CAST(length(d.text) AS BIGINT) AS n_chars,
+           CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes
+    FROM documents d JOIN toks_list t USING (doc_id)
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+       CAST(SUM(n_chars) AS DOUBLE) / SUM(n_tokens) AS chars_per_token,
+       CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_tokens) AS bytes_per_token,
+       CAST(SUM(n_bytes) AS DOUBLE) / SUM(n_chars) AS bytes_per_char
+FROM perdoc
+GROUP BY source
+"""
+)
+
+
+@query("curation_tokenizer_fertility", oracle=_FERTILITY_ORACLE)
+def curation_tokenizer_fertility(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Tokenizer fertility audit per source: chars/token, bytes/token
+    (UTF-8), bytes/char — the numbers that size a training run's token
+    budget from raw bytes and expose sources whose script or markup
+    inflates tokenization (a source at 2× the corpus bytes-per-token
+    costs 2× the compute per byte of signal). Integer length sums only
+    (whitespace-regex token counts, octet_length for bytes), one
+    partial-aggregable rollup; ratios are exact-integer divisions, so
+    both engines agree bitwise."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = dd.tokenize(F.col("text"))
+    perdoc = docs.select(
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.octet_length("text").cast("long").alias("n_bytes"),
+    )
+    st = F.sum("n_tokens")
+    sb = F.sum("n_bytes")
+    sc = F.sum("n_chars")
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        st.cast("long").alias("total_tokens"),
+        sb.cast("long").alias("total_bytes"),
+        (sc.cast("double") / st).alias("chars_per_token"),
+        (sb.cast("double") / st).alias("bytes_per_token"),
+        (sb.cast("double") / sc).alias("bytes_per_char"),
+    )

@@ -8199,3 +8199,60 @@ def window_anchored_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "anchored_vwap"
         ),
     )
+
+
+_SLIDING_TOPK_ORACLE = f"""
+WITH assigned AS (
+    SELECT event_type,
+           (epoch_us(ts) // {_HALF_US} - k) * {_HALF_US} AS start_us
+    FROM events, (SELECT unnest(range(0, 2)) AS k)
+),
+counts AS (
+    SELECT start_us, event_type, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM assigned GROUP BY start_us, event_type
+),
+ranked AS (
+    SELECT start_us, event_type, n_events,
+           row_number() OVER (PARTITION BY start_us
+                              ORDER BY n_events DESC, event_type)
+               AS rnk
+    FROM counts
+)
+SELECT make_timestamp(start_us) AS window_start,
+       make_timestamp(start_us + {_HOUR_US}) AS window_end,
+       event_type, n_events, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 2
+"""
+
+
+@query("stream_sliding_topk_types", oracle=_SLIDING_TOPK_ORACLE)
+def stream_sliding_topk_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Top-2 event types per sliding window (1 h window, 30 min slide) —
+    the trending-now leaderboard: the SAME declarative definition runs
+    under readStream with a watermark (the builder is
+    `streaming.windows.sliding_counts`; under streaming, rank-per-
+    closed-window runs in the foreachBatch sink since windowed rank is
+    not incrementally maintainable — the documented pattern for
+    post-aggregation ranking). Batch mode ranks within window after
+    the partial-aggregable count; ties break on event_type for a total
+    order."""
+    from pyspark.sql import Window as Win, functions as F
+
+    counts = W.sliding_counts(load_table(spark, sf_dir, "events"))
+    ranked = counts.withColumn(
+        "rnk",
+        F.row_number().over(
+            Win.partitionBy("window_start").orderBy(
+                F.col("n_events").desc(), "event_type"
+            )
+        ),
+    )
+    return ranked.where(F.col("rnk") <= 2).select(
+        "window_start",
+        "window_end",
+        "event_type",
+        "n_events",
+        F.col("rnk").cast("int").alias("rnk"),
+    )
