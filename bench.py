@@ -399,6 +399,7 @@ HEADLINE = [
     "stream_sliding_topk_types",
     "agg_permutation_test_mean_diff",
     "curation_tokenizer_fertility",
+    "layout_pruning_simulation",
 ]
 
 def main() -> None:

@@ -112,6 +112,7 @@ _CHECK_FIRST = (
     "stream_sliding_topk_types",
     "agg_permutation_test_mean_diff",
     "curation_tokenizer_fertility",
+    "layout_pruning_simulation",
     "text_char_entropy",
     "graph_linkpred_adamic_adar",
     "join_asof_latest_order",
@@ -131,7 +132,6 @@ _CHECK_FIRST = (
     "mm_image_gradient_orientation",
     "graph_deterministic_walks",
     "ts_binary_segmentation_pettitt",
-    "dq_slo_burn_rate_alerts",
     "window_attribution_time_decay",
     "curation_span_corruption_stats",
     "text_query_likelihood_dirichlet",
@@ -146,6 +146,7 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "dq_slo_burn_rate_alerts",
     "dq_join_cardinality_forecast",
     "scalar_mod97_checksum",
     "window_rolling_ols_slope",

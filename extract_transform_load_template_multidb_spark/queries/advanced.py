@@ -10618,8 +10618,7 @@ def _hilbert_oracle() -> str:
         )
         prev = cur
     return (
-        """
-WITH coords AS (
+        """coords AS (
     SELECT c_custkey,
            CAST((c_custkey * 7) % 1024 AS BIGINT) AS x,
            CAST((c_custkey * 13) % 1024 AS BIGINT) AS y
@@ -10631,31 +10630,28 @@ h0 AS (
 ),
 """
         + ",\n".join(steps)
-        + f"""
-SELECT c_custkey, x, y, hd AS hilbert_d FROM {prev}
-"""
+        + f""",
+hil AS (SELECT c_custkey, x, y, hd FROM {prev})"""
     )
 
 
-_HILBERT_ORACLE = _hilbert_oracle()
+# Reusable CTE chain ending in `hil(c_custkey, x, y, hd)`.
+_HILBERT_CHAIN = _hilbert_oracle()
+
+_HILBERT_ORACLE = (
+    "WITH "
+    + _HILBERT_CHAIN
+    + """
+SELECT c_custkey, x, y, hd AS hilbert_d FROM hil
+"""
+)
 
 
-@query("layout_hilbert_order", oracle=_HILBERT_ORACLE)
-def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hilbert-curve ordering key for multi-dimensional data layout —
-    the strictly-better space-filling curve next to Morton
-    (`layout_zvalue_events`): Hilbert never makes the long diagonal
-    jumps Z-order makes, so range queries on EITHER dimension touch
-    ~25-50% fewer files at the same file size (the reason Delta/Iceberg
-    ship it for clustered writes). The classic iterative xy→d transform
-    (10 quadrant steps for a 1024² grid, each a flip/rotate + quadrant
-    offset) unrolls at plan-build time into pure integer CASE/XOR
-    codegen — no UDF, no loop at run time, identical on both engines.
-    Writing `df.repartitionByRange(F.col('hilbert_d'))` then sorting
-    within partitions gives the clustered layout; this query emits the
-    key itself for verification."""
-    cu = load_table(spark, sf_dir, "customer")
-    df = cu.select(
+def _with_hilbert(df):
+    """Attach synthetic 10-bit grid coords and the Hilbert distance to a
+    customer frame: (c_custkey, x, y, hd) — the Spark mirror of
+    ``_HILBERT_CHAIN``, 10 unrolled integer steps in codegen."""
+    df = df.select(
         "c_custkey",
         ((F.col("c_custkey") * 7) % 1024).cast("long").alias("x"),
         ((F.col("c_custkey") * 13) % 1024).cast("long").alias("y"),
@@ -10693,7 +10689,28 @@ def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (rx * 3).bitwiseXOR(ry)
             ).alias("hd"),
         )
-    return df.select("c_custkey", "x", "y", F.col("hd").alias("hilbert_d"))
+    return df.select("c_custkey", "x", "y", "hd")
+
+
+@query("layout_hilbert_order", oracle=_HILBERT_ORACLE)
+def layout_hilbert_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve ordering key for multi-dimensional data layout —
+    the strictly-better space-filling curve next to Morton
+    (`layout_zvalue_events`): Hilbert never makes the long diagonal
+    jumps Z-order makes, so range queries on EITHER dimension touch
+    ~25-50% fewer files at the same file size (the reason Delta/Iceberg
+    ship it for clustered writes). The classic iterative xy→d transform
+    (10 quadrant steps for a 1024² grid, each a flip/rotate + quadrant
+    offset) unrolls at plan-build time into pure integer CASE/XOR
+    codegen — no UDF, no loop at run time, identical on both engines.
+    Writing `df.repartitionByRange(F.col('hilbert_d'))` then sorting
+    within partitions gives the clustered layout; this query emits the
+    key itself for verification (`layout_pruning_simulation` measures
+    the file-skipping payoff)."""
+    cu = load_table(spark, sf_dir, "customer")
+    return _with_hilbert(cu).select(
+        "c_custkey", "x", "y", F.col("hd").alias("hilbert_d")
+    )
 
 
 _TE_LOO_ORACLE = """
@@ -10977,4 +10994,107 @@ def agg_permutation_test_mean_diff(
             "n_extreme",
             "p_value",
         )
+    )
+
+
+_PRUNING_ORACLE = (
+    "WITH "
+    + _HILBERT_CHAIN
+    + """,
+fh AS (
+    SELECT ntile(32) OVER (ORDER BY hd, c_custkey) AS f, x, y FROM hil
+),
+fn AS (
+    SELECT ntile(32) OVER (ORDER BY c_custkey) AS f, x, y FROM hil
+),
+stats_h AS (
+    SELECT f, MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+    FROM fh GROUP BY f
+),
+stats_n AS (
+    SELECT f, MIN(x) AS x0, MAX(x) AS x1, MIN(y) AS y0, MAX(y) AS y1
+    FROM fn GROUP BY f
+),
+matching AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM hil
+    WHERE x >= 100 AND x < 300 AND y >= 400 AND y < 600
+)
+SELECT 'hilbert' AS layout,
+       CAST(32 AS BIGINT) AS n_files,
+       CAST(COUNT(*) FILTER (WHERE x0 < 300 AND x1 >= 100
+                               AND y0 < 600 AND y1 >= 400) AS BIGINT)
+           AS files_scanned,
+       CAST(COUNT(*) FILTER (WHERE x0 < 300 AND x1 >= 100
+                               AND y0 < 600 AND y1 >= 400) AS DOUBLE)
+           / 32 AS scan_fraction,
+       ANY_VALUE(m.n_rows) AS matching_rows
+FROM stats_h CROSS JOIN matching m
+UNION ALL
+SELECT 'custkey',
+       CAST(32 AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE x0 < 300 AND x1 >= 100
+                               AND y0 < 600 AND y1 >= 400) AS BIGINT),
+       CAST(COUNT(*) FILTER (WHERE x0 < 300 AND x1 >= 100
+                               AND y0 < 600 AND y1 >= 400) AS DOUBLE)
+           / 32,
+       ANY_VALUE(m.n_rows)
+FROM stats_n CROSS JOIN matching m
+"""
+)
+
+
+@query("layout_pruning_simulation", oracle=_PRUNING_ORACLE)
+def layout_pruning_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-skipping payoff of a Hilbert-clustered layout, measured the
+    way a lakehouse reader actually prunes: split the table into 32
+    'files' under (a) Hilbert-distance order and (b) naive key order,
+    keep per-file min/max column stats (the parquet footer / Iceberg
+    manifest model), and count how many files a 2-D box predicate must
+    read under each layout. The same matching rows come back either
+    way — the layouts differ ONLY in scan_fraction, which is the number
+    that justifies the clustering write cost at 100 TB (a Hilbert
+    layout typically reads a small fraction of files where key order
+    reads nearly all, because key order decorrelates from both
+    predicate columns). Pure window ntile + min/max rollups, no
+    shuffle wider than the file stats."""
+    from pyspark.sql import Window as Win
+
+    hil = _with_hilbert(load_table(spark, sf_dir, "customer"))
+    matching = hil.where(
+        (F.col("x") >= 100)
+        & (F.col("x") < 300)
+        & (F.col("y") >= 400)
+        & (F.col("y") < 600)
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+    def arm(order_cols, label):
+        files = hil.select(
+            F.ntile(32).over(Win.orderBy(*order_cols)).alias("f"),
+            "x",
+            "y",
+        )
+        stats = files.groupBy("f").agg(
+            F.min("x").alias("x0"),
+            F.max("x").alias("x1"),
+            F.min("y").alias("y0"),
+            F.max("y").alias("y1"),
+        )
+        overlap = (
+            (F.col("x0") < 300)
+            & (F.col("x1") >= 100)
+            & (F.col("y0") < 600)
+            & (F.col("y1") >= 400)
+        )
+        scanned = F.count(F.when(overlap, 1))
+        return stats.crossJoin(F.broadcast(matching)).agg(
+            F.lit(label).alias("layout"),
+            F.lit(32).cast("long").alias("n_files"),
+            scanned.cast("long").alias("files_scanned"),
+            (scanned.cast("double") / 32).alias("scan_fraction"),
+            F.any_value("n_rows").alias("matching_rows"),
+        )
+
+    return arm([F.col("hd"), F.col("c_custkey")], "hilbert").unionByName(
+        arm([F.col("c_custkey")], "custkey")
     )
