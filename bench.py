@@ -400,6 +400,7 @@ HEADLINE = [
     "agg_permutation_test_mean_diff",
     "curation_tokenizer_fertility",
     "layout_pruning_simulation",
+    "graph_label_propagation_semi",
 ]
 
 def main() -> None:

@@ -113,6 +113,7 @@ _CHECK_FIRST = (
     "agg_permutation_test_mean_diff",
     "curation_tokenizer_fertility",
     "layout_pruning_simulation",
+    "graph_label_propagation_semi",
     "text_char_entropy",
     "graph_linkpred_adamic_adar",
     "join_asof_latest_order",
@@ -132,7 +133,6 @@ _CHECK_FIRST = (
     "mm_image_gradient_orientation",
     "graph_deterministic_walks",
     "ts_binary_segmentation_pettitt",
-    "window_attribution_time_decay",
     "curation_span_corruption_stats",
     "text_query_likelihood_dirichlet",
     # Positions 51+: just outside the 50-slot window — the §2-mapped
@@ -146,6 +146,7 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "window_attribution_time_decay",
     "dq_slo_burn_rate_alerts",
     "dq_join_cardinality_forecast",
     "scalar_mod97_checksum",

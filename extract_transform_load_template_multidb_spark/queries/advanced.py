@@ -11098,3 +11098,199 @@ def layout_pruning_simulation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arm([F.col("hd"), F.col("c_custkey")], "hilbert").unionByName(
         arm([F.col("c_custkey")], "custkey")
     )
+
+
+_LABELPROP_ORACLE = """
+WITH op AS (
+    SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+),
+pairs AS (
+    SELECT a.l_partkey AS pa, b.l_partkey AS pb
+    FROM op a
+    JOIN op b ON a.l_orderkey = b.l_orderkey
+             AND a.l_partkey < b.l_partkey
+    GROUP BY a.l_partkey, b.l_partkey
+    HAVING COUNT(*) >= 2
+),
+sym AS (
+    SELECT pa AS a, pb AS b FROM pairs
+    UNION ALL
+    SELECT pb AS a, pa AS b FROM pairs
+),
+nodes AS (
+    SELECT DISTINCT a AS node FROM sym
+),
+truth AS (
+    SELECT n.node, p.p_brand AS label
+    FROM nodes n JOIN part p ON p.p_partkey = n.node
+),
+seeds AS (
+    SELECT node, label FROM truth WHERE node % 3 = 0
+),
+votes1 AS (
+    SELECT e.a AS node, s.label, CAST(COUNT(*) AS BIGINT) AS c
+    FROM sym e JOIN seeds s ON s.node = e.b
+    GROUP BY e.a, s.label
+),
+pred1 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM votes1
+    ) WHERE rn = 1
+),
+labels1 AS (
+    SELECT node, label FROM seeds
+    UNION ALL
+    SELECT p.node, p.label FROM pred1 p
+    WHERE p.node NOT IN (SELECT node FROM seeds)
+),
+votes2 AS (
+    SELECT e.a AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+    FROM sym e JOIN labels1 l ON l.node = e.b
+    GROUP BY e.a, l.label
+),
+pred2 AS (
+    SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label) AS rn
+        FROM votes2
+    ) WHERE rn = 1
+),
+labels2 AS (
+    SELECT node, label FROM seeds
+    UNION ALL
+    SELECT p.node, p.label FROM pred2 p
+    WHERE p.node NOT IN (SELECT node FROM seeds)
+),
+eval AS (
+    SELECT t.node, t.label AS truth_label, l.label AS pred_label
+    FROM truth t
+    LEFT JOIN labels2 l ON l.node = t.node
+    WHERE t.node % 3 <> 0
+)
+SELECT CAST((SELECT COUNT(*) FROM nodes) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM seeds) AS BIGINT) AS n_seeds,
+       CAST(COUNT(*) AS BIGINT) AS n_holdout,
+       CAST(COUNT(pred_label) AS BIGINT) AS n_predicted,
+       CAST(COUNT(*) FILTER (WHERE pred_label = truth_label) AS BIGINT)
+           AS n_correct,
+       CAST(COUNT(*) FILTER (WHERE pred_label = truth_label) AS DOUBLE)
+           / COUNT(pred_label) AS accuracy
+FROM eval
+"""
+
+
+@query("graph_label_propagation_semi", oracle=_LABELPROP_ORACLE)
+def graph_label_propagation_semi(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Semi-supervised label propagation on the co-purchase graph: seed
+    1/3 of the parts with their true brand, propagate two rounds of
+    clamped majority vote (seeds never change; ties break on the label
+    for determinism), and score accuracy on the held-out 2/3 — the
+    graph-SSL baseline (Zhu & Ghahramani) a labeling pipeline runs
+    before paying for annotations: high propagation accuracy means
+    graph structure already encodes the label. Each round is one
+    edge→label equi-join + majority groupBy (no iteration state beyond
+    the label frame, checkpointed between rounds at scale); the ≥2-
+    support edge set bounds degree like the link-pred family."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    from pyspark.sql import Window as Win
+
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"),
+            F.col("b.l_partkey").alias("pb"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .where(F.col("w") >= 2)
+        .drop("w")
+        .localCheckpoint(eager=True)
+    )
+    sym = pairs.selectExpr("pa AS a", "pb AS b").unionAll(
+        pairs.selectExpr("pb AS a", "pa AS b")
+    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    truth = nodes.join(
+        pt.select(
+            F.col("p_partkey").alias("node"),
+            F.col("p_brand").alias("label"),
+        ),
+        "node",
+    )
+    seeds = truth.where(F.col("node") % 3 == 0)
+
+    def propagate(labels):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label")
+                ),
+                F.col("b") == F.col("src"),
+            )
+            .groupBy(F.col("a").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        pred = (
+            votes.withColumn(
+                "rn",
+                F.row_number().over(
+                    Win.partitionBy("node").orderBy(
+                        F.col("c").desc(), "label"
+                    )
+                ),
+            )
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+        )
+        return seeds.unionByName(
+            pred.join(seeds.select("node"), "node", "left_anti")
+        ).localCheckpoint(eager=True)
+
+    labels = propagate(seeds)
+    labels = propagate(labels)
+    holdout = (
+        truth.where(F.col("node") % 3 != 0)
+        .withColumnRenamed("label", "truth_label")
+        .join(
+            labels.withColumnRenamed("label", "pred_label"),
+            "node",
+            "left",
+        )
+    )
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_seeds = seeds.agg(F.count(F.lit(1)).cast("long").alias("n_seeds"))
+    correct = F.count(
+        F.when(F.col("pred_label") == F.col("truth_label"), 1)
+    )
+    return (
+        holdout.agg(
+            F.count(F.lit(1)).cast("long").alias("n_holdout"),
+            F.count("pred_label").cast("long").alias("n_predicted"),
+            correct.cast("long").alias("n_correct"),
+            (correct.cast("double") / F.count("pred_label")).alias(
+                "accuracy"
+            ),
+        )
+        .crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_seeds))
+        .select(
+            "n_nodes",
+            "n_seeds",
+            "n_holdout",
+            "n_predicted",
+            "n_correct",
+            "accuracy",
+        )
+    )
