@@ -1847,3 +1847,36 @@ def test_png_decode_is_arrow_only_narrow_map(spark, sf_dir):
     assert "MapInPandas" in plan
     assert "BatchEvalPython" not in plan
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_hilbert_queries_stay_pure_codegen(spark, sf_dir):
+    """The Hilbert layout queries unroll to integer expressions — any
+    Python evaluation node or cartesian means the unrolling broke."""
+    for name in ("layout_hilbert_order", "layout_pruning_simulation"):
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_fuzzy_levenshtein_is_blocked_equi_join(spark, sf_dir):
+    """Record linkage must join on the blocking key (hash join), with the
+    edit distance as a post-join filter — never a cartesian/nested-loop
+    over the part table."""
+    plan = _plan(spark, sf_dir, "join_fuzzy_levenshtein")
+    assert (
+        "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+        or "ShuffledHashJoin" in plan
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan
+
+
+def test_url_canonicalization_is_jvm_only(spark, sf_dir):
+    """URL surgery (parse_url + array filter/sort) must stay codegen —
+    a Python UDF here would put string munging on the slow path for
+    every scraped URL at 100 TB."""
+    plan = _plan(spark, sf_dir, "dedup_url_canonical_groups")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
