@@ -588,3 +588,55 @@ def test_tumbling_distinct_users_stream_equals_batch(
     assert _rows(got, cols) == _rows(
         W.tumbling_distinct_users(batch), cols
     )
+
+
+def test_sliding_topk_stream_equals_batch(spark, events_landing, tmp_path):
+    """stream_sliding_topk_types' documented streaming pattern: run the
+    shared sliding-count builder under readStream, rank the drained
+    windows in the sink (windowed rank is not incrementally
+    maintainable), and require exact equality with the batch-mode query
+    result."""
+    from pyspark.sql import Window as Win
+
+    path, batch = events_landing
+    stream = inc.read_file_stream(spark, path, batch.schema)
+    counts = _drain(
+        W.sliding_counts(stream, watermark="10 minutes"),
+        spark,
+        tmp_path,
+        "t_sliding_topk",
+        "complete",
+    )
+    ranked = (
+        counts.withColumn(
+            "rnk",
+            F.row_number().over(
+                Win.partitionBy("window_start").orderBy(
+                    F.col("n_events").desc(), "event_type"
+                )
+            ),
+        )
+        .where(F.col("rnk") <= 2)
+        .select(
+            "window_start", "window_end", "event_type", "n_events",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+    batch_counts = W.sliding_counts(batch)
+    batch_ranked = (
+        batch_counts.withColumn(
+            "rnk",
+            F.row_number().over(
+                Win.partitionBy("window_start").orderBy(
+                    F.col("n_events").desc(), "event_type"
+                )
+            ),
+        )
+        .where(F.col("rnk") <= 2)
+        .select(
+            "window_start", "window_end", "event_type", "n_events",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+    cols = ["window_start", "window_end", "event_type", "n_events", "rnk"]
+    assert _rows(ranked, cols) == _rows(batch_ranked, cols)
