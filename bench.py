@@ -401,6 +401,10 @@ HEADLINE = [
     "curation_tokenizer_fertility",
     "layout_pruning_simulation",
     "graph_label_propagation_semi",
+    "scd2_overlap_repair",
+    "dq_functional_dependency_audit",
+    "text_kneser_ney_bigram_logprob",
+    "agg_ipf_raking_2d",
 ]
 
 def main() -> None:

@@ -114,6 +114,10 @@ _CHECK_FIRST = (
     "curation_tokenizer_fertility",
     "layout_pruning_simulation",
     "graph_label_propagation_semi",
+    "scd2_overlap_repair",
+    "dq_functional_dependency_audit",
+    "text_kneser_ney_bigram_logprob",
+    "agg_ipf_raking_2d",
     "text_char_entropy",
     "graph_linkpred_adamic_adar",
     "join_asof_latest_order",
@@ -126,10 +130,6 @@ _CHECK_FIRST = (
     "agg_beta_binomial_posterior",
     "dq_categorical_drift_chi2",
     "ts_retention_decay_fit",
-    "text_kwic_concordance",
-    "ts_max_drawdown_demeaned",
-    "ts_markov_next_event_accuracy",
-    "set_relational_division",
     "mm_image_gradient_orientation",
     "graph_deterministic_walks",
     "ts_binary_segmentation_pettitt",
@@ -146,6 +146,10 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "text_kwic_concordance",
+    "ts_max_drawdown_demeaned",
+    "ts_markov_next_event_accuracy",
+    "set_relational_division",
     "window_attribution_time_decay",
     "dq_slo_burn_rate_alerts",
     "dq_join_cardinality_forecast",

@@ -11294,3 +11294,117 @@ def graph_label_propagation_semi(
             "accuracy",
         )
     )
+
+
+_IPF_ORACLE = """
+WITH f AS (
+    SELECT event_type AS et, user_id % 3 AS cohort
+    FROM events WHERE user_id IS NOT NULL
+),
+cell AS (
+    SELECT et, cohort, CAST(COUNT(*) AS BIGINT) AS n
+    FROM f GROUP BY et, cohort
+),
+dims AS (
+    SELECT CAST(SUM(n) AS BIGINT) AS total,
+           CAST(COUNT(DISTINCT et) AS BIGINT) AS n_rows_dim,
+           CAST(COUNT(DISTINCT cohort) AS BIGINT) AS n_cols_dim
+    FROM cell
+),
+w0 AS (
+    SELECT et, cohort, n, CAST(n AS DOUBLE) AS w
+    FROM cell
+),
+r1 AS (
+    SELECT et, cohort, n,
+           floor(w * ((CAST(d.total AS DOUBLE) / d.n_rows_dim)
+                      / SUM(w) OVER (PARTITION BY et))
+                 * 1048576 + 0.5) / 1048576 AS w
+    FROM w0 CROSS JOIN dims d
+),
+c1 AS (
+    SELECT et, cohort, n,
+           floor(w * ((CAST(d.total AS DOUBLE) / d.n_cols_dim)
+                      / SUM(w) OVER (PARTITION BY cohort))
+                 * 1048576 + 0.5) / 1048576 AS w
+    FROM r1 CROSS JOIN dims d
+),
+r2 AS (
+    SELECT et, cohort, n,
+           floor(w * ((CAST(d.total AS DOUBLE) / d.n_rows_dim)
+                      / SUM(w) OVER (PARTITION BY et))
+                 * 1048576 + 0.5) / 1048576 AS w
+    FROM c1 CROSS JOIN dims d
+),
+c2 AS (
+    SELECT et, cohort, n,
+           floor(w * ((CAST(d.total AS DOUBLE) / d.n_cols_dim)
+                      / SUM(w) OVER (PARTITION BY cohort))
+                 * 1048576 + 0.5) / 1048576 AS w
+    FROM r2 CROSS JOIN dims d
+)
+SELECT et AS event_type, CAST(cohort AS BIGINT) AS cohort, n,
+       w AS raked_weighted_n,
+       w / n AS rake_factor
+FROM c2
+"""
+
+
+@query("agg_ipf_raking_2d", oracle=_IPF_ORACLE)
+def agg_ipf_raking_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative proportional fitting (raking) of the event_type ×
+    user-cohort contingency table to UNIFORM target margins, two full
+    row/column sweeps unrolled — the survey-weighting / bias-correction
+    primitive: the raked weights preserve the table's interaction
+    structure while matching prescribed marginals (here uniform, the
+    'equal representation' reweighting a sampling audit applies).
+    Each sweep is one window-sum rescale over the |I|×|J| CELL table
+    (never the fact rows), so four sweeps cost four window passes over
+    a tiny frame after one partial-aggregable rollup of the facts; all
+    weights are IEEE doubles derived from exact integer counts —
+    engine-identical with no rounding."""
+    from pyspark.sql import Window as Win
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    cell = ev.groupBy(
+        F.col("event_type").alias("et"),
+        (F.col("user_id") % 3).alias("cohort"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    dims = cell.agg(
+        F.sum("n").cast("long").alias("total"),
+        F.countDistinct("et").cast("long").alias("n_rows_dim"),
+        F.countDistinct("cohort").cast("long").alias("n_cols_dim"),
+    )
+    df = cell.crossJoin(F.broadcast(dims)).withColumn(
+        "w", F.col("n").cast("double")
+    )
+    for axis in ("et", "cohort", "et", "cohort"):
+        target = (
+            F.col("total").cast("double") / F.col("n_rows_dim")
+            if axis == "et"
+            else F.col("total").cast("double") / F.col("n_cols_dim")
+        )
+        # Quantize each sweep's output to the dyadic 2^-20 grid: window
+        # SUM over arbitrary doubles is ORDER-DEPENDENT (observed 1-ulp
+        # cross-engine drift), but dyadic-grid values of this magnitude
+        # sum exactly in ANY order (cell weights * 2^20 stay far below
+        # 2^53), so every sweep sees bit-identical partition sums.
+        df = df.withColumn(
+            "w",
+            F.floor(
+                F.col("w")
+                * (target / F.sum("w").over(Win.partitionBy(axis)))
+                * 1048576
+                + 0.5
+            )
+            / 1048576,
+        )
+    return df.select(
+        F.col("et").alias("event_type"),
+        F.col("cohort").cast("long").alias("cohort"),
+        "n",
+        F.col("w").alias("raked_weighted_n"),
+        (F.col("w") / F.col("n")).alias("rake_factor"),
+    )

@@ -2748,3 +2748,199 @@ def dq_partition_merkle_checksums(
         .cast("long")
         .alias("month_checksum"),
     )
+
+
+_SCD2_REPAIR_ORACLE = """
+WITH flagged AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate,
+           CASE WHEN lag(o_orderpriority) OVER w IS NULL
+                  OR lag(o_orderpriority) OVER w <> o_orderpriority
+                THEN 1 ELSE 0 END AS chg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderpriority)
+),
+runs AS (
+    SELECT o_custkey, o_orderpriority, o_orderdate,
+           SUM(chg) OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderpriority
+                          ROWS UNBOUNDED PRECEDING) AS run
+    FROM flagged
+),
+hist AS (
+    SELECT o_custkey, run,
+           min(o_orderpriority) AS o_orderpriority,
+           min(o_orderdate) AS valid_from
+    FROM runs GROUP BY o_custkey, run
+),
+dim AS (
+    SELECT o_custkey, o_orderpriority, valid_from,
+           lead(valid_from) OVER w2 AS valid_to
+    FROM hist
+    WINDOW w2 AS (PARTITION BY o_custkey ORDER BY valid_from, run)
+),
+corrupt AS (
+    SELECT o_custkey, o_orderpriority, valid_from,
+           CAST(valid_to AS DATE) + 10 AS bad_valid_to,
+           lead(valid_from) OVER (PARTITION BY o_custkey
+                                  ORDER BY valid_from) AS next_from
+    FROM dim
+)
+SELECT o_custkey, o_orderpriority,
+       CAST(valid_from AS DATE) AS valid_from,
+       CAST(least(bad_valid_to, CAST(next_from AS DATE)) AS DATE)
+           AS fixed_valid_to,
+       CAST(CASE WHEN bad_valid_to > CAST(next_from AS DATE)
+                 THEN 1 ELSE 0 END AS INT) AS was_overlapping
+FROM corrupt
+"""
+
+
+@query("scd2_overlap_repair", oracle=_SCD2_REPAIR_ORACLE)
+def scd2_overlap_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 validity-interval REPAIR: given a corrupted dimension whose
+    `valid_to` dates overrun the successor row (synthesized here by
+    extending every interval 10 days — the classic late-backfill
+    corruption `dq_interval_integrity_audit` detects), truncate each
+    interval at the next version's `valid_from` and flag the rows that
+    were overlapping. Detection says the dimension is broken; THIS is
+    the operator that fixes it without reloading history: one window
+    over (key, valid_from) — the lead() carries exactly the successor
+    boundary each row must not cross. Current rows (NULL valid_to)
+    pass through untouched."""
+    from pyspark.sql import Window as Win
+
+    dim = scd.scd2_from_history(
+        load_table(spark, sf_dir, "orders"),
+        key_col="o_custkey",
+        attr_col="o_orderpriority",
+        ts_col="o_orderdate",
+    )
+    w = Win.partitionBy("o_custkey").orderBy("valid_from")
+    corrupt = dim.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("valid_from").cast("date").alias("valid_from"),
+        F.date_add(F.col("valid_to").cast("date"), 10).alias(
+            "bad_valid_to"
+        ),
+        F.lead(F.col("valid_from").cast("date")).over(w).alias(
+            "next_from"
+        ),
+    )
+    return corrupt.select(
+        "o_custkey",
+        "o_orderpriority",
+        "valid_from",
+        F.least(F.col("bad_valid_to"), F.col("next_from")).alias(
+            "fixed_valid_to"
+        ),
+        F.when(F.col("bad_valid_to") > F.col("next_from"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("was_overlapping"),
+    )
+
+
+_FD_AUDIT_ORACLE = """
+WITH fd1 AS (
+    SELECT 'o_custkey->o_orderpriority' AS fd,
+           CAST(SUM(mx) AS BIGINT) AS n_consistent
+    FROM (
+        SELECT MAX(c) AS mx
+        FROM (
+            SELECT o_custkey AS a, o_orderpriority AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        ) GROUP BY a
+    )
+),
+fd2 AS (
+    SELECT 'o_orderkey->o_custkey' AS fd,
+           CAST(SUM(mx) AS BIGINT) AS n_consistent
+    FROM (
+        SELECT MAX(c) AS mx
+        FROM (
+            SELECT o_orderkey AS a, o_custkey AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        ) GROUP BY a
+    )
+),
+fd3 AS (
+    SELECT 'o_orderpriority->o_orderstatus' AS fd,
+           CAST(SUM(mx) AS BIGINT) AS n_consistent
+    FROM (
+        SELECT MAX(c) AS mx
+        FROM (
+            SELECT o_orderpriority AS a, o_orderstatus AS b,
+                   CAST(COUNT(*) AS BIGINT) AS c
+            FROM orders GROUP BY 1, 2
+        ) GROUP BY a
+    )
+),
+tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM orders),
+u AS (
+    SELECT fd, n_consistent FROM fd1
+    UNION ALL SELECT fd, n_consistent FROM fd2
+    UNION ALL SELECT fd, n_consistent FROM fd3
+)
+SELECT u.fd, t.total AS n_rows, u.n_consistent,
+       CAST(t.total - u.n_consistent AS BIGINT) AS n_violations,
+       CAST(t.total - u.n_consistent AS DOUBLE) / t.total
+           AS violation_rate,
+       CAST(CASE WHEN u.n_consistent = t.total THEN 1 ELSE 0 END AS INT)
+           AS holds
+FROM u CROSS JOIN tot t
+"""
+
+
+@query("dq_functional_dependency_audit", oracle=_FD_AUDIT_ORACLE)
+def dq_functional_dependency_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Approximate functional-dependency audit (the g3 error measure):
+    for each candidate FD A→B, the minimum fraction of rows to delete
+    for the dependency to hold exactly — Σ_a max_b count(a,b) kept rows
+    — across a declared FD suite (a true key FD, and two plausible but
+    false business FDs). This is the profiling step that discovers
+    NORMALIZATION structure (`dq_candidate_key_discovery` finds keys;
+    this finds the A→B edges a dimensional model is built from). Each
+    FD is two partial-aggregable rollups over one scan; the suite
+    unions three tiny aggregates, with the row total a 1-row broadcast
+    (no eager driver-side count — the lazy-plan rule the Pipeline
+    enforces everywhere)."""
+    o = load_table(spark, sf_dir, "orders")
+    tot = o.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+
+    def fd(a: str, b: str):
+        return (
+            o.groupBy(F.col(a).alias("a"), F.col(b).alias("b"))
+            .agg(F.count(F.lit(1)).alias("c"))
+            .groupBy("a")
+            .agg(F.max("c").alias("mx"))
+            .agg(F.sum("mx").cast("long").alias("n_consistent"))
+            .select(F.lit(f"{a}->{b}").alias("fd"), "n_consistent")
+        )
+
+    u = (
+        fd("o_custkey", "o_orderpriority")
+        .unionByName(fd("o_orderkey", "o_custkey"))
+        .unionByName(fd("o_orderpriority", "o_orderstatus"))
+    )
+    return u.crossJoin(F.broadcast(tot)).select(
+        "fd",
+        "n_rows",
+        "n_consistent",
+        (F.col("n_rows") - F.col("n_consistent"))
+        .cast("long")
+        .alias("n_violations"),
+        (
+            (F.col("n_rows") - F.col("n_consistent")).cast("double")
+            / F.col("n_rows")
+        ).alias("violation_rate"),
+        F.when(F.col("n_consistent") == F.col("n_rows"), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("holds"),
+    )

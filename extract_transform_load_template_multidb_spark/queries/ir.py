@@ -910,3 +910,105 @@ def curation_perplexity_filter(
         F.max("avg_logprob").alias("max_lp"),
         F.any_value("p10").alias("threshold_p10"),
     )
+
+
+_KN_ORACLE = f"""
+WITH {_SQL_TOKS},
+bg AS (
+    SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+    FROM toks_list, LATERAL (SELECT unnest(range(1, len(t))) AS i)
+    WHERE len(t) >= 2
+),
+c2 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c2
+       FROM bg GROUP BY w1, w2),
+ctx AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS fanout
+        FROM c2 GROUP BY w1),
+cont AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS fanin
+         FROM c2 GROUP BY w2),
+bt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM c2),
+lp AS (
+    SELECT b.doc_id,
+           round(ln((c.c2 - CAST(0.75 AS DOUBLE)) / x.c1
+                    + CAST(0.75 AS DOUBLE) * x.fanout / x.c1
+                      * (CAST(n.fanin AS DOUBLE) / t.n_types)), 6) AS lp
+    FROM bg b
+    JOIN c2 c ON c.w1 = b.w1 AND c.w2 = b.w2
+    JOIN ctx x ON x.w1 = b.w1
+    JOIN cont n ON n.w2 = b.w2
+    CROSS JOIN bt t
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(CAST(lp AS DECIMAL(38,6))) AS DOUBLE) / count(*)
+         AS avg_logprob
+FROM lp GROUP BY doc_id
+"""
+
+
+@query("text_kneser_ney_bigram_logprob", oracle=_KN_ORACLE)
+def text_kneser_ney_bigram_logprob(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Kneser–Ney-smoothed bigram LM mean log-prob per doc (d=0.75,
+    interpolated form): the smoothing that made n-gram LMs competitive —
+    the continuation probability P_cont(w₂) counts how many CONTEXTS a
+    word follows, not how often it occurs, so 'Francisco' (frequent,
+    one context) stops stealing mass from genuinely versatile words.
+    The better-calibrated quality signal next to the add-one model
+    (`text_bigram_logprob`), with all four count tables — bigram,
+    context totals, fan-out, fan-in — from ONE bigram pass; every
+    probability is exact-integer arithmetic plus one literal discount,
+    ln quantized to 6, decimal-averaged per doc. Same two-shuffle shape
+    as the add-one model."""
+    docs = load_table(spark, sf_dir, "documents")
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        tokenize,
+    )
+
+    arrs = docs.select(
+        "doc_id", tokenize(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    bg = arrs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> struct(t[i-1] AS w1, t[i] AS w2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.w1", "b.w2")
+    c2 = bg.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("c2")
+    )
+    ctx = c2.groupBy("w1").agg(
+        F.sum("c2").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("fanout"),
+    )
+    cont = c2.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("fanin")
+    )
+    bt = c2.agg(F.count(F.lit(1)).cast("long").alias("n_types"))
+    lp = F.round(
+        F.log(
+            (F.col("c2") - F.lit(0.75)) / F.col("c1")
+            + F.lit(0.75)
+            * F.col("fanout")
+            / F.col("c1")
+            * (F.col("fanin").cast("double") / F.col("n_types"))
+        ),
+        6,
+    )
+    scored = (
+        bg.join(c2, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(bt))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (
+            F.sum(F.col("lp").cast("decimal(38,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_logprob"),
+    )
