@@ -2787,8 +2787,8 @@ corrupt AS (
     FROM dim
 )
 SELECT o_custkey, o_orderpriority,
-       CAST(valid_from AS DATE) AS valid_from,
-       CAST(least(bad_valid_to, CAST(next_from AS DATE)) AS DATE)
+       CAST(valid_from AS TIMESTAMP) AS valid_from,
+       CAST(least(bad_valid_to, CAST(next_from AS DATE)) AS TIMESTAMP)
            AS fixed_valid_to,
        CAST(CASE WHEN bad_valid_to > CAST(next_from AS DATE)
                  THEN 1 ELSE 0 END AS INT) AS was_overlapping
@@ -2828,13 +2828,17 @@ def scd2_overlap_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_from"
         ),
     )
+    # Output as TIMESTAMP, not DATE: nullable DATE round-trips
+    # asymmetrically through pandas (Spark gives object dates / None,
+    # DuckDB gives datetime64 / NaT), which the value-hash canonicalizer
+    # cannot unify; TIMESTAMP is datetime64/NaT on both sides.
     return corrupt.select(
         "o_custkey",
         "o_orderpriority",
-        "valid_from",
-        F.least(F.col("bad_valid_to"), F.col("next_from")).alias(
-            "fixed_valid_to"
-        ),
+        F.col("valid_from").cast("timestamp").alias("valid_from"),
+        F.least(F.col("bad_valid_to"), F.col("next_from"))
+        .cast("timestamp")
+        .alias("fixed_valid_to"),
         F.when(F.col("bad_valid_to") > F.col("next_from"), 1)
         .otherwise(0)
         .cast("int")
