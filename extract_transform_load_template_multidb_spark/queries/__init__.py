@@ -245,11 +245,15 @@ _CHECK_LAST = (
 )
 
 # ROUND-8 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r07
-# confirms the round-7 window, replace _CHECK_FIRST positions 1-50 with
-# the next ~50 still-never-driver-green names — start with whatever
-# round-8 changes/additions exist, then the positions-57+ tail above
-# (ts_peak_prominence … agg_levene_brown_forsythe, already ordered
-# newest-first), keeping the §2 six at positions ≤60. Largest remaining
+# confirms the round-7 window (positions 1-50 above: 46 round-7
+# changes/additions + 4 never-checked session-29 names), replace
+# _CHECK_FIRST positions 1-50 with the next ~50 still-never-driver-green
+# names — start with whatever round-8 changes/additions exist, then the
+# tail above in order: the session-29 names demoted from the round-7
+# window (dq_join_cardinality_forecast … join_nearest_price_neighbor,
+# positions ~61-84, all with strict local evidence only), then
+# ts_peak_prominence … agg_levene_brown_forsythe (newest-first), keeping
+# the §2 six at positions ≤60. Largest remaining
 # never-checked families after r7: ts_* (~35: rolling_zscore,
 # ohlc_rollup, hour_of_day_profile, time_weighted_avg,
 # interpolate_linear, autocorr_lag1, session/cohort/stickiness/churn
