@@ -405,6 +405,7 @@ HEADLINE = [
     "dq_functional_dependency_audit",
     "text_kneser_ney_bigram_logprob",
     "agg_ipf_raking_2d",
+    "mm_decode_gif",
 ]
 
 def main() -> None:

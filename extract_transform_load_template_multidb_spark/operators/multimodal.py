@@ -558,6 +558,105 @@ def decode_pngs(df: DataFrame) -> DataFrame:
     )
 
 
+def synthesize_gif(df: DataFrame) -> DataFrame:
+    """Deterministic GIF87a payload per document, built by the REAL
+    codec (`operators/gif.py`): a 4×8 indexed image whose palette index
+    at (y, x) is ``(doc_id·7 + y·16 + x·5) mod 256`` and whose global
+    color table maps index i → (i, 2i mod 256, 3i mod 256) — closed
+    forms a SQL oracle rebuilds exactly. The LZW stream is spec-valid
+    (uncompressed form), so any conformant decoder reproduces the
+    pixels bit-for-bit."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        gif as G,
+    )
+
+    schema = "asset_id bigint, payload binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        i = np.arange(256, dtype=np.int64)
+        pal = np.stack([i, (i * 2) % 256, (i * 3) % 256], axis=1).astype(
+            np.uint8
+        )
+        y, x = np.mgrid[0:8, 0:4]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                idx = ((did * 7 + y * 16 + x * 5) % 256).astype(np.uint8)
+                rows.append((did, G.encode_gif87a(idx, pal)))
+            yield pd.DataFrame(rows, columns=["asset_id", "payload"])
+
+    return repartition_for_media(df.select("doc_id")).mapInPandas(
+        fn, schema
+    )
+
+
+_DECODE_GIF_SCHEMA = (
+    "asset_id bigint, width int, height int, n_colors int, "
+    "mean_r double, mean_g double, mean_b double, err string"
+)
+
+
+def decode_gifs(df: DataFrame) -> DataFrame:
+    """Decode GIF payloads with the REAL pure-Python decoder (block
+    walk, global color table, full variable-width LZW with dictionary
+    rebuild and the KwKwK case; see `operators/gif.py`) and emit
+    per-image RGB stats through the palette. Malformed payloads surface
+    in ``err``; interlaced/local-table variants surface their
+    ``NotImplementedError`` the same way. Arrow-batched
+    ``mapInPandas``, narrow map, no shuffle."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        gif as G,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, pal, idx = G.parse_gif(raw)
+                    rgb = pal[idx.ravel()].astype("int64")
+                    n = w * h
+                    sums = rgb.sum(axis=0)
+                    rows.append(
+                        (
+                            asset_id,
+                            w,
+                            h,
+                            int(len(pal)),
+                            float(sums[0]) / n,
+                            float(sums[1]) / n,
+                            float(sums[2]) / n,
+                            None,
+                        )
+                    )
+                except (ValueError, NotImplementedError) as ex:
+                    rows.append(
+                        (asset_id, None, None, None, None, None, None,
+                         str(ex)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "width",
+                    "height",
+                    "n_colors",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                    "err",
+                ],
+            )
+
+    return df.select("asset_id", "payload").mapInPandas(
+        fn, _DECODE_GIF_SCHEMA
+    )
+
+
 def synthesize_ppm(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 4×4 P6 payload per document: pixel bytes are the
     first 48 bytes of the (x-padded) text — ASCII, so byte values equal

@@ -118,10 +118,12 @@ _CHECK_FIRST = (
     "dq_functional_dependency_audit",
     "text_kneser_ney_bigram_logprob",
     "agg_ipf_raking_2d",
+    "mm_decode_gif",
     "text_char_entropy",
     "graph_linkpred_adamic_adar",
     "join_asof_latest_order",
     "join_asof_forward_next_order",
+    "curation_span_corruption_stats",
     # (b) session-29 additions, newest first (scalar_base62_encode,
     # curation_span_corruption_stats, mm_wav_zero_crossing_rate and
     # join_asof_forward_next_order also carry round-7 code/oracle
@@ -130,10 +132,8 @@ _CHECK_FIRST = (
     "agg_beta_binomial_posterior",
     "dq_categorical_drift_chi2",
     "ts_retention_decay_fit",
-    "mm_image_gradient_orientation",
     "graph_deterministic_walks",
     "ts_binary_segmentation_pettitt",
-    "curation_span_corruption_stats",
     "text_query_likelihood_dirichlet",
     # Positions 51+: just outside the 50-slot window — the §2-mapped
     # reference surface (driver-green in r5, unchanged since) stays at
@@ -146,6 +146,7 @@ _CHECK_FIRST = (
     "etl_inf_null_clean",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    "mm_image_gradient_orientation",
     "text_kwic_concordance",
     "ts_max_drawdown_demeaned",
     "ts_markov_next_event_accuracy",

@@ -2783,7 +2783,8 @@ corrupt AS (
     SELECT o_custkey, o_orderpriority, valid_from,
            CAST(valid_to AS DATE) + 10 AS bad_valid_to,
            lead(valid_from) OVER (PARTITION BY o_custkey
-                                  ORDER BY valid_from) AS next_from
+                                  ORDER BY valid_from, o_orderpriority)
+               AS next_from
     FROM dim
 )
 SELECT o_custkey, o_orderpriority,
@@ -2816,7 +2817,12 @@ def scd2_overlap_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
         attr_col="o_orderpriority",
         ts_col="o_orderdate",
     )
-    w = Win.partitionBy("o_custkey").orderBy("valid_from")
+    # Total order: two runs can START the same day (same-day priority
+    # flips), so valid_from alone leaves lead() nondeterministic across
+    # runs AND engines — tiebreak on the attribute.
+    w = Win.partitionBy("o_custkey").orderBy(
+        "valid_from", "o_orderpriority"
+    )
     corrupt = dim.select(
         "o_custkey",
         "o_orderpriority",

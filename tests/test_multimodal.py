@@ -562,3 +562,133 @@ def test_decode_pngs_mixed_and_malformed(spark):
     assert got[2]["mean_b"] == rgba[:, :, 2].mean()
     assert got[3]["err"] is not None and got[3]["width"] is None
     assert got[4]["err"] is not None
+
+
+def _lzw_compress_gif(indices, min_code):
+    """Reference GIF-LZW COMPRESSOR (tests only): real dictionary, real
+    width growth — produces the compressed streams the uncompressed
+    encoder never does, so the decoder's dictionary/KwKwK/width paths
+    get exercised."""
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_codes = [clear]
+    table = {bytes([i]): i for i in range(1 << min_code)}
+    next_code = eoi + 1
+    s = b""
+    for v in indices.ravel().tolist():
+        sv = s + bytes([v])
+        if sv in table:
+            s = sv
+        else:
+            out_codes.append(table[s])
+            if next_code < 4096:
+                table[sv] = next_code
+                next_code += 1
+            s = bytes([v])
+    if s:
+        out_codes.append(table[s])
+    out_codes.append(eoi)
+    # Bit-pack by SIMULATING the decoder's width schedule exactly: the
+    # decoder adds its (lagging) dictionary entry only when it has a
+    # previous code, so width changes one code later than a naive
+    # encoder-side count — emit each code at the width the decoder will
+    # read it with.
+    data = bytearray()
+    acc = nbits = 0
+    width = min_code + 1
+    next_code = eoi + 1
+    prev = -1
+    for code in out_codes:
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+        if code == clear:
+            width = min_code + 1
+            next_code = eoi + 1
+            prev = -1
+        elif code != eoi:
+            if prev >= 0 and next_code < 4096:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            prev = code
+    if nbits:
+        data.append(acc & 0xFF)
+    return bytes(data)
+
+
+def test_gif_decoder_handles_real_lzw_compression():
+    """parse_gif must decode genuinely LZW-COMPRESSED streams (dictionary
+    hits, code-width growth, the KwKwK case) — not just the encoder's
+    uncompressed form. A repetitive image forces dictionary reuse and
+    KwKwK; assembled into a full GIF container by hand."""
+    import struct
+
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        gif as G,
+    )
+
+    rng = np.random.default_rng(5)
+    # Repetitive rows -> dictionary hits; a run of one value -> KwKwK.
+    base = rng.integers(0, 16, (4, 64), dtype=np.uint8)
+    idx = np.vstack([base] * 8)
+    idx[0, :32] = 7  # long run triggers KwKwK early
+    h, w = idx.shape
+    pal = rng.integers(0, 256, (16, 3), dtype=np.uint8)
+    min_code = 4
+    data = _lzw_compress_gif(idx, min_code)
+    payload = bytearray()
+    payload += b"GIF87a"
+    payload += struct.pack("<HHBBB", w, h, 0x80 | (3 << 4) | 3, 0, 0)
+    payload += pal.tobytes()
+    payload += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    payload.append(min_code)
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        payload.append(len(chunk))
+        payload += chunk
+    payload += b"\x00\x3b"
+    W, H, p2, out = G.parse_gif(bytes(payload))
+    assert (W, H) == (w, h)
+    assert out.tolist() == idx.tolist()
+    assert len(data) < idx.size  # it genuinely compressed
+
+
+def test_gif_roundtrip_and_rejects():
+    """encode_gif87a -> parse_gif is bit-exact for arbitrary index
+    images; junk/truncation raise ValueError; interlaced frames raise
+    NotImplementedError."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        gif as G,
+    )
+
+    rng = np.random.default_rng(11)
+    for h, w, npal in [(8, 4, 256), (1, 1, 2), (5, 7, 16), (3, 200, 256)]:
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (h, w), dtype=np.uint8)
+        W, H, p2, out = G.parse_gif(G.encode_gif87a(idx, pal))
+        assert (W, H) == (w, h)
+        assert out.tolist() == idx.tolist()
+        assert p2[:npal].tolist() == pal.tolist()
+
+    with pytest.raises(ValueError):
+        G.parse_gif(b"not a gif at all")
+    good = bytearray(
+        G.encode_gif87a(np.zeros((2, 2), np.uint8), np.zeros((4, 3), np.uint8))
+    )
+    with pytest.raises(ValueError):
+        G.parse_gif(bytes(good[:20]))
+    # flip the interlace bit in the image descriptor
+    desc = bytes(good).index(b"\x2c")
+    good[desc + 9] |= 0x40
+    with pytest.raises(NotImplementedError):
+        G.parse_gif(bytes(good))
