@@ -408,6 +408,19 @@ def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     return F.array_distinct(positional_shingles_from_tokens(toks, n))
 
 
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a frame over the session's parallelism when the source scan
+    arrived in fewer partitions than cores (a small fixture table is ONE
+    parquet row group → one scan task, serializing tokenize + shingle
+    explode + the self-join's map side onto a single core). Gated, so at
+    cluster scale — where the scan already has >= cores partitions — this
+    is a no-op and adds no shuffle."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -441,8 +454,10 @@ def ngram_jaccard_pairs(
     # Materialize the token array in its own projection so the regex split
     # runs once per row (the shingle expression references it 2+3n times,
     # and CSE does not reach into lambda bodies).
-    toks = reps.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    toks = _fan_out(
+        reps.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+        )
     )
     sh = toks.select(
         F.col(id_col),
@@ -1169,8 +1184,10 @@ def ngram_containment_pairs(
     reps = df.join(
         groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
-    toks = reps.select(
-        F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+    toks = _fan_out(
+        reps.select(
+            F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
+        )
     )
     sh = toks.select(
         F.col(id_col),

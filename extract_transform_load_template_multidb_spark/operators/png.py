@@ -201,20 +201,44 @@ def parse_png(payload: bytes) -> tuple[int, int, int, "np.ndarray"]:
             recon = f
         elif ft == 2:
             recon = (f + prior) % 256
-        elif ft in (1, 3, 4):
-            # Left-recurrence: scan the row; a/c are zero for the
-            # first pixel.
-            recon = np.empty(w * ch, dtype=np.int64)
-            for x in range(w * ch):
-                a = recon[x - ch] if x >= ch else 0
-                b = prior[x]
-                c = prior[x - ch] if x >= ch else 0
-                if ft == 1:
-                    recon[x] = (f[x] + a) % 256
-                elif ft == 3:
-                    recon[x] = (f[x] + (a + b) // 2) % 256
-                else:
-                    recon[x] = (f[x] + _paeth(a, b, c)) % 256
+        elif ft == 1:
+            # Sub is a pure per-channel-lane prefix sum: recon[x] =
+            # (f[x] + recon[x-ch]) mod 256, so recon over each lane is
+            # cumsum(f) mod 256 — exact in int64 (Σ < 256·w ≪ 2⁶³) and
+            # fully vectorized (no per-byte Python loop).
+            recon = np.cumsum(f.reshape(w, ch), axis=0, dtype=np.int64)
+            recon = (recon % 256).reshape(w * ch)
+        elif ft in (3, 4):
+            # Average/Paeth recurrences mix left-neighbor state with a
+            # floor-division (Average) or a 3-way predictor (Paeth) —
+            # not expressible as a prefix scan. Vectorize across the
+            # channel lanes instead: one Python iteration per PIXEL
+            # with (ch,)-wide numpy ops, a ch× reduction over the
+            # per-byte loop (w iterations for a w×ch row).
+            fl = f.reshape(w, ch)
+            pl = prior.reshape(w, ch)
+            recon2 = np.empty((w, ch), dtype=np.int64)
+            a = np.zeros(ch, dtype=np.int64)
+            c = np.zeros(ch, dtype=np.int64)
+            if ft == 3:
+                for x in range(w):
+                    a = (fl[x] + (a + pl[x]) // 2) % 256
+                    recon2[x] = a
+            else:
+                for x in range(w):
+                    b = pl[x]
+                    p_a = np.abs(b - c)
+                    p_b = np.abs(a - c)
+                    p_c = np.abs(a + b - 2 * c)
+                    pred = np.where(
+                        (p_a <= p_b) & (p_a <= p_c),
+                        a,
+                        np.where(p_b <= p_c, b, c),
+                    )
+                    a = (fl[x] + pred) % 256
+                    recon2[x] = a
+                    c = b
+            recon = recon2.reshape(w * ch)
         else:
             raise ValueError(f"invalid row filter type {ft}")
         img[y] = recon.astype(np.uint8)

@@ -2249,6 +2249,14 @@ def dedup_nearest_neighbor_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dd.ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
     )
+    # `pairs` is referenced by BOTH arms of the directed union below, so
+    # without lineage truncation the banding/join/verify stages of
+    # ngram_jaccard_pairs execute twice per query (measured 3.85 s vs
+    # ~half when materialized once at sf0.1) — same pattern as
+    # queries/advanced.py link-pred trio. eager=True: a lazy checkpoint
+    # only materializes AFTER the first job, so both union arms of a
+    # single action would still recompute the lineage.
+    pairs = pairs.localCheckpoint(eager=True)
     directed = pairs.select(
         F.col("id_a").alias("doc_id"),
         F.col("id_b").alias("nn_doc_id"),
@@ -2443,7 +2451,7 @@ def sim_cosine_topk_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
 # paren-wrapped symbol string — "(a)(b)" encoding makes replace-all
 # exactly the greedy BPE merge pass). Generated to mirror the Spark
 # driver loop line for line.
-_BPE_MERGES_ORACLE = (
+_BPE_UNROLL_PREFIX = (
     "WITH "
     + _SQL_TOKS_LIST
     + r""",
@@ -2538,7 +2546,12 @@ best3 AS (
            CAST(4 AS BIGINT) AS merge_rank
     FROM pc3
     ORDER BY pair_freq DESC, l, r LIMIT 1
-),
+)"""
+)
+
+_BPE_MERGES_ORACLE = (
+    _BPE_UNROLL_PREFIX
+    + r""",
 words4 AS (
     SELECT replace(w.sym, '(' || b.l || ')(' || b.r || ')',
                    '(' || b.l || b.r || ')') AS sym, w.freq
@@ -2574,6 +2587,105 @@ def text_bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return tx.bpe_learn_merges(docs, n_merges=4)
+
+
+_BPE_APPLY_ORACLE = (
+    _BPE_UNROLL_PREFIX
+    + r""",
+doc_sym AS (
+    SELECT source,
+           regexp_replace(
+               regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'),
+               '([a-z0-9])', '(\1)', 'g') AS sym,
+           CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                AS BIGINT) AS nw
+    FROM documents
+),
+applied AS (
+    SELECT d.source, d.nw,
+           replace(replace(replace(replace(d.sym,
+               '(' || b0.l || ')(' || b0.r || ')',
+               '(' || b0.l || b0.r || ')'),
+               '(' || b1.l || ')(' || b1.r || ')',
+               '(' || b1.l || b1.r || ')'),
+               '(' || b2.l || ')(' || b2.r || ')',
+               '(' || b2.l || b2.r || ')'),
+               '(' || b3.l || ')(' || b3.r || ')',
+               '(' || b3.l || b3.r || ')') AS sym
+    FROM doc_sym d
+    CROSS JOIN best0 b0 CROSS JOIN best1 b1
+    CROSS JOIN best2 b2 CROSS JOIN best3 b3
+),
+per_doc AS (
+    SELECT source, nw,
+           CAST(length(sym) - length(replace(sym, '(', ''))
+                AS BIGINT) AS nt
+    FROM applied
+)
+SELECT source,
+       CAST(SUM(nw) AS BIGINT) AS n_words,
+       CAST(SUM(nt) AS BIGINT) AS n_tokens,
+       CAST(SUM(nt) AS DOUBLE) / CAST(SUM(nw) AS DOUBLE) AS fertility
+FROM per_doc
+GROUP BY source"""
+)
+
+
+@query("text_bpe_apply_fertility", oracle=_BPE_APPLY_ORACLE)
+def text_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned BPE merges corpus-wide — the step after
+    :func:`text_bpe_learn_merges` that every tokenizer rollout needs:
+    re-tokenize the whole corpus with the learned merge table and report
+    per-source fertility (tokens per word), the number that says how
+    well the tokenizer fits each source before a training run commits
+    to it.
+
+    Scale shape: the merge table is BOUNDED (4 rules here; 10-100k for a
+    real tokenizer) and collected once — that is the only driver
+    traffic. Application is a zero-exchange narrow map: the document is
+    lower-cased, non-alnum runs collapse to a single space, every
+    alnum char is wrapped "(c)", and each merge becomes one literal JVM
+    ``replace`` of "(l)(r)" with "(lr)" — spaces between words cannot
+    match ")(" so merges never cross word boundaries, and
+    non-overlapping left-to-right replacement IS the greedy BPE merge
+    scan. Token counts are '('-counts per row; the only shuffle is the
+    map-side-combinable per-source rollup. No shuffle by token, no
+    Python, no explode."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        text as tx,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = (
+        tx.bpe_learn_merges(docs, n_merges=4)
+        .orderBy("merge_rank")
+        .collect()
+    )
+    sym = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "),
+        r"([a-z0-9])",
+        r"($1)",
+    )
+    for m in merges:
+        sym = F.replace(
+            sym, F.lit(f"({m.l})({m.r})"), F.lit(f"({m.l}{m.r})")
+        )
+    per_doc = docs.select(
+        "source",
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+"))
+        .cast("long")
+        .alias("nw"),
+        (F.length(sym) - F.length(F.replace(sym, F.lit("("), F.lit(""))))
+        .cast("long")
+        .alias("nt"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.sum("nw").cast("long").alias("n_words"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        (F.sum("nt").cast("double") / F.sum("nw").cast("double")).alias(
+            "fertility"
+        ),
+    )
 
 
 _LSH_RECALL_ORACLE = (
@@ -3040,6 +3152,12 @@ def dedup_dup_rate_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     two scalar counts."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = dd.ngram_jaccard_pairs(docs, n=3, threshold=0.2)
+    # Both arms of the endpoint union reference `pairs`; truncate the
+    # lineage so the pair stages run once, not twice (the two-arm-union
+    # recompute pattern — see queries/advanced.py link-pred fix).
+    # eager=True: both arms run in ONE job, so a lazy checkpoint would
+    # not dedupe the computation within that job.
+    pairs = pairs.localCheckpoint(eager=True)
     in_pairs = (
         pairs.select(F.col("id_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("id_b").alias("doc_id")))
@@ -3081,25 +3199,55 @@ def curation_token_budget_select(
     """Budgeted corpus selection: keep the best documents (longest-first
     here; swap in any quality score) until a 50k-character budget is
     exhausted — the fixed-token-budget cut every training run makes.
-    One global ordered running sum with a deterministic (score, id)
-    total order; integer-exact cumulative sums. At 100 TB the global
-    window becomes a two-pass selection: per-partition partial sums pick
-    an approximate threshold, one more pass finalizes the boundary —
-    same semantics, no single-task sort."""
+
+    Two-pass selection, NO corpus-sized global sort: (1) aggregate total
+    chars per DISTINCT score value (a shuffle on n_chars) and take a
+    cumulative sum over that score table ordered desc — a single-task
+    window, but over score-domain-sized input (distinct document
+    lengths), never the corpus; (2) join the per-score offset back and
+    finish each score band with a PARTITIONED window (partitionBy score,
+    orderBy doc_id), which parallelizes across bands. The emitted
+    cum_chars equals the naive global running sum over
+    (n_chars desc, doc_id) exactly — integer arithmetic throughout."""
     from pyspark.sql import Window as W
 
-    docs = load_table(spark, sf_dir, "documents")
-    w = (
-        W.orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    per_score = docs.groupBy("n_chars").agg(
+        F.sum("n_chars").alias("__band_chars")
+    )
+    # cum_above = chars in all strictly-better bands (exclusive prefix).
+    w_scores = (
+        W.orderBy(F.col("n_chars").desc())
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = per_score.select(
+        "n_chars",
+        F.coalesce(F.sum("__band_chars").over(w_scores), F.lit(0)).alias(
+            "__cum_above"
+        ),
+    )
+    # Bands whose offset already exceeds the budget can be pruned before
+    # the fan-out join — at 100 TB this drops almost the whole corpus
+    # ahead of the partitioned window.
+    offsets = offsets.where(F.col("__cum_above") <= F.lit(50_000))
+    w_band = (
+        W.partitionBy("n_chars")
+        .orderBy("doc_id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    ranked = docs.select(
+    ranked = docs.join(offsets, "n_chars").select(
         "doc_id",
         "source",
-        F.col("n_chars").cast("long").alias("n_chars"),
-        F.sum("n_chars").over(w).cast("long").alias("cum_chars"),
+        "n_chars",
+        (F.col("__cum_above") + F.sum("n_chars").over(w_band))
+        .cast("long")
+        .alias("cum_chars"),
     )
-    return ranked.where(F.col("cum_chars") <= 50_000)
+    return ranked.where(F.col("cum_chars") <= 50_000).select(
+        "doc_id", "source", "n_chars", "cum_chars"
+    )
 
 
 _LENGTH_BUCKET_MIX_ORACLE = """

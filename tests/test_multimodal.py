@@ -692,3 +692,87 @@ def test_gif_roundtrip_and_rejects():
     good[desc + 9] |= 0x40
     with pytest.raises(NotImplementedError):
         G.parse_gif(bytes(good))
+
+
+def test_gif89a_extension_blocks_skipped_gracefully():
+    """A GIF89a with Graphic Control + Comment + Application extension
+    blocks before the image descriptor must decode to the same pixels
+    as the bare 87a container — the block walker skips every extension
+    label, not just GCE (pins the codec tail as formats evolve)."""
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        gif as G,
+    )
+
+    rng = np.random.default_rng(23)
+    pal = rng.integers(0, 256, (8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, (6, 9), dtype=np.uint8)
+    base = bytearray(G.encode_gif87a(idx, pal))
+    desc = bytes(base).index(b"\x2c")
+    ext = bytearray()
+    # Graphic Control Extension: label 0xF9, one 4-byte sub-block.
+    ext += b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    # Comment extension: label 0xFE, two sub-blocks.
+    ext += b"\x21\xfe\x05hello\x03abc\x00"
+    # Application extension: label 0xFF, 11-byte app block + data.
+    ext += b"\x21\xff\x0bNETSCAPE2.0\x03\x01\x00\x00\x00"
+    payload = bytes(base[:6]) + b"GIF89a"[6:]  # keep header bytes
+    payload = b"GIF89a" + bytes(base[6:desc]) + bytes(ext) + bytes(base[desc:])
+    W, H, p2, out = G.parse_gif(payload)
+    assert (W, H) == (9, 6)
+    assert out.tolist() == idx.tolist()
+    assert p2[: len(pal)].tolist() == pal.tolist()
+
+
+def test_png_palette_color_type_fails_fast():
+    """Palette PNGs (color type 3) are outside the supported RGB/RGBA
+    tail and must raise NotImplementedError — not misdecode — so the
+    fail-fast boundary stays pinned."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    # Hand-build a color-type-3 PNG: IHDR(ct=3) + PLTE + 1-row IDAT.
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    plte = bytes([255, 0, 0, 0, 255, 0])
+    idat = zlib.compress(b"\x00\x00\x01")
+    payload = (
+        b"\x89PNG\r\n\x1a\n"
+        + P._chunk(b"IHDR", ihdr)
+        + P._chunk(b"PLTE", plte)
+        + P._chunk(b"IDAT", idat)
+        + P._chunk(b"IEND", b"")
+    )
+    with pytest.raises(NotImplementedError, match="color type 3"):
+        P.parse_png(payload)
+
+    # The RGB/RGBA path is untouched by the guard.
+    img = np.zeros((2, 2, 3), dtype=np.uint8)
+    w, h, ch, out = P.parse_png(P.encode_png(img))
+    assert (w, h, ch) == (2, 2, 3)
+
+
+def test_png_filter_reconstruction_vectorized_matches_reference():
+    """The vectorized Sub/Average/Paeth reconstruction must reproduce
+    the spec's per-byte recurrence exactly on wide RGB and RGBA rows
+    (regression pin for the lane-cumsum / per-pixel-vector rewrite)."""
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    rng = np.random.default_rng(31)
+    for ch in (3, 4):
+        img = rng.integers(0, 256, (7, 129, ch), dtype=np.uint8)
+        for filters in [(1,), (3,), (4,), (0, 1, 2, 3, 4)]:
+            w, h, c, out = P.parse_png(P.encode_png(img, filters=filters))
+            assert (w, h, c) == (129, 7, ch)
+            assert out.tolist() == img.tolist(), filters

@@ -1880,3 +1880,34 @@ def test_url_canonicalization_is_jvm_only(spark, sf_dir):
     plan = _plan(spark, sf_dir, "dedup_url_canonical_groups")
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_token_budget_select_no_corpus_global_sort(spark, sf_dir):
+    """The budgeted-selection query must never single-task-sort the
+    corpus: the ONLY Exchange SinglePartition allowed is the one over
+    the per-score HashAggregate (score-domain-sized), and the window
+    that touches corpus rows must be hash-partitioned on the score
+    band. Pins the round-8 two-pass rewrite."""
+    plan = _plan(spark, sf_dir, "curation_token_budget_select")
+    assert plan.count("Exchange SinglePartition") == 1
+    single = plan.split("Exchange SinglePartition", 1)[1]
+    # Directly beneath the single-partition exchange: the per-score
+    # aggregate, NOT a documents scan.
+    head = single[:400]
+    assert "HashAggregate" in head, head
+    # The corpus-row window is partitioned (band column in the partition
+    # spec produces a hashpartitioning exchange on n_chars).
+    assert "Exchange hashpartitioning(n_chars" in plan
+
+
+def test_bpe_apply_is_narrow_jvm_map(spark, sf_dir):
+    """Corpus-wide BPE application must stay a zero-Python narrow map:
+    the bounded merge table is baked into literal JVM replace calls, so
+    the ONLY exchange is the per-source rollup — no shuffle by token,
+    no explode, no pandas hop. Pins the round-8 text_bpe_apply shape."""
+    plan = _plan(spark, sf_dir, "text_bpe_apply_fertility")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert plan.count("Exchange") == 1
+    assert "Exchange hashpartitioning(source" in plan

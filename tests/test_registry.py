@@ -84,3 +84,27 @@ def test_reference_surface_at_head_of_registry():
         "sink_window_overwrite_roundtrip",
     ):
         assert name in first60, name
+
+
+def test_local_correctness_artifact_matches_registry_size():
+    """The latest committed CORRECTNESS_LOCAL_r{N}.json must cover the
+    ENTIRE current registry: the r7 gate had to be emitted twice because
+    the registry grew after emission (535 → 540). A stale artifact is an
+    audit lie — fail loudly until tools/check_correctness.py --emit is
+    re-run. (Expected red mid-round while queries are being added;
+    re-emit at round close.)"""
+    import glob
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    paths = sorted(glob.glob(os.path.join(repo, "CORRECTNESS_LOCAL_r*.json")))
+    assert paths, "no CORRECTNESS_LOCAL artifact committed"
+    latest = paths[-1]
+    with open(latest) as fh:
+        data = json.load(fh)
+    assert data["total"] == len(all_queries()), (
+        f"{os.path.basename(latest)} covers {data['total']} queries but the "
+        f"registry has {len(all_queries())} — re-run "
+        "tools/check_correctness.py --emit before closing the round"
+    )

@@ -81,9 +81,15 @@ def _driver_green_ever() -> dict[str, list[int]]:
         with open(path) as fh:
             data = json.load(fh)
         for name, rec in data.items():
-            if rec.get("hash_match") or (
-                rec.get("rows_match") and rec.get("err") is None
-            ):
+            # Green means the VALUE hash matched. The rows_match-and-no-err
+            # fallback applies only to rounds whose records predate the
+            # hash_match key — a record that carries hash_match: false had
+            # divergent values and must not count as driver-green.
+            if "hash_match" in rec:
+                ok = bool(rec.get("hash_match"))
+            else:
+                ok = bool(rec.get("rows_match")) and rec.get("err") is None
+            if ok:
                 green.setdefault(name, []).append(rnd)
     return dict(sorted(green.items()))
 
@@ -93,13 +99,23 @@ def main() -> None:
     args = sys.argv[1:]
     emit_path = None
     round_no = None
+    usage = (
+        "usage: check_correctness.py [--emit OUT.json] [--round N] [name ...]"
+    )
     if "--emit" in args:
         i = args.index("--emit")
+        if i + 1 >= len(args) or args[i + 1].startswith("--"):
+            sys.exit(f"--emit needs a file path operand\n{usage}")
         emit_path = args[i + 1]
         del args[i : i + 2]
     if "--round" in args:
         i = args.index("--round")
-        round_no = int(args[i + 1])
+        if i + 1 >= len(args):
+            sys.exit(f"--round needs an integer operand\n{usage}")
+        try:
+            round_no = int(args[i + 1])
+        except ValueError:
+            sys.exit(f"--round operand must be an integer: {args[i+1]!r}\n{usage}")
         del args[i : i + 2]
     only = set(args)
     spark = get_spark(app_name="correctness-check")
