@@ -24,10 +24,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from extract_transform_load_template_multidb_spark.queries import all_queries
 from extract_transform_load_template_multidb_spark.session import get_spark
 
-# Headline set: flagship aggregate, join-heavy, window, set-op, ETL window
-# extract — a representative slice of the operator surface. Extend as new
-# operator families land.
-HEADLINE = [
+# Round-8 policy: EVERY registered query is benched, so the
+# 2×-of-DuckDB-baseline bar is audited registry-wide (rounds ≤7 benched a
+# 377-name curated subset, leaving 30% of the registry unmeasured).
+# HEADLINE is derived from the registry at import time; a query may be
+# excluded ONLY with a committed reason in EXCLUDED.
+EXCLUDED: dict[str, str] = {}
+
+# The legacy curated list is kept (now a prefix-ordering hint only): these
+# names run first so partial sweeps and truncated logs lead with the
+# flagship shapes.
+_CURATED_FIRST = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier_volume",
@@ -407,6 +414,14 @@ HEADLINE = [
     "agg_ipf_raking_2d",
     "mm_decode_gif",
 ]
+
+HEADLINE = [n for n in _CURATED_FIRST if n not in EXCLUDED]
+HEADLINE += [
+    n
+    for n in all_queries()
+    if n not in EXCLUDED and n not in _CURATED_FIRST
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1775,3 +1775,61 @@ def gradient_orientation_histogram(df: DataFrame) -> DataFrame:
             )
 
     return repartition_for_media(df).mapInPandas(fn, schema)
+
+
+_GIF_HISTOGRAM_SCHEMA = (
+    "asset_id bigint, n_distinct_idx int, modal_idx int, modal_count int, "
+    "modal_r int, modal_g int, modal_b int, err string"
+)
+
+
+def gif_index_histogram(df: DataFrame) -> DataFrame:
+    """Palette-index histogram features per decoded GIF: distinct index
+    count, the modal index (ties to the LOWEST index, a total order),
+    its pixel count, and the modal palette color — the palette-usage
+    profile that drives palette-remap/requantization decisions (a GIF
+    using 4 of 256 slots recompresses dramatically smaller). Runs the
+    REAL decoder (`operators/gif.py`); malformed or unsupported
+    payloads surface in ``err``. Arrow-batched ``mapInPandas``, narrow
+    map, no shuffle."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        gif as G,
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for asset_id, payload in zip(pdf["asset_id"], pdf["payload"]):
+                raw = bytes(payload) if payload is not None else b""
+                try:
+                    w, h, pal, idx = G.parse_gif(raw)
+                    counts = np.bincount(idx.ravel(), minlength=len(pal))
+                    modal = int(np.argmax(counts))  # argmax → lowest tie
+                    rows.append(
+                        (
+                            asset_id,
+                            int((counts > 0).sum()),
+                            modal,
+                            int(counts[modal]),
+                            int(pal[modal][0]),
+                            int(pal[modal][1]),
+                            int(pal[modal][2]),
+                            None,
+                        )
+                    )
+                except (ValueError, NotImplementedError) as ex:
+                    rows.append(
+                        (asset_id, None, None, None, None, None, None,
+                         str(ex)[:80])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "n_distinct_idx", "modal_idx",
+                    "modal_count", "modal_r", "modal_g", "modal_b", "err",
+                ],
+            )
+
+    return df.mapInPandas(fn, _GIF_HISTOGRAM_SCHEMA)

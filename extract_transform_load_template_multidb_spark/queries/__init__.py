@@ -65,18 +65,66 @@ _loaded = False
 # pairs go last so a budget cut re-verifies proven heavy queries rather
 # than denying first evidence to cheap ones.
 _CHECK_FIRST = (
-    # ROUND-7 WINDOW (executes the rotation plan recorded in round 6).
-    # Two priorities: (a) every query whose implementation or oracle
-    # changed this round needs fresh driver evidence — led by the two
-    # array-output flattenings that produced round 6's only red driver
-    # row (mm_ppm_channel_histogram, driver-ERR: pandas cannot sort
-    # list cells) and its scheduled twin text_hashing_vectorizer;
-    # (b) the session-29 additions, never driver-checked (all green in
-    # the full local run of the driver's own compare logic), rotate in
-    # newest-code-first to grow driver-proven union coverage
-    # (~155/500 after r6).
-    #
-    # (a) changed or new this round — verify first.
+    "dedup_dup_rate_report",
+    "dedup_nearest_neighbor_doc",
+    "graph_triangle_stats",
+    "curation_token_budget_select",
+    "text_bpe_apply_fertility",
+    "ts_theil_sen_daily_trend",
+    "ts_poisson_tail_anomalies",
+    "agg_theil_index_by_source",
+    "agg_winsorized_trimmed_mean",
+    "window_mad_outlier_days",
+    "dq_content_fingerprint_by_source",
+    "dq_referential_orphans_multi",
+    "curation_gopher_quality_rules",
+    "dedup_band_scurve_tuning",
+    "dedup_char_kgram_spans",
+    "graph_degree_centralization",
+    "mm_gif_color_histogram",
+    "text_source_vocab_overlap",
+    "dq_primary_key_audit",
+    "agg_ship_latency_percentiles",
+    "graph_knn_degree_curve",
+    "dedup_ngram_containment",
+    "curation_dedup_weights",
+    "curation_keep_longest",
+    "dedup_lsh_recall_audit",
+    "dedup_cluster_size_histogram",
+    "dedup_mixture_shift_audit",
+    "dedup_threshold_sensitivity",
+    "dedup_rate_by_source",
+    "dedup_keep_policy_comparison",
+    "dedup_cluster_source_mix",
+    "graph_katz_centrality",
+    "ts_retention_decay_fit",
+    "graph_deterministic_walks",
+    "ts_binary_segmentation_pettitt",
+    "text_query_likelihood_dirichlet",
+    "mm_image_gradient_orientation",
+    "text_kwic_concordance",
+    "ts_max_drawdown_demeaned",
+    "ts_markov_next_event_accuracy",
+    "set_relational_division",
+    "window_attribution_time_decay",
+    "dq_slo_burn_rate_alerts",
+    "dq_join_cardinality_forecast",
+    "scalar_mod97_checksum",
+    "window_rolling_ols_slope",
+    "agg_ratio_metric_delta_ci",
+    "ts_record_breaking_days",
+    "agg_price_volume_mix",
+    "curation_weighted_sample_es",
+    "etl_full_snapshot",
+    "etl_window_extract",
+    "etl_inf_null_clean",
+    "etl_retention_complement",
+    "etl_nvarchar_promotion",
+    "sink_window_overwrite_roundtrip",
+    "agg_abc_xyz_classification",
+    "dq_interval_integrity_audit",
+    "mm_wav_zero_crossing_rate",
+    "ts_western_electric_rules",
     "mm_ppm_channel_histogram",
     "text_hashing_vectorizer",
     "mm_decode_png",
@@ -124,46 +172,9 @@ _CHECK_FIRST = (
     "join_asof_latest_order",
     "join_asof_forward_next_order",
     "curation_span_corruption_stats",
-    # (b) session-29 additions, newest first (scalar_base62_encode,
-    # curation_span_corruption_stats, mm_wav_zero_crossing_rate and
-    # join_asof_forward_next_order also carry round-7 code/oracle
-    # changes).
     "scalar_base62_encode",
     "agg_beta_binomial_posterior",
     "dq_categorical_drift_chi2",
-    "ts_retention_decay_fit",
-    "graph_deterministic_walks",
-    "ts_binary_segmentation_pettitt",
-    "text_query_likelihood_dirichlet",
-    # Positions 51+: just outside the 50-slot window — the §2-mapped
-    # reference surface (driver-green in r5, unchanged since) stays at
-    # the head of the remainder should the driver check more, followed
-    # by the rest of the session-29/28 additions still awaiting driver
-    # evidence (rotate these into round 8's window).
-    "etl_full_snapshot",
-    "etl_window_extract",
-    "etl_retention_complement",
-    "etl_inf_null_clean",
-    "etl_nvarchar_promotion",
-    "sink_window_overwrite_roundtrip",
-    "mm_image_gradient_orientation",
-    "text_kwic_concordance",
-    "ts_max_drawdown_demeaned",
-    "ts_markov_next_event_accuracy",
-    "set_relational_division",
-    "window_attribution_time_decay",
-    "dq_slo_burn_rate_alerts",
-    "dq_join_cardinality_forecast",
-    "scalar_mod97_checksum",
-    "window_rolling_ols_slope",
-    "agg_ratio_metric_delta_ci",
-    "ts_record_breaking_days",
-    "agg_price_volume_mix",
-    "agg_abc_xyz_classification",
-    "dq_interval_integrity_audit",
-    "mm_wav_zero_crossing_rate",
-    "curation_weighted_sample_es",
-    "ts_western_electric_rules",
     "window_interval_coalesce",
     "join_nearest_price_neighbor",
     "scd2_as_was_vs_as_is",
@@ -222,7 +233,6 @@ _CHECK_FIRST = (
     "text_burrows_delta",
     "dq_shuffle_skew_planner",
     "window_attribution_linear",
-    "graph_katz_centrality",
     "text_jsd_source_divergence",
     "agg_empirical_bayes_shrinkage",
     "window_rfm_segmentation",
@@ -245,29 +255,20 @@ _CHECK_LAST = (
     "dedup_minhash_lsh",
 )
 
-# ROUND-8 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r07
-# confirms the round-7 window (positions 1-50 above: 46 round-7
-# changes/additions + 4 never-checked session-29 names), replace
-# _CHECK_FIRST positions 1-50 with the next ~50 still-never-driver-green
-# names — start with whatever round-8 changes/additions exist, then the
-# tail above in order: the session-29 names demoted from the round-7
-# window (dq_join_cardinality_forecast … join_nearest_price_neighbor,
-# positions ~61-84, all with strict local evidence only), then
-# ts_peak_prominence … agg_levene_brown_forsythe (newest-first), keeping
-# the §2 six at positions ≤60. Largest remaining
-# never-checked families after r7: ts_* (~35: rolling_zscore,
-# ohlc_rollup, hour_of_day_profile, time_weighted_avg,
-# interpolate_linear, autocorr_lag1, session/cohort/stickiness/churn
-# analytics, EWMA/CUSUM/RSI/periodogram/CVaR), agg_* statistical tail
-# (~35: mode_per_group, linear_trend, weighted_median, chi_square/
-# welch/mann_whitney/KS tests, covariance/PCA/mahalanobis/OLS/kmeans,
-# bootstrap/capture_recapture), text_* IR tail (~25: tfidf/bm25/
-# unigram/bigram logprob, zipf/heaps/good_turing, code_detection),
-# dedup audits (~16), dq_* profiling tail (~15), mm_* (decode_wav/
-# dominant_freq/resize/dhash pairs), sim_* (pq/matmul/knn/drift), etl
-# CDC tail, remaining TPC-H variants (q10-q22). All pass the strict
-# local gate at sf0.001 AND sf0.01; rotation converts that into
-# driver-proven union coverage.
+# ROUND-9 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r08
+# confirms the round-8 window (positions 1-50 above: 4 round-8 perf/plan
+# changes + 13 new round-8 queries + 11 never-checked ngram-pair
+# consumers whose plans changed with the _fan_out fix + 22 from the
+# planned tail), replace positions 1-50 with the next ~50 still-never-
+# driver-green names — round-9 changes/additions first, then continue
+# the demoted tail in order (window_interval_coalesce,
+# join_nearest_price_neighbor, scd2_as_was_vs_as_is, ... through
+# agg_levene_brown_forsythe), then the large never-checked families:
+# ts_* (~30 left), agg_* statistical tail (~35), text_* IR tail (~25),
+# dq_* profiling tail (~12), mm_*, sim_*, remaining TPC-H variants
+# (q10-q22). Keep the §2 six at positions 51-56 (pytest-guarded ≤60).
+# All tail names pass the strict local gate at sf0.001 AND sf0.01;
+# rotation converts that into driver-proven union coverage.
 
 
 def _load_all() -> None:

@@ -11408,3 +11408,327 @@ def agg_ipf_raking_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w").alias("raked_weighted_n"),
         (F.col("w") / F.col("n")).alias("rake_factor"),
     )
+
+
+_THEIL_INDEX_ORACLE = """
+WITH x AS (
+    SELECT source, CAST(n_chars AS BIGINT) AS v FROM documents
+    WHERE n_chars > 0
+),
+tot AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mu
+    FROM x
+),
+terms AS (
+    SELECT floor((CAST(v AS DOUBLE) / mu)
+                 * round(ln(CAST(v AS DOUBLE) / mu), 6)
+                 * 1048576 + 0.5) / 1048576 AS t
+    FROM x, tot
+),
+grp AS (
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS ng,
+           CAST(SUM(CAST(v AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS mug
+    FROM x GROUP BY source
+),
+bterms AS (
+    SELECT floor((CAST(ng AS DOUBLE) / n) * (mug / mu)
+                 * round(ln(mug / mu), 6) * 1048576 + 0.5) / 1048576 AS t
+    FROM grp, tot
+),
+agg AS (
+    SELECT (SELECT SUM(t) FROM terms) / (SELECT n FROM tot) AS t_total,
+           (SELECT SUM(t) FROM bterms) AS t_between
+)
+SELECT (SELECT n FROM tot) AS n_docs,
+       t_total, t_between, t_total - t_between AS t_within
+FROM agg
+"""
+
+
+@query("agg_theil_index_by_source", oracle=_THEIL_INDEX_ORACLE)
+def agg_theil_index_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil T inequality index of document length, decomposed into
+    BETWEEN-source and WITHIN-source components — the additive
+    inequality decomposition (unlike Gini) that tells a corpus curator
+    whether length skew comes from a few bloated sources or from spread
+    inside every source. T = (1/N)Σ(x/μ)ln(x/μ);
+    T_between = Σ w_g(μ_g/μ)ln(μ_g/μ); T_within = T − T_between.
+
+    Float discipline: means come from exact DECIMAL sums; each ln output
+    is 6-dp-quantized (the only non-correctly-rounded op); every summand
+    lands on the dyadic 2^-20 grid before the corpus-order-independent
+    SUM (the `agg_ipf_raking_2d` rule — grid values of this magnitude
+    add exactly in any order). Two corpus passes (global + per-source
+    aggregate), both map-side combinable; the per-doc term is a narrow
+    map against a broadcast scalar."""
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.where(F.col("n_chars") > 0).select(
+        "source", F.col("n_chars").cast("long").alias("v")
+    )
+    tot = x.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "mu"
+        ),
+    )
+    r = F.col("v").cast("double") / F.col("mu")
+    grid = F.lit(1048576.0)
+    t_doc = F.floor(r * F.round(F.log(r), 6) * grid + F.lit(0.5)) / grid
+    t_total = (
+        x.crossJoin(F.broadcast(tot))
+        .agg(F.sum(t_doc).alias("s"), F.any_value("n").alias("n"))
+        .select((F.col("s") / F.col("n")).alias("t_total"))
+    )
+    grp = x.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("ng"),
+        (F.sum(F.col("v").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "mug"
+        ),
+    )
+    rg = F.col("mug") / F.col("mu")
+    t_g = (
+        F.floor(
+            (F.col("ng").cast("double") / F.col("n"))
+            * rg
+            * F.round(F.log(rg), 6)
+            * grid
+            + F.lit(0.5)
+        )
+        / grid
+    )
+    t_between = (
+        grp.crossJoin(F.broadcast(tot))
+        .agg(F.sum(t_g).alias("t_between"), F.any_value("n").alias("n_docs"))
+    )
+    return (
+        t_between.crossJoin(F.broadcast(t_total))
+        .select(
+            "n_docs",
+            "t_total",
+            "t_between",
+            (F.col("t_total") - F.col("t_between")).alias("t_within"),
+        )
+    )
+
+
+_WINSOR_TRIM_ORACLE = """
+WITH base AS (
+    SELECT o_orderpriority AS priority, o_totalprice AS price
+    FROM orders
+),
+vals AS (
+    SELECT priority, price, CAST(COUNT(*) AS BIGINT) AS c
+    FROM base GROUP BY priority, price
+),
+run AS (
+    SELECT priority, price, c,
+           SUM(c) OVER (PARTITION BY priority ORDER BY price
+                        ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(c) OVER (PARTITION BY priority) AS n
+    FROM vals
+),
+clipped AS (
+    SELECT priority, price, n,
+           GREATEST(
+               LEAST(cum, n - (n // 10)) - GREATEST(cum - c, n // 10),
+               0) AS keep_c
+    FROM run
+)
+SELECT priority,
+       CAST(MAX(n) AS BIGINT) AS n_rows,
+       CAST(MAX(n) - 2 * (MAX(n) // 10) AS BIGINT) AS n_kept,
+       CAST(SUM(CAST(price AS DECIMAL(38,6)) * keep_c) AS DOUBLE)
+         / (MAX(n) - 2 * (MAX(n) // 10)) AS trimmed_mean
+FROM clipped
+GROUP BY priority
+"""
+
+
+@query("agg_winsorized_trimmed_mean", oracle=_WINSOR_TRIM_ORACLE)
+def agg_winsorized_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10%-trimmed mean of order value per priority — the robust center
+    that ignores the cheapest and priciest decile (rank-exact, not an
+    approximate-quantile winsorization): drop the bottom and top
+    floor(n/10) rows BY RANK and average the rest.
+
+    Distributed selection without per-row ranking: rows collapse to
+    DISTINCT (priority, price) counts first (map-side combinable — the
+    only corpus shuffle), then one running-count window over distinct
+    values per group computes how many copies of each value survive the
+    trim as an interval overlap — the `exact_percentiles` pattern, so no
+    single task ever holds a group's raw rows. Money stays DECIMAL
+    throughout; the single final division is the only float op."""
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+    )
+    vals = base.groupBy("priority", "price").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wrun = (
+        Window.partitionBy("priority")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("priority")
+    run = vals.select(
+        "priority",
+        "price",
+        "c",
+        F.sum("c").over(wrun).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    lo = F.floor(F.col("n") / 10)
+    keep_c = F.greatest(
+        F.least(F.col("cum"), F.col("n") - lo)
+        - F.greatest(F.col("cum") - F.col("c"), lo),
+        F.lit(0),
+    )
+    clipped = run.select("priority", "price", "n", keep_c.alias("keep_c"))
+    kept = F.max("n") - 2 * F.floor(F.max("n") / 10)
+    return clipped.groupBy("priority").agg(
+        F.max("n").cast("long").alias("n_rows"),
+        kept.cast("long").alias("n_kept"),
+        (
+            F.sum(F.col("price").cast(DEC) * F.col("keep_c")).cast("double")
+            / kept
+        ).alias("trimmed_mean"),
+    )
+
+
+_MAD_OUTLIER_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DECIMAL(38,6)) AS rev
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+med AS (
+    SELECT rev AS m FROM (
+        SELECT rev, row_number() OVER (ORDER BY rev, day) AS rk,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ) WHERE rk = (n + 1) // 2
+),
+devs AS (
+    SELECT day, rev, ABS(rev - m) AS dev FROM daily, med
+),
+mad AS (
+    SELECT dev AS mad FROM (
+        SELECT dev, row_number() OVER (ORDER BY dev, day) AS rk,
+               COUNT(*) OVER () AS n
+        FROM devs
+    ) WHERE rk = (n + 1) // 2
+)
+SELECT day, CAST(rev AS DOUBLE) AS revenue,
+       CAST(dev AS DOUBLE) AS abs_dev,
+       CAST(m AS DOUBLE) AS median_rev, CAST(mad AS DOUBLE) AS mad
+FROM devs, med, mad
+WHERE dev > 3 * mad
+"""
+
+
+@query("window_mad_outlier_days", oracle=_MAD_OUTLIER_ORACLE)
+def window_mad_outlier_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier days: daily revenue more than
+    3 MADs from the median — the robust anomaly cut that (unlike the
+    z-score) a single whale day cannot poison, since both the center and
+    the spread are rank statistics. Lower-median rank picks with a
+    (value, day) total order and DECIMAL revenue end-to-end: zero float
+    arithmetic until the output cast, so the flags are bit-deterministic.
+    Scale: the windows run over DAY rows (calendar-bounded) after the
+    one corpus-wide daily rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast(DEC)).alias("rev")
+    )
+
+    def lower_median(df: DataFrame, col: str, alias: str) -> DataFrame:
+        w = Window.orderBy(col, "day")
+        ranked = df.select(
+            F.col(col),
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n"),
+        )
+        return ranked.where(
+            F.col("rk") == F.floor((F.col("n") + F.lit(1)) / F.lit(2))
+        ).select(F.col(col).alias(alias))
+
+    med = lower_median(daily, "rev", "m")
+    devs = daily.crossJoin(F.broadcast(med)).select(
+        "day", "rev", F.abs(F.col("rev") - F.col("m")).alias("dev"), "m"
+    )
+    mad = lower_median(devs, "dev", "mad")
+    return (
+        devs.crossJoin(F.broadcast(mad))
+        .where(F.col("dev") > F.lit(3) * F.col("mad"))
+        .select(
+            "day",
+            F.col("rev").cast("double").alias("revenue"),
+            F.col("dev").cast("double").alias("abs_dev"),
+            F.col("m").cast("double").alias("median_rev"),
+            F.col("mad").cast("double").alias("mad"),
+        )
+    )
+
+
+_SHIP_LATENCY_ORACLE = """
+WITH lat AS (
+    SELECT o.o_orderpriority AS priority,
+           CAST(date_diff('day', CAST(o.o_orderdate AS DATE),
+                          CAST(l.l_shipdate AS DATE)) AS DOUBLE) AS days
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+)
+SELECT priority,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       quantile_cont(days, 0.5) AS p50_days,
+       quantile_cont(days, 0.9) AS p90_days,
+       quantile_cont(days, 0.99) AS p99_days,
+       MIN(days) AS min_days,
+       MAX(days) AS max_days
+FROM lat GROUP BY priority
+"""
+
+
+@query("agg_ship_latency_percentiles", oracle=_SHIP_LATENCY_ORACLE)
+def agg_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency percentiles per priority class — the
+    fulfillment SLO sheet (p50/p90/p99 days from order to line shipment).
+    Latencies are exact integer day differences; selection uses the
+    distributed running-count percentile (`exact_percentiles`) so no
+    reducer ever buffers a priority class's raw rows, and interpolation
+    follows percentile_cont exactly (quantile_cont-comparable). The
+    orders join broadcasts at dimension scale or shuffles on the key at
+    fact scale — Catalyst/AQE's call."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        )
+        .cast("double")
+        .alias("days"),
+    )
+    return exact_percentiles(
+        lat,
+        ["priority"],
+        "days",
+        {"p50_days": 0.5, "p90_days": 0.9, "p99_days": 0.99},
+        extras={"n": "n", "min_days": "min", "max_days": "max"},
+    ).select(
+        "priority", "n", "p50_days", "p90_days", "p99_days",
+        "min_days", "max_days",
+    )

@@ -2954,3 +2954,185 @@ def dq_functional_dependency_audit(
         .cast("int")
         .alias("holds"),
     )
+
+
+_CONTENT_FP_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+       MIN(md5(text)) AS min_fp,
+       MAX(md5(text)) AS max_fp
+FROM documents
+GROUP BY source
+"""
+
+
+@query("dq_content_fingerprint_by_source", oracle=_CONTENT_FP_ORACLE)
+def dq_content_fingerprint_by_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-source content fingerprint: row count, DISTINCT text-hash
+    count, and the min/max MD5 — the cheap cross-system reconciliation
+    record (two pipelines that each publish this row per source can
+    prove a partition transferred intact without shipping data, and the
+    distinct count exposes silent duplication the row count hides).
+    Order-insensitive by construction: min/max/count-distinct of a hash
+    are set functions, so the record is identical under any partitioning
+    or shuffle order — the same property `dq_partition_merkle_checksums`
+    uses, here at source granularity with per-engine-identical MD5."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct(fp).cast("long").alias("n_distinct"),
+        F.min(fp).alias("min_fp"),
+        F.max(fp).alias("max_fp"),
+    )
+
+
+_REF_ORPHANS_ORACLE = """
+SELECT * FROM (
+    SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_child,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                   WHERE o.o_orderkey = l.l_orderkey))
+                AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM part p
+                              WHERE p.p_partkey = l.l_partkey))
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                              WHERE s.s_suppkey = l.l_suppkey))
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = c.c_nationkey))
+    UNION ALL
+    SELECT 'supplier.s_nationkey->nation',
+           (SELECT COUNT(*) FROM supplier),
+           (SELECT COUNT(*) FROM supplier s
+            WHERE NOT EXISTS (SELECT 1 FROM nation n
+                              WHERE n.n_nationkey = s.s_nationkey))
+)
+"""
+
+
+@query("dq_referential_orphans_multi", oracle=_REF_ORPHANS_ORACLE)
+def dq_referential_orphans_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-schema referential-integrity audit in one result: for every
+    FK edge of the star schema, the child row count and the orphan count
+    (children whose parent key is missing) — the first dashboard a
+    warehouse loads after ingest, and the check the reference pipelines
+    rely on their source databases to enforce. Each edge is a LEFT ANTI
+    join (never a row-multiplying outer join); dimension parents
+    broadcast, the two lineitem-sized edges shuffle once each on the FK.
+    All counts exact integers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    part = load_table(spark, sf_dir, "part")
+    supplier = load_table(spark, sf_dir, "supplier")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+
+    def edge(name, child, ckey, parent, pkey):
+        orphans = child.join(
+            parent.select(F.col(pkey).alias(ckey)), ckey, "left_anti"
+        )
+        return (
+            child.agg(F.count(F.lit(1)).cast("long").alias("n_child"))
+            .crossJoin(
+                orphans.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_orphans")
+                )
+            )
+            .select(F.lit(name).alias("fk_edge"), "n_child", "n_orphans")
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", li, "l_orderkey", orders,
+             "o_orderkey"),
+        edge("lineitem.l_partkey->part", li, "l_partkey", part, "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", li, "l_suppkey", supplier,
+             "s_suppkey"),
+        edge("orders.o_custkey->customer", orders, "o_custkey", customer,
+             "c_custkey"),
+        edge("customer.c_nationkey->nation", customer, "c_nationkey", nation,
+             "n_nationkey"),
+        edge("supplier.s_nationkey->nation", supplier, "s_nationkey", nation,
+             "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out
+
+
+_PK_AUDIT_ORACLE = """
+SELECT * FROM (
+    SELECT 'lineitem(l_orderkey,l_linenumber)' AS pk,
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM (
+                SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem))
+                AS BIGINT) AS n_distinct_keys
+    UNION ALL
+    SELECT 'orders(o_orderkey)',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT COUNT(DISTINCT o_orderkey) FROM orders)
+    UNION ALL
+    SELECT 'customer(c_custkey)',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'events(event_id)',
+           (SELECT COUNT(*) FROM events),
+           (SELECT COUNT(DISTINCT event_id) FROM events)
+    UNION ALL
+    SELECT 'documents(doc_id)',
+           (SELECT COUNT(*) FROM documents),
+           (SELECT COUNT(DISTINCT doc_id) FROM documents)
+)
+"""
+
+
+@query("dq_primary_key_audit", oracle=_PK_AUDIT_ORACLE)
+def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit across the schema's declared keys
+    (incl. the one COMPOSITE key, lineitem's (orderkey, linenumber)):
+    row count vs distinct-key count per table — the constraint check a
+    lake must run itself because parquet enforces nothing. Distinct
+    counts are exact (hash-aggregate per key, map-side combinable);
+    each table is one pass."""
+    tables = [
+        ("lineitem(l_orderkey,l_linenumber)", "lineitem",
+         ["l_orderkey", "l_linenumber"]),
+        ("orders(o_orderkey)", "orders", ["o_orderkey"]),
+        ("customer(c_custkey)", "customer", ["c_custkey"]),
+        ("events(event_id)", "events", ["event_id"]),
+        ("documents(doc_id)", "documents", ["doc_id"]),
+    ]
+    out = None
+    for pk, tname, keys in tables:
+        t = load_table(spark, sf_dir, tname)
+        row = t.agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.countDistinct(*[F.col(k) for k in keys])
+            .cast("long")
+            .alias("n_distinct_keys"),
+        ).select(F.lit(pk).alias("pk"), "n_rows", "n_distinct_keys")
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -9463,3 +9463,479 @@ def curation_tokenizer_fertility(
         (sb.cast("double") / st).alias("bytes_per_token"),
         (sb.cast("double") / sc).alias("bytes_per_char"),
     )
+
+
+_GOPHER_RULES_ORACLE = """
+WITH per_doc AS (
+    SELECT source,
+           len(string_split(text, ' ')) AS nw,
+           CAST(n_chars AS BIGINT) AS nc,
+           len(list_filter(string_split(text, ' '),
+                           w -> length(w) >= 15)) AS n_long,
+           len(list_filter(string_split(text, ' '),
+                           w -> w IN ('the', 'a', 'of', 'to', 'and')))
+               AS n_stop
+    FROM documents
+),
+flags AS (
+    SELECT source,
+           CASE WHEN nw BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS r_wc,
+           CASE WHEN CAST(nc - (nw - 1) AS DOUBLE) / nw BETWEEN 3 AND 10
+                THEN 1 ELSE 0 END AS r_mwl,
+           CASE WHEN CAST(n_long AS DOUBLE) / nw <= 0.01
+                THEN 1 ELSE 0 END AS r_long,
+           CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS r_stop
+    FROM per_doc
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r_wc) AS BIGINT) AS pass_word_count,
+       CAST(SUM(r_mwl) AS BIGINT) AS pass_mean_word_len,
+       CAST(SUM(r_long) AS BIGINT) AS pass_long_word_ratio,
+       CAST(SUM(r_stop) AS BIGINT) AS pass_stopword,
+       CAST(SUM(r_wc * r_mwl * r_long * r_stop) AS BIGINT) AS pass_all,
+       CAST(SUM(r_wc * r_mwl * r_long * r_stop) AS DOUBLE) / COUNT(*)
+           AS pass_all_rate
+FROM flags
+GROUP BY source
+"""
+
+
+@query("curation_gopher_quality_rules", oracle=_GOPHER_RULES_ORACLE)
+def curation_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1's
+    document filters, adapted to this corpus): word-count bounds
+    [50, 100k], mean word length in [3, 10], ≤1% over-long (≥15-char)
+    words, and ≥2 stopword hits — reported as per-source pass counts
+    and the all-rules pass rate, the knob sheet a curation run tunes
+    before committing a corpus-wide drop.
+
+    Shape: every rule is a zero-exchange array expression over the
+    split word list (no explode — the corpus never materializes word
+    rows); the only shuffle is the per-source rollup. Mean word length
+    is exact-integer arithmetic ((chars − spaces)/words, one division);
+    ratios are single IEEE divisions, bit-identical cross-engine."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    nw = F.size(words)
+    n_long = F.size(F.filter(words, lambda w: F.length(w) >= 15))
+    n_stop = F.size(
+        F.filter(
+            words,
+            lambda w: w.isin("the", "a", "of", "to", "and"),
+        )
+    )
+    mwl = (F.col("n_chars") - (nw - F.lit(1))).cast("double") / nw
+    r_wc = F.when((nw >= 50) & (nw <= 100000), 1).otherwise(0)
+    r_mwl = F.when((mwl >= 3) & (mwl <= 10), 1).otherwise(0)
+    r_long = F.when(
+        n_long.cast("double") / nw <= F.lit(0.01), 1
+    ).otherwise(0)
+    r_stop = F.when(n_stop >= 2, 1).otherwise(0)
+    flags = docs.select(
+        "source",
+        r_wc.alias("r_wc"),
+        r_mwl.alias("r_mwl"),
+        r_long.alias("r_long"),
+        r_stop.alias("r_stop"),
+    )
+    allr = F.col("r_wc") * F.col("r_mwl") * F.col("r_long") * F.col("r_stop")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("r_wc").cast("long").alias("pass_word_count"),
+        F.sum("r_mwl").cast("long").alias("pass_mean_word_len"),
+        F.sum("r_long").cast("long").alias("pass_long_word_ratio"),
+        F.sum("r_stop").cast("long").alias("pass_stopword"),
+        F.sum(allr).cast("long").alias("pass_all"),
+        (F.sum(allr).cast("double") / F.count(F.lit(1))).alias(
+            "pass_all_rate"
+        ),
+    )
+
+
+def _scurve_cols(s):
+    """p_detect(s) for four (bands, rows) configs sharing 16 hashes, as
+    fixed IEEE multiplication dags: s^r by repeated squaring, then
+    (1-s^r)^b likewise — no pow(), so both engines trace bit-identical
+    arithmetic. Each probability lands on the dyadic 2^-20 grid before
+    summation (order-independent exact addition)."""
+    grid = F.lit(1048576.0)
+
+    def q(x):
+        return F.floor(x * grid + F.lit(0.5)) / grid
+
+    s2 = s * s
+    s4 = s2 * s2
+    s8 = s4 * s4
+    out = {}
+    for b, r, sr in ((16, 1, s), (8, 2, s2), (4, 4, s4), (2, 8, s8)):
+        t = F.lit(1.0) - sr
+        tb = t
+        k = 1
+        while k < b:
+            tb = tb * tb
+            k *= 2
+        out[f"b{b}_r{r}"] = q(F.lit(1.0) - tb)
+    return out
+
+
+_SCURVE_SQL_TERMS = []
+for _b, _r in ((16, 1), (8, 2), (4, 4), (2, 8)):
+    _sr = "jaccard"
+    _k = 1
+    while _k < _r:
+        _sr = f"({_sr} * {_sr})"
+        _k *= 2
+    _t = f"(CAST(1.0 AS DOUBLE) - {_sr})"
+    _tb = _t
+    _k = 1
+    while _k < _b:
+        _tb = f"({_tb} * {_tb})"
+        _k *= 2
+    _SCURVE_SQL_TERMS.append(
+        (f"b{_b}_r{_r}",
+         f"floor((CAST(1.0 AS DOUBLE) - {_tb}) * 1048576 + 0.5) / 1048576")
+    )
+
+_SCURVE_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + ",\nprobs AS (\n    SELECT "
+    + ",\n           ".join(
+        f"{expr} AS p_{name}" for name, expr in _SCURVE_SQL_TERMS
+    )
+    + "\n    FROM pairs\n)\n"
+    "SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,\n"
+    + ",\n".join(
+        f"       SUM(p_{name}) AS exp_{name},\n"
+        f"       SUM(p_{name}) / COUNT(*) AS rec_{name}"
+        for name, _ in _SCURVE_SQL_TERMS
+    )
+    + "\nFROM probs"
+)
+
+
+@query("dedup_band_scurve_tuning", oracle=_SCURVE_ORACLE)
+def dedup_band_scurve_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding-parameter tuning AGAINST the measured pair
+    distribution: for four (bands b, rows r) layouts of a 16-hash
+    MinHash signature, the expected number of the corpus's true
+    near-dup pairs (3-gram Jaccard ≥ 0.2) each layout would surface —
+    Σ over pairs of the S-curve 1−(1−s^r)^b — and the implied recall.
+    This is the pre-commit sizing table a 100 TB dedup reads to pick
+    banding BEFORE paying for signatures: steep-r layouts drop
+    borderline pairs, flat-r layouts flood candidates.
+
+    Determinism: powers are repeated-squaring multiplication dags (no
+    libm pow), each probability snaps to the dyadic 2^-20 grid, and the
+    grid values sum exactly in any order. The pair stream reuses the
+    oracle-checked inverted-index generator (checkpointed once)."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    cols = _scurve_cols(F.col("jaccard"))
+    probs = pairs.select(
+        *[c.alias(f"p_{name}") for name, c in cols.items()]
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_pairs")]
+    for name in cols:
+        aggs.append(F.sum(f"p_{name}").alias(f"exp_{name}"))
+        aggs.append(
+            (F.sum(f"p_{name}") / F.count(F.lit(1))).alias(f"rec_{name}")
+        )
+    return probs.agg(*aggs)
+
+
+_KGRAM_SPANS_ORACLE = """
+WITH grams AS (
+    SELECT DISTINCT doc_id, source,
+           unnest(list_transform(range(1, n_chars - 30, 16),
+                                 i -> substr(text, CAST(i AS INT), 32))) AS g
+    FROM documents WHERE n_chars >= 32
+),
+shared AS (
+    SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+),
+per_doc AS (
+    SELECT gr.doc_id, gr.source,
+           COUNT(*) AS n_grams,
+           SUM(CASE WHEN sh.g IS NOT NULL THEN 1 ELSE 0 END) AS n_shared
+    FROM grams gr LEFT JOIN shared sh ON gr.g = sh.g
+    GROUP BY gr.doc_id, gr.source
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS docs_with_crossdoc_span,
+       CAST(SUM(n_grams) AS BIGINT) AS total_grams,
+       CAST(SUM(n_shared) AS BIGINT) AS shared_grams,
+       CAST(SUM(n_shared) AS DOUBLE) / SUM(n_grams) AS shared_fraction
+FROM per_doc
+GROUP BY source
+"""
+
+
+@query("dedup_char_kgram_spans", oracle=_KGRAM_SPANS_ORACLE)
+def dedup_char_kgram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document EXACT-SUBSTRING duplication audit (the
+    character-level signal behind suffix-array dedup, Lee et al.
+    ACL'22, §4.1, strided): 32-char grams sampled every 16 chars, a
+    gram is "shared" when it appears in ≥2 distinct documents; per
+    source, how many documents carry at least one cross-document span
+    and what fraction of their grams are shared — the memorization-risk
+    sheet word-level shingle dedup misses (it normalizes whitespace
+    away; this operates on raw characters).
+
+    Scale: stride-16 sampling caps gram rows at n_chars/16 (a suffix
+    array would be n_chars); the inverted index is an equi-join on the
+    gram — never all-pairs; in-doc repeats collapse via DISTINCT before
+    the share count so a self-repetitive doc cannot inflate its own
+    posting list."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = (
+        docs.where(F.col("n_chars") >= 32)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(1),
+                        (F.col("n_chars") - 31).cast("int"),
+                        F.lit(16),
+                    ),
+                    lambda i: F.substring(
+                        F.col("text"), i.cast("int"), 32
+                    ),
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    shared = (
+        grams.groupBy("g")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("g", F.lit(1).alias("is_shared"))
+    )
+    per_doc = (
+        grams.join(shared, "g", "left")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("is_shared"), F.lit(0))).alias(
+                "n_shared"
+            ),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(
+            F.when(F.col("n_shared") > 0, 1).otherwise(0)
+        ).cast("long").alias("docs_with_crossdoc_span"),
+        F.sum("n_grams").cast("long").alias("total_grams"),
+        F.sum("n_shared").cast("long").alias("shared_grams"),
+        (
+            F.sum("n_shared").cast("double") / F.sum("n_grams")
+        ).alias("shared_fraction"),
+    )
+
+
+_DEGREE_CENTRALIZATION_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+deg AS (
+    SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT id_a AS v FROM pairs UNION ALL SELECT id_b AS v FROM pairs
+    ) GROUP BY v
+),
+s AS (
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MAX(d) AS BIGINT) AS max_degree,
+           CAST(COUNT(*) * MAX(d) - SUM(d) AS BIGINT) AS sum_gaps
+    FROM deg
+)
+SELECT n_nodes,
+       CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+       max_degree,
+       CASE WHEN n_nodes > 2
+            THEN CAST(sum_gaps AS DOUBLE)
+                 / (CAST(n_nodes - 1 AS DOUBLE) * (n_nodes - 2))
+       END AS centralization
+FROM s"""
+)
+
+
+@query("graph_degree_centralization", oracle=_DEGREE_CENTRALIZATION_ORACLE)
+def graph_degree_centralization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freeman degree centralization of the near-dup similarity graph:
+    Σ(d_max − d_i) / ((n−1)(n−2)) — 0 for a regular graph, 1 for a
+    perfect star. A high value means duplication concentrates on hub
+    documents (one template quoted everywhere → dedup keeps one hub and
+    drops spokes cheaply); a low value means diffuse pairwise overlap
+    (clusters must be resolved transitively). Exact-integer degree
+    sums; one double division. The pair stream is checkpointed once and
+    feeds both degree arms."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    deg = (
+        pairs.select(F.col("id_a").alias("v"))
+        .unionByName(pairs.select(F.col("id_b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    n_edges = pairs.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    stats = deg.agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.max("d").cast("long").alias("max_degree"),
+        F.sum("d").cast("long").alias("sum_d"),
+    ).select(
+        "n_nodes",
+        "max_degree",
+        (F.col("n_nodes") * F.col("max_degree") - F.col("sum_d")).alias(
+            "sum_gaps"
+        ),
+    )
+    return stats.crossJoin(F.broadcast(n_edges)).select(
+        "n_nodes",
+        "n_edges",
+        "max_degree",
+        F.when(
+            F.col("n_nodes") > 2,
+            F.col("sum_gaps").cast("double")
+            / (
+                (F.col("n_nodes") - 1).cast("double")
+                * (F.col("n_nodes") - 2)
+            ),
+        ).alias("centralization"),
+    )
+
+
+_VOCAB_OVERLAP_ORACLE = """
+WITH words AS (
+    SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+    FROM documents, unnest(string_split(text, ' ')) AS u(w)
+    WHERE w <> ''
+    GROUP BY source, w
+),
+ranked AS (
+    SELECT source, w,
+           row_number() OVER (PARTITION BY source
+                              ORDER BY c DESC, w) AS rk
+    FROM words
+),
+top AS (SELECT source, w FROM ranked WHERE rk <= 100),
+ov AS (
+    SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+    FROM top a JOIN top b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(n_common AS DOUBLE) / 100 AS overlap_at_100
+FROM ov
+"""
+
+
+@query("text_source_vocab_overlap", oracle=_VOCAB_OVERLAP_ORACLE)
+def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source similarity by top-100 vocabulary overlap: for
+    every source pair, how many of their 100 most frequent words (count
+    desc, word asc — a total order) coincide — the cheap corpus-mixing
+    diagnostic that flags near-identical sources *before* expensive
+    document-level dedup runs between them (two crawls of the same site
+    overlap ≈100; disjoint domains ≈ stopword-core only).
+
+    Scale: word counting is the one corpus-wide shuffle (map-side
+    combinable); ranking windows run per source over its VOCABULARY
+    (sublinear in corpus); the overlap join is top-100-sized — k²·100
+    rows max for k sources."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            "source",
+            F.explode(F.split(F.col("text"), " ")).alias("w"),
+        )
+        .where(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    )
+    top = words.select("source", "w", rk.alias("rk")).where(
+        F.col("rk") <= 100
+    )
+    a = top.select(F.col("source").alias("source_a"), "w")
+    b = top.select(F.col("source").alias("source_b"), "w")
+    return (
+        a.join(b, "w")
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (F.col("n_common").cast("double") / F.lit(100)).alias(
+                "overlap_at_100"
+            ),
+        )
+    )
+
+
+_KNN_DEGREE_ORACLE = (
+    "WITH "
+    + _NGRAM_CHAIN
+    + """,
+e AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d FROM e GROUP BY u),
+nbr AS (
+    SELECT du.d AS d, dv.d AS nd
+    FROM e JOIN deg du ON du.u = e.u JOIN deg dv ON dv.u = e.v
+)
+SELECT d AS degree,
+       CAST(COUNT(*) AS BIGINT) AS n_endpoints,
+       CAST(SUM(nd) AS BIGINT) AS sum_neighbor_degree,
+       CAST(SUM(nd) AS DOUBLE) / COUNT(*) AS avg_neighbor_degree
+FROM nbr GROUP BY d"""
+)
+
+
+@query("graph_knn_degree_curve", oracle=_KNN_DEGREE_ORACLE)
+def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k_nn(d) curve of the near-dup graph: average neighbor degree
+    as a function of node degree — the standard mixing diagnostic
+    BEHIND the single assortativity coefficient
+    (`graph_degree_assortativity` collapses this curve to one number; a
+    falling curve = hubs attach to leaves = star-shaped duplication, a
+    rising one = dup cliques). Exact integer sums, one double division
+    per degree bucket. The pair stream is checkpointed once; degrees
+    join back per edge endpoint (two hash joins on node id)."""
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    ).localCheckpoint(eager=True)
+    e = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    du = deg.select(F.col("u"), F.col("d"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("nd"))
+    nbr = e.join(du, "u").join(dv, "v")
+    return nbr.groupBy(F.col("d").alias("degree")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_endpoints"),
+        F.sum("nd").cast("long").alias("sum_neighbor_degree"),
+        (F.sum("nd").cast("double") / F.count(F.lit(1))).alias(
+            "avg_neighbor_degree"
+        ),
+    )

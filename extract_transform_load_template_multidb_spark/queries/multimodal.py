@@ -1164,3 +1164,52 @@ def mm_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
     this is engine-extension surface."""
     gif = mm.synthesize_gif(load_table(spark, sf_dir, "documents"))
     return mm.decode_gifs(gif)
+
+
+# The synthetic GIF's palette index at (y, x) is (doc_id·7 + y·16 + x·5)
+# mod 256 on a 4×8 grid; GIF is lossless, so index-level statistics are
+# closed-form integer functions the oracle rebuilds directly: histogram
+# by index, modal index with lowest-index tiebreak, palette color
+# i → (i, 2i mod 256, 3i mod 256).
+_GIF_HISTOGRAM_ORACLE = """
+WITH px AS (
+    SELECT d.doc_id AS asset_id,
+           (d.doc_id * 7 + y.y * 16 + x.x * 5) % 256 AS i
+    FROM documents d,
+         (SELECT unnest(range(0, 8)) AS y) y,
+         (SELECT unnest(range(0, 4)) AS x) x
+),
+hist AS (
+    SELECT asset_id, i, COUNT(*) AS c FROM px GROUP BY asset_id, i
+),
+modal AS (
+    SELECT asset_id, i, c,
+           row_number() OVER (PARTITION BY asset_id
+                              ORDER BY c DESC, i) AS rn,
+           COUNT(*) OVER (PARTITION BY asset_id) AS nd
+    FROM hist
+)
+SELECT asset_id,
+       CAST(nd AS INT) AS n_distinct_idx,
+       CAST(i AS INT) AS modal_idx,
+       CAST(c AS INT) AS modal_count,
+       CAST(i AS INT) AS modal_r,
+       CAST((i * 2) % 256 AS INT) AS modal_g,
+       CAST((i * 3) % 256 AS INT) AS modal_b,
+       CAST(NULL AS VARCHAR) AS err
+FROM modal WHERE rn = 1
+"""
+
+
+@query("mm_gif_color_histogram", oracle=_GIF_HISTOGRAM_ORACLE)
+def mm_gif_color_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Palette-usage features through the REAL GIF decode path: each
+    document's synthetic GIF87a payload is fully decoded (block walk →
+    LZW → index array) and profiled — distinct palette indices in use,
+    the modal index (lowest-index tiebreak) with its pixel count and
+    RGB. The requantization planner's input: images using a sliver of
+    their color table are the re-encode wins. HASH-checked against the
+    closed-form pixel grid (GIF is lossless); same Arrow-batched narrow
+    map as `mm_decode_gif`."""
+    gif = mm.synthesize_gif(load_table(spark, sf_dir, "documents"))
+    return mm.gif_index_histogram(gif)

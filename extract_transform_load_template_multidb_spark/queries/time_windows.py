@@ -8256,3 +8256,139 @@ def stream_sliding_topk_types(
         "n_events",
         F.col("rnk").cast("int").alias("rnk"),
     )
+
+
+_THEIL_SEN_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+pairs AS (
+    SELECT CAST(b.n - a.n AS DOUBLE)
+             / CAST(date_diff('day', a.day, b.day) AS DOUBLE) AS slope,
+           a.day AS d1, b.day AS d2
+    FROM daily a JOIN daily b ON a.day < b.day
+),
+ranked AS (
+    SELECT slope,
+           row_number() OVER (ORDER BY slope, d1, d2) AS rk,
+           COUNT(*) OVER () AS n_pairs
+    FROM pairs
+)
+SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       slope AS theil_sen_slope
+FROM ranked WHERE rk = (n_pairs + 1) // 2
+"""
+
+
+@query("ts_theil_sen_daily_trend", oracle=_THEIL_SEN_ORACLE)
+def ts_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily event volume: the LOWER
+    median of all pairwise slopes (n_j − n_i)/(day_j − day_i), the
+    outlier-proof alternative to an OLS slope (breakdown point 29%) —
+    the right trend estimate for volume series with incident spikes.
+
+    Deterministic by construction: each slope is ONE exact-int
+    difference divided once (IEEE-correct, bit-identical both engines),
+    and the median is a RANK pick (slope, d1, d2 total order) — never an
+    average of two middles, so no float addition whose rounding could
+    differ. Scale: pairs are quadratic in DAYS, not rows — the daily
+    rollup is the only corpus-wide pass; a calendar is bounded, so the
+    O(days²) stage is a constant-size tail (435 pairs for a month,
+    ~66k for a decade)."""
+    from pyspark.sql import Window as W, functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = daily.select(
+        F.col("day").alias("d1"), F.col("n").alias("n1")
+    )
+    b = daily.select(
+        F.col("day").alias("d2"), F.col("n").alias("n2")
+    )
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("n2") - F.col("n1")).cast("double")
+            / F.datediff(F.col("d2"), F.col("d1")).cast("double")
+        ).alias("slope"),
+        "d1",
+        "d2",
+    )
+    w = W.orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("n_pairs"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    return (
+        ranked.where(
+            F.col("rk")
+            == F.floor((F.col("n_pairs") + F.lit(1)) / F.lit(2))
+        )
+        .crossJoin(F.broadcast(n_days))
+        .select(
+            "n_days",
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            F.col("slope").alias("theil_sen_slope"),
+        )
+    )
+
+
+_POISSON_TAIL_ORACLE = """
+WITH daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events GROUP BY CAST(ts AS DATE)
+),
+lam AS (
+    SELECT CAST(SUM(n) AS DOUBLE) / COUNT(*) AS lam FROM daily
+)
+SELECT day, n,
+       -lam + CAST(n AS DOUBLE)
+            * (CAST(1.0 AS DOUBLE) + round(ln(lam), 6)
+               - round(ln(CAST(n AS DOUBLE)), 6)) AS ln_p_bound
+FROM daily, lam
+WHERE CAST(n AS DOUBLE) > lam
+  AND -lam + CAST(n AS DOUBLE)
+           * (CAST(1.0 AS DOUBLE) + round(ln(lam), 6)
+              - round(ln(CAST(n AS DOUBLE)), 6)) <= -3.0
+"""
+
+
+@query("ts_poisson_tail_anomalies", oracle=_POISSON_TAIL_ORACLE)
+def ts_poisson_tail_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose event volume is a PRINCIPLED Poisson anomaly: the
+    Chernoff upper-tail bound ln P(X ≥ k) ≤ −λ + k(1 + ln λ − ln k)
+    under a homogeneous rate λ (the MLE daily mean), flagging days with
+    ln-probability ≤ −3 — a rate-model alternative to the z-score cut
+    (`ts_anomalous_days`) that is exact for counts and needs no variance
+    estimate. Float discipline: ln outputs quantized to the 6-dp grid
+    (the only non-correctly-rounded ops); everything else is a fixed
+    IEEE dag on exact ints, so both engines produce bit-identical
+    bounds. One corpus pass (the daily rollup); the bound itself is a
+    narrow map over day rows."""
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    lam_row = daily.agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("lam")
+    )
+    j = daily.crossJoin(F.broadcast(lam_row))
+    k = F.col("n").cast("double")
+    lnp = -F.col("lam") + k * (
+        F.lit(1.0)
+        + F.round(F.log(F.col("lam")), 6)
+        - F.round(F.log(k), 6)
+    )
+    return (
+        j.where((k > F.col("lam")) & (lnp <= F.lit(-3.0)))
+        .select("day", F.col("n").cast("long").alias("n"), lnp.alias("ln_p_bound"))
+    )
