@@ -459,35 +459,31 @@ def ngram_jaccard_pairs(
             F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
         )
     )
-    # Per-doc hashed shingle ARRAY first (shingles are array_distinct, so
-    # |A| is just the array size): the per-doc count rides each exploded row
-    # as one extra long instead of a separate sizes aggregation — that
-    # removes one corpus shuffle and the two |A|/|B| joins the previous
-    # shape paid after the intersection count.
-    shing = toks.select(
+    sh = toks.select(
         F.col(id_col),
         # 64-bit-hash the shingle before the self-join: the join stream is
         # Σ posting-list² rows, and an 8-byte key shuffles/compares an
         # order of magnitude cheaper than a multi-word string key
         # (collisions ~2⁻⁶⁴ — immaterial).
-        F.transform(
-            word_shingles_from_tokens(F.col("__toks"), n),
-            lambda s: F.xxhash64(s),
-        ).alias("__sh"),
-    )
-    sh = shing.select(
-        F.col(id_col),
-        F.size("__sh").alias("__n_sh"),
-        F.explode("__sh").alias("s"),
+        F.explode(
+            F.transform(
+                word_shingles_from_tokens(F.col("__toks"), n),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("s"),
     )
     if reuse_shingles:
-        # The shingle frame feeds both self-join sides; Spark's
-        # ReuseExchange usually covers that, but a lazy local checkpoint
-        # materializes the compact (id, n, hash64) frame once on executor
-        # storage for callers that run several pair pipelines in one
-        # query (e.g. lexical-vs-semantic agreement); at 100 TB it trades
-        # recompute for ~24 B/shingle of memory-and-disk blocks.
+        # The shingle frame feeds three consumers (both self-join sides
+        # and the per-doc sizes); Spark's ReuseExchange covers the join
+        # but the sizes aggregation re-tokenizes the corpus from the
+        # scan. A lazy local checkpoint materializes the compact
+        # (id, hash64) frame once on executor storage and serves all
+        # three — worthwhile when the caller runs several pair
+        # pipelines in one query (e.g. lexical-vs-semantic agreement);
+        # at 100 TB it trades recompute for ~16 B/shingle of
+        # memory-and-disk blocks, the standard reuse of a shared stage.
         sh = sh.localCheckpoint(eager=False)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
     sh_joinable = sh
     if max_posting_list is not None:
         # Stop-shingle guardrail (the cap the docstring promises): a
@@ -505,38 +501,34 @@ def ngram_jaccard_pairs(
             .select("s")
         )
         sh_joinable = sh.join(hot, "s", "left_anti")
-    a = sh_joinable.select(
-        F.col(id_col).alias("id_a"), F.col("__n_sh").alias("n_a"), "s"
-    )
-    b = sh_joinable.select(
-        F.col(id_col).alias("id_b"), F.col("__n_sh").alias("n_b"), "s"
-    )
-    # n_a/n_b are constant per id, so they join the grouping key for free
-    # (no post-join size lookups — the previous shape's two extra joins).
+    a = sh_joinable.select(F.col(id_col).alias("id_a"), "s")
+    b = sh_joinable.select(F.col(id_col).alias("id_b"), "s")
     inter = (
         a.join(b, "s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
-    rep_jac = inter.select(
-        "id_a",
-        "id_b",
-        (
-            F.col("n_inter")
-            / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
-        ).alias("jaccard"),
-    ).filter(F.col("jaccard") >= threshold)
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    rep_jac = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
 
     # Cliques of exact copies pair up only when the text has shingles at
     # all (≥ n tokens); Jaccard of identical non-empty shingle sets is 1.0.
-    # Docs-with-shingles comes narrowly from the array size — no shuffle.
     shingled = groups.join(
-        shing.where(F.size("__sh") >= 1).select(
-            F.col(id_col).alias("__rep")
-        ),
-        "__rep",
-        "left_semi",
+        sizes.select(F.col(id_col).alias("__rep")), "__rep", "left_semi"
     )
     same_pairs = expand_sorted_array_pairs(
         shingled.filter(F.size("__ids") >= 2).select("__ids")

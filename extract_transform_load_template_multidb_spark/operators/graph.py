@@ -127,7 +127,11 @@ def triangle_stats(
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
     # The oriented list feeds three join aliases — checkpoint it too so
-    # the degree-orientation join runs once, not three times.
+    # the degree-orientation join runs once, not three times. ADAPTIVE:
+    # below ~100k edges (count is free — e_raw is already materialized)
+    # re-running a broadcast-sized orientation join 3× is cheaper than
+    # the extra checkpoint JOB + storage round-trip, the same
+    # runtime-adaptivity call as connected_components' small-graph path.
     e = (
         e_raw.join(da, "a")
         .join(db, "b")
@@ -135,8 +139,9 @@ def triangle_stats(
             F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         )
-        .localCheckpoint(eager=True)
     )
+    if e_raw.count() > 100_000:
+        e = e.localCheckpoint(eager=True)
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = (
         ab.join(bc, F.col("ab.dst") == F.col("bc.src"))

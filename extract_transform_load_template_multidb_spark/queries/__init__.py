@@ -86,6 +86,7 @@ _CHECK_FIRST = (
     "dq_primary_key_audit",
     "agg_ship_latency_percentiles",
     "graph_knn_degree_curve",
+    "etl_xml_roundtrip",
     "dedup_ngram_containment",
     "curation_dedup_weights",
     "curation_keep_longest",
@@ -113,7 +114,6 @@ _CHECK_FIRST = (
     "window_rolling_ols_slope",
     "agg_ratio_metric_delta_ci",
     "ts_record_breaking_days",
-    "agg_price_volume_mix",
     "curation_weighted_sample_es",
     "etl_full_snapshot",
     "etl_window_extract",
@@ -125,6 +125,7 @@ _CHECK_FIRST = (
     "dq_interval_integrity_audit",
     "mm_wav_zero_crossing_rate",
     "ts_western_electric_rules",
+    "agg_price_volume_mix",
     "mm_ppm_channel_histogram",
     "text_hashing_vectorizer",
     "mm_decode_png",

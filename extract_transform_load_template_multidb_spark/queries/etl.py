@@ -833,3 +833,57 @@ def etl_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("val").alias("vmin"),
         F.max("val").alias("vmax"),
     )
+
+
+_XML_ROUNDTRIP_ORACLE = """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       MIN(md5(text)) AS min_fp,
+       MAX(md5(text)) AS max_fp
+FROM documents
+GROUP BY source
+"""
+
+
+@query("etl_xml_roundtrip", oracle=_XML_ROUNDTRIP_ORACLE)
+def etl_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source/sink round trip through Spark 4's BUILT-IN xml format
+    (the `rowTag` reader that subsumed spark-xml): documents are written
+    as <doc> rows and read back, and the oracle aggregates prove the
+    round trip is content-lossless (md5 fingerprints survive XML
+    escaping of the text payload). The reference family moves data
+    between five storage systems; XML is the interchange format its
+    D365/OData lineage most often meets on disk. The written files
+    partition like any other sink (one file per task); the read-back
+    scan column-prunes through the rowTag parser. Distinct temp dir per
+    call — rerun-safe."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    path = tempfile.mkdtemp(prefix="etl_xml_") + "/docs_xml"
+    docs.write.mode("overwrite").format("xml").option(
+        "rootTag", "docs"
+    ).option("rowTag", "doc").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "doc")
+        .load(path)
+        .select(
+            "source",
+            F.col("n_chars").cast("long").alias("n_chars"),
+            # The XML reader may surface an empty-text row as null or
+            # typed scalar; normalize to string exactly as written.
+            F.coalesce(F.col("text").cast("string"), F.lit("")).alias(
+                "text"
+            ),
+        )
+    )
+    return back.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.min(F.md5(F.col("text").cast("binary"))).alias("min_fp"),
+        F.max(F.md5(F.col("text").cast("binary"))).alias("max_fp"),
+    )
