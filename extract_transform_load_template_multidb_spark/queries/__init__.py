@@ -87,6 +87,9 @@ _CHECK_FIRST = (
     "agg_ship_latency_percentiles",
     "graph_knn_degree_curve",
     "etl_xml_roundtrip",
+    "etl_partitioned_write_pruning",
+    "dq_completeness_matrix",
+    "mm_gif_palette_remap_reencode",
     "dedup_ngram_containment",
     "curation_dedup_weights",
     "curation_keep_longest",
@@ -111,9 +114,6 @@ _CHECK_FIRST = (
     "dq_slo_burn_rate_alerts",
     "dq_join_cardinality_forecast",
     "scalar_mod97_checksum",
-    "window_rolling_ols_slope",
-    "agg_ratio_metric_delta_ci",
-    "ts_record_breaking_days",
     "curation_weighted_sample_es",
     "etl_full_snapshot",
     "etl_window_extract",
@@ -126,6 +126,9 @@ _CHECK_FIRST = (
     "mm_wav_zero_crossing_rate",
     "ts_western_electric_rules",
     "agg_price_volume_mix",
+    "ts_record_breaking_days",
+    "agg_ratio_metric_delta_ci",
+    "window_rolling_ols_slope",
     "mm_ppm_channel_histogram",
     "text_hashing_vectorizer",
     "mm_decode_png",

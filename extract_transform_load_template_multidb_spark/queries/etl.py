@@ -887,3 +887,54 @@ def etl_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.md5(F.col("text").cast("binary"))).alias("min_fp"),
         F.max(F.md5(F.col("text").cast("binary"))).alias("max_fp"),
     )
+
+
+_PARTITIONED_PRUNING_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE)
+           AS order_month,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE)
+           AS total_price
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY 1, 2
+"""
+
+
+@query("etl_partitioned_write_pruning", oracle=_PARTITIONED_PRUNING_ORACLE)
+def etl_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned write + partition-PRUNED read-back: orders
+    land `partitionBy(o_orderpriority)`, and the selective read touches
+    ONLY the two matching directories (PartitionFilters in the scan —
+    pinned in tests/test_plans.py), never opening the other three. This
+    is the layout decision that turns a 100 TB full scan into a 40 TB
+    one for priority-sliced workloads — the directory-level sibling of
+    the Z-order/Hilbert file-level skipping already measured in
+    `layout_pruning_simulation`. The oracle computes the same aggregate
+    from the unpartitioned source, proving the round trip loses
+    nothing. Distinct temp dir per call — rerun-safe."""
+    import tempfile
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_totalprice", "o_orderpriority"
+    )
+    path = tempfile.mkdtemp(prefix="etl_part_") + "/orders_by_priority"
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(
+        path
+    )
+    back = (
+        spark.read.parquet(path)
+        .where(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+    )
+    return back.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.date_trunc("month", F.col("o_orderdate").cast("date"))
+        .cast("date")
+        .alias("order_month"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)"))
+        .cast("double")
+        .alias("total_price"),
+    )

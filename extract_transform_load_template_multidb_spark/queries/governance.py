@@ -3136,3 +3136,102 @@ def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(pk).alias("pk"), "n_rows", "n_distinct_keys")
         out = row if out is None else out.unionByName(row)
     return out
+
+
+_COMPLETENESS_ORACLE = """
+SELECT * FROM (
+    SELECT 'events' AS tbl, 'value' AS col,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS null_frac
+    FROM events
+    UNION ALL
+    SELECT 'events', 'props', COUNT(*),
+           SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'events', 'user_id', COUNT(*),
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*)
+    FROM events
+    UNION ALL
+    SELECT 'orders', 'o_totalprice', COUNT(*),
+           SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'orders', 'o_orderdate', COUNT(*),
+           SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*)
+    FROM orders
+    UNION ALL
+    SELECT 'documents', 'text', COUNT(*),
+           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*)
+    FROM documents
+    UNION ALL
+    SELECT 'documents', 'lang', COUNT(*),
+           SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*)
+    FROM documents
+    UNION ALL
+    SELECT 'customer', 'c_acctbal', COUNT(*),
+           SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*)
+    FROM customer
+)
+"""
+
+
+@query("dq_completeness_matrix", oracle=_COMPLETENESS_ORACLE)
+def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-TABLE completeness matrix: null fraction for the
+    business-critical columns of four tables in one result — the
+    whole-lake freshness/completeness dashboard row
+    (`dq_null_profile_events` profiles one table's every column; this
+    is the curated multi-table cut a data SLO references). One pass per
+    table computes ALL of its column null-counts simultaneously (a
+    single aggregate projection — never one scan per column), then the
+    wide row unpivots to (tbl, col) rows via the `stack` generator."""
+    specs = [
+        ("events", ["value", "props", "user_id"]),
+        ("orders", ["o_totalprice", "o_orderdate"]),
+        ("documents", ["text", "lang"]),
+        ("customer", ["c_acctbal"]),
+    ]
+    out = None
+    for tname, cols in specs:
+        t = load_table(spark, sf_dir, tname)
+        aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+        for c in cols:
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("long")
+                .alias(f"null_{c}")
+            )
+        wide = t.agg(*aggs)
+        stack_expr = ", ".join(f"'{c}', null_{c}" for c in cols)
+        rows = wide.selectExpr(
+            "n_rows",
+            f"stack({len(cols)}, {stack_expr}) AS (col, n_null)",
+        ).select(
+            F.lit(tname).alias("tbl"),
+            "col",
+            "n_rows",
+            "n_null",
+            (F.col("n_null").cast("double") / F.col("n_rows")).alias(
+                "null_frac"
+            ),
+        )
+        out = rows if out is None else out.unionByName(rows)
+    return out

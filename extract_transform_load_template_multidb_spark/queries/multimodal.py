@@ -1213,3 +1213,46 @@ def mm_gif_color_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     map as `mm_decode_gif`."""
     gif = mm.synthesize_gif(load_table(spark, sf_dir, "documents"))
     return mm.gif_index_histogram(gif)
+
+
+_GIF_REMAP_ORACLE = """
+WITH px AS (
+    SELECT d.doc_id AS asset_id,
+           (d.doc_id * 7 + y.y * 16 + x.x * 5) % 256 AS i
+    FROM documents d,
+         (SELECT unnest(range(0, 8)) AS y) y,
+         (SELECT unnest(range(0, 4)) AS x) x
+)
+SELECT asset_id,
+       CAST(256 AS INT) AS n_colors_before,
+       CAST(COUNT(DISTINCT i) AS INT) AS n_colors_after,
+       CAST(SUM(i) AS DOUBLE) / 32 AS mean_r,
+       CAST(SUM((i * 2) % 256) AS DOUBLE) / 32 AS mean_g,
+       CAST(SUM((i * 3) % 256) AS DOUBLE) / 32 AS mean_b,
+       CAST(NULL AS VARCHAR) AS err
+FROM px GROUP BY asset_id
+"""
+
+
+@query("mm_gif_palette_remap_reencode", oracle=_GIF_REMAP_ORACLE)
+def mm_gif_palette_remap_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GIF palette COMPACTION through the real codec both directions:
+    decode each synthetic GIF, drop unused color-table slots, re-encode
+    with the dense palette, re-decode, and verify pixel-exact RGB inside
+    the operator (a bad remap becomes an err row, never silent
+    corruption) — completing the GIF surface begun by `mm_decode_gif`
+    (decode) and `mm_gif_color_histogram` (usage stats), mirroring the
+    JPEG/PNG resize_reencode pattern. The oracle rebuilds the
+    color-table shrink (256 → distinct indices) and the invariant mean
+    RGB from the closed-form pixel grid; payload byte sizes stay
+    operator-level observability (encoder framing is not SQL)."""
+    gif = mm.synthesize_gif(load_table(spark, sf_dir, "documents"))
+    return mm.gif_palette_remap_reencode(gif).select(
+        "asset_id",
+        "n_colors_before",
+        "n_colors_after",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+        "err",
+    )

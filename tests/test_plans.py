@@ -1911,3 +1911,13 @@ def test_bpe_apply_is_narrow_jvm_map(spark, sf_dir):
     assert "MapInPandas" not in plan
     assert plan.count("Exchange") == 1
     assert "Exchange hashpartitioning(source" in plan
+
+
+def test_partitioned_write_read_prunes_partitions(spark, sf_dir):
+    """The partitioned-layout read-back must prune at the DIRECTORY
+    level: the priority filter appears as a PartitionFilters entry on
+    the scan (never a post-scan Filter over all five partitions)."""
+    plan = _plan(spark, sf_dir, "etl_partitioned_write_pruning")
+    scan = plan[plan.index("PartitionFilters"):][:260]
+    assert "o_orderpriority" in scan, scan
+    assert "1-URGENT" in scan or "IN (" in scan.upper(), scan

@@ -731,3 +731,216 @@ def test_katz_matches_dense_reference(spark, pairs):
     }
     for i in range(n):
         assert abs(got[i] - x[i]) < 1e-9, (i, got[i], x[i])
+
+
+@given(
+    st.lists(
+        st.integers(min_value=1, max_value=200).map(float),
+        min_size=3,
+        max_size=40,
+    )
+)
+@settings(**_SETTINGS)
+def test_theil_sen_lower_median_matches_bruteforce(spark, counts):
+    """The distributed Theil–Sen rank pick equals the brute-force numpy
+    lower median of all pairwise slopes on arbitrary daily series."""
+    import datetime as _dt
+
+    import numpy as np
+
+    days = [_dt.date(2024, 1, 1) + _dt.timedelta(days=i) for i in range(len(counts))]
+    from pyspark.sql import Window as W
+
+    daily = spark.createDataFrame(
+        list(zip(days, [int(c) for c in counts])), "day date, n long"
+    )
+    a = daily.selectExpr("day AS d1", "n AS n1")
+    b = daily.selectExpr("day AS d2", "n AS n2")
+    pairs = a.join(b, F.col("d1") < F.col("d2")).select(
+        (
+            (F.col("n2") - F.col("n1")).cast("double")
+            / F.datediff("d2", "d1").cast("double")
+        ).alias("slope"),
+        "d1",
+        "d2",
+    )
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(W.orderBy("slope", "d1", "d2")).alias("rk"),
+        F.count(F.lit(1)).over(
+            W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+        ).alias("np_"),
+    )
+    got = ranked.where(
+        F.col("rk") == F.floor((F.col("np_") + F.lit(1)) / F.lit(2))
+    ).collect()[0]["slope"]
+
+    ns = np.array(counts)
+    slopes = []
+    for i in range(len(ns)):
+        for j in range(i + 1, len(ns)):
+            slopes.append((ns[j] - ns[i]) / (j - i))
+    slopes.sort()
+    want = slopes[(len(slopes) + 1) // 2 - 1]
+    assert got == want
+
+
+@given(
+    st.lists(
+        st.integers(min_value=100, max_value=100_000),
+        min_size=2,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_trimmed_mean_interval_overlap_matches_numpy(spark, prices):
+    """The running-count interval-overlap trim (agg_winsorized_trimmed_mean
+    shape) equals numpy's explicit rank-based 10% trim, including ties."""
+    import numpy as np
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [(p,) for p in prices], "price long"
+    ).withColumn("g", F.lit(1))
+    vals = df.groupBy("g", "price").agg(F.count(F.lit(1)).alias("c"))
+    wrun = (
+        W.partitionBy("g").orderBy("price")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("g")
+    run = vals.select(
+        "price", "c",
+        F.sum("c").over(wrun).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    lo = F.floor(F.col("n") / 10)
+    keep = F.greatest(
+        F.least(F.col("cum"), F.col("n") - lo)
+        - F.greatest(F.col("cum") - F.col("c"), lo),
+        F.lit(0),
+    )
+    row = (
+        run.select((F.col("price") * keep).alias("pk"), keep.alias("k"))
+        .agg(F.sum("pk").alias("s"), F.sum("k").alias("k"))
+        .collect()[0]
+    )
+    xs = np.sort(np.array(prices, dtype=np.int64))
+    t = len(xs) // 10
+    kept = xs[t: len(xs) - t] if t else xs
+    assert row["k"] == len(kept)
+    assert row["s"] == kept.sum()
+
+
+def test_scurve_expectation_matches_numpy(spark, sf_dir):
+    """dedup_band_scurve_tuning's repeated-squaring probabilities equal
+    numpy's closed form 1-(1-s^r)^b on the actual pair stream, post the
+    dyadic-grid snap."""
+    import numpy as np
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+    from extract_transform_load_template_multidb_spark.catalog import (
+        load_table,
+    )
+    from extract_transform_load_template_multidb_spark.queries.llm_data import (
+        _scurve_cols,
+    )
+
+    pairs = dd.ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.2
+    )
+    cols = _scurve_cols(F.col("jaccard"))
+    got = pairs.select(
+        "jaccard", *[c.alias(n) for n, c in cols.items()]
+    ).toPandas()
+    s = got["jaccard"].to_numpy()
+    grid = 1048576.0
+    for b, r in ((16, 1), (8, 2), (4, 4), (2, 8)):
+        want = np.floor((1.0 - (1.0 - s**r) ** b) * grid + 0.5) / grid
+        assert np.array_equal(got[f"b{b}_r{r}"].to_numpy(), want), (b, r)
+
+
+def test_gif_index_histogram_matches_numpy(spark):
+    """gif_index_histogram through the REAL encode->decode path equals
+    numpy bincount features on random indexed images."""
+    import numpy as np
+    import pandas as pd
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        gif as G,
+        multimodal as mm,
+    )
+
+    rng = np.random.default_rng(47)
+    rows = []
+    truth = {}
+    for aid in range(6):
+        npal = int(rng.integers(4, 64))
+        pal = rng.integers(0, 256, (npal, 3), dtype=np.uint8)
+        idx = rng.integers(0, npal, (int(rng.integers(2, 9)), int(rng.integers(2, 9))), dtype=np.uint8)
+        rows.append((aid, bytearray(G.encode_gif87a(idx, pal))))
+        counts = np.bincount(idx.ravel(), minlength=npal)
+        modal = int(np.argmax(counts))
+        # palette padded to power-of-two table by the encoder
+        k = 0
+        while (2 << k) < npal:
+            k += 1
+        truth[aid] = (
+            int((counts > 0).sum()), modal, int(counts[modal]),
+            tuple(int(x) for x in pal[modal]),
+        )
+    df = spark.createDataFrame(rows, "asset_id long, payload binary")
+    out = {
+        r["asset_id"]: r
+        for r in mm.gif_index_histogram(df).collect()
+    }
+    for aid, (nd, modal, mc, rgb) in truth.items():
+        r = out[aid]
+        assert r["err"] is None
+        assert r["n_distinct_idx"] == nd
+        assert r["modal_idx"] == modal
+        assert r["modal_count"] == mc
+        assert (r["modal_r"], r["modal_g"], r["modal_b"]) == rgb
+
+
+def test_bpe_apply_replace_chain_matches_reference(spark):
+    """The literal replace-chain BPE application equals a pure-Python
+    greedy merge apply on a hand corpus (merges must not cross word
+    boundaries, ranks apply in order, counts are per-word symbols)."""
+    merges = [("a", "b"), ("ab", "c"), ("d", "e")]
+    docs = ["ab abc de xyz", "ababc ddee", ""]
+
+    def ref_tokens(text):
+        total = 0
+        for w in text.split():
+            syms = list(w)
+            for l, r in merges:
+                i = 0
+                out = []
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == l
+                        and syms[i + 1] == r
+                    ):
+                        out.append(l + r)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            total += len(syms)
+        return total
+
+    df = spark.createDataFrame([(t,) for t in docs], "text string")
+    sym = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), r"[^a-z0-9]+", " "),
+        r"([a-z0-9])",
+        r"($1)",
+    )
+    for l, r in merges:
+        sym = F.replace(sym, F.lit(f"({l})({r})"), F.lit(f"({l}{r})"))
+    nt = F.length(sym) - F.length(F.replace(sym, F.lit("("), F.lit("")))
+    got = [r["nt"] for r in df.select(nt.alias("nt")).collect()]
+    assert got == [ref_tokens(t) for t in docs]
