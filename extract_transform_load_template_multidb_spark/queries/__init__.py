@@ -261,11 +261,16 @@ _CHECK_LAST = (
 
 # ROUND-9 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r08
 # confirms the round-8 window (positions 1-50 above: 4 round-8 perf/plan
-# changes + 13 new round-8 queries + 11 never-checked ngram-pair
-# consumers whose plans changed with the _fan_out fix + 22 from the
-# planned tail), replace positions 1-50 with the next ~50 still-never-
-# driver-green names — round-9 changes/additions first, then continue
-# the demoted tail in order (window_interval_coalesce,
+# changes + 21 new round-8 queries + 11 never-checked ngram-pair
+# consumers whose plans changed with the _fan_out fix + 14 from the
+# planned tail, through ts_western_electric_rules), replace positions
+# 1-50 with the next ~50 still-never-driver-green names — round-9
+# changes/additions first, then the names this window displaced
+# (agg_abc_xyz_classification, dq_interval_integrity_audit,
+# mm_wav_zero_crossing_rate, agg_price_volume_mix,
+# ts_record_breaking_days, agg_ratio_metric_delta_ci,
+# window_rolling_ols_slope — parked at positions 57-63), then the
+# demoted tail in order (window_interval_coalesce,
 # join_nearest_price_neighbor, scd2_as_was_vs_as_is, ... through
 # agg_levene_brown_forsythe), then the large never-checked families:
 # ts_* (~30 left), agg_* statistical tail (~35), text_* IR tail (~25),
