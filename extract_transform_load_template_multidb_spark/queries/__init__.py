@@ -65,6 +65,16 @@ _loaded = False
 # pairs go last so a budget cut re-verifies proven heavy queries rather
 # than denying first evidence to cheap ones.
 _CHECK_FIRST = (
+    # Round-8 wave 3: changed plan (bucketed cogroup rewrite) + the
+    # three new embedding-compression audits — never driver-checked,
+    # so they take the head of the window; the four names this pushes
+    # past position 50 (dq_slo_burn_rate_alerts through
+    # curation_weighted_sample_es) park just before the §2 six, which
+    # stay ≤60 (pytest-guarded).
+    "pyfunc_cogrouped_user_profile",
+    "sim_int8_quantization_error",
+    "sim_matryoshka_truncation_recall",
+    "sim_binary_sign_hamming_recall",
     "dedup_dup_rate_report",
     "dedup_nearest_neighbor_doc",
     "graph_triangle_stats",
@@ -260,24 +270,29 @@ _CHECK_LAST = (
 )
 
 # ROUND-9 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r08
-# confirms the round-8 window (positions 1-50 above: 4 round-8 perf/plan
-# changes + 21 new round-8 queries + 11 never-checked ngram-pair
-# consumers whose plans changed with the _fan_out fix + 14 from the
-# planned tail, through ts_western_electric_rules), replace positions
-# 1-50 with the next ~50 still-never-driver-green names — round-9
-# changes/additions first, then the names this window displaced
-# (agg_abc_xyz_classification, dq_interval_integrity_audit,
+# confirms the round-8 window (positions 1-50 above: 4 wave-3 entries —
+# the bucketed-cogroup rewrite + 3 new embedding-compression audits —
+# then the 4 round-8 perf/plan changes, 21 new round-8 queries, the 11
+# never-checked ngram-pair consumers whose plans changed with the
+# _fan_out fix, and the planned tail through position 50), replace
+# positions 1-50 with the next ~50 still-never-driver-green names —
+# round-9 changes/additions first, then the names displaced past the
+# window by wave 3 (dq_slo_burn_rate_alerts,
+# dq_join_cardinality_forecast, scalar_mod97_checksum,
+# curation_weighted_sample_es — parked at 51-54), then the earlier
+# parked set (agg_abc_xyz_classification, dq_interval_integrity_audit,
 # mm_wav_zero_crossing_rate, agg_price_volume_mix,
 # ts_record_breaking_days, agg_ratio_metric_delta_ci,
-# window_rolling_ols_slope — parked at positions 57-63), then the
-# demoted tail in order (window_interval_coalesce,
+# window_rolling_ols_slope, ts_western_electric_rules at 61-68), then
+# the demoted tail in order (window_interval_coalesce,
 # join_nearest_price_neighbor, scd2_as_was_vs_as_is, ... through
 # agg_levene_brown_forsythe), then the large never-checked families:
 # ts_* (~30 left), agg_* statistical tail (~35), text_* IR tail (~25),
 # dq_* profiling tail (~12), mm_*, sim_*, remaining TPC-H variants
-# (q10-q22). Keep the §2 six at positions 51-56 (pytest-guarded ≤60).
-# All tail names pass the strict local gate at sf0.001 AND sf0.01;
-# rotation converts that into driver-proven union coverage.
+# (q10-q22). Keep the §2 six immediately after the window
+# (pytest-guarded ≤60; currently 55-60). All tail names pass the strict
+# local gate at sf0.001 AND sf0.01; rotation converts that into
+# driver-proven union coverage.
 
 
 def _load_all() -> None:

@@ -2728,6 +2728,12 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive side stays sample-sized, the banded side is the
     production plan."""
     docs = load_table(spark, sf_dir, "documents")
+    # Both pair sets are referenced twice (their count arm and the
+    # anti-join arm) — measured: Catalyst's ReusedExchange already
+    # shares the shingle-join/banding shuffles between the arms, and
+    # forcing a localCheckpoint here made the query 2.5× SLOWER
+    # (12 → 30 s at sf0.1) by materializing the pair sets instead.
+    # Leave the reuse to the optimizer.
     exact = dd.ngram_jaccard_pairs(
         docs, n=1, threshold=0.5
     ).select("id_a", "id_b")
@@ -9953,4 +9959,337 @@ def graph_knn_degree_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("nd").cast("double") / F.count(F.lit(1))).alias(
             "avg_neighbor_degree"
         ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding compression audits (round-8 wave 3): scalar int8 quantization,
+# matryoshka (truncated-dim) retrieval recall, binary sign/Hamming recall.
+# Together with the PQ pair (sim_cosine_topk_pq / sim_pq_reconstruction_error)
+# these pin the full compression menu a 100 TB vector store chooses from:
+# 4x (int8), dim/2 (MRL truncation), 32x (1-bit sign) — each with a measured
+# quality number, not a guess.
+# ---------------------------------------------------------------------------
+
+_INT8_ORACLE = """
+WITH base AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding,
+                                   v -> abs(CAST(v AS DOUBLE)))) AS maxabs,
+           len(embedding) AS n_dims
+    FROM embeddings
+),
+s AS (
+    SELECT vec_id, embedding, n_dims,
+           CAST(127 AS DOUBLE) / maxabs AS scale
+    FROM base WHERE maxabs > 0
+),
+e AS (
+    SELECT vec_id, scale, n_dims,
+           CAST(unnest(embedding) AS DOUBLE) AS x
+    FROM s
+),
+t AS (
+    SELECT vec_id, scale, n_dims, x,
+           CAST(floor(x * scale + 0.5) AS BIGINT) AS qr
+    FROM e
+),
+u AS (
+    SELECT vec_id, scale, n_dims,
+           CASE WHEN abs(qr) > 127 THEN 1 ELSE 0 END AS sat,
+           (x - CAST(GREATEST(-127, LEAST(127, qr)) AS DOUBLE) / scale)
+               AS diff
+    FROM t
+)
+SELECT vec_id, scale,
+       CAST(SUM(sat) AS BIGINT) AS n_saturated,
+       CAST(SUM(CAST(floor((diff * diff)
+                           * CAST(1000000000000 AS DOUBLE)) AS BIGINT))
+            AS BIGINT) AS ssq_q,
+       CAST(SUM(CAST(floor((diff * diff)
+                           * CAST(1000000000000 AS DOUBLE)) AS BIGINT))
+            AS DOUBLE)
+         / CAST(1000000000000 AS DOUBLE) / CAST(n_dims AS DOUBLE) AS mse
+FROM u
+GROUP BY vec_id, scale, n_dims
+"""
+
+
+@query("sim_int8_quantization_error", oracle=_INT8_ORACLE)
+def sim_int8_quantization_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-vector symmetric int8 scalar quantization audit: scale =
+    127/max|x|, q = clamp(floor(x*scale + .5), ±127), and the
+    reconstruction MSE of dequantized q/scale — the 4× compression a
+    vector store takes before anything fancier, with its error actually
+    measured per vector. Determinism discipline: the squared error is
+    quantized to int64 at 1e-12 BEFORE summation (F.aggregate folds in
+    array order, DuckDB sums group rows — exact integers make the order
+    irrelevant), and every float step (one multiply, one floor, one
+    divide chain) is the same fixed IEEE expression tree on both
+    engines. Narrow map, zero exchanges — at 100 TB this runs at scan
+    speed alongside the quantized write itself."""
+    xd = lambda v: v.cast("double")  # noqa: E731
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            "embedding",
+            F.array_max(
+                F.transform("embedding", lambda v: F.abs(xd(v)))
+            ).alias("maxabs"),
+            F.size("embedding").alias("n_dims"),
+        )
+        .filter(F.col("maxabs") > 0)
+        .withColumn("scale", F.lit(127.0) / F.col("maxabs"))
+    )
+
+    def _qr(v):
+        return F.floor(xd(v) * F.col("scale") + F.lit(0.5))
+
+    def _diff(v):
+        qi = F.greatest(
+            F.lit(-127).cast("long"),
+            F.least(F.lit(127).cast("long"), _qr(v)),
+        )
+        return xd(v) - qi.cast("double") / F.col("scale")
+
+    def _term(v):
+        return F.floor(
+            (_diff(v) * _diff(v)) * F.lit(1000000000000).cast("double")
+        ).cast("long")
+
+    return emb.select(
+        "vec_id",
+        "scale",
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("long"),
+            lambda acc, v: acc
+            + F.when(F.abs(_qr(v)) > 127, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("n_saturated"),
+        F.aggregate(
+            "embedding",
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + _term(v),
+        ).alias("ssq_q"),
+        (
+            F.aggregate(
+                "embedding",
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + _term(v),
+            ).cast("double")
+            / F.lit(1000000000000).cast("double")
+            / F.col("n_dims").cast("double")
+        ).alias("mse"),
+    )
+
+
+# Full-precision cosine top-10 for queries vec_id < 16, as ranked CTEs the
+# two recall audits below compare against (identical to the
+# sim.cosine_topk_bruteforce quantize-x1000 contract, _BRUTE_ORACLE).
+_RECALL_RANKED = """
+el AS (
+    SELECT vec_id,
+           CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT)
+               AS v,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+),
+nf AS (SELECT vec_id, SUM(v * v) AS nsq FROM el GROUP BY vec_id),
+df_ AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot
+    FROM el a JOIN el b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < 16
+    GROUP BY a.vec_id, b.vec_id
+),
+rf AS (
+    SELECT qid, nid,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na.nsq AS DOUBLE))
+                           * sqrt(CAST(nb.nsq AS DOUBLE))) DESC, nid
+           ) AS rnk
+    FROM df_
+    JOIN nf na ON na.vec_id = qid
+    JOIN nf nb ON nb.vec_id = nid
+),
+tf AS (SELECT qid, nid FROM rf WHERE rnk <= 10)
+"""
+
+_MRL_ORACLE = (
+    "WITH "
+    + _RECALL_RANKED
+    + """,
+nh AS (SELECT vec_id, SUM(v * v) AS nsq FROM el WHERE d < 32
+       GROUP BY vec_id),
+dh AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(a.v * b.v) AS dot
+    FROM el a JOIN el b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < 16 AND a.d < 32
+    GROUP BY a.vec_id, b.vec_id
+),
+rh AS (
+    SELECT qid, nid,
+           row_number() OVER (
+               PARTITION BY qid
+               ORDER BY CAST(dot AS DOUBLE)
+                        / (sqrt(CAST(na.nsq AS DOUBLE))
+                           * sqrt(CAST(nb.nsq AS DOUBLE))) DESC, nid
+           ) AS rnk
+    FROM dh
+    JOIN nh na ON na.vec_id = qid
+    JOIN nh nb ON nb.vec_id = nid
+),
+th AS (SELECT qid, nid FROM rh WHERE rnk <= 10)
+SELECT tf.qid AS query_id,
+       CAST(count(th.nid) AS BIGINT) AS n_overlap,
+       CAST(count(th.nid) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall_at_10
+FROM tf LEFT JOIN th ON th.qid = tf.qid AND th.nid = tf.nid
+GROUP BY tf.qid
+"""
+)
+
+
+@query("sim_matryoshka_truncation_recall", oracle=_MRL_ORACLE)
+def sim_matryoshka_truncation_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Matryoshka-style truncation audit: retrieval with only the FIRST
+    32 of 64 dimensions (the MRL prefix property — Kusupati et al.
+    NeurIPS'22) versus full-precision cosine, reported as recall@10 per
+    query. This is the measurement that decides whether a corpus can be
+    indexed at half width and re-ranked at full width. Both arms are
+    the quantized-exact brute-force operator (broadcast 16 queries, one
+    corpus pass each); the overlap join is on (query, neighbor) ids
+    only. At 100 TB the truncated arm IS the cheap first-stage index —
+    this query prices its recall loss."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 16)
+    full = sim.cosine_topk_bruteforce(emb, qs, k=10)
+    half_emb = emb.select(
+        "vec_id", F.slice("embedding", 1, 32).alias("embedding")
+    )
+    half = sim.cosine_topk_bruteforce(
+        half_emb, half_emb.filter(F.col("vec_id") < 16), k=10
+    )
+    joined = full.select("query_id", "neighbor_id").join(
+        half.select("query_id", "neighbor_id").withColumn(
+            "m", F.lit(1).cast("long")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("m"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_overlap"),
+        (
+            F.sum(F.coalesce(F.col("m"), F.lit(0).cast("long"))).cast(
+                "double"
+            )
+            / F.lit(10).cast("double")
+        ).alias("recall_at_10"),
+    )
+
+
+_HAMMING_ORACLE = (
+    "WITH "
+    + _RECALL_RANKED
+    + """,
+bits AS (
+    SELECT vec_id,
+           CASE WHEN CAST(unnest(embedding) AS DOUBLE) > 0
+                THEN 1 ELSE 0 END AS b,
+           generate_subscripts(embedding, 1) - 1 AS d
+    FROM embeddings
+),
+ham AS (
+    SELECT a.vec_id AS qid, b.vec_id AS nid, SUM(abs(a.b - b.b)) AS hd
+    FROM bits a JOIN bits b ON a.d = b.d AND b.vec_id <> a.vec_id
+    WHERE a.vec_id < 16
+    GROUP BY a.vec_id, b.vec_id
+),
+rb AS (
+    SELECT qid, nid,
+           row_number() OVER (PARTITION BY qid ORDER BY hd, nid) AS rnk
+    FROM ham
+),
+tb AS (SELECT qid, nid FROM rb WHERE rnk <= 10)
+SELECT tf.qid AS query_id,
+       CAST(count(tb.nid) AS BIGINT) AS n_overlap,
+       CAST(count(tb.nid) AS DOUBLE) / CAST(10 AS DOUBLE) AS recall_at_10
+FROM tf LEFT JOIN tb ON tb.qid = tf.qid AND tb.nid = tf.nid
+GROUP BY tf.qid
+"""
+)
+
+
+@query("sim_binary_sign_hamming_recall", oracle=_HAMMING_ORACLE)
+def sim_binary_sign_hamming_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Binary (1-bit sign) embedding audit: rank by Hamming distance on
+    sign bits (32× compression — the bit-packed popcount index) and
+    report recall@10 against full-precision cosine per query. Pure
+    integer math end to end — sign extraction is a narrow map, the
+    Hamming scan broadcasts 16 query bit-vectors, and ties break on
+    neighbor id, so both engines produce the identical ranking. In
+    production the bit arrays pack into 64-bit words and the zip_with
+    becomes xor+popcount per word; the quality number this query emits
+    is the same either way."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda v: F.when(v.cast("double") > 0, F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long"),
+        ).alias("bits"),
+    )
+    qb = bits.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), F.col("bits").alias("qbits")
+    )
+    ham = bits.join(
+        F.broadcast(qb), F.col("query_id") != F.col("vec_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.aggregate(
+            F.zip_with("qbits", "bits", lambda a, b: F.abs(a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("hd"),
+    )
+    from pyspark.sql import Window
+
+    wb = Window.partitionBy("query_id").orderBy("hd", "neighbor_id")
+    topb = (
+        ham.withColumn("rnk", F.row_number().over(wb))
+        .filter(F.col("rnk") <= 10)
+        .select("query_id", "neighbor_id")
+    )
+    full = sim.cosine_topk_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 16), k=10
+    ).select("query_id", "neighbor_id")
+    joined = full.join(
+        topb.withColumn("m", F.lit(1).cast("long")),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.sum(F.coalesce(F.col("m"), F.lit(0).cast("long")))
+        .cast("long")
+        .alias("n_overlap"),
+        (
+            F.sum(F.coalesce(F.col("m"), F.lit(0).cast("long"))).cast(
+                "double"
+            )
+            / F.lit(10).cast("double")
+        ).alias("recall_at_10"),
     )

@@ -184,48 +184,70 @@ def pyfunc_cogrouped_user_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Cogrouped ``applyInPandas`` (the two-table grouped-map shape):
-    each user's event stream and order history arrive as two pandas
-    frames in one call, which emits a per-user profile — counts and the
-    day lag between last order and last event. The pandas body computes
+    each cogroup call receives matching slices of the event stream and
+    the order history and emits per-user profiles — counts and the day
+    lag between last order and last event. The pandas body computes
     only counts, order statistics, and integer day arithmetic, so the
     result is exactly the full-outer-join aggregate the oracle runs.
-    SCALE: cogroup shuffles both sides by user_id once and streams
-    group pairs through Arrow — the right tool when per-entity logic
-    genuinely needs both frames at once (feature backfills, per-entity
-    reconciliation); for purely relational profiles like this one the
-    JVM join is the production path, which is the parity being pinned."""
+    SCALE: cogrouping directly on ``user_id`` costs one Python call per
+    user (~0.3 ms each — measured 18 s for 60k users at sf0.1, and
+    linear in user count from there), so the cogroup key is a HASH
+    BUCKET of the entity id: both sides shuffle once by
+    ``pmod(xxhash64(user_id), 64)``, each call gets every row for all
+    users in one bucket, and a vectorized pandas ``groupby``/``merge``
+    inside the call does the per-user math. Same output, ~1000× fewer
+    interpreter crossings — the shape a 100 TB per-entity backfill
+    actually uses (Python cost scales with buckets, not entities).
+    For purely relational profiles like this one the JVM join is the
+    production path, which is the parity being pinned."""
+    import numpy as np
 
-    # Per-group Python IS the cost of this API (one function call + one
-    # result frame per user — ~0.3 ms/group measured); keep the body on
-    # raw numpy (`.values.max()`, datetime64 day arithmetic) rather than
-    # pandas reductions, which roughly halves the per-group constant.
-    # The remaining wall-clock is the cogrouped-applyInPandas floor the
-    # docstring pins — the JVM join below is the production path.
     _cols = ["user_id", "n_events", "n_orders", "event_after_order_days"]
 
-    def _profile(key, events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame):
-        n_e = len(events_pdf)
-        n_o = len(orders_pdf)
-        lag = None
-        if n_e and n_o:
-            last_e = events_pdf["ts"].values.max().astype("datetime64[D]")
-            last_o = (
-                orders_pdf["o_orderdate"].values.max().astype("datetime64[D]")
-            )
-            lag = int((last_e - last_o).astype("int64"))
-        return pd.DataFrame(
-            [(int(key[0]), n_e, n_o, lag)], columns=_cols
+    def _profile(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame):
+        e = events_pdf.groupby("user_id", as_index=False).agg(
+            n_events=("ts", "size"), last_e=("ts", "max")
         )
+        o = orders_pdf.groupby("user_id", as_index=False).agg(
+            n_orders=("o_orderdate", "size"),
+            last_o=("o_orderdate", "max"),
+        )
+        m = e.merge(o, on="user_id", how="outer")
+        m["n_events"] = m["n_events"].fillna(0).astype("int64")
+        m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
+        both = m["last_e"].notna() & m["last_o"].notna()
+        lag = pd.array([pd.NA] * len(m), dtype="Int32")
+        if both.any():
+            de = pd.to_datetime(m.loc[both, "last_e"]).values.astype(
+                "datetime64[D]"
+            )
+            do = pd.to_datetime(m.loc[both, "last_o"]).values.astype(
+                "datetime64[D]"
+            )
+            lag[np.asarray(both)] = (de - do).astype("int64").astype(
+                "int32"
+            )
+        m["event_after_order_days"] = lag
+        m["user_id"] = m["user_id"].astype("int64")
+        return m[_cols]
 
-    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
-    orders = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    n_buckets = 64
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast("int")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .withColumn("bucket", bucket)
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .withColumn("bucket", bucket)
     )
     return (
-        ev.groupBy("user_id")
-        .cogroup(orders.groupBy("user_id"))
+        ev.groupBy("bucket")
+        .cogroup(orders.groupBy("bucket"))
         .applyInPandas(
-            _profile,
+            lambda e, o: _profile(e, o),
             "user_id bigint, n_events bigint, n_orders bigint, "
             "event_after_order_days int",
         )
