@@ -71,6 +71,8 @@ _CHECK_FIRST = (
     # past position 50 (dq_slo_burn_rate_alerts through
     # curation_weighted_sample_es) park just before the §2 six, which
     # stay ≤60 (pytest-guarded).
+    "join_value_band_bucketed",
+    "curation_k_anonymity_audit",
     "pyfunc_cogrouped_user_profile",
     "sim_int8_quantization_error",
     "sim_matryoshka_truncation_recall",
@@ -121,16 +123,18 @@ _CHECK_FIRST = (
     "ts_markov_next_event_accuracy",
     "set_relational_division",
     "window_attribution_time_decay",
-    "dq_slo_burn_rate_alerts",
-    "dq_join_cardinality_forecast",
-    "scalar_mod97_checksum",
-    "curation_weighted_sample_es",
+    # §2 six: immediately after the 50-slot window (≤60, pytest-guarded).
     "etl_full_snapshot",
     "etl_window_extract",
     "etl_inf_null_clean",
     "etl_retention_complement",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
+    # Parked past the window by waves 3-4 — first in line for round 9.
+    "dq_slo_burn_rate_alerts",
+    "dq_join_cardinality_forecast",
+    "scalar_mod97_checksum",
+    "curation_weighted_sample_es",
     "agg_abc_xyz_classification",
     "dq_interval_integrity_audit",
     "mm_wav_zero_crossing_rate",
@@ -270,29 +274,30 @@ _CHECK_LAST = (
 )
 
 # ROUND-9 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r08
-# confirms the round-8 window (positions 1-50 above: 4 wave-3 entries —
-# the bucketed-cogroup rewrite + 3 new embedding-compression audits —
-# then the 4 round-8 perf/plan changes, 21 new round-8 queries, the 11
-# never-checked ngram-pair consumers whose plans changed with the
-# _fan_out fix, and the planned tail through position 50), replace
-# positions 1-50 with the next ~50 still-never-driver-green names —
-# round-9 changes/additions first, then the names displaced past the
-# window by wave 3 (dq_slo_burn_rate_alerts,
-# dq_join_cardinality_forecast, scalar_mod97_checksum,
-# curation_weighted_sample_es — parked at 51-54), then the earlier
-# parked set (agg_abc_xyz_classification, dq_interval_integrity_audit,
-# mm_wav_zero_crossing_rate, agg_price_volume_mix,
-# ts_record_breaking_days, agg_ratio_metric_delta_ci,
-# window_rolling_ols_slope, ts_western_electric_rules at 61-68), then
-# the demoted tail in order (window_interval_coalesce,
-# join_nearest_price_neighbor, scd2_as_was_vs_as_is, ... through
-# agg_levene_brown_forsythe), then the large never-checked families:
-# ts_* (~30 left), agg_* statistical tail (~35), text_* IR tail (~25),
-# dq_* profiling tail (~12), mm_*, sim_*, remaining TPC-H variants
-# (q10-q22). Keep the §2 six immediately after the window
-# (pytest-guarded ≤60; currently 55-60). All tail names pass the strict
-# local gate at sf0.001 AND sf0.01; rotation converts that into
-# driver-proven union coverage.
+# confirms the round-8 window (positions 1-50 above: 6 wave-3/4 entries
+# — the band range join, the k-anonymity audit, the bucketed-cogroup
+# rewrite, 3 embedding-compression audits — then the 4 round-8
+# perf/plan changes, 21 new round-8 queries, the 11 never-checked
+# ngram-pair consumers whose plans changed with the _fan_out fix, and
+# the planned tail through position 50), replace positions 1-50 with
+# the next ~50 still-never-driver-green names — round-9
+# changes/additions first, then the names displaced past the window by
+# waves 3/4 (set_relational_division, window_attribution_time_decay at
+# 51-52; dq_slo_burn_rate_alerts, dq_join_cardinality_forecast,
+# scalar_mod97_checksum, curation_weighted_sample_es at 59-62), then
+# the earlier parked set (agg_abc_xyz_classification,
+# dq_interval_integrity_audit, mm_wav_zero_crossing_rate,
+# agg_price_volume_mix, ts_record_breaking_days,
+# agg_ratio_metric_delta_ci, window_rolling_ols_slope,
+# ts_western_electric_rules), then the demoted tail in order
+# (window_interval_coalesce, join_nearest_price_neighbor,
+# scd2_as_was_vs_as_is, ... through agg_levene_brown_forsythe), then
+# the large never-checked families: ts_* (~30 left), agg_* statistical
+# tail (~35), text_* IR tail (~25), dq_* profiling tail (~12), mm_*,
+# sim_*, remaining TPC-H variants (q10-q22). Keep the §2 six
+# immediately after the window (pytest-guarded ≤60; currently 53-58).
+# All tail names pass the strict local gate at sf0.001 AND sf0.01;
+# rotation converts that into driver-proven union coverage.
 
 
 def _load_all() -> None:

@@ -11732,3 +11732,72 @@ def agg_ship_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority", "n", "p50_days", "p90_days", "p99_days",
         "min_days", "max_days",
     )
+
+
+_BAND_JOIN_ORACLE = """
+WITH e AS (
+    SELECT event_id, event_type, CAST(ts AS DATE) AS d, value AS v
+    FROM events WHERE NOT isnan(value) AND isfinite(value)
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       a.event_type, a.d AS day, b.v - a.v AS dv
+FROM e a
+JOIN e b
+  ON b.event_type = a.event_type AND b.d = a.d
+ AND b.event_id > a.event_id
+ AND b.v >= a.v - 0.5 AND b.v <= a.v + 0.5
+"""
+
+
+@query("join_value_band_bucketed", oracle=_BAND_JOIN_ORACLE)
+def join_value_band_bucketed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ε-band range self-join via bucket decomposition: pairs of
+    same-day same-type events whose values lie within ±0.5 of each
+    other. The naive plan is a theta join (|v_b − v_a| ≤ ε inside the
+    join condition → BroadcastNestedLoop or cartesian — dead at scale);
+    this plan maps every value to bucket ⌊v/ε⌋ and probes the three
+    covering buckets (b−1, b, b+1) as an EQUI-join key alongside
+    (event_type, day), then verifies the exact band predicate. Coverage
+    is lossless: |v_b − v_a| ≤ ε forces the bucket ids to differ by at
+    most 1, and each pair matches through exactly one probe bucket (the
+    build side's own bucket), so no dedup pass is needed. At 100 TB
+    this is THE band-join recipe — shuffle by (type, day, bucket),
+    per-bucket fan-out a constant 3×, never a quadratic compare."""
+    v = F.col("value")
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(~F.isnan(v) & ~v.isin(float("inf"), float("-inf")))
+        .select(
+            "event_id",
+            "event_type",
+            F.to_date("ts").alias("d"),
+            v.alias("v"),
+            F.floor(F.col("value") / F.lit(0.5)).cast("long").alias("bk"),
+        )
+    )
+    probe = e.withColumn(
+        "pb",
+        F.explode(
+            F.array(
+                F.col("bk") - F.lit(1), F.col("bk"), F.col("bk") + F.lit(1)
+            )
+        ),
+    )
+    a, b = probe.alias("a"), e.alias("b")
+    return a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.col("a.d"))
+        & (F.col("b.bk") == F.col("a.pb"))
+        & (F.col("b.event_id") > F.col("a.event_id"))
+        & (F.col("b.v") >= F.col("a.v") - F.lit(0.5))
+        & (F.col("b.v") <= F.col("a.v") + F.lit(0.5)),
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("day"),
+        (F.col("b.v") - F.col("a.v")).alias("dv"),
+    )

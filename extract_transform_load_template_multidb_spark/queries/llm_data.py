@@ -10293,3 +10293,74 @@ def sim_binary_sign_hamming_recall(
             / F.lit(10).cast("double")
         ).alias("recall_at_10"),
     )
+
+
+_KANON_ORACLE = """
+WITH classes AS (
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+           CAST(count(*) AS BIGINT) AS k
+    FROM customer
+    GROUP BY 1, 2, 3
+),
+tot AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM customer),
+banded AS (
+    SELECT CASE WHEN k = 1 THEN 'k=1'
+                WHEN k < 5 THEN 'k=2-4'
+                WHEN k < 10 THEN 'k=5-9'
+                ELSE 'k>=10' END AS k_band,
+           k
+    FROM classes
+)
+SELECT k_band,
+       CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(SUM(k) AS BIGINT) AS n_rows,
+       CAST(SUM(k) AS DOUBLE) / CAST(max(tot.n_rows) AS DOUBLE)
+           AS pct_rows
+FROM banded CROSS JOIN tot
+GROUP BY k_band
+"""
+
+
+@query("curation_k_anonymity_audit", oracle=_KANON_ORACLE)
+def curation_k_anonymity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier triple (nation,
+    market segment, account-balance band): how many equivalence classes
+    — and what fraction of ROWS — sit below the re-identification
+    thresholds k<2, k<5, k<10. This is the privacy gate a curation
+    pipeline runs before releasing per-customer aggregates; rows in the
+    'k=1' band are uniquely re-identifiable from the quasi-identifiers
+    alone. One groupBy over the QI columns + a broadcast 1-row total;
+    at 100 TB the QI groupBy is the only shuffle and is map-side
+    combinable."""
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / F.lit(1000)).cast("long").alias(
+            "bal_band"
+        ),
+    ).agg(F.count(F.lit(1)).cast("long").alias("k"))
+    tot = cust.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    banded = classes.select(
+        F.when(F.col("k") == 1, F.lit("k=1"))
+        .when(F.col("k") < 5, F.lit("k=2-4"))
+        .when(F.col("k") < 10, F.lit("k=5-9"))
+        .otherwise(F.lit("k>=10"))
+        .alias("k_band"),
+        "k",
+    )
+    return (
+        banded.crossJoin(F.broadcast(tot))
+        .groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.sum("k").cast("long").alias("n_rows"),
+            (
+                F.sum("k").cast("double")
+                / F.max("n_rows").cast("double")
+            ).alias("pct_rows"),
+        )
+    )

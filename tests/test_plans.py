@@ -1956,3 +1956,16 @@ def test_cogrouped_profile_is_bucketed_not_per_entity(spark, sf_dir):
     assert "FlatMapCoGroupsInPandas" in plan
     assert "hashpartitioning(bucket" in plan
     assert "hashpartitioning(user_id" not in plan
+
+
+def test_band_join_is_equi_join_not_theta(spark, sf_dir):
+    """The ε-band range self-join must plan as a hash/sort-merge EQUI
+    join on (event_type, day, bucket) with the band predicate as a
+    post-join filter — never a BroadcastNestedLoopJoin or cartesian
+    with the range condition inside (the naive theta-join plan that
+    dies at scale)."""
+    plan = _plan(spark, sf_dir, "join_value_band_bucketed")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
+        or "BroadcastHashJoin" in plan
