@@ -944,3 +944,135 @@ def test_bpe_apply_replace_chain_matches_reference(spark):
     nt = F.length(sym) - F.length(F.replace(sym, F.lit("("), F.lit("")))
     got = [r["nt"] for r in df.select(nt.alias("nt")).collect()]
     assert got == [ref_tokens(t) for t in docs]
+
+
+@given(
+    va=st.floats(-1000, 1000, allow_nan=False),
+    delta=st.floats(-0.5, 0.5, allow_nan=False),
+)
+@settings(**_SETTINGS)
+def test_band_join_bucket_cover_is_lossless(va, delta):
+    """The ε-band bucket-decomposition lemma join_value_band_bucketed
+    relies on: if |v_b − v_a| ≤ ε then bucket(v_b) is within ±1 of
+    bucket(v_a), where bucket(v) = floor(v/ε). Probing three buckets
+    therefore never drops a qualifying pair, for any values and any
+    sub-band offset (ε = 0.5 as in the query)."""
+    import math
+
+    eps = 0.5
+    vb = va + delta
+    if not (abs(vb - va) <= eps):  # float rounding pushed it outside
+        return
+    assert abs(math.floor(vb / eps) - math.floor(va / eps)) <= 1
+
+
+@given(
+    vec=st.lists(
+        st.floats(-10, 10, allow_nan=False, width=32),
+        min_size=1,
+        max_size=64,
+    ).filter(lambda v: max(abs(x) for x in v) > 0)
+)
+@settings(**_SETTINGS)
+def test_int8_quantization_error_bound(vec):
+    """sim_int8_quantization_error's formula, replicated in numpy: the
+    clamped int8 code is always in [-127, 127], and every unsaturated
+    element's reconstruction error is ≤ half a quantization step
+    (0.5/scale), so the per-vector MSE the query reports is bounded by
+    (0.5/scale)² for saturation-free vectors."""
+    import numpy as np
+
+    x = np.asarray(vec, dtype=np.float64)
+    maxabs = np.abs(x).max()
+    scale = 127.0 / maxabs
+    qr = np.floor(x * scale + 0.5)
+    qi = np.clip(qr, -127, 127)
+    assert qi.min() >= -127 and qi.max() <= 127
+    deq = qi / scale
+    unsat = np.abs(qr) <= 127
+    step = 0.5 / scale
+    # tiny float headroom: the bound is exact in real arithmetic
+    assert np.all(np.abs(x[unsat] - deq[unsat]) <= step * (1 + 1e-12))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 6),          # user_id
+            st.integers(0, 400),        # event day offset
+            st.booleans(),              # True → event row, False → order
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_bucketed_cogroup_profile_matches_per_user_reference(rows):
+    """The vectorized pandas body of pyfunc_cogrouped_user_profile
+    (groupby/merge over a whole bucket) must equal the naive per-user
+    reference: counts from each side and the day lag between last event
+    and last order, NULL unless the user has both."""
+    import numpy as np
+    import pandas as pd
+
+    base = np.datetime64("2024-01-01")
+    ev = pd.DataFrame(
+        [
+            {"user_id": u, "ts": pd.Timestamp(base + np.timedelta64(d, "D"))}
+            for (u, d, is_ev) in rows
+            if is_ev
+        ]
+    )
+    od = pd.DataFrame(
+        [
+            {
+                "user_id": u,
+                "o_orderdate": pd.Timestamp(base + np.timedelta64(d, "D")),
+            }
+            for (u, d, is_ev) in rows
+            if not is_ev
+        ]
+    )
+    if ev.empty:
+        ev = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                           "ts": pd.Series(dtype="datetime64[ns]")})
+    if od.empty:
+        od = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
+                           "o_orderdate": pd.Series(dtype="datetime64[ns]")})
+
+    # vectorized body (mirrors queries/pyfunc.py _profile)
+    e = ev.groupby("user_id", as_index=False).agg(
+        n_events=("ts", "size"), last_e=("ts", "max")
+    )
+    o = od.groupby("user_id", as_index=False).agg(
+        n_orders=("o_orderdate", "size"), last_o=("o_orderdate", "max")
+    )
+    m = e.merge(o, on="user_id", how="outer")
+    m["n_events"] = m["n_events"].fillna(0).astype("int64")
+    m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
+    got = {}
+    for _, r in m.iterrows():
+        lag = None
+        if pd.notna(r.get("last_e")) and pd.notna(r.get("last_o")):
+            lag = int(
+                (
+                    np.datetime64(r["last_e"], "D")
+                    - np.datetime64(r["last_o"], "D")
+                ).astype("int64")
+            )
+        got[int(r["user_id"])] = (int(r["n_events"]), int(r["n_orders"]), lag)
+
+    # naive per-user reference
+    users = set(ev["user_id"]) | set(od["user_id"])
+    for u in users:
+        ue = ev[ev["user_id"] == u]
+        uo = od[od["user_id"] == u]
+        lag = None
+        if len(ue) and len(uo):
+            lag = int(
+                (
+                    np.datetime64(ue["ts"].max(), "D")
+                    - np.datetime64(uo["o_orderdate"].max(), "D")
+                ).astype("int64")
+            )
+        assert got[int(u)] == (len(ue), len(uo), lag), u
