@@ -65,12 +65,14 @@ _loaded = False
 # pairs go last so a budget cut re-verifies proven heavy queries rather
 # than denying first evidence to cheap ones.
 _CHECK_FIRST = (
-    # Round-8 wave 3: changed plan (bucketed cogroup rewrite) + the
-    # three new embedding-compression audits — never driver-checked,
-    # so they take the head of the window; the four names this pushes
-    # past position 50 (dq_slo_burn_rate_alerts through
-    # curation_weighted_sample_es) park just before the §2 six, which
-    # stay ≤60 (pytest-guarded).
+    # Round-8 waves 3/4: two new wave-4 queries, the changed-plan
+    # bucketed-cogroup rewrite, and the three new embedding-compression
+    # audits — never driver-checked, so they take the head of the
+    # window. The six names this pushes past position 50 land as:
+    # set_relational_division + window_attribution_time_decay at 51-52
+    # (right before the §2 six at 53-58, pytest-guarded ≤60), and
+    # dq_slo_burn_rate_alerts through curation_weighted_sample_es at
+    # 59-62 (right after the six).
     "join_value_band_bucketed",
     "curation_k_anonymity_audit",
     "pyfunc_cogrouped_user_profile",

@@ -10060,9 +10060,15 @@ def sim_int8_quantization_error(
             (_diff(v) * _diff(v)) * F.lit(1000000000000).cast("double")
         ).cast("long")
 
-    return emb.select(
+    # Fold the squared-error sum ONCE, then derive mse from the folded
+    # column — inlining the fold into mse would duplicate the whole
+    # per-element expression tree in the plan (2× the scan work unless
+    # Catalyst's CSE catches the higher-order function, which it is not
+    # guaranteed to do).
+    folded = emb.select(
         "vec_id",
         "scale",
+        "n_dims",
         F.aggregate(
             "embedding",
             F.lit(0).cast("long"),
@@ -10076,12 +10082,14 @@ def sim_int8_quantization_error(
             F.lit(0).cast("long"),
             lambda acc, v: acc + _term(v),
         ).alias("ssq_q"),
+    )
+    return folded.select(
+        "vec_id",
+        "scale",
+        "n_saturated",
+        "ssq_q",
         (
-            F.aggregate(
-                "embedding",
-                F.lit(0).cast("long"),
-                lambda acc, v: acc + _term(v),
-            ).cast("double")
+            F.col("ssq_q").cast("double")
             / F.lit(1000000000000).cast("double")
             / F.col("n_dims").cast("double")
         ).alias("mse"),
@@ -10155,6 +10163,27 @@ GROUP BY tf.qid
 )
 
 
+def _recall_at_10(full: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query overlap of an approximate top-10 against the exact
+    top-10: left join on (query_id, neighbor_id), count the hits, and
+    report n_overlap plus recall = n/10. Shared by the matryoshka and
+    binary-Hamming audits so the recall contract lives in one place."""
+    joined = full.select("query_id", "neighbor_id").join(
+        approx.select("query_id", "neighbor_id").withColumn(
+            "m", F.lit(1).cast("long")
+        ),
+        ["query_id", "neighbor_id"],
+        "left",
+    )
+    hit = F.coalesce(F.col("m"), F.lit(0).cast("long"))
+    return joined.groupBy("query_id").agg(
+        F.sum(hit).cast("long").alias("n_overlap"),
+        (F.sum(hit).cast("double") / F.lit(10).cast("double")).alias(
+            "recall_at_10"
+        ),
+    )
+
+
 @query("sim_matryoshka_truncation_recall", oracle=_MRL_ORACLE)
 def sim_matryoshka_truncation_recall(
     spark: SparkSession, sf_dir: str
@@ -10177,24 +10206,7 @@ def sim_matryoshka_truncation_recall(
     half = sim.cosine_topk_bruteforce(
         half_emb, half_emb.filter(F.col("vec_id") < 16), k=10
     )
-    joined = full.select("query_id", "neighbor_id").join(
-        half.select("query_id", "neighbor_id").withColumn(
-            "m", F.lit(1).cast("long")
-        ),
-        ["query_id", "neighbor_id"],
-        "left",
-    )
-    return joined.groupBy("query_id").agg(
-        F.sum(F.coalesce(F.col("m"), F.lit(0).cast("long")))
-        .cast("long")
-        .alias("n_overlap"),
-        (
-            F.sum(F.coalesce(F.col("m"), F.lit(0).cast("long"))).cast(
-                "double"
-            )
-            / F.lit(10).cast("double")
-        ).alias("recall_at_10"),
-    )
+    return _recall_at_10(full, half)
 
 
 _HAMMING_ORACLE = (
@@ -10276,23 +10288,8 @@ def sim_binary_sign_hamming_recall(
     )
     full = sim.cosine_topk_bruteforce(
         emb, emb.filter(F.col("vec_id") < 16), k=10
-    ).select("query_id", "neighbor_id")
-    joined = full.join(
-        topb.withColumn("m", F.lit(1).cast("long")),
-        ["query_id", "neighbor_id"],
-        "left",
     )
-    return joined.groupBy("query_id").agg(
-        F.sum(F.coalesce(F.col("m"), F.lit(0).cast("long")))
-        .cast("long")
-        .alias("n_overlap"),
-        (
-            F.sum(F.coalesce(F.col("m"), F.lit(0).cast("long"))).cast(
-                "double"
-            )
-            / F.lit(10).cast("double")
-        ).alias("recall_at_10"),
-    )
+    return _recall_at_10(full, topb)
 
 
 _KANON_ORACLE = """

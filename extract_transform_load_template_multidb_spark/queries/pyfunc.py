@@ -162,12 +162,12 @@ _COGROUP_ORACLE = """
 WITH e AS (
     SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(max(ts) AS DATE) AS last_event_day
-    FROM events GROUP BY user_id
+    FROM events WHERE user_id IS NOT NULL GROUP BY user_id
 ),
 o AS (
     SELECT o_custkey AS user_id, CAST(COUNT(*) AS BIGINT) AS n_orders,
            max(CAST(o_orderdate AS DATE)) AS last_order_day
-    FROM orders GROUP BY o_custkey
+    FROM orders WHERE o_custkey IS NOT NULL GROUP BY o_custkey
 )
 SELECT COALESCE(e.user_id, o.user_id) AS user_id,
        COALESCE(e.n_events, 0) AS n_events,
@@ -177,6 +177,46 @@ SELECT COALESCE(e.user_id, o.user_id) AS user_id,
        END AS event_after_order_days
 FROM e FULL OUTER JOIN o ON o.user_id = e.user_id
 """
+
+
+_PROFILE_COLS = ["user_id", "n_events", "n_orders", "event_after_order_days"]
+
+
+def _bucketed_profile(
+    events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame
+) -> pd.DataFrame:
+    """Vectorized per-bucket body of pyfunc_cogrouped_user_profile: a
+    pandas groupby per side + one outer merge computes every user in
+    the bucket in one interpreter crossing. Module-level so
+    tests/test_properties.py pins THIS code against a naive per-user
+    reference, not a copy. Assumes NULL-free user_id (the query filters
+    both sides — pandas merges NaN keys to each other, SQL's equi-join
+    does not, so NULL keys must never reach this body)."""
+    import numpy as np
+
+    e = events_pdf.groupby("user_id", as_index=False).agg(
+        n_events=("ts", "size"), last_e=("ts", "max")
+    )
+    o = orders_pdf.groupby("user_id", as_index=False).agg(
+        n_orders=("o_orderdate", "size"),
+        last_o=("o_orderdate", "max"),
+    )
+    m = e.merge(o, on="user_id", how="outer")
+    m["n_events"] = m["n_events"].fillna(0).astype("int64")
+    m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
+    both = m["last_e"].notna() & m["last_o"].notna()
+    lag = pd.array([pd.NA] * len(m), dtype="Int32")
+    if both.any():
+        de = pd.to_datetime(m.loc[both, "last_e"]).values.astype(
+            "datetime64[D]"
+        )
+        do = pd.to_datetime(m.loc[both, "last_o"]).values.astype(
+            "datetime64[D]"
+        )
+        lag[np.asarray(both)] = (de - do).astype("int64").astype("int32")
+    m["event_after_order_days"] = lag
+    m["user_id"] = m["user_id"].astype("int64")
+    return m[_PROFILE_COLS]
 
 
 @query("pyfunc_cogrouped_user_profile", oracle=_COGROUP_ORACLE)
@@ -195,59 +235,35 @@ def pyfunc_cogrouped_user_profile(
     BUCKET of the entity id: both sides shuffle once by
     ``pmod(xxhash64(user_id), 64)``, each call gets every row for all
     users in one bucket, and a vectorized pandas ``groupby``/``merge``
-    inside the call does the per-user math. Same output, ~1000× fewer
-    interpreter crossings — the shape a 100 TB per-entity backfill
-    actually uses (Python cost scales with buckets, not entities).
-    For purely relational profiles like this one the JVM join is the
-    production path, which is the parity being pinned."""
-    import numpy as np
-
-    _cols = ["user_id", "n_events", "n_orders", "event_after_order_days"]
-
-    def _profile(events_pdf: pd.DataFrame, orders_pdf: pd.DataFrame):
-        e = events_pdf.groupby("user_id", as_index=False).agg(
-            n_events=("ts", "size"), last_e=("ts", "max")
-        )
-        o = orders_pdf.groupby("user_id", as_index=False).agg(
-            n_orders=("o_orderdate", "size"),
-            last_o=("o_orderdate", "max"),
-        )
-        m = e.merge(o, on="user_id", how="outer")
-        m["n_events"] = m["n_events"].fillna(0).astype("int64")
-        m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
-        both = m["last_e"].notna() & m["last_o"].notna()
-        lag = pd.array([pd.NA] * len(m), dtype="Int32")
-        if both.any():
-            de = pd.to_datetime(m.loc[both, "last_e"]).values.astype(
-                "datetime64[D]"
-            )
-            do = pd.to_datetime(m.loc[both, "last_o"]).values.astype(
-                "datetime64[D]"
-            )
-            lag[np.asarray(both)] = (de - do).astype("int64").astype(
-                "int32"
-            )
-        m["event_after_order_days"] = lag
-        m["user_id"] = m["user_id"].astype("int64")
-        return m[_cols]
-
+    inside the call (:func:`_bucketed_profile`) does the per-user math.
+    Same output, ~1000× fewer interpreter crossings — the shape a
+    100 TB per-entity backfill actually uses (Python cost scales with
+    buckets, not entities). NULL keys are filtered on BOTH the Spark
+    side and the oracle: pandas' merge matches NaN join keys to each
+    other while SQL's equi-join does not, so letting NULLs through
+    would diverge the engines (none exist in the fixtures — this pins
+    the contract). For purely relational profiles like this one the
+    JVM join is the production path, which is the parity being
+    pinned."""
     n_buckets = 64
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast("int")
     ev = (
         load_table(spark, sf_dir, "events")
         .select("user_id", "ts")
+        .filter(F.col("user_id").isNotNull())
         .withColumn("bucket", bucket)
     )
     orders = (
         load_table(spark, sf_dir, "orders")
         .select(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .filter(F.col("user_id").isNotNull())
         .withColumn("bucket", bucket)
     )
     return (
         ev.groupBy("bucket")
         .cogroup(orders.groupBy("bucket"))
         .applyInPandas(
-            lambda e, o: _profile(e, o),
+            _bucketed_profile,
             "user_id bigint, n_events bigint, n_orders bigint, "
             "event_after_order_days int",
         )

@@ -1009,11 +1009,16 @@ def test_int8_quantization_error_bound(vec):
 @settings(**_SETTINGS)
 def test_bucketed_cogroup_profile_matches_per_user_reference(rows):
     """The vectorized pandas body of pyfunc_cogrouped_user_profile
-    (groupby/merge over a whole bucket) must equal the naive per-user
-    reference: counts from each side and the day lag between last event
-    and last order, NULL unless the user has both."""
+    (the REAL `_bucketed_profile`, imported — not a copy) must equal
+    the naive per-user reference: counts from each side and the day lag
+    between last event and last order, NULL unless the user has
+    both."""
     import numpy as np
     import pandas as pd
+
+    from extract_transform_load_template_multidb_spark.queries.pyfunc import (
+        _bucketed_profile,
+    )
 
     base = np.datetime64("2024-01-01")
     ev = pd.DataFrame(
@@ -1040,26 +1045,14 @@ def test_bucketed_cogroup_profile_matches_per_user_reference(rows):
         od = pd.DataFrame({"user_id": pd.Series(dtype="int64"),
                            "o_orderdate": pd.Series(dtype="datetime64[ns]")})
 
-    # vectorized body (mirrors queries/pyfunc.py _profile)
-    e = ev.groupby("user_id", as_index=False).agg(
-        n_events=("ts", "size"), last_e=("ts", "max")
-    )
-    o = od.groupby("user_id", as_index=False).agg(
-        n_orders=("o_orderdate", "size"), last_o=("o_orderdate", "max")
-    )
-    m = e.merge(o, on="user_id", how="outer")
-    m["n_events"] = m["n_events"].fillna(0).astype("int64")
-    m["n_orders"] = m["n_orders"].fillna(0).astype("int64")
+    m = _bucketed_profile(ev, od)
     got = {}
     for _, r in m.iterrows():
-        lag = None
-        if pd.notna(r.get("last_e")) and pd.notna(r.get("last_o")):
-            lag = int(
-                (
-                    np.datetime64(r["last_e"], "D")
-                    - np.datetime64(r["last_o"], "D")
-                ).astype("int64")
-            )
+        lag = (
+            None
+            if pd.isna(r["event_after_order_days"])
+            else int(r["event_after_order_days"])
+        )
         got[int(r["user_id"])] = (int(r["n_events"]), int(r["n_orders"]), lag)
 
     # naive per-user reference

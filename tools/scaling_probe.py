@@ -33,20 +33,35 @@ from extract_transform_load_template_multidb_spark.catalog import load_table
 from extract_transform_load_template_multidb_spark.operators import dedup as dd
 from extract_transform_load_template_multidb_spark.session import get_spark
 
+# Salt scheme version: token-aligned xq<r>x suffix on every replica.
+# Counts are only comparable within one scheme, so the artifact records
+# it and cross-execution merging requires a match.
+_SALT = "token-aligned-xq<r>x-v2"
+
 
 def replicate_salted(docs, k: int):
     """k deterministic replicas; every token salted with the replica id
-    so cross-replica shingles never collide (word-level suffix keeps the
-    token-count/length distributions intact). Replica 0 is the original
-    corpus unchanged."""
-    parts = [docs.select("doc_id", "text")]
+    so cross-replica shingles never collide, keeping the token-count /
+    length distributions intact. The salt must be airtight against the
+    downstream tokenizer (operators.dedup.tokenize lowercases and splits
+    on ``[^a-z0-9]+``), so it is applied to exactly the tokenizer's own
+    ``[a-z0-9]+`` runs of the LOWERED text — a ``\\S+`` salt would
+    detach at punctuation ('a.b' -> tokens 'a','b0') and an
+    unsalted replica could collide with a salted one ('foo1' vs
+    'foo'+'1'). Salting EVERY replica (including replica 0) with an
+    equal-length suffix ``xq<r>x`` makes cross-replica equality require
+    equal suffixes, which identifies the replica — structurally
+    impossible across replicas, regardless of corpus content."""
     n = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    for r in range(1, k):
+    parts = []
+    for r in range(k):
         parts.append(
             docs.select(
                 (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
                 F.regexp_replace(
-                    F.col("text"), r"(\S+)", r"$1" + str(r)
+                    F.lower(F.col("text")),
+                    r"([a-z0-9]+)",
+                    r"$1xq" + str(r) + "x",
                 ).alias("text"),
             )
         )
@@ -98,9 +113,29 @@ def main() -> None:
         print(json.dumps({"k": k, **best}), flush=True)
         corpus.unpersist()
 
-    # log-log slope of total_s vs k over the measured points (least
-    # squares on (ln k, ln t)); 1.0 = linear, 2.0 = quadratic.
-    pts = [(math.log(k), math.log(r["total_s"])) for k, r in results.items()]
+    path = f"SCALING_r{rnd.zfill(2)}.json"
+    # Merge with an existing artifact from a previous execution: counts
+    # must agree (they are deterministic); wall times keep the per-k
+    # BEST across executions, so re-running the probe refines the
+    # artifact monotonically instead of overwriting it with one noisy
+    # session.
+    merged = {str(k): dict(r) for k, r in results.items()}
+    if os.path.exists(path):
+        try:
+            prev = json.load(open(path))
+            if prev.get("sf_dir") == sf_dir and prev.get("salt") == _SALT:
+                for k, old in prev.get("results", {}).items():
+                    cur = merged.get(k)
+                    if cur is None:
+                        merged[k] = old
+                    elif old["total_s"] < cur["total_s"]:
+                        merged[k] = old
+        except (ValueError, KeyError):
+            pass
+
+    pts = [
+        (math.log(int(k)), math.log(r["total_s"])) for k, r in merged.items()
+    ]
     n = len(pts)
     slope = None
     if n >= 2:
@@ -109,19 +144,23 @@ def main() -> None:
         sxx = sum((x - mx) ** 2 for x, _ in pts)
         sxy = sum((x - mx) * (y - my) for x, y in pts)
         slope = round(sxy / sxx, 3) if sxx else None
+
     # Pair counts are k x base in ground truth; the BANDED candidate
     # stage's recall varies a few % per replica because salted shingles
     # hash to different signatures, so allow 5% around linear.
-    k0 = min(results)
-    per_unit = results[k0]["n_pairs"] / k0
-    pair_linear = all(
-        abs(r["n_pairs"] - k * per_unit) <= 0.05 * k * per_unit
-        for k, r in results.items()
-    )
+    k0 = min(int(k) for k in merged)
+    per_unit = merged[str(k0)]["n_pairs"] / k0
+    ratios = {
+        k: round(r["n_pairs"] / (int(k) * per_unit), 4)
+        for k, r in merged.items()
+    }
+    pair_linear = all(abs(v - 1.0) <= 0.05 for v in ratios.values())
     out = {
         "probe": "dedup_near_dup_pairs+connected_components",
+        "salt": _SALT,
         "sf_dir": sf_dir,
-        "results": {str(k): r for k, r in results.items()},
+        "results": merged,
+        "pair_count_ratio_vs_exact_linear": ratios,
         "loglog_slope_total_s": slope,
         "pairs_exactly_linear": pair_linear,
         "notes": (
@@ -129,11 +168,15 @@ def main() -> None:
             "match): ground-truth pairs/clusters are exactly k x base, so "
             "slope ~1 certifies the banded+skew-capped pipeline scales "
             "linearly in corpus size; slope ~2 would indict a quadratic "
-            "candidate stage. Wall times are single-run on a noisy host - "
-            "read the slope, not any one point."
+            "candidate stage. Wall times are the per-k best across "
+            "min-of-2 runs in every probe execution, merged across "
+            "executions (this host shows 2-15x contention bursts) - read "
+            "the slope and the pair-count ratios, not any one point. The "
+            "probe gives each k 32k partitions, so on a fixed 32-thread "
+            "host small k under-utilizes and the fitted slope reads "
+            "sublinear; the informative region is the largest-k doubling."
         ),
     }
-    path = f"SCALING_r{rnd.zfill(2)}.json"
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
     print(json.dumps({"summary": True, "slope": slope,
