@@ -11749,6 +11749,41 @@ JOIN e b
 """
 
 
+def band_self_join(e: DataFrame, eps: float = 0.5) -> DataFrame:
+    """Bucket-decomposed ε-band self-join over a prepared frame with
+    columns (event_id, event_type, d, v): see
+    :func:`join_value_band_bucketed` for the recipe and the coverage
+    argument. Factored out so tools/scaling_probe.py measures the SAME
+    plan the registered query runs."""
+    e = e.withColumn(
+        "bk", F.floor(F.col("v") / F.lit(eps)).cast("long")
+    )
+    probe = e.withColumn(
+        "pb",
+        F.explode(
+            F.array(
+                F.col("bk") - F.lit(1), F.col("bk"), F.col("bk") + F.lit(1)
+            )
+        ),
+    )
+    a, b = probe.alias("a"), e.alias("b")
+    return a.join(
+        b,
+        (F.col("b.event_type") == F.col("a.event_type"))
+        & (F.col("b.d") == F.col("a.d"))
+        & (F.col("b.bk") == F.col("a.pb"))
+        & (F.col("b.event_id") > F.col("a.event_id"))
+        & (F.col("b.v") >= F.col("a.v") - F.lit(eps))
+        & (F.col("b.v") <= F.col("a.v") + F.lit(eps)),
+    ).select(
+        F.col("a.event_id").alias("id_a"),
+        F.col("b.event_id").alias("id_b"),
+        F.col("a.event_type").alias("event_type"),
+        F.col("a.d").alias("day"),
+        (F.col("b.v") - F.col("a.v")).alias("dv"),
+    )
+
+
 @query("join_value_band_bucketed", oracle=_BAND_JOIN_ORACLE)
 def join_value_band_bucketed(
     spark: SparkSession, sf_dir: str
@@ -11774,30 +11809,6 @@ def join_value_band_bucketed(
             "event_type",
             F.to_date("ts").alias("d"),
             v.alias("v"),
-            F.floor(F.col("value") / F.lit(0.5)).cast("long").alias("bk"),
         )
     )
-    probe = e.withColumn(
-        "pb",
-        F.explode(
-            F.array(
-                F.col("bk") - F.lit(1), F.col("bk"), F.col("bk") + F.lit(1)
-            )
-        ),
-    )
-    a, b = probe.alias("a"), e.alias("b")
-    return a.join(
-        b,
-        (F.col("b.event_type") == F.col("a.event_type"))
-        & (F.col("b.d") == F.col("a.d"))
-        & (F.col("b.bk") == F.col("a.pb"))
-        & (F.col("b.event_id") > F.col("a.event_id"))
-        & (F.col("b.v") >= F.col("a.v") - F.lit(0.5))
-        & (F.col("b.v") <= F.col("a.v") + F.lit(0.5)),
-    ).select(
-        F.col("a.event_id").alias("id_a"),
-        F.col("b.event_id").alias("id_b"),
-        F.col("a.event_type").alias("event_type"),
-        F.col("a.d").alias("day"),
-        (F.col("b.v") - F.col("a.v")).alias("dv"),
-    )
+    return band_self_join(e, eps=0.5)

@@ -12,9 +12,15 @@ base counts, and a scale-correct plan should grow close to linearly
 unbanded LSH, skew-blind bucket expansion) would show slope ~= 2 and
 k^2 pair counts instead.
 
-Usage: python tools/scaling_probe.py [k ...]   (default 1 2 4 8)
-Writes SCALING_r{N}.json (env SPARK_GRAFT_ROUND, default 8) and prints
-one JSON line per k plus a summary with the fitted log-log slope.
+Usage: python tools/scaling_probe.py [--probe dedup|band] [k ...]
+(default probe dedup, k = 1 2 4 8). Writes SCALING_r{N}.json (dedup) or
+SCALING_BAND_r{N}.json (band; env SPARK_GRAFT_ROUND, default 8) and
+prints one JSON line per k plus a summary with the fitted log-log
+slope. The band probe replays the join_value_band_bucketed plan
+(queries.advanced.band_self_join) over k day-shifted replicas of
+events: replicas never share a (type, day) group, so ground-truth band
+pairs are exactly k x base and linear counts certify the bucketed
+equi-join never goes quadratic.
 """
 
 from __future__ import annotations
@@ -73,12 +79,7 @@ def replicate_salted(docs, k: int):
     return out.repartition(32 * k)
 
 
-def main() -> None:
-    ks = [int(a) for a in sys.argv[1:]] or [1, 2, 4, 8]
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    rnd = os.environ.get("SPARK_GRAFT_ROUND", "8")
-    spark = get_spark()
-    spark.sparkContext.setLogLevel("ERROR")
+def run_dedup(spark, sf_dir: str, ks: list[int]) -> dict[int, dict]:
     docs = load_table(spark, sf_dir, "documents")
     # Warm the JVM/codegen caches so k=1 isn't charged the spin-up cost.
     dd.near_dup_pairs(
@@ -112,8 +113,110 @@ def main() -> None:
         results[k] = best
         print(json.dumps({"k": k, **best}), flush=True)
         corpus.unpersist()
+    return results
 
-    path = f"SCALING_r{rnd.zfill(2)}.json"
+
+def replicate_events_shifted(ev, k: int):
+    """k deterministic replicas of the prepared events frame
+    (event_id, event_type, d, v); replica r's days shift by r*1000, so
+    replicas never share a (type, day) group and ground-truth band
+    pairs are exactly k x base — counts above k x would indict the
+    bucketed equi-join of leaking across groups."""
+    n = ev.agg(F.max("event_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(k):
+        parts.append(
+            ev.select(
+                (F.col("event_id") + F.lit(r * n)).alias("event_id"),
+                "event_type",
+                F.date_add(F.col("d"), r * 1000).alias("d"),
+                "v",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(32 * k)
+
+
+def run_band(spark, sf_dir: str, ks: list[int]) -> dict[int, dict]:
+    from extract_transform_load_template_multidb_spark.queries.advanced import (
+        band_self_join,
+    )
+
+    v = F.col("value")
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(~F.isnan(v) & ~v.isin(float("inf"), float("-inf")))
+        .select(
+            "event_id",
+            "event_type",
+            F.to_date("ts").alias("d"),
+            v.alias("v"),
+        )
+    )
+    band_self_join(ev.limit(200), eps=0.5).count()  # warm up
+    results = {}
+    for k in ks:
+        corpus = replicate_events_shifted(ev, k).localCheckpoint(eager=True)
+        n_rows = corpus.count()
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            n_pairs = band_self_join(corpus, eps=0.5).count()
+            t1 = time.perf_counter()
+            rec = {
+                "n_rows": n_rows,
+                "n_pairs": n_pairs,
+                "total_s": round(t1 - t0, 2),
+            }
+            if best is None or rec["total_s"] < best["total_s"]:
+                best = rec
+        results[k] = best
+        print(json.dumps({"k": k, **best}), flush=True)
+        corpus.unpersist()
+    return results
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    probe = "dedup"
+    if args and args[0] == "--probe":
+        probe = args[1]
+        args = args[2:]
+    ks = [int(a) for a in args] or [1, 2, 4, 8]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    rnd = os.environ.get("SPARK_GRAFT_ROUND", "8")
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    if probe == "band":
+        results = run_band(spark, sf_dir, ks)
+        path = f"SCALING_BAND_r{rnd.zfill(2)}.json"
+        probe_name = "join_value_band_bucketed (band_self_join)"
+        notes = (
+            "k day-shifted replicas of events (replicas never share a "
+            "(type, day) group): ground-truth band pairs are exactly "
+            "k x base. Linear counts certify the bucketed equi-join "
+            "never leaks across groups or goes quadratic; wall times "
+            "are per-k best of min-of-2, merged across executions."
+        )
+    else:
+        results = run_dedup(spark, sf_dir, ks)
+        path = f"SCALING_r{rnd.zfill(2)}.json"
+        probe_name = "dedup_near_dup_pairs+connected_components"
+        notes = (
+            "k salted replicas of documents (cross-replica shingles never "
+            "match): ground-truth pairs/clusters are exactly k x base, so "
+            "slope ~1 certifies the banded+skew-capped pipeline scales "
+            "linearly in corpus size; slope ~2 would indict a quadratic "
+            "candidate stage. Wall times are the per-k best across "
+            "min-of-2 runs in every probe execution, merged across "
+            "executions (this host shows 2-15x contention bursts) - read "
+            "the slope and the pair-count ratios, not any one point. The "
+            "probe gives each k 32k partitions, so on a fixed 32-thread "
+            "host small k under-utilizes and the fitted slope reads "
+            "sublinear; the informative region is the largest-k doubling."
+        )
     # Merge with an existing artifact from a previous execution: counts
     # must agree (they are deterministic); wall times keep the per-k
     # BEST across executions, so re-running the probe refines the
@@ -156,26 +259,14 @@ def main() -> None:
     }
     pair_linear = all(abs(v - 1.0) <= 0.05 for v in ratios.values())
     out = {
-        "probe": "dedup_near_dup_pairs+connected_components",
+        "probe": probe_name,
         "salt": _SALT,
         "sf_dir": sf_dir,
         "results": merged,
         "pair_count_ratio_vs_exact_linear": ratios,
         "loglog_slope_total_s": slope,
         "pairs_exactly_linear": pair_linear,
-        "notes": (
-            "k salted replicas of documents (cross-replica shingles never "
-            "match): ground-truth pairs/clusters are exactly k x base, so "
-            "slope ~1 certifies the banded+skew-capped pipeline scales "
-            "linearly in corpus size; slope ~2 would indict a quadratic "
-            "candidate stage. Wall times are the per-k best across "
-            "min-of-2 runs in every probe execution, merged across "
-            "executions (this host shows 2-15x contention bursts) - read "
-            "the slope and the pair-count ratios, not any one point. The "
-            "probe gives each k 32k partitions, so on a fixed 32-thread "
-            "host small k under-utilizes and the fitted slope reads "
-            "sublinear; the informative region is the largest-k doubling."
-        ),
+        "notes": notes,
     }
     with open(path, "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
