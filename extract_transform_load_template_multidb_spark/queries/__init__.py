@@ -73,6 +73,7 @@ _CHECK_FIRST = (
     # (right before the §2 six at 53-58, pytest-guarded ≤60), and
     # dq_slo_burn_rate_alerts through curation_weighted_sample_es at
     # 59-62 (right after the six).
+    "ts_kalman_level_filter",
     "join_value_band_bucketed",
     "curation_k_anonymity_audit",
     "pyfunc_cogrouped_user_profile",

@@ -8392,3 +8392,82 @@ def ts_poisson_tail_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         j.where((k > F.col("lam")) & (lnp <= F.lit(-3.0)))
         .select("day", F.col("n").cast("long").alias("n"), lnp.alias("ln_p_bound"))
     )
+
+
+_KALMAN_ORACLE = """
+WITH RECURSIVE daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+),
+o AS (SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily),
+kal AS (
+    SELECT rn, day, y, y AS x, CAST(1.0 AS DOUBLE) AS p,
+           CAST(NULL AS DOUBLE) AS g
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.rn, o.day, o.y,
+           kal.x + ((kal.p + 0.01) / ((kal.p + 0.01) + 4.0))
+                   * (o.y - kal.x),
+           (1.0 - ((kal.p + 0.01) / ((kal.p + 0.01) + 4.0)))
+               * (kal.p + 0.01),
+           (kal.p + 0.01) / ((kal.p + 0.01) + 4.0)
+    FROM kal JOIN o ON o.rn = kal.rn + 1
+)
+SELECT day, y, round(x, 6) AS level, round(p, 6) AS variance,
+       round(g, 6) AS gain
+FROM kal
+"""
+
+
+@query("ts_kalman_level_filter", oracle=_KALMAN_ORACLE)
+def ts_kalman_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Kalman level filter over the daily event-count series (local
+    level model, process noise q=0.01, observation noise r=4): per day
+    the filtered level, its posterior variance, and the Kalman gain —
+    the state-space smoother whose gain ADAPTS (high after gaps or at
+    series start, low once the level is learned), unlike the fixed-α
+    EWMA family. The recursion divides by the predicted variance each
+    step, so unlike Brown's smoothing (`ts_holt_linear_forecast`) it
+    has NO window-sum closed form: the distributed pass is the daily
+    aggregation (the part that scales with data volume), and the O(days)
+    recursion runs as a bounded driver fold over ≤ a-few-thousand daily
+    rows — the same bounded-driver-loop pattern as the BPE merge loop
+    and the adaptive union-find. Per-entity filtering at scale runs the
+    identical fold inside applyInPandas keyed by entity. Both engines
+    execute the identical IEEE expression tree per step (the oracle is
+    the same recursion as a recursive CTE), so values match to the
+    rounded 6 decimals and beyond."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    rows = daily.orderBy("day").collect()  # bounded: one row per DAY
+    if not rows:
+        return spark.createDataFrame(
+            [],
+            "day date, y double, level double, variance double, "
+            "gain double",
+        )
+    x = rows[0].y
+    p = 1.0
+    out = [(rows[0].day, rows[0].y, x, p, None)]
+    for r in rows[1:]:
+        pp = p + 0.01
+        g = pp / (pp + 4.0)
+        x = x + g * (r.y - x)
+        p = (1.0 - g) * pp
+        out.append((r.day, r.y, x, p, g))
+    df = spark.createDataFrame(
+        out,
+        "day date, y double, level double, variance double, gain double",
+    )
+    return df.select(
+        "day",
+        "y",
+        F.round("level", 6).alias("level"),
+        F.round("variance", 6).alias("variance"),
+        F.round("gain", 6).alias("gain"),
+    )
