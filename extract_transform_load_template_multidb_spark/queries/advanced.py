@@ -11758,11 +11758,25 @@ def band_self_join(e: DataFrame, eps: float = 0.5) -> DataFrame:
     e = e.withColumn(
         "bk", F.floor(F.col("v") / F.lit(eps)).cast("long")
     )
+    # Probe ±2 buckets, not ±1: the verify predicate compares against
+    # the FLOAT values v_a ± ε, whose rounding can widen the real band
+    # by up to half an ulp — enough to admit a pair whose buckets
+    # differ by 2 when v_a sits within an ulp below a bucket boundary
+    # and v_a + ε rounds up to exactly the next boundary (hypothesis
+    # found va=-2.2e-313, vb=0.5: buckets -1 and +1). The widened band
+    # is still strictly narrower than one extra bucket on each side, so
+    # ±2 is provably lossless for the float-accepted pair set; each
+    # accepted pair still matches exactly once (through b's own
+    # bucket), so no dedup pass is needed either way.
     probe = e.withColumn(
         "pb",
         F.explode(
             F.array(
-                F.col("bk") - F.lit(1), F.col("bk"), F.col("bk") + F.lit(1)
+                F.col("bk") - F.lit(2),
+                F.col("bk") - F.lit(1),
+                F.col("bk"),
+                F.col("bk") + F.lit(1),
+                F.col("bk") + F.lit(2),
             )
         ),
     )
@@ -11792,14 +11806,18 @@ def join_value_band_bucketed(
     same-day same-type events whose values lie within ±0.5 of each
     other. The naive plan is a theta join (|v_b − v_a| ≤ ε inside the
     join condition → BroadcastNestedLoop or cartesian — dead at scale);
-    this plan maps every value to bucket ⌊v/ε⌋ and probes the three
-    covering buckets (b−1, b, b+1) as an EQUI-join key alongside
+    this plan maps every value to bucket ⌊v/ε⌋ and probes the five
+    covering buckets (b−2 … b+2) as an EQUI-join key alongside
     (event_type, day), then verifies the exact band predicate. Coverage
-    is lossless: |v_b − v_a| ≤ ε forces the bucket ids to differ by at
-    most 1, and each pair matches through exactly one probe bucket (the
-    build side's own bucket), so no dedup pass is needed. At 100 TB
-    this is THE band-join recipe — shuffle by (type, day, bucket),
-    per-bucket fan-out a constant 3×, never a quadratic compare."""
+    is lossless for the float-accepted pair set: in real arithmetic
+    |v_b − v_a| ≤ ε forces a bucket difference ≤ 1, and the half-ulp
+    widening from evaluating v_a ± ε in IEEE doubles can push it to at
+    most 2 (see band_self_join's comment — a hypothesis property test
+    found the boundary case); each pair still matches through exactly
+    one probe bucket (the build side's own), so no dedup pass is
+    needed. At 100 TB this is THE band-join recipe — shuffle by
+    (type, day, bucket), per-bucket fan-out a constant 5×, never a
+    quadratic compare."""
     v = F.col("value")
     e = (
         load_table(spark, sf_dir, "events")

@@ -947,23 +947,28 @@ def test_bpe_apply_replace_chain_matches_reference(spark):
 
 
 @given(
-    va=st.floats(-1000, 1000, allow_nan=False),
-    delta=st.floats(-0.5, 0.5, allow_nan=False),
+    va=st.floats(-1000, 1000, allow_nan=False, allow_subnormal=True),
+    delta=st.floats(-0.51, 0.51, allow_nan=False),
 )
 @settings(**_SETTINGS)
 def test_band_join_bucket_cover_is_lossless(va, delta):
     """The ε-band bucket-decomposition lemma join_value_band_bucketed
-    relies on: if |v_b − v_a| ≤ ε then bucket(v_b) is within ±1 of
-    bucket(v_a), where bucket(v) = floor(v/ε). Probing three buckets
-    therefore never drops a qualifying pair, for any values and any
-    sub-band offset (ε = 0.5 as in the query)."""
+    relies on, at the FLOAT level the query actually evaluates: any
+    pair accepted by the verify predicate ``v_a − ε ≤ v_b ≤ v_a + ε``
+    (IEEE doubles, so the band edges carry up to half an ulp of
+    widening) has bucket(v_b) within ±2 of bucket(v_a), where
+    bucket(v) = floor(v/ε). Probing five buckets therefore never drops
+    an accepted pair. The ±1 version of this lemma is FALSE in floats —
+    hypothesis found va=-2.2e-313, vb=0.5 (buckets -1 and +1, accepted
+    because va+0.5 rounds to exactly 0.5), which is why the query
+    probes ±2."""
     import math
 
     eps = 0.5
     vb = va + delta
-    if not (abs(vb - va) <= eps):  # float rounding pushed it outside
+    if not (va - eps <= vb <= va + eps):  # the query's own predicate
         return
-    assert abs(math.floor(vb / eps) - math.floor(va / eps)) <= 1
+    assert abs(math.floor(vb / eps) - math.floor(va / eps)) <= 2
 
 
 @given(
