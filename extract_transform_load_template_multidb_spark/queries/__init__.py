@@ -73,6 +73,7 @@ _CHECK_FIRST = (
     # (right before the §2 six at 53-58, pytest-guarded ≤60), and
     # dq_slo_burn_rate_alerts through curation_weighted_sample_es at
     # 59-62 (right after the six).
+    "dq_median_imputation_audit",
     "ts_kalman_level_filter",
     "join_value_band_bucketed",
     "curation_k_anonymity_audit",
@@ -276,6 +277,9 @@ _CHECK_LAST = (
     "dedup_minhash_lsh",
 )
 
+# NOTE for round 9: the §2 six now sit at positions 55-60 — the exact
+# pytest-guarded limit. Any further head insertion REQUIRES the round-9
+# rebalance below first (replace positions 1-50 wholesale).
 # ROUND-9 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r08
 # confirms the round-8 window (positions 1-50 above: 6 wave-3/4 entries
 # — the band range join, the k-anonymity audit, the bucketed-cogroup

@@ -3235,3 +3235,85 @@ def dq_completeness_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = rows if out is None else out.unionByName(rows)
     return out
+
+
+_IMPUTE_ORACLE = """
+WITH m AS (
+    SELECT event_id, event_type,
+           CASE WHEN event_id % 37 = 0 OR isnan(value) OR isinf(value)
+                THEN NULL ELSE CAST(value AS DOUBLE) END AS v_obs
+    FROM events
+),
+s AS (
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(v_obs) AS BIGINT) AS n_obs,
+           CAST(SUM(CAST(v_obs AS DECIMAL(38,6))) AS DOUBLE) AS sum_obs,
+           quantile_cont(v_obs, 0.5) AS median_fill
+    FROM m GROUP BY event_type
+)
+SELECT event_type, n_rows,
+       CAST(n_rows - n_obs AS BIGINT) AS n_missing,
+       median_fill,
+       sum_obs / CAST(n_obs AS DOUBLE) AS mean_observed,
+       (sum_obs + CAST(n_rows - n_obs AS DOUBLE) * median_fill)
+         / CAST(n_rows AS DOUBLE) AS mean_after_impute
+FROM s
+"""
+
+
+@query("dq_median_imputation_audit", oracle=_IMPUTE_ORACLE)
+def dq_median_imputation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Median-imputation audit: per event type, how many values are
+    missing, the per-group exact median that would fill them, and the
+    mean before vs after the fill — the numbers a pipeline reviews
+    BEFORE committing an imputation strategy (a large mean shift means
+    missingness is not random and median fill will bias the feature).
+    Missingness is derived DETERMINISTICALLY (event_id % 37, plus any
+    genuine NaN/inf) — the same constructed-ground-truth pattern as
+    dedup_split_doc_stitch — so the audit is non-degenerate on fixtures
+    with no natural nulls yet exercises the identical plan production
+    data would. One collapsed value-count pass feeds count, sum
+    (decimal-routed) and the exact interpolated median via the
+    distributed running-count selector (no single-reducer percentile
+    buffer — see queries/_util.exact_percentiles); means are single
+    fixed-order double expressions, bit-identical to the oracle's."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    v = F.col("value").cast("double")
+    masked = ev.withColumn(
+        "v_obs",
+        F.when(
+            (F.col("event_id") % 37 == 0)
+            | F.isnan(v)
+            | v.isin(float("inf"), float("-inf")),
+            F.lit(None).cast("double"),
+        ).otherwise(v),
+    )
+    stats = exact_percentiles(
+        masked,
+        ["event_type"],
+        "v_obs",
+        {"median_fill": 0.5},
+        extras={"n_obs": "n", "sum_obs": "sum"},
+    )
+    tot = masked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    j = tot.join(stats, "event_type")
+    sum_d = F.col("sum_obs").cast("double")
+    n_missing = (F.col("n_rows") - F.col("n_obs")).cast("long")
+    return j.select(
+        "event_type",
+        "n_rows",
+        n_missing.alias("n_missing"),
+        "median_fill",
+        (sum_d / F.col("n_obs").cast("double")).alias("mean_observed"),
+        (
+            (sum_d + n_missing.cast("double") * F.col("median_fill"))
+            / F.col("n_rows").cast("double")
+        ).alias("mean_after_impute"),
+    )
