@@ -11195,8 +11195,16 @@ def graph_label_propagation_semi(
     before paying for annotations: high propagation accuracy means
     graph structure already encodes the label. Each round is one
     edge→label equi-join + majority groupBy (no iteration state beyond
-    the label frame, checkpointed between rounds at scale); the ≥2-
-    support edge set bounds degree like the link-pred family."""
+    the label frame, eagerly checkpointed between rounds); the ≥2-
+    support edge set bounds degree like the link-pred family.
+
+    Scale shape: the label frame is bounded by |parts| (one row per
+    node), orders of magnitude smaller than the edge list — so every
+    round's edge→label join BROADCASTS the labels and the big sym frame
+    is never shuffled for the join; the only exchange per round is the
+    (node, label) majority groupBy. nodes/truth are derived once from
+    the checkpointed pairs and checkpointed themselves (tiny) so the
+    n_nodes/n_seeds/holdout arms don't re-run the distinct."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     from pyspark.sql import Window as Win
@@ -11221,21 +11229,27 @@ def graph_label_propagation_semi(
     sym = pairs.selectExpr("pa AS a", "pb AS b").unionAll(
         pairs.selectExpr("pb AS a", "pa AS b")
     )
-    nodes = sym.select(F.col("a").alias("node")).distinct()
+    nodes = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     truth = nodes.join(
         pt.select(
             F.col("p_partkey").alias("node"),
             F.col("p_brand").alias("label"),
         ),
         "node",
-    )
+    ).localCheckpoint(eager=True)
     seeds = truth.where(F.col("node") % 3 == 0)
 
     def propagate(labels):
         votes = (
             sym.join(
-                labels.select(
-                    F.col("node").alias("src"), F.col("label")
+                F.broadcast(
+                    labels.select(
+                        F.col("node").alias("src"), F.col("label")
+                    )
                 ),
                 F.col("b") == F.col("src"),
             )
@@ -11255,7 +11269,9 @@ def graph_label_propagation_semi(
             .select("node", "label")
         )
         return seeds.unionByName(
-            pred.join(seeds.select("node"), "node", "left_anti")
+            pred.join(
+                F.broadcast(seeds.select("node")), "node", "left_anti"
+            )
         ).localCheckpoint(eager=True)
 
     labels = propagate(seeds)
@@ -11264,7 +11280,7 @@ def graph_label_propagation_semi(
         truth.where(F.col("node") % 3 != 0)
         .withColumnRenamed("label", "truth_label")
         .join(
-            labels.withColumnRenamed("label", "pred_label"),
+            F.broadcast(labels.withColumnRenamed("label", "pred_label")),
             "node",
             "left",
         )

@@ -3139,7 +3139,17 @@ def dq_primary_key_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _COMPLETENESS_ORACLE = """
-SELECT * FROM (
+-- Outer CAST on n_rows/n_null: DuckDB's integer SUM is HUGEINT, and a
+-- UNION ALL whose branches mix BIGINT and HUGEINT promotes the whole
+-- column to HUGEINT, which pandas materializes as float64 while Spark
+-- emits int64 — rows/schema match but the driver's canonical-text hash
+-- sees `0` vs `0.0` (round-8 driver-red). Casting once outside the
+-- union pins every branch.
+SELECT tbl, col,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(n_null AS BIGINT) AS n_null,
+       null_frac
+FROM (
     SELECT 'events' AS tbl, 'value' AS col,
            CAST(COUNT(*) AS BIGINT) AS n_rows,
            CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
@@ -3303,9 +3313,13 @@ def dq_median_imputation_audit(
     tot = masked.groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n_rows")
     )
-    j = tot.join(stats, "event_type")
+    # LEFT join: exact_percentiles drops NULLs before grouping, so an
+    # event_type whose every value is masked has no stats row at all —
+    # the oracle keeps it with NULL median and n_missing = n_rows.
+    j = tot.join(stats, "event_type", "left")
     sum_d = F.col("sum_obs").cast("double")
-    n_missing = (F.col("n_rows") - F.col("n_obs")).cast("long")
+    n_obs = F.coalesce(F.col("n_obs"), F.lit(0)).cast("long")
+    n_missing = (F.col("n_rows") - n_obs).cast("long")
     return j.select(
         "event_type",
         "n_rows",

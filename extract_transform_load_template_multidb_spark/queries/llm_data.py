@@ -3957,24 +3957,57 @@ def text_char_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     language identifier learns from (textcat/CLD lineage; the stopword
     lexicon in text_lang_id is the word-level shortcut, this is the
     character-level model's feature table). Space-crossing bigrams are
-    excluded; top-5 per language is a WindowGroupLimit."""
+    excluded; top-5 per language is a WindowGroupLimit.
+
+    Shape: the per-doc bigram counts are folded INSIDE one array
+    expression (sorted-array run-length scan — the text_char_entropy
+    precedent, 7.0 → 0.2 s in round 7) so the explode emits one row per
+    per-doc DISTINCT bigram, not one row per character position
+    (~5-10× fewer rows, and the downstream (lang, bigram) groupBy's
+    map-side combine sees pre-counted partials). All codegen; the only
+    exchanges are the groupBy and the top-5 window."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= 2
     )
     from pyspark.sql import Window as W
 
-    bg = docs.select(
+    per_doc = docs.select(
+        "lang",
+        F.expr(
+            "array_sort(filter("
+            " transform(sequence(1, length(text) - 1),"
+            "           k -> substring(lower(text), k, 2)),"
+            " b -> NOT contains(b, ' ')))"
+        ).alias("__sorted"),
+    ).where(F.size("__sorted") > 0)
+    # 1-based run-end positions in the sorted bigram array; run length =
+    # end minus previous end; the run's bigram is the value at its end.
+    runs = per_doc.select(
+        "lang",
+        F.expr(
+            "filter(sequence(1, size(__sorted)),"
+            " i -> i = size(__sorted)"
+            "      OR get(__sorted, i - 1) != get(__sorted, i))"
+        ).alias("__ends"),
+        "__sorted",
+    ).select(
         "lang",
         F.explode(
-            F.expr(
-                "transform(sequence(1, length(text) - 1),"
-                " k -> substring(lower(text), k, 2))"
+            F.arrays_zip(
+                F.expr("transform(__ends, e -> get(__sorted, e - 1))").alias(
+                    "bg"
+                ),
+                F.expr(
+                    "zip_with(__ends,"
+                    " concat(array(0), slice(__ends, 1, size(__ends) - 1)),"
+                    " (e, p) -> CAST(e - p AS BIGINT))"
+                ).alias("n"),
             )
-        ).alias("bg"),
-    ).where(~F.col("bg").contains(" "))
-    profile = bg.groupBy("lang", "bg").agg(
-        F.count(F.lit(1)).alias("c")
+        ).alias("__run"),
     )
+    profile = runs.groupBy(
+        "lang", F.col("__run.bg").alias("bg")
+    ).agg(F.sum("__run.n").alias("c"))
     w = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("bg"))
     return (
         profile.withColumn("rnk", F.row_number().over(w))

@@ -323,3 +323,119 @@ def pyfunc_mapinpandas_minmax(
     return withb.mapInPandas(
         fn, "event_id bigint, scaled double"
     ).select("event_id", F.round("scaled", 6).alias("scaled"))
+
+
+_KALMAN_ENTITY_ORACLE = """
+WITH RECURSIVE daily AS (
+    SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events WHERE user_id IS NOT NULL
+    GROUP BY 1, 2
+),
+o AS (
+    SELECT user_id, day, y,
+           row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn
+    FROM daily
+),
+kal AS (
+    SELECT user_id, rn, day, y, y AS x, CAST(1.0 AS DOUBLE) AS p
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.user_id, o.rn, o.day, o.y,
+           kal.x + ((kal.p + 0.01) / ((kal.p + 0.01) + 4.0))
+                   * (o.y - kal.x),
+           (1.0 - ((kal.p + 0.01) / ((kal.p + 0.01) + 4.0)))
+               * (kal.p + 0.01)
+    FROM kal JOIN o ON o.user_id = kal.user_id AND o.rn = kal.rn + 1
+),
+last AS (SELECT user_id, MAX(rn) AS n_days FROM o GROUP BY user_id)
+SELECT k.user_id, CAST(l.n_days AS BIGINT) AS n_days, k.day AS last_day,
+       round(k.x, 6) AS level, round(k.p, 6) AS variance
+FROM kal k JOIN last l ON l.user_id = k.user_id AND k.rn = l.n_days
+"""
+
+
+def _bucketed_kalman(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Per-user 1-D Kalman fold over the users of ONE hash bucket: the
+    sequential recursion runs as a plain float loop per user (the exact
+    IEEE op order of the recursive-CTE oracle — no vectorized
+    reassociation), while the Python-call overhead amortizes over the
+    whole bucket instead of one call per user."""
+    pdf = pdf.sort_values(["user_id", "day"], kind="mergesort")
+    out_uid: list[int] = []
+    out_nd: list[int] = []
+    out_day: list[object] = []
+    out_x: list[float] = []
+    out_p: list[float] = []
+    for uid, g in pdf.groupby("user_id", sort=False):
+        ys = g["y"].to_numpy()
+        x = float(ys[0])
+        p = 1.0
+        for yv in ys[1:]:
+            pp = p + 0.01
+            gn = pp / (pp + 4.0)
+            x = x + gn * (float(yv) - x)
+            p = (1.0 - gn) * pp
+        out_uid.append(int(uid))
+        out_nd.append(len(ys))
+        out_day.append(g["day"].iloc[-1])
+        out_x.append(x)
+        out_p.append(p)
+    return pd.DataFrame(
+        {
+            "user_id": pd.Series(out_uid, dtype="int64"),
+            "n_days": pd.Series(out_nd, dtype="int64"),
+            "last_day": pd.Series(out_day),
+            "level": pd.Series(out_x, dtype="float64"),
+            "variance": pd.Series(out_p, dtype="float64"),
+        }
+    )
+
+
+@query("ts_kalman_entity_level", oracle=_KALMAN_ENTITY_ORACLE)
+def ts_kalman_entity_level(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-ENTITY Kalman level filter: the local-level recursion of
+    ``ts_kalman_level_filter`` (q=0.01, r=4, x0=first observation,
+    p0=1) folded independently over every user's daily event-count
+    series, emitting each user's final filtered level, posterior
+    variance, day count, and last active day — the per-entity
+    state-space smoother a personalization / anomaly pipeline runs at
+    full corpus width, where the driver-fold shape of the global
+    variant cannot go.
+
+    SCALE: the recursion has no window-sum closed form (each step
+    divides by the predicted variance), so it runs inside
+    ``applyInPandas`` — keyed NOT by user (one Python call per entity)
+    but by ``pmod(xxhash64(user_id), 64)`` hash buckets, the same
+    shape as :func:`pyfunc_cogrouped_user_profile`: one shuffle of the
+    (user, day) rollup, 64 Python calls total, per-user sequential
+    fold inside the call. Python cost scales with buckets × rows, not
+    entities. Rounding happens JVM-side AFTER the fold (numpy rounds
+    half-even, Spark/DuckDB half-away). The oracle runs the identical
+    recursion as a user-partitioned recursive CTE."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.where(F.col("user_id").isNotNull())
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    n_buckets = 64
+    folded = (
+        daily.withColumn(
+            "bucket",
+            F.pmod(F.xxhash64("user_id"), F.lit(n_buckets)).cast("int"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(
+            lambda pdf: _bucketed_kalman(pdf),
+            "user_id bigint, n_days bigint, last_day date, "
+            "level double, variance double",
+        )
+    )
+    return folded.select(
+        "user_id",
+        "n_days",
+        "last_day",
+        F.round("level", 6).alias("level"),
+        F.round("variance", 6).alias("variance"),
+    )

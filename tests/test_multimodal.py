@@ -776,3 +776,40 @@ def test_png_filter_reconstruction_vectorized_matches_reference():
             w, h, c, out = P.parse_png(P.encode_png(img, filters=filters))
             assert (w, h, c) == (129, 7, ch)
             assert out.tolist() == img.tolist(), filters
+
+
+def test_png_adam7_interlace_fails_fast_on_real_image():
+    """A REAL encoded PNG whose IHDR interlace byte is rewritten to 1
+    (Adam7) with a recomputed CRC — i.e. a structurally valid Adam7
+    container, not just a junk header — must raise NotImplementedError
+    naming Adam7, never misdecode the sequential scanlines as if they
+    were progressive passes. Completes the codec-tail pin set next to
+    the palette-PNG and GIF89a tests."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from extract_transform_load_template_multidb_spark.operators import (
+        png as P,
+    )
+
+    rng = np.random.default_rng(41)
+    img = rng.integers(0, 256, (5, 7, 3), dtype=np.uint8)
+    good = P.encode_png(img)
+    # IHDR data starts at offset 16 (8 sig + 4 len + 4 tag); its 13
+    # bytes end with the interlace method at offset 16 + 12.
+    body = bytearray(good)
+    ihdr = bytearray(body[16 : 16 + 13])
+    assert ihdr[12] == 0
+    ihdr[12] = 1
+    body[16 : 16 + 13] = ihdr
+    crc = zlib.crc32(b"IHDR" + bytes(ihdr)) & 0xFFFFFFFF
+    body[16 + 13 : 16 + 17] = struct.pack(">I", crc)
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        P.parse_png(bytes(body))
+    # The original still decodes exactly.
+    w, h, ch, out = P.parse_png(good)
+    assert (w, h, ch) == (7, 5, 3)
+    assert out.tolist() == img.tolist()

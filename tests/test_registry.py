@@ -108,3 +108,34 @@ def test_local_correctness_artifact_matches_registry_size():
         f"registry has {len(all_queries())} — re-run "
         "tools/check_correctness.py --emit before closing the round"
     )
+
+
+def test_canon_distinguishes_int_from_float_columns():
+    """Round-8's only driver-red (dq_completeness_matrix): DuckDB's
+    HUGEINT union promotion materialized n_null as float64 while Spark
+    emitted int64; every value was 0 at sf0.01 and
+    pd.util.hash_pandas_object hashes int64 0 and float64 0.0 to the
+    SAME value, so the local gate passed what the driver failed. The
+    canonicalizer now folds a dtype-KIND signature into the hash —
+    int-vs-float aliasing must fail here exactly as it fails in the
+    driver's canonical-text hash (`0` vs `0.0`)."""
+    import os
+    import sys
+
+    import pandas as pd
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from check_correctness import _canon
+
+    ints = pd.DataFrame({"k": ["a", "b"], "n": pd.array([0, 0], dtype="int64")})
+    floats = pd.DataFrame(
+        {"k": ["a", "b"], "n": pd.array([0.0, 0.0], dtype="float64")}
+    )
+    assert _canon(ints) != _canon(floats)
+    # Width within the int family must NOT matter — the driver's text
+    # form renders int32 0 and int64 0 identically.
+    int32s = pd.DataFrame(
+        {"k": ["a", "b"], "n": pd.array([0, 0], dtype="int32")}
+    )
+    assert _canon(ints) == _canon(int32s)

@@ -67,7 +67,16 @@ def _canon(df: pd.DataFrame) -> str:
             # Decimal vs float artifacts) — mirrors driver behavior of
             # sorting raw then hashing a canonical text form.
             df[c] = df[c].astype(str)
-    return str(pd.util.hash_pandas_object(df, index=False).sum())
+    # Dtype-KIND signature folded into the hash: pandas hashes int64 0
+    # and float64 0.0 to the same value (shared zero bit pattern), so a
+    # DuckDB HUGEINT→float64 promotion against Spark's int64 passed this
+    # gate while the driver's canonical-text hash (which renders `0` vs
+    # `0.0`) went red (round-8 dq_completeness_matrix). Width is NOT
+    # part of the signature — int32 vs int64 both render `0` in text —
+    # only the int/float/bool/other family is.
+    fam = {"i": "i", "u": "i", "f": "f", "b": "b"}
+    kinds = "".join(fam.get(df[c].dtype.kind, "o") for c in df.columns)
+    return f"{pd.util.hash_pandas_object(df, index=False).sum()}|{kinds}"
 
 
 def _driver_green_ever() -> dict[str, list[int]]:

@@ -12,9 +12,11 @@ base counts, and a scale-correct plan should grow close to linearly
 unbanded LSH, skew-blind bucket expansion) would show slope ~= 2 and
 k^2 pair counts instead.
 
-Usage: python tools/scaling_probe.py [--probe dedup|band] [k ...]
-(default probe dedup, k = 1 2 4 8). Writes SCALING_r{N}.json (dedup) or
-SCALING_BAND_r{N}.json (band; env SPARK_GRAFT_ROUND, default 8) and
+Usage: python tools/scaling_probe.py [--probe dedup|band|ann] [k ...]
+(default probe dedup, k = 1 2 4 8). Writes SCALING_r{N}.json (dedup),
+SCALING_BAND_r{N}.json (band), or SCALING_ANN_r{N}.json (ann — sign-LSH
++ IVF top-k over k-fold id-shifted embedding replicas with a fixed
+query set; env SPARK_GRAFT_ROUND, default 8) and
 prints one JSON line per k plus a summary with the fitted log-log
 slope. The band probe replays the join_value_band_bucketed plan
 (queries.advanced.band_self_join) over k day-shifted replicas of
@@ -139,6 +141,127 @@ def replicate_events_shifted(ev, k: int):
     return out.repartition(32 * k)
 
 
+def replicate_embeddings(emb, k: int):
+    """k replicas of the embeddings frame with ids shifted by r*n and
+    the VECTORS left identical: every replica copy lands in the same
+    LSH bucket / IVF cell as its base vector, so each bucket's
+    population is exactly k x base and the candidate count a bucketed
+    ANN query scans is exactly k x base (minus the fixed self-matches).
+    Candidates above k x would indict the bucket join of widening; a
+    slope near 2 would indict a brute-force (corpus x queries) stage."""
+    n = emb.agg(F.max("vec_id")).collect()[0][0] + 1
+    parts = []
+    for r in range(k):
+        parts.append(
+            emb.select(
+                (F.col("vec_id") + F.lit(r * n)).alias("vec_id"),
+                "embedding",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.repartition(min(32 * k, 512))
+
+
+def run_ann(spark, sf_dir: str, ks: list[int]) -> dict[int, dict]:
+    """Probe the similarity/ANN path: sign-LSH and IVF top-k over k-fold
+    replicated embeddings with a FIXED 16-query set from the base
+    replica. n_pairs counts the scored candidate rows (the same bucket/
+    cell equi-joins the operators run, self-matches excluded) — the
+    quantity that must grow k x, not the fixed top-k output."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        similarity as sim,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    n_queries = 16
+    # Warm codegen/JVM so k=1 isn't charged spin-up.
+    warm = emb.limit(64)
+    sim.signlsh_topk(warm, warm.filter(F.col("vec_id") < 4), k=3).count()
+    results = {}
+    for k in ks:
+        corpus = replicate_embeddings(emb, k).localCheckpoint(eager=True)
+        n_vecs = corpus.count()
+        queries = corpus.filter(F.col("vec_id") < n_queries)
+        # Candidate counts (deterministic, computed once per k).
+        qc = sim._corpus_quantized(corpus, "embedding", "vec_id")
+        bucketed = qc.withColumn(
+            "bucket", sim.signlsh_bucket(F.col("qv"), 4)
+        )
+        qside = bucketed.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"), "bucket"
+        )
+        lsh_cand = (
+            bucketed.join(F.broadcast(qside), "bucket")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .count()
+        )
+        # IVF candidates: posting-list sizes of each query's nprobe=2
+        # nearest cells (the same probe selection ivf_topk makes),
+        # self-matches excluded like the operator's filter.
+        from pyspark.sql import Window as Win
+
+        cents = qc.filter(F.col("vec_id") < 8)
+        assigned = sim.ivf_assign(qc, cents, "vec_id")
+        c2 = cents.select(
+            F.col("vec_id").alias("__cid"),
+            F.col("qv").alias("__cqv"),
+            F.col("nsq").alias("__cnsq"),
+        )
+        qscored = (
+            qc.filter(F.col("vec_id") < n_queries)
+            .crossJoin(F.broadcast(c2))
+            .select(
+                F.col("vec_id").alias("query_id"),
+                F.col("__cid").alias("cell"),
+                sim.cosine(
+                    sim.dot_long(F.col("qv"), F.col("__cqv")),
+                    F.col("nsq"),
+                    F.col("__cnsq"),
+                ).alias("__ccos"),
+            )
+        )
+        wq = Win.partitionBy("query_id").orderBy(
+            F.col("__ccos").desc(), F.col("cell")
+        )
+        probes = (
+            qscored.withColumn("__rn", F.row_number().over(wq))
+            .filter(F.col("__rn") <= 2)
+            .select("query_id", "cell")
+        )
+        ivf_cand = (
+            assigned.join(F.broadcast(probes), "cell")
+            .filter(F.col("query_id") != F.col("vec_id"))
+            .count()
+        )
+        n_pairs = lsh_cand + int(ivf_cand)
+        best = None
+        for _ in range(2):
+            t0 = time.perf_counter()
+            sim.signlsh_topk(corpus, queries, k=5, num_planes=4).count()
+            t1 = time.perf_counter()
+            sim.ivf_topk(
+                corpus, queries, k=5, n_centroids=8, nprobe=2
+            ).count()
+            t2 = time.perf_counter()
+            rec = {
+                "n_vecs": n_vecs,
+                "n_pairs": n_pairs,
+                "lsh_topk_s": round(t1 - t0, 2),
+                "ivf_topk_s": round(t2 - t1, 2),
+                "total_s": round(t2 - t0, 2),
+            }
+            if best is None or rec["total_s"] < best["total_s"]:
+                best = rec
+        results[k] = best
+        print(json.dumps({"k": k, **best}), flush=True)
+        corpus.unpersist()
+    return results
+
+
 def run_band(spark, sf_dir: str, ks: list[int]) -> dict[int, dict]:
     from extract_transform_load_template_multidb_spark.queries.advanced import (
         band_self_join,
@@ -189,7 +312,22 @@ def main() -> None:
     rnd = os.environ.get("SPARK_GRAFT_ROUND", "8")
     spark = get_spark()
     spark.sparkContext.setLogLevel("ERROR")
-    if probe == "band":
+    if probe == "ann":
+        results = run_ann(spark, sf_dir, ks)
+        path = f"SCALING_ANN_r{rnd.zfill(2)}.json"
+        probe_name = "sim_signlsh_topk+sim_ivf_topk (fixed 16-query set)"
+        notes = (
+            "k id-shifted replicas of embeddings with identical vectors: "
+            "every replica copy shares its base vector's LSH bucket / IVF "
+            "cell, so scanned candidates are exactly k x base (minus the "
+            "fixed Q self-matches, <1% here). Linear candidate counts + "
+            "slope ~1 certify the bucket/cell equi-joins scan only their "
+            "posting lists; a brute-force (corpus x queries) stage would "
+            "show k x wall with k x candidates ONLY if Q grew too - here "
+            "Q is fixed, so quadratic behavior cannot hide. Wall times "
+            "are per-k best of min-of-2, merged across executions."
+        )
+    elif probe == "band":
         results = run_band(spark, sf_dir, ks)
         path = f"SCALING_BAND_r{rnd.zfill(2)}.json"
         probe_name = "join_value_band_bucketed (band_self_join)"
@@ -236,8 +374,12 @@ def main() -> None:
         except (ValueError, KeyError):
             pass
 
+    # Floor wall timings at 10 ms before log: a fast probe arm that
+    # rounds to 0.00 s would raise ValueError here AFTER the expensive
+    # runs and lose the artifact merge.
     pts = [
-        (math.log(int(k)), math.log(r["total_s"])) for k, r in merged.items()
+        (math.log(int(k)), math.log(max(r["total_s"], 0.01)))
+        for k, r in merged.items()
     ]
     n = len(pts)
     slope = None
@@ -253,11 +395,19 @@ def main() -> None:
     # hash to different signatures, so allow 5% around linear.
     k0 = min(int(k) for k in merged)
     per_unit = merged[str(k0)]["n_pairs"] / k0
-    ratios = {
-        k: round(r["n_pairs"] / (int(k) * per_unit), 4)
-        for k, r in merged.items()
-    }
-    pair_linear = all(abs(v - 1.0) <= 0.05 for v in ratios.values())
+    if per_unit == 0:
+        # A base arm with zero pairs makes every ratio a division by
+        # zero — skip the linearity block and record why, keeping the
+        # (expensive) timing artifact intact.
+        ratios = {}
+        pair_linear = None
+        notes = notes + " | linearity skipped: base k has n_pairs == 0"
+    else:
+        ratios = {
+            k: round(r["n_pairs"] / (int(k) * per_unit), 4)
+            for k, r in merged.items()
+        }
+        pair_linear = all(abs(v - 1.0) <= 0.05 for v in ratios.values())
     out = {
         "probe": probe_name,
         "salt": _SALT,
