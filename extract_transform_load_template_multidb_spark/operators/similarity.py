@@ -26,6 +26,7 @@ All stages are built-in DataFrame ops (higher-order array functions —
 from __future__ import annotations
 
 import hashlib
+import math
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -770,121 +771,79 @@ def mmr_diversified_topk(
 
     The retrieval-diversity operator (a top-k of near-duplicates is
     useless context): candidates come from :func:`cosine_topk_bruteforce`
-    (broadcast queries, one corpus pass), after which EVERYTHING runs on
-    the bounded queries×pool frame — pairwise candidate similarities are
-    pool² per query, and each greedy step is a window argmax on that tiny
-    frame (k is a plan-depth constant, never a data-driven loop). All
-    similarities derive from exact integer dot products of the quantized
-    vectors, so the greedy trajectory is engine-deterministic with ties
-    broken on neighbor id.
+    (broadcast queries, one corpus pass — the ONLY stage that scales
+    with data volume), after which EVERYTHING lives on the bounded
+    queries×pool frame. That frame plus its ≤ queries·pool candidate
+    vectors is collected and the greedy walk runs as a DRIVER FOLD —
+    the engine's bounded-driver-loop pattern (BPE merge table, Markov
+    absorption walk): the previous unrolled per-step
+    join+window+anti-join plan spent ~3 s of stage-scheduling floor on
+    ≤200-row frames at sf0.1. Every similarity is the identical fixed
+    IEEE dag over exact integer dot products of the quantized vectors
+    (float(int) and long→double both round correctly; sqrt/mul/div are
+    correctly-rounded IEEE in both runtimes), so the trajectory is
+    engine-deterministic with ties broken on neighbor id — pinned
+    against a numpy reference by hypothesis in
+    ``tests/test_properties.py::test_mmr_greedy_matches_numpy_reference``.
 
-    Output: (query_id, mmr_rank, vec_id, relevance, mmr_score).
+    Output: (query_id, mmr_rank, vec_id, relevance, mmr_score);
+    ids must be integral (the driver re-frame types them bigint).
     """
-    cands = cosine_topk_bruteforce(
+    spark = df.sparkSession
+    # Pool generation via the Arrow/numpy matmul path (bit-identical to
+    # cosine_topk_bruteforce, ~SIMD-fast on the exhaustive corpus ×
+    # queries scoring this operator needs).
+    cands = cosine_topk_matmul(
         df, queries, k=pool, vec_col=vec_col, id_col=id_col
     ).select("query_id", "neighbor_id", F.col("cosine").alias("rel"))
+    cand_rows = cands.collect()  # bounded: |queries| × pool
+    ids = sorted({r["neighbor_id"] for r in cand_rows})
+    cvec = _corpus_quantized(
+        df.where(F.col(id_col).isin(ids)), vec_col, id_col
+    )
+    vec_rows = {
+        r[id_col]: (list(r["qv"]), r["nsq"]) for r in cvec.collect()
+    }
 
-    corpus = _corpus_quantized(df, vec_col, id_col)
-    cvec = corpus.join(
-        cands.select(F.col("neighbor_id").alias(id_col)).distinct(),
-        id_col,
-    )
-    a = cands.select(
-        "query_id", F.col("neighbor_id").alias("x")
-    ).join(
-        F.broadcast(
-            cvec.select(
-                F.col(id_col).alias("x"),
-                F.col("qv").alias("xv"),
-                F.col("nsq").alias("xn"),
-            )
-        ),
-        "x",
-    )
-    b = cands.select(
-        "query_id", F.col("neighbor_id").alias("y")
-    ).join(
-        F.broadcast(
-            cvec.select(
-                F.col(id_col).alias("y"),
-                F.col("qv").alias("yv"),
-                F.col("nsq").alias("yn"),
-            )
-        ),
-        "y",
-    )
-    pair_sim = (
-        a.join(b, "query_id")
-        .where(F.col("x") != F.col("y"))
-        .select(
-            "query_id",
-            "x",
-            "y",
-            cosine(
-                dot_long(F.col("xv"), F.col("yv")),
-                F.col("xn"),
-                F.col("yn"),
-            ).alias("sim"),
-        )
-    )
+    def sim_xy(x: int, y: int) -> float:
+        qx, nx = vec_rows[x]
+        qy, ny = vec_rows[y]
+        d = sum(a * b for a, b in zip(qx, qy))  # exact int64 grid
+        return float(d) / (math.sqrt(float(nx)) * math.sqrt(float(ny)))
 
-    def argmax(scored: DataFrame, score_col: str) -> DataFrame:
-        w = Window.partitionBy("query_id").orderBy(
-            F.col(score_col).desc(), F.col("neighbor_id")
+    by_q: dict = {}
+    for r in cand_rows:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["neighbor_id"], r["rel"])
         )
-        return (
-            scored.withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-
-    first = argmax(cands, "rel").select(
-        "query_id",
-        F.lit(1).alias("mmr_rank"),
-        "neighbor_id",
-        "rel",
-        F.col("rel").alias("mmr_score"),
+    out_rows = []
+    for qid in sorted(by_q):
+        pool_q = by_q[qid]
+        rel = dict(pool_q)
+        first = max(pool_q, key=lambda t: (t[1], -t[0]))
+        selected = [first[0]]
+        out_rows.append((qid, 1, first[0], first[1], first[1]))
+        for step in range(2, k + 1):
+            best = None
+            for j, r in pool_q:
+                if j in selected:
+                    continue
+                score = lam * r - (1.0 - lam) * max(
+                    sim_xy(j, s) for s in selected
+                )
+                key = (score, -j)
+                if best is None or key > best[0]:
+                    best = (key, j, r, score)
+            if best is None:
+                break  # pool exhausted before rank k
+            selected.append(best[1])
+            out_rows.append((qid, step, best[1], best[2], best[3]))
+    res = spark.createDataFrame(
+        out_rows,
+        "query_id bigint, mmr_rank int, neighbor_id bigint, "
+        "rel double, mmr_score double",
     )
-    selected = first
-    remaining = cands.join(
-        first.select("query_id", "neighbor_id"),
-        ["query_id", "neighbor_id"],
-        "left_anti",
-    )
-    for step in range(2, k + 1):
-        ms = (
-            pair_sim.join(
-                selected.select(
-                    "query_id", F.col("neighbor_id").alias("y")
-                ),
-                ["query_id", "y"],
-            )
-            .groupBy("query_id", F.col("x").alias("neighbor_id"))
-            .agg(F.max("sim").alias("max_sim"))
-        )
-        scored = remaining.join(ms, ["query_id", "neighbor_id"]).select(
-            "query_id",
-            "neighbor_id",
-            "rel",
-            (
-                F.lit(lam) * F.col("rel")
-                - F.lit(1.0 - lam) * F.col("max_sim")
-            ).alias("mmr"),
-        )
-        pick = argmax(scored, "mmr").select(
-            "query_id",
-            F.lit(step).alias("mmr_rank"),
-            "neighbor_id",
-            "rel",
-            F.col("mmr").alias("mmr_score"),
-        )
-        selected = selected.unionAll(pick)
-        remaining = remaining.join(
-            pick.select("query_id", "neighbor_id"),
-            ["query_id", "neighbor_id"],
-            "left_anti",
-        )
-    return selected.select(
+    return res.select(
         "query_id",
         "mmr_rank",
         F.col("neighbor_id").alias("vec_id"),

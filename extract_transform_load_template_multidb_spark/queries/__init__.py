@@ -66,15 +66,19 @@ _loaded = False
 # than denying first evidence to cheap ones.
 _CHECK_FIRST = (
     # Round-9 window (positions 1-50): the round-8 driver-red query
-    # (dq_completeness_matrix, oracle HUGEINT cast fixed) and the two
-    # ADVICE-changed governance/plan rewrites go first, then the new
-    # per-entity Kalman, then 45 never-driver-checked names in registry
-    # order (hash-strict union across CORRECTNESS_r01..r08 = 250/568
-    # checked-ever; this window moves it toward 300).
+    # (dq_completeness_matrix, oracle HUGEINT cast fixed) goes first,
+    # then the five changed-plan/changed-oracle rewrites (median
+    # imputation, bigram profile, label propagation, Markov removal,
+    # MMR) and the new per-entity Kalman, then 43 never-driver-checked
+    # names in registry order (hash-strict union across
+    # CORRECTNESS_r01..r08 = 250/568 checked-ever; this window moves it
+    # toward 300).
     "dq_completeness_matrix",
     "dq_median_imputation_audit",
     "text_char_bigram_profile",
     "graph_label_propagation_semi",
+    "window_markov_removal_attribution",
+    "sim_mmr_diversified_topk",
     "ts_kalman_entity_level",
     "ts_max_drawdown_demeaned",
     "ts_markov_next_event_accuracy",
@@ -119,8 +123,6 @@ _CHECK_FIRST = (
     "window_user_lifecycle_states",
     "graph_hits_bipartite",
     "ts_spectral_entropy",
-    "agg_nelson_aalen_hazard",
-    "text_ndcg_at_10",
     # §2 six at positions 51-56 (pytest guard: must stay ≤ 60; all six
     # driver-green since round 5 and unchanged).
     "etl_full_snapshot",
@@ -131,6 +133,8 @@ _CHECK_FIRST = (
     "sink_window_overwrite_roundtrip",
     # Remaining never-driver-checked names at 57+, still in registry
     # order — first in line for the round-10 window.
+    "agg_nelson_aalen_hazard",
+    "text_ndcg_at_10",
     "sim_rrf_fusion",
     "feature_woe_iv",
     "agg_isotonic_calibration",

@@ -11193,54 +11193,63 @@ def graph_label_propagation_semi(
     for determinism), and score accuracy on the held-out 2/3 — the
     graph-SSL baseline (Zhu & Ghahramani) a labeling pipeline runs
     before paying for annotations: high propagation accuracy means
-    graph structure already encodes the label. Each round is one
-    edge→label equi-join + majority groupBy (no iteration state beyond
-    the label frame, eagerly checkpointed between rounds); the ≥2-
-    support edge set bounds degree like the link-pred family.
+    graph structure already encodes the label.
 
-    Scale shape: the label frame is bounded by |parts| (one row per
-    node), orders of magnitude smaller than the edge list — so every
-    round's edge→label join BROADCASTS the labels and the big sym frame
-    is never shuffled for the join; the only exchange per round is the
-    (node, label) majority groupBy. nodes/truth are derived once from
-    the checkpointed pairs and checkpointed themselves (tiny) so the
-    n_nodes/n_seeds/holdout arms don't re-run the distinct."""
+    Scale shape: (1) pair generation is ONE groupBy — collect the
+    distinct parts per order (bounded: TPC-H orders hold ≤7 parts, so
+    the per-group array and its i<j combinations are constant-size) and
+    explode the combinations from an array expression, instead of the
+    distinct + self-join + groupBy chain (3 shuffles → 2; measured
+    1.8 s → 1.25 s at sf0.1). (2) The label frame is bounded by |parts|
+    (one row per node), orders of magnitude smaller than the edge list,
+    so every round's edge→label join BROADCASTS the labels and the sym
+    frame is never shuffled for the join; the only exchange per round
+    is the (node, label) majority groupBy. (3) Only the pair list is
+    eagerly checkpointed: every downstream frame is a one-reference
+    chain over those ≤ a-few-thousand rows, so per-round checkpoints
+    just added driver job round-trips (the whole tail is one AQE job).
+    At deeper iteration counts than the fixed 2 rounds here, checkpoint
+    the label frame every few rounds to truncate lineage."""
     li = load_table(spark, sf_dir, "lineitem")
     pt = load_table(spark, sf_dir, "part")
     from pyspark.sql import Window as Win
 
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
+    op = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        op.where(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ps) - 2),"
+                    " i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "      j -> struct(get(ps, i) AS pa,"
+                    "                  get(ps, j) AS pb))))"
+                )
+            ).alias("pr")
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"),
-            F.col("b.l_partkey").alias("pb"),
-        )
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("w"))
         .where(F.col("w") >= 2)
         .drop("w")
         .localCheckpoint(eager=True)
     )
-    sym = pairs.selectExpr("pa AS a", "pb AS b").unionAll(
-        pairs.selectExpr("pb AS a", "pa AS b")
-    )
-    nodes = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    sym = pairs.select(
+        F.explode(
+            F.expr("array(struct(pa AS a, pb AS b), struct(pb AS a, pa AS b))")
+        ).alias("e")
+    ).select("e.a", "e.b")
+    nodes = sym.select(F.col("a").alias("node")).distinct()
     truth = nodes.join(
-        pt.select(
-            F.col("p_partkey").alias("node"),
-            F.col("p_brand").alias("label"),
+        F.broadcast(
+            pt.select(
+                F.col("p_partkey").alias("node"),
+                F.col("p_brand").alias("label"),
+            )
         ),
         "node",
-    ).localCheckpoint(eager=True)
+    )
     seeds = truth.where(F.col("node") % 3 == 0)
 
     def propagate(labels):
@@ -11272,10 +11281,9 @@ def graph_label_propagation_semi(
             pred.join(
                 F.broadcast(seeds.select("node")), "node", "left_anti"
             )
-        ).localCheckpoint(eager=True)
+        )
 
-    labels = propagate(seeds)
-    labels = propagate(labels)
+    labels = propagate(propagate(seeds))
     holdout = (
         truth.where(F.col("node") % 3 != 0)
         .withColumnRenamed("label", "truth_label")

@@ -3959,55 +3959,39 @@ def text_char_bigram_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     character-level model's feature table). Space-crossing bigrams are
     excluded; top-5 per language is a WindowGroupLimit.
 
-    Shape: the per-doc bigram counts are folded INSIDE one array
-    expression (sorted-array run-length scan — the text_char_entropy
-    precedent, 7.0 → 0.2 s in round 7) so the explode emits one row per
-    per-doc DISTINCT bigram, not one row per character position
-    (~5-10× fewer rows, and the downstream (lang, bigram) groupBy's
-    map-side combine sees pre-counted partials). All codegen; the only
-    exchanges are the groupBy and the top-5 window."""
+    Shape: bigrams come from WITHIN words — lower the text once, split
+    on spaces, and emit each ≥2-char word's internal bigrams from one
+    flattened array expression. This is equivalent to position-wise
+    extraction + space filter (space-crossing bigrams are exactly the
+    excluded ones — pinned by a full-profile equivalence check when the
+    plan was rewritten) but never materializes space-adjacent rows and,
+    critically, never calls substring against the FULL document per
+    position: ``substring(lower(text), k, 2)`` inside a transform
+    lambda re-lowers and re-seeks the whole document per element
+    (O(len²) per doc — the shape that cost 4.15 s at sf0.1); per-word
+    substrings are O(word²) with ~6-char words. All codegen; the only
+    exchanges are the (lang, bigram) groupBy (map-side combined) and
+    the top-5 window. Measured 3.9 s → 0.72 s quiet at sf0.1."""
     docs = load_table(spark, sf_dir, "documents").where(
         F.length("text") >= 2
     )
     from pyspark.sql import Window as W
 
-    per_doc = docs.select(
-        "lang",
-        F.expr(
-            "array_sort(filter("
-            " transform(sequence(1, length(text) - 1),"
-            "           k -> substring(lower(text), k, 2)),"
-            " b -> NOT contains(b, ' ')))"
-        ).alias("__sorted"),
-    ).where(F.size("__sorted") > 0)
-    # 1-based run-end positions in the sorted bigram array; run length =
-    # end minus previous end; the run's bigram is the value at its end.
-    runs = per_doc.select(
-        "lang",
-        F.expr(
-            "filter(sequence(1, size(__sorted)),"
-            " i -> i = size(__sorted)"
-            "      OR get(__sorted, i - 1) != get(__sorted, i))"
-        ).alias("__ends"),
-        "__sorted",
-    ).select(
+    # length(w) >= 2 guard is load-bearing: sequence(1, length(w) - 1)
+    # on a 0/1-char word infers a DESCENDING step and fabricates junk
+    # bigrams instead of an empty list.
+    bg = docs.select(
         "lang",
         F.explode(
-            F.arrays_zip(
-                F.expr("transform(__ends, e -> get(__sorted, e - 1))").alias(
-                    "bg"
-                ),
-                F.expr(
-                    "zip_with(__ends,"
-                    " concat(array(0), slice(__ends, 1, size(__ends) - 1)),"
-                    " (e, p) -> CAST(e - p AS BIGINT))"
-                ).alias("n"),
+            F.expr(
+                "flatten(transform("
+                " filter(split(lower(text), ' +'), w -> length(w) >= 2),"
+                " w -> transform(sequence(1, length(w) - 1),"
+                "                i -> substring(w, i, 2))))"
             )
-        ).alias("__run"),
+        ).alias("bg"),
     )
-    profile = runs.groupBy(
-        "lang", F.col("__run.bg").alias("bg")
-    ).agg(F.sum("__run.n").alias("c"))
+    profile = bg.groupBy("lang", "bg").agg(F.count(F.lit(1)).alias("c"))
     w = W.partitionBy("lang").orderBy(F.col("c").desc(), F.col("bg"))
     return (
         profile.withColumn("rnk", F.row_number().over(w))

@@ -5316,104 +5316,77 @@ def window_markov_removal_attribution(
         "dst",
         F.round(F.col("c").cast("double") / F.col("n"), 6).alias("p"),
     )
-    channels = base_t.where(F.col("src") != "start").select(
-        F.col("src").alias("ch")
-    ).distinct()
-    scen = channels.select(
-        F.col("ch").alias("scenario"), F.col("ch").alias("removed")
-    ).unionAll(
-        channels.limit(1).select(
-            F.lit("base").alias("scenario"),
-            F.lit(None).cast("string").alias("removed"),
-        )
-    )
-    trans = (
-        base_t.crossJoin(F.broadcast(scen))
-        .where(
-            F.col("removed").isNull() | (F.col("src") != F.col("removed"))
-        )
-        .select(
-            "scenario",
-            "src",
-            F.when(
-                F.col("removed").isNotNull()
-                & (F.col("dst") == F.col("removed")),
-                F.lit("drop"),
+    # Everything below the rollup runs on the BOUNDED transition table
+    # (states = event types + start/conv/drop, ≤ 49 rows at ANY corpus
+    # size), so the 12-step × |channels|+1-scenario absorption walk is
+    # a driver fold — the engine's bounded-driver-loop pattern (the BPE
+    # merge table, the daily Kalman fold): the unrolled 12-stage Spark
+    # loop this replaces spent ~3 s of pure stage-scheduling floor on
+    # ≤42-row frames at sf0.1. The arithmetic reproduces the previous
+    # distributed plan (and the oracle) bit-for-bit: per-edge mass·p is
+    # a double rounded HALF_UP onto the 9-dp grid (Decimal(float) ==
+    # BigDecimal(double) — both see the exact binary expansion), the
+    # Spark round() returns a DOUBLE which the decimal(38,9) cast
+    # re-quantizes, per-state sums are exact on the grid, and each
+    # step's masses come back to double exactly like the old
+    # ``sum(m9).cast("double")``.
+    from decimal import ROUND_HALF_UP, Decimal
+
+    rows = base_t.collect()  # bounded: |states|² transition rows
+    chans = sorted({r.src for r in rows if r.src != "start"})
+    q9 = Decimal("0.000000001")
+    scen_pconv: list[tuple[str | None, float | None]] = []
+    for removed in [None] + chans:
+        tmap: dict[str, dict[str, float]] = {}
+        for r in rows:
+            if removed is not None and r.src == removed:
+                continue
+            dst = (
+                "drop"
+                if removed is not None and r.dst == removed
+                else r.dst
             )
-            .otherwise(F.col("dst"))
-            .alias("dst"),
-            "p",
+            row = tmap.setdefault(r.src, {})
+            # ≤2 terms per (src, dst) — the original edge plus one
+            # redirected edge — so double addition order cannot matter.
+            row[dst] = row.get(dst, 0.0) + r.p
+        for absorb in ("conv", "drop"):
+            tmap.setdefault(absorb, {})[absorb] = 1.0
+        mass = {"start": 1.0}
+        for _ in range(12):
+            acc: dict[str, Decimal] = {}
+            for state, m in mass.items():
+                for dst, p in tmap.get(state, {}).items():
+                    r9 = Decimal(m * p).quantize(q9, ROUND_HALF_UP)
+                    r9 = Decimal(float(r9)).quantize(q9, ROUND_HALF_UP)
+                    acc[dst] = acc.get(dst, Decimal(0)) + r9
+            mass = {k: float(v) for k, v in acc.items()}
+        # A scenario appears in the output only if conv mass EXISTS
+        # (matching the old plan, where the conv row simply never
+        # materialized for an unreachable scenario).
+        scen_pconv.append(
+            (removed, mass["conv"] if "conv" in mass else None)
         )
-        .groupBy("scenario", "src", "dst")
-        .agg(F.sum("p").cast("double").alias("p"))
-        .unionAll(
-            scen.crossJoin(
-                F.broadcast(
-                    spark.createDataFrame(
-                        [("conv",), ("drop",)], "st string"
-                    )
-                )
-            ).select(
-                "scenario",
-                F.col("st").alias("src"),
-                F.col("st").alias("dst"),
-                F.lit(1.0).alias("p"),
-            )
-        )
-    ).localCheckpoint(eager=False)
-    # Disambiguate once: the iteration joins mass (which derives from
-    # trans after step 1) back to trans, so trans carries its own names.
-    transr = trans.select(
-        F.col("scenario").alias("t_scenario"),
-        F.col("src").alias("t_src"),
-        "dst",
-        "p",
+    base_p = scen_pconv[0][1]
+    out_schema = (
+        "channel string, base_conv_prob double, "
+        "removal_conv_prob double, removal_effect double"
     )
-    mass = scen.select(
-        "scenario",
-        F.lit("start").alias("state"),
-        F.lit(1.0).alias("mass"),
-    )
-    for it in range(12):
-        # The mass frame is ≤ scenarios×states rows: broadcast the
-        # transition table and collapse to one partition so each of the
-        # 12 unrolled steps is a single-task stage, not 32 empty tasks;
-        # cut the lineage every 4 steps so Catalyst never re-analyzes a
-        # 24-operator-deep tree.
-        if it and it % 4 == 0:
-            mass = mass.localCheckpoint(eager=False)
-        mass = (
-            mass.join(
-                F.broadcast(transr),
-                (F.col("scenario") == F.col("t_scenario"))
-                & (F.col("state") == F.col("t_src")),
-            )
-            .select(
-                "scenario",
-                F.col("dst").alias("state"),
-                F.round(F.col("mass") * F.col("p"), 9)
-                .cast("decimal(38,9)")
-                .alias("m9"),
-            )
-            .coalesce(1)
-            .groupBy("scenario", "state")
-            .agg(F.sum("m9").cast("double").alias("mass"))
-        )
-    pconv = mass.where(F.col("state") == "conv").select(
-        "scenario", F.col("mass").alias("p_conv")
-    )
-    base = pconv.where(F.col("scenario") == "base").select(
-        F.col("p_conv").alias("base_p")
+    if base_p is None:
+        return spark.createDataFrame([], out_schema)
+    data = [
+        (ch, p) for ch, p in scen_pconv[1:] if ch is not None and p is not None
+    ]
+    df = spark.createDataFrame(
+        data, "channel string, p_conv double"
     )
     return (
-        pconv.where(F.col("scenario") != "base")
-        .crossJoin(F.broadcast(base))
-        .select(
-            F.col("scenario").alias("channel"),
-            F.round("base_p", 6).alias("base_conv_prob"),
+        df.select(
+            "channel",
+            F.round(F.lit(base_p), 6).alias("base_conv_prob"),
             F.round("p_conv", 6).alias("removal_conv_prob"),
             F.round(
-                (F.col("base_p") - F.col("p_conv")) / F.col("base_p"), 6
+                (F.lit(base_p) - F.col("p_conv")) / F.lit(base_p), 6
             ).alias("removal_effect"),
         )
         .orderBy("channel")

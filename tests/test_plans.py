@@ -822,12 +822,15 @@ def test_davies_bouldin_broadcast_centroids(spark, sf_dir):
 
 
 def test_mmr_bounded_pool_no_cartesian(spark, sf_dir):
-    """MMR re-ranking: after the one corpus pass, every greedy step runs
-    on the queries×pool frame via equi/broadcast joins — the unrolled
-    plan must stay cartesian-free and Python-free."""
+    """MMR re-ranking: the corpus pass is the distributed stage; the
+    greedy walk is a bounded driver fold over the collected
+    queries×pool frame, so the RESULT plan is a local table (plus the
+    final rounding projection) — no joins, no Python eval nodes, and
+    certainly no cartesian product anywhere."""
     plan = _plan(spark, sf_dir, "sim_mmr_diversified_topk")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
 
 
 def test_holt_two_window_passes(spark, sf_dir):
@@ -1153,13 +1156,17 @@ def test_seasonal_strength_broadcast_components(spark, sf_dir):
 
 
 def test_markov_attribution_tiny_iteration_frames(spark, sf_dir):
-    """Markov removal attribution: after the one journey rollup, the
-    12-step absorption runs on broadcast-joined ≤7-state frames — no
-    cartesian, no Python, and the transition table broadcasts."""
+    """Markov removal attribution: the journey rollup is the only
+    distributed stage; the 12-step absorption walk now runs as a
+    bounded driver fold over the collected ≤7-state transition table
+    (the BPE-merge-table pattern), so the RESULT plan is a local table
+    plus the rounding projection — no joins, no cartesian, no Python
+    eval nodes."""
     plan = _plan(spark, sf_dir, "window_markov_removal_attribution")
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
-    assert "BroadcastHashJoin" in plan
+    assert "LocalTableScan" in plan or "Scan ExistingRDD" in plan
+    assert "Join" not in plan
 
 
 def test_lsh_mrr_no_cartesian_broadcast_truth(spark, sf_dir):
@@ -1969,3 +1976,55 @@ def test_band_join_is_equi_join_not_theta(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan \
         or "BroadcastHashJoin" in plan
+
+
+def test_kalman_entity_is_bucketed_arrow_grouped_map(spark, sf_dir):
+    """ts_kalman_entity_level must run its per-user fold as ONE
+    Arrow-batched grouped map keyed by the 64-way hash bucket — a
+    FlatMapGroupsInPandas over pmod(xxhash64(user_id)) — never a
+    row-at-a-time Python eval, and never a per-user grouping (the
+    bucket column, not user_id, must be the grouping key so Python
+    call count scales with buckets, not entities)."""
+    import re
+
+    plan = _plan(spark, sf_dir, "ts_kalman_entity_level")
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # The grouped-map key is the bucket column, not the raw id (the
+    # executedPlan string shows the grouping attribute list).
+    assert re.search(r"FlatMapGroupsInPandas \[bucket#\d+\]", plan)
+    # Exactly one Python hop.
+    assert plan.count("FlatMapGroupsInPandas") == 1
+
+
+def test_labelprop_broadcasts_labels_never_shuffles_edges_for_join(
+    spark, sf_dir
+):
+    """graph_label_propagation_semi's per-round edge→label joins must
+    all be broadcast-hash joins (the label frame is bounded by |parts|);
+    a sort-merge join would shuffle the edge list once per round. Pair
+    generation must be the single groupBy chain — no self-join of the
+    (order, part) projection (no SortMergeJoin anywhere), and no
+    cartesian fallback."""
+    plan = _plan(spark, sf_dir, "graph_label_propagation_semi")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_char_bigram_profile_no_per_position_python_or_fulltext_seek(
+    spark, sf_dir
+):
+    """text_char_bigram_profile must stay a pure JVM array-expression
+    plan (no Python nodes) whose generator explodes per-WORD bigram
+    arrays — the O(len²) shape (substring against the full document
+    inside a per-position lambda) is what cost 4.15 s at sf0.1."""
+    plan = _plan(spark, sf_dir, "text_char_bigram_profile")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan or "Generate" in plan
+    # The per-word shape splits on spaces; the old full-text shape did
+    # substring(lower(text), k, 2) against the whole document.
+    assert "split(lower(text" in plan

@@ -1074,3 +1074,64 @@ def test_bucketed_cogroup_profile_matches_per_user_reference(rows):
                 ).astype("int64")
             )
         assert got[int(u)] == (len(ue), len(uo), lag), u
+
+
+@given(
+    series=st.lists(
+        st.tuples(
+            st.integers(0, 4),  # user
+            st.integers(0, 40),  # day offset
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(**_SETTINGS)
+def test_kalman_entity_fold_matches_scalar_recursion(spark, series):
+    """The bucketed applyInPandas per-entity Kalman (queries/pyfunc.py::
+    _bucketed_kalman) must equal the plain scalar recursion per user —
+    same IEEE op order as the recursive-CTE oracle (x0 = first y,
+    p0 = 1, q = 0.01, r = 4), final state per user."""
+    import pandas as pd
+
+    from extract_transform_load_template_multidb_spark.queries.pyfunc import (
+        _bucketed_kalman,
+    )
+
+    base = dt.date(2024, 1, 1)
+    # Daily counts per (user, day) — the rollup the query feeds the fold.
+    counts: dict[tuple[int, int], int] = {}
+    for u, d in series:
+        counts[(u, d)] = counts.get((u, d), 0) + 1
+    pdf = pd.DataFrame(
+        {
+            "user_id": pd.Series(
+                [u for (u, _d) in counts], dtype="int64"
+            ),
+            "day": [base + dt.timedelta(days=d) for (_u, d) in counts],
+            "y": pd.Series(
+                [float(c) for c in counts.values()], dtype="float64"
+            ),
+        }
+    )
+    got = _bucketed_kalman(pdf).set_index("user_id")
+
+    expect = {}
+    for u in sorted({u for (u, _d) in counts}):
+        days = sorted(d for (uu, d) in counts if uu == u)
+        ys = [float(counts[(u, d)]) for d in days]
+        x, p = ys[0], 1.0
+        for yv in ys[1:]:
+            pp = p + 0.01
+            g = pp / (pp + 4.0)
+            x = x + g * (yv - x)
+            p = (1.0 - g) * pp
+        expect[u] = (len(ys), base + dt.timedelta(days=days[-1]), x, p)
+
+    assert set(got.index) == set(expect)
+    for u, (nd, last, x, p) in expect.items():
+        row = got.loc[u]
+        assert row["n_days"] == nd
+        assert row["last_day"] == last
+        assert row["level"] == x  # bit-exact, same op order
+        assert row["variance"] == p
