@@ -143,7 +143,6 @@ _CHECK_FIRST = (
     "agg_hill_tail_index_top200",
     "agg_diff_in_differences_orders",
     "ts_max_drawdown",
-    "sim_mmr_diversified_topk",
     "curation_dsir_importance",
     "text_rake_keywords",
     "sim_davies_bouldin_index",
@@ -342,7 +341,6 @@ _CHECK_FIRST = (
     "ts_seasonal_residual_anomalies",
     "window_signup_to_purchase_latency",
     "ts_seasonal_strength",
-    "window_markov_removal_attribution",
     "ts_kpss_stationarity",
     "ts_adf_unit_root",
     "ts_pettitt_changepoint",

@@ -25,6 +25,57 @@ from extract_transform_load_template_multidb_spark.queries._util import (
 
 _EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
+
+def copurchase_pairs(
+    li: DataFrame,
+    min_support: int = 2,
+    weight_col: str | None = None,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """(part_a < part_b) co-purchase pairs supported by ≥ ``min_support``
+    orders — the shared edge generator for the link-pred / clustering /
+    label-propagation graph family.
+
+    ONE groupBy builds the distinct sorted part list per order
+    (bounded: TPC-H orders hold ≤7 parts, so the per-group array and
+    its i<j combinations are constant-size — skew-safe at any corpus
+    size), and the pair explode is a pure array expression; the pair
+    groupBy then counts supporting orders. This replaces the previous
+    distinct → self-join → pair-groupBy chain at every call site
+    (3 shuffles → 2; measured 1.8 s → 1.25 s at sf0.1 for the pair
+    stage alone). Eagerly checkpointed by default because every caller
+    references the pair list several times (both arms of sym, wedge
+    joins, anti-joins) — without truncation Spark re-executes the
+    generator per reference (measured 9.4 s vs ~2 s at sf0.1)."""
+    op = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = (
+        op.where(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ps) - 2),"
+                    " i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "      j -> struct(get(ps, i) AS pa,"
+                    "                  get(ps, j) AS pb))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(
+            F.col("pr.pa").alias("part_a"), F.col("pr.pb").alias("part_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("__w"))
+        .where(F.col("__w") >= min_support)
+    )
+    pairs = (
+        pairs.withColumnRenamed("__w", weight_col)
+        if weight_col
+        else pairs.drop("__w")
+    )
+    return pairs.localCheckpoint(eager=True) if checkpoint else pairs
+
+
 _ASOF_ORACLE = """
 WITH r AS (
     SELECT o_custkey, o_orderdate,
@@ -1958,28 +2009,12 @@ def join_copurchase_part_pairs(
     corpus-quadratic; the top-20 plans as TakeOrderedAndProject with a
     total-order tiebreak."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    pairs = copurchase_pairs(
+        li, min_support=2, weight_col="n_orders", checkpoint=False
     )
-    return (
-        pairs.where(F.col("n_orders") >= 2)
-        .orderBy(
-            F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
-        )
-        .limit(20)
-    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), F.col("part_a"), F.col("part_b")
+    ).limit(20)
 
 
 _RFM_ORACLE = """
@@ -3139,29 +3174,7 @@ def graph_linkpred_common_neighbors(
     keeps this subquadratic at 100 TB); existing edges drop out via a
     left-anti join and top-30 plans as TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .where(F.col("n_orders") >= 2)
-        .drop("n_orders")
-        # `pairs` (a lineitem self-join + groupBy + HAVING) is
-        # referenced 5× downstream — both arms of `sym`, both sides of
-        # the wedge join, and the final left-anti join. Without lineage
-        # truncation Spark re-executes the self-join at every reference
-        # (measured 9.4 s vs 2-ish when materialized once at sf0.1).
-        .localCheckpoint(eager=True)
-    )
+    pairs = copurchase_pairs(li, min_support=2)
     sym = pairs.selectExpr("part_a AS a", "part_b AS b").unionAll(
         pairs.selectExpr("part_b AS a", "part_a AS b")
     )
@@ -5588,26 +5601,47 @@ def agg_association_rules_lift(
     broadcast back; the min-support filter prunes before ranking, and
     the top-20 plans as TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = op.agg(
-        F.count_distinct("l_orderkey").cast("double").alias("n")
+    # ONE basket groupBy feeds all three aggregates: pair counts come
+    # from the unordered combinations of each sorted basket (the shared
+    # copurchase_pairs shape, constant fan-out per order) mirrored to
+    # both (ant, cons) orientations; item supports and the basket total
+    # come from the same checkpointed basket frame instead of a second
+    # distinct over lineitem.
+    baskets = (
+        li.groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .localCheckpoint(eager=True)
     )
-    item = op.groupBy("l_partkey").agg(
-        F.count(F.lit(1)).cast("long").alias("n_item")
+    n_orders = baskets.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    item = (
+        baskets.select(F.explode("ps").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_item"))
     )
-    a = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("ant")
-    )
-    b = op.select(
-        F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("cons")
-    )
-    pair = (
-        a.join(b, "k")
-        .where(F.col("ant") != F.col("cons"))
-        .groupBy("ant", "cons")
+    und = (
+        baskets.where(F.size("ps") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ps) - 2),"
+                    " i -> transform(sequence(i + 1, size(ps) - 1),"
+                    "      j -> struct(get(ps, i) AS pa,"
+                    "                  get(ps, j) AS pb))))"
+                )
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_pair"))
         .where(F.col("n_pair") >= 3)
     )
+    pair = und.select(
+        F.explode(
+            F.expr(
+                "array(struct(pa AS ant, pb AS cons, n_pair),"
+                "      struct(pb AS ant, pa AS cons, n_pair))"
+            )
+        ).alias("e")
+    ).select("e.ant", "e.cons", "e.n_pair")
     ia = item.select(
         F.col("l_partkey").alias("ant"), F.col("n_item").alias("ni_a")
     )
@@ -6279,26 +6313,7 @@ def graph_linkpred_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-30 plans as TakeOrderedAndProject after the existing-edge
     anti join."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .drop("w")
-        # Same 5×-reference shape as graph_linkpred_common_neighbors:
-        # truncate lineage so the lineitem self-join runs once, not at
-        # every downstream reference of `pairs`/`sym`/`deg`.
-        .localCheckpoint(eager=True)
-    )
+    pairs = copurchase_pairs(li, min_support=2)
     sym = pairs.select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     ).unionAll(
@@ -6400,22 +6415,7 @@ def graph_local_clustering_histogram(
     for perfect cliques), so the histogram is engine-exact with no
     float boundary risk."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .drop("w")
-    )
+    pairs = copurchase_pairs(li, min_support=2)
     sym = pairs.select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     ).unionAll(
@@ -9408,36 +9408,47 @@ def join_disjunctive_union_rewrite(
     matched by key OR by ship-date=order-date; the A∩B leg hashes on
     the composite key. The pattern generalizes to materializing rows
     (union + dropDuplicates on the pair key) when the payload is
-    needed."""
+    needed.
+
+    Count-only legs never materialize matched ROWS: the key leg and the
+    conjunctive A∩B leg share ONE orderkey equi-join pass (n_both is
+    just a conditional count inside it), and the date leg — whose
+    matched-row form explodes to Σ_d n_li(d)·n_ord(d) rows (~36M at
+    sf0.1, quadratic per date at scale) — reduces to exactly that sum
+    of per-date COUNT PRODUCTS: two date rollups and a tiny equi-join
+    on the date key."""
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
     )
     o = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", F.col("o_orderdate").cast("date").alias("od")
     )
-    a = li.join(
-        o, li["l_orderkey"] == o["o_orderkey"]
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_key_match"))
-    b = li.join(o, li["sd"] == o["od"]).agg(
-        F.count(F.lit(1)).cast("long").alias("n_date_match")
+    a = li.join(o, li["l_orderkey"] == o["o_orderkey"]).agg(
+        F.count(F.lit(1)).cast("long").alias("n_key_match"),
+        F.count(F.when(F.col("sd") == F.col("od"), 1))
+        .cast("long")
+        .alias("n_both"),
     )
-    ab = li.join(
-        o,
-        (li["l_orderkey"] == o["o_orderkey"]) & (li["sd"] == o["od"]),
-    ).agg(F.count(F.lit(1)).cast("long").alias("n_both"))
-    return (
-        a.crossJoin(F.broadcast(b))
-        .crossJoin(F.broadcast(ab))
-        .select(
-            "n_key_match",
-            "n_date_match",
-            "n_both",
-            (
-                F.col("n_key_match")
-                + F.col("n_date_match")
-                - F.col("n_both")
-            ).alias("n_disjunctive_union"),
+    li_d = li.groupBy("sd").agg(F.count(F.lit(1)).alias("nl"))
+    o_d = o.groupBy("od").agg(F.count(F.lit(1)).alias("no"))
+    b = (
+        li_d.join(o_d, li_d["sd"] == o_d["od"])
+        .agg(
+            F.sum(F.col("nl") * F.col("no"))
+            .cast("long")
+            .alias("n_date_match")
         )
+        .select(F.coalesce("n_date_match", F.lit(0)).alias("n_date_match"))
+    )
+    return a.crossJoin(F.broadcast(b)).select(
+        "n_key_match",
+        "n_date_match",
+        "n_both",
+        (
+            F.col("n_key_match")
+            + F.col("n_date_match")
+            - F.col("n_both")
+        ).alias("n_disjunctive_union"),
     )
 
 
@@ -10223,25 +10234,7 @@ def graph_linkpred_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard itself is one exact integer division (both engines see the
     identical IEEE double)."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .drop("w")
-        # Same 5x-reference shape as the other two link-pred queries:
-        # truncate lineage so the lineitem self-join runs once.
-        .localCheckpoint(eager=True)
-    )
+    pairs = copurchase_pairs(li, min_support=2)
     sym = pairs.select(
         F.col("part_a").alias("a"), F.col("part_b").alias("b")
     ).unionAll(
@@ -11214,26 +11207,8 @@ def graph_label_propagation_semi(
     pt = load_table(spark, sf_dir, "part")
     from pyspark.sql import Window as Win
 
-    op = li.groupBy("l_orderkey").agg(
-        F.sort_array(F.collect_set("l_partkey")).alias("ps")
-    )
-    pairs = (
-        op.where(F.size("ps") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(ps) - 2),"
-                    " i -> transform(sequence(i + 1, size(ps) - 1),"
-                    "      j -> struct(get(ps, i) AS pa,"
-                    "                  get(ps, j) AS pb))))"
-                )
-            ).alias("pr")
-        )
-        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
-        .agg(F.count(F.lit(1)).alias("w"))
-        .where(F.col("w") >= 2)
-        .drop("w")
-        .localCheckpoint(eager=True)
+    pairs = copurchase_pairs(li, min_support=2).select(
+        F.col("part_a").alias("pa"), F.col("part_b").alias("pb")
     )
     sym = pairs.select(
         F.explode(

@@ -4555,7 +4555,7 @@ def sim_knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    topk = sim.cosine_topk_bruteforce(
+    topk = sim.cosine_topk_matmul(
         emb, emb.filter(F.col("vec_id") % 25 == 0), k=5
     )
     labels = emb.select("vec_id", "label")
@@ -5026,7 +5026,7 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     labels = emb.select("vec_id", "label")
-    scored = sim.cosine_topk_bruteforce(
+    scored = sim.cosine_topk_matmul(
         emb, emb.filter(F.col("vec_id") % 25 == 0), k=500
     ).drop("rnk")
     la = labels.select(
@@ -6071,7 +6071,7 @@ def sim_precision_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     emb = load_table(spark, sf_dir, "embeddings")
-    topk = sim.cosine_topk_bruteforce(
+    topk = sim.cosine_topk_matmul(
         emb, emb.filter(F.col("vec_id") % 25 == 0), k=5
     )
     lab = emb.select("vec_id", "label")
@@ -7091,7 +7091,7 @@ def sim_lsh_candidate_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact int multiply-adds against driver-literal sign planes; the
     recall join touches only queries×5 rows."""
     emb = load_table(spark, sf_dir, "embeddings")
-    truth = sim.cosine_topk_bruteforce(
+    truth = sim.cosine_topk_matmul(
         emb, emb.filter(F.col("vec_id") % 50 == 0), k=5
     )
     buckets = emb.select(
@@ -8227,7 +8227,7 @@ def sim_lsh_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     reciprocal ranks quantize to the 6-dp grid before averaging."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") % 50 == 0)
-    truth1 = sim.cosine_topk_bruteforce(emb, q, k=1).select(
+    truth1 = sim.cosine_topk_matmul(emb, q, k=1).select(
         "query_id", F.col("neighbor_id").alias("true_nn")
     )
     lshr = sim.signlsh_topk(emb, q, k=1_000_000, num_planes=4).select(
@@ -8705,8 +8705,12 @@ def graph_bipartite_projection(
     list — fanout is each customer's supplier-degree (≈ order count),
     so pair volume is Σ deg(c)² over customers, NOT |S|²; at skewed
     scale, cap per-customer degree (drop-and-log whales) exactly as the
-    LSH bucket caps do. Degrees broadcast back onto the pair aggregate;
-    top-25 is a TakeOrdered, never a global sort."""
+    LSH bucket caps do. The codegen self-join beats the basket-array
+    combination fold here BECAUSE degrees are ~25-30: a deg² array of
+    structs per customer row evaluates interpreted (measured 2.3 s →
+    6.9 s when tried), while ≤7-part order baskets favor the fold —
+    pick by group fan-out. Degrees broadcast back onto the pair
+    aggregate; top-25 is a TakeOrdered, never a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     el = (

@@ -1520,15 +1520,18 @@ def test_debounce_hourly_rollup_window(spark, sf_dir):
 
 def test_disjunctive_rewrite_all_hash_joins(spark, sf_dir):
     """Disjunctive rewrite: every disjunct leg is a HASH join (the
-    whole point — the naive OR join would be a nested loop); the only
-    nested loops are the two 1-row count combines."""
+    whole point — the naive OR join would be a nested loop). Two hash
+    joins now cover the three counts: the key leg and the conjunctive
+    A∩B leg share one orderkey equi-join (conditional count), and the
+    date leg is a per-date count-product join that never materializes
+    matched rows. The only nested loop is the 1-row count combine."""
     plan = _plan(spark, sf_dir, "join_disjunctive_union_rewrite")
     assert "CartesianProduct" not in plan
     assert (
         plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin")
-        + plan.count("ShuffledHashJoin") >= 3
+        + plan.count("ShuffledHashJoin") >= 2
     )
-    assert plan.count("BroadcastNestedLoopJoin") <= 2
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
 
 
 def test_confusion_one_pass_conditional_counts(spark, sf_dir):
