@@ -80,6 +80,7 @@ _CHECK_FIRST = (
     "window_markov_removal_attribution",
     "sim_mmr_diversified_topk",
     "ts_kalman_entity_level",
+    "ts_kalman_rts_smoother",
     "ts_max_drawdown_demeaned",
     "ts_markov_next_event_accuracy",
     "set_relational_division",
@@ -122,7 +123,6 @@ _CHECK_FIRST = (
     "agg_vif_multicollinearity",
     "window_user_lifecycle_states",
     "graph_hits_bipartite",
-    "ts_spectral_entropy",
     # §2 six at positions 51-56 (pytest guard: must stay ≤ 60; all six
     # driver-green since round 5 and unchanged).
     "etl_full_snapshot",
@@ -133,6 +133,7 @@ _CHECK_FIRST = (
     "sink_window_overwrite_roundtrip",
     # Remaining never-driver-checked names at 57+, still in registry
     # order — first in line for the round-10 window.
+    "ts_spectral_entropy",
     "agg_nelson_aalen_hazard",
     "text_ndcg_at_10",
     "sim_rrf_fusion",

@@ -8444,3 +8444,99 @@ def ts_kalman_level_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("variance", 6).alias("variance"),
         F.round("gain", 6).alias("gain"),
     )
+
+
+_RTS_ORACLE = """
+WITH RECURSIVE daily AS (
+    SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS DOUBLE) AS y
+    FROM events GROUP BY 1
+),
+o AS (SELECT day, y, row_number() OVER (ORDER BY day) AS rn FROM daily),
+fwd AS (
+    SELECT rn, day, y, y AS x, CAST(1.0 AS DOUBLE) AS p
+    FROM o WHERE rn = 1
+    UNION ALL
+    SELECT o.rn, o.day, o.y,
+           fwd.x + ((fwd.p + 0.01) / ((fwd.p + 0.01) + 4.0))
+                   * (o.y - fwd.x),
+           (1.0 - ((fwd.p + 0.01) / ((fwd.p + 0.01) + 4.0)))
+               * (fwd.p + 0.01)
+    FROM fwd JOIN o ON o.rn = fwd.rn + 1
+),
+mx AS (SELECT MAX(rn) AS t FROM o),
+bwd AS (
+    SELECT f.rn, f.day, f.y, f.x, f.p, f.x AS xs, f.p AS ps
+    FROM fwd f, mx WHERE f.rn = mx.t
+    UNION ALL
+    SELECT f.rn, f.day, f.y, f.x, f.p,
+           f.x + (f.p / (f.p + 0.01)) * (bwd.xs - f.x),
+           f.p + (f.p / (f.p + 0.01)) * (f.p / (f.p + 0.01))
+               * (bwd.ps - (f.p + 0.01))
+    FROM bwd JOIN fwd f ON f.rn = bwd.rn - 1
+)
+SELECT day, y, round(x, 6) AS level_filtered,
+       round(xs, 6) AS level_smoothed,
+       round(ps, 6) AS variance_smoothed
+FROM bwd
+"""
+
+
+@query("ts_kalman_rts_smoother", oracle=_RTS_ORACLE)
+def ts_kalman_rts_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rauch–Tung–Striebel smoother over the daily event-count series:
+    the BACKWARD pass on top of `ts_kalman_level_filter`'s forward
+    local-level Kalman (q=0.01, r=4) — per day both the causal filtered
+    level and the two-sided smoothed level x_s[t] = x_f[t] +
+    C_t·(x_s[t+1] − x_f[t]) with C_t = p_f[t]/(p_f[t]+q), plus the
+    smoothed variance. The smoother is what offline analysis wants (it
+    uses the WHOLE series; the filter is what streaming wants), and the
+    gap |x_s − x_f| localizes regime changes the causal filter lagged
+    on. Like the filter, the recursion divides by a running variance,
+    so there is no window-sum closed form: the distributed pass is the
+    daily aggregation; both O(days) recursions run as a bounded driver
+    fold (per-ENTITY smoothing at width would run the same fold inside
+    the `ts_kalman_entity_level` bucketed applyInPandas). The oracle
+    runs the identical forward + backward recursions as chained
+    recursive CTEs; every step is the same fixed IEEE dag, so values
+    match bit-for-bit before the 6-dp display rounding."""
+    from pyspark.sql import functions as F
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+    )
+    rows = daily.orderBy("day").collect()  # bounded: one row per DAY
+    schema = (
+        "day date, y double, level_filtered double, "
+        "level_smoothed double, variance_smoothed double"
+    )
+    if not rows:
+        return spark.createDataFrame([], schema)
+    xf = [rows[0].y]
+    pf = [1.0]
+    for r in rows[1:]:
+        pp = pf[-1] + 0.01
+        g = pp / (pp + 4.0)
+        xf.append(xf[-1] + g * (r.y - xf[-1]))
+        pf.append((1.0 - g) * pp)
+    n = len(rows)
+    xs = [0.0] * n
+    ps = [0.0] * n
+    xs[n - 1] = xf[n - 1]
+    ps[n - 1] = pf[n - 1]
+    for t in range(n - 2, -1, -1):
+        c = pf[t] / (pf[t] + 0.01)
+        xs[t] = xf[t] + c * (xs[t + 1] - xf[t])
+        ps[t] = pf[t] + c * c * (ps[t + 1] - (pf[t] + 0.01))
+    out = [
+        (rows[t].day, rows[t].y, xf[t], xs[t], ps[t]) for t in range(n)
+    ]
+    df = spark.createDataFrame(out, schema)
+    return df.select(
+        "day",
+        "y",
+        F.round("level_filtered", 6).alias("level_filtered"),
+        F.round("level_smoothed", 6).alias("level_smoothed"),
+        F.round("variance_smoothed", 6).alias("variance_smoothed"),
+    )
