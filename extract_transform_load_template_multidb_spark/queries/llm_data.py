@@ -2670,12 +2670,23 @@ def text_bpe_apply_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         sym = F.replace(
             sym, F.lit(f"({m.l})({m.r})"), F.lit(f"({m.l}{m.r})")
         )
-    per_doc = docs.select(
+    # Materialize the replace chain ONCE per row: the token count
+    # references it twice (total length minus '('-stripped length), and
+    # inlining would evaluate the whole regexp+merge chain twice.
+    symed = docs.select(
         "source",
-        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z0-9]+"))
+        F.lower(F.col("text")).alias("__lt"),
+        sym.alias("__sym"),
+    )
+    per_doc = symed.select(
+        "source",
+        F.regexp_count(F.col("__lt"), F.lit("[a-z0-9]+"))
         .cast("long")
         .alias("nw"),
-        (F.length(sym) - F.length(F.replace(sym, F.lit("("), F.lit(""))))
+        (
+            F.length("__sym")
+            - F.length(F.replace(F.col("__sym"), F.lit("(")))
+        )
         .cast("long")
         .alias("nt"),
     )
