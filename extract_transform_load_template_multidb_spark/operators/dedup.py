@@ -557,10 +557,13 @@ def ngram_jaccard_pairs(
 
 
 def _cc_union_find_local(edges: DataFrame) -> DataFrame:
-    """Small-graph fast path: collect the (already-deduped, symmetrized)
+    """Small-graph fast path: collect the (deduped, canonical src>dst)
     edge list and run union-find with path halving on the driver.
+    Union-find is direction-agnostic and self-loop/duplicate-tolerant, so
+    any edge view that mentions every node works.
 
-    Only reached when the edge count is under the caller's adaptive
+    Reached on explicit ``algorithm="local"`` or as two-phase's closure
+    over the contracted forest when that forest is under the adaptive
     threshold (see connected_components) — the same runtime-adaptivity
     philosophy as AQE's sort-merge→broadcast conversion: pay a distributed
     loop only when the data demands it. A bounded driver collect of a few
@@ -594,6 +597,82 @@ def _cc_union_find_local(edges: DataFrame) -> DataFrame:
         ]
     )
     return spark.createDataFrame(out, schema=schema)
+
+
+def _cc_two_phase(
+    und: DataFrame, max_iter: int, small_graph_edges: int
+) -> DataFrame:
+    """Two-phase "filtering" connected components (Lattanzi et al.,
+    "Filtering: a method for solving graph problems in MapReduce",
+    SPAA'11 — public algorithm; also the contraction step of
+    Karloff-Suri-Vassilvitskii MRC CC):
+
+    **Phase 1 — partition-local contraction.** One ``mapInPandas`` pass
+    over the canonical edge stream (duplicates tolerated — a repeated
+    pair is a union no-op — so the caller never pays a distinct
+    shuffle): each partition runs
+    union-find (path halving, union-by-min-id) over ITS edges only and
+    emits its spanning forest as (node → partition-local min root) rows.
+    Per-partition state is O(distinct nodes in the partition) — bounded
+    by sizing partitions, never by |E|. The union of per-partition
+    spanning forests has exactly the original graph's connected
+    components (each partition's forest preserves its edges'
+    connectivity; the union preserves all of it), and its size is
+    Σ_p |nodes_p| — on clique-heavy near-dup graphs ~100× smaller than
+    |E|, since every clique collapses to a star within each partition.
+
+    **Phase 2 — global closure over the contracted forest.** Driver
+    union-find when the forest is small (the overwhelmingly common case:
+    |forest| ≤ P·|V| regardless of |E|), star contraction otherwise —
+    phase 1 output is already in canonical src≥dst form (roots are
+    per-partition minima), which is exactly star contraction's input.
+
+    Fixed point (node → min reachable id) is identical to label/star/
+    local by construction. At 100 TB this replaces O(diameter) or
+    O(log n) full-|E| shuffle rounds with ONE linear Arrow-batched pass
+    over |E| plus a closure over the P·|V|-bounded forest.
+
+    ``und`` must be the canonical view (src = greater id, dst = smaller
+    id; duplicates and self-loops allowed — self-loops register the
+    node, duplicates are no-ops). It is consumed exactly once, so an
+    unmaterialized pair pipeline upstream is evaluated exactly once.
+    Output: (node, component).
+    """
+    node_t = und.schema["src"].dataType
+    out_schema = T.StructType(
+        [T.StructField("src", node_t), T.StructField("dst", node_t)]
+    )
+
+    def _contract(batches):
+        parent: dict = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for pdf in batches:
+            for s, d in zip(pdf["src"].tolist(), pdf["dst"].tolist()):
+                rs, rd = find(s), find(d)
+                if rs != rd:
+                    if rd < rs:
+                        rs, rd = rd, rs
+                    parent[rd] = rs
+        if not parent:
+            return
+        nodes = list(parent)
+        # Roots ride along as (r, r) self-rows so phase 2 sees every
+        # node (matches the local/label treatment of self-loop-only
+        # nodes); they are a per-component handful of extra rows.
+        yield pd.DataFrame({"src": nodes, "dst": [find(n) for n in nodes]})
+
+    forest = und.mapInPandas(_contract, schema=out_schema).localCheckpoint(
+        eager=True
+    )
+    if 2 * forest.count() <= small_graph_edges:
+        return _cc_union_find_local(forest)
+    return _cc_star_contraction(forest, max_iter)
 
 
 def _cc_star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
@@ -707,17 +786,25 @@ def connected_components(
 
     ``algorithm`` picks the strategy:
 
-    - ``"auto"`` (default): small graphs (≤ ``small_graph_edges``
-      directed edges after symmetrization) run driver union-find over
-      one bounded collect — at the default threshold ≤ ~64 MB of longs,
-      far cheaper than multi-round shuffle scheduling (the same runtime
-      adaptivity AQE applies to small join sides); everything else runs
-      ``"label"``. Set ``small_graph_edges=0`` to force distributed.
+    - ``"auto"`` (default) = ``"two_phase"``: partition-local union-find
+      (one Arrow-batched ``mapInPandas`` pass over the canonical pair
+      stream — no dedup shuffle, no checkpoint, no sizing count; the
+      pass is the pair pipeline's only consumer, so it is evaluated
+      exactly once) contracts |E| to a union of spanning forests
+      ≤ P·|V| rows; the closure then runs over the forest — driver
+      union-find when 2·|forest| ≤ ``small_graph_edges`` (≤ ~64 MB of
+      longs at the default, the same runtime adaptivity AQE applies to
+      small join sides, measured on the CONTRACTED set where counting
+      is cheap), star contraction otherwise. Set
+      ``small_graph_edges=0`` to force a fully distributed closure.
+      See :func:`_cc_two_phase`.
     - ``"label"``: iterative min-label propagation — each round every
       node takes the min of its own and its neighbors' labels, one
-      join+groupBy per round, converging in O(component DIAMETER) rounds.
-      The right default for near-dup graphs, which are clique-heavy
-      (diameter 2–3). Round 1 is join-free (``min(node, min(neighbors))``
+      join+groupBy per round, converging in O(component DIAMETER) rounds
+      — cheap on clique-heavy near-dup graphs (diameter 2–3), but every
+      round still reshuffles the full edge set, which is why two_phase
+      displaced it as auto's big-graph default in round 10. Round 1 is
+      join-free (``min(node, min(neighbors))``
       — one groupBy over the edge list); rounds are localCheckpoint()ed
       so lineage stays flat, and the convergence check rides the SAME
       action that materializes the checkpoint (one job per round). When
@@ -735,28 +822,44 @@ def connected_components(
       is small).
 
     At 100 TB each label round is one shuffle of |E| + |V|, each star
-    round ~3·|E|; the threshold keeps the collect path in charge only
-    when the pair stream is provably tiny.
+    round ~3·|E|, while two_phase touches |E| exactly once (one Arrow
+    pass, per-partition state bounded by the partition's node count) and
+    closes over a P·|V|-bounded forest; ``small_graph_edges`` keeps the
+    driver-collect fallback in charge only when the CONTRACTED forest is
+    provably tiny.
     """
-    if algorithm not in ("auto", "label", "star", "local"):
+    if algorithm not in ("auto", "label", "star", "local", "two_phase"):
         raise ValueError(
             f"unknown algorithm {algorithm!r}; "
-            "expected auto | label | star | local"
+            "expected auto | label | star | local | two_phase"
         )
-    edges = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .unionByName(
-            pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst"))
-        )
-        .distinct()
-        .localCheckpoint(eager=True)
+    # Canonical undirected view: one row per pair, larger id first — a
+    # NARROW projection, deliberately not deduped or materialized.
+    # Union-find (local and two-phase) is duplicate- and direction-
+    # tolerant, so auto never pays a distinct shuffle, a checkpoint
+    # write, or a sizing count() over the full pair stream: the two-
+    # phase pass below is the only consumer and evaluates the pair
+    # pipeline exactly once. Only the explicitly-requested label/star
+    # strategies (which DO reshuffle edges every round) dedup+checkpoint
+    # first.
+    cand = pairs.select(
+        F.greatest(F.col(id_a), F.col(id_b)).alias("src"),
+        F.least(F.col(id_a), F.col(id_b)).alias("dst"),
     )
-    if algorithm == "local" or (
-        algorithm == "auto" and edges.count() <= small_graph_edges
-    ):
-        return _cc_union_find_local(edges)
+    if algorithm == "local":
+        return _cc_union_find_local(cand)
+    if algorithm in ("two_phase", "auto"):
+        # Auto always contracts first: one linear pass shrinks |E| to a
+        # P·|V|-bounded forest, and the forest's own size (not a count
+        # of the raw pair stream) picks driver union-find vs star —
+        # runtime adaptivity measured where it's cheap.
+        return _cc_two_phase(cand, max_iter, small_graph_edges)
+    und = cand.distinct().localCheckpoint(eager=True)
     if algorithm == "star":
-        return _cc_star_contraction(edges, max_iter)
+        return _cc_star_contraction(und, max_iter)
+    edges = und.unionByName(
+        und.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
 
     # Round 1, join-free: label(node) = min(node, min over neighbors).
     labels = (

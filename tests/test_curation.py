@@ -121,9 +121,14 @@ def test_curation_stays_jvm_side(spark, sf_dir):
     "cc_kwargs",
     [
         {"small_graph_edges": 4_000_000},   # driver union-find fast path
-        {"small_graph_edges": 0},           # distributed label propagation
+        {"small_graph_edges": 0},           # auto big-graph: two-phase
+        {"algorithm": "label", "small_graph_edges": 0},  # label prop
         {"algorithm": "star"},              # large-star/small-star
         {"algorithm": "local"},             # forced driver union-find
+        {"algorithm": "two_phase"},         # filtering contraction
+        # two-phase with the driver fallback disabled: phase 2 runs the
+        # distributed star contraction over the phase-1 forest.
+        {"algorithm": "two_phase", "small_graph_edges": 0},
     ],
 )
 def test_connected_components_chain_and_cliques(spark, cc_kwargs):
@@ -182,13 +187,17 @@ def test_connected_components_raises_on_nonconvergence(spark):
     chain = spark.createDataFrame(
         [(i, i + 1) for i in range(8)], "id_a bigint, id_b bigint"
     )
-    # small_graph_edges=0 forces the distributed loop — the union-find
-    # fast path has no iteration budget to exhaust.
+    # algorithm="label" pins the distributed propagation loop — the
+    # union-find fast path has no iteration budget to exhaust, and
+    # auto's big-graph path is now two_phase (whose phase-1 contraction
+    # can collapse a short chain before the budget matters).
     with _pytest.raises(RuntimeError, match="did not converge"):
-        dd.connected_components(chain, max_iter=2, small_graph_edges=0)
+        dd.connected_components(
+            chain, max_iter=2, small_graph_edges=0, algorithm="label"
+        )
     # and converges fine with enough rounds
     got = dd.connected_components(
-        chain, max_iter=10, small_graph_edges=0
+        chain, max_iter=10, small_graph_edges=0, algorithm="label"
     ).collect()
     assert all(r["component"] == 0 for r in got)
 

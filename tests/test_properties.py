@@ -247,12 +247,13 @@ def test_connected_components_match_python_union_find(spark, pairs):
     want = {n: find(n) for n in parent}
 
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
-    # Force the distributed label-propagation loop: the small-graph fast
-    # path IS a union-find, so testing it against one proves little.
+    # Pin the distributed label-propagation loop: the small-graph fast
+    # path IS a union-find, so testing it against one proves little
+    # (and auto's big-graph route is two_phase since round 10).
     got = {
         r["node"]: r["component"]
         for r in dd.connected_components(
-            df, small_graph_edges=0
+            df, small_graph_edges=0, algorithm="label"
         ).collect()
     }
     assert got == want
@@ -340,7 +341,7 @@ def test_cc_star_label_local_agree(spark, edges):
         [(a, b) for a, b in edges if a != b], "id_a long, id_b long"
     )
     expected = _py_components(edges)
-    for algo in ("star", "label", "local"):
+    for algo in ("star", "label", "local", "two_phase"):
         got = {
             r["node"]: r["component"]
             for r in dd.connected_components(pairs, algorithm=algo).collect()
