@@ -8524,87 +8524,132 @@ def agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimax characterization iso_i = max_{j≤i} min_{k≥i} wmean(y_j..y_k)
     (Robertson–Wright–Dykstra), the calibration-curve primitive under
     reliability diagrams and monotone probability calibrators. The fit
-    runs on the 20-ROW bin summary, never the fact table: ventile cuts
-    come from the distributed running-sum exact-percentile helper (one
-    fact pass, broadcast back), bin rates are one 20-group aggregate,
-    and the O(bins³) minimax is two grouped mins/maxes over a ≤20×20
-    self-join of a broadcast-sized frame — constant work at any fact
-    scale. Rates are integer-count ratios, so both engines divide the
-    same integers; no float accumulation anywhere."""
+    runs on the 20-ROW bin summary, never the fact table: ONE fact pass
+    collapses orders to (distinct price → row count, 'F' count) — both
+    the ventile cuts (distributed running-sum exact-percentile selector
+    over the collapsed counts, bracketing rows only) and the bin summary
+    (literal-cut binning of the ~|distinct prices| collapsed frame)
+    derive from that single checkpointed aggregate — and the O(bins³)
+    minimax folds on
+    the DRIVER over the collected ≤20-row summary, the engine's
+    bounded-driver-fold pattern (the Markov absorption walk, the BPE
+    merge table): the ≤20×20 self-join this replaces was pure
+    stage-scheduling floor on a frame bounded at ANY corpus size.
+    Arithmetic is bit-identical to the distributed plan: cumulative
+    n/nf are Python ints (exact), every span rate is one int/int
+    double division — the same IEEE operation Spark runs — and min/max
+    over doubles are order-free; the only rounding happens in Spark,
+    exactly where it happened before."""
     o = load_table(spark, sf_dir, "orders")
-    cuts = exact_percentiles(o, [], "o_totalprice", _ISO_PS)
-    v = F.col("o_totalprice")
-    bin_col = None
-    for name in _ISO_PS:
-        term = F.when(v > F.col(name), 1).otherwise(0)
-        bin_col = term if bin_col is None else bin_col + term
-    bins = (
-        o.crossJoin(F.broadcast(cuts))
-        .select(
-            bin_col.cast("long").alias("bin"),
-            F.when(F.col("o_orderstatus") == "F", 1)
-            .otherwise(0)
-            .alias("f"),
-        )
-        .groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("f").cast("long").alias("nf"),
-        )
-        # The 20-row summary feeds cum → (i, j, k): without lineage
-        # truncation each of those references re-expands the whole
-        # binning pass and the plan scans orders 8× instead of 2×.
-        .localCheckpoint(eager=True)
+    v = F.col("o_totalprice").cast("double")
+    vc = o.groupBy(v.alias("val")).agg(
+        F.count(F.lit(1)).alias("c"),
+        F.sum(
+            F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+        ).alias("cf"),
     )
-    wb = Window.orderBy("bin").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    cum = bins.select(
+    # Consumed three times (n, cuts, binning): cache so the fact table
+    # is scanned once; the n aggregate below is the materializing
+    # action, and the cache is dropped before returning (the result
+    # frame is a driver-built local relation, independent of vc).
+    vc = vc.persist()
+    try:
+        # Ventile cuts via the running-count selector, specialized:
+        # instead of the helper's 38-expression conditional aggregate
+        # (wide enough to fall out of whole-stage codegen), a row-wise
+        # predicate over LITERAL integer edges keeps only the ≤2
+        # bracketing rows per percentile — a bounded ≤38-row collect —
+        # and the interpolation (the same vlo·(hi−pos)+vhi·(pos−lo)
+        # IEEE doubles the helper and DuckDB's quantile_cont evaluate)
+        # folds on the driver. The cuts then enter the binning pass as
+        # literals too, so binning stays one codegen aggregate with no
+        # broadcast join and no window recomputation.
+        import math
+
+        nn = vc.where(F.col("val").isNotNull()).agg(
+            F.sum("c").alias("n")
+        ).first()["n"]
+        if not nn:
+            return spark.createDataFrame(
+                [],
+                "bin long, n_orders long, raw_rate double, iso_rate double",
+            )
+        positions = [float(p) * float(nn - 1) for p in _ISO_PS.values()]
+        edges = sorted(
+            {e for pos in positions for e in (math.floor(pos), math.ceil(pos))}
+        )
+        cum_df = vc.where(F.col("val").isNotNull()).select(
+            "val",
+            "c",
+            F.sum("c")
+            .over(
+                Window.partitionBy()
+                .orderBy("val")
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            )
+            .alias("cum"),
+        )
+        pred = None
+        for e in edges:
+            hit = (F.col("cum") > e) & ((F.col("cum") - F.col("c")) <= e)
+            pred = hit if pred is None else (pred | hit)
+        brackets = cum_df.where(pred).select("val", "c", "cum").collect()
+
+        def _val_at(t: int) -> float:
+            # The unique row with cum_prev <= t < cum holds expanded
+            # row t of the sorted fact order.
+            for r in brackets:
+                if r["cum"] - r["c"] <= t < r["cum"]:
+                    return r["val"]
+            raise AssertionError(f"no bracket row for position {t}")
+
+        cut_vals = []
+        for pos in positions:
+            lo, hi = math.floor(pos), math.ceil(pos)
+            vlo = _val_at(lo)
+            if lo == hi:
+                cut_vals.append(vlo)
+            else:
+                cut_vals.append(
+                    vlo * (hi - pos) + _val_at(hi) * (pos - lo)
+                )
+        bin_col = None
+        for cut in cut_vals:
+            term = F.when(F.col("val") > F.lit(cut), 1).otherwise(0)
+            bin_col = term if bin_col is None else bin_col + term
+        bins = vc.groupBy(bin_col.cast("long").alias("bin")).agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum("cf").cast("long").alias("nf"),
+        )
+        rows = sorted(bins.collect(), key=lambda r: r["bin"])  # ≤ 20
+    finally:
+        vc.unpersist()
+    cn = cf = 0
+    cum = []  # (bin, n, nf, cn_prev, cf_prev, cn, cf)
+    for r in rows:
+        cum.append((r["bin"], r["n"], r["nf"], cn, cf,
+                    cn + r["n"], cf + r["nf"]))
+        cn += r["n"]
+        cf += r["nf"]
+    out = []
+    for i, (b, n, nf, _, _, _, _) in enumerate(cum):
+        iso = max(
+            min(
+                (cum[k][6] - cum[j][4]) / float(cum[k][5] - cum[j][3])
+                for k in range(i, len(cum))
+            )
+            for j in range(0, i + 1)
+        )
+        out.append((b, n, nf, iso))
+    return spark.createDataFrame(
+        out, "bin long, n long, nf long, iso double"
+    ).select(
         "bin",
-        "n",
-        "nf",
-        F.sum("n").over(wb).alias("cn"),
-        F.sum("nf").over(wb).alias("cf"),
-    )
-    j = cum.select(
-        F.col("bin").alias("j"),
-        (F.col("cf") - F.col("nf")).alias("cf_prev"),
-        (F.col("cn") - F.col("n")).alias("cn_prev"),
-    )
-    k = cum.select(
-        F.col("bin").alias("k"),
-        F.col("cf").alias("cf_k"),
-        F.col("cn").alias("cn_k"),
-    )
-    spans = j.join(k, F.col("j") <= F.col("k")).select(
-        "j",
-        "k",
-        (
-            (F.col("cf_k") - F.col("cf_prev"))
-            / (F.col("cn_k") - F.col("cn_prev")).cast("double")
-        ).alias("avg_rate"),
-    )
-    i = cum.select(F.col("bin"), "n", "nf")
-    inner_min = (
-        i.join(
-            spans,
-            (F.col("j") <= F.col("bin")) & (F.col("k") >= F.col("bin")),
-        )
-        .groupBy("bin", "j")
-        .agg(F.min("avg_rate").alias("m"))
-    )
-    return (
-        i.join(inner_min, "bin")
-        .groupBy("bin", "n", "nf")
-        .agg(F.max("m").alias("iso"))
-        .select(
-            "bin",
-            F.col("n").alias("n_orders"),
-            F.round(
-                F.col("nf") / F.col("n").cast("double"), 6
-            ).alias("raw_rate"),
-            F.round("iso", 6).alias("iso_rate"),
-        )
+        F.col("n").alias("n_orders"),
+        F.round(F.col("nf") / F.col("n").cast("double"), 6).alias(
+            "raw_rate"
+        ),
+        F.round("iso", 6).alias("iso_rate"),
     )
 
 
