@@ -938,3 +938,50 @@ def etl_partitioned_write_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         .cast("double")
         .alias("total_price"),
     )
+
+
+_ODATA_INC_ORACLE = """
+WITH feed AS (
+    SELECT event_id, event_type
+    FROM events
+    ORDER BY event_id
+    LIMIT 500
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_records,
+       CAST(MIN(event_id) AS BIGINT) AS first_id,
+       CAST(MAX(event_id) AS BIGINT) AS last_id
+FROM feed
+GROUP BY event_type
+"""
+
+
+@query("stream_odata_incremental", oracle=_ODATA_INC_ORACLE)
+def stream_odata_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the OData CHANGE-FEED ingest — the incremental
+    replacement for the reference's Method-2 30-day window re-extract
+    (``Template-to-MySQL/Dynamics365-to-MySQL-Method-2.py:68-75``): a
+    deterministic 500-record feed snapshot (first records in feed
+    order, the position a committed ``$skip`` offset tracks) rolled up
+    per entity type with the id RANGE each consumer would have
+    acknowledged. The streaming half is ``format("odata_feed")``
+    (sources/odata_stream.py): an offset-tracked Spark-4 Python
+    streaming DataSource whose checkpointed ``$skip`` position makes
+    ingestion exactly-once across restarts;
+    tests/test_streaming.py::test_odata_change_feed_stream_equals_batch
+    drains the SAME records through that source in multiple
+    micro-batches (batch_size < feed length), applies this rollup to
+    the drained sink, and requires row-for-row equality with this
+    batch query — the stream==batch contract every other stream_*
+    entry carries."""
+    ev = load_table(spark, sf_dir, "events")
+    feed = (
+        ev.orderBy("event_id")
+        .limit(500)
+        .select("event_id", "event_type")
+    )
+    return feed.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_records"),
+        F.min("event_id").cast("long").alias("first_id"),
+        F.max("event_id").cast("long").alias("last_id"),
+    )

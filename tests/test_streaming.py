@@ -640,3 +640,73 @@ def test_sliding_topk_stream_equals_batch(spark, events_landing, tmp_path):
     )
     cols = ["window_start", "window_end", "event_type", "n_events", "rnk"]
     assert _rows(ranked, cols) == _rows(batch_ranked, cols)
+
+
+def test_odata_change_feed_stream_equals_batch(spark, sf_dir, tmp_path):
+    """stream_odata_incremental's contract: the SAME 500-record feed
+    snapshot ingested through the offset-tracked odata_feed streaming
+    source (8 micro-batches of ≤64 — the checkpointed $skip protocol,
+    not one lump) and rolled up in the sink must equal the batch
+    registry query row-for-row."""
+    import json
+
+    from extract_transform_load_template_multidb_spark.queries.etl import (
+        stream_odata_incremental,
+    )
+    from extract_transform_load_template_multidb_spark.sources.odata_stream import (
+        ODataChangeFeedDataSource,
+    )
+
+    try:
+        spark.dataSource.register(ODataChangeFeedDataSource)
+    except Exception:
+        pass  # already registered in this session
+    ev = load_table(spark, sf_dir, "events")
+    feed_rows = (
+        ev.orderBy("event_id")
+        .limit(500)
+        .select("event_id", "event_type")
+        .collect()
+    )
+    records = [
+        {"event_id": r["event_id"], "event_type": r["event_type"]}
+        for r in feed_rows
+    ]
+    stream = (
+        spark.readStream.format("odata_feed")
+        .schema("event_id BIGINT, event_type STRING")
+        .option("inline_records", json.dumps(records))
+        .option("batch_size", "64")
+        .load()
+    )
+    out = str(tmp_path / "odata_out")
+    ckpt = str(tmp_path / "odata_ckpt")
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    drained = spark.read.parquet(out)
+    got = sorted(
+        (
+            r["event_type"],
+            r["n_records"],
+            r["first_id"],
+            r["last_id"],
+        )
+        for r in drained.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.min("event_id").cast("long").alias("first_id"),
+            F.max("event_id").cast("long").alias("last_id"),
+        )
+        .collect()
+    )
+    want = sorted(
+        (r["event_type"], r["n_records"], r["first_id"], r["last_id"])
+        for r in stream_odata_incremental(spark, sf_dir).collect()
+    )
+    assert got == want
