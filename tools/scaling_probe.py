@@ -118,6 +118,53 @@ def run_dedup(spark, sf_dir: str, ks: list[int]) -> dict[int, dict]:
     return results
 
 
+def run_cc(spark, sf_dir: str, ks: list[int]) -> dict[int, dict]:
+    """Probe the graph-CLOSURE axis alone: materialize the k-fold salted
+    near-dup pair sets (same construction as the dedup probe, pair
+    generation checkpointed OUTSIDE the timed region) and time only
+    ``connected_components`` over them. Ground truth: replicas never
+    share an edge, so clustered nodes AND distinct components are both
+    exactly k x base — any deviation indicts the closure of merging
+    across replicas; superlinear wall indicts a per-round full-|E|
+    reshuffle (the label-prop shape the two-phase contraction replaced
+    in round 10)."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Warm codegen + the Arrow/python-worker path so k=1 isn't charged
+    # spin-up.
+    warm = dd.near_dup_pairs(
+        docs.limit(200), num_perm=8, rows_per_band=2, threshold=0.5
+    )
+    dd.connected_components(warm).count()
+    results = {}
+    for k in ks:
+        corpus = replicate_salted(docs, k).localCheckpoint(eager=True)
+        pairs = dd.near_dup_pairs(
+            corpus, num_perm=8, rows_per_band=2, threshold=0.5
+        ).localCheckpoint(eager=True)
+        n_pairs = pairs.count()
+        # Deterministic count, computed once outside the timed loop.
+        comps0 = dd.connected_components(pairs)
+        n_clusters = comps0.select("component").distinct().count()
+        best = None
+        for _ in range(2):  # min-of-2: this host has wall-clock bursts
+            t0 = time.perf_counter()
+            comps = dd.connected_components(pairs)
+            n_nodes = comps.count()
+            t1 = time.perf_counter()
+            rec = {
+                "n_pairs": n_pairs,
+                "n_clusters": n_clusters,
+                "n_clustered_nodes": n_nodes,
+                "total_s": round(t1 - t0, 2),
+            }
+            if best is None or rec["total_s"] < best["total_s"]:
+                best = rec
+        results[k] = best
+        print(json.dumps({"k": k, **best}), flush=True)
+        corpus.unpersist()
+    return results
+
+
 def replicate_events_shifted(ev, k: int):
     """k deterministic replicas of the prepared events frame
     (event_id, event_type, d, v); replica r's days shift by r*1000, so
@@ -327,6 +374,22 @@ def main() -> None:
             "Q is fixed, so quadratic behavior cannot hide. Wall times "
             "are per-k best of min-of-2, merged across executions."
         )
+    elif probe == "cc":
+        results = run_cc(spark, sf_dir, ks)
+        path = f"SCALING_CC_r{rnd.zfill(2)}.json"
+        probe_name = "connected_components (closure only, two-phase)"
+        notes = (
+            "k salted replicas of documents; near-dup pair generation is "
+            "checkpointed OUTSIDE the timed region, so total_s is the "
+            "closure alone. Replicas never share an edge: clustered "
+            "nodes and distinct components are exactly k x base, so "
+            "cluster ratios == 1 certify the closure never merges "
+            "across replicas, and slope <= ~1.2 certifies the two-phase "
+            "contraction (one Arrow pass over |E| + forest closure) "
+            "stays linear where a per-round full-|E| reshuffle would "
+            "not. Wall times are the per-k best across min-of-2 runs, "
+            "merged across executions (2-15x host bursts)."
+        )
     elif probe == "band":
         results = run_band(spark, sf_dir, ks)
         path = f"SCALING_BAND_r{rnd.zfill(2)}.json"
@@ -390,21 +453,28 @@ def main() -> None:
         sxy = sum((x - mx) * (y - my) for x, y in pts)
         slope = round(sxy / sxx, 3) if sxx else None
 
-    # Pair counts are k x base in ground truth; the BANDED candidate
-    # stage's recall varies a few % per replica because salted shingles
-    # hash to different signatures, so allow 5% around linear.
+    # Counts are k x base in ground truth; the BANDED candidate stage's
+    # recall varies a few % per replica because salted shingles hash to
+    # different signatures, so allow 5% around linear. The cc probe
+    # checks the CLUSTER count (its pairs are a checkpointed input).
+    count_key = "n_clusters" if probe == "cc" else "n_pairs"
+    ratio_field = (
+        "cluster_count_ratio_vs_exact_linear"
+        if probe == "cc"
+        else "pair_count_ratio_vs_exact_linear"
+    )
     k0 = min(int(k) for k in merged)
-    per_unit = merged[str(k0)]["n_pairs"] / k0
+    per_unit = merged[str(k0)][count_key] / k0
     if per_unit == 0:
-        # A base arm with zero pairs makes every ratio a division by
+        # A base arm with zero counts makes every ratio a division by
         # zero — skip the linearity block and record why, keeping the
         # (expensive) timing artifact intact.
         ratios = {}
         pair_linear = None
-        notes = notes + " | linearity skipped: base k has n_pairs == 0"
+        notes = notes + f" | linearity skipped: base k has {count_key} == 0"
     else:
         ratios = {
-            k: round(r["n_pairs"] / (int(k) * per_unit), 4)
+            k: round(r[count_key] / (int(k) * per_unit), 4)
             for k, r in merged.items()
         }
         pair_linear = all(abs(v - 1.0) <= 0.05 for v in ratios.values())
@@ -413,9 +483,13 @@ def main() -> None:
         "salt": _SALT,
         "sf_dir": sf_dir,
         "results": merged,
-        "pair_count_ratio_vs_exact_linear": ratios,
+        ratio_field: ratios,
         "loglog_slope_total_s": slope,
-        "pairs_exactly_linear": pair_linear,
+        (
+            "clusters_exactly_linear"
+            if probe == "cc"
+            else "pairs_exactly_linear"
+        ): pair_linear,
         "notes": notes,
     }
     with open(path, "w") as f:
