@@ -65,80 +65,23 @@ _loaded = False
 # pairs go last so a budget cut re-verifies proven heavy queries rather
 # than denying first evidence to cheap ones.
 _CHECK_FIRST = (
-    # Round-9 window (positions 1-50): the round-8 driver-red query
-    # (dq_completeness_matrix, oracle HUGEINT cast fixed) goes first,
-    # then the five changed-plan/changed-oracle rewrites (median
-    # imputation, bigram profile, label propagation, Markov removal,
-    # MMR) and the new per-entity Kalman, then 43 never-driver-checked
-    # names in registry order (hash-strict union across
-    # CORRECTNESS_r01..r08 = 250/568 checked-ever; this window moves it
-    # toward 300).
-    "dq_completeness_matrix",
-    "dq_median_imputation_audit",
-    "text_char_bigram_profile",
-    "graph_label_propagation_semi",
-    "window_markov_removal_attribution",
-    "sim_mmr_diversified_topk",
-    "ts_kalman_entity_level",
-    "ts_kalman_rts_smoother",
-    "ts_max_drawdown_demeaned",
-    "ts_markov_next_event_accuracy",
-    "set_relational_division",
-    "window_attribution_time_decay",
-    "dq_slo_burn_rate_alerts",
-    "dq_join_cardinality_forecast",
-    "scalar_mod97_checksum",
-    "curation_weighted_sample_es",
-    "agg_abc_xyz_classification",
-    "dq_interval_integrity_audit",
-    "mm_wav_zero_crossing_rate",
-    "ts_western_electric_rules",
-    "agg_price_volume_mix",
-    "ts_record_breaking_days",
-    "agg_ratio_metric_delta_ci",
-    "window_rolling_ols_slope",
-    "window_interval_coalesce",
-    "join_nearest_price_neighbor",
-    "scd2_as_was_vs_as_is",
-    "dq_duplicate_payment_detector",
-    "window_clamped_running_balance",
-    "text_phrase_search_positional",
-    "agg_confusion_threshold_metrics",
-    "join_disjunctive_union_rewrite",
-    "window_alert_debounce",
-    "stream_hist_quantile_sketch",
-    "pyfunc_mapinpandas_minmax",
-    "mm_image_tile_stats",
-    "ts_haar_wavelet_energy",
-    "ts_kruskal_wallis_weekday",
-    "ts_ljung_box_q",
-    "agg_average_precision",
-    "agg_contingency_residuals",
-    "window_concurrency_sweep",
-    "ts_peak_prominence",
-    "agg_simpson_paradox_detector",
-    "agg_cms_heavy_hitters",
-    "graph_bipartite_projection",
-    "join_allen_interval_relations",
-    "agg_vif_multicollinearity",
-    "window_user_lifecycle_states",
-    "graph_hits_bipartite",
-    # §2 six at positions 51-56 (pytest guard: must stay ≤ 60; all six
-    # driver-green since round 5 and unchanged).
-    "etl_full_snapshot",
-    "etl_window_extract",
-    "etl_inf_null_clean",
-    "etl_retention_complement",
-    "etl_nvarchar_promotion",
-    "sink_window_overwrite_roundtrip",
-    # Remaining never-driver-checked names at 57+, still in registry
-    # order — first in line for the round-10 window.
+    # Round-10 window (positions 1-50): the three changed/new never-
+    # driver-checked names first (isotonic driver-fold, BPE learn as
+    # memo producer, the new OData change-feed twin), then 47 never-
+    # checked names in registry order. Hash-strict green-ever union
+    # after CORRECTNESS_r09 = 298/570; this window moves it to 348.
+    # The 14 round-10 plan changes that are already green-ever (the
+    # connected-components two-phase consumers + BPE apply) are
+    # re-proven by the local 571-query driver-grade gate; window
+    # slots go to first-evidence names per the rotation policy.
+    "agg_isotonic_calibration",
+    "text_bpe_learn_merges",
+    "stream_odata_incremental",
     "ts_spectral_entropy",
     "agg_nelson_aalen_hazard",
     "text_ndcg_at_10",
     "sim_rrf_fusion",
     "feature_woe_iv",
-    "agg_isotonic_calibration",
     "agg_grubbs_outlier",
     "dq_population_stability",
     "agg_hill_tail_index_top200",
@@ -181,6 +124,16 @@ _CHECK_FIRST = (
     "agg_mode_per_group",
     "window_ntile_quartiles",
     "window_percent_rank_cume",
+    # §2 six at positions 51-56 (pytest guard: must stay ≤ 60; all
+    # six driver-green since round 5 and unchanged).
+    "etl_full_snapshot",
+    "etl_window_extract",
+    "etl_inf_null_clean",
+    "etl_retention_complement",
+    "etl_nvarchar_promotion",
+    "sink_window_overwrite_roundtrip",
+    # Remaining never-driver-checked names at 57+, still in registry
+    # order — first in line for the round-11 window.
     "agg_linear_trend",
     "agg_bool_flags",
     "window_last_touch_attribution",
@@ -366,7 +319,6 @@ _CHECK_FIRST = (
     "dedup_lsh_bucket_stats",
     "curation_domain_cap",
     "sim_cosine_topk_matmul",
-    "text_bpe_learn_merges",
     "dedup_split_doc_stitch",
     "text_lang_id_confusion",
     "dedup_prefix_truncates",
@@ -413,36 +365,6 @@ _CHECK_LAST = (
     "dedup_clusters_minhash",
     "dedup_minhash_lsh",
 )
-
-# NOTE for round 9: the §2 six now sit at positions 55-60 — the exact
-# pytest-guarded limit. Any further head insertion REQUIRES the round-9
-# rebalance below first (replace positions 1-50 wholesale).
-# ROUND-9 ROTATION PLAN (do this FIRST next round): once CORRECTNESS_r08
-# confirms the round-8 window (positions 1-50 above: 6 wave-3/4 entries
-# — the band range join, the k-anonymity audit, the bucketed-cogroup
-# rewrite, 3 embedding-compression audits — then the 4 round-8
-# perf/plan changes, 21 new round-8 queries, the 11 never-checked
-# ngram-pair consumers whose plans changed with the _fan_out fix, and
-# the planned tail through position 50), replace positions 1-50 with
-# the next ~50 still-never-driver-green names — round-9
-# changes/additions first, then the names displaced past the window by
-# waves 3/4 (set_relational_division, window_attribution_time_decay at
-# 51-52; dq_slo_burn_rate_alerts, dq_join_cardinality_forecast,
-# scalar_mod97_checksum, curation_weighted_sample_es at 59-62), then
-# the earlier parked set (agg_abc_xyz_classification,
-# dq_interval_integrity_audit, mm_wav_zero_crossing_rate,
-# agg_price_volume_mix, ts_record_breaking_days,
-# agg_ratio_metric_delta_ci, window_rolling_ols_slope,
-# ts_western_electric_rules), then the demoted tail in order
-# (window_interval_coalesce, join_nearest_price_neighbor,
-# scd2_as_was_vs_as_is, ... through agg_levene_brown_forsythe), then
-# the large never-checked families: ts_* (~30 left), agg_* statistical
-# tail (~35), text_* IR tail (~25), dq_* profiling tail (~12), mm_*,
-# sim_*, remaining TPC-H variants (q10-q22). Keep the §2 six
-# immediately after the window (pytest-guarded ≤60; currently 53-58).
-# All tail names pass the strict local gate at sf0.001 AND sf0.01;
-# rotation converts that into driver-proven union coverage.
-
 
 def _load_all() -> None:
     global _loaded
