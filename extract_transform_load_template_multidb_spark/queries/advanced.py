@@ -5040,14 +5040,19 @@ def agg_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _boot_rep_sql(n_reps: int = 20) -> str:
-    """Per-replicate weighted sums: weight of row r in replicate b is
-    md5(id:b)-derived in {0,1,2,3} (mean 1.5) — the deterministic
-    replicate-weight trick that bootstraps WITHOUT duplicating data."""
+    """Per-replicate weighted sums: weight of row r in replicate b is a
+    4-hex-digit slice of md5(id:g) mod 4 (mean 1.5), g = b div 8 — the
+    deterministic replicate-weight trick that bootstraps WITHOUT
+    duplicating data. Eight replicates share one md5 (32 hex chars = 8
+    disjoint 4-char slices), so 20 replicates cost 3 hashes per row
+    instead of 20 — the hash, not the weighted sum, was ~2/3 of the
+    query's one data pass."""
     cols = []
     for b in range(n_reps):
+        g, s = divmod(b, 8)
         w = (
             f"(CAST(('0x' || substr(md5(CAST(event_id AS VARCHAR) "
-            f"|| ':{b}'), 1, 8)) AS BIGINT) % 4)"
+            f"|| ':{g}'), {4 * s + 1}, 4)) AS BIGINT) % 4)"
         )
         cols.append(
             f"CAST(SUM(CAST({w} * v AS DECIMAL(38,6))) AS DOUBLE)"
@@ -5096,11 +5101,13 @@ GROUP BY n_rows, point_mean
 @query("agg_bootstrap_se_mean", oracle=_BOOTSTRAP_ORACLE)
 def agg_bootstrap_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bootstrap standard error of the mean WITHOUT resampling the data:
-    20 deterministic replicate weights (md5(id:b) mod 4 per row per
-    replicate — the Poisson-bootstrap trick production engines use for
-    distributed uncertainty) ride ONE data pass as 20 weighted decimal
-    sums; the replicate means quantize onto the decimal grid and their
-    exact-sum variance yields the SE. Compare against
+    20 deterministic replicate weights (disjoint 4-hex slices of
+    md5(id:g), g = b div 8, mod 4 per row per replicate — the
+    Poisson-bootstrap trick production engines use for distributed
+    uncertainty, at 3 hashes per row instead of 20 since eight
+    replicates share one digest) ride ONE data pass as 20 weighted
+    decimal sums; the replicate means quantize onto the decimal grid
+    and their exact-sum variance yields the SE. Compare against
     `agg_ab_power_analysis`'s parametric SE to audit normality
     assumptions — all engine-invariant."""
     from pyspark.sql import functions as F
@@ -5118,19 +5125,17 @@ def agg_bootstrap_se_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("point_mean"),
     ]
+    digests = {
+        g: F.md5(
+            F.concat(F.col("event_id").cast("string"), F.lit(f":{g}"))
+        )
+        for g in range(3)
+    }
     for b in range(20):
+        g, s = divmod(b, 8)
         w = (
             F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("event_id").cast("string"),
-                            F.lit(f":{b}"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
+                F.substring(digests[g], 4 * s + 1, 4),
                 16,
                 10,
             ).cast("long")
