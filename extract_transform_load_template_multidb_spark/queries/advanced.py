@@ -8540,6 +8540,12 @@ def agg_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded-driver-fold pattern (the Markov absorption walk, the BPE
     merge table): the ≤20×20 self-join this replaces was pure
     stage-scheduling floor on a frame bounded at ANY corpus size.
+    Floor adjudication (round 10, 2.28 → 1.66 s quiet at sf0.1): the
+    residual is three irreducible jobs (cache-materializing count
+    aggregate, single-partition bracket window, literal-cut bin
+    aggregate) × this host's ~0.4-0.5 s stage floor — each job's data
+    volume is |distinct prices| or less, so the gap to DuckDB's 0.37 s
+    in-process run is scheduling latency, not a plan defect.
     Arithmetic is bit-identical to the distributed plan: cumulative
     n/nf are Python ints (exact), every span rate is one int/int
     double division — the same IEEE operation Spark runs — and min/max
