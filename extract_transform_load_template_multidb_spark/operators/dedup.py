@@ -760,10 +760,25 @@ def _cc_star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
         )
     # Fixed point = stars: (src=node, dst=component-min root).
     roots = cur.select(F.col("dst").alias("node")).distinct()
-    return cur.select(
+    out = cur.select(
         F.col("src").alias("node"), F.col("dst").alias("component")
     ).unionByName(
         roots.select("node", F.col("node").alias("component"))
+    )
+    # Nodes appearing ONLY in self-loops are dropped by the src>dst
+    # canonicalization above but are their own components under the
+    # local/label/two-phase strategies — restore them so every strategy
+    # produces the same labeling on the same input. The self-loop set
+    # is empty on near-dup pair streams, so this branch costs one
+    # narrow filter + a near-empty anti-join.
+    lonely = (
+        edges.filter(F.col("src") == F.col("dst"))
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .join(out.select("node"), "node", "left_anti")
+    )
+    return out.unionByName(
+        lonely.select("node", F.col("node").alias("component"))
     )
 
 

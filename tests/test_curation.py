@@ -456,3 +456,36 @@ def test_ngram_containment_detects_supersets(spark):
     ca24, cb24 = got[(2, 4)]
     assert cb24 == 1.0 and ca24 < 0.6  # 4 is the short side of (2, 4)
     assert all(k != (1, 3) and k != (2, 3) for k in got)
+
+
+def test_two_phase_cc_many_partitions_dups_and_selfloops(spark):
+    """Two-phase CC's phase-1 forests must merge correctly ACROSS
+    partitions: a 120-node chain (phase-1 cannot close it locally — its
+    segments span every partition) plus cliques, with duplicate rows,
+    reversed duplicates, and self-loops mixed in, spread over 16
+    partitions. Duplicates/self-loops are union no-ops by contract;
+    small_graph_edges=0 forces the distributed star closure over the
+    forest, so both phases are exercised."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    edges = [(i, i + 1) for i in range(119)]                # long chain
+    edges += [(200 + i, 200 + j) for i in range(5) for j in range(i)]
+    edges += [(300, 301), (301, 300), (300, 301)]           # dups, both ways
+    edges += [(400, 400)]                                   # self-loop only
+    edges += edges[:40]                                     # more duplicates
+    pairs = spark.createDataFrame(
+        edges, "id_a bigint, id_b bigint"
+    ).repartition(16)
+    got = {
+        r["node"]: r["component"]
+        for r in dd.connected_components(
+            pairs, algorithm="two_phase", small_graph_edges=0
+        ).collect()
+    }
+    want = {i: 0 for i in range(120)}
+    want.update({200 + i: 200 for i in range(5)})
+    want.update({300: 300, 301: 300})
+    want[400] = 400  # self-loop-only node keeps itself
+    assert got == want
