@@ -65,75 +65,19 @@ _loaded = False
 # pairs go last so a budget cut re-verifies proven heavy queries rather
 # than denying first evidence to cheap ones.
 _CHECK_FIRST = (
-    # Round-10 window (positions 1-50): the three changed/new never-
-    # driver-checked names first (isotonic driver-fold, BPE learn as
-    # memo producer, the new OData change-feed twin), then 47 never-
-    # checked names in registry order. Hash-strict green-ever union
-    # after CORRECTNESS_r09 = 298/570; this window moves it to 348.
-    # The 14 round-10 plan changes that are already green-ever (the
-    # connected-components two-phase consumers + BPE apply) are
-    # re-proven by the local 571-query driver-grade gate; window
-    # slots go to first-evidence names per the rotation policy.
-    "agg_isotonic_calibration",
-    "text_bpe_learn_merges",
-    "stream_odata_incremental",
-    "ts_spectral_entropy",
-    "agg_nelson_aalen_hazard",
-    "text_ndcg_at_10",
-    "sim_rrf_fusion",
-    "feature_woe_iv",
-    "agg_grubbs_outlier",
-    "dq_population_stability",
-    "agg_hill_tail_index_top200",
-    "agg_diff_in_differences_orders",
-    "ts_max_drawdown",
-    "curation_dsir_importance",
-    "text_rake_keywords",
-    "sim_davies_bouldin_index",
-    "sim_lsh_candidate_recall",
-    "ts_holt_linear_forecast",
-    "ts_holt_winters_weekly",
-    "agg_negative_binomial_fit",
-    "agg_tukey_hsd_qstats",
-    "mm_image_edge_density",
-    "text_mattr_lexical_diversity",
-    "agg_cuped_variance_reduction",
-    "ts_sprt_ab_monitor",
-    "agg_srm_guardrail",
-    "agg_diff_in_differences",
-    "join_range_count_prefix_sum",
-    "join_bloom_prefilter",
-    "ts_croston_intermittent_demand",
-    "text_burrows_delta",
-    "dq_shuffle_skew_planner",
-    "window_attribution_linear",
-    "text_jsd_source_divergence",
-    "agg_empirical_bayes_shrinkage",
-    "window_rfm_segmentation",
-    "agg_conformal_interval",
-    "dedup_boilerplate_ngrams",
-    "ts_mann_kendall_trend",
-    "ts_page_hinkley_drift",
-    "ts_pacf_durbin_levinson",
-    "ts_hurst_aggregated_variance",
-    "agg_cohens_d_effect_size",
-    "agg_kendall_tau_daily",
-    "agg_cramers_v",
-    "agg_levene_brown_forsythe",
-    "join_salted_skew",
-    "agg_mode_per_group",
-    "window_ntile_quartiles",
-    "window_percent_rank_cume",
-    # §2 six at positions 51-56 (pytest guard: must stay ≤ 60; all
-    # six driver-green since round 5 and unchanged).
+    # Round-11 window (positions 1-50): per the round-10 verdict, the
+    # six section-2-mapped reference queries return to the window (their
+    # last driver-grade check was round 5) followed by the next 44
+    # never-driver-checked names in registry order. Hash-strict
+    # green-ever union after CORRECTNESS_r10 = 348/571; this window
+    # moves it to >=392 (44 fresh + 6 re-proven section-2).
     "etl_full_snapshot",
     "etl_window_extract",
     "etl_inf_null_clean",
     "etl_retention_complement",
     "etl_nvarchar_promotion",
     "sink_window_overwrite_roundtrip",
-    # Remaining never-driver-checked names at 57+, still in registry
-    # order — first in line for the round-11 window.
+    # 44 first-evidence names (never driver-checked before round 11).
     "agg_linear_trend",
     "agg_bool_flags",
     "window_last_touch_attribution",
@@ -178,6 +122,8 @@ _CHECK_FIRST = (
     "agg_ab_power_analysis",
     "agg_two_proportion_z_test",
     "agg_spearman_rank_corr",
+    # Remaining never-driver-checked names at 51+, in registry order —
+    # first in line for the round-12 window.
     "agg_covariance_matrix",
     "agg_pca_top_component",
     "agg_mahalanobis_outliers",
@@ -366,17 +312,15 @@ _CHECK_LAST = (
     "dedup_minhash_lsh",
 )
 
-# ROUND-11 ROTATION PLAN (do this FIRST next round): once
-# CORRECTNESS_r10 confirms the round-10 window (positions 1-50 above),
-# replace positions 1-50 with the next 50 still-never-driver-green
-# names — round-11 changes/additions first, then the tail at 57+ in
-# order (agg_linear_trend, agg_bool_flags, window_last_touch_attribution,
-# ... through the ts_*/agg_*/text_*/dq_*/mm_*/sim_* families and the
-# remaining TPC-H variants). Keep the §2 six immediately after the
-# window (pytest-guarded ≤60). Expected green-ever after r10: 348/571;
-# after r11: 398. All tail names pass the strict local gate at sf0.001
-# AND sf0.01 (CORRECTNESS_LOCAL_r10.json: 571/571); rotation converts
-# that into driver-proven union coverage.
+# ROUND-12 ROTATION PLAN (do this FIRST next round): once
+# CORRECTNESS_r11 confirms the round-11 window (positions 1-50 above),
+# replace positions 7-50 with the next 44 still-never-driver-green
+# names in order (positions 51+ below). Keep the section-2 six inside
+# the window roughly every 3 rounds (last re-proven: r11); otherwise
+# they sit immediately after it (pytest-guarded <=60). Expected
+# green-ever after r11: 392/571; after r12: ~436. All tail names pass
+# the strict local gate at sf0.001 AND sf0.01 (CORRECTNESS_LOCAL_r10:
+# 571/571); rotation converts that into driver-proven union coverage.
 
 
 def _load_all() -> None:
