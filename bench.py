@@ -15,15 +15,30 @@ BENCH_DETAIL.json is MERGED across sweeps, never overwritten: per-query
 minima are folded into the existing artifact (same sf only), raw repeat
 arrays accumulate (last 12 kept), and a ``runs`` counter records how many
 sweeps contributed. Re-running the bench therefore yields monotonically
-non-increasing per-query values. ``SPARK_GRAFT_BENCH_FRESH=1`` starts a
-new artifact; ``SPARK_GRAFT_BENCH_INVALIDATE=a,b`` resets named queries
-after a plan change so a stale fast min can't mask a regression.
+non-increasing per-query values — UNLESS the query's physical plan
+changed: each entry carries a fingerprint of its normalized formatted
+physical plan, captured pre-execution, and a prior min whose fingerprint
+no longer matches the current plan is dropped automatically before the
+merge (round-11 verdict: the min-merge protocol must never let a stale
+fast min mask a plan regression). ``SPARK_GRAFT_BENCH_FRESH=1`` starts a
+new artifact; ``SPARK_GRAFT_BENCH_INVALIDATE=a,b`` remains as a manual
+override for non-plan changes (e.g. Python-side constant factors the
+plan string can't see).
+
+Two totals are emitted (round-11 verdict: cross-round comparability):
+``value`` — the merged best-ever composite across all contributing
+sweeps — and ``this_sweep_total`` — the sum of THIS run's per-query
+times, a protocol-stable number comparable across rounds regardless of
+how many sweeps merged before it (absent on SPARK_GRAFT_ONLY subsets,
+where it would not cover the registry).
 """
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import sys
 import time
 
@@ -431,6 +446,71 @@ HEADLINE += [
 ]
 
 
+def plan_fingerprint(df) -> str:
+    """Stable hash of the query's formatted physical plan.
+
+    Captured on the freshly-built (pre-execution) DataFrame so AQE
+    runtime re-planning (`isFinalPlan=true` specifics, coalesced
+    partition specs) can't make the same code fingerprint differently
+    between sweeps. Session-varying tokens are normalized out:
+    expression IDs (``#123`` — monotonic per session), plan/subquery
+    IDs, and JVM object addresses. What remains is exactly what a plan
+    change alters: operator tree shape, pushed filters, read schemas,
+    join strategies, partitioning.
+    """
+    qe = df._jdf.queryExecution()
+    s = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[id=\d+\]", "[id=]", s)
+    s = re.sub(r"@[0-9a-fA-F]{6,}", "@", s)
+    return hashlib.sha256(s.encode()).hexdigest()[:16]
+
+
+def merge_detail(
+    prior: dict,
+    timings: dict[str, float],
+    raw: dict[str, list[float]],
+    fps: dict[str, str],
+    known: set[str],
+    manual_invalid: set[str],
+) -> tuple[dict, dict, dict, list[str]]:
+    """Fold this sweep's (timings, raw, fps) into a prior detail artifact.
+
+    Returns (merged_queries, merged_repeats, merged_fingerprints,
+    invalidated_by_plan_change). Pure so tests can drive the reset path
+    without a Spark session: a prior min whose stored fingerprint
+    differs from this sweep's is DROPPED (the plan it measured no
+    longer exists); entries with no stored fingerprint are
+    grandfathered once and fingerprinted now.
+    """
+    prior_fp = prior.get("fingerprints") or {}
+    plan_changed = sorted(
+        n for n in fps if n in prior_fp and prior_fp[n] != fps[n]
+    )
+    invalid = manual_invalid | set(plan_changed)
+    prior_q = {
+        n: v
+        for n, v in (prior.get("queries") or {}).items()
+        if n in known and n not in invalid
+    }
+    prior_raw = {
+        n: v
+        for n, v in (prior.get("repeats") or {}).items()
+        if n in known and n not in invalid
+    }
+    merged_q = dict(prior_q)
+    merged_raw = {n: list(v) for n, v in prior_raw.items()}
+    merged_fp = {
+        n: v for n, v in prior_fp.items() if n in known and n not in invalid
+    }
+    for name, t in timings.items():
+        merged_q[name] = min(t, prior_q.get(name, t))
+        merged_raw[name] = (merged_raw.get(name, []) + raw[name])[-12:]
+    merged_fp.update(fps)
+    return merged_q, merged_raw, merged_fp, plan_changed
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -472,15 +552,21 @@ def main() -> None:
     only = {n for n in only_env.split(",") if n} if only_env else None
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+    fps: dict[str, str] = {}
     for name in HEADLINE:
         if name not in qs:
             continue
         if only is not None and name not in only:
             continue
         runs = []
-        for _ in range(max(1, min(repeats, heavy.get(name, repeats)))):
+        for i in range(max(1, min(repeats, heavy.get(name, repeats)))):
             t0 = time.perf_counter()
             df = qs[name](spark, sf_dir)
+            if i == 0:
+                # Fingerprint the pre-execution plan of the first repeat
+                # (plan build is already paid inside the timed region;
+                # the explain string itself is driver-side and cheap).
+                fps[name] = plan_fingerprint(df)
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 4))
             assert n >= 0
@@ -539,31 +625,35 @@ def main() -> None:
         for n in os.environ.get("SPARK_GRAFT_BENCH_INVALIDATE", "").split(",")
         if n
     }
-    prior_q = {
-        n: v
-        for n, v in (prior.get("queries") or {}).items()
-        if n in qs and n not in invalid
-    }
-    prior_raw = {
-        n: v
-        for n, v in (prior.get("repeats") or {}).items()
-        if n in qs and n not in invalid
-    }
-    merged_q = dict(prior_q)
-    merged_raw = {n: list(v) for n, v in prior_raw.items()}
-    for name, t in timings.items():
-        merged_q[name] = min(t, prior_q.get(name, t))
-        merged_raw[name] = (merged_raw.get(name, []) + raw[name])[-12:]
+    # Auto-invalidation (round-11 verdict): a prior min is only
+    # comparable while the query still produces the same physical plan —
+    # merge_detail drops any entry whose stored fingerprint differs from
+    # the one captured THIS sweep. Legacy entries with no stored
+    # fingerprint are grandfathered once (kept, fingerprint recorded
+    # now); from then on the reset is automatic.
+    merged_q, merged_raw, merged_fp, plan_changed = merge_detail(
+        prior, timings, raw, fps, set(qs), invalid
+    )
     total = round(sum(merged_q.values()), 4)
+    # Protocol-stable per-sweep total: the sum of THIS run's per-query
+    # times over the full registry — comparable round-over-round no
+    # matter how many sweeps fed the merged record. Omitted on subset
+    # runs (it would not cover the registry).
+    sweep_total = (
+        round(sum(timings.values()), 4) if only is None else None
+    )
     with open(detail_path, "w") as fh:
         json.dump(
             {
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "this_sweep_total": sweep_total,
                 "runs": int(prior.get("runs") or 0) + 1,
+                "invalidated_by_plan_change": plan_changed,
                 "queries": merged_q,
                 "repeats": merged_raw,
+                "fingerprints": merged_fp,
                 "sf": sf_val,
             },
             fh,
@@ -577,6 +667,7 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
+                "this_sweep_total": sweep_total,
                 "n_queries": len(timings),
                 "runs": int(prior.get("runs") or 0) + 1,
                 "detail": detail_name,
