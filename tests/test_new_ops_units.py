@@ -184,3 +184,25 @@ def test_hilbert_order_matches_reference_xy2d(spark, sf_dir):
         else:
             seen[key] = r["hilbert_d"]
     assert len(set(seen.values())) == len(seen)  # injective on the grid
+
+
+def test_bpe_memo_key_tracks_corpus_data_fingerprint(tmp_path):
+    """Round-10 advice: a corpus regenerated in place at the same
+    realpath must NOT be served stale merges — the memo key folds in
+    the documents parquet's (mtime_ns, size), so rewriting the file
+    changes the key."""
+    import os
+
+    from extract_transform_load_template_multidb_spark.queries.llm_data import (
+        _bpe_corpus_key,
+    )
+
+    doc = tmp_path / "documents.parquet"
+    doc.write_bytes(b"v1")
+    k1 = _bpe_corpus_key(str(tmp_path), 4)
+    assert k1 == _bpe_corpus_key(str(tmp_path), 4)  # stable while unchanged
+    doc.write_bytes(b"v2-longer")
+    os.utime(doc, ns=(1, 1))
+    k2 = _bpe_corpus_key(str(tmp_path), 4)
+    assert k1 != k2
+    assert _bpe_corpus_key(str(tmp_path), 8) != k2  # n_merges in the key
