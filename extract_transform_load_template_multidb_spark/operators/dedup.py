@@ -664,8 +664,18 @@ def _cc_two_phase(
         nodes = list(parent)
         # Roots ride along as (r, r) self-rows so phase 2 sees every
         # node (matches the local/label treatment of self-loop-only
-        # nodes); they are a per-component handful of extra rows.
-        yield pd.DataFrame({"src": nodes, "dst": [find(n) for n in nodes]})
+        # nodes); they are a per-component handful of extra rows. The
+        # forest is yielded in bounded chunks, not one frame: a single
+        # pandas batch holding a skewed partition's whole node set
+        # would be serialized as one Arrow batch (2 GB record-batch
+        # ceiling) — chunking keeps batch size independent of
+        # partition node count.
+        chunk = 1_000_000
+        for i in range(0, len(nodes), chunk):
+            part = nodes[i : i + chunk]
+            yield pd.DataFrame(
+                {"src": part, "dst": [find(n) for n in part]}
+            )
 
     forest = und.mapInPandas(_contract, schema=out_schema).localCheckpoint(
         eager=True
@@ -698,8 +708,14 @@ def _cc_star_contraction(edges: DataFrame, max_iter: int) -> DataFrame:
     the default: near-dup graphs are clique-heavy (diameter 2–3) and
     cheaper under label-prop.
 
-    ``edges`` must be the symmetrized, deduped, self-loop-free directed
-    view (both (a,b) and (b,a) present). Output: (node, component).
+    ``edges`` may arrive canonical (src ≥ dst) or mixed-direction, with
+    duplicates and self-loops tolerated: the first filter below takes
+    the src > dst view (dropping duplicates is handled by the per-round
+    ``distinct``), and self-loop-only nodes are restored by the lonely
+    anti-join at the end — this is the contract both callers actually
+    use (``connected_components`` passes the canonical ``und`` view,
+    ``_cc_two_phase`` the non-deduped forest). Output: (node,
+    component).
     """
     # Canonical undirected form: src > dst (every edge once, larger first).
     cur = edges.filter(F.col("src") > F.col("dst")).localCheckpoint(

@@ -161,6 +161,10 @@ def run_cc(spark, sf_dir: str, ks: list[int]) -> dict[int, dict]:
                 best = rec
         results[k] = best
         print(json.dumps({"k": k, **best}), flush=True)
+        # Release BOTH checkpointed frames: the checkpointed pair RDDs
+        # (up to hundreds of millions of rows at k=32) would otherwise
+        # accumulate in executor storage across every k arm.
+        pairs.unpersist()
         corpus.unpersist()
     return results
 
