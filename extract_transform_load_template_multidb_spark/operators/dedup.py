@@ -599,6 +599,13 @@ def _cc_union_find_local(edges: DataFrame) -> DataFrame:
     return spark.createDataFrame(out, schema=schema)
 
 
+# Per-partition row budget for iterated forest contraction: partitions
+# are sized so a pass's union-find dict stays ~3M entries (~300 MB of
+# Python dict per concurrent worker). Module-level so tests can shrink
+# it to force the multi-pass path on small fixtures.
+_CONTRACT_ROWS_PER_PART = 1_500_000
+
+
 def _cc_two_phase(
     und: DataFrame, max_iter: int, small_graph_edges: int
 ) -> DataFrame:
@@ -623,9 +630,19 @@ def _cc_two_phase(
 
     **Phase 2 — global closure over the contracted forest.** Driver
     union-find when the forest is small (the overwhelmingly common case:
-    |forest| ≤ P·|V| regardless of |E|), star contraction otherwise —
-    phase 1 output is already in canonical src≥dst form (roots are
-    per-partition minima), which is exactly star contraction's input.
+    |forest| ≤ P·|V| regardless of |E|). When the forest is still big —
+    a DENSE graph saturates the P·|V| bound, so at P ∝ |E| the forest
+    grows with the partition count, measured ~k² on k-fold salted
+    cliques — the filtering iteration from the same paper applies: the
+    identical partition-local contraction re-runs over the forest with
+    a shrunken partition count (one repartition exchange + one linear
+    Arrow sweep per pass, per-partition state capped by
+    ``_CONTRACT_ROWS_PER_PART``) until the driver gate is met, with
+    star contraction as the fallback if shrinkage stalls (only possible
+    when |V| alone exceeds the gate — then O(log n) star rounds
+    genuinely are the memory-safe answer). Phase 1 output is already in
+    canonical src≥dst form (roots are per-partition minima), which is
+    exactly what both closures expect.
 
     Fixed point (node → min reachable id) is identical to label/star/
     local by construction. At 100 TB this replaces O(diameter) or
@@ -680,7 +697,40 @@ def _cc_two_phase(
     forest = und.mapInPandas(_contract, schema=out_schema).localCheckpoint(
         eager=True
     )
-    if 2 * forest.count() <= small_graph_edges:
+    cnt = forest.count()
+    # Iterated filtering (round-11): the first forest is bounded by
+    # P·|V|, and a dense graph HITS that bound — every partition sees
+    # most nodes, so at 32·k input partitions the forest grows ~k²
+    # (measured: 259M salted-clique pairs → ~10⁸-row forest). Rather
+    # than handing a forest that large to O(log n)·3-shuffle star
+    # contraction, re-run the SAME partition-local contraction over
+    # the forest with a shrunken partition count (each pass: one
+    # repartition exchange + one linear Arrow sweep; correctness is
+    # the pass-1 argument verbatim — a union of per-partition spanning
+    # forests of a forest preserves exactly the original components,
+    # and union-by-min keeps labels on the min-id grid). Partition
+    # count is chosen so per-partition union-find state stays ~3M
+    # entries; each pass shrinks the frame toward P'·|V|, normally
+    # reaching the driver gate in 1-2 passes. Star contraction remains
+    # the fallback if shrinkage stalls (possible only when |V| alone
+    # exceeds the gate — then O(log n) rounds genuinely are the
+    # memory-safe answer).
+    passes = 0
+    while 2 * cnt > small_graph_edges and passes < 4:
+        nparts = max(1, -(-cnt // _CONTRACT_ROWS_PER_PART))
+        if nparts >= forest.rdd.getNumPartitions():
+            break  # repartitioning coarser is impossible — stalled
+        nxt = forest.repartition(nparts).mapInPandas(
+            _contract, schema=out_schema
+        ).localCheckpoint(eager=True)
+        ncnt = nxt.count()
+        forest.unpersist()
+        if ncnt >= cnt:
+            forest, cnt = nxt, ncnt
+            break  # no shrinkage — bail to the fallback
+        forest, cnt = nxt, ncnt
+        passes += 1
+    if 2 * cnt <= small_graph_edges:
         return _cc_union_find_local(forest)
     return _cc_star_contraction(forest, max_iter)
 

@@ -489,3 +489,37 @@ def test_two_phase_cc_many_partitions_dups_and_selfloops(spark):
     want.update({300: 300, 301: 300})
     want[400] = 400  # self-loop-only node keeps itself
     assert got == want
+
+
+def test_two_phase_cc_iterated_contraction_reaches_driver_gate(spark):
+    """Round-11 filtering iteration: when the pass-1 forest is still
+    bigger than the driver gate, _cc_two_phase re-contracts it with a
+    shrunken partition count instead of handing it to star contraction.
+    _CONTRACT_ROWS_PER_PART is shrunk so the 16-partition fixture forces
+    MULTIPLE passes, and the gate is sized so the loop (not star) must
+    produce the final labels."""
+    from extract_transform_load_template_multidb_spark.operators import (
+        dedup as dd,
+    )
+
+    edges = [(i, i + 1) for i in range(199)] * 8  # chain, heavy dups
+    edges += [(300, 300)]  # self-loop-only node
+    pairs = spark.createDataFrame(
+        edges, "id_a bigint, id_b bigint"
+    ).repartition(16)
+    # Gate: driver path only once the forest shrinks to ~|V| (201
+    # nodes); pass-1's 16-partition forest is far above it.
+    orig = dd._CONTRACT_ROWS_PER_PART
+    dd._CONTRACT_ROWS_PER_PART = 120  # force nparts > 1 on pass 2
+    try:
+        got = {
+            r["node"]: r["component"]
+            for r in dd.connected_components(
+                pairs, algorithm="two_phase", small_graph_edges=500
+            ).collect()
+        }
+    finally:
+        dd._CONTRACT_ROWS_PER_PART = orig
+    want = {i: 0 for i in range(200)}
+    want[300] = 300
+    assert got == want
