@@ -446,24 +446,66 @@ HEADLINE += [
 ]
 
 
+# Bumped whenever _normalize_plan changes: stored fingerprints from an
+# older normalizer aren't comparable to freshly-computed ones, so the
+# merge re-grandfathers every entry (keeps the minima, records current
+# fingerprints) instead of misreading the normalizer change as 571
+# simultaneous plan changes and wiping the record.
+FP_VERSION = 3
+
+
+def _normalize_plan(s: str) -> str:
+    """Strip session-varying tokens from a formatted plan string.
+
+    Normalized out: expression IDs (``#123`` — monotonic per session),
+    plan/subquery IDs, JVM object addresses, RDD ids and call-site
+    strings in ``Scan ExistingRDD`` nodes (``MapPartitionsRDD[95] at
+    localCheckpoint at NativeMethodAccessorImpl.java:0`` — the counter
+    is session-global and AQE-nondeterministic, and the call-site frame
+    flips to ``<unknown>`` once the JVM inflates the reflective call),
+    and /tmp scratch paths (roundtrip queries re-read from a fresh
+    ``mkdtemp`` dir every run).
+
+    Each line is then canonicalized to its SORTED token bag:
+    Catalyst's RewriteDistinctAggregates (and friends) order Expand
+    arms / grouping keys by expression-id hash, so the same code
+    permutes column lists within a line between sessions
+    (``Keys [3]: [c#, r#, gid#]`` vs ``[r#, c#, gid#]``). Sorting
+    tokens per line erases permutation while keeping what a plan
+    change alters: the operator sequence (line order is preserved),
+    exchange/join-strategy nodes, pushed filters, read schemas,
+    partition counts.
+    """
+    s = re.sub(r"#\d+", "#", s)
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[id=\d+\]", "[id=]", s)
+    s = re.sub(r"@[0-9a-fA-F]{6,}", "@", s)
+    s = re.sub(r"RDD\[\d*\] at \w+ at [^,]*", "RDD[] at", s)
+    s = re.sub(r"RDD\[\d+\]", "RDD[]", s)
+    s = re.sub(r"(file:)?/tmp/[^\s,\]\)]*", "file:/tmp/", s)
+    return "\n".join(
+        " ".join(sorted(re.sub(r"[\[\](),]", " ", line).split()))
+        for line in s.splitlines()
+    )
+
+
 def plan_fingerprint(df) -> str:
     """Stable hash of the query's formatted physical plan.
 
     Captured on the freshly-built (pre-execution) DataFrame so AQE
     runtime re-planning (`isFinalPlan=true` specifics, coalesced
     partition specs) can't make the same code fingerprint differently
-    between sweeps. Session-varying tokens are normalized out:
-    expression IDs (``#123`` — monotonic per session), plan/subquery
-    IDs, and JVM object addresses. What remains is exactly what a plan
-    change alters: operator tree shape, pushed filters, read schemas,
-    join strategies, partitioning.
+    between sweeps; ``_normalize_plan`` strips session-varying tokens.
     """
     qe = df._jdf.queryExecution()
     s = df._sc._jvm.PythonSQLUtils.explainString(qe, "formatted")
-    s = re.sub(r"#\d+", "#", s)
-    s = re.sub(r"plan_id=\d+", "plan_id=", s)
-    s = re.sub(r"\[id=\d+\]", "[id=]", s)
-    s = re.sub(r"@[0-9a-fA-F]{6,}", "@", s)
+    s = _normalize_plan(s)
+    dump_dir = os.environ.get("SPARK_GRAFT_BENCH_DUMP_PLANS", "")
+    if dump_dir:
+        os.makedirs(dump_dir, exist_ok=True)
+        name = getattr(plan_fingerprint, "_dump_name", "plan")
+        with open(os.path.join(dump_dir, name + ".txt"), "w") as fh:
+            fh.write(s)
     return hashlib.sha256(s.encode()).hexdigest()[:16]
 
 
@@ -566,6 +608,7 @@ def main() -> None:
                 # Fingerprint the pre-execution plan of the first repeat
                 # (plan build is already paid inside the timed region;
                 # the explain string itself is driver-side and cheap).
+                plan_fingerprint._dump_name = name
                 fps[name] = plan_fingerprint(df)
             n = df.count()
             runs.append(round(time.perf_counter() - t0, 4))
@@ -620,6 +663,12 @@ def main() -> None:
             prior = {}
     if prior.get("sf") != sf_val:
         prior = {}  # different scale factor: minima aren't comparable
+    if prior.get("fp_version") != FP_VERSION:
+        # Stored fingerprints were produced by an older normalizer —
+        # not comparable to this sweep's. Drop THEM (not the minima):
+        # every entry re-grandfathers once under the current
+        # normalizer, exactly like a pre-fingerprint legacy artifact.
+        prior = {k: v for k, v in prior.items() if k != "fingerprints"}
     invalid = {
         n
         for n in os.environ.get("SPARK_GRAFT_BENCH_INVALIDATE", "").split(",")
@@ -654,6 +703,7 @@ def main() -> None:
                 "queries": merged_q,
                 "repeats": merged_raw,
                 "fingerprints": merged_fp,
+                "fp_version": FP_VERSION,
                 "sf": sf_val,
             },
             fh,

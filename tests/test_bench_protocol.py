@@ -11,7 +11,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import merge_detail, plan_fingerprint  # noqa: E402
+from bench import _normalize_plan, merge_detail, plan_fingerprint  # noqa: E402
 
 
 def _prior(**fps):
@@ -77,6 +77,71 @@ def test_renamed_or_removed_queries_are_dropped():
         manual_invalid=set(),
     )
     assert merged_q == {} and merged_fp == {}
+
+
+def test_normalizer_strips_session_varying_tokens():
+    """Round-11 regression: a full sweep invalidated 54 unchanged
+    queries because RDD ids (session-global, AQE-nondeterministic) and
+    mkdtemp scratch paths leaked into the fingerprint."""
+    a = _normalize_plan(
+        "Arguments: [a#12L], MapPartitionsRDD[95] at localCheckpoint\n"
+        "Location: InMemoryFileIndex [file:/tmp/etl_xml_4yvzoqa3/docs]\n"
+        "output=[path#44: string], /tmp/fixture_abc/part-0.parquet"
+    )
+    b = _normalize_plan(
+        "Arguments: [a#99L], MapPartitionsRDD[1047] at localCheckpoint\n"
+        "Location: InMemoryFileIndex [file:/tmp/etl_xml_zzz912/docs]\n"
+        "output=[path#7: string], /tmp/fixture_xyz/part-0.parquet"
+    )
+    assert a == b
+    # Non-scratch inputs keep their identity.
+    assert "/root/testdata" in _normalize_plan(
+        "Location: InMemoryFileIndex [file:/root/testdata/sf0.1/x.parquet]"
+    )
+    # JVM reflection call-site inflation: the localCheckpoint scan's
+    # call site reads NativeMethodAccessorImpl.java:0 early in a
+    # session and <unknown>:0 once inflated.
+    assert _normalize_plan(
+        "MapPartitionsRDD[95] at localCheckpoint at "
+        "NativeMethodAccessorImpl.java:0, ExistingRDD"
+    ) == _normalize_plan(
+        "MapPartitionsRDD[1047] at localCheckpoint at <unknown>:0, "
+        "ExistingRDD"
+    )
+    # RewriteDistinctAggregates orders Expand arms / grouping keys by
+    # expression-id hash — a session-varying permutation WITHIN a line.
+    assert _normalize_plan(
+        "Keys [3]: [c#, r#, gid#]\nhashpartitioning(c#, r#, gid#, 32)"
+    ) == _normalize_plan(
+        "Keys [3]: [r#, c#, gid#]\nhashpartitioning(r#, c#, gid#, 32)"
+    )
+    # ...while a genuine plan difference still fingerprints differently.
+    assert _normalize_plan("Keys [3]: [c#, r#, gid#]") != _normalize_plan(
+        "Keys [2]: [c#, r#]"
+    )
+    assert _normalize_plan("SortMergeJoin [a#], [b#], Inner") != (
+        _normalize_plan("BroadcastHashJoin [a#], [b#], Inner")
+    )
+
+
+def test_normalizer_version_migration_regrandfathers(tmp_path):
+    """When FP_VERSION bumps, stored fingerprints are dropped BEFORE the
+    merge so every entry re-grandfathers (minima kept) instead of being
+    misread as 571 simultaneous plan changes."""
+    prior = _prior(q="old-normalizer-fp")
+    # main() strips the fingerprints key on version mismatch; emulate.
+    prior = {k: v for k, v in prior.items() if k != "fingerprints"}
+    merged_q, _, merged_fp, plan_changed = merge_detail(
+        prior,
+        timings={"q": 5.0},
+        raw={"q": [5.0]},
+        fps={"q": "new-normalizer-fp"},
+        known={"q"},
+        manual_invalid=set(),
+    )
+    assert merged_q["q"] == 0.1  # adjudicated min survives the bump
+    assert merged_fp == {"q": "new-normalizer-fp"}
+    assert plan_changed == []
 
 
 def test_fingerprint_stable_across_expression_id_drift(spark, sf_dir):
