@@ -451,7 +451,7 @@ HEADLINE += [
 # merge re-grandfathers every entry (keeps the minima, records current
 # fingerprints) instead of misreading the normalizer change as 571
 # simultaneous plan changes and wiping the record.
-FP_VERSION = 3
+FP_VERSION = 4
 
 
 def _normalize_plan(s: str) -> str:
@@ -486,7 +486,7 @@ def _normalize_plan(s: str) -> str:
     return "\n".join(
         " ".join(sorted(re.sub(r"[\[\](),]", " ", line).split()))
         for line in s.splitlines()
-    )
+    ).strip("\n")
 
 
 def plan_fingerprint(df) -> str:

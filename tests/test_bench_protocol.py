@@ -122,6 +122,10 @@ def test_normalizer_strips_session_varying_tokens():
     assert _normalize_plan("SortMergeJoin [a#], [b#], Inner") != (
         _normalize_plan("BroadcastHashJoin [a#], [b#], Inner")
     )
+    # Idempotent (explainString ends with a blank line; re-normalizing
+    # a normalized plan must not flap the hash).
+    raw = "Keys [2]: [c#, r#]\nArguments: isFinalPlan=false\n\n"
+    assert _normalize_plan(_normalize_plan(raw)) == _normalize_plan(raw)
 
 
 def test_normalizer_version_migration_regrandfathers(tmp_path):
