@@ -71,8 +71,17 @@ def minhash_signatures(
     Permutation i is min over the doc's distinct tokens of
     ``md5(concat(i, ':', token))`` — one explode + one groupBy with k min
     aggregates; k scales the agg width, not the shuffle count.
+
+    The input is fanned out over the session's cores first (gated — a
+    no-op whenever the upstream already has ≥ cores partitions, i.e. at
+    cluster scale): the k·|tokens| md5 evaluations are the CPU bulk of
+    every MinHash pipeline and they run in the PARTIAL aggregate, i.e.
+    on the input's own partitioning — a small fixture corpus arrives as
+    ONE parquet split and serialized the whole hash workload onto a
+    single core (measured round 11: a 0.9–3.3 s one-task stage inside
+    every minhash query at sf0.1).
     """
-    toks = df.select(
+    toks = _fan_out(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col), F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("w")
     )
     aggs = [
@@ -231,6 +240,138 @@ def expand_sorted_array_pairs(
     return small_pairs.unionByName(big_pairs)
 
 
+def banded_unique_pairs(
+    bands_all: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int | None = None,
+    block_size: int = 256,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """Banded-LSH candidate pairs with **no distinct() exchange**: each
+    (id_a < id_b) pair sharing ≥1 band hash positionally is emitted
+    EXACTLY ONCE — at its minimum shared band.
+
+    ``bands_all`` is one row per doc: ``(id_col, __bhs: array<bigint>)``,
+    the doc's band-hash vector (``n_bands`` long; defaults to the array
+    length taken from a literal-sized ``F.array`` schema is not possible,
+    so pass it explicitly). Per band, docs sharing the band's hash form a
+    bucket (exactly :func:`lsh_candidate_pairs` semantics); a bucket at
+    band k expands a member pair only when the two members agree on NO
+    band j < k. For any pair, the set of shared bands is fixed and
+    non-empty iff the pair is a candidate, so exactly one band — the
+    minimum — emits it: the stream is globally duplicate-free by
+    construction and the output-sized ``distinct()`` shuffle of the
+    classic pipeline (measured at sf0.1: 23.4M exploded rows partially
+    deduped into a 59 MB / 12.2M-record exchange, re-aggregated into
+    10.5M pairs — the single largest stage of every MinHash query)
+    disappears outright; only bucket rows (thousands) ever shuffle.
+    Skew-proofing is unchanged: small buckets expand in place, oversized
+    buckets go through the same blocked + round-robin path as
+    :func:`expand_sorted_array_pairs`.
+
+    The min-shared-band test is generated as a SCALAR or-chain over the
+    member struct's prior-band fields — never slice/zip_with array ops,
+    which allocate per candidate pair and measured 5× slower than the
+    whole classic distinct() they were replacing.
+
+    ``max_bucket_size`` drops oversized buckets like
+    :func:`lsh_candidate_pairs`, but NOTE the semantics differ from the
+    classic path: a pair whose MINIMUM shared band was dropped is not
+    re-emitted by a later shared band (the freshness test compares raw
+    band hashes, not bucket survival). Callers that rely on the classic
+    "pairs may re-surface through other bands" behavior must keep
+    :func:`lsh_candidate_pairs`.
+    """
+    if n_bands is None:
+        raise ValueError("pass n_bands (static band count)")
+    c = int(block_size)
+    # Member struct: id plus the doc's band hashes for every band that
+    # can ever be a PRIOR band (0..n_bands-2). sort_array orders by the
+    # leading field, so member arrays are id-sorted like the classic
+    # path's sorted id arrays.
+    member = F.struct(
+        F.col(id_col).alias("id"),
+        *[F.col("__bhs")[j].alias(f"h{j}") for j in range(max(n_bands - 1, 0))],
+    )
+    exploded = bands_all.select(
+        member.alias("__m"),
+        F.posexplode("__bhs").alias("band_idx", "band_hash"),
+    )
+    buckets = (
+        exploded.groupBy("band_idx", "band_hash")
+        .agg(F.sort_array(F.collect_set("__m")).alias("__mem"))
+        .filter(F.size("__mem") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("__mem") <= max_bucket_size)
+    k = F.col("band_idx")
+
+    def _stale(a, b):
+        # True iff members a, b share SOME band before this bucket's band
+        # — i.e. a smaller band already emitted the pair. Pure scalar
+        # or-chain (short-circuits in codegen); band 0 is never stale.
+        out = F.lit(False)
+        for j in range(max(n_bands - 1, 0)):
+            out = out | ((k > F.lit(j)) & (a[f"h{j}"] == b[f"h{j}"]))
+        return out
+
+    small_pairs = (
+        buckets.filter(F.size("__mem") <= c)
+        .select(k, F.col("__mem").alias("bb"), F.explode("__mem").alias("a"))
+        .select(
+            k,
+            "a",
+            F.explode(
+                F.filter(F.col("bb"), lambda y: y["id"] > F.col("a")["id"])
+            ).alias("b"),
+        )
+        # Staleness runs as a TOP-LEVEL filter, not inside the array
+        # lambda: higher-order lambdas are interpreted (no codegen), so
+        # per-candidate struct work there measured 5-9× slower than the
+        # classic distinct() it replaces; as a codegen Filter over plain
+        # struct-field reads it is a few compiled comparisons per row.
+        .where(~_stale(F.col("a"), F.col("b")))
+        .select(F.col("a")["id"].alias("id_a"), F.col("b")["id"].alias("id_b"))
+    )
+
+    big = buckets.filter(F.size("__mem") > c)
+    blocks = F.expr(
+        f"transform(sequence(0, cast(ceil(size(__mem) / {c}.0) AS INT) - 1),"
+        f" k -> slice(__mem, k * {c} + 1, {c}))"
+    )
+    block_pairs = F.expr(
+        "flatten(transform(sequence(0, size(__blocks) - 1), i ->"
+        " transform(sequence(i, size(__blocks) - 1), j ->"
+        " struct(__blocks[i] AS ba, __blocks[j] AS bb, i = j AS same))))"
+    )
+    big_pairs = (
+        big.select(k, blocks.alias("__blocks"))
+        .select(k, F.explode(block_pairs).alias("bp"))
+        .repartition(bands_all.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            k,
+            F.col("bp.same").alias("same"),
+            F.col("bp.bb").alias("bb"),
+            F.explode("bp.ba").alias("a"),
+        )
+        .select(
+            k,
+            "a",
+            F.explode(
+                F.when(
+                    F.col("same"),
+                    F.filter(
+                        F.col("bb"), lambda y: y["id"] > F.col("a")["id"]
+                    ),
+                ).otherwise(F.col("bb"))
+            ).alias("b"),
+        )
+        .where(~_stale(F.col("a"), F.col("b")))
+        .select(F.col("a")["id"].alias("id_a"), F.col("b")["id"].alias("id_b"))
+    )
+    return small_pairs.unionByName(big_pairs)
+
+
 def jaccard_pairs(
     df: DataFrame,
     pairs: DataFrame,
@@ -255,6 +396,18 @@ def jaccard_pairs(
             lambda t: F.xxhash64(t),
         ).alias("__toks"),
     )
+    return _pairwise_jaccard_on_arrays(toks, pairs, id_col)
+
+
+def _pairwise_jaccard_on_arrays(
+    toks: DataFrame, pairs: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-pair set Jaccard over pre-built element-hash arrays.
+
+    ``toks`` is ``(id_col, __toks: array<bigint>)``; the arrays ride two
+    id-keyed joins onto the pairs (broadcast-able / AQE-convertible when
+    small) and |A∩B| is a JVM-side ``array_intersect`` over longs.
+    """
     a = toks.select(F.col(id_col).alias("id_a"), F.col("__toks").alias("__ta"))
     b = toks.select(F.col(id_col).alias("id_b"), F.col("__toks").alias("__tb"))
     # The intersect is the per-pair hot loop, so it must be evaluated
@@ -332,10 +485,41 @@ def near_dup_pairs(
     )
 
     sigs = minhash_signatures(reps, text_col, id_col, num_perm)
-    bands = lsh_bands(sigs, id_col, num_perm, rows_per_band)
-    cands = lsh_candidate_pairs(
-        bands, id_col, max_bucket_size=max_bucket_size
-    )
+    if max_bucket_size is None:
+        # Round-11 optimization: generate each candidate pair exactly
+        # once (at its minimum shared band) instead of exploding every
+        # band's bucket and distinct()-ing — same band hashes, same
+        # candidate SET, but the biggest exchange of the pipeline (the
+        # pair-level distinct) vanishes; see banded_unique_pairs.
+        bands_all = sigs.select(
+            F.col(id_col),
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"sig_{b * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ],
+                        )
+                    )
+                    for b in range(num_perm // rows_per_band)
+                ]
+            ).alias("__bhs"),
+        )
+        cands = banded_unique_pairs(
+            bands_all, id_col, n_bands=num_perm // rows_per_band
+        )
+    else:
+        # The bucket-size cap's documented semantics ("drop the bucket,
+        # pairs may re-surface through other bands") need the classic
+        # explode+distinct path — min-shared-band emission would skip
+        # pairs whose minimum band was dropped.
+        bands = lsh_bands(sigs, id_col, num_perm, rows_per_band)
+        cands = lsh_candidate_pairs(
+            bands, id_col, max_bucket_size=max_bucket_size
+        )
     rep_jac = jaccard_pairs(reps, cands, text_col, id_col).filter(
         F.col("jaccard") >= threshold
     )
@@ -433,6 +617,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.2,
     max_posting_list: int | None = None,
     reuse_shingles: bool = False,
+    strategy: str = "index",
 ) -> DataFrame:
     """n-gram shingle Jaccard near-dup pairs via inverted-index self-join.
 
@@ -447,7 +632,37 @@ def ngram_jaccard_pairs(
     pairs — posting lists shrink by the duplication factor, which squares
     in the join. Docs with no shingles (< n tokens) generate no pairs even
     among exact copies, matching the inverted-index semantics.
+
+    ``strategy`` picks how candidate rep pairs are scored; both produce
+    the identical pair set whenever ``threshold > 0``:
+
+    - ``"index"`` (default) — the inverted-index self-join above. Right
+      whenever shingles are discriminative (posting lists ≪ corpus), the
+      normal regime for n ≥ 2.
+    - ``"allpairs"`` — score EVERY rep pair with a JVM
+      ``array_intersect`` over the per-rep distinct shingle-hash arrays
+      (the :func:`jaccard_pairs` kernel), skipping the index entirely.
+      Right for the dense/small-universe regime — unigram shingles over
+      a bounded vocabulary, where posting lists approach the corpus size
+      and the index join degenerates to Σ p² ≈ |reps|² exploded rows
+      that are then re-aggregated per pair (measured at sf0.1: 448M
+      joined rows re-grouped into 10.5M pairs vs 12.5M direct pair
+      evaluations — the index pays ~36 joined rows per surviving pair
+      plus a 156 MB pair-count exchange the all-pairs path never
+      creates). Equivalence for t > 0: a pair sharing ≥1 shingle and
+      J ≥ t appears in both; a pair sharing none has J = 0 < t (or a
+      NULL 0/0 when both sets are empty — those reps are excluded, as
+      the index path excludes shingle-less docs). Quadratic by
+      construction, so the honest 100 TB posture is the same one the
+      recall audit documents: run it on the sample-sized ground-truth
+      side, never corpus-wide.
     """
+    if strategy not in ("index", "allpairs"):
+        raise ValueError(f"unknown strategy: {strategy!r}")
+    if strategy == "allpairs" and threshold <= 0:
+        # At t = 0 the strategies genuinely differ (the index emits only
+        # shingle-sharing pairs; all-pairs would emit J=0 pairs too).
+        raise ValueError("strategy='allpairs' requires threshold > 0")
     groups = df.groupBy(F.md5(F.col(text_col)).alias("__th")).agg(
         F.min(id_col).alias("__rep"),
         F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"),
@@ -463,6 +678,34 @@ def ngram_jaccard_pairs(
             F.col(id_col), tokenize(F.col(text_col)).alias("__toks")
         )
     )
+    if strategy == "allpairs":
+        # Per-rep distinct shingle-hash ARRAYS (the jaccard_pairs kernel
+        # representation); reps with no shingles are excluded up front —
+        # the inverted index never pairs them either.
+        sh_arr = toks.select(
+            F.col(id_col),
+            F.array_distinct(
+                F.transform(
+                    word_shingles_from_tokens(F.col("__toks"), n),
+                    lambda s: F.xxhash64(s),
+                )
+            ).alias("__toks"),
+        ).filter(F.size("__toks") >= 1)
+        # Every rep pair, generated skew-proof by the same blocked
+        # expansion LSH buckets use (one global sorted id array → 256-id
+        # blocks → block pairs spread round-robin over the cluster): the
+        # quadratic work lands on every core, and no pair row ever
+        # shuffles — the arrays are broadcast onto the expansion output.
+        universe = sh_arr.agg(
+            F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+        )
+        rep_jac = _pairwise_jaccard_on_arrays(
+            sh_arr, expand_sorted_array_pairs(universe), id_col
+        ).filter(F.col("jaccard") >= threshold)
+        shingled = groups.join(
+            sh_arr.select(F.col(id_col).alias("__rep")), "__rep", "left_semi"
+        )
+        return _expand_rep_pairs_to_docs(groups, rep_jac, shingled, threshold)
     sh = toks.select(
         F.col(id_col),
         # 64-bit-hash the shingle before the self-join: the join stream is
@@ -534,6 +777,19 @@ def ngram_jaccard_pairs(
     shingled = groups.join(
         sizes.select(F.col(id_col).alias("__rep")), "__rep", "left_semi"
     )
+    return _expand_rep_pairs_to_docs(groups, rep_jac, shingled, threshold)
+
+
+def _expand_rep_pairs_to_docs(
+    groups: DataFrame,
+    rep_jac: DataFrame,
+    shingled: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Expand verified rep-level pairs back to doc-level pairs (shared by
+    both :func:`ngram_jaccard_pairs` strategies): intra-clique pairs of
+    exact copies carry Jaccard 1.0 (only for texts that have shingles —
+    ``shingled``), cross-text pairs carry the rep pair's value."""
     same_pairs = expand_sorted_array_pairs(
         shingled.filter(F.size("__ids") >= 2).select("__ids")
     ).select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
@@ -1050,7 +1306,11 @@ def simhash(
     reps = df.join(
         groups.select(F.col("__rep").alias(id_col)), id_col, "left_semi"
     )
-    toks = reps.select(
+    # Fan the reps over the session's cores before the tokens×bits
+    # fan-out (gated no-op at cluster scale): like minhash_signatures,
+    # the md5-per-token work otherwise runs on the scan's partitioning —
+    # one task on a single-split fixture corpus.
+    toks = _fan_out(reps.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col),
         F.explode(F.array_distinct(tokenize(F.col(text_col)))).alias("w"),
     ).select(
@@ -1125,22 +1385,38 @@ def simhash_pairs(
     assert bits % n_bands == 0
     band_bits = bits // n_bands
     fp = simhash(df, text_col, id_col, bits)
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.expr(
-                f"(shiftright(simhash, {b * band_bits}) & "
-                f"{(1 << band_bits) - 1})"
-            ).alias("band_hash"),
+    band_exprs = [
+        F.expr(
+            f"(shiftright(simhash, {b * band_bits}) & "
+            f"{(1 << band_bits) - 1})"
         )
         for b in range(n_bands)
     ]
-    bands = fp.select(
-        F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
-    ).select(id_col, "band.band_idx", "band.band_hash")
-    cands = lsh_candidate_pairs(
-        bands, id_col, block_size=block_size, max_bucket_size=max_bucket_size
-    )
+    if max_bucket_size is None:
+        # Round-11: min-shared-band unique pair generation — same
+        # candidate set, no pair-level distinct() exchange (see
+        # banded_unique_pairs; the near_dup_pairs rationale applies
+        # verbatim, and SimHash band values are already positional).
+        bands_all = fp.select(
+            F.col(id_col), F.array(*band_exprs).alias("__bhs")
+        )
+        cands = banded_unique_pairs(
+            bands_all, id_col, n_bands=n_bands, block_size=block_size
+        )
+    else:
+        band_structs = [
+            F.struct(F.lit(b).alias("band_idx"), e.alias("band_hash"))
+            for b, e in enumerate(band_exprs)
+        ]
+        bands = fp.select(
+            F.col(id_col), F.explode(F.array(*band_structs)).alias("band")
+        ).select(id_col, "band.band_idx", "band.band_hash")
+        cands = lsh_candidate_pairs(
+            bands,
+            id_col,
+            block_size=block_size,
+            max_bucket_size=max_bucket_size,
+        )
     a = fp.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"))
     b = fp.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"))
     return (

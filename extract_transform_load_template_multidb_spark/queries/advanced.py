@@ -1399,10 +1399,14 @@ def window_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     window carries the next purchase along the per-user stream, no
     self-join, one key exchange."""
     ev = load_table(spark, sf_dir, "events")
+    # first_value over a strictly-future (1, unboundedFollowing) frame is
+    # a shrinking frame Spark re-aggregates per row — O(n²) per user.
+    # The reversed-order running form is value-identical ((ts, event_id)
+    # is a total order) and incremental O(n); see ts_interpolate_linear.
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
     )
     p_ts = F.when(F.col("event_type") == "purchase", F.col("ts"))
     stream = ev.select(
@@ -1410,7 +1414,7 @@ def window_time_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "event_type",
-        F.first(p_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
+        F.last(p_ts, ignorenulls=True).over(w).alias("next_purchase_ts"),
     )
     return stream.where(
         (F.col("event_type") == "view")

@@ -2802,12 +2802,20 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # Both pair sets are referenced twice (their count arm and the
     # anti-join arm) — measured: Catalyst's ReusedExchange already
-    # shares the shingle-join/banding shuffles between the arms, and
-    # forcing a localCheckpoint here made the query 2.5× SLOWER
-    # (12 → 30 s at sf0.1) by materializing the pair sets instead.
-    # Leave the reuse to the optimizer.
+    # shares the banding shuffles between the arms, and forcing a
+    # localCheckpoint here made the query 2.5× SLOWER (12 → 30 s at
+    # sf0.1) by materializing the pair sets instead. Leave the reuse
+    # to the optimizer.
+    # The exact side runs strategy="allpairs" (round-11 optimization):
+    # unigram shingles over this corpus's bounded vocabulary make every
+    # posting list ~corpus-sized, so the inverted-index join degenerated
+    # to 448M joined rows re-aggregated into 10.5M pair counts through a
+    # 156 MB exchange (executed-plan metrics, sf0.1) — the all-pairs
+    # array_intersect kernel scores the same 12.5M rep pairs directly
+    # with no pair shuffle at all. Identical output for threshold > 0
+    # (proven equivalence: operator docstring + oracle hash).
     exact = dd.ngram_jaccard_pairs(
-        docs, n=1, threshold=0.5
+        docs, n=1, threshold=0.5, strategy="allpairs"
     ).select("id_a", "id_b")
     found = dd.near_dup_pairs(
         docs, num_perm=8, rows_per_band=2, threshold=0.5

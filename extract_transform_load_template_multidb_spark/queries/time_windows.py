@@ -618,10 +618,20 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(*order)
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
+    # The "next bracket" is NOT first_value over (1 FOLLOWING, UNBOUNDED
+    # FOLLOWING): Spark evaluates shrinking (…, unboundedFollowing)
+    # frames by re-aggregating the remainder of the partition for EVERY
+    # row — O(n²) per key (measured round 11: 11.7 s of executor CPU on
+    # a 9.6 MB exchange in this query alone). The exact mirror — running
+    # last_value(IGNORE NULLS) over the REVERSED total order with frame
+    # (unboundedPreceding, -1) — is an incremental O(n) frame at the
+    # cost of one extra in-partition sort, and is value-identical
+    # because (t, is_grid, event_id) is a total order (desc_nulls_last
+    # mirrors asc_nulls_first; event_id is null only on grid rows).
     wf = (
         W.partitionBy("user_id")
-        .orderBy(*order)
-        .rowsBetween(1, W.unboundedFollowing)
+        .orderBy(*[F.col(c).desc() for c in order])
+        .rowsBetween(W.unboundedPreceding, -1)
     )
     ev_t = F.when(F.col("is_grid") == 0, F.col("t"))
     bracketed = merged.select(
@@ -630,8 +640,8 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "is_grid",
         F.last("v", ignorenulls=True).over(wb).alias("v_prev"),
         F.last(ev_t, ignorenulls=True).over(wb).alias("t_prev"),
-        F.first("v", ignorenulls=True).over(wf).alias("v_next"),
-        F.first(ev_t, ignorenulls=True).over(wf).alias("t_next"),
+        F.last("v", ignorenulls=True).over(wf).alias("v_next"),
+        F.last(ev_t, ignorenulls=True).over(wf).alias("t_next"),
     )
     frac = (F.col("t") - F.col("t_prev")).cast("double") / (
         F.col("t_next") - F.col("t_prev")

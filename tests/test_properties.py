@@ -862,6 +862,83 @@ def test_scurve_expectation_matches_numpy(spark, sf_dir):
         assert np.array_equal(got[f"b{b}_r{r}"].to_numpy(), want), (b, r)
 
 
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab cd", min_size=0, max_size=40),
+        min_size=2,
+        max_size=24,
+    ),
+    n=st.integers(1, 3),
+    threshold=st.sampled_from([0.25, 0.5, 0.9]),
+)
+@settings(**_SETTINGS)
+def test_ngram_jaccard_allpairs_equals_index(spark, texts, n, threshold):
+    """strategy='allpairs' (round-11: the dense/small-universe kernel the
+    LSH recall audit's exact arm uses) emits EXACTLY the inverted-index
+    pair set with equal jaccard values, for any t > 0 — including corpora
+    with exact-duplicate cliques, shingle-less (short) docs, and empty
+    texts. Tiny alphabet on purpose: maximal shingle collisions."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    idx = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in dd.ngram_jaccard_pairs(df, n=n, threshold=threshold).collect()
+    }
+    ap = {
+        (r.id_a, r.id_b, round(r.jaccard, 12))
+        for r in dd.ngram_jaccard_pairs(
+            df, n=n, threshold=threshold, strategy="allpairs"
+        ).collect()
+    }
+    assert idx == ap
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 99),  # doc id pool with collisions
+            st.lists(st.integers(0, 5), min_size=3, max_size=3),  # band vec
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda r: r[0],
+    )
+)
+@settings(**_SETTINGS)
+def test_banded_unique_pairs_equals_classic(spark, rows):
+    """banded_unique_pairs (round-11: min-shared-band emission, no
+    distinct() exchange) emits exactly the classic bucket-expansion pair
+    set, each pair exactly once — tiny band-value domain on purpose so
+    buckets collide maximally, including identical buckets across bands
+    and cross-band hash-value reuse."""
+    bands_all = spark.createDataFrame(
+        [(i, [int(h) for h in hs]) for i, hs in rows],
+        "doc_id long, __bhs array<long>",
+    )
+    bands = bands_all.select(
+        "doc_id", F.posexplode("__bhs").alias("band_idx", "band_hash")
+    )
+    classic = {
+        tuple(r) for r in dd.lsh_candidate_pairs(bands, "doc_id").collect()
+    }
+    uniq = [
+        tuple(r)
+        for r in dd.banded_unique_pairs(bands_all, "doc_id", n_bands=3)
+        .collect()
+    ]
+    assert set(uniq) == classic
+    assert len(uniq) == len(set(uniq))  # no duplicates → no distinct needed
+
+
+def test_ngram_jaccard_allpairs_rejects_zero_threshold(spark):
+    """At t = 0 the strategies genuinely differ (the index never emits
+    J=0 pairs); the operator must refuse rather than quietly diverge."""
+    df = spark.createDataFrame([(0, "a b"), (1, "c d")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="threshold > 0"):
+        dd.ngram_jaccard_pairs(df, n=1, threshold=0.0, strategy="allpairs")
+
+
 def test_gif_index_histogram_matches_numpy(spark):
     """gif_index_histogram through the REAL encode->decode path equals
     numpy bincount features on random indexed images."""
