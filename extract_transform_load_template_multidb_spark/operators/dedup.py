@@ -1458,24 +1458,56 @@ def incremental_near_dups(
     Verification reuses the exact token-set Jaccard of the batch path
     over the union frame, id-keyed joins only.
     """
-    c_bands = lsh_bands(
-        minhash_signatures(corpus, text_col, id_col, num_perm),
-        id_col,
-        num_perm,
-        rows_per_band,
-    ).select(
-        F.col(id_col).alias("corpus_id"), "band_idx", "band_hash"
-    )
-    d_bands = lsh_bands(
-        minhash_signatures(delta, text_col, id_col, num_perm),
-        id_col,
-        num_perm,
-        rows_per_band,
-    ).select(F.col(id_col).alias("delta_id"), "band_idx", "band_hash")
+    # Round-11: the delta×corpus band join emits one row per SHARED band
+    # — keeping only each pair's MINIMUM shared band (a scalar or-chain
+    # over the prior-band hashes both sides carry) makes the stream
+    # unique by construction, so the pair-level distinct() exchange of
+    # the classic form disappears (the banded_unique_pairs argument,
+    # bipartite case: for any (delta, corpus) pair the shared-band set
+    # is fixed; exactly its minimum emits).
+    n_bands = num_perm // rows_per_band
+
+    def _band_vec(src: DataFrame, out_id: str) -> DataFrame:
+        sigs = minhash_signatures(src, text_col, id_col, num_perm)
+        bhs = [
+            F.xxhash64(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col(f"sig_{b * rows_per_band + r}")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            )
+            for b in range(n_bands)
+        ]
+        return sigs.select(
+            F.col(id_col).alias(out_id),
+            *[bhs[j].alias(f"__{out_id}_h{j}") for j in range(n_bands - 1)],
+            F.posexplode(F.array(*bhs)).alias("band_idx", "band_hash"),
+        )
+
+    d_bands = _band_vec(delta, "delta_id")
+    c_bands = _band_vec(corpus, "corpus_id")
+    stale = F.lit(False)
+    for j in range(n_bands - 1):
+        stale = stale | (
+            (F.col("band_idx") > F.lit(j))
+            & (F.col(f"__delta_id_h{j}") == F.col(f"__corpus_id_h{j}"))
+        )
+    # Spread the candidate stream before the jaccard verify: the classic
+    # distinct() incidentally re-partitioned candidates 32 ways, and
+    # dropping it left the verify (array_intersect per pair) running on
+    # the band join's probe-side partitioning — a couple of
+    # AQE-coalesced tasks, measured 3.7 s serial for 1.5M pairs at
+    # sf0.1. The spread shuffles two ids per pair (16 B — strictly less
+    # than the distinct's exchange it replaces) and is pinned by number
+    # so AQE cannot re-coalesce it.
     cands = (
         d_bands.join(c_bands, ["band_idx", "band_hash"])
+        .where(~stale)
         .select("delta_id", "corpus_id")
-        .distinct()
+        .repartition(corpus.sparkSession.sparkContext.defaultParallelism)
     )
     union_src = corpus.select(F.col(id_col), F.col(text_col)).unionByName(
         delta.select(F.col(id_col), F.col(text_col))

@@ -537,26 +537,55 @@ def embedding_near_dup_pairs(
         "bucket", signlsh_bucket(F.col("qv"), num_planes)
     )
     if reuse_corpus:
-        # Quantization + bucket hashing feed both self-join sides; a
-        # lazy local checkpoint materializes the quantized corpus once
-        # instead of re-deriving it per side (see ngram_jaccard_pairs'
-        # reuse_shingles for the scale rationale).
+        # Quantization + bucket hashing feed the bucket aggregation and
+        # both id-keyed attach sides; a lazy local checkpoint
+        # materializes the quantized corpus once instead of re-deriving
+        # it per consumer (see ngram_jaccard_pairs' reuse_shingles for
+        # the scale rationale).
         corpus = corpus.localCheckpoint(eager=False)
+    # Round-11: bucket-mate pairs come from the same skew-proof blocked
+    # expansion as MinHash buckets (operators/dedup) instead of a raw
+    # bucket self-join. With 2^num_planes buckets, a self-join lands a
+    # hot bucket's ENTIRE quadratic fan-out (pairs × the 64-element dot
+    # product) on the one task that owns its join key — measured as a
+    # serial ~0.9 s stage in every embedding-dedup query at sf0.1; AQE
+    # cannot split a single key. The expansion spreads block-pairs
+    # round-robin, and the quantized vectors re-attach by id (a small,
+    # broadcast-able side at any bucket skew). Pair set and cosine are
+    # unchanged: one bucket per vector, sorted-array expansion emits
+    # exactly the id_a < id_b bucket-mates.
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        expand_sorted_array_pairs,
+    )
+
+    buckets = (
+        corpus.groupBy("bucket")
+        .agg(F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    # Spread the pair stream before the verify: the per-pair int64 dot
+    # product is an interpreted higher-order expression (dot_long
+    # docstring), and AQE coalesces the tiny bucket aggregation (2^p
+    # rows) to one partition — measured 2.9 s of SERIAL scoring for 129k
+    # pairs at sf0.1. The spread shuffles ids only (16 B/pair — noise
+    # next to the scoring at any scale) and is pinned by number so AQE
+    # cannot re-coalesce it.
+    pairs = expand_sorted_array_pairs(buckets.select("__ids")).repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    )
     a = corpus.select(
-        F.col("bucket"),
         F.col(id_col).alias("id_a"),
         F.col("qv").alias("qv_a"),
         F.col("nsq").alias("nsq_a"),
     )
     b = corpus.select(
-        F.col("bucket"),
         F.col(id_col).alias("id_b"),
         F.col("qv").alias("qv_b"),
         F.col("nsq").alias("nsq_b"),
     )
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -4939,7 +4939,12 @@ def dedup_source_shingle_overlap(
     docs = load_table(spark, sf_dir, "documents")
     # Materialize tokens once: the word_shingles convenience form would
     # re-run the regex tokenize at each of its 11 lambda references.
-    toks = docs.select(
+    # Round-11: fan the corpus over the session's cores first — the 12M
+    # shingle explode + distinct partial otherwise runs on the scan's
+    # single fixture split, i.e. one core (the r10 floor adjudication
+    # blamed per-row explode overhead; the missing half was that it was
+    # SERIAL. _fan_out is a gated no-op at cluster scale).
+    toks = dd._fan_out(docs.select("source", "text")).select(
         "source", dd.tokenize(F.col("text")).alias("toks")
     )
     sh = (
