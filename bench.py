@@ -25,12 +25,22 @@ new artifact; ``SPARK_GRAFT_BENCH_INVALIDATE=a,b`` remains as a manual
 override for non-plan changes (e.g. Python-side constant factors the
 plan string can't see).
 
-Two totals are emitted (round-11 verdict: cross-round comparability):
-``value`` — the merged best-ever composite across all contributing
-sweeps — and ``this_sweep_total`` — the sum of THIS run's per-query
-times, a protocol-stable number comparable across rounds regardless of
-how many sweeps merged before it (absent on SPARK_GRAFT_ONLY subsets,
-where it would not cover the registry).
+Stdout contract (round-12 verdict: the driver needs THIS-run numbers —
+merged-minima on stdout poisoned the round-11 scaling comparison with
+historical 32-core times): the one-line JSON reports THIS sweep —
+``value`` IS ``this_sweep_total`` (the sum of this run's per-query
+times, protocol-stable round-over-round) and ``queries`` holds THIS
+run's per-query times. The merged best-ever composite survives as
+``merged_value`` on the same line (clearly labeled; the old cross-round
+record) and the full merged per-query minima live only in
+BENCH_DETAIL.json. On SPARK_GRAFT_ONLY subsets ``value`` is the sum of
+the timed subset only.
+
+Core-count profiles don't share minima: the detail artifact records the
+``cpus`` it was measured at, and a sweep at a different
+``$SPARK_GRAFT_CPUS`` is merged into its own per-profile file
+(``BENCH_DETAIL_c<cpus>.json``) instead — so a driver scaling run at 8
+cores can never re-report 32-core records (round-11 PERF artifact).
 """
 
 from __future__ import annotations
@@ -640,9 +650,26 @@ def main() -> None:
         detail_name = "BENCH_DETAIL.json"
     else:
         detail_name = f"BENCH_DETAIL_sf{sf}.json"
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), detail_name
-    )
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
+    detail_path = os.path.join(repo_dir, detail_name)
+    # Per-core-count profiles (round-12 verdict): minima measured at one
+    # core count must never be re-reported at another. If the artifact on
+    # disk records a different cpus than this session's, redirect the
+    # whole merge to a per-profile file instead.
+    cpus = spark.sparkContext.defaultParallelism
+    try:
+        with open(detail_path) as fh:
+            _prior_probe = json.load(fh)
+    except (OSError, ValueError):
+        _prior_probe = {}
+    # Artifacts committed before round 12 carry no "cpus" key; every one
+    # of them was measured at the 32-core canonical profile (BENCH_r*.json
+    # record "cpus": 32 for all prior rounds), so missing is grandfathered
+    # as 32 rather than silently adopted by whatever profile runs first.
+    prior_cpus = _prior_probe.get("cpus", 32 if _prior_probe else None)
+    if prior_cpus not in (None, cpus):
+        detail_name = detail_name.replace(".json", f"_c{cpus}.json")
+        detail_path = os.path.join(repo_dir, detail_name)
     # MERGE, don't overwrite: a single sweep on this host can burst 2-15x
     # on unchanged code (documented in BASELINE.md), so the committed
     # artifact keeps the per-query MINIMUM across sweeps and accumulates
@@ -683,24 +710,26 @@ def main() -> None:
     merged_q, merged_raw, merged_fp, plan_changed = merge_detail(
         prior, timings, raw, fps, set(qs), invalid
     )
-    total = round(sum(merged_q.values()), 4)
+    merged_total = round(sum(merged_q.values()), 4)
     # Protocol-stable per-sweep total: the sum of THIS run's per-query
     # times over the full registry — comparable round-over-round no
-    # matter how many sweeps fed the merged record. Omitted on subset
-    # runs (it would not cover the registry).
-    sweep_total = (
-        round(sum(timings.values()), 4) if only is None else None
-    )
+    # matter how many sweeps fed the merged record. This IS the stdout
+    # ``value`` (round-12 verdict); the merged best-ever composite rides
+    # along as ``merged_value``.
+    sweep_total = round(sum(timings.values()), 4)
     with open(detail_path, "w") as fh:
         json.dump(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": merged_total,
                 "unit": "sec",
-                "this_sweep_total": sweep_total,
+                "merged_value": merged_total,
+                "this_sweep_total": sweep_total if only is None else None,
                 "runs": int(prior.get("runs") or 0) + 1,
+                "cpus": cpus,
                 "invalidated_by_plan_change": plan_changed,
                 "queries": merged_q,
+                "this_sweep_queries": timings,
                 "repeats": merged_raw,
                 "fingerprints": merged_fp,
                 "fp_version": FP_VERSION,
@@ -709,17 +738,18 @@ def main() -> None:
             fh,
             indent=1,
         )
-    timings = merged_q
 
     def _line(qmap: dict) -> str:
         return json.dumps(
             {
                 "metric": "headline_queries_total_wall",
-                "value": total,
+                "value": sweep_total,
                 "unit": "sec",
-                "this_sweep_total": sweep_total,
+                "this_sweep_total": sweep_total if only is None else None,
+                "merged_value": merged_total,
                 "n_queries": len(timings),
                 "runs": int(prior.get("runs") or 0) + 1,
+                "cpus": cpus,
                 "detail": detail_name,
                 "queries": qmap,
                 "sf": sf_val,

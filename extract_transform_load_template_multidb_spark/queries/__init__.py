@@ -15,12 +15,105 @@ regardless of partitioning.
 
 from __future__ import annotations
 
+import functools
+import re
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+# ---------------------------------------------------------------------------
+# Adaptive-execution bypass for provably-small, non-explosive plans
+# (round-12: the 526-query tail is driver-latency bound — 8-vs-32-core
+# sweep totals within 2%). AQE materializes every shuffle as its own job
+# and re-optimizes between stages; that orchestration is pure overhead
+# when the whole input is smaller than one advisory partition per core
+# AND the plan cannot blow the data up past its input size. Measured at
+# sf0.1 (tools/aqe_tail_ab.py): 24-query tail sample 11.10 s -> 8.68 s
+# (jobs 92 -> 42) with AQE off; but the EXPLOSIVE family (banding
+# explodes, self-join wedges) regressed 2-5x without AQE's runtime
+# join-strategy conversion and coalescing (dedup_clusters_minhash
+# 7.3 -> 19.8 s). Hence the gate is structural, not size-only — bypass
+# only when, on the ANALYZED plan (no extra optimizer pass):
+#   * every leaf is a relation with real statistics (an unknown-size
+#     leaf — localCheckpoint RDD, createDataFrame — might be huge);
+#   * the leaves sum to < cores x AQE's advisory partition size (at
+#     cluster scale real inputs exceed this and AQE stays on);
+#   * no Generate (explode) node — row multiplication breaks the
+#     "output work ~ input size" premise;
+#   * no leaf relation appears twice (self-join/self-union shapes are
+#     the other way tiny inputs become huge intermediates).
+# Results are identical either way — AQE is a performance feature — and
+# every query sets the conf explicitly, so nothing leaks across queries.
+# ---------------------------------------------------------------------------
+
+_EXPR_ID = re.compile(r"#\d+")
+
+
+def _aqe_bypass_ok(df: DataFrame) -> bool:
+    spark = df.sparkSession
+    from extract_transform_load_template_multidb_spark.operators.dedup import (
+        _ADVISORY_BYTES,
+        _fan_out,  # noqa: F401  (shares the advisory-bytes cache)
+    )
+
+    qe = df._jdf.queryExecution()
+    plan = qe.analyzed()
+    if "Generate " in plan.toString():
+        return False
+    leaves = plan.collectLeaves()
+    total = 0
+    seen: set[str] = set()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        sig = _EXPR_ID.sub("#", leaf.toString())
+        if sig in seen:
+            return False
+        seen.add(sig)
+        size = int(str(leaf.stats().sizeInBytes()))
+        if size >= (1 << 62):  # unknown-size default: might be huge
+            return False
+        total += size
+    advisory = _ADVISORY_BYTES.get(id(spark))
+    if advisory is None:
+        advisory = 64 * 1024 * 1024
+        try:
+            advisory = int(
+                spark._jvm.org.apache.spark.network.util.JavaUtils
+                .byteStringAsBytes(
+                    spark.conf.get(
+                        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                        "64m",
+                    )
+                )
+            )
+        except Exception:
+            pass
+        _ADVISORY_BYTES[id(spark)] = advisory
+    cores = spark.sparkContext.defaultParallelism
+    return total < cores * advisory
+
+
+def _adaptive_gate(fn: Callable) -> Callable:
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        # Builders with internal actions (iterative graph loops, eager
+        # checkpoints) always run under the session default: AQE on.
+        try:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+        except Exception:
+            return fn(spark, sf_dir)
+        df = fn(spark, sf_dir)
+        try:
+            if _aqe_bypass_ok(df):
+                spark.conf.set("spark.sql.adaptive.enabled", "false")
+        except Exception:
+            pass  # keep AQE on — never fail or mis-gate a query build
+        return df
+
+    return wrapped
 
 
 def query(name: str, oracle: str | None = None):
@@ -38,7 +131,10 @@ def query(name: str, oracle: str | None = None):
                 f"(existing: {QUERIES[name].__module__}, "
                 f"new: {fn.__module__})"
             )
-        QUERIES[name] = fn
+        # Registered under the adaptive-execution gate (see above); the
+        # undecorated builder is returned so module-level callers and
+        # tests that import the function directly see the plain query.
+        QUERIES[name] = _adaptive_gate(fn)
         if oracle is not None:
             ORACLES[name] = oracle
         return fn
@@ -65,65 +161,23 @@ _loaded = False
 # pairs go last so a budget cut re-verifies proven heavy queries rather
 # than denying first evidence to cheap ones.
 _CHECK_FIRST = (
-    # Round-11 window (positions 1-50): per the round-10 verdict, the
-    # six section-2-mapped reference queries return to the window (their
-    # last driver-grade check was round 5) followed by the next 44
-    # never-driver-checked names in registry order. Hash-strict
-    # green-ever union after CORRECTNESS_r10 = 348/571; this window
-    # moves it to >=392 (44 fresh + 6 re-proven section-2).
-    "etl_full_snapshot",
-    "etl_window_extract",
-    "etl_inf_null_clean",
-    "etl_retention_complement",
-    "etl_nvarchar_promotion",
-    "sink_window_overwrite_roundtrip",
-    # 44 first-evidence names (never driver-checked before round 11).
-    "agg_linear_trend",
-    "agg_bool_flags",
-    "window_last_touch_attribution",
-    "agg_skew_kurtosis",
-    "agg_corr_per_group",
-    "agg_entropy_categorical",
-    "agg_hll_sketch_merge",
-    "window_time_to_purchase",
-    "window_share_of_parent",
-    "window_pareto_concentration",
-    "agg_type_affinity_lift",
-    "feature_normalize_per_group",
-    "agg_weighted_median",
-    "agg_geo_harmonic_means",
-    "window_status_transitions",
-    "window_abc_classification",
-    "join_copurchase_part_pairs",
-    "agg_rfm_segments",
-    "agg_part_price_dispersion",
-    "agg_density_grid_2d",
-    "agg_lorenz_curve",
-    "agg_topn_with_other_rollup",
-    "window_decile_migration",
-    "agg_negative_exposure",
-    "agg_basket_size_trend",
-    "agg_supplier_hhi",
-    "agg_survival_curve",
-    "agg_seasonal_index",
-    "agg_supplier_return_rates",
-    "agg_cohort_revenue_matrix",
-    "agg_price_elasticity",
-    "agg_reorder_rate",
-    "window_moving_median",
-    "agg_chi_square_independence",
-    "agg_welch_t_test",
-    "join_lateral_topn_orders",
-    "agg_mann_whitney_u",
-    "agg_argmax_min_by_max_by",
-    "join_theta_price_band",
-    "agg_ks_two_sample",
-    "agg_empirical_bayes_rates",
-    "agg_ab_power_analysis",
-    "agg_two_proportion_z_test",
-    "agg_spearman_rank_corr",
-    # Remaining never-driver-checked names at 51+, in registry order —
-    # first in line for the round-12 window.
+    # Round-12 window (positions 1-50): per VERDICT.md task #9 and the
+    # round-11 rotation plan below, the window leads with this round's
+    # REWRITTEN dedup/minhash/simhash family (8 names — min-shared-band
+    # emission, stats-gated fan-out, eqNullSafe staleness, and the
+    # recall audit's subtraction rewrite all need driver-grade re-proof;
+    # estimator_calibration and shingle_entropy are also first-evidence)
+    # followed by the next 42 never-driver-checked names in queue order.
+    # Green-ever union after CORRECTNESS_r11 = 392/571; this window
+    # moves it to >=434 (42 fresh + 8 re-proven rewritten).
+    "dedup_lsh_recall_audit",
+    "dedup_minhash_lsh",
+    "dedup_simhash_pairs",
+    "dedup_incremental_minhash",
+    "dedup_clusters_minhash",
+    "dedup_bbit_minhash_estimate",
+    "dedup_minhash_estimator_calibration",
+    "dedup_shingle_entropy",
     "agg_covariance_matrix",
     "agg_pca_top_component",
     "agg_mahalanobis_outliers",
@@ -166,6 +220,15 @@ _CHECK_FIRST = (
     "dq_rule_violations",
     "dq_order_total_reconciliation",
     "dq_distribution_drift",
+    # Section-2 reference surface at positions 51-56 (driver-proven r11;
+    # pytest-guarded <=60, back inside the 50-window ~every 3 rounds).
+    "etl_full_snapshot",
+    "etl_window_extract",
+    "etl_inf_null_clean",
+    "etl_retention_complement",
+    "etl_nvarchar_promotion",
+    "sink_window_overwrite_roundtrip",
+    # Never-driver-checked queue continues (round-13 window source).
     "dq_join_coverage",
     "dq_sample_bias_audit",
     "dq_column_cardinality_profile",
@@ -280,8 +343,6 @@ _CHECK_FIRST = (
     "sim_corpus_diversity",
     "text_boundary_token_profile",
     "text_lang_mismatch_docs",
-    "dedup_minhash_estimator_calibration",
-    "dedup_shingle_entropy",
     "sim_knn_label_vote",
     "sim_label_centroid_margin",
     "sim_hard_negative_mining",
@@ -312,15 +373,17 @@ _CHECK_LAST = (
     "dedup_minhash_lsh",
 )
 
-# ROUND-12 ROTATION PLAN (do this FIRST next round): once
-# CORRECTNESS_r11 confirms the round-11 window (positions 1-50 above),
-# replace positions 7-50 with the next 44 still-never-driver-green
-# names in order (positions 51+ below). Keep the section-2 six inside
-# the window roughly every 3 rounds (last re-proven: r11); otherwise
-# they sit immediately after it (pytest-guarded <=60). Expected
-# green-ever after r11: 392/571; after r12: ~436. All tail names pass
-# the strict local gate at sf0.001 AND sf0.01 (CORRECTNESS_LOCAL_r10:
-# 571/571); rotation converts that into driver-proven union coverage.
+# ROUND-13 ROTATION PLAN (do this FIRST next round): once
+# CORRECTNESS_r12 confirms the round-12 window (positions 1-50 above),
+# replace positions 1-50 with the next 50 still-never-driver-green
+# names in queue order (positions 51+ above), unless that round rewrites
+# operators again — rewritten queries take the head of the window.
+# Keep the section-2 six inside the window roughly every 3 rounds (last
+# re-proven: r11, due ~r14); otherwise they sit immediately after it
+# (pytest-guarded <=60). Expected green-ever after r12: ~434/571. All
+# tail names pass the strict local gate at sf0.001 AND sf0.01
+# (CORRECTNESS_LOCAL_r10: 571/571); rotation converts that into
+# driver-proven union coverage.
 
 
 def _load_all() -> None:

@@ -2800,12 +2800,6 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exhaustive side stays sample-sized, the banded side is the
     production plan."""
     docs = load_table(spark, sf_dir, "documents")
-    # Both pair sets are referenced twice (their count arm and the
-    # anti-join arm) — measured: Catalyst's ReusedExchange already
-    # shares the banding shuffles between the arms, and forcing a
-    # localCheckpoint here made the query 2.5× SLOWER (12 → 30 s at
-    # sf0.1) by materializing the pair sets instead. Leave the reuse
-    # to the optimizer.
     # The exact side runs strategy="allpairs" (round-11 optimization):
     # unigram shingles over this corpus's bounded vocabulary make every
     # posting list ~corpus-sized, so the inverted-index join degenerated
@@ -2820,22 +2814,36 @@ def dedup_lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     found = dd.near_dup_pairs(
         docs, num_perm=8, rows_per_band=2, threshold=0.5
     ).select("id_a", "id_b")
-    missed = exact.join(found, ["id_a", "id_b"], "left_anti")
+    # Round-12: n_missed = n_exact − n_found, NOT an anti-join. The two
+    # ~8.5-8.9M-row pair sets were sort-merge-joined (the round's largest
+    # remaining exchange) to count |exact \ found| — but found ⊆ exact
+    # EXACTLY, at the level of the computed arithmetic, so the set
+    # difference is pure subtraction:
+    #   * both arms score the SAME token-hash arrays — near_dup_pairs'
+    #     verify (jaccard_pairs: xxhash64 over array_distinct(tokenize))
+    #     and the n=1 allpairs arm (xxhash64 over distinct unigram
+    #     shingles = the same distinct tokens) produce identical J per
+    #     rep pair, hash collisions and all, filtered at the same 0.5;
+    #   * a found pair has J ≥ 0.5 > 0 ⇒ its arrays intersect ⇒ the
+    #     allpairs arm (which scores EVERY shingled rep pair) keeps it;
+    #   * both arms expand rep pairs to doc pairs identically
+    #     (intra-clique pairs only for texts with ≥1 token, cross pairs
+    #     via least/greatest) and emit each doc pair exactly once.
+    # The anti-join arm double-referenced both pair pipelines; dropping
+    # it removes the SMJ and one ReusedExchange consumer from each side.
+    # A violation of the subset invariant (an operator bug) would surface
+    # as a negative n_missed — louder than the old silent anti-join, and
+    # still oracle-checked against DuckDB's NOT EXISTS count.
     ne = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     nf = found.agg(F.count(F.lit(1)).alias("n_found"))
-    nm = missed.agg(F.count(F.lit(1)).alias("n_missed"))
-    return (
-        ne.crossJoin(nf)
-        .crossJoin(nm)
-        .select(
-            "n_exact",
-            "n_found",
-            "n_missed",
-            (
-                F.col("n_found").cast("double")
-                / F.col("n_exact").cast("double")
-            ).alias("recall"),
-        )
+    return ne.crossJoin(nf).select(
+        "n_exact",
+        "n_found",
+        (F.col("n_exact") - F.col("n_found")).alias("n_missed"),
+        (
+            F.col("n_found").cast("double")
+            / F.col("n_exact").cast("double")
+        ).alias("recall"),
     )
 
 
@@ -8679,13 +8687,43 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     from pyspark.sql import Window as Win
 
-    edges = (
+    edges_pre = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .groupBy(
             F.col("o_custkey").alias("c"),
             F.col("l_suppkey").alias("s"),
         )
         .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    # Round-12: the 8 half-steps run ~25 tiny jobs through the eager
+    # checkpoints below, and AQE turns each aggregation into its own
+    # materialized stage + re-plan — measured 4.64 -> 3.05 s at sf0.1
+    # with adaptive off (tools/aqe_tail_ab.py). The bypass is gated on
+    # the same small-input structural test the registry gate uses
+    # (distinct file leaves summing under cores x advisory bytes), so a
+    # cluster-scale lineitem keeps AQE for the edge aggregation; the
+    # terminal frame is checkpoint-rooted, so the registry gate restores
+    # AQE for the final count either way.
+    from extract_transform_load_template_multidb_spark.queries import (
+        _aqe_bypass_ok,
+    )
+
+    try:
+        bypass = _aqe_bypass_ok(edges_pre)
+    except Exception:
+        bypass = False
+    if bypass:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _hits_body(spark, edges_pre, Win)
+    finally:
+        if bypass:
+            spark.conf.set("spark.sql.adaptive.enabled", "true")
+
+
+def _hits_body(spark: SparkSession, edges_pre: DataFrame, Win) -> DataFrame:
+    edges = (
+        edges_pre
         # 8 half-steps re-scan this cached frame; coalesce so each tiny
         # broadcast-join job schedules 8 tasks, not shuffle_partitions —
         # per-task overhead dominates node-count-sized iterative work.

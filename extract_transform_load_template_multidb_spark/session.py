@@ -30,19 +30,33 @@ _RUNTIME_CONF = {
 }
 
 
+# Sessions already configured by ensure_conf. ensure_conf is on every
+# query's plan-build path (catalog.load_table), and its six conf.set py4j
+# round-trips per call are pure per-query driver latency once the session
+# is configured — the engine never unsets these keys, so applying them
+# once per session is equivalent (round-12: the 526-query tail is
+# driver-latency bound). Keyed by id() with the session object itself kept
+# as the value, so a garbage-collected session can never alias a live one.
+_CONF_APPLIED: dict[int, SparkSession] = {}
+
+
 def ensure_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine defaults to an existing session.
 
     The correctness driver constructs its own SparkSession; every public
     query entry point funnels through here so behavior does not depend on
-    who built the session.
+    who built the session. Idempotent and memoized per session object:
+    repeat calls are a dict lookup, not six py4j round-trips.
     """
+    if _CONF_APPLIED.get(id(spark)) is spark:
+        return spark
     for k, v in _RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # Static conf on this build — keep going; defaults are sane.
             pass
+    _CONF_APPLIED[id(spark)] = spark
     return spark
 
 
